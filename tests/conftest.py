@@ -1,0 +1,75 @@
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from usedcars_bigdata_spark.schemas import TABLE_NAMES
+from usedcars_bigdata_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    s = get_session(app_name="tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def assert_df_matches_oracle(spark_df, duck_con, sql: str) -> None:
+    """Mirror of the driver's comparison: sort columns by name, compare the
+    row multiset cell-by-cell (floats to 1e-9)."""
+    oracle = duck_con.execute(sql).fetch_arrow_table().to_pandas()
+    got = spark_df.toPandas()
+    assert sorted(got.columns) == sorted(oracle.columns), (
+        f"column mismatch: spark={sorted(got.columns)} oracle={sorted(oracle.columns)}"
+    )
+    cols = sorted(got.columns)
+    got_rows = sorted(
+        (
+            tuple(_norm_cell(v) for v in row)
+            for row in got[cols].itertuples(index=False, name=None)
+        ),
+        key=str,
+    )
+    want_rows = sorted(
+        (
+            tuple(_norm_cell(v) for v in row)
+            for row in oracle[cols].itertuples(index=False, name=None)
+        ),
+        key=str,
+    )
+    assert len(got_rows) == len(want_rows), (
+        f"row count mismatch: spark={len(got_rows)} oracle={len(want_rows)}"
+    )
+    for i, (g, w) in enumerate(zip(got_rows, want_rows)):
+        assert g == w, f"row {i} mismatch:\n  spark : {g}\n  oracle: {w}"

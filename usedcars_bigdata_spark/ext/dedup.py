@@ -1,0 +1,230 @@
+"""Deduplication operators for document corpora.
+
+Four tiers, cheapest → most semantic, all pure DataFrame ops (no Python in
+the hot path):
+
+1. exact          — md5-hash groupBy; one shuffle on the 16-byte digest.
+2. ngram Jaccard  — word-n-gram shingle inverted index + self-join; exact
+                    set similarity, quadratic only within shared shingles.
+3. MinHash + LSH  — fixed random-affine permutations over xxhash64 shingle
+                    hashes; band-bucket join prunes candidates to
+                    near-collisions. Linear-ish; the 100 TB workhorse.
+4. SimHash        — 64-bit fingerprints from signed token-hash bit sums;
+                    near-dup ⇔ small Hamming distance; chunk-index join.
+
+MinHash/SimHash constants are fixed literals so results are deterministic
+across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1; affine MinHash permutations h_i(x) = (a_i*x+b_i) mod P.
+# 31-bit domain keeps a_i*x < 2^62 — no int64 overflow under ANSI mode.
+_P = (1 << 31) - 1
+_MINHASH_SEEDS = [
+    (1103515245 + 7919 * i, 12345 + 104729 * i) for i in range(16)
+]  # fixed (a_i, b_i), all < P
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tier 1: exact duplicate groups keyed by md5(text). Returns one row per
+    distinct content with the canonical (min) id and the copy count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tier 1 applied: keep the min-id row per distinct content (deterministic
+    survivor, unlike dropDuplicates)."""
+    keep = exact_dedup_stats(df, id_col, text_col).select(
+        F.col("canonical_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
+) -> DataFrame:
+    """Distinct word n-gram shingles per document, via native higher-order
+    functions (sequence/transform/explode) — no Python. Documents with fewer
+    than ``n`` words produce no shingles."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias(out))
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str, threshold: float, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Tier 2: exact n-gram Jaccard similarity via inverted-index self-join.
+    Shuffles on the shingle; hot shingles fan out quadratically — AQE skew
+    handling applies, and MinHash/LSH (tier 3) is the scale path."""
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _shingle_hash(shingle_col: str = "shingle") -> Column:
+    """Nonnegative 61-bit base hash of a shingle."""
+    return F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_P))
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Tier 3a: k=16 MinHash values per document — k min-aggregates over the
+    affine-permuted shingle hash, all in one grouped agg (single shuffle)."""
+    x = _shingle_hash(shingle_col)
+    mins = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_MINHASH_SEEDS)
+    ]
+    return shingles.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 4
+) -> DataFrame:
+    """Tier 3b: band the k-wide signature into ``bands`` groups; documents
+    colliding on any whole band become candidates. One explode + shuffle on
+    the band key; candidate count ≪ n² for realistic corpora."""
+    k = len(_MINHASH_SEEDS)
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = 4,
+) -> DataFrame:
+    """Tier 3 end-to-end: shingle → minhash → LSH candidates → exact-Jaccard
+    verification of candidates only. Output matches jaccard_pairs semantics
+    restricted to LSH-surviving pairs."""
+    sh = word_shingles(df, id_col, text_col, n=n)
+    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col, bands=bands)
+    exact = jaccard_pairs(sh, id_col, threshold=threshold)
+    return exact.join(cands, on=["id_a", "id_b"], how="left_semi")
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tier 4: 64-bit SimHash fingerprint. Token-level xxhash64; per bit b
+    the signed sum of (+1/-1) over tokens decides bit b of the fingerprint.
+    Entirely native: explode → 64 conditional sums in ONE grouped agg →
+    bit-compose. One shuffle on the id."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Pair documents whose fingerprints differ in ≤ max_hamming bits.
+    Candidate generation: 4×16-bit chunk index (pigeonhole: ≤3 differing
+    chunks guaranteed when max_hamming < 4·... candidates where ≥1 chunk
+    matches exactly) then exact popcount filter."""
+    chunks = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ck"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ck").alias("ck"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ck") == F.col("b.ck"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("fp_a"),
+            F.col("b.simhash").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return cands.filter(hamming <= max_hamming).select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode step is STUBBED:
+``decode_image`` raises NotImplementedError by design, and
+``fake_image_features`` is a deterministic stand-in (hash-derived) so the
+Spark-side plumbing — schema, batch iteration, partition sizing — is real
+and tested. Swapping in PIL/torchaudio is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feat_dim", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - intentional stub
+    """Real decode (PIL.Image.open等) — unavailable in this container."""
+    raise NotImplementedError(
+        "image codecs not installed; use fake_image_features for plumbing tests"
+    )
+
+
+def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in feature extractor: sha256-derived floats in
+    [0,1). Same payload → same features, everywhere."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [h[i % len(h)] / 255.0 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, dim: int = 8, use_stub: bool = True) -> DataFrame:
+    """Batch feature extraction over binary payloads via mapInPandas —
+    Arrow-batched, one Python worker per partition, no row-at-a-time serde.
+    Partition count (not row width) governs parallelism, so repartition
+    upstream by expected decode cost at scale."""
+
+    fn = fake_image_features if use_stub else decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fn(p, dim) if fn is fake_image_features else fn(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feat_dim": dim,
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def synthesize_media_from_docs(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Build a deterministic fake media table from the documents table so the
+    plumbing can run against harness data (text bytes as payload)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

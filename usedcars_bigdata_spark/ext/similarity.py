@@ -1,0 +1,125 @@
+"""Similarity search over an ``array<float>`` embedding column.
+
+- ``brute_force_topk``: exact cosine top-k of a (small, broadcast) query set
+  against the full corpus. O(|Q|·N) dot products, fully JVM-side via
+  higher-order functions; the correctness baseline.
+- ``hyperplane_lsh_topk``: random-hyperplane (sign) LSH — corpus and queries
+  are bucketed by a b-bit sign signature; candidates share a bucket (multi-
+  probe over any of ``tables`` independent signatures). Approximate; recall
+  vs brute force is property-tested. The 100 TB path: bucket join instead of
+  cross product.
+
+Hyperplanes are generated from a fixed seed on the driver and shipped as
+literal arrays — deterministic across runs/layouts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine, dot
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact top-k by cosine. ``queries`` must be small (broadcast). Ranking
+    uses the full-precision score with the neighbor id as tie-break; the
+    reported score is rounded for cross-engine comparability."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", ndigits).alias("cosine"))
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(tables, bits, dim)
+
+
+def _signature(vec_col: str, planes: np.ndarray) -> "F.Column":
+    """b-bit sign signature of one LSH table as a long."""
+    bits, dim = planes.shape
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
+        d = dot(vec_col, plane)
+        sig = sig + F.shiftleft(F.when(d >= 0, F.lit(1).cast("long")).otherwise(0), b)
+    return sig
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: equi-join on (table, signature) buckets, exact
+    cosine only within candidates. With b=8/t=4 on 64-dim data, candidate
+    sets are ~N/2^b per table — the cross product never materializes."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+
+    def with_sigs(df: DataFrame, idal: str, vecal: str) -> DataFrame:
+        renamed = df.select(F.col(id_col).alias(idal), F.col(vec_col).alias(vecal))
+        sigs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _signature(vecal, planes[t]).alias("sig"))
+                for t in range(tables)
+            ]
+        )
+        return renamed.select(idal, vecal, F.explode(sigs).alias("b")).select(
+            idal, vecal, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig")
+        )
+
+    cb = with_sigs(corpus, "neighbor_id", "c_vec")
+    qb = with_sigs(queries, "query_id", "q_vec")
+    cands = (
+        cb.join(F.broadcast(qb), on=["tbl", "sig"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .distinct()
+    )
+    scored = cands.withColumn("cos", cosine("q_vec", "c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", ndigits).alias("cosine"))
+    )
+
+
+def norm_stats_by_label(
+    embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding diagnostics (L2 norm distribution)."""
+    norms = embeddings.withColumn("norm", F.sqrt(dot(vec_col, vec_col)))
+    return norms.groupBy(label_col).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )

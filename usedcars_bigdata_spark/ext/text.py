@@ -1,0 +1,112 @@
+"""Text-analysis operators for document corpora — all native Column
+expressions (split/filter/transform/aggregate); no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# Tiny per-language stopword profiles for the heuristic language ID.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "pt": ["o", "a", "de", "que", "e"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token statistics: whitespace token count, char count,
+    average token length. Integer math + one division → cross-engine exact."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
+        F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
+    )
+
+
+def _stopword_pred(x: Column, words: list[str]) -> Column:
+    pred = F.lit(False)
+    for s in words:
+        pred = pred | (x == s)
+    return pred
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1]: blend of stopword ratio (fluency
+    proxy) and length adequacy (≥100 tokens saturates). Deterministic
+    integer/ratio math, engine-portable."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
+    stop_ratio = n_stop / n_tokens
+    len_score = F.least(n_tokens, F.lit(100)) / F.lit(100.0)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(stop_ratio * 0.5 + len_score * 0.5, 4).alias("quality_score"),
+    )
+
+
+def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: score = hits of each language's profile;
+    argmax wins (ties broken by profile order); no hits → 'und'. A real
+    deployment swaps in fastText via a pandas UDF — the plumbing (pure
+    column-expression scoring, no shuffle) is the point here."""
+    w = _words(text_col)
+
+    def profile_pred(prof: list[str]):
+        # NB: the lambda must be single-arg — a second (even defaulted)
+        # parameter makes PySpark pass the array index as that argument.
+        return lambda x: _stopword_pred(x, prof)
+
+    scores = {
+        lang: F.size(F.filter(w, profile_pred(prof)))
+        for lang, prof in LANG_PROFILES.items()
+    }
+    best = None
+    for lang, s in scores.items():
+        best = s if best is None else F.greatest(best, s)
+    pick = None
+    for lang, s in scores.items():
+        pick = F.when(s == best, lang) if pick is None else pick.when(s == best, lang)
+    lang_col = F.when(best > 0, pick).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), lang_col.alias("lang_pred"), best.alias("lang_hits"))
+
+
+def rolling_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, n: int = 4, mod: int = 8
+) -> DataFrame:
+    """Mod-p document fingerprint: xxhash64 of each word n-gram, keep hashes
+    ≡ 0 (mod ``mod``) — a content-defined ~1/mod sample that survives
+    reordering of unrelated regions (winnowing-style). Output: sorted array
+    of selected hashes per doc."""
+    nw = f"size(split(trim({text_col}), '\\\\s+'))"
+    grams = F.expr(
+        # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs.
+        f"IF({nw} >= {n}, "
+        f"transform(sequence(1, {nw} - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))), "
+        f"array())"
+    )
+    selected = F.array_sort(
+        F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0))
+    )
+    return df.select(
+        F.col(id_col),
+        selected.alias("fingerprint"),
+        F.size(selected).alias("fp_size"),
+    )

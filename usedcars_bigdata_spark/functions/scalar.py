@@ -1,0 +1,86 @@
+"""Scalar function surface (SURVEY.md §2.8) + Python-UDF parity forms.
+
+Everything the engine uses in hot paths is a native Column expression.
+The two Python UDFs the reference defines (U1 categorize_description,
+data-understanding.py:131-147; U2 luxury_udf, recomendation-system.py:105-112)
+are provided here in BOTH forms:
+- native (default): when/contains chain — codegen'd, pushdown-friendly;
+- udf parity: row-at-a-time Python UDF with identical semantics, kept only
+  to document the cost difference (it forces BatchEvalPython into the plan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.derive import categorize_by_keywords, when_chain
+
+# U1: dealer-type categorization (reference keyword lists,
+# data-understanding.py:134-141).
+DEALER_CATEGORIES: list[tuple[str, list[str]]] = [
+    ("Online dealership", ["online", "website", "web site", "internet"]),
+    ("Physical dealership", ["dealer", "dealership", "showroom"]),
+]
+DEALER_DEFAULT = "Private party"
+
+
+def dealer_category_native(text_col: str | Column) -> Column:
+    return categorize_by_keywords(text_col, DEALER_CATEGORIES, DEALER_DEFAULT)
+
+
+def dealer_category_udf() -> Column:
+    """Parity form of U1 (data-understanding.py:131-147). Slow path."""
+
+    def categorize(description: str | None) -> str:
+        if description is None:
+            return DEALER_DEFAULT
+        d = description.lower()
+        for name, keywords in DEALER_CATEGORIES:
+            if any(kw in d for kw in keywords):
+                return name
+        return DEALER_DEFAULT
+
+    return F.udf(categorize, T.StringType())(F.col("description"))
+
+
+# U2: luxury/type grouping (recomendation-system.py:105-112).
+LUXURY_TYPES = {"convertible", "coupe"}
+SMALL_TYPES = {"sedan", "coupe", "convertible", "hatchback", "mini-van"}
+
+
+def luxury_group_native(type_col: str | Column) -> Column:
+    c = F.col(type_col) if isinstance(type_col, str) else type_col
+    is_lux = c.isin(*sorted(LUXURY_TYPES))
+    is_small = c.isin(*sorted(SMALL_TYPES))
+    return when_chain(
+        [
+            (c.isNull(), None),  # type: ignore[list-item]
+            (is_lux & is_small, "luxury_small"),
+            (is_lux & ~is_small, "luxury_large"),
+            (~is_lux & is_small, "non-luxury_small"),
+        ],
+        "non-luxury_large",
+    )
+
+
+# U3: manufacturer → country as a native when-chain (the reference already
+# does this natively, recomendation-system.py:67-86).
+MANUFACTURER_COUNTRY: dict[str, list[str]] = {
+    "germany": ["audi", "bmw", "mercedes-benz", "porsche", "volkswagen"],
+    "japan": ["acura", "datsun", "honda", "infiniti", "lexus", "mazda",
+              "mitsubishi", "nissan", "subaru", "toyota"],
+    "korea": ["hyundai", "kia"],
+    "italy": ["alfa-romeo", "ferrari", "fiat"],
+    "sweden": ["volvo"],
+    "uk": ["jaguar", "land rover", "mini", "rover"],
+}
+
+
+def manufacturer_country(col: str | Column, default: str = "usa") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    cases = [(c.isin(ms), country) for country, ms in MANUFACTURER_COUNTRY.items()]
+    return when_chain(cases, default)

@@ -1,0 +1,126 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A11).
+
+Scale notes baked in:
+- Grouped aggs rely on Catalyst's partial(map-side) + final HashAggregate
+  pair — nothing to hand-roll.
+- ``percent_of_total`` ships in two forms: the reference's driver-scalar
+  form (collect a grand total, then a second job —
+  data-understanding.py:229-232, an anti-pattern at scale) and the default
+  single-plan window form (``sum().over(Window.partitionBy())``) that stays
+  on the cluster. The window-over-no-partition computes ONE scalar — Spark
+  plans a 1-row broadcast-style exchange, not a full sort, so it scales.
+- ``median_exact`` exists because percentile_approx (A2) can't hash-match a
+  DuckDB oracle; both are exposed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_counts(df: DataFrame, keys: Sequence[str], alias: str = "count") -> DataFrame:
+    """A3: count per group (data-understanding.py:150,226,244)."""
+    return df.groupBy(*keys).agg(F.count("*").alias(alias))
+
+
+def grouped_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    """A1/A5/A6: general grouped aggregation with aliased agg Columns."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def global_scalar(df: DataFrame, agg: Column):
+    """A4: global aggregate collected to a driver scalar (parity form;
+    data-understanding.py:151,229). Use sparingly — driver round-trip."""
+    return df.agg(agg).collect()[0][0]
+
+
+def median_exact(col: str) -> Column:
+    """Exact interpolated median (matches DuckDB quantile_cont)."""
+    return F.expr(f"percentile({col}, 0.5)")
+
+
+def median_approx(col: str, accuracy: int = 10000) -> Column:
+    """A2: percentile_approx as the reference uses (data-understanding.py:205).
+    Approximate → never hash-comparable across engines; prefer exact for
+    oracle-checked paths, approx for 100 TB interactive paths."""
+    return F.percentile_approx(col, 0.5, accuracy)
+
+
+def percentiles_exact(col: str, ps: Sequence[float]) -> list[Column]:
+    return [F.expr(f"percentile({col}, {p})").alias(f"p{int(p * 100)}") for p in ps]
+
+
+def percent_of_total(
+    df: DataFrame, count_col: str, alias: str = "percentage", ndigits: int = 2
+) -> DataFrame:
+    """A10 scalable form: share of a count column over the grand total,
+    computed in-plan via an empty-partition window (single scalar exchange).
+    Reference computes the total with a separate collect() job
+    (data-understanding.py:229-232) — see ``percent_of_total_collected``."""
+    total = F.sum(count_col).over(Window.partitionBy())
+    return df.withColumn(alias, F.round(F.col(count_col) * 100 / total, ndigits))
+
+
+def percent_of_total_collected(
+    df: DataFrame, count_col: str, alias: str = "percentage", ndigits: int = 2
+) -> DataFrame:
+    """A10 parity form (two jobs + driver scalar, as the reference does)."""
+    total = df.agg(F.sum(count_col)).collect()[0][0]
+    return df.withColumn(alias, F.round(F.col(count_col) * 100 / F.lit(total), ndigits))
+
+
+def summary_stats(df: DataFrame, col: str, ndigits: int = 2) -> DataFrame:
+    """A9: typed describe() — count/mean/stddev/min/max as proper numerics
+    (df.describe returns strings; data-viz&cleaning.py:108,164)."""
+    return df.agg(
+        F.count(col).alias("n"),
+        F.round(F.avg(col), ndigits).alias("mean"),
+        F.round(F.stddev(col), ndigits).alias("stddev"),
+        F.min(col).alias("min"),
+        F.max(col).alias("max"),
+    )
+
+
+def skewness_of(col: Column | str, ndigits: int = 4) -> Column:
+    """A8: population skewness g1 = m3/m2^1.5, Spark's native definition
+    (used for the odometer skew study, data-viz&cleaning.py:142,195,207)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.skewness(c), ndigits)
+
+
+def count_distinct_agg(df: DataFrame, keys: Sequence[str], cols: Sequence[str]) -> DataFrame:
+    """A11 extension: exact distinct counts per group (expand+two-phase agg
+    under the hood; use approx_distinct_agg at interactive scale)."""
+    aggs = [F.countDistinct(c).alias(f"n_{c}") for c in cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_distinct_agg(
+    df: DataFrame, keys: Sequence[str], cols: Sequence[str], rsd: float = 0.05
+) -> DataFrame:
+    """HyperLogLog++ distinct counts — constant memory per group, the
+    100 TB-scale default."""
+    aggs = [F.approx_count_distinct(c, rsd).alias(f"approx_n_{c}") for c in cols]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def pivot_counts(
+    df: DataFrame, key: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Pivot with an explicit value list (avoids the extra distinct-values
+    job Spark otherwise runs) and zero-filled cells."""
+    out = df.groupBy(key).pivot(pivot_col, list(values)).count()
+    for v in values:
+        out = out.withColumn(f"n_{v}", F.coalesce(F.col(f"`{v}`"), F.lit(0))).drop(v)
+    return out
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)

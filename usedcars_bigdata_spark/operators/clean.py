@@ -1,0 +1,111 @@
+"""Projection / filter / cleaning operators (SURVEY.md §2.2, P1-P14).
+
+Reference behaviors re-expressed:
+- column pruning by exclusion list (data-viz&cleaning.py:69-71) → ``drop_columns``
+- bulk/scalar casts (data-viz&cleaning.py:91,108) → ``cast_columns``
+- range / in-list / null / like filters (data-viz&cleaning.py:130,173,234;
+  data-understanding.py:91,183-187) → predicate builders
+- dropna / dropDuplicates (data-viz&cleaning.py:74) → ``drop_nulls`` /
+  ``dedupe_exact`` / ``dedupe_deterministic``
+
+All filters are plain Column predicates so Catalyst pushes them into the
+parquet scan (check ``PushedFilters`` in .explain). ``dedupe_deterministic``
+exists because ``dropDuplicates`` keeps an *arbitrary* row per key — fine on
+one machine, nondeterministic across cluster runs; at 100 TB you want a
+reproducible keeper.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P1/P2: prune by exclusion list; Catalyst prunes the scan to match."""
+    return df.drop(*cols)
+
+
+def select_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """P3: explicit projection (order-preserving)."""
+    return df.select(*cols)
+
+
+def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
+    """P4/P5: cast named columns in place (e.g. {"year": "int"})."""
+    exprs = [
+        F.col(c).cast(casts[c]).alias(c) if c in casts else F.col(c) for c in df.columns
+    ]
+    return df.select(*exprs)
+
+
+def filter_range(
+    df: DataFrame, col: str, lo=None, hi=None, lo_open: bool = False, hi_open: bool = False
+) -> DataFrame:
+    """P7: range filter, e.g. price ∈ [2000, 50000] (data-viz&cleaning.py:130)."""
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) > lo if lo_open else F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) < hi if hi_open else F.col(col) <= hi)
+    return df.filter(pred)
+
+
+def filter_isin(df: DataFrame, col: str, values: Sequence, negate: bool = False) -> DataFrame:
+    """P8: IN-list filter (data-viz&cleaning.py:234-235)."""
+    pred = F.col(col).isin(list(values))
+    return df.filter(~pred if negate else pred)
+
+
+def filter_not_null(df: DataFrame, *cols: str) -> DataFrame:
+    """P9: null-rejection predicates (data-understanding.py:91,196)."""
+    out = df
+    for c in cols:
+        out = out.filter(F.col(c).isNotNull())
+    return out
+
+
+def like_any(col: Column, patterns: Sequence[str], lowercase: bool = True) -> Column:
+    """P10: disjunction of LIKE patterns (data-understanding.py:183-187).
+    Returns a Column so callers can negate (`~`) or combine it."""
+    base = F.lower(col) if lowercase else col
+    pred = F.lit(False)
+    for p in patterns:
+        pred = pred | base.like(p)
+    return pred
+
+
+def drop_nulls(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P11: df.na.drop() (data-viz&cleaning.py:74,85)."""
+    return df.na.drop(subset=list(subset) if subset else None)
+
+
+def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """P12: dropDuplicates — arbitrary survivor per key (reference semantics,
+    data-viz&cleaning.py:74). One shuffle on the dedup key."""
+    return df.dropDuplicates(list(subset)) if subset else df.dropDuplicates()
+
+
+def dedupe_deterministic(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Deterministic dedup: keep the first row per key group under
+    ``order_by`` (must make rows unique within a group). Same single shuffle
+    as dropDuplicates, but the survivor is reproducible across runs and
+    cluster layouts — the scalable default our engine prefers."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P14: withColumnRenamed chain (data-understanding.py:78-79)."""
+    out = df
+    for old, new in mapping.items():
+        out = out.withColumnRenamed(old, new)
+    return out

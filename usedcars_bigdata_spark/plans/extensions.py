@@ -1,0 +1,201 @@
+"""Named queries for the extension operators (ext/): dedup, similarity
+search, text analysis. SQL-expressible ones carry DuckDB oracles; the
+hash-family ops (MinHash/SimHash/LSH — engine-specific hash functions) are
+rows-only here and property-tested in tests/ against exact baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ext import dedup as X
+from ..ext import similarity as SIM
+from ..ext import text as TX
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups keyed by content digest — one shuffle on md5."""
+    return X.exact_dedup_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ext_dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    """,
+)
+def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (τ=0.2) via inverted-index
+    self-join — the verification tier under MinHash/LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3)
+    return X.jaccard_pairs(sh, "doc_id", threshold=0.2)
+
+
+@query("ext_dedup_minhash_lsh")
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates verified by exact Jaccard —
+    rows-only here (engine-specific xxhash64); recall vs the exact pairs is
+    asserted in tests/test_ext_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.minhash_near_dupes(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query("ext_dedup_simhash")
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (rows-only; bit semantics
+    property-tested)."""
+    return X.simhash64(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_ann_cosine_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.emb, e.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+      FROM q JOIN e ON e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, rank, round(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ext_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 10 query vectors against the corpus —
+    broadcast cross join + ordered-fold dot products (bit-stable vs the
+    oracle's sequential list_dot_product)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("ext_ann_lsh_topk")
+def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 (rows-only; recall vs brute force
+    asserted in tests/test_ext_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hyperplane_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "ext_embedding_norms",
+    oracle="""
+    SELECT label,
+           count(*) AS n,
+           round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+           round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+           round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm diagnostics over the embedding column."""
+    return SIM.norm_stats_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           length(text) AS n_chars_actual,
+           round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def ext_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenization stats per document (native split/size)."""
+    return TX.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ext_text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    )
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+                 * 1.0 / len(w), 4) AS stopword_ratio,
+           round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+                 * 1.0 / len(w) * 0.5
+                 + least(len(w), 100) / 100.0 * 0.5, 4) AS quality_score
+    FROM t
+    """,
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio + length-adequacy quality score per document."""
+    return TX.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("ext_text_langid")
+def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword-profile language ID (rows-only; golden cases in
+    tests/test_ext_text.py)."""
+    return TX.langid_heuristic(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("ext_doc_fingerprint")
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-p n-gram fingerprints (rows-only; determinism + sampling-rate
+    properties tested)."""
+    return TX.rolling_fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,808 @@
+"""Core named-query library (SURVEY.md §2) over the harness testdata.
+
+Two families:
+- ``ref_*``: the reference application's query semantics (its three benchmark
+  queries + the data-understanding/cleaning analyses, SURVEY.md §2/§6) recast
+  onto the harness star schema — same operator shapes, scale-aware plans.
+- ``rel_*``: the general relational surface (joins, windows, set ops, pivot,
+  cube, sessionization) the engine ships beyond the reference's single-table
+  workload.
+
+Every float-producing column is rounded in-query on BOTH the Spark and the
+oracle side; every top-k/row_number ordering carries a unique tie-break key
+(see plans/registry.py for why).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import agg as A
+from ..operators import clean as C
+from ..operators import derive as D
+from ..operators import joins as J
+from ..operators import sample as R
+from ..operators import setops as S
+from ..operators import sort as O
+from ..operators import window as W
+from ..sources import load_table
+from .registry import query
+
+# ---------------------------------------------------------------------------
+# Reference parity: the three benchmark queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ref_q1_avg_price_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS num_listings,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY num_listings DESC
+    """,
+)
+def ref_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (A1/P14/O1): count + avg price per group, sorted by count desc
+    (performance_py/2-cores-6-instances.py:121-129). Partial+final hash agg;
+    one shuffle on the group key, one range exchange for the sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = A.grouped_agg(
+        orders,
+        ["o_orderpriority"],
+        [
+            F.count("*").alias("num_listings"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        ],
+    )
+    return O.ordered(out, ["num_listings"], ascending=False)
+
+
+@query(
+    "ref_q2_median_value_by_type",
+    oracle="""
+    SELECT upper(event_type) AS event_type,
+           count(*) AS num_events,
+           round(quantile_cont(value, 0.5), 2) AS median_value,
+           row_number() OVER (ORDER BY upper(event_type)) AS row_num
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def ref_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (A2/W1/F1): count + median per group, uppercased key, global
+    row_number (performance_py/2-cores-6-instances.py:155-169). Exact
+    interpolated median (oracle-comparable) instead of percentile_approx —
+    both are exposed in operators.agg. The global window is the reference's
+    semantics; it runs on the already-aggregated (tiny) result, so the
+    single-task sort is harmless here."""
+    events = load_table(spark, sf_dir, "events")
+    grouped = A.grouped_agg(
+        events,
+        ["event_type"],
+        [
+            F.count("*").alias("num_events"),
+            F.round(A.median_exact("value"), 2).alias("median_value"),
+        ],
+    ).select(
+        F.upper("event_type").alias("event_type"), "num_events", "median_value"
+    )
+    return W.global_row_number(grouped, [F.col("event_type").asc()], alias="row_num")
+
+
+@query(
+    "ref_q3_pct_of_total",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, count(*) AS num_f
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, num_f,
+           round(num_f * 100.0 / sum(num_f) OVER (), 2) AS percentage
+    FROM g
+    ORDER BY percentage DESC
+    """,
+)
+def ref_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 (A3/A10/F8/O1): percent-of-total per group
+    (performance_py/2-cores-6-instances.py:196-212). Scalable single-plan
+    form: window-over-no-partition instead of the reference's mid-query
+    collect() of the grand total (SURVEY.md §4 'Defeats Catalyst #4')."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = A.grouped_counts(
+        orders.filter(F.col("o_orderstatus") == "F"), ["o_orderpriority"], alias="num_f"
+    )
+    pct = A.percent_of_total(counts, "num_f", alias="percentage")
+    return O.ordered(pct, ["percentage"], ascending=False)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: data-understanding / cleaning analyses
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ref_regexp_extract_ids",
+    oracle="""
+    SELECT c_name,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS INTEGER) AS extracted_id
+    FROM customer
+    WHERE regexp_extract(c_name, '([0-9]+)$', 1) <> ''
+    ORDER BY extracted_id, c_name
+    LIMIT 10
+    """,
+)
+def ref_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/P5/P9/O2/O3: regexp_extract + cast + null-filter + sort + limit —
+    the oldest-cars year-extraction pipeline shape
+    (data-understanding.py:183-196)."""
+    customer = load_table(spark, sf_dir, "customer")
+    extracted = D.regexp_extract_col(
+        customer.select("c_name"), "c_name", r"([0-9]+)$", 1, "extracted_id", cast="int"
+    )
+    notnull = C.filter_not_null(extracted, "extracted_id")
+    return O.top_k(notnull, [F.col("extracted_id").asc(), F.col("c_name").asc()], 10)
+
+
+@query(
+    "ref_like_not_filter",
+    oracle="""
+    SELECT lang, count(*) AS num_docs
+    FROM documents
+    WHERE NOT (lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%')
+    GROUP BY lang
+    """,
+)
+def ref_like_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/F1/F3: negated LIKE-disjunction filter, the cash-for/spam filter
+    shape (data-understanding.py:183-187)."""
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(~C.like_any(F.col("text"), ["%join%", "%merge%"]))
+    return A.grouped_counts(filtered, ["lang"], alias="num_docs")
+
+
+@query(
+    "ref_category_native",
+    oracle="""
+    SELECT CASE
+             WHEN lower(text) LIKE '%stream%' OR lower(text) LIKE '%window%'
+               THEN 'streaming'
+             WHEN lower(text) LIKE '%join%' OR lower(text) LIKE '%merge%'
+               THEN 'relational'
+             ELSE 'other'
+           END AS category,
+           count(*) AS n
+    FROM documents
+    GROUP BY category
+    """,
+)
+def ref_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 native rewrite: keyword categorization as a when/contains chain
+    (vs. the reference's Python UDF, data-understanding.py:131-147). Stays in
+    whole-stage codegen — no BatchEvalPython in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    cat = D.categorize_by_keywords(
+        "text",
+        [("streaming", ["stream", "window"]), ("relational", ["join", "merge"])],
+        "other",
+    )
+    return A.grouped_counts(docs.withColumn("category", cat), ["category"], alias="n")
+
+
+@query(
+    "ref_when_chain_groups",
+    oracle="""
+    SELECT CASE
+             WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 'industrial'
+             WHEN c_mktsegment = 'BUILDING' THEN 'construction'
+             ELSE 'consumer'
+           END AS segment_group,
+           count(*) AS n_customers,
+           round(avg(c_acctbal), 2) AS avg_acctbal
+    FROM customer
+    GROUP BY segment_group
+    """,
+)
+def ref_when_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/U3: ordered when-chain bucketing (manufacturer→country shape,
+    recomendation-system.py:67-86)."""
+    customer = load_table(spark, sf_dir, "customer")
+    grp = D.when_chain(
+        [
+            (F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "industrial"),
+            (F.col("c_mktsegment") == "BUILDING", "construction"),
+        ],
+        "consumer",
+    )
+    return A.grouped_agg(
+        customer.withColumn("segment_group", grp),
+        ["segment_group"],
+        [F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal")],
+    )
+
+
+@query(
+    "ref_age_price",
+    oracle="""
+    SELECT CAST(2002 - year(o_orderdate) AS INTEGER) AS age,
+           round(avg(o_totalprice), 2) AS avg_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY age
+    ORDER BY age
+    """,
+)
+def ref_age_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/F6/A6/O2: age derivation + grouped averages
+    (data-viz&cleaning.py:254-263)."""
+    orders = load_table(spark, sf_dir, "orders")
+    aged = orders.withColumn("age", (F.lit(2002) - F.year("o_orderdate")).cast("int"))
+    out = A.grouped_agg(
+        aged,
+        ["age"],
+        [F.round(F.avg("o_totalprice"), 2).alias("avg_price"), F.count("*").alias("n_orders")],
+    )
+    return O.ordered(out, ["age"])
+
+
+@query(
+    "ref_range_inlist_filter",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+    FROM orders
+    WHERE o_totalprice >= 1000 AND o_totalprice <= 300000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'P'
+    GROUP BY o_orderstatus
+    """,
+)
+def ref_range_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7/P8: compound range + IN-list + inequality filter (the
+    vehicles_prc/vehicles_used view chain, data-viz&cleaning.py:130-386).
+    All three predicates reach the parquet scan as PushedFilters."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = C.filter_range(orders, "o_totalprice", lo=1000, hi=300000)
+    f = C.filter_isin(f, "o_orderpriority", ["1-URGENT", "2-HIGH"])
+    f = f.filter(F.col("o_orderstatus") != "P")
+    return A.grouped_agg(
+        f,
+        ["o_orderstatus"],
+        [F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 2).alias("avg_price")],
+    )
+
+
+@query(
+    "ref_dedup_deterministic",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
+    """,
+)
+def ref_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12: dropna + deterministic dedup. dropDuplicates keeps an
+    *arbitrary* row (data-viz&cleaning.py:74) — our scalable default keeps
+    the min-event_id row per (user_id, event_type), reproducible anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    clean = C.drop_nulls(events)
+    deduped = C.dedupe_deterministic(clean, ["user_id", "event_type"], ["event_id"])
+    return deduped.select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "ref_skewness_transforms",
+    oracle="""
+    WITH s AS (
+      SELECT avg(l_extendedprice) AS mu, stddev_pop(l_extendedprice) AS sd,
+             avg(sqrt(l_extendedprice)) AS mu_s, stddev_pop(sqrt(l_extendedprice)) AS sd_s,
+             avg(ln(l_extendedprice)) AS mu_l, stddev_pop(ln(l_extendedprice)) AS sd_l
+      FROM lineitem
+    )
+    SELECT
+      round(avg(pow(l_extendedprice - mu, 3)) / pow(sd, 3), 3) AS skew_raw,
+      round(avg(pow(sqrt(l_extendedprice) - mu_s, 3)) / pow(sd_s, 3), 3) AS skew_sqrt,
+      round(avg(pow(ln(l_extendedprice) - mu_l, 3)) / pow(sd_l, 3), 3) AS skew_log
+    FROM lineitem, s
+    GROUP BY mu, sd, mu_s, sd_s, mu_l, sd_l
+    """,
+)
+def ref_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F7: skewness of a metric and its sqrt/log transforms — the
+    odometer skew-reduction study (data-viz&cleaning.py:142-207). Spark-side
+    uses native F.skewness (population g1); the oracle computes the same
+    moments explicitly since DuckDB's skewness() is sample-corrected."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        A.skewness_of(F.col("l_extendedprice"), 3).alias("skew_raw"),
+        A.skewness_of(F.sqrt("l_extendedprice"), 3).alias("skew_sqrt"),
+        A.skewness_of(F.log("l_extendedprice"), 3).alias("skew_log"),
+    )
+
+
+@query(
+    "ref_summary_stats",
+    oracle="""
+    SELECT count(l_extendedprice) AS n,
+           round(avg(l_extendedprice), 2) AS mean,
+           round(stddev_samp(l_extendedprice), 2) AS stddev,
+           min(l_extendedprice) AS min,
+           max(l_extendedprice) AS max
+    FROM lineitem
+    """,
+)
+def ref_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: typed describe() (data-viz&cleaning.py:108,164-176)."""
+    return A.summary_stats(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+# ---------------------------------------------------------------------------
+# Relational core beyond the reference
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-agg — the engine's headline batch
+    query. Filter pushed to parquet; 6 partial aggs fused in one
+    WholeStageCodegen before a single shuffle on (returnflag, linestatus)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "rel_join_revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def rel_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ dims with explicit broadcast of nation/region (no
+    fact-side shuffle for those), shuffle join orders⋈customer on custkey.
+    At 100 TB, customer gets bucketed on c_custkey instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = J.join_facts(
+        orders, customer, orders.o_custkey == customer.c_custkey
+    )
+    joined = J.join_dim(joined, nation, joined.c_nationkey == nation.n_nationkey)
+    joined = J.join_dim(joined, region, joined.n_regionkey == region.r_regionkey)
+    return A.grouped_agg(
+        joined,
+        ["r_name", "n_name"],
+        [F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue")],
+    )
+
+
+@query(
+    "rel_semi_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def rel_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 finished order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return J.semi(
+        customer, f_orders, customer.c_custkey == f_orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "rel_anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def rel_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return J.anti(customer, orders, customer.c_custkey == orders.o_custkey).select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "rel_top_parts_by_revenue",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT pr.l_partkey AS partkey, p_name, revenue
+    FROM pr JOIN part ON pr.l_partkey = p_partkey
+    ORDER BY revenue DESC, partkey
+    LIMIT 10
+    """,
+)
+def rel_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after agg + broadcast dim enrichment. orderBy().limit() plans
+    TakeOrderedAndProject — no global sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pr = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    joined = J.join_dim(pr, part, pr.l_partkey == part.p_partkey).select(
+        F.col("l_partkey").alias("partkey"), "p_name", "revenue"
+    )
+    return O.top_k(joined, [F.col("revenue").desc(), F.col("partkey").asc()], 10)
+
+
+@query(
+    "rel_window_rank_orders",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER w AS row_num,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS dense_rnk,
+             lag(o_totalprice) OVER w AS prev_value,
+             lead(o_totalprice) OVER w AS next_value
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE row_num <= 5
+    """,
+)
+def rel_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking/analytic window family (engine surface beyond the
+    reference's global row_number, SURVEY.md §2.5)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    ranked = W.with_rank_ops(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        value_col="o_totalprice",
+    )
+    return ranked.filter(F.col("row_num") <= 5)
+
+
+@query(
+    "rel_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           row_number() OVER w AS order_seq,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rel_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame aggregation per customer — ordered fold, so both
+    engines accumulate in identical order (bit-stable before rounding)."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_by = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    out = W.running_agg(orders, ["o_custkey"], order_by, "o_totalprice", alias="running_spend")
+    w = Window.partitionBy("o_custkey").orderBy(*order_by)
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("order_seq"),
+        F.round("running_spend", 2).alias("running_spend"),
+    )
+
+
+@query(
+    "rel_union_nation_keys",
+    oracle="""
+    SELECT nationkey, count(*) AS n
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    """,
+)
+def rel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + agg (set-op surface, SURVEY.md §2.7)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return A.grouped_counts(S.union_all(c, s), ["nationkey"], alias="n")
+
+
+@query(
+    "rel_intersect_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def rel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return S.intersect(c, s)
+
+
+@query(
+    "rel_except_nation_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def rel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return S.except_distinct(c, s)
+
+
+@query(
+    "rel_distinct_pairs",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def rel_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: distinct as grouped-identity agg."""
+    return load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "rel_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_l_orderkey,
+           count(DISTINCT l_partkey) AS n_l_partkey,
+           count(DISTINCT l_suppkey) AS n_l_suppkey
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (expand + two-phase agg)."""
+    return A.count_distinct_agg(
+        load_table(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+
+
+@query(
+    "rel_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_O,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_F,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (skips Spark's distinct-values pre-job)
+    and zero-filled cells to match SQL FILTER semantics."""
+    return A.pivot_counts(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus", ["O", "F", "P"]
+    )
+
+
+@query(
+    "rel_cube_priority_status",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets."""
+    return A.cube_agg(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderpriority", "o_orderstatus"],
+        [F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+    )
+
+
+@query(
+    "rel_rollup_year_priority",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over a derived year column."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate").cast("int")
+    )
+    return A.rollup_agg(
+        orders, ["order_year", "o_orderpriority"], [F.count("*").alias("n")]
+    )
+
+
+@query(
+    "rel_json_extract",
+    oracle="""
+    SELECT event_type,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def rel_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (JVM-native
+    get_json_object; no Python)."""
+    events = D.add_json_field(
+        load_table(spark, sf_dir, "events"), "props", "$.k", "k", cast="int"
+    )
+    return A.grouped_agg(
+        events,
+        ["event_type"],
+        [F.round(F.avg("k"), 2).alias("avg_k"), F.max("k").alias("max_k")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time windows over the events table (batch twins of streaming/ ops)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_tumbling_hourly",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def ts_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window agg — batch twin of streaming.windowed_counts.
+    Group key is (bucket, type); one shuffle, partial aggs map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "ts_sliding_hourly",
+    oracle="""
+    WITH phased AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01 00:30:00')
+             AS window_start, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM phased
+    GROUP BY window_start
+    """,
+)
+def ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h length, 30m slide): each event lands in 2 windows.
+    Oracle reproduces the two phases with offset time_buckets."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "ts_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute gap via native session_window —
+    batch twin of the streaming sessionizer. Oracle derives identical
+    sessions with the lag/cumsum idiom."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (nondeterministic or engine-specific semantics)
+# ---------------------------------------------------------------------------
+
+
+@query("rows_bernoulli_sample")
+def rows_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: seeded Bernoulli sample — engine-specific RNG, rows-only check;
+    statistical bounds are asserted in tests/test_sample.py."""
+    events = load_table(spark, sf_dir, "events")
+    return R.bernoulli_sample(events, 0.1, seed=42)
+
+
+@query("rows_monotonic_index")
+def rows_mono(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: monotonically_increasing_id — value set depends on partition
+    layout; uniqueness/monotonicity asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return D.add_monotonic_index(docs, alias="index")

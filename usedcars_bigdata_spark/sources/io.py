@@ -1,0 +1,85 @@
+"""Sources and sinks (SURVEY.md §2.1, S1-S7).
+
+The reference reads one CSV from GCS with header+inferSchema
+(``notebook_to_py/data-understanding.py:42-43``) and writes CSV results
+(``performance_py/2-cores-6-instances.py:1462-1465``). Our engine keeps both
+but defaults to parquet (columnar scan, predicate pushdown, column pruning
+— SURVEY.md §4) and explicit schemas. Any Hadoop-compatible FS path works
+unchanged (file://, hdfs://, gs://, s3a://) — path handling is delegated to
+Spark's Hadoop FS layer, so the same code runs on a laptop and a 1000-node
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst prunes columns and pushes filters down."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    infer_schema: bool = False,
+    permissive: bool = True,
+) -> DataFrame:
+    """CSV scan (S1). Explicit schema by default — ``inferSchema`` costs a
+    full extra pass over the data (reference pays it at every load,
+    data-understanding.py:43); pass ``infer_schema=True`` only for
+    exploration parity."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", "true")
+    if permissive:
+        reader = reader.option("mode", "PERMISSIVE").option("multiLine", "true").option(
+            "escape", '"'
+        )
+    return reader.csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    """CSV sink (S2; performance_py/2-cores-6-instances.py:1462-1465)."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one harness testdata table (TESTDATA.md) by name.
+
+    Columns written as INT64 TIMESTAMP(NANOS) (e.g. events.ts) surface as
+    longs under ``nanosAsLong`` (session.py) and are converted here to
+    microsecond timestamps (truncating, matching Arrow/DuckDB ns→us)."""
+    if name not in TESTDATA:
+        raise KeyError(f"unknown testdata table {name!r}; have {sorted(TESTDATA)}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    want = TESTDATA.get(name)
+    if want is not None:
+        for field in want.fields:
+            if isinstance(field.dataType, T.TimestampType) and isinstance(
+                df.schema[field.name].dataType, T.LongType
+            ):
+                df = df.withColumn(
+                    field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
+                )
+    return df
