@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): times the engine's headline queries
+plus the reference's three MLlib models at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], and prints ONE JSON line.
+
+Mirrors the reference's harness structure (performance_py/
+2-cores-6-instances.py:78-104: wall-clock around each block) with our
+query set. Each query is forced with a count()-style action; ML blocks time
+fit+evaluate like the reference (performance_py:455-523).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from usedcars_bigdata_spark.plans import QUERIES  # noqa: E402
+from usedcars_bigdata_spark.session import get_session  # noqa: E402
+from usedcars_bigdata_spark.sources import load_table  # noqa: E402
+
+# Headline queries: the 3 reference benchmark queries (BASELINE.md) + the
+# engine's scan/join/window/dedup/ANN workhorses.
+BENCH_QUERIES = [
+    "ref_q1_avg_price_by_priority",
+    "ref_q2_median_value_by_type",
+    "ref_q3_pct_of_total",
+    "rel_tpch_q1_pricing_summary",
+    "rel_join_revenue_by_nation",
+    "rel_window_rank_orders",
+    "ts_tumbling_hourly",
+    "ext_dedup_exact",
+    "ext_dedup_minhash_lsh",
+    "ext_ann_cosine_topk",
+    "ext_text_quality",
+]
+
+BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
+
+
+def time_query(spark, sf_dir: str, name: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, sf_dir)
+    n = df.count()
+    dt = time.time() - t0
+    assert n >= 0
+    return dt
+
+
+def time_models(spark, sf_dir: str) -> dict[str, float]:
+    from usedcars_bigdata_spark.ml.features import build_feature_table
+    from usedcars_bigdata_spark.ml.regress import fit_and_evaluate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    data = build_feature_table(
+        orders, "label", ["order_year", "o_orderpriority", "o_orderstatus"]
+    ).cache()
+    data.count()
+    train, test = data.randomSplit([0.8, 0.2], seed=42)
+    train.cache().count()
+    out: dict[str, float] = {}
+    for m in BENCH_MODELS:
+        t0 = time.time()
+        _, metrics = fit_and_evaluate(train, test, m, n_features=3)
+        out[f"ml_{m}"] = round(time.time() - t0, 3)
+        assert metrics["n"] > 0
+    data.unpersist()
+    train.unpersist()
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_session(app_name="bench")
+
+    # Warm the JVM/codegen once with the cheapest query, unrecorded
+    # (the reference similarly excludes cluster-start from its timings).
+    time_query(spark, sf_dir, "ref_q1_avg_price_by_priority")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(time_query(spark, sf_dir, name), 3)
+    timings.update(time_models(spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

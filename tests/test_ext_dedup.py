@@ -1,0 +1,97 @@
+"""Property tests for the hash-based dedup tiers (the rows-only queries):
+MinHash/LSH recall against exact Jaccard, SimHash invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.ext import dedup as X
+from usedcars_bigdata_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    """Synthetic corpus with planted near-duplicates: base docs + copies with
+    small edits."""
+    base = [
+        " ".join(f"w{(i * 7 + j) % 50}" for j in range(40)) for i in range(20)
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append((2 * i, text))
+        words = text.split()
+        words[3] = "edited"
+        rows.append((2 * i + 1, " ".join(words)))  # near-dup of 2*i
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (5, "same text"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in X.exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 3]
+
+
+def test_jaccard_pairs_find_planted_dupes(near_dup_corpus):
+    sh = X.word_shingles(near_dup_corpus, "doc_id", "text", n=3)
+    pairs = X.jaccard_pairs(sh, "doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    assert planted <= got, f"missing planted pairs: {planted - got}"
+
+
+def test_minhash_lsh_recall(near_dup_corpus):
+    """LSH candidates must recover most high-Jaccard pairs (16 hashes / 4
+    bands → ~97% collision probability at J=0.8)."""
+    sh = X.word_shingles(near_dup_corpus, "doc_id", "text", n=3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in X.jaccard_pairs(sh, "doc_id", threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain high-similarity pairs"
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in X.minhash_near_dupes(
+            near_dup_corpus, "doc_id", "text", threshold=0.8
+        ).collect()
+    }
+    recall = len(exact & found) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9"
+
+
+def test_minhash_subset_of_exact(spark, sf_dir):
+    """On real harness docs: LSH-verified pairs ⊆ exact pairs at the same τ."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in X.jaccard_pairs(sh, "doc_id", threshold=0.2).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in X.minhash_near_dupes(docs, "doc_id", "text", threshold=0.2).collect()
+    }
+    assert lsh <= exact
+
+
+def test_simhash_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 token off
+            (4, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in X.simhash64(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+    pairs = X.simhash_near_pairs(
+        X.simhash64(df, "doc_id", "text"), "doc_id", max_hamming=0
+    )
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}

@@ -1,0 +1,55 @@
+"""Property tests for ANN: hyperplane-LSH recall vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.ext import similarity as SIM
+from usedcars_bigdata_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_brute_force_shape(emb):
+    out = SIM.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    rows = out.collect()
+    assert len(rows) == 25
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(x["rank"] for x in rs)
+        assert ranks == [1, 2, 3, 4, 5]
+        scores = [x["cosine"] for x in sorted(rs, key=lambda x: x["rank"])]
+        assert scores == sorted(scores, reverse=True)
+        assert all(x["neighbor_id"] != q for x in rs)
+
+
+def test_lsh_recall_vs_brute_force(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.hyperplane_lsh_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4 tables × 8-bit signatures on 500 vecs: we accept moderate recall,
+    # assert it's far above random (~5/500 per query ≈ 0.01).
+    assert recall >= 0.4, f"LSH recall {recall:.2f} below 0.4"
+
+
+def test_lsh_scores_are_exact_for_found(emb):
+    """LSH reports true cosine for surfaced candidates — scores must agree
+    with brute force wherever the pair overlaps."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    for r in SIM.hyperplane_lsh_topk(emb, queries, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cosine"]) < 1e-9

@@ -1,0 +1,79 @@
+"""Golden + property tests for text analysis and multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from usedcars_bigdata_spark.ext import multimodal as MM
+from usedcars_bigdata_spark.ext import text as TX
+from usedcars_bigdata_spark.sources import load_table
+
+
+def test_token_stats_golden(spark):
+    df = spark.createDataFrame([(1, "one two three")], "doc_id long, text string")
+    r = TX.token_stats(df, "doc_id", "text").first()
+    assert r["n_tokens"] == 3
+    assert r["n_chars_actual"] == 13
+    assert r["avg_token_len"] == round(11 / 3, 4)
+
+
+def test_langid_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist da"),
+            (3, "el perro y la casa de que"),
+            (4, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in TX.langid_heuristic(df, "doc_id", "text").collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "es"
+    assert got[4] == "und"
+
+
+def test_quality_score_range(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.quality_score(docs, "doc_id", "text").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_deterministic_and_sampled(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: tuple(r["fingerprint"]) for r in TX.rolling_fingerprint(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: tuple(r["fingerprint"]) for r in TX.rolling_fingerprint(docs, "doc_id", "text").collect()}
+    assert a == b  # deterministic across runs
+    sizes = [len(v) for v in a.values()]
+    assert sum(sizes) > 0
+    # ~1/8 of n-grams selected on average
+    total_grams = sum(max(0, len(t.split()) - 3) for t in
+                      (r["text"] for r in docs.collect()))
+    assert sum(sizes) < 0.3 * total_grams
+
+
+def test_fingerprint_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    r = TX.rolling_fingerprint(df, "doc_id", "text").first()
+    assert r["fingerprint"] == [] and r["fp_size"] == 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = MM.synthesize_media_from_docs(docs)
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in MM.MEDIA_SCHEMA.fields
+    ]
+    feats = MM.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(r["feat_dim"] == 8 and len(r["features"]) == 8 for r in rows)
+    again = {r["media_id"]: r["features"] for r in MM.extract_features(media, dim=8).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert first == again  # deterministic stub
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")

@@ -1,0 +1,109 @@
+"""ML surface tests (SURVEY.md §2.11): pipelines fit, metrics are sane, the
+adjusted-R² fix is correct, and the scalable cosine top-k matches a
+driver-side computation on a small fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.ml import features as FT
+from usedcars_bigdata_spark.ml import regress as RG
+from usedcars_bigdata_spark.ml import textsim as TS
+from usedcars_bigdata_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def feature_table(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return FT.build_feature_table(
+        orders, "label", ["order_year", "o_orderpriority", "o_orderstatus"]
+    ).cache()
+
+
+def test_featurization_shape(feature_table):
+    row = feature_table.first()
+    assert row["features"].size == 3
+    assert feature_table.count() > 0
+
+
+@pytest.mark.parametrize("name", ["linear", "ridge", "decision_tree", "random_forest"])
+def test_fit_and_evaluate(feature_table, name):
+    train, test = feature_table.randomSplit([0.8, 0.2], seed=42)
+    _, metrics = RG.fit_and_evaluate(train, test, name, n_features=3)
+    assert metrics["n"] > 0
+    assert metrics["rmse"] > 0 and math.isfinite(metrics["rmse"])
+    assert math.isfinite(metrics["r2"])
+    assert abs(metrics["rmse"] ** 2 - metrics["mse"]) < 1e-6 * metrics["mse"]
+
+
+def test_adj_r2_correct_and_parity(spark):
+    # y = 2x exactly → R² = 1 regardless; adj formula checked on noisy fit.
+    df = spark.createDataFrame(
+        [(float(i), float(2 * i + (i % 3))) for i in range(100)], "x double, label double"
+    )
+    data = FT.assemble_features(df, ["x"]).select("label", "features")
+    train, test = data.randomSplit([0.8, 0.2], seed=7)
+    _, m = RG.fit_and_evaluate(train, test, "linear", n_features=1)
+    n, r2 = m["n"], m["r2"]
+    expected_adj = 1 - (1 - r2) * (n - 1) / (n - 1 - 1)
+    assert abs(m["adj_r2"] - expected_adj) < 1e-12
+    _, m_parity = RG.fit_and_evaluate(
+        train, test, "linear", n_features=1, parity_adj_r2=True
+    )
+    assert m_parity["adj_r2"] == m_parity["r2"]  # the reference's bug, preserved
+
+
+def test_model_suite_table(feature_table):
+    out = RG.run_model_suite(feature_table, ["linear", "decision_tree"])
+    rows = {r["model"]: r for r in out.collect()}
+    assert set(rows) == {"linear", "decision_tree"}
+    assert all(math.isfinite(r["rmse"]) for r in rows.values())
+
+
+def test_tfidf_recommend(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200).cache()
+    recs = TS.recommend(docs, query_id=0, k=5)
+    got = recs.collect()
+    assert len(got) == 5
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    assert all(r["neighbor_id"] != 0 for r in got)
+
+
+def test_cosine_topk_matches_manual(spark):
+    import numpy as np
+
+    vecs = [(i, [float(x) for x in np.random.RandomState(i).rand(8)]) for i in range(30)]
+    df = spark.createDataFrame(vecs, "doc_id long, arr array<double>")
+    from pyspark.ml.functions import array_to_vector
+    feats = df.withColumn("tfidf", array_to_vector("arr"))
+    normed = TS.normalize_l2(feats)
+    qids = spark.createDataFrame([(3,)], "doc_id long")
+    got = {
+        r["neighbor_id"]: r["rank"]
+        for r in TS.cosine_topk(normed, qids, "doc_id", k=3).collect()
+    }
+    # driver-side reference computation
+    import numpy.linalg as la
+
+    m = {i: np.array(v) / la.norm(v) for i, v in vecs}
+    sims = sorted(
+        ((float(m[3] @ m[i]), i) for i in m if i != 3), key=lambda t: (-t[0], t[1])
+    )
+    want = {i: rank + 1 for rank, (_, i) in enumerate(sims[:3])}
+    assert got == want
+
+
+def test_lsh_similarity_join_runs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    feats, _ = TS.fit_tfidf(docs)
+    pairs = TS.lsh_similarity_join(feats, "doc_id", threshold=0.9)
+    assert pairs.columns == ["id_a", "id_b", "jaccard_dist"]
+    assert pairs.count() >= 0

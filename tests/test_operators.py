@@ -1,0 +1,161 @@
+"""Unit tests for operator modules on tiny in-memory DataFrames
+(SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.operators import agg as A
+from usedcars_bigdata_spark.operators import clean as C
+from usedcars_bigdata_spark.operators import derive as D
+from usedcars_bigdata_spark.operators import sample as R
+from usedcars_bigdata_spark.operators import setops as S
+from usedcars_bigdata_spark.operators import window as W
+from usedcars_bigdata_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0, "x"),
+            (2, "a", 20.0, None),
+            (3, "b", 30.0, "y"),
+            (4, "b", 40.0, "y"),
+            (5, "c", None, "z"),
+        ],
+        "id long, k string, v double, tag string",
+    )
+
+
+def test_clean_family(tiny):
+    assert C.drop_columns(tiny, ["tag"]).columns == ["id", "k", "v"]
+    assert C.filter_range(tiny, "v", lo=15, hi=35).count() == 2
+    assert C.filter_range(tiny, "v", lo=20, lo_open=True).count() == 2
+    assert C.filter_isin(tiny, "k", ["a"]).count() == 2
+    assert C.filter_isin(tiny, "k", ["a"], negate=True).count() == 3
+    assert C.filter_not_null(tiny, "v", "tag").count() == 3
+    assert C.drop_nulls(tiny).count() == 3
+    assert C.rename(tiny, {"v": "value"}).columns == ["id", "k", "value", "tag"]
+    casted = C.cast_columns(tiny, {"v": "int"})
+    assert dict(casted.dtypes)["v"] == "int"
+
+
+def test_dedupe_deterministic_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(9, "a"), (1, "a"), (5, "a"), (2, "b")], "id long, k string"
+    )
+    got = {r["k"]: r["id"] for r in C.dedupe_deterministic(df, ["k"], ["id"]).collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_like_any(tiny):
+    pred = C.like_any(F.col("k"), ["%a%", "%c%"])
+    assert tiny.filter(pred).count() == 3
+    assert tiny.filter(~pred).count() == 2
+
+
+def test_percent_of_total_forms_agree(tiny):
+    counts = A.grouped_counts(tiny, ["k"])
+    w = {r["k"]: r["percentage"] for r in A.percent_of_total(counts, "count").collect()}
+    c = {
+        r["k"]: r["percentage"]
+        for r in A.percent_of_total_collected(counts, "count").collect()
+    }
+    assert w == c == {"a": 40.0, "b": 40.0, "c": 20.0}
+
+
+def test_median_exact_vs_approx(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double")
+    exact = df.agg(A.median_exact("x").alias("m")).first()["m"]
+    assert exact == 50.5
+    approx = df.agg(A.median_approx("x").alias("m")).first()["m"]
+    assert 49 <= approx <= 52
+
+
+def test_window_family(tiny):
+    ranked = W.with_rank_ops(tiny, ["k"], [F.col("v").desc_nulls_last()], value_col="v")
+    a_rows = {r["id"]: r for r in ranked.filter(F.col("k") == "a").collect()}
+    assert a_rows[2]["row_num"] == 1 and a_rows[1]["row_num"] == 2
+    assert a_rows[2]["prev_value"] is None and a_rows[2]["next_value"] == 10.0
+
+    run = W.running_agg(tiny.filter(F.col("v").isNotNull()), ["k"], [F.col("id")], "v")
+    b = {r["id"]: r["running_sum"] for r in run.filter(F.col("k") == "b").collect()}
+    assert b == {3: 30.0, 4: 70.0}
+
+    topk = W.top_k_per_group(tiny, ["k"], [F.col("v").desc_nulls_last()], 1)
+    assert sorted(r["id"] for r in topk.collect()) == [2, 4, 5]
+
+
+def test_global_row_number_and_zip_index(tiny):
+    g = W.global_row_number(tiny, [F.col("id").desc()])
+    assert [r["id"] for r in g.orderBy("row_num").collect()] == [5, 4, 3, 2, 1]
+    z = W.zip_index(tiny)
+    idx = sorted(r["index"] for r in z.collect())
+    assert idx == [0, 1, 2, 3, 4]  # contiguous, unlike monotonically_increasing_id
+
+
+def test_monotonic_index_properties(tiny):
+    out = D.add_monotonic_index(tiny).collect()
+    ids = [r["index"] for r in out]
+    assert len(set(ids)) == len(ids)
+
+
+def test_setops(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x long")
+    b = spark.createDataFrame([(1,), (4,)], "x long")
+    assert S.union_all(a, b).count() == 6
+    assert sorted(r["x"] for r in S.union_distinct(a, b).collect()) == [1, 2, 3, 4]
+    assert sorted(r["x"] for r in S.intersect(a, b).collect()) == [1]
+    assert sorted(r["x"] for r in S.except_distinct(a, b).collect()) == [2, 3]
+    assert sorted(r["x"] for r in S.except_all(a, b).collect()) == [1, 2, 3]
+
+
+def test_when_chain_order_matters(spark):
+    df = spark.createDataFrame([("ab",), ("a",), ("c",)], "s string")
+    col = D.when_chain(
+        [(F.col("s").contains("a"), "has_a"), (F.col("s").contains("b"), "has_b")],
+        "none",
+    )
+    got = {r["s"]: r["g"] for r in df.withColumn("g", col).collect()}
+    assert got == {"ab": "has_a", "a": "has_a", "c": "none"}
+
+
+def test_categorize_by_keywords_null_default(spark):
+    df = spark.createDataFrame([("has kw",), (None,)], "t string")
+    col = D.categorize_by_keywords("t", [("hit", ["kw"])], "default")
+    got = [r["c"] for r in df.withColumn("c", col).collect()]
+    assert got == ["hit", "default"]
+
+
+def test_sample_bounds_and_determinism(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    s1 = R.bernoulli_sample(events, 0.2, seed=42)
+    s2 = R.bernoulli_sample(events, 0.2, seed=42)
+    c1 = s1.count()
+    assert c1 == s2.count()  # seeded → deterministic
+    assert 0.1 * n < c1 < 0.3 * n
+    splits = R.random_split(events, [0.5, 0.5], seed=1)
+    assert sum(s.count() for s in splits) == n
+
+
+def test_estimate_size_forms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fast = R.estimate_size_mb(docs)
+    exact = R.estimate_size_mb_exact(docs)
+    assert fast > 0 and exact > 0
+    assert 0.3 < fast / exact < 3.0
+
+
+def test_grouped_agg_and_distinct(tiny):
+    out = A.grouped_agg(
+        tiny, ["k"], [F.count("*").alias("n"), F.max("v").alias("mx")]
+    )
+    got = {r["k"]: (r["n"], r["mx"]) for r in out.collect()}
+    assert got == {"a": (2, 20.0), "b": (2, 40.0), "c": (1, None)}
+    cd = A.count_distinct_agg(tiny, [], ["k", "tag"]).first()
+    assert cd["n_k"] == 3 and cd["n_tag"] == 3
+    ad = A.approx_distinct_agg(tiny, [], ["k"]).first()
+    assert ad["approx_n_k"] == 3

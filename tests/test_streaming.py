@@ -1,0 +1,59 @@
+"""Streaming ≡ batch equivalence: the same transformation functions, fed by
+readStream over the harness events parquet, must produce exactly the batch
+result once all input is processed."""
+
+from __future__ import annotations
+
+import pytest
+
+from usedcars_bigdata_spark.sources import load_table
+from usedcars_bigdata_spark.streaming import events as SE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = SE.read_event_stream(spark, sf_dir)
+    q = SE.run_to_memory_sink(SE.windowed_counts(stream), "win_out")
+    try:
+        got = spark.sql("SELECT * FROM win_out")
+        want = SE.windowed_counts(batch_events)
+        cols = ["window_start", "event_type", "n_events", "sum_value"]
+        assert _rows(got, cols) == _rows(want, cols)
+        assert got.count() > 0
+    finally:
+        q.stop()
+
+
+def test_session_aggregates_stream_equals_batch(spark, sf_dir, batch_events):
+    stream = SE.read_event_stream(spark, sf_dir)
+    q = SE.run_to_memory_sink(SE.session_aggregates(stream), "sess_out")
+    try:
+        got = spark.sql("SELECT * FROM sess_out")
+        want = SE.session_aggregates(batch_events)
+        cols = ["user_id", "session_start", "session_end", "n_events"]
+        assert _rows(got, cols) == _rows(want, cols)
+    finally:
+        q.stop()
+
+
+def test_sliding_windows_stream(spark, sf_dir, batch_events):
+    stream = SE.read_event_stream(spark, sf_dir)
+    q = SE.run_to_memory_sink(
+        SE.windowed_counts(stream, window="1 hour", slide="30 minutes"), "slide_out"
+    )
+    try:
+        got = spark.sql("SELECT * FROM slide_out")
+        # each event contributes to exactly 2 sliding windows
+        n_batch = batch_events.count()
+        total = sum(r["n_events"] for r in got.collect())
+        assert total == 2 * n_batch
+    finally:
+        q.stop()

@@ -73,14 +73,18 @@ def hyperplane_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    bits: int = 8,
-    tables: int = 4,
+    bits: int = 4,
+    tables: int = 8,
     seed: int = 42,
     ndigits: int = 6,
 ) -> DataFrame:
     """Approximate top-k: equi-join on (table, signature) buckets, exact
-    cosine only within candidates. With b=8/t=4 on 64-dim data, candidate
-    sets are ~N/2^b per table — the cross product never materializes."""
+    cosine only within candidates (~N/2^bits per table — the cross product
+    never materializes). Collision prob per table is (1-θ/π)^bits, so size
+    ``bits`` to the corpus's similarity structure: tightly-clustered
+    embeddings tolerate long signatures (high selectivity); weakly-similar
+    corpora (e.g. random-ish vectors, top-neighbor cosine ~0.3) need short
+    signatures + more tables — hence the b=4/t=8 defaults."""
     planes = _hyperplanes(dim, bits, tables, seed)
 
     def with_sigs(df: DataFrame, idal: str, vecal: str) -> DataFrame:

@@ -1,0 +1,63 @@
+"""Feature engineering (SURVEY.md §2.11, M1-M2).
+
+The reference StringIndexes every string column in a sequential Python loop —
+one group-count job per column (price-prediction.py:159-167). We fit ONE
+multi-column StringIndexer (single pass over the data) and assemble with
+handleInvalid='skip' like the reference (price-prediction.py:178-190).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+from pyspark.sql import DataFrame
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
+
+
+def index_categoricals(
+    df: DataFrame, cols: list[str] | None = None, keep_original: bool = False
+) -> tuple[DataFrame, PipelineModel]:
+    """M1: StringIndexer over all (or given) string columns in ONE pass
+    (multi-column indexer), replacing each column in place as the reference
+    does (price-prediction.py:163-167)."""
+    cols = cols if cols is not None else string_columns(df)
+    if not cols:
+        return df, Pipeline(stages=[]).fit(df)
+    indexer = StringIndexer(
+        inputCols=cols,
+        outputCols=[f"{c}__idx" for c in cols],
+        handleInvalid="keep",
+    )
+    model = Pipeline(stages=[indexer]).fit(df)
+    out = model.transform(df)
+    if not keep_original:
+        for c in cols:
+            out = out.drop(c).withColumnRenamed(f"{c}__idx", c)
+    return out, model
+
+
+def assemble_features(
+    df: DataFrame, feature_cols: list[str], output_col: str = "features"
+) -> DataFrame:
+    """M2: VectorAssembler with handleInvalid='skip'
+    (price-prediction.py:178-190)."""
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol=output_col, handleInvalid="skip"
+    )
+    return assembler.transform(df)
+
+
+def build_feature_table(
+    df: DataFrame, label_col: str, feature_cols: list[str] | None = None
+) -> DataFrame:
+    """End-to-end featurization: index categoricals → assemble → (label,
+    features) table, the shape MLlib regressors train on
+    (price-prediction.py:178-191)."""
+    candidates = feature_cols or [c for c in df.columns if c != label_col]
+    cats = [c for c in candidates if dict(df.dtypes)[c] == "string"]
+    indexed, _ = index_categoricals(df, cats)
+    assembled = assemble_features(indexed, candidates)
+    return assembled.select(label_col, "features")
