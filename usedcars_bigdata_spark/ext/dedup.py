@@ -52,16 +52,20 @@ def word_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document, via native higher-order
     functions (sequence/transform/explode) — no Python. Documents with fewer
-    than ``n`` words produce no shingles."""
+    than ``n`` words produce no shingles.
+
+    The tokenization is projected ONCE into ``__words`` before the
+    per-element transform — inlining split() into the lambda makes Catalyst
+    re-run the regex for every sequence element (~n_words× slower)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_words = df.select(F.col(id_col), words.alias("__words")).filter(
+        F.size("__words") >= n
+    )
     grams = F.expr(
-        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))"
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__words, i, {n})))"
     )
-    return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(F.array_distinct(grams)).alias(out))
-    )
+    return with_words.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias(out))
 
 
 def jaccard_pairs(
@@ -143,6 +147,36 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_for_pairs(
+    shingles: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float,
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """Exact Jaccard restricted to given (id_a, id_b) pairs: two equi-joins
+    proportional to |pairs|·avg_shingles — never the full quadratic
+    inverted-index self-join."""
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingles.select(F.col(id_col).alias("id_a"), F.col(shingle_col))
+    sh_b = shingles.select(F.col(id_col).alias("id_b"), F.col(shingle_col))
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", shingle_col])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
 def minhash_near_dupes(
     df: DataFrame,
     id_col: str,
@@ -152,12 +186,13 @@ def minhash_near_dupes(
     bands: int = 4,
 ) -> DataFrame:
     """Tier 3 end-to-end: shingle → minhash → LSH candidates → exact-Jaccard
-    verification of candidates only. Output matches jaccard_pairs semantics
-    restricted to LSH-surviving pairs."""
-    sh = word_shingles(df, id_col, text_col, n=n)
+    verification of CANDIDATES ONLY (the LSH point: total cost tracks the
+    candidate count, not n²). Output matches jaccard_pairs semantics
+    restricted to LSH-surviving pairs. Shingles are cached — they feed both
+    the signature agg and the verification joins."""
+    sh = word_shingles(df, id_col, text_col, n=n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col, bands=bands)
-    exact = jaccard_pairs(sh, id_col, threshold=threshold)
-    return exact.join(cands, on=["id_a", "id_b"], how="left_semi")
+    return jaccard_for_pairs(sh, cands, id_col, threshold=threshold)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -94,18 +94,20 @@ def rolling_fingerprint(
     ≡ 0 (mod ``mod``) — a content-defined ~1/mod sample that survives
     reordering of unrelated regions (winnowing-style). Output: sorted array
     of selected hashes per doc."""
-    nw = f"size(split(trim({text_col}), '\\\\s+'))"
+    with_words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    )
     grams = F.expr(
         # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs.
-        f"IF({nw} >= {n}, "
-        f"transform(sequence(1, {nw} - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n})))), "
+        f"IF(size(__words) >= {n}, "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n})))), "
         f"array())"
     )
     selected = F.array_sort(
         F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0))
     )
-    return df.select(
+    return with_words.select(
         F.col(id_col),
         selected.alias("fingerprint"),
         F.size(selected).alias("fp_size"),
