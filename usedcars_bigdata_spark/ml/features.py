@@ -17,6 +17,34 @@ def string_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if f.dataType.simpleString() == "string"]
 
 
+def cap_categories(
+    df: DataFrame, cols: list[str], top_n: int = 256, other: str = "__other"
+) -> DataFrame:
+    """Bucket all but the ``top_n`` most frequent values of each column into
+    ``other``. The scalable alternative to the reference's maxBins=40000
+    brute force (price-prediction.py:401; SURVEY.md §7.4): tree learners get
+    bounded bins regardless of corpus cardinality, and the top-value tables
+    are tiny broadcasts."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for c in cols:
+        top = (
+            df.groupBy(c)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(c))
+            .limit(top_n)
+            .select(c)
+            .withColumn("__keep", F.lit(True))
+        )
+        out = (
+            out.join(F.broadcast(top), on=c, how="left")
+            .withColumn(c, F.when(F.col("__keep").isNull(), other).otherwise(F.col(c)))
+            .drop("__keep")
+        )
+    return out
+
+
 def index_categoricals(
     df: DataFrame, cols: list[str] | None = None, keep_original: bool = False
 ) -> tuple[DataFrame, PipelineModel]:
