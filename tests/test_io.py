@@ -1,0 +1,85 @@
+"""Source/sink round-trips (SURVEY.md §2.1, S1-S7)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.schemas import VEHICLES_RAW
+from usedcars_bigdata_spark.sources import (
+    load_table,
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_out")
+    write_parquet(orders, out)
+    back = read_parquet(spark, out)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+
+
+def test_parquet_partitioned_write(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_part")
+    write_parquet(orders, out, partition_by=["o_orderstatus"])
+    back = read_parquet(spark, out)
+    assert back.count() == orders.count()
+    # partition pruning: filter on the partition column scans one directory
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+
+
+def test_csv_roundtrip_explicit_schema(spark, sf_dir, tmp_path):
+    cust = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "cust_csv")
+    write_csv(cust, out)
+    back = read_csv(
+        spark, out,
+        schema="c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    assert back.count() == cust.count()
+    assert sorted(r["c_custkey"] for r in back.select("c_custkey").collect()) == sorted(
+        r["c_custkey"] for r in cust.select("c_custkey").collect()
+    )
+
+
+def test_csv_vehicles_schema_load(spark, tmp_path):
+    """S1 parity shape: all-string schema load (the reference's degraded
+    inferSchema result, SURVEY.md §3.1) without the inference double-scan."""
+    from usedcars_bigdata_spark.fixtures import vehicles_fixture_stringified
+
+    df = vehicles_fixture_stringified(spark, 100)
+    out = str(tmp_path / "veh_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, schema=VEHICLES_RAW)
+    assert back.count() == 100
+    assert all(t == "string" for _, t in back.dtypes)
+
+
+def test_create_dataframe_paths(spark):
+    """S3/S4: local collections → tables, inferred and explicit schema
+    (price-prediction.py:503,518-527)."""
+    inferred = spark.createDataFrame([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert inferred.count() == 2
+    from pyspark.sql import types as T
+
+    explicit = spark.createDataFrame(
+        [(1.0, "lr")],
+        T.StructType(
+            [
+                T.StructField("mse", T.DoubleType()),
+                T.StructField("algo", T.StringType()),
+            ]
+        ),
+    )
+    assert explicit.schema[0].dataType.simpleString() == "double"

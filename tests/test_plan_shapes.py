@@ -1,0 +1,70 @@
+"""Physical-plan regression guards: the scale properties the engine promises
+(SURVEY.md §4) must be visible in the executed plan — pushed filters, pruned
+scans, broadcast dimension joins, partial aggregation, sort+limit fusion,
+and no Python evaluation in native paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.plans import QUERIES
+from usedcars_bigdata_spark.sources import load_table
+
+
+def plan_of(df, execute: bool = False) -> str:
+    # Scan metadata (PushedFilters/ReadSchema) is truncated by default.
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    if execute:
+        df.count()  # AQE: codegen spans only appear in the FINAL plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    plan = plan_of(QUERIES["ref_range_inlist_filter"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(o_totalprice,1000.0)" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(QUERIES["rel_tpch_q1_pricing_summary"](spark, sf_dir))
+    # 7 of 11 lineitem columns read; orderkey/partkey/suppkey/linenumber pruned
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1]
+    assert "l_quantity" in plan.split("ReadSchema")[-1]
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["rel_join_revenue_by_nation"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan  # dims must not shuffle the fact side
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    plan = plan_of(QUERIES["ref_q1_avg_price_by_priority"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_topk_fuses_sort_limit(spark, sf_dir):
+    plan = plan_of(QUERIES["ref_regexp_extract_ids"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_native_rewrites_avoid_python(spark, sf_dir):
+    """U1's native rewrite and the text operators must not plan
+    BatchEvalPython / ArrowEvalPython (SURVEY.md §4 'Defeats Catalyst #2')."""
+    for name in ["ref_category_native", "ext_text_quality", "ext_text_token_stats"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["rel_tpch_q1_pricing_summary"](spark, sf_dir), execute=True)
+    assert "WholeStageCodegen" in plan
+
+
+def test_semi_anti_plan_no_row_widening(spark, sf_dir):
+    plan = plan_of(QUERIES["rel_semi_join_customers"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    plan = plan_of(QUERIES["rel_anti_join_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan

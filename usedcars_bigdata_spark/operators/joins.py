@@ -35,6 +35,64 @@ def join_facts(
     return left.join(right, on=on, how=how)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same key group (DuckDB/pandas
+    ``merge_asof`` semantics, ties matching).
+
+    Spark has no native as-of join; the scalable idiom used here is the
+    union-and-carry-forward trick: tag both sides, union them, and within
+    each key group ordered by (ts, side) carry the last non-null right
+    payload forward with ``last(..., ignorenulls)`` over a running frame.
+    ONE shuffle on the keys, one window — no per-key Python
+    (pd.merge_asof via applyInPandas is the fallback for exotic variants).
+    """
+    lpay = [c for c in left.columns]
+    l_side = left.select(
+        *lpay,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    r_side = right.select(
+        *[
+            F.col(c) if c in keys else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lpay
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    unioned = l_side.unionByName(r_side)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *lpay,
+        F.col("__side"),
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
 def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """EXISTS: rows of left with a match — right side never widens the row."""
     return left.join(right, on=on, how="left_semi")

@@ -66,7 +66,8 @@ def ref_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT upper(event_type) AS event_type,
            count(*) AS num_events,
-           round(quantile_cont(value, 0.5), 2) AS median_value,
+           round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) / 100, 2)
+             AS median_value,
            row_number() OVER (ORDER BY upper(event_type)) AS row_num
     FROM events
     GROUP BY event_type
@@ -78,14 +79,22 @@ def ref_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated median (oracle-comparable) instead of percentile_approx —
     both are exposed in operators.agg. The global window is the reference's
     semantics; it runs on the already-aggregated (tiny) result, so the
-    single-task sort is harmless here."""
+    single-task sort is harmless here.
+
+    The median interpolates over integer CENTS: midpoint interpolation on
+    integers is exact in FP, so Spark's (1-g)a+gb and DuckDB's a+(b-a)g
+    agree bit-for-bit (over raw doubles they can differ in the last ulp and
+    flip the rounding)."""
     events = load_table(spark, sf_dir, "events")
+    cents_median = F.expr(
+        "percentile(CAST(round(value * 100) AS BIGINT), 0.5) / 100"
+    )
     grouped = A.grouped_agg(
         events,
         ["event_type"],
         [
             F.count("*").alias("num_events"),
-            F.round(A.median_exact("value"), 2).alias("median_value"),
+            F.round(cents_median, 2).alias("median_value"),
         ],
     ).select(
         F.upper("event_type").alias("event_type"), "num_events", "median_value"
@@ -784,6 +793,127 @@ def ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@query(
+    "rel_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS purchase_event_asof,
+           r.value AS purchase_value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def rel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): attach each click to the
+    user's most recent at-or-before purchase. Spark lacks a native ASOF —
+    implemented as union + carry-forward window (one shuffle); oracle uses
+    DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id"), F.col("value")
+    )
+    joined = J.asof_join(
+        clicks,
+        purchases.withColumnRenamed("event_id", "purchase_event").withColumnRenamed(
+            "value", "purchase_value"
+        ),
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_event", "purchase_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", "purchase_event_asof", "purchase_value_asof"
+    )
+
+
+@query(
+    "rel_multi_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           max(CASE WHEN rn = CAST(floor(0.25 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p25,
+           max(CASE WHEN rn = CAST(floor(0.50 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p50,
+           max(CASE WHEN rn = CAST(floor(0.75 * (n - 1)) AS BIGINT) + 1 THEN v END) AS p75
+    FROM s
+    GROUP BY l_returnflag
+    """,
+)
+def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) multi-quantile per group via rank selection —
+    returns actual data values, so results are bit-identical across engines
+    (interpolated percentile differs in the last ulp between Spark's
+    (1-g)a+gb and DuckDB's a+(b-a)g and can flip a rounding boundary;
+    operators.agg.percentiles_exact keeps the interpolated form)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    s = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+    def pick(p: float):
+        target = F.floor(F.lit(p) * (F.col("n") - 1)).cast("long") + 1
+        return F.max(F.when(F.col("rn") == target, F.col("v")))
+    return s.groupBy("l_returnflag").agg(
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"), pick(0.75).alias("p75")
+    )
+
+
+@query(
+    "rel_selectexpr_agg",
+    oracle="""
+    SELECT round(sum(l_quantity), 2) AS total_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           floor(max(l_extendedprice) / 1000) AS max_price_k
+    FROM lineitem
+    """,
+)
+def rel_selectexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: SQL-expression aggregates via selectExpr
+    (data-viz&cleaning.py:445)."""
+    return load_table(spark, sf_dir, "lineitem").selectExpr(
+        "round(sum(l_quantity), 2) AS total_qty",
+        "round(avg(l_discount), 4) AS avg_disc",
+        "floor(max(l_extendedprice) / 1000) AS max_price_k",
+    )
+
+
+@query(
+    "rel_bucketed_counts",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_bucket,
+           count(*) AS n
+    FROM orders
+    GROUP BY price_bucket
+    ORDER BY price_bucket
+    """,
+)
+def rel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5-style numeric bucketing via explicit floor (portable across
+    engines — bare double→int CAST truncates in Spark but rounds in
+    DuckDB, so the engine always buckets with floor)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "price_bucket", F.floor(F.col("o_totalprice") / 50000).cast("long")
+        )
+        .groupBy("price_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("price_bucket")
     )
 
 
