@@ -16,7 +16,9 @@ def plan_of(df, execute: bool = False) -> str:
     # Scan metadata (PushedFilters/ReadSchema) is truncated by default.
     df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     if execute:
-        df.count()  # AQE: codegen spans only appear in the FINAL plan
+        # AQE: codegen spans only appear once THIS dataframe's plan is
+        # finalized (count() would execute a different derived plan).
+        df.collect()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -60,7 +62,9 @@ def test_native_rewrites_avoid_python(spark, sf_dir):
 
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     plan = plan_of(QUERIES["rel_tpch_q1_pricing_summary"](spark, sf_dir), execute=True)
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the final AQE plan;
+    # both the scan+partial-agg stage and the final-agg stage must be fused.
+    assert "*(1)" in plan and "*(2)" in plan
 
 
 def test_semi_anti_plan_no_row_widening(spark, sf_dir):
