@@ -53,3 +53,38 @@ def test_lsh_scores_are_exact_for_found(emb):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert abs(exact[key] - r["cosine"]) < 1e-9
+
+
+def test_embedding_near_dup_lsh_vs_exact(emb):
+    """LSH-bucketed near-dup pairs must be a subset of exact pairs with
+    high recall at a high threshold (near-identical vectors share sign
+    signatures with overwhelming probability)."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(emb, threshold=0.4, exact=True).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in SIM.embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.4, (len(lsh), len(exact))
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall:.2f}"

@@ -159,3 +159,34 @@ def test_grouped_agg_and_distinct(tiny):
     assert cd["n_k"] == 3 and cd["n_tag"] == 3
     ad = A.approx_distinct_agg(tiny, [], ["k"]).first()
     assert ad["approx_n_k"] == 3
+
+
+def test_partitioning_ops(spark, sf_dir, tmp_path):
+    from usedcars_bigdata_spark.operators import partitioning as P
+
+    orders = load_table(spark, sf_dir, "orders")
+    rp = P.repartition_by(orders, 8, "o_custkey")
+    assert rp.rdd.getNumPartitions() == 8
+    assert P.coalesce_to(rp, 2).rdd.getNumPartitions() == 2
+    rr = P.repartition_range(orders, 4, "o_orderdate")
+    assert rr.rdd.getNumPartitions() == 4
+    assert rr.count() == orders.count()
+
+    s = P.salted(orders, "o_custkey", 16)
+    vals = [r["__salt"] for r in s.select("__salt").distinct().collect()]
+    assert all(0 <= v < 16 for v in vals)
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS tdb LOCATION '{tmp_path}/wh'")
+    spark.catalog.setCurrentDatabase("tdb")
+    P.bucketed_write(
+        orders, "orders_bkt", 4, ["o_custkey"], sort_cols=["o_orderdate"],
+        path=str(tmp_path / "orders_bkt"),
+    )
+    back = spark.table("orders_bkt")
+    assert back.count() == orders.count()
+    # bucketed self-join on the bucket key plans no exchange on either side
+    j = back.alias("a").join(back.alias("b"), "o_custkey")
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    spark.catalog.setCurrentDatabase("default")

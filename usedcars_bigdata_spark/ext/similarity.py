@@ -116,6 +116,121 @@ def hyperplane_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 4,
+    tables: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: unordered (id_a < id_b)
+    pairs with cosine ≥ threshold. Default path reuses the hyperplane-LSH
+    buckets for candidate generation (near-dups almost always share sign
+    signatures at high thresholds); ``exact=True`` does the O(N²/2) self
+    join — the oracle-checkable form for correctness runs."""
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    if exact:
+        a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        cands = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        planes = _hyperplanes(64, bits, tables, seed)
+        sigs = F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), _signature(vec_col, planes[t]).alias("sig"))
+                for t in range(tables)
+            ]
+        )
+        bucketed = (
+            e.select(F.col(id_col), F.col(vec_col), F.explode(sigs).alias("b"))
+            .select(id_col, vec_col, F.col("b.tbl").alias("tbl"), F.col("b.sig").alias("sig"))
+        )
+        a = bucketed.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "tbl", "sig"
+        )
+        b = bucketed.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "tbl", "sig"
+        )
+        cands = (
+            a.join(b, on=["tbl", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "va", "id_b", "vb")
+            .distinct()
+        )
+    scored = cands.withColumn("cos", cosine("va", "vb"))
+    return scored.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", ndigits).alias("cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
+    corpus into ``n_centroids`` cells; each query scans only its ``n_probe``
+    nearest cells. The classic FAISS-style scale path: candidate count ~
+    N·n_probe/n_centroids, and the cell assignment is a bounded broadcast
+    (centroid table is tiny)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__v")
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__v", predictionCol="__cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "__cell"
+    )
+
+    centroids = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(v) for v in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # rank centroids per query, keep n_probe nearest (by cosine)
+    qc = (
+        q.withColumn("c", F.explode(cent_arr))
+        .withColumn("cell_cos", cosine("q_vec", F.col("c.cvec")))
+        .select("query_id", "q_vec", F.col("c.cell").alias("__cell"), "cell_cos")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc())
+    probed = qc.withColumn("__pr", F.row_number().over(wq)).filter(
+        F.col("__pr") <= n_probe
+    ).select("query_id", "q_vec", "__cell")
+    cands = (
+        assigned.join(F.broadcast(probed), on="__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", ndigits).alias("cosine"))
+    )
+
+
 def norm_stats_by_label(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -23,15 +23,25 @@ def _words(text_col: str) -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+# BPE-ish tokenizer regex (GPT-2-flavored, simplified to constructs with
+# identical semantics in Java regex and RE2): a run of letters, a single
+# digit, or a single non-alphanumeric non-space symbol.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
 def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document token statistics: whitespace token count, char count,
-    average token length. Integer math + one division → cross-engine exact."""
+    """Per-document token statistics: whitespace token count, BPE-ish
+    subword-regex token count, char count, average token length. Integer
+    math + one division → cross-engine exact."""
     w = _words(text_col)
     n_tokens = F.size(w)
     n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_PATTERN))
+        .cast("long")
+        .alias("n_bpe_tokens"),
         F.length(F.col(text_col)).cast("long").alias("n_chars_actual"),
         F.round(n_nonspace / n_tokens, 4).alias("avg_token_len"),
     )

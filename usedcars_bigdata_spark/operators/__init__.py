@@ -6,4 +6,14 @@ returning Columns) so Catalyst sees one declarative plan across operator
 boundaries — no materialization between steps.
 """
 
-from . import agg, clean, derive, joins, sample, setops, sort, window  # noqa: F401
+from . import (  # noqa: F401
+    agg,
+    clean,
+    derive,
+    joins,
+    partitioning,
+    sample,
+    setops,
+    sort,
+    window,
+)

@@ -1,0 +1,69 @@
+"""Partitioning / caching / bucketing operators.
+
+The reference never tunes partitioning (grep-verified, SURVEY.md §4) — it
+runs Catalyst defaults on YARN. These engine built-ins are the knobs a
+100 TB deployment actually turns; each docstring states when the shuffle
+it implies is worth paying.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repartition_by(df: DataFrame, n: int | None, *cols: str) -> DataFrame:
+    """Hash-partition on join/agg keys (one shuffle now, co-located
+    downstream ops later). Worth it when ≥2 subsequent wide ops reuse the
+    same key; otherwise let AQE place the single exchange."""
+    if n is None:
+        return df.repartition(*[F.col(c) for c in cols])
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def repartition_range(df: DataFrame, n: int, *cols: str) -> DataFrame:
+    """Range-partition (sorted-output friendly; feeds sort-based writes)."""
+    return df.repartitionByRange(n, *[F.col(c) for c in cols])
+
+
+def coalesce_to(df: DataFrame, n: int) -> DataFrame:
+    """Reduce partition count WITHOUT a shuffle — for small outputs /
+    pre-write compaction. Never use to grow parallelism."""
+    return df.coalesce(n)
+
+
+def salted(df: DataFrame, key: str, salt_buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Append a deterministic salt derived from the whole row hash to break
+    a hot key across ``salt_buckets`` reducers. Pair with exploding the
+    other join side over 0..buckets-1. AQE's skew-join handles most cases;
+    salting remains for stubborn single-key skew (e.g. null-heavy keys)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+
+
+def bucketed_write(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist hash-bucketed (and optionally sorted) — joins/aggs on the
+    bucket key then skip the shuffle entirely on every future read. The
+    right call for a fact table joined on the same key daily at 100 TB."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
+def cache_hot(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK persist for iterative reuse (ML training loops).
+    Always pair with an eventual unpersist in long-lived jobs."""
+    return df.persist()

@@ -126,6 +126,39 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine
+    FROM pairs WHERE cos >= 0.4
+    """,
+)
+def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (τ=0.4 — the synthetic corpus
+    has no tighter pairs), exact form for the oracle;
+    the LSH-bucketed form (exact=False, default) is the scale path and is
+    recall-tested in tests/test_ext_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+
+
+@query("ext_ann_ivf_topk")
+def ext_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means cells + n_probe scan) — rows-only (k-means centers
+    are engine-specific); recall vs brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "ext_embedding_norms",
     oracle="""
     SELECT label,
@@ -155,6 +188,8 @@ def ext_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+             AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            round(length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
                  / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
