@@ -57,3 +57,28 @@ def test_sliding_windows_stream(spark, sf_dir, batch_events):
         assert total == 2 * n_batch
     finally:
         q.stop()
+
+
+def test_stateful_anomaly_flags_stream_equals_batch(spark, sf_dir, batch_events):
+    """applyInPandasWithState operator must match its window-based batch
+    twin once all micro-batches are processed (state accumulates across
+    batches in event order only within a batch — single-file source here,
+    so ordering matches the batch window)."""
+    from usedcars_bigdata_spark.streaming import stateful as ST
+
+    stream = SE.read_event_stream(spark, sf_dir)
+    q = SE.run_to_memory_sink(
+        ST.running_anomaly_flags(stream), "anom_out", output_mode="append"
+    )
+    try:
+        got = spark.sql("SELECT * FROM anom_out")
+        want = ST.running_anomaly_flags_batch(
+            batch_events.select("user_id", "event_id", "value")
+        )
+        cols = ["user_id", "event_id", "flagged"]
+        assert _rows(got, cols) == _rows(want, cols)
+        n_flagged = got.filter("flagged").count()
+        assert got.count() == batch_events.count()
+        assert 0 < n_flagged < got.count()
+    finally:
+        q.stop()

@@ -38,6 +38,17 @@ def get_session(
     the same code runs with shuffle_partitions sized to ~2-3× total cores and
     maxPartitionBytes keeping scan tasks ~128-256 MB.
     """
+    # Spark's Python WORKERS are separate processes that must import this
+    # package too (applyInPandasWithState / mapInPandas pickle functions by
+    # module reference). A driver-side sys.path tweak doesn't reach them —
+    # export the package root via PYTHONPATH before the JVM launches.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     cpus = default_parallelism()
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
