@@ -44,6 +44,32 @@ def salted(df: DataFrame, key: str, salt_buckets: int, salt_col: str = "__salt")
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a
+    deterministic row-hash salt; the right side is replicated across all
+    ``buckets`` salt values; the join key becomes (key, salt), splitting a
+    hot key over ``buckets`` reducers. Semantically identical to
+    ``left.join(right, key, how)`` for 1:N joins where right is the N=1
+    side per key-salt. Use when ONE key dominates and AQE's skew split
+    (enabled by default in session.py) isn't enough — e.g. null-surrogate
+    keys. Cost: right side × buckets."""
+    l_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)).cast("int"),
+    )
+    r_replicated = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    out = l_salted.join(r_replicated, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
 def bucketed_write(
     df: DataFrame,
     table_name: str,

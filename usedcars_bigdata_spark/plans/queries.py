@@ -917,6 +917,107 @@ def rel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_range_frame_30d",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+             AS spend_30d
+    FROM orders
+    """,
+)
+def rel_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: trailing-30-day spend per customer. Spark's
+    rangeBetween needs a numeric sort key → epoch seconds in both engines.
+    (Sum order within a frame is deterministic given the sort, so the
+    rounded values agree.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2_592_000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )
+
+
+@query(
+    "rel_unpivot_measures",
+    oracle="""
+    SELECT o_orderpriority, measure, round(sum(val), 2) AS total
+    FROM (
+      SELECT o_orderpriority, 'totalprice' AS measure, o_totalprice AS val FROM orders
+      UNION ALL
+      SELECT o_orderpriority, 'custkey_sum' AS measure, CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    GROUP BY o_orderpriority, measure
+    """,
+)
+def rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot via stack(): wide measures → (measure, val) long form, then
+    re-aggregate (the pivot/unpivot pair of the engine surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    long = orders.selectExpr(
+        "o_orderpriority",
+        "stack(2, 'totalprice', o_totalprice, 'custkey_sum', CAST(o_custkey AS DOUBLE))"
+        " AS (measure, val)",
+    )
+    return long.groupBy("o_orderpriority", "measure").agg(
+        F.round(F.sum("val"), 2).alias("total")
+    )
+
+
+@query(
+    "rel_salted_join",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 * 1.0 / count(*)) / 100 AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def rel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators.partitioning.salted_join): results must
+    be identical to the plain join — the salt only changes the shuffle
+    layout. Oracle is the unsalted SQL join. The money average sums integer
+    CENTS and rounds at the CENT level: half-integers are exactly
+    representable doubles, so Spark (decimal-string rounding) and DuckDB
+    (binary rounding) agree — round(x, 2) on a value that is exactly .xx5
+    diverges between the engines."""
+    from ..operators.partitioning import salted_join
+
+    customer = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_nationkey", "nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "nationkey"
+    )
+    joined = salted_join(customer, nation, "nationkey", buckets=4)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        (F.round(F.sum(cents) / F.count("*")) / 100).alias("avg_bal"),
+    )
+
+
+@query("rows_approx_stats")
+def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A11 approximate forms (percentile_approx + HyperLogLog++) — the
+    interactive-scale variants; approximate by nature → rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        A.median_approx("l_extendedprice").alias("approx_median_price"),
+        F.approx_count_distinct("l_partkey").alias("approx_n_parts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (nondeterministic or engine-specific semantics)
 # ---------------------------------------------------------------------------
