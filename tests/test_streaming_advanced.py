@@ -1,0 +1,106 @@
+"""Advanced streaming semantics: watermark late-data dropping (append mode)
+and the foreachBatch exactly-once upsert sink."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.streaming import events as SE
+from usedcars_bigdata_spark.streaming import sinks as SK
+
+
+def _write_events(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _ns(minute: int) -> int:
+    # nanos since epoch for 2024-01-01 00:<minute>:00 UTC
+    return (1_704_067_200 + minute * 60) * 1_000_000_000
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a 10-minute watermark: a row arriving
+    AFTER its window's watermark has passed must be dropped, not resurrect
+    a finalized window."""
+    src = str(tmp_path / "events_src")
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ns(1), 1, "view", 1.0, "{}"),
+            (2, _ns(6), 1, "view", 1.0, "{}"),   # window [00:05,00:10)
+            (3, _ns(40), 1, "view", 1.0, "{}"),  # advances watermark to 00:30
+        ],
+    )
+    stream = SE.read_event_stream(spark, src, glob="*.parquet")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late row for the long-closed first window (event time 00:02,
+        # watermark already at 00:30)
+        _write_events(spark, src, [(4, _ns(2), 1, "view", 1.0, "{}")])
+        q.processAllAvailable()
+        # a watermark-advancing row so closed windows flush
+        _write_events(spark, src, [(5, _ns(80), 1, "view", 1.0, "{}")])
+        q.processAllAvailable()
+        got = {r["ws"].minute: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+        # first window [00:00,00:05) must report 1 (event 1 only) — the late
+        # event 4 was dropped; if the watermark didn't drop it, n would be 2.
+        assert got.get(0) == 1, got
+        assert got.get(5) == 1, got
+    finally:
+        q.stop()
+
+
+def test_foreachbatch_upsert_sink(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "target")
+    src = str(tmp_path / "upsert_src")
+    _write_events(spark, src, [(1, _ns(0), 10, "view", 1.0, "{}"),
+                               (2, _ns(1), 20, "view", 2.0, "{}")])
+    stream = SE.read_event_stream(spark, src, glob="*.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    q = SK.upsert_to_parquet(
+        stream, target, key="event_id", checkpoint=str(tmp_path / "ck2")
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert first == {1: 1.0, 2: 2.0}
+        # second batch: update key 1, insert key 3
+        _write_events(spark, src, [(1, _ns(2), 10, "view", 9.0, "{}"),
+                                   (3, _ns(3), 30, "view", 3.0, "{}")])
+        q.processAllAvailable()
+        second = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert second == {1: 9.0, 2: 2.0, 3: 3.0}
+    finally:
+        q.stop()
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = str(tmp_path / "t2")
+    updates = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    SK.merge_upsert(spark, target, updates, "k")
+    SK.merge_upsert(spark, target, updates, "k")  # replay == no-op
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b"}

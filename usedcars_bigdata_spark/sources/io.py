@@ -64,6 +64,19 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def fetch_rows(df: DataFrame, limit: int | None = None) -> list:
+    """S6 explicit driver fetch (collect/take). The limit-less form pulls
+    EVERYTHING to the driver — reserve for aggregated results; the
+    reference scatters bare collect()s through query code
+    (data-understanding.py:92,229)."""
+    return df.take(limit) if limit is not None else df.collect()
+
+
+def fetch_pandas(df: DataFrame, limit: int | None = None):
+    """S6 driver fetch as pandas (Arrow-accelerated toPandas)."""
+    return (df.limit(limit) if limit is not None else df).toPandas()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness testdata table (TESTDATA.md) by name.
 

@@ -1,1 +1,1 @@
-from . import events  # noqa: F401
+from . import events, sinks, stateful  # noqa: F401
