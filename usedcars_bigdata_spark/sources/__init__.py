@@ -1,3 +1,19 @@
-from .io import load_table, read_csv, read_parquet, write_csv, write_parquet
+from .io import (
+    fetch_pandas,
+    fetch_rows,
+    load_table,
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
 
-__all__ = ["load_table", "read_csv", "read_parquet", "write_csv", "write_parquet"]
+__all__ = [
+    "fetch_pandas",
+    "fetch_rows",
+    "load_table",
+    "read_csv",
+    "read_parquet",
+    "write_csv",
+    "write_parquet",
+]
