@@ -1007,6 +1007,57 @@ def rel_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_topk_per_group",
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    QUALIFY row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+    """,
+)
+def rel_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 line items per return flag (operators.window.top_k_per_group
+    — the 'Top-K per group' OLAP staple)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return W.top_k_per_group(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(),
+         F.col("l_linenumber").asc()],
+        3,
+    )
+
+
+@query(
+    "rel_above_avg_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter (orders above the global average price) —
+    expressed as a window-over-no-partition so it stays one plan; Catalyst
+    evaluates the scalar once and broadcasts it. (Threshold comparison uses
+    the unrounded avg — identical filter decisions require only that both
+    engines' avgs agree to ~1e-12, far from any price gap.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    with_avg = orders.withColumn(
+        "__avg", F.avg("o_totalprice").over(Window.partitionBy())
+    )
+    return (
+        with_avg.filter(F.col("o_totalprice") > F.col("__avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
 @query("rows_approx_stats")
 def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A11 approximate forms (percentile_approx + HyperLogLog++) — the
