@@ -107,3 +107,13 @@ def test_lsh_similarity_join_runs(spark, sf_dir):
     pairs = TS.lsh_similarity_join(feats, "doc_id", threshold=0.9)
     assert pairs.columns == ["id_a", "id_b", "jaccard_dist"]
     assert pairs.count() >= 0
+
+
+def test_model_suite_applies_adj_r2_correction(feature_table):
+    out = RG.run_model_suite(feature_table, ["linear"])
+    r = out.first()
+    n, r2 = r["n_test"], r["r2"]
+    # run_model_suite must thread n_features through — adj != plain r2
+    expected = 1 - (1 - r2) * (n - 1) / (n - 3 - 1)
+    assert abs(r["adj_r2"] - expected) < 1e-9
+    assert r["adj_r2"] != r2

@@ -190,3 +190,13 @@ def test_partitioning_ops(spark, sf_dir, tmp_path):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(o_custkey" not in plan
     spark.catalog.setCurrentDatabase("default")
+
+
+def test_zip_index_does_not_mutate_input_schema(tiny):
+    before = [f.name for f in tiny.schema.fields]
+    W.zip_index(tiny)
+    after = [f.name for f in tiny.schema.fields]
+    assert before == after  # regression: StructType.add() mutated df.schema
+    # and a second call must still work
+    z2 = W.zip_index(tiny)
+    assert sorted(r["index"] for r in z2.collect()) == [0, 1, 2, 3, 4]

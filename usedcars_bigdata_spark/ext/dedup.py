@@ -188,8 +188,13 @@ def minhash_near_dupes(
     """Tier 3 end-to-end: shingle → minhash → LSH candidates → exact-Jaccard
     verification of CANDIDATES ONLY (the LSH point: total cost tracks the
     candidate count, not n²). Output matches jaccard_pairs semantics
-    restricted to LSH-surviving pairs. Shingles are cached — they feed both
-    the signature agg and the verification joins."""
+    restricted to LSH-surviving pairs.
+
+    Shingles are persisted (they feed both the signature agg and the
+    verification joins) and the cache is OWNED BY THE CALLER: unpersist it
+    via ``result.sparkSession.catalog.clearCache()`` or re-derive the
+    shingle frame and unpersist after consuming the result in long-lived
+    sessions."""
     sh = word_shingles(df, id_col, text_col, n=n).persist()
     cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col, bands=bands)
     return jaccard_for_pairs(sh, cands, id_col, threshold=threshold)

@@ -72,7 +72,7 @@ def hyperplane_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     bits: int = 4,
     tables: int = 8,
     seed: int = 42,
@@ -85,6 +85,9 @@ def hyperplane_lsh_topk(
     embeddings tolerate long signatures (high selectivity); weakly-similar
     corpora (e.g. random-ish vectors, top-neighbor cosine ~0.3) need short
     signatures + more tables — hence the b=4/t=8 defaults."""
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        dim = first["d"] if first else 0
     planes = _hyperplanes(dim, bits, tables, seed)
 
     def with_sigs(df: DataFrame, idal: str, vecal: str) -> DataFrame:
@@ -121,6 +124,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
     bits: int = 4,
     tables: int = 8,
     seed: int = 42,
@@ -136,9 +140,19 @@ def embedding_near_dup_pairs(
     if exact:
         a = e.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = e.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-        cands = a.join(b, F.col("id_a") < F.col("id_b"))
+        # Inequality join: without a hint Spark plans a CartesianProduct
+        # with |parts(a)|·|parts(b)| tasks. The exact path is for
+        # correctness-scale corpora, so broadcast one side →
+        # BroadcastNestedLoopJoin with |parts(a)| tasks.
+        cands = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     else:
-        planes = _hyperplanes(64, bits, tables, seed)
+        if dim is None:
+            # Hyperplanes must match the embedding width — zip_with against
+            # a wrong-width plane folds to NULL and every signature
+            # degenerates to one bucket (silent O(N²)). One-row probe.
+            first = e.select(F.size(vec_col).alias("d")).first()
+            dim = first["d"] if first else 0
+        planes = _hyperplanes(dim, bits, tables, seed)
         sigs = F.array(
             *[
                 F.struct(F.lit(t).alias("tbl"), _signature(vec_col, planes[t]).alias("sig"))

@@ -32,8 +32,13 @@ def zip_index(df: DataFrame, alias: str = "index") -> DataFrame:
     cumsum — one tiny extra job instead of a single-task global sort. Use for
     the reference's synthetic index column (data-viz&cleaning.py:88) when
     contiguity matters; ``F.monotonically_increasing_id`` when it doesn't."""
+    from pyspark.sql import types as T
+
     rdd = df.rdd.zipWithIndex().map(lambda pair: pair[0] + (pair[1],))
-    schema = df.schema.add(alias, "long", False)
+    # Build a FRESH StructType: df.schema is a cached property and
+    # StructType.add mutates in place — appending to it would corrupt the
+    # caller's DataFrame schema.
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(alias, T.LongType(), False)])
     return df.sparkSession.createDataFrame(rdd, schema)
 
 

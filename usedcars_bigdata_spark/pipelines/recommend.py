@@ -81,7 +81,11 @@ def recommend_similar(
 ) -> DataFrame:
     """End-to-end recommendation (recomendation-system.py:142-183): enrich →
     optional price-band candidate filter → TF-IDF on profiles → normalize →
-    top-k cosine → fetch the recommended rows."""
+    top-k cosine → fetch the recommended rows.
+
+    The enriched frame is cached (TF-IDF fitting runs several actions over
+    it); the cache is owned by the caller — unpersist / clearCache after
+    consuming the result in long-lived sessions."""
     enriched = profile_text(enrich(vehicles)).cache()
     candidates = enriched
     if price_band is not None:

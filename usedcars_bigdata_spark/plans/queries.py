@@ -289,6 +289,8 @@ def ref_range_inlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_type, event_id, value
     FROM events
+    WHERE event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL AND value IS NOT NULL AND props IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1
     """,
 )
