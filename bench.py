@@ -33,7 +33,10 @@ BENCH_QUERIES = [
     "rel_tpch_q1_pricing_summary",
     "rel_join_revenue_by_nation",
     "rel_window_rank_orders",
+    "rel_topk_per_group",
+    "rel_asof_join",
     "ts_tumbling_hourly",
+    "ts_session_windows",
     "ext_dedup_exact",
     "ext_dedup_minhash_lsh",
     "ext_ann_cosine_topk",

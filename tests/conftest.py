@@ -36,10 +36,16 @@ def duck():
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return round(v, 9)
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, (np.integer, np.floating)):
+        return _norm_cell(v.item())
     if isinstance(v, list):
         return tuple(_norm_cell(x) for x in v)
     return v

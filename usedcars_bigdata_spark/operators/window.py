@@ -84,8 +84,28 @@ def top_k_per_group(
     partition_by: Sequence[str],
     order_by: Sequence[Column | str],
     k: int,
+    local_prune: bool = True,
 ) -> DataFrame:
     """Top-K per group via row_number ≤ K. ``order_by`` must include a unique
-    tie-break key for deterministic results across engines/runs."""
+    tie-break key for deterministic results across engines/runs.
+
+    With ``local_prune`` (default), each INPUT partition first keeps its
+    own top-K per group — a parallel window over (group, partition_id) —
+    so the final exact window sorts at most K·n_partitions rows per group
+    instead of the whole group. Pruning is lossless (every global top-K row
+    is in its partition's local top-K) and removes the few-large-groups
+    bottleneck where parallelism would otherwise equal the group count."""
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+    pruned = df
+    if local_prune:
+        wl = Window.partitionBy(*partition_by, F.spark_partition_id()).orderBy(*order_by)
+        pruned = (
+            df.withColumn("__lrn", F.row_number().over(wl))
+            .filter(F.col("__lrn") <= k)
+            .drop("__lrn")
+        )
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1060,6 +1060,109 @@ def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_explode_words",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + explode + re-aggregate: word frequencies over
+    part names (split/explode are narrow ops; the only shuffle is the final
+    count)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "rel_collect_sorted_lists",
+    oracle="""
+    SELECT c_mktsegment,
+           list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+           count(*) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def rel_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set + array_sort per group (sorted so the array value is
+    deterministic regardless of aggregation order — bare collect_list is
+    partition-order-dependent and never oracle-comparable)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+@query(
+    "rel_string_funcs",
+    oracle="""
+    SELECT upper(substring(p_brand, 1, 5)) AS brand_prefix,
+           concat_ws('/', p_type, p_brand) AS type_brand,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           replace(p_name, ' ', '_') AS name_slug,
+           length(p_name) AS name_len
+    FROM part
+    WHERE p_partkey < 50
+    """,
+)
+def rel_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family (F1/F3 neighbors): substring, concat_ws,
+    lpad, replace, length — all JVM-native, no regex (regex dialects are
+    where engines diverge; the regexp surface is covered separately)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return part.select(
+        F.upper(F.substring("p_brand", 1, 5)).alias("brand_prefix"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_slug"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "rel_null_semantics",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS maybe_price
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           count(maybe_price) AS n_nonnull,
+           round(sum(coalesce(maybe_price, 0)), 2) AS sum_with_default,
+           round(avg(maybe_price), 2) AS avg_ignoring_nulls
+    FROM d
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics: count(*) vs count(col), coalesce defaults, and
+    avg's null-ignoring behavior — identical three-valued logic in both
+    engines by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.withColumn(
+        "maybe_price",
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count("maybe_price").alias("n_nonnull"),
+        F.round(F.sum(F.coalesce("maybe_price", F.lit(0))), 2).alias("sum_with_default"),
+        F.round(F.avg("maybe_price"), 2).alias("avg_ignoring_nulls"),
+    )
+
+
 @query("rows_approx_stats")
 def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A11 approximate forms (percentile_approx + HyperLogLog++) — the
