@@ -225,12 +225,16 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    fingerprints: DataFrame, id_col: str, max_hamming: int = 8
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Pair documents whose fingerprints differ in ≤ max_hamming bits.
-    Candidate generation: 4×16-bit chunk index (pigeonhole: ≤3 differing
-    chunks guaranteed when max_hamming < 4·... candidates where ≥1 chunk
-    matches exactly) then exact popcount filter."""
+    Candidate generation: 4×16-bit chunk index, then exact popcount filter.
+    By pigeonhole the index is COMPLETE iff max_hamming < 4 (≤3 differing
+    bits cannot touch all 4 chunks, so some chunk matches exactly) — hence
+    the default. Larger thresholds are APPROXIMATE: a pair spreading its
+    differing bits 2-2-2-2 across chunks shares no chunk and is missed;
+    raise the chunk count (smaller chunks) for completeness at higher
+    radii."""
     chunks = fingerprints.select(
         F.col(id_col),
         F.col("simhash"),
