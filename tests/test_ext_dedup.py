@@ -13,9 +13,10 @@ from usedcars_bigdata_spark.sources import load_table
 @pytest.fixture(scope="module")
 def near_dup_corpus(spark):
     """Synthetic corpus with planted near-duplicates: base docs + copies with
-    small edits."""
+    small edits. Base vocabularies are DISJOINT per doc so the only
+    near-dup pairs are the planted ones."""
     base = [
-        " ".join(f"w{(i * 7 + j) % 50}" for j in range(40)) for i in range(20)
+        " ".join(f"d{i}w{j}" for j in range(60)) for i in range(20)
     ]
     rows = []
     for i, text in enumerate(base):
@@ -44,8 +45,9 @@ def test_jaccard_pairs_find_planted_dupes(near_dup_corpus):
 
 
 def test_minhash_lsh_recall(near_dup_corpus):
-    """LSH candidates must recover most high-Jaccard pairs (16 hashes / 4
-    bands → ~97% collision probability at J=0.8)."""
+    """LSH candidates must recover most high-Jaccard pairs: planted pairs
+    have J≈0.90 (57/63 shared trigrams), band-collision prob 1-(1-0.9^4)^4
+    ≈ 0.98 → recall well above 0.85 except extreme binomial tails."""
     sh = X.word_shingles(near_dup_corpus, "doc_id", "text", n=3)
     exact = {
         (r["id_a"], r["id_b"])
@@ -59,7 +61,7 @@ def test_minhash_lsh_recall(near_dup_corpus):
         ).collect()
     }
     recall = len(exact & found) / len(exact)
-    assert recall >= 0.9, f"LSH recall {recall:.2f} below 0.9"
+    assert recall >= 0.85, f"LSH recall {recall:.2f} below 0.85"
 
 
 def test_minhash_subset_of_exact(spark, sf_dir):
@@ -95,3 +97,27 @@ def test_simhash_invariants(spark):
         X.simhash64(df, "doc_id", "text"), "doc_id", max_hamming=0
     )
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_connected_components_semantics(spark):
+    """Chain, cycle, and singleton components; labels = min reachable id."""
+    ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter > 1 exercises iteration), cycle 5-6-7-5
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in X.connected_components(ids, pairs, "doc_id").collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_near_dup_clusters_canonical_filter(near_dup_corpus):
+    labeled = X.near_dup_clusters(near_dup_corpus, "doc_id", "text", threshold=0.5)
+    rows = labeled.collect()
+    assert len(rows) == near_dup_corpus.count()
+    canon = [r["doc_id"] for r in rows if r["is_canonical"]]
+    # every planted (2i, 2i+1) pair collapses to one canonical doc
+    assert sorted(canon) == [2 * i for i in range(20)]

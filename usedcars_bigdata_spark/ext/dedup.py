@@ -200,6 +200,70 @@ def minhash_near_dupes(
     return jaccard_for_pairs(sh, cands, id_col, threshold=threshold)
 
 
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
+) -> DataFrame:
+    """Cluster near-duplicate pairs into components: each id is labeled
+    with the MIN id reachable through the pair graph (ids without pairs are
+    singleton components).
+
+    Algorithm: iterative min-label propagation — each round every vertex
+    takes the minimum label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup components are shallow; capped
+    at ``max_iters``). Each round is one join + one grouped min — the
+    standard Spark pattern where GraphX/graphframes aren't available, and
+    the per-round convergence check is a driver scalar on the CHANGE count
+    only. Labels are checkpointed via persist each round to keep lineage
+    bounded."""
+    edges = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
+        .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("s"), F.col(id_col).alias("component"))
+    for _ in range(max_iters):
+        labels = labels.persist()
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("s", "t2"), edges.t == F.col("t2"))
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, on="s", how="left")
+            .select(
+                "s",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component")) < F.col("component"))
+                .alias("__changed"),
+            )
+        ).persist()
+        n_changed = updated.filter("__changed").count()
+        labels.unpersist()
+        labels = updated.drop("__changed")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("s").alias(id_col), "component")
+
+
+def near_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """End-to-end near-dup clustering: exact n-gram-Jaccard pairs →
+    connected components → per-doc (component, is_canonical) labels. The
+    'keep one per cluster' primitive of a training-data pipeline:
+    ``filter(is_canonical)`` yields the deduplicated corpus."""
+    sh = word_shingles(df, id_col, text_col, n=n)
+    pairs = jaccard_pairs(sh, id_col, threshold=threshold)
+    comp = connected_components(df.select(id_col), pairs, id_col)
+    return comp.select(
+        id_col,
+        "component",
+        (F.col(id_col) == F.col("component")).alias("is_canonical"),
+    )
+
+
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Tier 4: 64-bit SimHash fingerprint. Token-level xxhash64; per bit b
     the signed sum of (+1/-1) over tokens decides bit b of the fingerprint.

@@ -76,6 +76,88 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.minhash_near_dupes(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+@query(
+    "ext_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+      SELECT s AS doc_id, least(s, min(t)) AS component FROM reach GROUP BY s
+    )
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           d.doc_id = coalesce(c.component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """,
+)
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: Jaccard pair graph (τ=0.2) → connected
+    components via iterative min-label propagation → canonical-per-cluster
+    labels. Oracle computes the same components with a recursive-CTE
+    transitive closure (viable at oracle scale; the Spark path is the
+    scalable one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
+
+
+@query(
+    "ext_curation_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x IN ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(string_split_regex(trim(text), '\\s+')) * 0.5
+                   + least(len(string_split_regex(trim(text), '\\s+')), 100)
+                     / 100.0 * 0.5, 4) AS quality_score
+      FROM documents
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    )
+    SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score
+    FROM q JOIN keep USING (doc_id)
+    WHERE q.quality_score >= 0.3
+    """,
+)
+def ext_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline — the training-data story in one plan:
+    quality-score → threshold filter → exact-dedup (canonical survivor
+    only). Each stage is narrow except the dedup semi-join; Catalyst fuses
+    the scoring into the scan projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = TX.quality_score(docs, "doc_id", "text")
+    scored = docs.select("doc_id", "lang").join(quality, "doc_id")
+    deduped = X.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    return (
+        scored.join(deduped, "doc_id", "left_semi")
+        .filter(F.col("quality_score") >= 0.3)
+        .select("doc_id", "lang", "n_tokens", "quality_score")
+    )
+
+
 @query("ext_dedup_simhash")
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document (rows-only; bit semantics
