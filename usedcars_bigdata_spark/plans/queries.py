@@ -1163,6 +1163,69 @@ def rel_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_date_funcs",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           count(*) AS n,
+           min(CAST(day(o_orderdate) AS INTEGER)) AS min_day,
+           max(CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER))
+             AS max_days_since_epoch
+    FROM orders
+    GROUP BY order_month
+    """,
+)
+def rel_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: date_trunc, day-of-month extraction, day
+    difference. (Engine-portable subset — e.g. dayofweek numbering differs
+    between Spark and DuckDB, so the engine standardizes on ISO weekday
+    where needed.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.dayofmonth("o_orderdate")).cast("int").alias("min_day"),
+            F.max(
+                F.datediff(
+                    F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+                )
+            ).cast("int").alias("max_days_since_epoch"),
+        )
+    )
+
+
+@query(
+    "rel_first_last_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_totalprice) OVER w AS first_spend,
+           last_value(o_totalprice) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_spend,
+           nth_value(o_totalprice, 2) OVER w AS second_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def rel_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth analytic values per partition. last_value needs the
+    full-partition frame explicitly (the default frame ends at CURRENT ROW
+    — identical trap in both engines, handled identically here)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_spend"),
+        F.last("o_totalprice").over(w_full).alias("last_spend"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_spend"),
+    )
+
+
 @query("rows_approx_stats")
 def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2/A11 approximate forms (percentile_approx + HyperLogLog++) — the
