@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "ref_q2_median_value_by_type",
     "ref_q3_pct_of_total",
     "rel_tpch_q1_pricing_summary",
+    "rel_tpch_q3_shipping_priority",
+    "rel_tpch_q5_local_volume",
     "rel_join_revenue_by_nation",
     "rel_window_rank_orders",
     "rel_topk_per_group",
@@ -39,8 +41,10 @@ BENCH_QUERIES = [
     "ts_session_windows",
     "ext_dedup_exact",
     "ext_dedup_minhash_lsh",
+    "ext_dedup_clusters",
     "ext_ann_cosine_topk",
     "ext_text_quality",
+    "ext_curation_pipeline",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -261,10 +261,14 @@ def connected_components(
     the per-round convergence check is a driver scalar on the CHANGE count
     only. Labels are checkpointed via persist each round to keep lineage
     bounded."""
+    # Persist the symmetrized edge set: every iteration joins against it,
+    # and without the cache each round re-evaluates the whole upstream
+    # pair-generation lineage (e.g. the shingle self-join).
     edges = (
         pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("t"))
         .unionByName(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("t")))
         .distinct()
+        .persist()
     )
     labels = ids.select(F.col(id_col).alias("s"), F.col(id_col).alias("component"))
     for _ in range(max_iters):
