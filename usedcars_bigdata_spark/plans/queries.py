@@ -1017,6 +1017,56 @@ def rel_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_rank_fractions",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           ntile(4) OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rel_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional ranking family: percent_rank ((rank-1)/(n-1)), cume_dist
+    (rank/n), ntile — exact rational values, identical across engines given
+    the unique tie-broken ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "rel_grouping_sets",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint rollups + grand total) — the
+    general form under cube/rollup, via the SQL API (Catalyst plans the
+    same Expand as cube)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
     "rel_range_frame_30d",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
