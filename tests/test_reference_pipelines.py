@@ -116,3 +116,16 @@ def test_recommend_pipeline(spark, vehicles):
     assert all(r["id"] != qid for r in recs)
     scores = [r["score"] for r in recs]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_manufacturer_stats_parity_names(vehicles):
+    """parity_names reproduces the reference's raw column set: the rename
+    targets a column that doesn't exist, so 'avg(price)' survives
+    (data-understanding.py:78-79 no-op, SURVEY.md §7.4)."""
+    out = understanding.manufacturer_stats(vehicles, parity_names=True)
+    assert set(out.columns) == {"manufacturer", "num_listings", "avg(price)"}
+    honest = understanding.manufacturer_stats(vehicles)
+    assert set(honest.columns) == {"manufacturer", "num_listings", "avg_price"}
+    a = {r["manufacturer"]: r["num_listings"] for r in out.collect()}
+    b = {r["manufacturer"]: r["num_listings"] for r in honest.collect()}
+    assert a == b

@@ -16,16 +16,26 @@ from ..operators.agg import median_exact, percent_of_total
 from ..operators.clean import like_any
 
 
-def manufacturer_stats(vehicles: DataFrame) -> DataFrame:
+def manufacturer_stats(vehicles: DataFrame, parity_names: bool = False) -> DataFrame:
     """Q1 (data-understanding.py:75-81): listings count + avg price per
-    manufacturer, sorted by count. The reference's rename of
-    'median(price)' is a documented no-op (SURVEY.md §7.4); we alias
-    avg(price) honestly."""
+    manufacturer, sorted by count. The reference renames 'median(price)' →
+    'avg_price', a NO-OP because the dict-form agg actually produces
+    'avg(price)' (golden header, notebooks_outputs/data-understanding.txt:42;
+    SURVEY.md §7.4). Default aliases honestly; ``parity_names=True``
+    reproduces the reference's raw output columns
+    ('count(manufacturer)', 'avg(price)') for byte-level comparisons."""
+    agged = vehicles.groupBy("manufacturer").agg(
+        F.count("manufacturer").alias("count(manufacturer)"),
+        F.avg("price").alias("avg(price)"),
+    )
+    if parity_names:
+        out = agged.withColumnRenamed("count(manufacturer)", "num_listings")
+        return out.orderBy(F.col("num_listings").desc())
     return (
-        vehicles.groupBy("manufacturer")
-        .agg(
-            F.count("manufacturer").alias("num_listings"),
-            F.avg("price").alias("avg_price"),
+        agged.select(
+            "manufacturer",
+            F.col("count(manufacturer)").alias("num_listings"),
+            F.col("avg(price)").alias("avg_price"),
         )
         .orderBy(F.col("num_listings").desc())
     )
