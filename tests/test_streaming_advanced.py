@@ -104,3 +104,43 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     SK.merge_upsert(spark, target, updates, "k")  # replay == no-op
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream time-interval join matches the identical batch join
+    once all input is processed."""
+    from usedcars_bigdata_spark.sources import load_table
+    from usedcars_bigdata_spark.streaming import joins as SJ
+
+    def split(ev):
+        return (
+            ev.filter(F.col("event_type") == "click"),
+            ev.filter(F.col("event_type") == "purchase"),
+        )
+
+    stream = SE.read_event_stream(spark, sf_dir)
+    sq = (
+        SJ.clicks_to_purchases(*split(stream))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join_out")
+        .start()
+    )
+    try:
+        sq.processAllAvailable()
+        got = spark.sql("SELECT * FROM ss_join_out")
+        batch = load_table(spark, sf_dir, "events")
+        want = SJ.clicks_to_purchases(*split(batch))
+        cols = ["user_id", "click_id", "purchase_id"]
+        got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+        want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+        assert got_rows == want_rows
+        assert len(got_rows) > 0
+        # interval constraint holds on every output row
+        bad = got.filter(
+            (F.col("click_ts") > F.col("purchase_ts"))
+            | (F.col("click_ts") < F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+        ).count()
+        assert bad == 0
+    finally:
+        sq.stop()

@@ -1,0 +1,58 @@
+"""Stream-stream joins with event-time constraints.
+
+Structured Streaming joins two unbounded inputs by buffering each side in
+state; the time-interval condition + watermarks BOUND that state (rows
+older than watermark+interval are evicted). Without the interval condition
+both sides' state grows forever — the constraint is what makes the join
+viable on unbounded data.
+
+As elsewhere in streaming/, the transformation is built on unbound
+DataFrames so the identical function runs in batch (the test oracle) and
+streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clicks_to_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Attribute each purchase to prior clicks by the same user within
+    ``max_gap``: an event-time interval join.
+
+    Streaming semantics: both sides watermarked; the join condition
+    ``click.ts ∈ [purchase.ts - max_gap, purchase.ts]`` lets Spark evict
+    click state older than watermark+max_gap and purchase state older than
+    watermark. Inner join → append output.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
+    )
