@@ -21,13 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
+from bench import time_models  # noqa: E402  (shared ML benchmark block)
 from usedcars_bigdata_spark.plans import QUERIES  # noqa: E402
 from usedcars_bigdata_spark.session import get_session  # noqa: E402
 from usedcars_bigdata_spark.sources import load_table  # noqa: E402
-from usedcars_bigdata_spark.ml.features import build_feature_table  # noqa: E402
-from usedcars_bigdata_spark.ml.regress import fit_and_evaluate  # noqa: E402
 
 try:
     import psutil  # the reference samples driver CPU via psutil
@@ -40,11 +37,11 @@ QUERY_TASKS = [
     ("Query 2", "ref_q2_median_value_by_type"),
     ("Query 3", "ref_q3_pct_of_total"),
 ]
-MODEL_TASKS = [
-    ("Linear Regression", "linear"),
-    ("Decision Tree", "decision_tree"),
-    ("Random Forest", "random_forest"),
-]
+MODEL_LABELS = {
+    "ml_linear": "Linear Regression",
+    "ml_decision_tree": "Decision Tree",
+    "ml_random_forest": "Random Forest",
+}
 
 
 def timed(fn):
@@ -59,7 +56,9 @@ def timed(fn):
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "bench_matrix.csv"
-    base = os.path.dirname(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    base = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    )
     spark = get_session(app_name="bench-matrix")
     rows = []
     for sf in SCALES:
@@ -73,23 +72,9 @@ def main() -> None:
         for label, qname in QUERY_TASKS:
             dt, cpu = timed(lambda q=qname: QUERIES[q](spark, sf_dir).count())
             rows.append((label, sf, dt, cpu))
-        orders = load_table(spark, sf_dir, "orders").select(
-            F.col("o_totalprice").alias("label"),
-            F.year("o_orderdate").cast("double").alias("order_year"),
-            "o_orderpriority",
-            "o_orderstatus",
-        )
-        data = build_feature_table(
-            orders, "label", ["order_year", "o_orderpriority", "o_orderstatus"]
-        ).cache()
-        train, test = data.randomSplit([0.8, 0.2], seed=42)
-        train.cache().count()
-        for label, model in MODEL_TASKS:
-            dt, cpu = timed(
-                lambda m=model: fit_and_evaluate(train, test, m, n_features=3)
-            )
-            rows.append((label, sf, dt, cpu))
-        data.unpersist(); train.unpersist()
+        # ML block shared with bench.py (one recipe to keep in sync)
+        for key, dt in time_models(spark, sf_dir).items():
+            rows.append((MODEL_LABELS.get(key, key), sf, dt, None))
         print(f"[{sf}] " + ", ".join(f"{r[0]}={r[2]}s" for r in rows if r[1] == sf))
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)

@@ -121,3 +121,45 @@ def test_near_dup_clusters_canonical_filter(near_dup_corpus):
     canon = [r["doc_id"] for r in rows if r["is_canonical"]]
     # every planted (2i, 2i+1) pair collapses to one canonical doc
     assert sorted(canon) == [2 * i for i in range(20)]
+
+
+def test_minhash_signature_forms_agree(near_dup_corpus):
+    """The zero-shuffle array-form signatures (kept for the spill regime)
+    must produce EXACTLY the exploded-form signatures, including dropping
+    empty-shingle docs."""
+    from pyspark.sql import functions as F
+
+    corpus = near_dup_corpus.unionByName(
+        near_dup_corpus.sparkSession.createDataFrame(
+            [(999, "one two")], "doc_id long, text string"  # < n words → no shingles
+        )
+    )
+    exploded = X.minhash_signatures(
+        X.word_shingles(corpus, "doc_id", "text", n=3), "doc_id"
+    )
+    arrayed = X.minhash_signatures_from_arrays(
+        X.shingle_arrays(corpus, "doc_id", "text", n=3), "doc_id"
+    )
+    cols = exploded.columns
+    a = sorted(tuple(r[c] for c in cols) for r in exploded.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in arrayed.collect())
+    assert a == b
+    assert not any(r[0] == 999 for r in a)  # short doc dropped by both
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iters' reach must raise loudly, not return
+    silently split components."""
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        X.connected_components(ids, chain, "doc_id", max_iters=2)
+    # and with enough iterations the same chain collapses to one component
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in X.connected_components(ids, chain, "doc_id", max_iters=n).collect()
+    }
+    assert set(comp.values()) == {0}

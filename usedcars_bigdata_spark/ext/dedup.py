@@ -271,13 +271,17 @@ def connected_components(
         .persist()
     )
     labels = ids.select(F.col(id_col).alias("s"), F.col(id_col).alias("component"))
+    converged = False
     for _ in range(max_iters):
-        labels = labels.persist()
         neighbor_min = (
             edges.join(labels.withColumnRenamed("s", "t2"), edges.t == F.col("t2"))
             .groupBy("s")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # localCheckpoint (eager) materializes AND truncates lineage — with
+        # plain persist the logical plan doubles every round and Catalyst
+        # analysis time grows exponentially with iterations; checkpointed
+        # blocks are released by the ContextCleaner when unreferenced.
         updated = (
             labels.join(neighbor_min, on="s", how="left")
             .select(
@@ -288,12 +292,19 @@ def connected_components(
                 (F.coalesce("nbr_component", F.col("component")) < F.col("component"))
                 .alias("__changed"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         n_changed = updated.filter("__changed").count()
-        labels.unpersist()
         labels = updated.drop("__changed")
         if n_changed == 0:
+            converged = True
             break
+    edges.unpersist()
+    if not converged:
+        # Returning split components silently would be a WRONG answer.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     return labels.select(F.col("s").alias(id_col), "component")
 
 
