@@ -1389,6 +1389,28 @@ def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("rows_ml_regression_metrics")
+def rows_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M12 through the contract: featurize orders (one-pass multi-column
+    indexing + assembly), seeded split, fit linear + decision tree, emit the
+    metrics table (S4 shape). Rows-only: training is floating-point
+    iterative — never hash-comparable; metric sanity is asserted in
+    tests/test_ml.py."""
+    from ..ml.features import build_feature_table
+    from ..ml.regress import run_model_suite
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    data = build_feature_table(
+        orders, "label", ["order_year", "o_orderpriority", "o_orderstatus"]
+    )
+    return run_model_suite(data, ["linear", "decision_tree"])
+
+
 @query("rows_bernoulli_sample")
 def rows_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: seeded Bernoulli sample — engine-specific RNG, rows-only check;
