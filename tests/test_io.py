@@ -83,3 +83,22 @@ def test_create_dataframe_paths(spark):
         ),
     )
     assert explicit.schema[0].dataType.simpleString() == "double"
+
+
+def test_load_table_vanilla_session(spark, sf_dir):
+    """The driver contract hands load_table a PLAIN SparkSession (no
+    get_session confs). nanosAsLong must be set inside load_table itself or
+    every events read dies with PARQUET_TYPE_ILLEGAL (round-1 root cause of
+    7 red CORRECTNESS rows). newSession() gives a fresh SQL-conf scope on
+    the shared context — same isolation the driver's own session has."""
+    plain = spark.newSession()
+    # get_session() sets the conf at builder time, which newSession may
+    # inherit as a default — unset explicitly so this session matches the
+    # driver's (no conf at all), then require load_table to self-heal.
+    try:
+        plain.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    ev = load_table(plain, sf_dir, "events")
+    assert ev.schema["ts"].dataType.simpleString() == "timestamp"
+    assert ev.limit(10).count() == 10

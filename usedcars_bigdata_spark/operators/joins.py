@@ -43,6 +43,7 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Backward as-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same key group (DuckDB/pandas
@@ -54,16 +55,27 @@ def asof_join(
     payload forward with ``last(..., ignorenulls)`` over a running frame.
     ONE shuffle on the keys, one window — no per-key Python
     (pd.merge_asof via applyInPandas is the fallback for exotic variants).
+
+    Determinism: the right payload is carried as ONE struct (a single
+    ``last(ignorenulls)``), so the attached columns always come from the
+    same right row — per-column carries could mix rows when some value
+    column is null. ``tiebreak`` names a right-side column (e.g. a unique
+    event id) appended to the window ordering so that equal-``(key, ts)``
+    right rows resolve identically on every run (the max tiebreak wins).
     """
+    from pyspark.sql import types as T
+
     lpay = [c for c in left.columns]
+    payload_type = T.StructType([right.schema[c] for c in value_cols])
+    rtypes = dict(right.dtypes)
     l_side = left.select(
         *lpay,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[
-            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(payload_type).alias("__r_payload"),
+        (
+            F.lit(None).cast(rtypes[tiebreak]) if tiebreak is not None else F.lit(0)
+        ).alias("__tb"),
     )
     r_side = right.select(
         *[
@@ -72,25 +84,28 @@ def asof_join(
         ],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__r_payload"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(0)).alias("__tb"),
     )
     unioned = l_side.unionByName(r_side)
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__side").asc(), F.col("__tb").asc_nulls_first()
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
         *lpay,
         F.col("__side"),
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lpay,
+        *[F.col("__p").getField(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
 
 
 def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:

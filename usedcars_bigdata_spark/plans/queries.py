@@ -860,7 +860,7 @@ def ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                       OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -881,7 +881,11 @@ def ts_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 30-minute gap via native session_window —
     batch twin of the streaming sessionizer. Oracle derives identical
-    sessions with the lag/cumsum idiom."""
+    sessions with the lag/cumsum idiom.
+
+    Boundary convention: Spark's session range is half-open [start,
+    start+gap), so an event landing EXACTLY gap after its predecessor opens
+    a new session — the oracle's gap test is therefore ``>=``, not ``>``."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -927,6 +931,7 @@ def rel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         value_cols=["purchase_event", "purchase_value"],
+        tiebreak="purchase_event",
     )
     return joined.select(
         "event_id", "user_id", "ts", "purchase_event_asof", "purchase_value_asof"
@@ -975,19 +980,28 @@ def rel_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "rel_selectexpr_agg",
     oracle="""
-    SELECT round(sum(l_quantity), 2) AS total_qty,
-           round(avg(l_discount), 4) AS avg_disc,
-           floor(max(l_extendedprice) / 1000) AS max_price_k
+    SELECT CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS DOUBLE) / 100
+               AS total_qty,
+           round(CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT) / count(*)) / 10000
+               AS avg_disc,
+           CAST(floor(max(l_extendedprice) / 1000) AS BIGINT) AS max_price_k
     FROM lineitem
     """,
 )
 def rel_selectexpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: SQL-expression aggregates via selectExpr
-    (data-viz&cleaning.py:445)."""
+    (data-viz&cleaning.py:445).
+
+    Hash-stable canon (round-1 mismatch fix): sums go through exact integer
+    cents/basis-points on BOTH engines (Spark's parallel double sum differs
+    from DuckDB's sequential sum in the last ulps, so rounding the double
+    sum is not stable), the mean rounds at the basis-point level where
+    half-integers are exact doubles, and floor() is cast to BIGINT (Spark
+    floor→LONG, DuckDB floor→DOUBLE)."""
     return load_table(spark, sf_dir, "lineitem").selectExpr(
-        "round(sum(l_quantity), 2) AS total_qty",
-        "round(avg(l_discount), 4) AS avg_disc",
-        "floor(max(l_extendedprice) / 1000) AS max_price_k",
+        "CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_qty",
+        "round(sum(CAST(round(l_discount * 10000) AS BIGINT)) / count(*)) / 10000 AS avg_disc",
+        "CAST(floor(max(l_extendedprice) / 1000) AS BIGINT) AS max_price_k",
     )
 
 
@@ -1231,19 +1245,23 @@ def rel_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_collect_sorted_lists",
     oracle="""
     SELECT c_mktsegment,
-           list_sort(list(DISTINCT c_nationkey)) AS nation_keys,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nation_keys,
            count(*) AS n_customers
     FROM customer
     GROUP BY c_mktsegment
     """,
 )
 def rel_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set + array_sort per group (sorted so the array value is
-    deterministic regardless of aggregation order — bare collect_list is
-    partition-order-dependent and never oracle-comparable)."""
+    """collect_set + array_sort per group, serialized to a CSV string
+    (sorted so the value is deterministic regardless of aggregation order;
+    stringified because raw array cells are unhashable in the driver's
+    pandas canonicalizer — round-1 crash)."""
     customer = load_table(spark, sf_dir, "customer")
     return customer.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nation_keys"),
+        F.expr(
+            "array_join(transform(array_sort(collect_set(c_nationkey)),"
+            " x -> CAST(x AS STRING)), ',')"
+        ).alias("nation_keys"),
         F.count("*").alias("n_customers"),
     )
 

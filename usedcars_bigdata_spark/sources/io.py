@@ -81,10 +81,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness testdata table (TESTDATA.md) by name.
 
     Columns written as INT64 TIMESTAMP(NANOS) (e.g. events.ts) surface as
-    longs under ``nanosAsLong`` (session.py) and are converted here to
-    microsecond timestamps (truncating, matching Arrow/DuckDB ns→us)."""
+    longs under ``nanosAsLong`` and are converted here to microsecond
+    timestamps (truncating, matching Arrow/DuckDB ns→us).
+
+    ``nanosAsLong`` is set HERE, at runtime, not only in ``get_session()``:
+    callers (e.g. the driver harness) hand us plain SparkSessions, and
+    without the conf the scan dies with PARQUET_TYPE_ILLEGAL. It is a
+    runtime-settable SQL conf, so ``spark.conf.set`` is sufficient."""
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}; have {sorted(TESTDATA)}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     want = TESTDATA.get(name)
     if want is not None:
