@@ -72,3 +72,17 @@ def test_semi_anti_plan_no_row_widening(spark, sf_dir):
     assert "LeftSemi" in plan
     plan = plan_of(QUERIES["rel_anti_join_customers"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_no_forced_broadcast_of_scaling_sides(spark, sf_dir):
+    """Q3/Q5 must not HINT-broadcast customer/supplier: those sides grow
+    O(sf), and an explicit hint overrides autoBroadcastJoinThreshold (a
+    multi-GB driver build at production scale). Only fixed-cardinality dims
+    (nation 25 rows, region 5) may carry hints — AQE is free to broadcast
+    the rest when runtime sizes allow."""
+    q3 = QUERIES["rel_tpch_q3_shipping_priority"](spark, sf_dir)
+    assert "UnresolvedHint" not in str(q3._jdf.queryExecution().logical().toString())
+    assert "ResolvedHint" not in str(q3._jdf.queryExecution().analyzed().toString())
+    q5 = QUERIES["rel_tpch_q5_local_volume"](spark, sf_dir)
+    analyzed = str(q5._jdf.queryExecution().analyzed().toString())
+    assert analyzed.count("ResolvedHint") == 2  # nation + region only

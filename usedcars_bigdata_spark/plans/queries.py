@@ -447,8 +447,14 @@ def rel_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
     date predicates on both fact sides + grouped revenue + top-10. Both
-    date filters reach their scans; the customer filter shrinks the
-    broadcast side before the join."""
+    date filters reach their scans.
+
+    No explicit broadcast hint on customer: it grows O(sf), and a forced
+    hint overrides the autoBroadcastJoinThreshold — at production scale
+    that's a multi-GB driver-side build. AQE already picks broadcast-hash
+    at small SFs (runtime size < threshold) and degrades to sort-merge /
+    shuffled-hash when customer outgrows it; only fixed-cardinality dims
+    (nation/region) earn explicit hints in this engine."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -460,7 +466,7 @@ def rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
     )
     out = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(
@@ -492,8 +498,14 @@ def rel_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def rel_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-way join (two facts + four dims) with the
-    'local supplier' same-nation constraint. Dims broadcast; lineitem ⋈
-    orders shuffles on orderkey once."""
+    'local supplier' same-nation constraint. lineitem ⋈ orders shuffles on
+    orderkey once.
+
+    Broadcast hints ONLY on the fixed-cardinality dims (nation: 25 rows,
+    region: 5 rows). customer and supplier grow O(sf) — round 1 force-
+    broadcast both, which overrides the size threshold and OOMs the driver
+    at production scale; AQE broadcasts them at small SFs anyway and
+    switches to a shuffled join once they outgrow the threshold."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -504,9 +516,9 @@ def rel_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li.l_suppkey == supplier.s_suppkey)
             & (customer.c_nationkey == supplier.s_nationkey),
         )
