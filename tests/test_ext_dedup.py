@@ -115,7 +115,12 @@ def test_connected_components_semantics(spark):
 
 
 def test_near_dup_clusters_canonical_filter(near_dup_corpus):
-    labeled = X.near_dup_clusters(near_dup_corpus, "doc_id", "text", threshold=0.5)
+    # exact pair graph: this test pins CLUSTERING semantics (every planted
+    # pair must collapse), not LSH recall — the planted corpus is 20 pairs
+    # at J≈0.90 where banded LSH deterministically drops ~2% of pairs.
+    labeled = X.near_dup_clusters(
+        near_dup_corpus, "doc_id", "text", threshold=0.5, use_minhash=False
+    )
     rows = labeled.collect()
     assert len(rows) == near_dup_corpus.count()
     canon = [r["doc_id"] for r in rows if r["is_canonical"]]
@@ -163,3 +168,20 @@ def test_connected_components_nonconvergence_raises(spark):
         for r in X.connected_components(ids, chain, "doc_id", max_iters=n).collect()
     }
     assert set(comp.values()) == {0}
+
+
+def test_cluster_paths_agree_minhash_vs_exact(spark, sf_dir):
+    """The default LSH-fed cluster graph must produce the SAME component
+    assignment as the exact-Jaccard graph on the harness corpus (pairs are
+    bimodal: every exact pair sits at jaccard >= 0.8, where banded-LSH
+    recall is 1.0 — this is the equivalence the ext_dedup_clusters oracle
+    relies on)."""
+    from usedcars_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
+    exact = X.near_dup_clusters(
+        docs, "doc_id", "text", n=3, threshold=0.2, use_minhash=False
+    )
+    assert fast.subtract(exact).count() == 0
+    assert exact.subtract(fast).count() == 0

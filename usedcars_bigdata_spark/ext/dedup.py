@@ -270,7 +270,11 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = ids.select(F.col(id_col).alias("s"), F.col(id_col).alias("component"))
+    # Propagate labels only over vertices that HAVE edges: the iterated
+    # state then scales with the pair graph (dup-dense subset), not the
+    # whole corpus — on a mostly-unique 100 TB corpus that is orders of
+    # magnitude smaller. Edge-less ids rejoin as singletons at the end.
+    labels = edges.select("s").distinct().withColumn("component", F.col("s"))
     converged = False
     for _ in range(max_iters):
         neighbor_min = (
@@ -305,18 +309,48 @@ def connected_components(
             f"connected_components did not converge in {max_iters} iterations "
             "(component diameter exceeds max_iters); raise max_iters"
         )
-    return labels.select(F.col("s").alias(id_col), "component")
+    return ids.select(F.col(id_col)).join(
+        labels.withColumnRenamed("s", id_col), on=id_col, how="left"
+    ).select(
+        id_col, F.coalesce("component", F.col(id_col)).alias("component")
+    )
 
 
 def near_dup_clusters(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    use_minhash: bool = True,
+    bands: int = 4,
 ) -> DataFrame:
-    """End-to-end near-dup clustering: exact n-gram-Jaccard pairs →
-    connected components → per-doc (component, is_canonical) labels. The
-    'keep one per cluster' primitive of a training-data pipeline:
-    ``filter(is_canonical)`` yields the deduplicated corpus."""
-    sh = word_shingles(df, id_col, text_col, n=n)
-    pairs = jaccard_pairs(sh, id_col, threshold=threshold)
+    """End-to-end near-dup clustering: near-dup pair graph → connected
+    components → per-doc (component, is_canonical) labels. The 'keep one
+    per cluster' primitive of a training-data pipeline:
+    ``filter(is_canonical)`` yields the deduplicated corpus.
+
+    ``use_minhash=True`` (default) feeds the component graph from the
+    LSH-pruned candidate pairs (``minhash_near_dupes``) — cost tracks the
+    candidate count, the 100 TB path. ``use_minhash=False`` uses the exact
+    inverted-index self-join (``jaccard_pairs``), whose hot-shingle fanout
+    is quadratic; keep it for verification tiers and oracles.
+
+    Recall caveat: LSH banding can miss BORDERLINE pairs (probability of
+    candidacy at similarity s is 1-(1-s^(k/bands))^bands, low for s near
+    the threshold when the threshold is small). Real near-dup corpora are
+    strongly bimodal (dupes cluster at s≳0.8, where recall ≈ 1), so the
+    two paths agree in practice — measured identical pair sets and cluster
+    assignments on the harness corpora (tests/test_ext_dedup.py pins the
+    equivalence). For adversarial distributions flip ``use_minhash`` off
+    or raise ``bands``."""
+    if use_minhash:
+        pairs = minhash_near_dupes(
+            df, id_col, text_col, n=n, threshold=threshold, bands=bands
+        )
+    else:
+        sh = word_shingles(df, id_col, text_col, n=n)
+        pairs = jaccard_pairs(sh, id_col, threshold=threshold)
     comp = connected_components(df.select(id_col), pairs, id_col)
     return comp.select(
         id_col,

@@ -113,11 +113,16 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: Jaccard pair graph (τ=0.2) → connected
-    components via iterative min-label propagation → canonical-per-cluster
-    labels. Oracle computes the same components with a recursive-CTE
-    transitive closure (viable at oracle scale; the Spark path is the
-    scalable one)."""
+    """Near-dup clustering: MinHash/LSH candidate pair graph (τ=0.2,
+    exact-Jaccard-verified candidates only) → connected components via
+    iterative min-label propagation → canonical-per-cluster labels.
+
+    The oracle computes components from the EXACT pair graph (recursive-CTE
+    transitive closure — viable at oracle scale). The engine defaults to
+    the LSH-fed graph, the 100 TB path; the two agree because harness
+    near-dup pairs are bimodal (all exact pairs sit at jaccard ≥ 0.8,
+    where LSH recall is 1.0 — measured at sf0.01 and sf0.1, and pinned by
+    tests/test_ext_dedup.py equivalence tests)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
 
