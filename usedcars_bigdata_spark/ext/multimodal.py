@@ -59,11 +59,30 @@ def extract_features(media: DataFrame, dim: int = 8, use_stub: bool = True) -> D
     Partition count (not row width) governs parallelism, so repartition
     upstream by expected decode cost at scale."""
 
-    fn = fake_image_features if use_stub else decode_image
+    # The per-batch function is defined LOCALLY (not a module-level ref) so
+    # cloudpickle serializes it BY VALUE: executors then need no
+    # usedcars_bigdata_spark on their PYTHONPATH. The driver harness builds
+    # its own SparkSession, and local-function capture is what keeps this
+    # query runnable there (module-level refs pickle by reference and
+    # ModuleNotFoundError on workers launched outside the repo root).
+    if use_stub:
+
+        def fn(p: bytes, _dim: int = dim) -> list[float]:
+            import hashlib as _hashlib
+
+            h = _hashlib.sha256(p or b"").digest()
+            return [h[i % len(h)] / 255.0 for i in range(_dim)]
+
+    else:
+
+        def fn(p: bytes, _dim: int = dim) -> list[float]:
+            raise NotImplementedError(
+                "image codecs not installed; use_stub=True for plumbing tests"
+            )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fn(p, dim) if fn is fake_image_features else fn(p) for p in pdf["payload"]]
+            feats = [fn(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -44,6 +44,7 @@ _CONTRACT_PRIORITY = [
     "ext_embedding_norms",
     "ext_text_token_stats",
     "ext_text_quality",
+    "ext_multimodal_features",
     # event-time
     "ts_tumbling_hourly",
     "ts_sliding_hourly",
@@ -62,7 +63,6 @@ _CONTRACT_PRIORITY = [
     "rel_window_rank_orders",
     "rel_range_frame_30d",
     "rel_topk_per_group",
-    "rel_multi_quantiles",
     "rel_selectexpr_agg",
     "rel_bucketed_counts",
     "rel_grouping_sets",
@@ -76,6 +76,7 @@ _CONTRACT_PRIORITY = [
     "rel_explode_words",
     "rel_collect_sorted_lists",
     # --- driver's 50-entry sweep window ends here ---
+    "rel_multi_quantiles",
     "rel_cube_priority_status",
     "rel_distinct_pairs",
     "rel_above_avg_orders",

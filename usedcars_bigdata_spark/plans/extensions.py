@@ -321,3 +321,47 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mod-p n-gram fingerprints (rows-only; determinism + sampling-rate
     properties tested)."""
     return TX.rolling_fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS feat_dim,
+           CAST(list_sum(list_transform(range(8), i ->
+                strpos('0123456789abcdef', substr(sha256(text), 2*i+1, 1)) * 16
+                + strpos('0123456789abcdef', substr(sha256(text), 2*i+2, 1))
+                - 17)) AS BIGINT) AS feat_bytes_sum
+    FROM documents
+    """,
+)
+def ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents → synthetic binary media
+    table (text bytes as payload) → Arrow-batched mapInPandas feature
+    extraction (deterministic sha256 stub for the absent codecs,
+    ext/multimodal.py) → JVM-side feature aggregation.
+
+    Oracle-comparable because the stub is content-deterministic: feature i
+    is byte i of sha256(payload)/255, so the summed feature bytes can be
+    recomputed by DuckDB from sha256's hex string (DuckDB hashes the
+    VARCHAR's UTF-8 bytes — identical input to the Python stub). The float
+    features are folded back to exact integer bytes in-plan
+    (round(x*255)), keeping the compared values integral on both sides."""
+    from ..ext import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_docs(docs)
+    feats = MM.extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        F.expr(
+            "CAST(round(aggregate(features, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x * 255)) AS BIGINT)"
+        ).alias("feat_bytes_sum"),
+    )
