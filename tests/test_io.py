@@ -102,3 +102,34 @@ def test_load_table_vanilla_session(spark, sf_dir):
     ev = load_table(plain, sf_dir, "events")
     assert ev.schema["ts"].dataType.simpleString() == "timestamp"
     assert ev.limit(10).count() == 10
+
+
+def test_normalized_events_push_ts_predicates(spark, sf_dir, tmp_path):
+    """Ingest-normalized events (micros-typed parquet) must (a) push ts
+    predicates to the scan and (b) prune partitions on the derived date —
+    the two pruning axes load_table's post-scan nanos conversion forfeits.
+    Results must match the load_table path bit-for-bit."""
+    from usedcars_bigdata_spark.sources import normalize_timestamps_ingest
+
+    dest = str(tmp_path / "events_norm")
+    norm = normalize_timestamps_ingest(
+        spark, sf_dir, "events", dest, partition_by_date="ts"
+    )
+    cutoff = "2024-03-01 00:00:00"
+    filtered = norm.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(ts" in plan, plan[:2000]
+    # partition pruning: filtering on the derived date column shows up as
+    # a partition filter, not a data filter
+    datef = norm.filter(F.col("ts_date") >= F.lit("2024-03-01").cast("date"))
+    dplan = datef._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in dplan and "ts_date" in dplan.split("PartitionFilters")[1].split("]")[0]
+    # value parity with the unnormalized path
+    base = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit(cutoff).cast("timestamp")
+    )
+    assert filtered.count() == base.count()
+    a = sorted(str(r) for r in base.select("event_id", "ts").collect())
+    b = sorted(str(r) for r in filtered.select("event_id", "ts").collect())
+    assert a == b

@@ -2,6 +2,7 @@ from .io import (
     fetch_pandas,
     fetch_rows,
     load_table,
+    normalize_timestamps_ingest,
     read_csv,
     read_parquet,
     write_csv,
@@ -12,6 +13,7 @@ __all__ = [
     "fetch_pandas",
     "fetch_rows",
     "load_table",
+    "normalize_timestamps_ingest",
     "read_csv",
     "read_parquet",
     "write_csv",

@@ -77,6 +77,37 @@ def fetch_pandas(df: DataFrame, limit: int | None = None):
     return (df.limit(limit) if limit is not None else df).toPandas()
 
 
+def normalize_timestamps_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    dest: str,
+    partition_by_date: str | None = None,
+) -> DataFrame:
+    """One-time ingest rewrite: read a testdata table (nanos columns become
+    micros TimestampType via ``load_table``) and persist it as micros-typed
+    parquet, optionally partitioned by the DATE of a timestamp column.
+
+    Why: ``load_table``'s post-scan nanos→micros conversion wraps the
+    column in an expression, so predicates on the converted timestamp can
+    NOT push down to the original file scan — every time-sliced query pays
+    a full scan. Reading the REWRITTEN table restores scan-level pruning on
+    two axes: parquet row-group min/max pushdown on the (now natively
+    typed) timestamp, and Hive partition pruning on the derived date
+    column when ``partition_by_date`` is set. At 100 TB the partition
+    prune is the difference between touching one day and touching three
+    years. (Plan shapes asserted in tests/test_io.py.)
+
+    Returns the normalized DataFrame read back from ``dest``."""
+    df = load_table(spark, sf_dir, name)
+    if partition_by_date is not None:
+        df = df.withColumn(f"{partition_by_date}_date", F.to_date(partition_by_date))
+        df.write.mode("overwrite").partitionBy(f"{partition_by_date}_date").parquet(dest)
+    else:
+        df.write.mode("overwrite").parquet(dest)
+    return spark.read.parquet(dest)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness testdata table (TESTDATA.md) by name.
 
