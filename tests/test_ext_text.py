@@ -77,3 +77,55 @@ def test_multimodal_plumbing(spark, sf_dir):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_normalize_text_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD\x07  twice  "), (2, "a\nb")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_norm"]
+        for r in TX.normalize_text(df, "doc_id", "text").collect()
+    }
+    assert got == {1: "hello world twice", 2: "a b"}
+    # options off → identity
+    ident = {
+        r["doc_id"]: r["text_norm"]
+        for r in TX.normalize_text(
+            df, "doc_id", "text", lowercase=False,
+            collapse_whitespace=False, strip_control=False,
+        ).collect()
+    }
+    assert ident[2] == "a\nb"
+
+
+def test_pack_shards_prefix_sum_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, 80), (4, 10), (5, 200)],
+        "doc_id long, n_tokens long",
+    )
+    rows = {
+        r["doc_id"]: (r["shard"], r["offset_in_shard"])
+        for r in TX.pack_shards(df, "doc_id", "n_tokens", budget=128).collect()
+    }
+    # cumulative-before: 0,100,150,230,240 → shards 0,0,1,1,1
+    assert rows == {1: (0, 0), 2: (0, 100), 3: (1, 22), 4: (1, 102), 5: (1, 112)}
+
+
+def test_stratified_sample_bounds_and_determinism(spark, sf_dir):
+    from usedcars_bigdata_spark.operators.sample import stratified_sample
+    from usedcars_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 1.0}
+    s1 = stratified_sample(docs, "lang", fr, seed=7)
+    s2 = stratified_sample(docs, "lang", fr, seed=7)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )  # same seed → same sample
+    langs = {r["lang"] for r in s1.select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}  # absent strata dropped
+    n_de_all = docs.filter("lang = 'de'").count()
+    n_de_samp = s1.filter("lang = 'de'").count()
+    assert n_de_samp == n_de_all  # fraction 1.0 keeps everything

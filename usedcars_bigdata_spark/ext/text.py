@@ -122,3 +122,67 @@ def rolling_fingerprint(
         selected.alias("fingerprint"),
         F.size(selected).alias("fp_size"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+    out: str = "text_norm",
+) -> DataFrame:
+    """Deterministic text cleanup — the standard first stage of a training
+    corpus pipeline: optional lowercasing, control-character removal, and
+    whitespace collapse (runs → single space, ends trimmed). All native
+    regexp/lower expressions: narrow, codegen-fused, zero shuffles.
+
+    Unicode NFC/NFKC normalization is deliberately NOT done here — Spark
+    has no native normalizer and a per-row Python UDF would put Python in
+    the hot path of the widest table; run ICU normalization at ingest (or
+    a pandas_udf variant) if the corpus needs it."""
+    c = F.col(text_col)
+    if strip_control:
+        c = F.regexp_replace(c, r"[\p{Cntrl}]", " ")
+    if lowercase:
+        c = F.lower(c)
+    if collapse_whitespace:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.select(F.col(id_col), c.alias(out))
+
+
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Contiguous sequence packing: assign documents (ordered by
+    ``order_col``, default the id) to consecutive shards so each shard
+    holds ~``budget`` tokens — the sharding step before concatenating
+    documents into fixed-size training sequences.
+
+    Semantics (deterministic, one window): a document starting before a
+    budget boundary belongs to the shard of its starting offset —
+    ``shard = floor(cumulative_tokens_before / budget)`` — so shards can
+    overrun the budget by at most one document's tail, exactly like
+    streaming concatenation with no mid-document splits. True bin packing
+    (restart at the boundary) is order-dependent and inherently
+    sequential; this prefix-sum form is the one that scales (a single
+    global-ordering window; at 100 TB order by a pre-bucketed range key so
+    the window partitions instead of single-tasking).
+
+    Output: (id, token_count, shard, offset_in_shard)."""
+    order = F.col(order_col if order_col is not None else id_col)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.col(token_count_col),
+        F.floor(before / F.lit(budget)).cast("long").alias("shard"),
+        (before % F.lit(budget)).cast("long").alias("offset_in_shard"),
+    )

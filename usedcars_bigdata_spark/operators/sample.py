@@ -37,3 +37,14 @@ def estimate_size_mb(df: DataFrame, sample_rows: int = 10_000) -> float:
 def estimate_size_mb_exact(df: DataFrame) -> float:
     """R4 parity form (full scan through Python; anti-pattern at scale)."""
     return df.rdd.map(lambda row: len(str(row))).sum() / (1024 * 1024)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): the training-mix
+    primitive — e.g. keep 100% of rare high-quality strata and 5% of the
+    dominant one. Map-side filter, no shuffle; strata absent from
+    ``fractions`` are dropped (fraction 0.0). Always seeded: reruns and
+    retried tasks must sample identically."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)

@@ -365,3 +365,62 @@ def ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, x) -> a + x * 255)) AS BIGINT)"
         ).alias("feat_bytes_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus preparation (round 2): normalization, packing, training-mix sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(regexp_replace(text, '[[:cntrl:]]', ' ', 'g')),
+                               '\s+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic text cleanup (lowercase + control-char strip +
+    whitespace collapse) — ext.text.normalize_text; all narrow native
+    regexp ops, zero shuffles."""
+    return TX.normalize_text(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ext_pack_shards",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER w, 0) / 4096) AS BIGINT) AS shard,
+           CAST(coalesce(sum(n_tokens) OVER w, 0) % 4096 AS BIGINT) AS offset_in_shard
+    FROM t
+    WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    """,
+)
+def ext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous token-budget sharding (4096 tokens) of
+    the corpus ordered by doc_id — ext.text.pack_shards over
+    ext.text.token_stats counts. Oracle replays the same prefix-sum window
+    in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = TX.token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    return TX.pack_shards(counts, "doc_id", "n_tokens", budget=4096)
+
+
+@query("rows_stratified_sample")
+def rows_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: per-language sampleBy over documents
+    (rows-only: Bernoulli draws depend on partition layout, so the sampled
+    SET is engine-specific; seeded-determinism and per-stratum bounds are
+    property-tested in tests/test_ext_text.py)."""
+    from ..operators.sample import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "pt": 1.0}
+    return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
