@@ -1,0 +1,120 @@
+"""Simulate the driver's correctness sweep with a PLAIN SparkSession.
+
+The round-1 lesson (VERDICT.md "What's wrong" #1) was that the repo's tests
+all went through get_session() while the driver hands queries its own
+vanilla session — so a session-config dependency hid until the official
+run. This script is the antidote: it mirrors the driver as closely as the
+traceback in CORRECTNESS_r01.json allows —
+
+- plain ``SparkSession.builder.master("local[N]").getOrCreate()`` (no repo
+  session helper, no nanosAsLong, no timezone pinning),
+- sf0.01 data,
+- DuckDB views per table, oracle SQL run verbatim,
+- canon: columns sorted by name, rows sorted, EXACT cell equality (the
+  driver hashes values; 1e-9 tolerance would mask hash mismatches like
+  round-1's rel_selectexpr_agg).
+
+Usage: python scripts/driver_sim.py [first_n] [sf_dir]
+Prints one line per query and a FAIL summary; exit code 1 on any failure.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+from pyspark.sql import SparkSession
+
+
+def _norm_cell(v):
+    import numpy as np
+
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, np.ndarray):
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, (np.integer, np.floating)):
+        return _norm_cell(v.item())
+    if isinstance(v, list):
+        return tuple(_norm_cell(x) for x in v)
+    return v
+
+
+def canon_rows(df_pandas):
+    cols = sorted(df_pandas.columns)
+    return sorted(
+        (
+            tuple(_norm_cell(v) for v in row)
+            for row in df_pandas[cols].itertuples(index=False, name=None)
+        ),
+        key=str,
+    )
+
+
+def main() -> int:
+    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    # Deliberately NOT get_session(): mirror the driver's plain session.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("driver_sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as entry
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+
+    con = duckdb.connect()
+    from usedcars_bigdata_spark.schemas import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    names = list(queries)[:first_n]
+    failures: list[str] = []
+    for name in names:
+        t0 = time.time()
+        try:
+            got = queries[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"  rows-only {name}: {len(got)} rows ({time.time()-t0:.2f}s)")
+                continue
+            want = con.execute(oracles[name]).fetch_arrow_table().to_pandas()
+            if sorted(got.columns) != sorted(want.columns):
+                failures.append(name)
+                print(
+                    f"FAIL schema {name}: spark={sorted(got.columns)} "
+                    f"oracle={sorted(want.columns)}"
+                )
+                continue
+            g, w = canon_rows(got), canon_rows(want)
+            if len(g) != len(w):
+                failures.append(name)
+                print(f"FAIL rows {name}: spark={len(g)} oracle={len(w)}")
+                continue
+            bad = next((i for i, (a, b) in enumerate(zip(g, w)) if a != b), None)
+            if bad is not None:
+                failures.append(name)
+                print(f"FAIL hash {name}: row {bad}\n  spark : {g[bad]}\n  oracle: {w[bad]}")
+                continue
+            print(f"  ok        {name}: {len(g)} rows ({time.time()-t0:.2f}s)")
+        except Exception:
+            failures.append(name)
+            print(f"FAIL err  {name}:")
+            traceback.print_exc(limit=3)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
