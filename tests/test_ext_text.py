@@ -129,3 +129,84 @@ def test_stratified_sample_bounds_and_determinism(spark, sf_dir):
     n_de_all = docs.filter("lang = 'de'").count()
     n_de_samp = s1.filter("lang = 'de'").count()
     assert n_de_samp == n_de_all  # fraction 1.0 keeps everything
+
+
+def test_redact_pii_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.1 answered"),
+            (3, "call +1 555 0147 today"),
+            (4, "all three a@b.io 10.0.0.7 +44 20 7946 0958 done"),
+            (5, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.redact_pii(df, "doc_id", "text").collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["text_redacted"] == "mail <EMAIL> now"
+    assert got[2]["n_ips"] == 1 and got[2]["text_redacted"] == "server at <IP> answered"
+    assert got[3]["n_phones"] == 1 and got[3]["text_redacted"] == "call <PHONE> today"
+    assert (got[4]["n_emails"], got[4]["n_ips"], got[4]["n_phones"]) == (1, 1, 1)
+    assert got[4]["text_redacted"] == "all three <EMAIL> <IP> <PHONE> done"
+    assert got[5]["text_redacted"] == "nothing here"
+
+
+def test_repetition_stats_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),   # grams: abc bca cab abc -> 4 total, 3 distinct
+            (2, "a b c d"),       # all distinct
+            (3, "x y"),           # too short -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.repetition_stats(df, "doc_id", "text", n=3).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 3
+    assert got[1]["rep_ratio"] == 0.25
+    assert got[2]["rep_ratio"] == 0.0
+    assert 3 not in got
+
+
+def test_contamination_golden(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words in this one here now"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TX.ngram_contamination(corpus, bench, "doc_id", "text", n=5).collect()
+    }
+    # doc 1 has 5 distinct 5-grams, exactly one equals the benchmark gram
+    assert got[1]["n_grams"] == 5 and got[1]["n_hit"] == 1
+    assert got[1]["contamination"] == 0.2
+    assert got[2]["n_hit"] == 0 and got[2]["contamination"] == 0.0
+
+
+def test_length_histogram_partitions_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = TX.length_histogram(docs, "doc_id", "text", bucket_tokens=16).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["bucket"] * 16 <= r["min_tokens"] <= r["max_tokens"] < (r["bucket"] + 1) * 16
+
+
+def test_boilerplate_ngrams_counts_docs_not_occurrences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "x y z w v x y z w v"),  # repeated gram within ONE doc
+            (2, "x y z w v only once"),
+            (3, "unrelated words entirely here five"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = TX.boilerplate_ngrams(df, "doc_id", "text", n=5, min_docs=2, top=10).collect()
+    got = {r["gram"]: r["n_docs"] for r in rows}
+    # document frequency, not occurrence count: doc 1's double occurrence counts once
+    assert got.get("x y z w v") == 2
+    assert all(n >= 2 for n in got.values())

@@ -124,6 +124,163 @@ def rolling_fingerprint(
     )
 
 
+# PII patterns restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB oracle): char classes, bounded repetition,
+# \b word boundaries. No backrefs, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Detect and redact PII-shaped spans (emails, IPv4 addresses,
+    phone-number runs) — the standard scrub stage of a training corpus.
+
+    Counts are taken BEFORE redaction; replacement runs email → ip → phone
+    so the broad phone pattern never eats digits that belong to a
+    structured match. All native regexp_count/regexp_replace — narrow,
+    codegen-fused, zero shuffles, so it composes with a scan at any scale.
+
+    Output: (id, n_emails, n_ips, n_phones, text_redacted)."""
+    c = F.col(text_col)
+    counts = {
+        kind: F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}s")
+        for kind, pat in PII_PATTERNS.items()
+    }
+    red = c
+    for kind in ("email", "ip", "phone"):  # order matters; see docstring
+        red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return df.select(
+        F.col(id_col),
+        counts["email"],
+        counts["ip"],
+        counts["phone"],
+        red.alias("text_redacted"),
+    )
+
+
+def _gram_array(text_col: str, n: int) -> Column:
+    """Word n-grams of a text column as an array, [] for short docs —
+    pure array expression (no explode), stays narrow."""
+    return F.expr(
+        f"IF(size(split(trim({text_col}), '\\\\s+')) >= {n}, "
+        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n}))), "
+        f"array())"
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Intra-document repetition: fraction of word n-gram occurrences that
+    are repeats of an earlier n-gram in the same document
+    (1 - distinct/total). High values flag boilerplate-stuffed or
+    degenerate documents — a standard corpus-quality signal. Narrow
+    per-row array math; documents with fewer than ``n`` words are dropped
+    (no grams to judge)."""
+    grams = _gram_array(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.select(F.col(id_col), total.alias("n_grams"), distinct.alias("n_distinct"))
+        .filter(F.col("n_grams") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_grams"), 4).alias("rep_ratio"),
+        )
+    )
+
+
+def ngram_contamination(
+    df: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: per document, the fraction of its
+    DISTINCT word n-grams that also occur in ``benchmark`` (an eval/test
+    set). The benchmark gram set is small by nature, so it is broadcast —
+    the corpus-side scan never shuffles, which is what makes this viable
+    over a 100 TB corpus (the alternative, a shuffle join keyed on grams,
+    would move the whole corpus).
+
+    Output: (id, n_grams, n_hit, contamination)."""
+    corpus = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_gram_array(text_col, n))).alias("gram")
+    )
+    bench = (
+        benchmark.select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus.join(F.broadcast(bench), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 4).alias("contamination"),
+        )
+    )
+
+
+def length_histogram(
+    df: DataFrame, id_col: str, text_col: str, bucket_tokens: int = 16
+) -> DataFrame:
+    """Corpus length profile: histogram of whitespace token counts in
+    fixed-width integer buckets (exact integer math — no float binning, so
+    bucket edges agree across engines). One partial-aggregated shuffle on
+    a tiny key space."""
+    n_tokens = F.size(_words(text_col))
+    return (
+        df.select((n_tokens.cast("long") / F.lit(bucket_tokens)).cast("long").alias("bucket"),
+                  n_tokens.cast("long").alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Cross-document boilerplate detection: word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents, ranked by document frequency
+    (ties broken by gram text for determinism). The C4-style signal for
+    headers/footers/licence blocks repeated across a corpus.
+
+    Shape: explode → per-doc distinct (map-side combinable) → count by
+    gram → top-k. The final ordered limit plans as
+    TakeOrderedAndProject, so only ``top`` rows ever reach the driver."""
+    grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(_gram_array(text_col, n))).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("gram"))
+        .limit(top)
+    )
+
+
 def normalize_text(
     df: DataFrame,
     id_col: str,

@@ -413,6 +413,156 @@ def ext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.pack_shards(counts, "doc_id", "n_tokens", budget=4096)
 
 
+# ---------------------------------------------------------------------------
+# Corpus hygiene (round 2): PII scrub, repetition, contamination, boilerplate
+# ---------------------------------------------------------------------------
+
+# The harness documents are digit-free word soup, so the PII query plants
+# deterministic PII spans in-plan (same expression on both engines) and then
+# detects/redacts them — the redaction path is exercised for real, with a
+# non-trivial expected output.
+_PII_AUG_SQL = (
+    "text || ' contact user' || doc_id || '@example.com"
+    " call +1 555 0147 ip 10.0.0.' || (doc_id % 256) || ' end'"
+)
+
+
+@query(
+    "ext_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(text,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+           len(regexp_extract_all(text, '\\+?\\d[\\d -]{{7,}}\\d')) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+               '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS text_redacted
+    FROM aug
+    """,
+)
+def ext_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant deterministic email/IP/phone spans, then count and
+    redact them with ext.text.redact_pii (native regexp chain, narrow).
+    Counts are pre-redaction on both engines; replacement order
+    email → ip → phone keeps the broad phone pattern off structured
+    matches (see redact_pii docstring)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_PII_AUG_SQL)
+    )
+    return TX.redact_pii(docs, "doc_id", "text")
+
+
+@query(
+    "ext_text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    )
+    SELECT doc_id,
+           count(*) AS n_grams,
+           count(DISTINCT gram) AS n_distinct,
+           round(1.0 - count(DISTINCT gram) * 1.0 / count(*), 4) AS rep_ratio
+    FROM g GROUP BY doc_id
+    """,
+)
+def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document word-3-gram repetition ratio — degenerate-document
+    detector; pure array math, no shuffle (the oracle replays it with an
+    unnest+GROUP BY because DuckDB lacks the array form)."""
+    return TX.repetition_stats(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=3
+    )
+
+
+@query(
+    "ext_contamination_ngram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             || w[i+3] || ' ' || w[i+4] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM t WHERE len(w) >= 5)
+    ), b AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           count(b.gram) AS n_hit,
+           round(count(b.gram) * 1.0 / count(*), 4) AS contamination
+    FROM g LEFT JOIN b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    """,
+)
+def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: distinct word-5-gram overlap of every
+    document against a held-out set (docs with doc_id % 50 == 0 stand in
+    for an eval set). Benchmark grams broadcast; corpus side never
+    shuffles rows — only the per-doc count aggregation moves data."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return TX.ngram_contamination(docs, bench, "doc_id", "text", n=5)
+
+
+@query(
+    "ext_corpus_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT len(string_split_regex(trim(text), '\\s+')) AS n FROM documents
+    )
+    SELECT CAST(n // 16 AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def ext_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile in exact 16-token integer buckets (float-free
+    binning → cross-engine identical edges)."""
+    return TX.length_histogram(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", bucket_tokens=16
+    )
+
+
+@query(
+    "ext_boilerplate_ngrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+             || w[i+3] || ' ' || w[i+4] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM t WHERE len(w) >= 5)
+    )
+    SELECT gram, count(*) AS n_docs
+    FROM g GROUP BY gram HAVING count(*) >= 2
+    ORDER BY n_docs DESC, gram
+    LIMIT 20
+    """,
+)
+def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top cross-document boilerplate 5-grams (document frequency ≥ 2,
+    deterministic tie-break) — C4-style repeated-block detector; final
+    ordered limit plans as TakeOrderedAndProject."""
+    return TX.boilerplate_ngrams(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n=5, min_docs=2, top=20
+    )
+
+
 @query("rows_stratified_sample")
 def rows_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: per-language sampleBy over documents
