@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "ext_ann_cosine_topk",
     "ext_text_quality",
     "ext_curation_pipeline",
+    "ext_contamination_ngram",
+    "ext_boilerplate_ngrams",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -86,3 +86,28 @@ def test_no_forced_broadcast_of_scaling_sides(spark, sf_dir):
     q5 = QUERIES["rel_tpch_q5_local_volume"](spark, sf_dir)
     analyzed = str(q5._jdf.queryExecution().analyzed().toString())
     assert analyzed.count("ResolvedHint") == 2  # nation + region only
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir):
+    """The benchmark gram set must broadcast — a shuffle join keyed on grams
+    would move the whole corpus at 100 TB."""
+    plan = plan_of(QUERIES["ext_contamination_ngram"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_boilerplate_topk_fuses_sort_limit(spark, sf_dir):
+    plan = plan_of(QUERIES["ext_boilerplate_ngrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_corpus_hygiene_ops_stay_native(spark, sf_dir):
+    """PII redaction / repetition / histogram are pure column expressions —
+    no Python evaluation, no shuffle except the histogram's tiny-key agg."""
+    for name in ["ext_pii_redaction", "ext_text_repetition", "ext_corpus_length_histogram"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
+    # narrow ops: no exchange at all in the per-row transforms
+    for name in ["ext_pii_redaction", "ext_text_repetition"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} introduced a shuffle"
