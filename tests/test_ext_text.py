@@ -151,6 +151,21 @@ def test_redact_pii_golden(spark):
     assert got[5]["text_redacted"] == "nothing here"
 
 
+def test_redact_pii_counts_are_redaction_events(spark):
+    """A digit run inside an email local-part disappears into <EMAIL> and
+    must NOT also be counted as a phone: counts are taken on the
+    progressively-redacted text, so they always agree with the
+    placeholders in text_redacted."""
+    df = spark.createDataFrame(
+        [(1, "reach user123456789@x.com or 555 123 4567")],
+        "doc_id long, text string",
+    )
+    r = TX.redact_pii(df, "doc_id", "text").first()
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 1  # only the real phone; the local-part digits don't count
+    assert r["text_redacted"] == "reach <EMAIL> or <PHONE>"
+
+
 def test_repetition_stats_golden(spark):
     df = spark.createDataFrame(
         [

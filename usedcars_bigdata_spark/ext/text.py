@@ -138,19 +138,24 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Detect and redact PII-shaped spans (emails, IPv4 addresses,
     phone-number runs) — the standard scrub stage of a training corpus.
 
-    Counts are taken BEFORE redaction; replacement runs email → ip → phone
-    so the broad phone pattern never eats digits that belong to a
-    structured match. All native regexp_count/regexp_replace — narrow,
+    Redaction runs email → ip → phone so the broad phone pattern never
+    eats digits that belong to a structured match, and each count is taken
+    on the text AS IT STANDS at that stage — so ``n_phones`` counts actual
+    phone redaction events, not raw-text pattern hits (a 9-digit run
+    inside an email local-part is counted once, as an email, never again
+    as a phone). Counts therefore always agree with the placeholders in
+    ``text_redacted``. All native regexp_count/regexp_replace — narrow,
     codegen-fused, zero shuffles, so it composes with a scan at any scale.
 
     Output: (id, n_emails, n_ips, n_phones, text_redacted)."""
-    c = F.col(text_col)
-    counts = {
-        kind: F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}s")
-        for kind, pat in PII_PATTERNS.items()
-    }
-    red = c
+    red = F.col(text_col)
+    counts = {}
     for kind in ("email", "ip", "phone"):  # order matters; see docstring
+        counts[kind] = (
+            F.regexp_count(red, F.lit(PII_PATTERNS[kind]))
+            .cast("long")
+            .alias(f"n_{kind}s")
+        )
         red = F.regexp_replace(red, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return df.select(
         F.col(id_col),
@@ -161,15 +166,24 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _gram_array(text_col: str, n: int) -> Column:
-    """Word n-grams of a text column as an array, [] for short docs —
-    pure array expression (no explode), stays narrow."""
-    return F.expr(
-        f"IF(size(split(trim({text_col}), '\\\\s+')) >= {n}, "
-        f"transform(sequence(1, size(split(trim({text_col}), '\\\\s+')) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i, {n}))), "
-        f"array())"
+def _with_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, out: str = "__grams"
+) -> DataFrame:
+    """Project (id, word-n-gram array) with the tokenization hoisted: the
+    regex split is evaluated ONCE per row into ``__words`` before the
+    per-position transform. Inlining split() inside the lambda makes
+    Catalyst re-run it for every n-gram position (~n_words× slower — the
+    anti-pattern documented at ext/dedup.py word_shingles; hoisting it
+    measured 8× on the contamination query at sf0.1). Short docs get []."""
+    with_words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
+    grams = F.expr(
+        f"IF(size(__words) >= {n}, "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__words, i, {n}))), array())"
+    )
+    return with_words.select(F.col(id_col), grams.alias(out))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -179,11 +193,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     degenerate documents — a standard corpus-quality signal. Narrow
     per-row array math; documents with fewer than ``n`` words are dropped
     (no grams to judge)."""
-    grams = _gram_array(text_col, n)
-    total = F.size(grams)
-    distinct = F.size(F.array_distinct(grams))
+    with_grams = _with_grams(df, id_col, text_col, n)
+    total = F.size(F.col("__grams"))
+    distinct = F.size(F.array_distinct("__grams"))
     return (
-        df.select(F.col(id_col), total.alias("n_grams"), distinct.alias("n_distinct"))
+        with_grams.select(F.col(id_col), total.alias("n_grams"), distinct.alias("n_distinct"))
         .filter(F.col("n_grams") > 0)
         .select(
             id_col,
@@ -203,17 +217,23 @@ def ngram_contamination(
 ) -> DataFrame:
     """Benchmark-contamination check: per document, the fraction of its
     DISTINCT word n-grams that also occur in ``benchmark`` (an eval/test
-    set). The benchmark gram set is small by nature, so it is broadcast —
-    the corpus-side scan never shuffles, which is what makes this viable
-    over a 100 TB corpus (the alternative, a shuffle join keyed on grams,
-    would move the whole corpus).
+    set). ``benchmark`` is force-broadcast so the corpus-side scan never
+    shuffles (the alternative, a shuffle join keyed on grams, would move
+    the whole corpus).
+
+    The broadcast assumption holds only when ``benchmark`` is a REAL eval
+    set — a fixed number of documents, independent of corpus size — whose
+    distinct grams fit Spark's 8 GB broadcast limit. Passing a fraction of
+    the corpus itself as the benchmark would grow the broadcast with the
+    corpus and fail outright at scale; callers own that contract.
 
     Output: (id, n_grams, n_hit, contamination)."""
-    corpus = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_gram_array(text_col, n))).alias("gram")
+    corpus = _with_grams(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("__grams")).alias("gram")
     )
     bench = (
-        benchmark.select(F.explode(_gram_array(text_col, n)).alias("gram"))
+        _with_grams(benchmark, id_col, text_col, n)
+        .select(F.explode("__grams").alias("gram"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
@@ -270,8 +290,8 @@ def boilerplate_ngrams(
     Shape: explode → per-doc distinct (map-side combinable) → count by
     gram → top-k. The final ordered limit plans as
     TakeOrderedAndProject, so only ``top`` rows ever reach the driver."""
-    grams = df.select(
-        F.col(id_col), F.explode(F.array_distinct(_gram_array(text_col, n))).alias("gram")
+    grams = _with_grams(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode(F.array_distinct("__grams")).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
     return (

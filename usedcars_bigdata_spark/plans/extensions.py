@@ -432,26 +432,37 @@ _PII_AUG_SQL = (
     oracle=f"""
     WITH aug AS (
       SELECT doc_id, {_PII_AUG_SQL} AS text FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                 '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(t1,
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+             regexp_replace(t1,
+                 '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+                 '<IP>', 'g') AS t2
+      FROM s1
     )
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
-           len(regexp_extract_all(text,
-               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
-           len(regexp_extract_all(text, '\\+?\\d[\\d -]{{7,}}\\d')) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
-               '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g') AS text_redacted
-    FROM aug
+    SELECT doc_id, n_emails, n_ips,
+           len(regexp_extract_all(t2, '\\+?\\d[\\d -]{{7,}}\\d')) AS n_phones,
+           regexp_replace(t2, '\\+?\\d[\\d -]{{7,}}\\d', '<PHONE>', 'g')
+             AS text_redacted
+    FROM s2
     """,
 )
 def ext_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: plant deterministic email/IP/phone spans, then count and
     redact them with ext.text.redact_pii (native regexp chain, narrow).
-    Counts are pre-redaction on both engines; replacement order
-    email → ip → phone keeps the broad phone pattern off structured
-    matches (see redact_pii docstring)."""
+    Each count is taken on the progressively-redacted text — counts equal
+    redaction events — and the oracle replays the same staged logic;
+    replacement order email → ip → phone keeps the broad phone pattern off
+    structured matches (see redact_pii docstring)."""
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "text", F.expr(_PII_AUG_SQL)
     )
@@ -495,7 +506,7 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
             FROM t WHERE len(w) >= 5)
     ), b AS (
-      SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+      SELECT DISTINCT gram FROM g WHERE doc_id < 20
     )
     SELECT g.doc_id,
            count(*) AS n_grams,
@@ -507,11 +518,14 @@ def ext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark contamination: distinct word-5-gram overlap of every
-    document against a held-out set (docs with doc_id % 50 == 0 stand in
-    for an eval set). Benchmark grams broadcast; corpus side never
-    shuffles rows — only the per-doc count aggregation moves data."""
+    document against a held-out set (docs with doc_id < 20 stand in for an
+    eval set — a FIXED document count, independent of corpus size, so the
+    forced broadcast of its gram set stays small at any scale; a
+    corpus-growing stand-in like `doc_id % k == 0` would blow Spark's 8 GB
+    broadcast limit at 100 TB). Benchmark grams broadcast; corpus side
+    never shuffles rows — only the per-doc count aggregation moves data."""
     docs = load_table(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    bench = docs.filter(F.col("doc_id") < 20)
     return TX.ngram_contamination(docs, bench, "doc_id", "text", n=5)
 
 
