@@ -113,6 +113,21 @@ def test_pack_shards_prefix_sum_semantics(spark):
     assert rows == {1: (0, 0), 2: (0, 100), 3: (1, 22), 4: (1, 102), 5: (1, 112)}
 
 
+def test_pack_shards_partitioned_equals_global(spark, sf_dir):
+    """The two-pass bucketed prefix sum must reproduce the global window
+    exactly — including across bucket boundaries and for bucket widths
+    that don't divide the id range evenly."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = TX.token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
+    glob = {r["doc_id"]: (r["shard"], r["offset_in_shard"])
+            for r in TX.pack_shards(counts, "doc_id", "n_tokens", budget=4096).collect()}
+    for width in (7, 64, 10_000_000):  # multi-bucket, aligned, single-bucket
+        part = {r["doc_id"]: (r["shard"], r["offset_in_shard"])
+                for r in TX.pack_shards(counts, "doc_id", "n_tokens",
+                                        budget=4096, bucket_width=width).collect()}
+        assert part == glob, f"bucket_width={width} diverged from global form"
+
+
 def test_stratified_sample_bounds_and_determinism(spark, sf_dir):
     from usedcars_bigdata_spark.operators.sample import stratified_sample
     from usedcars_bigdata_spark.sources import load_table

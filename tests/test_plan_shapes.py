@@ -101,6 +101,19 @@ def test_boilerplate_topk_fuses_sort_limit(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_pack_shards_window_is_partitioned(spark, sf_dir):
+    """The contract pack_shards query must run the distributed two-pass
+    form: the corpus-wide prefix window partitions by the range bucket
+    (hash exchange), and the only single-partition exchange feeds the
+    tiny per-bucket offset window — never the corpus itself."""
+    plan = plan_of(QUERIES["ext_pack_shards"](spark, sf_dir))
+    assert "hashpartitioning(__bucket" in plan
+    # exactly one SinglePartition exchange: the n_buckets-row offset table
+    assert plan.count("Exchange SinglePartition") == 1
+    tiny = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate" in tiny  # fed by the per-bucket aggregate
+
+
 def test_corpus_hygiene_ops_stay_native(spark, sf_dir):
     """PII redaction / repetition / histogram are pure column expressions —
     no Python evaluation, no shuffle except the histogram's tiny-key agg."""

@@ -335,29 +335,72 @@ def pack_shards(
     token_count_col: str,
     budget: int,
     order_col: str | None = None,
+    bucket_width: int | None = None,
 ) -> DataFrame:
     """Contiguous sequence packing: assign documents (ordered by
     ``order_col``, default the id) to consecutive shards so each shard
     holds ~``budget`` tokens — the sharding step before concatenating
     documents into fixed-size training sequences.
 
-    Semantics (deterministic, one window): a document starting before a
-    budget boundary belongs to the shard of its starting offset —
+    Semantics (deterministic): a document starting before a budget
+    boundary belongs to the shard of its starting offset —
     ``shard = floor(cumulative_tokens_before / budget)`` — so shards can
     overrun the budget by at most one document's tail, exactly like
     streaming concatenation with no mid-document splits. True bin packing
     (restart at the boundary) is order-dependent and inherently
-    sequential; this prefix-sum form is the one that scales (a single
-    global-ordering window; at 100 TB order by a pre-bucketed range key so
-    the window partitions instead of single-tasking).
+    sequential; this prefix-sum form is the one that scales.
+
+    Two execution shapes, identical output:
+
+    - ``bucket_width=None``: one global-ordering window — a SINGLE task
+      sorts the whole corpus. Fine at test scale; kept as the
+      parity/oracle form.
+    - ``bucket_width=W`` (requires a NUMERIC order column): distributed
+      two-pass prefix sum. Rows are range-bucketed by
+      ``floor(order / W)`` (monotone in the order, so buckets partition
+      the global order); pass 1 aggregates per-bucket token sums (tiny —
+      one row per bucket) and turns them into cumulative bucket offsets
+      with a window over that tiny table; pass 2 broadcasts the offsets
+      back and runs the prefix-sum window PARTITIONED by bucket. The
+      corpus shuffles once (hash on bucket for the window); the only
+      single-partition work is over the n_buckets-row aggregate. Pick W
+      so each bucket holds enough rows to parallelize while n_buckets
+      stays small (≲1e6) — the offsets table must broadcast.
 
     Output: (id, token_count, shard, offset_in_shard)."""
     order = F.col(order_col if order_col is not None else id_col)
     from pyspark.sql import Window
 
-    w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
-    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
-    return df.select(
+    if bucket_width is None:
+        base = df
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    else:
+        with_bucket = df.withColumn(
+            "__bucket", F.floor(order / F.lit(bucket_width)).cast("long")
+        )
+        sums = with_bucket.groupBy("__bucket").agg(
+            F.sum(token_count_col).alias("__bucket_sum")
+        )
+        w_buckets = Window.orderBy("__bucket").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = sums.select(
+            "__bucket",
+            F.coalesce(F.sum("__bucket_sum").over(w_buckets), F.lit(0)).alias(
+                "__bucket_offset"
+            ),
+        )
+        base = with_bucket.join(F.broadcast(offsets), "__bucket")
+        w_in = (
+            Window.partitionBy("__bucket")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = F.col("__bucket_offset") + F.coalesce(
+            F.sum(token_count_col).over(w_in), F.lit(0)
+        )
+    return base.select(
         F.col(id_col),
         F.col(token_count_col),
         F.floor(before / F.lit(budget)).cast("long").alias("shard"),

@@ -406,11 +406,16 @@ def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: contiguous token-budget sharding (4096 tokens) of
     the corpus ordered by doc_id — ext.text.pack_shards over
-    ext.text.token_stats counts. Oracle replays the same prefix-sum window
-    in SQL."""
+    ext.text.token_stats counts, in the DISTRIBUTED two-pass form
+    (doc_ids range-bucketed 256 wide → per-bucket sums → cumulative
+    bucket offsets → bucket-partitioned prefix window; only the tiny
+    bucket aggregate ever passes through a single partition). The oracle
+    replays the equivalent single global prefix-sum window in SQL —
+    output is identical by construction; equality of the two engine
+    shapes is also pinned by tests/test_ext_text.py."""
     docs = load_table(spark, sf_dir, "documents")
     counts = TX.token_stats(docs, "doc_id", "text").select("doc_id", "n_tokens")
-    return TX.pack_shards(counts, "doc_id", "n_tokens", budget=4096)
+    return TX.pack_shards(counts, "doc_id", "n_tokens", budget=4096, bucket_width=256)
 
 
 # ---------------------------------------------------------------------------
