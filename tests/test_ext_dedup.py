@@ -185,3 +185,65 @@ def test_cluster_paths_agree_minhash_vs_exact(spark, sf_dir):
     )
     assert fast.subtract(exact).count() == 0
     assert exact.subtract(fast).count() == 0
+
+
+def test_hot_bucket_cap_bounds_candidates_and_audits(spark):
+    """Adversarial near-constant corpus: 120 copies of one text share every
+    LSH bucket. With the cap they'd pair up |bucket|² — the cap must skip
+    those buckets and bound the candidate count, and the standalone
+    lsh_bucket_stats audit must report every skip (the in-plan observation
+    can be lost to AQE empty-relation propagation exactly when the result
+    is empty, which is why the standalone audit exists)."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(120)]
+    rows += [(1000 + i, " ".join(f"u{i}w{j}" for j in range(12))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = X.minhash_near_dupes(df, "doc_id", "text", threshold=0.5, max_bucket=50)
+    # identical docs all hash to the same (band, sig) per band -> every
+    # bucket is hot -> skipped -> no quadratic fanout survives the cap
+    assert capped.count() == 0
+
+    sh = X.word_shingles(df, "doc_id", "text", n=3)
+    stats = X.lsh_bucket_stats(
+        X.minhash_signatures(sh, "doc_id"), "doc_id", max_bucket=50
+    ).collect()
+    assert len(stats) == 4  # one audit row per band
+    for r in stats:
+        assert r["n_skipped_buckets"] >= 1
+        assert r["max_bucket_size"] == 120
+
+    # uncapped form still finds the 120-choose-2 identical pairs
+    uncapped = X.minhash_near_dupes(df, "doc_id", "text", threshold=0.5, max_bucket=None)
+    assert uncapped.count() == 120 * 119 // 2
+
+
+def test_hot_bucket_observation_populated_when_pairs_survive(near_dup_corpus):
+    """On a realistic corpus (candidates survive the cap) the zero-cost
+    in-plan observation carries the audit numbers with no extra job."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    pairs = X.minhash_near_dupes(
+        near_dup_corpus, "doc_id", "text", threshold=0.8, audit=obs
+    )
+    assert pairs.count() > 0
+    m = obs.get
+    assert m["n_skipped_buckets"] == 0
+    assert m["n_buckets"] >= 1
+    assert m["max_bucket_size"] >= 2
+
+
+def test_default_cap_keeps_realistic_recall(near_dup_corpus):
+    """The 1000-doc default cap must be invisible on a realistic corpus:
+    pair sets with and without the cap are identical."""
+    with_cap = {
+        (r["id_a"], r["id_b"])
+        for r in X.minhash_near_dupes(near_dup_corpus, "doc_id", "text", threshold=0.8).collect()
+    }
+    without = {
+        (r["id_a"], r["id_b"])
+        for r in X.minhash_near_dupes(
+            near_dup_corpus, "doc_id", "text", threshold=0.8, max_bucket=None
+        ).collect()
+    }
+    assert with_cap == without

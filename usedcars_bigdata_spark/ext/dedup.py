@@ -163,6 +163,7 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     max_bucket: int | None = None,
+    audit=None,
 ) -> DataFrame:
     """Tier 3b: band the k-wide signature into ``bands`` groups; documents
     colliding on any whole band become candidates.
@@ -176,7 +177,19 @@ def lsh_candidate_pairs(
     degenerate hot buckets outright (a bucket shared by thousands of docs
     carries no discriminative signal and only exists under adversarial or
     near-constant corpora — standard LSH practice at 100 TB; None keeps
-    every bucket)."""
+    every bucket).
+
+    The cap is never silent: when ``max_bucket`` is set, a CollectMetrics
+    node (``df.observe``) on the pre-filter bucket table records
+    ``n_buckets`` / ``n_skipped_buckets`` / ``max_bucket_size`` as part of
+    the same action — no extra job. Metrics surface in the Spark UI and
+    QueryExecutionListeners under the name ``lsh_bucket_audit``; pass a
+    ``pyspark.sql.Observation`` as ``audit`` to read them directly after
+    an action. Caveat (measured): if the WHOLE downstream result is empty,
+    AQE's empty-relation propagation can drop the CollectMetrics node
+    before its stage runs — for a guaranteed audit of a zero-pair run,
+    call ``lsh_bucket_stats`` on the same signatures (one small extra
+    aggregate; see tests/test_ext_dedup.py)."""
     k = len(_MINHASH_SEEDS)
     rows_per_band = k // bands
     band_cols = []
@@ -194,6 +207,14 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
+        buckets = buckets.observe(
+            audit if audit is not None else "lsh_bucket_audit",
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("ids") > max_bucket).cast("long")).alias(
+                "n_skipped_buckets"
+            ),
+            F.max(F.size("ids")).alias("max_bucket_size"),
+        )
         buckets = buckets.filter(F.size("ids") <= max_bucket)
     # ids are sorted, so pairing element i with every later element yields
     # (id_a < id_b) directly.
@@ -207,6 +228,42 @@ def lsh_candidate_pairs(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Standalone LSH bucket audit: per band, the bucket count, the largest
+    bucket, and — when ``max_bucket`` is given — how many buckets the cap
+    would skip. One row per band; runs as its own small job, so it is
+    available even when the candidate query itself returns nothing (the
+    case where the in-plan ``lsh_bucket_audit`` observation can be lost to
+    AQE empty-relation propagation)."""
+    k = len(_MINHASH_SEEDS)
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{i}") for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    sizes = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("n") >= 2).cast("long")).alias("n_candidate_buckets"),
+        F.max("n").alias("max_bucket_size"),
+    ]
+    if max_bucket is not None:
+        aggs.append(
+            F.sum((F.col("n") > max_bucket).cast("long")).alias("n_skipped_buckets")
+        )
+    return sizes.groupBy("band").agg(*aggs)
 
 
 def jaccard_for_pairs(
@@ -246,11 +303,23 @@ def minhash_near_dupes(
     n: int = 3,
     threshold: float = 0.5,
     bands: int = 4,
+    max_bucket: int | None = 1000,
+    audit=None,
 ) -> DataFrame:
     """Tier 3 end-to-end: shingle → minhash → LSH candidates → exact-Jaccard
     verification of CANDIDATES ONLY (the LSH point: total cost tracks the
     candidate count, not n²). Output matches jaccard_pairs semantics
     restricted to LSH-surviving pairs.
+
+    ``max_bucket`` (default 1000) drops degenerate hot LSH buckets: one
+    non-discriminative (band, sig) bucket on a 100 TB corpus means a
+    multi-GB collect_list array in a single row plus |bucket|² candidate
+    fanout. A bucket that large carries no signal (its members are
+    near-constant text — run ``exact_dedup`` FIRST so identical docs
+    never reach LSH), and every skip is recorded in the
+    ``lsh_bucket_audit`` observed metrics (see lsh_candidate_pairs).
+    ``max_bucket=None`` disables the cap for exhaustive verification
+    tiers.
 
     Plan shape: exploded shingles (persisted — they feed the signature agg
     and both verification joins) → one shuffle for the 16-min signature
@@ -263,7 +332,13 @@ def minhash_near_dupes(
     realistic candidate counts (5.4s vs 2.8s) — revisit only if candidate
     verification ever dominates. Shingle cache is owned by the caller."""
     sh = word_shingles(df, id_col, text_col, n=n).persist()
-    cands = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col, bands=bands)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, id_col),
+        id_col,
+        bands=bands,
+        max_bucket=max_bucket,
+        audit=audit,
+    )
     return jaccard_for_pairs(sh, cands, id_col, threshold=threshold)
 
 
