@@ -100,6 +100,34 @@ def test_normalize_text_semantics(spark):
     assert ident[2] == "a\nb"
 
 
+def test_normalize_unicode_nfc_golden(spark):
+    """NFC composes decomposed combining sequences; NFKC additionally
+    folds compatibility characters; invalid form raises. Inputs/expected
+    use explicit escapes so the test is source-encoding-proof."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),    # e + combining acute -> \u00e9
+            (2, "man\u0303ana"),  # n + combining tilde -> \u00f1
+            (3, "\ufb01le"),      # fi ligature: NFC keeps, NFKC folds
+            (4, None),             # null passthrough
+        ],
+        "doc_id long, text string",
+    )
+    nfc = {r["doc_id"]: r["text_norm"]
+           for r in TX.normalize_text_unicode(df, "doc_id", "text").collect()}
+    assert nfc[1] == "caf\u00e9"
+    assert nfc[2] == "ma\u00f1ana"
+    assert nfc[3] == "\ufb01le"
+    assert nfc[4] is None
+    nfkc = {r["doc_id"]: r["text_norm"]
+            for r in TX.normalize_text_unicode(df, "doc_id", "text", form="NFKC").collect()}
+    assert nfkc[3] == "file"
+    with _pytest.raises(ValueError):
+        TX.normalize_text_unicode(df, "doc_id", "text", form="NFX")
+
+
 def test_pack_shards_prefix_sum_semantics(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 50), (3, 80), (4, 10), (5, 200)],

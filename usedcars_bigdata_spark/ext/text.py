@@ -329,6 +329,52 @@ def normalize_text(
     return df.select(F.col(id_col), c.alias(out))
 
 
+def normalize_text_unicode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    out: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the stage
+    ``normalize_text`` deliberately defers: Spark has no native
+    normalizer, so this is the one text operator that runs Python, as an
+    Arrow-batched ``mapInPandas`` over only (id, text) — never
+    row-at-a-time serde, and the projection keeps the batch narrow. A real
+    multilingual corpus needs this exactly once, at ingest; everything
+    downstream stays native.
+
+    The per-batch function is defined locally so cloudpickle serializes
+    it BY VALUE (the pattern from ext/multimodal.py): executors need no
+    usedcars_bigdata_spark on their PYTHONPATH, which is what keeps the
+    query runnable under the driver harness's plain session."""
+    from pyspark.sql import types as T
+
+    if form not in {"NFC", "NFKC", "NFD", "NFKD"}:
+        raise ValueError(f"unknown Unicode normalization form: {form!r}")
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField(out, T.StringType(), True)]
+    )
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out: [
+                        unicodedata.normalize(form, t) if t is not None else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

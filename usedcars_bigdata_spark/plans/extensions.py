@@ -388,6 +388,33 @@ def ext_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.normalize_text(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Planted decomposed sequences (e + U+0301, n + U+0303, a + U+030A,
+# o + U+0308): the harness documents are ASCII, so the NFC query appends
+# real combining characters in-plan. The same Python str (raw codepoints
+# by the time it reaches each engine) is embedded in both the Spark
+# expression and the DuckDB oracle; NFC composes each pair to one
+# codepoint. Escapes (not literal accents) keep the source encoding-proof.
+_NFC_AUG_SQL = "text || ' cafe\u0301 man\u0303ana a\u030angstro\u0308m'"
+
+
+@query(
+    "ext_text_normalize_nfc",
+    oracle=f"""
+    SELECT doc_id, nfc_normalize({_NFC_AUG_SQL}) AS text_norm
+    FROM documents
+    """,
+)
+def ext_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization via Arrow-batched mapInPandas
+    (ext.text.normalize_text_unicode) over text with planted decomposed
+    combining sequences; DuckDB's nfc_normalize replays it. The one
+    declared Python stage of the text stack — run once at ingest."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.expr(_NFC_AUG_SQL)
+    )
+    return TX.normalize_text_unicode(docs, "doc_id", "text", form="NFC")
+
+
 @query(
     "ext_pack_shards",
     oracle="""
