@@ -82,3 +82,20 @@ def test_stateful_anomaly_flags_stream_equals_batch(spark, sf_dir, batch_events)
         assert 0 < n_flagged < got.count()
     finally:
         q.stop()
+
+
+def test_contract_microbatch_query_runs_and_matches_batch(spark, sf_dir):
+    """The contract-visible ts_stream_microbatch entry must run a real
+    availableNow micro-batch pass, terminate, equal the batch twin, and be
+    safely re-invocable (the driver may call it more than once)."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    got = QUERIES["ts_stream_microbatch"](spark, sf_dir)
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    want = SE.windowed_counts(load_table(spark, sf_dir, "events"))
+    assert _rows(got, cols) == _rows(want, cols)
+    # the streaming query terminated (availableNow), nothing left active
+    assert all(q.name != "ts_stream_microbatch_sink" for q in spark.streams.active)
+    # re-invocation replaces the sink table cleanly
+    again = QUERIES["ts_stream_microbatch"](spark, sf_dir)
+    assert _rows(again, cols) == _rows(got, cols)

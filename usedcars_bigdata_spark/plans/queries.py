@@ -912,6 +912,54 @@ def ts_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_stream_microbatch",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, window_end, event_type
+    """,
+)
+def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ACTUAL Structured Streaming micro-batch run, contract-visible:
+    file-source readStream over the events parquet → watermarked tumbling
+    window counts (streaming.events.windowed_counts — the same unbound
+    transformation the batch twin ts_tumbling_hourly checks) → memory
+    sink, trigger(availableNow) so the query drains all available input
+    and terminates. Complete output mode retains every window, so the
+    final table equals the batch aggregation and the DuckDB oracle can
+    hash-check a real streaming execution — closing the verification gap
+    where the streaming surface was only ever exercised via batch twins.
+
+    At scale the source is Kafka and the sink a transactional store;
+    availableNow + file source is the same engine path (incremental
+    micro-batch planning, state store, watermark advancement) at harness
+    size."""
+    from ..streaming.events import read_event_stream, windowed_counts
+
+    # same session-independence contract as load_table: the driver hands
+    # us a plain session, and the events file schema needs nanosAsLong
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_microbatch_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = windowed_counts(read_event_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
     "rel_asof_join",
     oracle="""
     SELECT l.event_id, l.user_id, l.ts,
