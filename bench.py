@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "ext_dedup_minhash_lsh",
     "ext_dedup_clusters",
     "ext_ann_cosine_topk",
+    "ext_ann_lsh_topk",
+    "ext_ann_ivf_topk",
     "ext_text_quality",
     "ext_curation_pipeline",
     "ext_contamination_ngram",
