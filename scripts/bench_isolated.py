@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Isolated-JVM timing for individual contract queries — the
+methodologically careful complement to bench.py (which times everything
+in one long-lived JVM, where heap growth/GC from earlier queries bleeds
+into later timings; see scale_probe_dedup.py's measured 3-5x same-JVM
+inflation).
+
+Each query runs in its OWN subprocess: fresh session, one unrecorded
+warmup execution of the same query (JIT + codegen), then ``reps`` timed
+executions; the per-query line reports min/median — min is the
+steady-state number, median shows run-to-run spread.
+
+Usage: python scripts/bench_isolated.py QUERY [QUERY...] [--reps 3] [--sf DIR]
+With --json, the child prints one JSON line (used internally).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+
+def child(name: str, sf_dir: str, reps: int) -> None:
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.session import get_session
+
+    spark = get_session(app_name=f"bench-isolated-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES[name](spark, sf_dir).count()  # warmup, unrecorded
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).count()
+        times.append(round(time.time() - t0, 3))
+    print(json.dumps({"query": name, "times": times}))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--json", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.json:  # child mode: one query, print one JSON line
+        child(args.queries[0], args.sf, args.reps)
+        return 0
+
+    for name in args.queries:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name,
+             "--reps", str(args.reps), "--sf", args.sf, "--json"],
+            capture_output=True, text=True, check=True,
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        ts = r["times"]
+        print(
+            f"{name:40s} min={min(ts):6.3f}s median={statistics.median(ts):6.3f}s "
+            f"runs={ts}"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
