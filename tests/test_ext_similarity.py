@@ -88,3 +88,31 @@ def test_ivf_recall_vs_brute_force(emb):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall {recall:.2f}"
+
+
+def test_quantize_int8_roundtrip_properties(spark, sf_dir):
+    """Quantized values stay in [-127, 127], the max-|x| element maps to
+    +/-127, zero vectors quantize to zeros with scale 0, and dequantized
+    vectors approximate the originals within scale/2 per element."""
+    from usedcars_bigdata_spark.ext.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    rows = quantize_int8(emb).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert len(rows) == 50
+    for r in rows:
+        q, scale = r["q"], r["scale"]
+        assert len(q) == r["n_dims"]
+        assert max(abs(x) for x in q) <= 127
+        assert max(abs(x) for x in q) == 127  # symmetric scaling hits the rail
+        v = raw[r["vec_id"]]
+        for orig, qi in zip(v, q):
+            assert abs(orig - qi * scale) <= scale * 0.51 + 1e-9
+        assert r["sum_q"] == sum(q) and r["l1_q"] == sum(abs(x) for x in q)
+
+    zero = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    zr = quantize_int8(zero).first()
+    assert zr["scale"] == 0.0 and zr["q"] == [0, 0, 0]
+    assert zr["sum_q"] == 0 and zr["l1_q"] == 0

@@ -268,3 +268,40 @@ def test_boilerplate_ngrams_counts_docs_not_occurrences(spark):
     # document frequency, not occurrence count: doc 1's double occurrence counts once
     assert got.get("x y z w v") == 2
     assert all(n >= 2 for n in got.values())
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark, sf_dir):
+    """Same id -> same split across runs AND across partition layouts
+    (the property randomSplit/sample lack); fractions land near 80/10/10;
+    bad fractions rejected."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in TX.hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in TX.hash_split(docs.repartition(13), "doc_id").collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert 0.05 < c["val"] / n < 0.15
+    assert 0.05 < c["test"] / n < 0.15
+    # appending new docs never moves an existing id's split
+    half = {r["doc_id"]: r["split"]
+            for r in TX.hash_split(docs.filter("doc_id < 250"), "doc_id").collect()}
+    assert all(a[k] == v for k, v in half.items())
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TX.hash_split(docs, "doc_id", fractions={"train": 0.5, "test": 0.4})
+
+
+def test_vocabulary_topk_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "a b b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    rows = TX.vocabulary_topk(df, "doc_id", "text", top=2).collect()
+    # a: 3 occurrences in 2 docs; b: 3 occurrences in 2 docs; c: 2 in 2
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 3, 2),
+    ]

@@ -329,6 +329,82 @@ def normalize_text(
     return df.select(F.col(id_col), c.alias(out))
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float] | None = None,
+    buckets: int = 1000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent ID
+    hash — the scale-correct way to split a corpus: no global shuffle, no
+    sampling state, stable under re-runs, appends, and repartitioning
+    (a given id lands in the same split forever, unlike sample()/
+    randomSplit whose draws depend on partition layout). Standard
+    holdout-set practice for training pipelines.
+
+    ``fractions`` maps split name → fraction, in insertion order, summing
+    to 1.0 (default 80/10/10 train/val/test). The id is md5-hashed
+    (engine-portable, unlike xxhash64) and its first 4 hex digits taken
+    mod ``buckets``; cumulative fraction thresholds over that bucket pick
+    the split. Pure narrow projection — composes with any scan.
+
+    Output: (id, bucket, split)."""
+    if fractions is None:
+        fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % buckets
+    )
+    expr = None
+    edge = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        edge += fractions[name]
+        cond = F.col("bucket") < int(round(edge * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.select(
+        F.col(id_col), bucket.alias("bucket"), expr.alias("split")
+    )
+
+
+def vocabulary_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary builder: the ``top`` most frequent whitespace
+    tokens with total occurrence count and document frequency — the
+    counting pass behind tokenizer/vocab construction (BPE seeding, OOV
+    analysis, stopword discovery).
+
+    Shape: explode → per-(token, doc) count (map-side combinable — the
+    shuffle carries one row per distinct token per doc, not per
+    occurrence) → per-token totals → ordered limit, which plans as
+    TakeOrderedAndProject so only ``top`` rows reach the driver. Ties
+    break on the token text for determinism."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(_words(text_col)).alias("token"),
+    )
+    per_doc = toks.groupBy("token", "__doc").agg(F.count(F.lit(1)).alias("__n"))
+    counts = per_doc.groupBy("token").agg(
+        F.sum("__n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        counts.filter(F.col("n_occurrences") >= min_count)
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(top)
+    )
+
+
 def normalize_text_unicode(
     df: DataFrame,
     id_col: str,

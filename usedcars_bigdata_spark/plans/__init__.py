@@ -71,12 +71,18 @@ _CONTRACT_PRIORITY = [
     "rel_running_total",
     "rel_rank_fractions",
     "rel_first_last_window",
+    # round-3 corpus-prep additions (hash split / vocab / int8 quantize)
+    "ext_hash_split",
+    "ext_vocab_topk",
+    "ext_embedding_quantize",
+    # --- driver's 50-entry sweep window ends here ---
+    # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
+    # r01; each family keeps pytest + full-range driver_sim coverage; the
+    # three scalar-function farms yield their slots to the new ext ops —
+    # their functions are exercised in-window by the ref_* queries).
     "rel_string_funcs",
     "rel_null_semantics",
     "rel_date_funcs",
-    # --- driver's 50-entry sweep window ends here ---
-    # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02;
-    # each family keeps pytest + full-range driver_sim coverage).
     "rel_json_extract",
     "rel_tpch_q1_pricing_summary",
     "rel_join_revenue_by_nation",

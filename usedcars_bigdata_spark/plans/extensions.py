@@ -609,6 +609,100 @@ def ext_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus preparation (round 3): hash split, vocabulary, int8 quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ext_hash_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 1000
+               AS bucket
+      FROM h
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 800 THEN 'train'
+                WHEN bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id)
+    bucket (ext.text.hash_split) — no shuffle, no sampling state, stable
+    under appends/repartitioning. Oracle decodes the same 4 hex digits
+    via strpos arithmetic (DuckDB has no conv())."""
+    return TX.hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+
+
+@query(
+    "ext_vocab_topk",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), pd AS (
+      SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2
+    )
+    SELECT token,
+           CAST(sum(n) AS BIGINT) AS n_occurrences,
+           count(*) AS n_docs
+    FROM pd GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 100
+    """,
+)
+def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus vocabulary with occurrence + document frequency
+    (ext.text.vocabulary_topk): per-(token, doc) map-side combine before
+    the token shuffle; final ordered limit plans TakeOrderedAndProject."""
+    return TX.vocabulary_topk(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", top=100
+    )
+
+
+@query(
+    "ext_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, CAST(len(v) AS INTEGER) AS n_dims,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM e
+    ), qq AS (
+      SELECT vec_id, n_dims, mx / 127.0 AS scale,
+             CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> CAST(round(x / (mx / 127.0))
+                                                   AS INTEGER))
+             END AS q
+      FROM s
+    )
+    SELECT vec_id, n_dims, round(scale, 6) AS scale, q,
+           CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
+             AS sum_q,
+           CAST(list_sum(list_transform(q, x -> CAST(abs(x) AS BIGINT))) AS BIGINT)
+             AS l1_q
+    FROM qq
+    """,
+)
+def ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (ext.similarity.quantize_int8):
+    per-vector scale = max|x|/127, narrow projection, zero shuffles; the
+    oracle replays the identical double-precision expression tree and the
+    integer audit columns pin the quantized values exactly."""
+    return SIM.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
 @query("rows_stratified_sample")
 def rows_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix sampling: per-language sampleBy over documents
