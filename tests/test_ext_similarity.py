@@ -116,3 +116,42 @@ def test_quantize_int8_roundtrip_properties(spark, sf_dir):
     zr = quantize_int8(zero).first()
     assert zr["scale"] == 0.0 and zr["q"] == [0, 0, 0]
     assert zr["sum_q"] == 0 and zr["l1_q"] == 0
+
+
+def test_semantic_dedup_properties(emb):
+    """Every row surfaces exactly once; dropped ids are SOUND (each has a
+    smaller-id same-cell neighbor at cos >= tau, verified by a numpy
+    brute-force recompute); threshold > 1 keeps everything; reruns are
+    deterministic."""
+    import numpy as np
+
+    tau = 0.4
+    out = SIM.semantic_dedup(emb, n_clusters=8, threshold=tau).collect()
+    ids = [r["vec_id"] for r in out]
+    assert sorted(ids) == sorted(r["vec_id"] for r in emb.select("vec_id").collect())
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    cell = {r["vec_id"]: r["cell"] for r in out}
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    dropped = set(ids) - kept
+    for d in dropped:
+        v = vecs[d]
+        found = False
+        for o in ids:
+            if o >= d or cell[o] != cell[d]:
+                continue
+            w = vecs[o]
+            cos = float(v @ w / (np.linalg.norm(v) * np.linalg.norm(w)))
+            if cos >= tau:
+                found = True
+                break
+        assert found, f"dropped {d} has no smaller-id same-cell neighbor >= {tau}"
+
+    all_kept = SIM.semantic_dedup(emb, n_clusters=8, threshold=1.01).collect()
+    assert all(r["kept"] for r in all_kept)
+
+    again = SIM.semantic_dedup(emb, n_clusters=8, threshold=tau).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))

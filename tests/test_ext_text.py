@@ -305,3 +305,72 @@ def test_vocabulary_topk_counts(spark):
         ("a", 3, 2),
         ("b", 3, 2),
     ]
+
+
+def test_mixture_sample_rates_and_determinism(spark, sf_dir):
+    """Per-group retention tracks the target rate; assignment is a pure
+    function of the id (stable under repartitioning); the salted hash is
+    independent of hash_split's buckets."""
+    from usedcars_bigdata_spark.ext.text import hash_split, mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 0.3}
+    out = mixture_sample(docs, "doc_id", "lang", rates).collect()
+    assert len(out) == docs.count()
+    by_lang = {}
+    for r in out:
+        t, k = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (t + 1, k + r["kept"])
+    t, k = by_lang["en"]
+    assert 0.15 <= k / t <= 0.45, (k, t)  # 0.3 target, small-n tolerance
+    for lang, (t, k) in by_lang.items():
+        if lang != "en":
+            assert k == t, lang  # default rate 1.0 keeps everything
+
+    again = {
+        r["doc_id"]: (r["bucket"], r["kept"])
+        for r in mixture_sample(docs.repartition(7), "doc_id", "lang", rates).collect()
+    }
+    assert again == {r["doc_id"]: (r["bucket"], r["kept"]) for r in out}
+
+    split_buckets = {r["doc_id"]: r["bucket"] for r in hash_split(docs, "doc_id").collect()}
+    mix_buckets = {r["doc_id"]: r["bucket"] for r in out}
+    assert any(split_buckets[i] != mix_buckets[i] for i in split_buckets)
+
+
+def test_mixture_sample_zero_rate_and_default(spark):
+    """An explicit 0.0 rate drops the whole group; unknown groups fall
+    back to default_rate (here 0.0 drops them too)."""
+    from usedcars_bigdata_spark.ext.text import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "spam" if i % 2 else "ham") for i in range(40)], ["id", "grp"]
+    )
+    out = mixture_sample(df, "id", "grp", {"spam": 0.0}, default_rate=1.0).collect()
+    assert not any(r["kept"] for r in out if r["grp"] == "spam")
+    assert all(r["kept"] for r in out if r["grp"] == "ham")
+    none_kept = mixture_sample(df, "id", "grp", {}, default_rate=0.0).collect()
+    assert not any(r["kept"] for r in none_kept)
+
+
+def test_duplicated_gram_fraction_bounds(spark, sf_dir):
+    """dup_frac in [0,1]; dup_grams <= n_grams; a corpus of two identical
+    docs scores dup_frac 1.0 on both; a unique doc scores 0."""
+    from usedcars_bigdata_spark.ext.dedup import duplicated_gram_fraction
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = duplicated_gram_fraction(docs, "doc_id", "text").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["flagged"] == (r["dup_grams"] / r["n_grams"] >= 0.5)
+
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")],
+        ["doc_id", "text"],
+    )
+    by_id = {r["doc_id"]: r for r in duplicated_gram_fraction(tiny, "doc_id", "text").collect()}
+    assert by_id[1]["dup_frac"] == 1.0 and by_id[2]["dup_frac"] == 1.0
+    assert by_id[3]["dup_frac"] == 0.0 and not by_id[3]["flagged"]
+    assert by_id[1]["flagged"]

@@ -527,3 +527,65 @@ def simhash_near_pairs(
     return cands.filter(hamming <= max_hamming).select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     )
+
+
+def duplicated_gram_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    flag_threshold: float = 0.5,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Inter-document repetition score (the cross-document half of the
+    Gopher repetition filters; cf. Rae et al. 2021 §A1.1, and C4's
+    three-sentence dedup): per document, the fraction of its word n-gram
+    OCCURRENCES whose gram occurs in at least ``min_docs`` distinct
+    documents corpus-wide. Documents that are mostly made of corpus-
+    duplicated n-grams (templates, mirrors, boilerplate-heavy pages) get
+    ``dup_frac`` near 1 and are flagged at ``flag_threshold``.
+
+    Shape at scale: (1) tokenization hoisted into ``__words`` once (the
+    ``shingle_arrays`` pattern — never re-split inside the lambda);
+    (2) per-(doc, gram) occurrence counts map-side combine before the
+    first shuffle; (3) gram document-frequency is a count over those
+    per-doc rows (no countDistinct); (4) the df table joins back on the
+    gram key and re-aggregates per doc. Three shuffles total, all
+    partial-aggregated; no all-pairs stage, so cost is O(total grams),
+    not O(docs²) — unlike ``jaccard_pairs`` this scores every document
+    alone against corpus-global statistics.
+
+    Output: (id, n_grams, dup_grams, dup_frac, flagged)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_words = df.select(F.col(id_col), words.alias("__words")).filter(
+        F.size("__words") >= n
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__words, i, {n})))"
+    )
+    occ = (
+        with_words.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count("*").alias("occ"))
+    )
+    gram_df = occ.groupBy("gram").agg(F.count("*").alias("df"))
+    per_doc = (
+        occ.join(gram_df, on="gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_grams"),
+            F.sum(
+                F.when(F.col("df") >= min_docs, F.col("occ")).otherwise(F.lit(0))
+            ).alias("dup_grams"),
+        )
+    )
+    frac = F.col("dup_grams") / F.col("n_grams")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("dup_grams"),
+        F.round(frac, ndigits).alias("dup_frac"),
+        (frac >= flag_threshold).alias("flagged"),
+    )

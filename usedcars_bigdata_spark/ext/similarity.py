@@ -416,3 +416,69 @@ def norm_stats_by_label(
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 32,
+    threshold: float = 0.9,
+    seed: int = 42,
+    train_cap: int = 4096,
+    max_iter: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a k-means coarse quantizer,
+    then inside each cluster drop every item that has a LOWER-id neighbor
+    with cosine >= ``threshold``. The cluster stage bounds the pair search
+    to within-cell candidates — cost ~ sum(|cell|²) instead of N² — which
+    is the paper's core trick and the same cell structure ``ivf_topk``
+    uses; the min-id survivor rule is the deterministic greedy stand-in
+    for "keep one exemplar per ε-ball" (a doc is dropped iff ANY smaller
+    id sits within ε, whether or not that neighbor itself survived —
+    transitive chains collapse to the smallest id, matching
+    ``near_dup_clusters``' canonical-survivor convention).
+
+    Quantizer fit is driver-side on a bounded sample (see ``_fit_kmeans``)
+    and assignment is one Arrow-batched matmul per batch, so the whole op
+    is: one narrow pass (assign) + one self-join co-partitioned on the
+    cell id. Rows-only in the contract (centroids are data-dependent, so
+    no static SQL oracle); properties are pytest-verified against a numpy
+    brute-force recompute.
+
+    Output: (id, cell, kept) — every input row, survivors marked."""
+    sample = np.stack(
+        embeddings.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    cents = _fit_kmeans(sample, n_clusters, max_iter, seed)
+    assign_fn = _assign_cells_udf(cents)
+    assigned = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(vec_col).alias("__n"),
+        assign_fn(F.col(vec_col)).alias("cell"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    dropped = (
+        a.join(b, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot("va", "vb") / (F.col("__na") * F.col("__nb")) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__drop", F.lit(True)), on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+        )
+    )

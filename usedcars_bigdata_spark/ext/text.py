@@ -528,3 +528,54 @@ def pack_shards(
         F.floor(before / F.lit(budget)).cast("long").alias("shard"),
         (before % F.lit(budget)).cast("long").alias("offset_in_shard"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    buckets: int = 1000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-group quota sampling — the "data mixture" step of
+    a training pipeline: downweight overrepresented groups (a dominant
+    language / source / domain) to target retention rates without a global
+    shuffle or any sampling state. A doc is kept iff its salted md5 bucket
+    falls below its group's rate threshold, so membership is stable under
+    re-runs, appends, and repartitioning, and independent draws per doc
+    give each group its target rate in expectation with no coordination.
+
+    The hash is SALTED (``md5(salt || ':' || id)``) so mixture decisions
+    are independent of ``hash_split``'s train/val/test assignment — using
+    the same hash for both would correlate the mixture with the holdout
+    split (e.g. every dropped doc also being a train doc). md5 keeps it
+    engine-portable for the oracle, unlike xxhash64.
+
+    Pure narrow projection: zero shuffles, composes with any scan.
+
+    Output: (id, group, bucket, kept)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    thr = None
+    for g, r in rates.items():
+        t = int(round(r * buckets))
+        cond = F.col(group_col) == g
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    default_thr = int(round(default_rate * buckets))
+    thr = F.lit(default_thr) if thr is None else thr.otherwise(default_thr)
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        bucket.alias("bucket"),
+        (F.col("bucket") < thr).alias("kept"),
+    )

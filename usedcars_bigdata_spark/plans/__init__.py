@@ -69,17 +69,24 @@ _CONTRACT_PRIORITY = [
     "rel_distinct_pairs",
     "rel_above_avg_orders",
     "rel_running_total",
-    "rel_rank_fractions",
-    "rel_first_last_window",
-    # round-3 corpus-prep additions (hash split / vocab / int8 quantize)
+    # round-3 corpus-prep additions (hash split / vocab / int8 quantize /
+    # mixture quota sampling / Gopher dup-gram repetition)
     "ext_hash_split",
     "ext_vocab_topk",
     "ext_embedding_quantize",
+    "ext_mixture_sample",
+    "ext_dup_gram_fraction",
     # --- driver's 50-entry sweep window ends here ---
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —
     # their functions are exercised in-window by the ref_* queries).
+    # rel_rank_fractions / rel_first_last_window yielded their r3 slots to
+    # the two new corpus ops: the window family stays represented in-window
+    # by rel_running_total + rel_range_frame_30d + rel_window_rank_orders'
+    # pool rotation, and both remain in the full-range sweep below.
+    "rel_rank_fractions",
+    "rel_first_last_window",
     "rel_string_funcs",
     "rel_null_semantics",
     "rel_date_funcs",

@@ -714,3 +714,83 @@ def rows_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "pt": 1.0}
     return stratified_sample(docs, "lang", fractions).select("doc_id", "lang")
+
+
+@query(
+    "ext_mixture_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 1000
+               AS bucket
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+           bucket < (CASE WHEN lang = 'en' THEN 300 ELSE 1000 END) AS kept
+    FROM b
+    """,
+)
+def ext_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture quota sampling (ext.text.mixture_sample): keep 30% of
+    the dominant language (en), 100% of the rest, by salted md5 bucket —
+    deterministic, shuffle-free, independent of the train/test split hash.
+    The deterministic counterpart of rows_stratified_sample's Bernoulli
+    draw; the oracle decodes the identical salted hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.mixture_sample(docs, "doc_id", "lang", rates={"en": 0.3})
+
+
+@query(
+    "ext_dup_gram_fraction",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), occ AS (
+      SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT gram, count(*) AS df FROM occ GROUP BY 1
+    )
+    SELECT o.doc_id,
+           CAST(sum(o.occ) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN d.df >= 2 THEN o.occ ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           round(sum(CASE WHEN d.df >= 2 THEN o.occ ELSE 0 END) * 1.0
+                 / sum(o.occ), 4) AS dup_frac,
+           (sum(CASE WHEN d.df >= 2 THEN o.occ ELSE 0 END) * 1.0
+                 / sum(o.occ)) >= 0.5 AS flagged
+    FROM occ o JOIN dfreq d USING (gram)
+    GROUP BY o.doc_id
+    """,
+)
+def ext_dup_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style inter-document repetition
+    (ext.dedup.duplicated_gram_fraction): per doc, the fraction of word
+    3-gram occurrences whose gram appears in >= 2 documents corpus-wide.
+    O(total grams) with map-side combines — scores every doc against
+    corpus-global stats with no pairwise stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.duplicated_gram_fraction(docs, "doc_id", "text", n=3, min_docs=2)
+
+
+@query("ext_semantic_dedup")
+def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ext.similarity.semantic_dedup): k-means cells bound the
+    pair search, min-id survivor per ε-ball. Rows-only: the fitted
+    centroids are data-dependent so no static SQL oracle exists;
+    drop-soundness and determinism are property-tested against a numpy
+    brute-force recompute in tests/test_ext_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # τ=0.4 matches ext_dedup_embedding_cosine's threshold — the harness
+    # embeddings are weakly clustered, so higher thresholds drop nothing.
+    return SIM.semantic_dedup(emb, n_clusters=16, threshold=0.4)
