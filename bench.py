@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "ext_curation_pipeline",
     "ext_contamination_ngram",
     "ext_boilerplate_ngrams",
+    "ext_dup_gram_fraction",
+    "ext_semantic_dedup",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
