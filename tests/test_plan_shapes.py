@@ -124,3 +124,34 @@ def test_corpus_hygiene_ops_stay_native(spark, sf_dir):
     for name in ["ext_pii_redaction", "ext_text_repetition"]:
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "Exchange" not in plan, f"{name} introduced a shuffle"
+
+
+def test_mixture_sample_is_narrow(spark, sf_dir):
+    """Mixture quota sampling is a pure projection: no exchange, no
+    Python eval, and only the id/group columns read from the scan."""
+    plan = plan_of(QUERIES["ext_mixture_sample"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "text" not in read and "doc_id" in read
+
+
+def test_dup_gram_fraction_partial_aggregates(spark, sf_dir):
+    """Inter-doc repetition: every groupBy map-side combines (partial
+    HashAggregate before each exchange), no pairwise join, no Python."""
+    plan = plan_of(QUERIES["ext_dup_gram_fraction"](spark, sf_dir))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # gram doc-frequency joins back with an equi-join on the gram key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_joins_on_cell(spark, sf_dir):
+    """SemDeDup: the pair search must be an equi-join on the cell id
+    (never a cartesian product), with the one declared Arrow-batched
+    assignment UDF and no row-at-a-time Python."""
+    plan = plan_of(QUERIES["ext_semantic_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan  # declared vectorized assignment
+    assert "BatchEvalPython" not in plan  # no row-at-a-time fallback

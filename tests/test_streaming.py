@@ -99,3 +99,23 @@ def test_contract_microbatch_query_runs_and_matches_batch(spark, sf_dir):
     # re-invocation replaces the sink table cleanly
     again = QUERIES["ts_stream_microbatch"](spark, sf_dir)
     assert _rows(again, cols) == _rows(got, cols)
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir, batch_events):
+    """ts_stream_dedup: watermarked streaming dedup over the event stream
+    equals batch DISTINCT on the (user, type, hour) key — the hour bucket
+    inside the key keeps keys inside the watermark horizon. Re-invocable."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    got = QUERIES["ts_stream_dedup"](spark, sf_dir)
+    cols = ["user_id", "event_type", "hour_start"]
+    want = batch_events.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).distinct()
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.count() < batch_events.count()  # dedup actually removed rows
+    assert all(q.name != "ts_stream_dedup_sink" for q in spark.streams.active)
+    again = QUERIES["ts_stream_dedup"](spark, sf_dir)
+    assert _rows(again, cols) == _rows(got, cols)

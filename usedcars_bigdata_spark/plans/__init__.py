@@ -77,6 +77,10 @@ _CONTRACT_PRIORITY = [
     "ext_mixture_sample",
     "ext_dup_gram_fraction",
     # --- driver's 50-entry sweep window ends here ---
+    # streaming dedup (new in r3): oracle-backed past-window; the in-window
+    # streaming family (tumbling/sliding/session/microbatch) keeps driver
+    # visibility for the surface
+    "ts_stream_dedup",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

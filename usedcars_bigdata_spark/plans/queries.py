@@ -959,6 +959,49 @@ def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+
+
+@query(
+    "ts_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           time_bucket(INTERVAL '1 hour', ts) AS hour_start
+    FROM events
+    """,
+)
+def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state
+    (streaming.dedup.dedup_within_watermark): readStream over events ->
+    one row per (user, event_type, event-hour) via
+    dropDuplicatesWithinWatermark -> append-mode memory sink drained with
+    availableNow. The hour bucket inside the key means no key recurs
+    beyond the 2h watermark horizon, so the emitted set equals batch
+    DISTINCT and the DuckDB oracle hash-checks a real streaming dedup
+    execution. At scale this is the "suppress re-delivered events" op:
+    state is O(keys per watermark window), not O(all keys ever)."""
+    from ..streaming.dedup import dedup_within_watermark, hourly_user_action_keys
+    from ..streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    keys = hourly_user_action_keys(read_event_stream(spark, sf_dir))
+    deduped = dedup_within_watermark(
+        keys, ["user_id", "event_type", "hour_start"]
+    ).select("user_id", "event_type", "hour_start")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 @query(
     "rel_asof_join",
     oracle="""
