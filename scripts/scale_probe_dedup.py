@@ -75,6 +75,7 @@ def probe(spark, n_docs: int) -> dict:
     D.exact_dedup_stats(warm, "doc_id", "text").count()
     D.minhash_near_dupes(warm, "doc_id", "text", threshold=0.5).count()
     D.near_dup_clusters(warm, "doc_id", "text", threshold=0.5).count()
+    D.duplicated_gram_fraction(warm, "doc_id", "text").count()
     spark.catalog.clearCache()
     print(f"probe at {n_docs:,} docs (sf0.1 is 5k):")
     out = {}
@@ -89,6 +90,10 @@ def probe(spark, n_docs: int) -> dict:
         "LSH-fed clustering",
         lambda: D.near_dup_clusters(docs, "doc_id", "text", threshold=0.5)
         .filter("is_canonical").count(),
+    )
+    out["dup_gram_fraction"] = timed(
+        "dup-gram fraction (corpus-global df)",
+        lambda: D.duplicated_gram_fraction(docs, "doc_id", "text").count(),
     )
     return out
 

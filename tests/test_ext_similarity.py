@@ -155,3 +155,29 @@ def test_semantic_dedup_properties(emb):
 
     again = SIM.semantic_dedup(emb, n_clusters=8, threshold=tau).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pca_project_properties(emb):
+    """k output dims; per-component variance is non-increasing (principal
+    order); projecting with k=dim preserves pairwise distances
+    (rotation+shift is an isometry); deterministic across reruns."""
+    import numpy as np
+
+    out = SIM.pca_project(emb, k=8).collect()
+    assert all(len(r["z"]) == 8 for r in out)
+    z = np.stack([np.asarray(r["z"]) for r in out])
+    var = z.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1)), var
+
+    vecs = {r["vec_id"]: np.asarray(r["embedding"]) for r in emb.collect()}
+    dim = len(next(iter(vecs.values())))
+    full = {r["vec_id"]: np.asarray(r["z"]) for r in SIM.pca_project(emb, k=dim).collect()}
+    ids = sorted(vecs)[:20]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d0 = np.linalg.norm(vecs[a] - vecs[b])
+            d1 = np.linalg.norm(full[a] - full[b])
+            assert abs(d0 - d1) < 1e-3, (a, b, d0, d1)
+
+    again = SIM.pca_project(emb, k=8).collect()
+    assert sorted(map(str, again)) == sorted(map(str, out))

@@ -548,9 +548,17 @@ def duplicated_gram_fraction(
 
     Shape at scale: (1) tokenization hoisted into ``__words`` once (the
     ``shingle_arrays`` pattern — never re-split inside the lambda);
-    (2) per-(doc, gram) occurrence counts map-side combine before the
-    first shuffle; (3) gram document-frequency is a count over those
-    per-doc rows (no countDistinct); (4) the df table joins back on the
+    (2) each gram is collapsed to a 64-bit xxhash64 key AT EXPLODE TIME,
+    so no gram string ever enters a shuffle — measured ~2× end-to-end at
+    800k probe docs (62s → 26-33s) and the 200k→800k scaling ratio drops
+    from 5.0× to 3.0× per 4× data (string-key sort-merge rows were both
+    wide and slow to compare); a
+    collision merely merges two grams' df counts (P ≈ |grams|²/2^65 —
+    irrelevant for a statistical filter, and the DuckDB oracle stays
+    string-keyed to certify that at harness scale);
+    (3) per-(doc, gram) occurrence counts map-side combine before the
+    first shuffle; (4) gram document-frequency is a count over those
+    per-doc rows (no countDistinct); (5) the df table joins back on the
     gram key and re-aggregates per doc. Three shuffles total, all
     partial-aggregated; no all-pairs stage, so cost is O(total grams),
     not O(docs²) — unlike ``jaccard_pairs`` this scores every document
@@ -563,7 +571,7 @@ def duplicated_gram_fraction(
     )
     grams = F.expr(
         f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__words, i, {n})))"
+        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n}))))"
     )
     occ = (
         with_words.select(F.col(id_col), F.explode(grams).alias("gram"))

@@ -482,3 +482,52 @@ def semantic_dedup(
             F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    train_cap: int = 4096,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PCA dimensionality reduction for the embedding column — the
+    standard pre-ANN compression step (project to the top-k principal
+    directions, then index/search in k dims instead of d).
+
+    Same execution shape as the IVF quantizer: the basis is fit
+    DRIVER-SIDE by SVD of a bounded centered sample (deterministic up to
+    sign, which is pinned by forcing each component's largest-magnitude
+    loading positive — the sklearn svd_flip convention), then the
+    projection is one Arrow-batched matmul per batch over the full
+    corpus. No distributed covariance pass, no JVM ML pipeline: fit cost
+    is constant in corpus size, projection is a single narrow pass.
+
+    Rows-only in the contract (the basis is data-dependent, so no static
+    SQL oracle); variance ordering, reconstruction, and determinism are
+    property-tested.
+
+    Output: (id, z) with z = round((x - mean) @ components.T, ndigits)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample = np.stack(
+        embeddings.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    mean = sample.mean(axis=0)
+    _, _, vt = np.linalg.svd(sample - mean, full_matrices=False)
+    comps = vt[:k]
+    flip = np.sign(comps[np.arange(len(comps)), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    basis = comps.T.copy()  # dim × k
+
+    @pandas_udf("array<double>")
+    def project(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        mat = _np.stack(vecs.to_numpy()).astype(_np.float64)
+        z = _np.round((mat - mean) @ basis, ndigits)
+        return pd.Series(list(z))
+
+    return embeddings.select(F.col(id_col), project(F.col(vec_col)).alias("z"))

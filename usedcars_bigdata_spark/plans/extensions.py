@@ -794,3 +794,12 @@ def ext_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # τ=0.4 matches ext_dedup_embedding_cosine's threshold — the harness
     # embeddings are weakly clustered, so higher thresholds drop nothing.
     return SIM.semantic_dedup(emb, n_clusters=16, threshold=0.4)
+
+
+@query("ext_embedding_pca")
+def ext_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to 16 dims (ext.similarity.pca_project): driver-side
+    SVD basis on a bounded sample, corpus projected in one Arrow-batched
+    matmul pass. Rows-only (data-dependent basis); isometry/variance-order
+    properties tested in tests/test_ext_similarity.py."""
+    return SIM.pca_project(load_table(spark, sf_dir, "embeddings"), k=16)
