@@ -64,7 +64,12 @@ def shingle_arrays(
 
 
 def word_shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, out: str = "shingle"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    out: str = "shingle",
+    hashed: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document, via native higher-order
     functions (sequence/transform/explode) — no Python. Documents with fewer
@@ -72,15 +77,24 @@ def word_shingles(
 
     The tokenization is projected ONCE into ``__words`` before the
     per-element transform — inlining split() into the lambda makes Catalyst
-    re-run the regex for every sequence element (~n_words× slower)."""
+    re-run the regex for every sequence element (~n_words× slower).
+
+    ``hashed=True`` emits the 64-bit xxhash64 of each shingle instead of
+    its text — the scale form for every consumer that only compares
+    shingles for EQUALITY (jaccard joins, minhash, doc-frequency): shuffle
+    rows carry a fixed-width long, not variable text, which measured ~2×
+    end-to-end on ``duplicated_gram_fraction`` at the 800k-doc probe and
+    restored sub-linear scaling. Collisions (P ≈ |grams|²/2⁶⁵) can only
+    nudge a Jaccard estimate upward by one gram — the string-keyed DuckDB
+    oracles certify equality at harness scale."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     with_words = df.select(F.col(id_col), words.alias("__words")).filter(
         F.size("__words") >= n
     )
-    grams = F.expr(
-        f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(__words, i, {n})))"
-    )
+    gram = f"concat_ws(' ', slice(__words, i, {n}))"
+    if hashed:
+        gram = f"xxhash64({gram})"
+    grams = F.expr(f"transform(sequence(1, size(__words) - {n - 1}), i -> {gram})")
     return with_words.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias(out))
 
 
@@ -331,7 +345,7 @@ def minhash_near_dupes(
     index adds materialization barriers that outweigh the pruning at
     realistic candidate counts (5.4s vs 2.8s) — revisit only if candidate
     verification ever dominates. Shingle cache is owned by the caller."""
-    sh = word_shingles(df, id_col, text_col, n=n).persist()
+    sh = word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, id_col),
         id_col,
@@ -445,7 +459,7 @@ def near_dup_clusters(
             df, id_col, text_col, n=n, threshold=threshold, bands=bands
         )
     else:
-        sh = word_shingles(df, id_col, text_col, n=n)
+        sh = word_shingles(df, id_col, text_col, n=n, hashed=True)
         pairs = jaccard_pairs(sh, id_col, threshold=threshold)
     comp = connected_components(df.select(id_col), pairs, id_col)
     return comp.select(

@@ -63,7 +63,7 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (τ=0.2) via inverted-index
     self-join — the verification tier under MinHash/LSH."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = X.word_shingles(docs, "doc_id", "text", n=3)
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
     return X.jaccard_pairs(sh, "doc_id", threshold=0.2)
 
 
