@@ -374,3 +374,32 @@ def test_duplicated_gram_fraction_bounds(spark, sf_dir):
     assert by_id[1]["dup_frac"] == 1.0 and by_id[2]["dup_frac"] == 1.0
     assert by_id[3]["dup_frac"] == 0.0 and not by_id[3]["flagged"]
     assert by_id[1]["flagged"]
+
+
+def test_unigram_logprob_score_properties(spark, sf_dir):
+    """avg_logp <= 0 always; a uniform-vocabulary corpus scores exactly
+    log(1/V) per token; rarer-token docs score lower than common-token
+    docs; ppl = exp(-avg_logp)."""
+    import math
+
+    from usedcars_bigdata_spark.ext.text import unigram_logprob_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = unigram_logprob_score(docs, "doc_id", "text").collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["avg_logp"] <= 0
+        assert abs(r["ppl"] - round(math.exp(-r["avg_logp"]), 2)) < 0.02
+
+    uniform = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob_score(uniform, "doc_id", "text").collect()}
+    want = round(math.log(1 / 4), 4)
+    assert out[1]["avg_logp"] == want and out[2]["avg_logp"] == want
+
+    skewed = spark.createDataFrame(
+        [(1, "x x x x x x x x"), (2, "x x x x x x x y")], ["doc_id", "text"]
+    )
+    s = {r["doc_id"]: r["avg_logp"] for r in unigram_logprob_score(skewed, "doc_id", "text").collect()}
+    assert s[2] < s[1]  # the doc containing the rare token scores lower

@@ -579,3 +579,46 @@ def mixture_sample(
         bucket.alias("bucket"),
         (F.col("bucket") < thr).alias("kept"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Language-model quality filtering, unigram form (the shape of
+    CCNet's KenLM-perplexity gate, Wenzek et al. 2020, with the corpus
+    itself as the model): score each document by the mean log-probability
+    of its tokens under the corpus unigram distribution. Gibberish /
+    rare-token-dense documents score far below the mode and are the
+    standard first cut before an external LM refines the ranking.
+
+    Two corpus passes, both partial-aggregated: (1) token counts — the
+    1-row corpus total joins back via a broadcast; (2) each document's
+    tokens equi-join the probability table and average. Both joins key on
+    xxhash64(token), never the token string (the fixed-width-shuffle-key
+    rule; collisions merge two tokens' counts, noise for a statistical
+    filter, and the string-keyed oracle certifies harness scale).
+
+    Output: (id, n_tokens, avg_logp, ppl) — ppl = exp(-avg_logp), the
+    unigram perplexity of the document."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t")
+    ).select(F.col(id_col), F.xxhash64("__t").alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = counts.agg(F.sum("n_tok").alias("n_total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("n_tok") / F.col("n_total")).alias("logp")
+    )
+    per_doc = (
+        toks.join(probs, on="tok")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.avg("logp").alias("__alp"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("__alp"), ndigits).alias("avg_logp"),
+        F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
+    )

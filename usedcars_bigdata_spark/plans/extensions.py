@@ -803,3 +803,31 @@ def ext_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul pass. Rows-only (data-dependent basis); isometry/variance-order
     properties tested in tests/test_ext_similarity.py."""
     return SIM.pca_project(load_table(spark, sf_dir, "embeddings"), k=16)
+
+
+@query(
+    "ext_unigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, count(*) AS n_tok FROM t GROUP BY tok
+    ), tot AS (
+      SELECT sum(n_tok) AS n_total FROM c
+    ), p AS (
+      SELECT tok, ln(n_tok * 1.0 / n_total) AS logp FROM c, tot
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(p.logp), 4) AS avg_logp,
+           round(exp(-avg(p.logp)), 2) AS ppl
+    FROM t JOIN p USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def ext_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score (ext.text.unigram_logprob_score)
+    — the CCNet-style perplexity gate with the corpus as its own unigram
+    model; Spark joins on hashed tokens, the oracle on token strings."""
+    return TX.unigram_logprob_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
