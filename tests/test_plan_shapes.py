@@ -155,3 +155,73 @@ def test_semantic_dedup_joins_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan  # declared vectorized assignment
     assert "BatchEvalPython" not in plan  # no row-at-a-time fallback
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS entry must plan a LEFT SEMI join with the
+    lineitem predicates pushed to the scan — the build side carries only
+    qualifying keys, never the full lineitem row set."""
+    plan = plan_of(QUERIES["rel_exists_lineitem"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters")[-1] if "PushedFilters" in plan else plan
+    assert "GreaterThan(l_discount" in plan
+    assert "GreaterThan(l_quantity" in plan
+
+
+def test_scalar_correlated_no_cartesian(spark, sf_dir):
+    """Q17 shape: the per-part threshold must come back via an equi-join on
+    the part key — no cartesian/NLJ blowup, and the brand filter must reach
+    the part scan."""
+    plan = plan_of(QUERIES["rel_scalar_correlated"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "In(p_brand" in plan  # brand IN-list pushed to the part scan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The partitioned-layout entry must read back only the filtered year:
+    the scan's PartitionFilters carries the o_year predicate, so at scale
+    only one year's directories are planned."""
+    import os
+    import tempfile
+
+    QUERIES["rel_partitioned_prune"](spark, sf_dir).collect()  # writes layout
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"usedcars_partitioned_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1996)
+    plan = plan_of(back.groupBy("o_orderpriority").count())
+    part_meta = plan.split("PartitionFilters")[-1]
+    assert "o_year" in part_meta.split("]")[0]
+    # partition layout on disk: one directory per year, one file each
+    years = [d for d in os.listdir(out) if d.startswith("o_year=")]
+    assert len(years) >= 5
+    for d in years:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"small-files guard violated in {d}"
+
+
+def test_jsonl_roundtrip_preserves_text(spark, sf_dir):
+    """JSONL round-trip must be byte-lossless on the text payload (newline /
+    quote / unicode escaping) — checked row-for-row, not just via the
+    aggregated contract entry."""
+    import os
+    import tempfile
+
+    from usedcars_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = os.path.join(tempfile.gettempdir(), "usedcars_jsonl_fidelity_test")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id BIGINT, text STRING").json(out)
+    diff = (
+        docs.alias("a")
+        .join(back.alias("b"), "doc_id", "full_outer")
+        .filter(
+            F.col("a.text").isNull()
+            | F.col("b.text").isNull()
+            | (F.col("a.text") != F.col("b.text"))
+        )
+        .count()
+    )
+    assert diff == 0

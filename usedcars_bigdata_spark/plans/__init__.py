@@ -81,6 +81,13 @@ _CONTRACT_PRIORITY = [
     # streaming family (tumbling/sliding/session/microbatch) keeps driver
     # visibility for the surface
     "ts_stream_dedup",
+    # round-3 late additions (oracle-backed past-window; full pytest +
+    # full-range driver_sim coverage; rotate in next round): correlated
+    # subquery shapes and storage-layout round-trips
+    "rel_exists_lineitem",
+    "rel_scalar_correlated",
+    "rel_partitioned_prune",
+    "rel_jsonl_roundtrip",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

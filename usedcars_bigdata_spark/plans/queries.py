@@ -1506,6 +1506,180 @@ def rows_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated-subquery shapes (TPC-H Q4 / Q17 families)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_exists_lineitem",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderstatus = 'O'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_discount > 0.05
+                    AND l.l_quantity > 30)
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS correlated subquery): count open orders per
+    priority that have at least one heavily-discounted bulk lineitem.
+    Spark-first form: a LEFT SEMI join — Catalyst decorrelates EXISTS to
+    exactly this, so writing the semi join directly keeps one plan and one
+    shuffle on the join key. The lineitem predicate is applied BEFORE the
+    semi join (pushed to the scan), so the build side carries only
+    qualifying keys — at 100 TB the semi join's state is the qualifying-key
+    set, not the full lineitem table."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
+    )
+    qualifying = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") > 30))
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        J.semi(orders, qualifying, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@query(
+    "rel_scalar_correlated",
+    oracle="""
+    SELECT p.p_brand,
+           count(*) AS n_small_orders,
+           round(sum(l.l_extendedprice), 2) AS small_order_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+      AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+    """,
+)
+def rel_scalar_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery): revenue from lineitems
+    whose quantity is below half the per-part average, for three brands.
+    Spark-first decorrelation: (1) filter part to the brands (pushed to the
+    scan), (2) semi-restrict lineitem to those parts FIRST so the per-part
+    average is computed over only the needed keys — the classic Q17 rewrite
+    that turns a whole-table aggregate into one proportional to the
+    selected brands, (3) join the per-part threshold back on l_partkey.
+    Both the threshold agg and the final join hash on l_partkey, so AQE
+    reuses one exchange; no broadcast hint — part is only locally small."""
+    brands = ["Brand#11", "Brand#12", "Brand#13"]
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin(brands))
+        .select("p_partkey", "p_brand")
+    )
+    line = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    relevant = line.join(part, line.l_partkey == part.p_partkey).drop("p_partkey")
+    thresholds = relevant.groupBy("l_partkey", "p_brand").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        relevant.join(thresholds, ["l_partkey", "p_brand"])
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_order_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Storage-layout round-trips (partitioned layout + row formats)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rel_partitioned_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-layout round-trip with partition pruning: write orders
+    as year-partitioned parquet (repartitioned by the partition column
+    first, so each Hive partition gets one writer task and one file — the
+    small-files guard that matters at 100 TB), read it back, and aggregate
+    one year. The read-back filter is on the PARTITION column, so the scan
+    plans only the 1996 directory (PartitionFilters, asserted in
+    tests/test_plan_shapes.py) — at scale this is the difference between
+    scanning one year and scanning the whole table. Overwrite mode keeps
+    the entry idempotent across driver replays."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"usedcars_partitioned_orders_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    (
+        orders.repartition("o_year")
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("o_year") == 1996)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "rel_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(length(text)) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip (the interchange format most raw text corpora
+    arrive in): write documents as JSONL, read back with an EXPLICIT schema
+    (schema inference is a full extra pass over 100 TB — never in
+    production paths), and aggregate per language. Equality with the
+    parquet-sourced oracle proves the round-trip is lossless for the text
+    payload (JSON escaping of newlines/quotes/unicode included). Overwrite
+    mode keeps the entry idempotent."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"usedcars_jsonl_docs_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema("doc_id BIGINT, lang STRING, text STRING").json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rows-only queries (nondeterministic or engine-specific semantics)
 # ---------------------------------------------------------------------------
 
