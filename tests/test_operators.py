@@ -240,3 +240,67 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         # duplicate right timestamps per key make the match ambiguous in
         # both engines; skip those (none with this seed, guarded anyway)
         assert g == w, (row["key"], row["lts"], g, w)
+
+
+def test_interval_join_matches_naive_nonequi(spark, sf_dir):
+    """Banded interval_join vs the naive non-equi join, row-for-row —
+    including overlapping intervals (one value in several bands) and
+    values outside every band (dropped)."""
+    from usedcars_bigdata_spark.operators import joins as J
+
+    vals = spark.createDataFrame(
+        [(float(v),) for v in [0, 50, 100, 149, 150, 151, 300, 999, 1000, 5000]],
+        "v DOUBLE",
+    )
+    bands = spark.createDataFrame(
+        [(1, 0, 150), (2, 100, 300), (3, 280, 900)], "band_id INT, lo INT, hi INT"
+    )
+    banded = J.interval_join(vals, "v", bands, "lo", "hi", bucket_width=100)
+    naive = vals.join(
+        bands, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+    )
+    key = lambda r: (r["v"], r["band_id"])
+    assert sorted(map(key, banded.collect())) == sorted(map(key, naive.collect()))
+    # overlap: v=149 matches bands 1 and 2; out-of-range: 999/1000/5000 drop
+    got = sorted(r["band_id"] for r in banded.filter(F.col("v") == 149).collect())
+    assert got == [1, 2]
+    assert banded.filter(F.col("v") >= 999).count() == 0
+
+
+def test_merge_upsert_semantics(spark):
+    """Update-wins, insert-new, pass-through, and NULL-setting updates (the
+    case coalesce-based merges get wrong)."""
+    from usedcars_bigdata_spark.operators import joins as J
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k INT, s STRING, x DOUBLE"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", None), (9, "new", 90.0)], "k INT, s STRING, x DOUBLE"
+    )
+    out = {r["k"]: (r["s"], r["x"]) for r in J.merge_upsert(base, updates, ["k"]).collect()}
+    assert out == {
+        1: ("a", 10.0),       # pass-through
+        2: ("B", None),       # update wins, NULL honored (not coalesced away)
+        3: ("c", 30.0),       # pass-through
+        9: ("new", 90.0),     # insert
+    }
+
+
+def test_geomean_udaf_matches_native(spark, sf_dir):
+    """GROUPED_AGG pandas UDAF vs the native exp(avg(ln)) rewrite — same
+    values to float tolerance on the real orders table."""
+    from usedcars_bigdata_spark.functions.grouped import geomean, geomean_native
+
+    orders = load_table(spark, sf_dir, "orders")
+    udaf = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.groupBy("o_orderpriority").agg(geomean("o_totalprice").alias("g")).collect()
+    }
+    native = {
+        r["o_orderpriority"]: r["g"]
+        for r in orders.groupBy("o_orderpriority").agg(geomean_native("o_totalprice").alias("g")).collect()
+    }
+    assert udaf.keys() == native.keys()
+    for k in udaf:
+        assert abs(udaf[k] - native[k]) / native[k] < 1e-9

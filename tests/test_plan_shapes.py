@@ -225,3 +225,22 @@ def test_jsonl_roundtrip_preserves_text(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_range_join_avoids_nested_loop(spark, sf_dir):
+    """The banded range join must plan a hash equi-join on the bucket id —
+    never BroadcastNestedLoopJoin/CartesianProduct (the naive non-equi
+    plan)."""
+    plan = plan_of(QUERIES["rel_range_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it is still a join, on the integer bucket key
+
+
+def test_merge_upsert_single_plan(spark, sf_dir):
+    """The MERGE entry is one DataFrame plan: a full-outer hash join on the
+    key, no Python eval, no cartesian blowup."""
+    plan = plan_of(QUERIES["rel_merge_upsert"](spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -108,6 +108,86 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    value_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Range join: left rows matched to every interval with
+    ``lo <= value <= hi`` (intervals may overlap — a row can match several).
+
+    A naive non-equi join plans BroadcastNestedLoopJoin — O(rows ×
+    intervals) compares, and a driver-sized build side at 100 TB. The
+    scalable idiom used here is BANDING: explode each interval into the
+    fixed-width buckets it covers, bucket the left side's value the same
+    way, equi-join on the bucket id, then refine with the exact BETWEEN
+    predicate. The join becomes a hash join on an integer key: left rows
+    hash once, and the exploded interval side grows only by
+    O(intervals × span/bucket_width) — choose ``bucket_width`` near the
+    median interval span so most intervals cover a handful of buckets.
+    (Same trick behind Spark's SQL range-join hints in Databricks runtime
+    and interval joins in KDB/Flink.)
+
+    Inner-join semantics only: an unmatched left row has no bucket match
+    to preserve.
+    """
+    w = float(bucket_width)
+    exploded = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    bucketed = left.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    refined = (
+        bucketed.join(exploded, "__bucket")
+        .filter(
+            (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+        )
+        .drop("__bucket")
+    )
+    return refined
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Batch CDC MERGE (upsert): rows of ``updates`` replace same-key rows
+    of ``base``; update keys absent from ``base`` are inserted; all other
+    base rows pass through. The Delta/Iceberg ``MERGE WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT`` shape as a pure DataFrame plan.
+
+    Form: full-outer join on the keys + per-column "update row wins"
+    resolution driven by a presence marker (NOT coalesce on the value
+    columns — an update that legitimately sets a value to NULL must win,
+    so precedence keys off row presence, not value nullness). One shuffle
+    per side on the merge key; at scale, partition the target by a stable
+    key so the rewrite touches only affected partitions (copy-on-write).
+    ``updates`` must be key-unique (enforce upstream with dedup) — dup keys
+    would fan out the join.
+    """
+    marked = updates.withColumn("__upd", F.lit(1))
+    joined = base.alias("__b").join(marked.alias("__u"), list(keys), "full_outer")
+    is_upd = F.col("__u.__upd").isNotNull()
+    out_cols = []
+    for c in base.columns:
+        if c in keys:
+            out_cols.append(F.col(c))
+        elif c in updates.columns:
+            out_cols.append(
+                F.when(is_upd, F.col(f"__u.{c}")).otherwise(F.col(f"__b.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__b.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
 def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """EXISTS: rows of left with a match — right side never widens the row."""
     return left.join(right, on=on, how="left_semi")

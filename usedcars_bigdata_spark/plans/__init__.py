@@ -88,6 +88,9 @@ _CONTRACT_PRIORITY = [
     "rel_scalar_correlated",
     "rel_partitioned_prune",
     "rel_jsonl_roundtrip",
+    "rel_range_join",
+    "rel_merge_upsert",
+    "rel_pandas_udaf_geomean",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

@@ -1679,6 +1679,122 @@ def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Overlapping price bands for the banded range join (widths roughly double,
+# adjacent bands overlap — a genuine interval join, not a bucketization).
+_PRICE_BANDS: list[tuple[int, int, int]] = [
+    (1, 0, 2000),
+    (2, 1500, 5000),
+    (3, 4000, 12000),
+    (4, 10000, 30000),
+    (5, 25000, 70000),
+    (6, 60000, 150000),
+    (7, 120000, 300000),
+    (8, 250000, 520000),
+]
+
+
+@query(
+    "rel_range_join",
+    oracle="""
+    SELECT band_id,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS band_revenue
+    FROM orders
+    JOIN (VALUES {bands}) AS bands(band_id, lo, hi)
+      ON o_totalprice BETWEEN lo AND hi
+    GROUP BY band_id
+    """.format(
+        bands=", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)
+    ),
+)
+def rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: orders matched into overlapping price bands
+    via operators.joins.interval_join — the banding rewrite (explode each
+    interval into covering fixed-width buckets, hash-join on the bucket id,
+    refine with BETWEEN) instead of the BroadcastNestedLoopJoin a naive
+    non-equi join plans. Plan-asserted in tests/test_plan_shapes.py: no
+    NLJ/cartesian anywhere. At 100 TB the fact side hashes once on an int
+    key; the interval side grows only by intervals × span/width."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band_id INT, lo INT, hi INT")
+    matched = J.interval_join(
+        orders, "o_totalprice", bands, "lo", "hi", bucket_width=10000
+    )
+    return matched.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_revenue"),
+    )
+
+
+@query(
+    "rel_merge_upsert",
+    oracle="""
+    WITH upd AS (
+        SELECT o_orderkey
+                 + CASE WHEN o_orderkey % 8 = 0 THEN 10000000 ELSE 0 END
+                 AS o_orderkey,
+               'U' AS o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 4 = 0
+    )
+    SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL
+                THEN u.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+    FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    """,
+)
+def rel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch CDC MERGE (operators.joins.merge_upsert): a deterministic
+    change set derived from orders — every 4th key carries a repriced 'U'
+    row; every 8th is re-keyed past the live range so it inserts instead of
+    updating — merged with update-wins semantics. The full merged table is
+    returned so the oracle hash-checks updates, inserts, and pass-throughs
+    row-for-row. This is the Delta/Iceberg MERGE shape as one DataFrame
+    plan: full-outer hash join on the key + presence-marker resolution."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            (
+                F.col("o_orderkey")
+                + F.when(F.col("o_orderkey") % 8 == 0, 10000000).otherwise(0)
+            ).alias("o_orderkey"),
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        )
+    )
+    return J.merge_upsert(orders, updates, ["o_orderkey"])
+
+
+@query(
+    "rel_pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: per-priority geometric mean through a
+    GROUPED_AGG pandas_udf (functions.grouped.geomean — the group column
+    arrives as one Arrow batch). Deliberately a decomposable aggregate so
+    the docstring cost note is honest: the native rewrite exp(avg(ln)) is
+    the production path (partial-aggregates JVM-side; the UDAF moves whole
+    group columns through the shuffle), and row-for-row parity between the
+    two is asserted in tests/test_operators.py."""
+    from ..functions.grouped import geomean
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(geomean("o_totalprice"), 4).alias("geo_price")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (nondeterministic or engine-specific semantics)
 # ---------------------------------------------------------------------------
