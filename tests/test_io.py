@@ -87,10 +87,13 @@ def test_create_dataframe_paths(spark):
 
 def test_load_table_vanilla_session(spark, sf_dir):
     """The driver contract hands load_table a PLAIN SparkSession (no
-    get_session confs). nanosAsLong must be set inside load_table itself or
-    every events read dies with PARQUET_TYPE_ILLEGAL (round-1 root cause of
-    7 red CORRECTNESS rows). newSession() gives a fresh SQL-conf scope on
-    the shared context — same isolation the driver's own session has."""
+    get_session confs). load_table must normalize events.ts to a micros
+    TimestampType by itself under that session, whichever physical layout
+    the harness generated (INT64 nanos needing runtime nanosAsLong —
+    round-1 root cause of 7 red CORRECTNESS rows — or native micros NTZ,
+    which round 3's regenerated testdata ships). newSession() gives a
+    fresh SQL-conf scope on the shared context — same isolation the
+    driver's own session has."""
     plain = spark.newSession()
     # get_session() sets the conf at builder time, which newSession may
     # inherit as a default — unset explicitly so this session matches the
@@ -102,6 +105,14 @@ def test_load_table_vanilla_session(spark, sf_dir):
     ev = load_table(plain, sf_dir, "events")
     assert ev.schema["ts"].dataType.simpleString() == "timestamp"
     assert ev.limit(10).count() == 10
+    # wall-clock parity with what the oracle engine reads from the file
+    import duckdb
+
+    want = duckdb.sql(
+        f"select min(ts), max(ts) from '{sf_dir}/events.parquet'"
+    ).fetchone()
+    got = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert [str(v) for v in got] == [str(v) for v in want]
 
 
 def test_normalized_events_push_ts_predicates(spark, sf_dir, tmp_path):

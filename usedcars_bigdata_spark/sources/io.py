@@ -111,14 +111,20 @@ def normalize_timestamps_ingest(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness testdata table (TESTDATA.md) by name.
 
-    Columns written as INT64 TIMESTAMP(NANOS) (e.g. events.ts) surface as
-    longs under ``nanosAsLong`` and are converted here to microsecond
-    timestamps (truncating, matching Arrow/DuckDB ns→us).
+    Timestamp columns (e.g. events.ts) are normalized to the declared
+    micros TimestampType regardless of how the harness generated the file
+    — generators have shipped BOTH layouts across rounds:
 
-    ``nanosAsLong`` is set HERE, at runtime, not only in ``get_session()``:
-    callers (e.g. the driver harness) hand us plain SparkSessions, and
-    without the conf the scan dies with PARQUET_TYPE_ILLEGAL. It is a
-    runtime-settable SQL conf, so ``spark.conf.set`` is sufficient."""
+    - INT64 TIMESTAMP(NANOS): surfaces as long under ``nanosAsLong``
+      (set here at runtime because callers — e.g. the driver harness —
+      hand us plain SparkSessions; without it the scan dies with
+      PARQUET_TYPE_ILLEGAL) and is truncated to micros, matching
+      Arrow/DuckDB ns→us.
+    - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): surfaces natively
+      as TIMESTAMP_NTZ and is cast to TimestampType. Engine sessions pin
+      UTC (session.py), where the cast is epoch-preserving; the naive
+      wall-clock value is identical to what the DuckDB oracle reads
+      either way."""
     if name not in TESTDATA:
         raise KeyError(f"unknown testdata table {name!r}; have {sorted(TESTDATA)}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -126,10 +132,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     want = TESTDATA.get(name)
     if want is not None:
         for field in want.fields:
-            if isinstance(field.dataType, T.TimestampType) and isinstance(
-                df.schema[field.name].dataType, T.LongType
-            ):
+            if not isinstance(field.dataType, T.TimestampType):
+                continue
+            actual = df.schema[field.name].dataType
+            if isinstance(actual, T.LongType):
                 df = df.withColumn(
                     field.name, F.timestamp_micros(F.expr(f"{field.name} div 1000"))
                 )
+            elif isinstance(actual, T.TimestampNTZType):
+                df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df

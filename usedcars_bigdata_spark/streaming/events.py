@@ -19,10 +19,17 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..schemas import TESTDATA
 
-# File-source schema: events.ts is INT64 nanos in the harness parquet and
-# surfaces as long under nanosAsLong (see sources/io.py).
-_EVENTS_FILE_SCHEMA = (
+# File-source schemas: the harness has generated events.ts as INT64
+# TIMESTAMP(NANOS) (surfaces as long under nanosAsLong — see sources/io.py)
+# in earlier rounds and as native INT64 micros NTZ since round 3. Streaming
+# file sources need an explicit schema, so probe the file's surfaced type
+# with a one-off batch read and pick the matching schema + conversion.
+_EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+_EVENTS_SCHEMA_MICROS = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -32,14 +39,26 @@ def read_event_stream(
     max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Streaming file source over a directory of events parquet files.
-    (File sources take a directory; ``glob`` selects the event files within.)"""
+    (File sources take a directory; ``glob`` selects the event files within.)
+
+    ts is normalized to a micros TimestampType whichever physical layout
+    the files carry, so every downstream transformation (and its batch
+    twin) sees one schema."""
+    import os
+
+    probe = spark.read.parquet(os.path.join(directory, glob)).schema["ts"]
+    nanos = probe.dataType.simpleString() == "bigint"
     raw = (
-        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(
+            _EVENTS_SCHEMA_NANOS if nanos else _EVENTS_SCHEMA_MICROS
+        )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", glob)
         .parquet(directory)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_counts(
