@@ -403,3 +403,72 @@ def test_unigram_logprob_score_properties(spark, sf_dir):
     )
     s = {r["doc_id"]: r["avg_logp"] for r in unigram_logprob_score(skewed, "doc_id", "text").collect()}
     assert s[2] < s[1]  # the doc containing the rare token scores lower
+
+
+def test_inverted_index_cap_and_counts(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = TX.inverted_index(docs, "doc_id", "text", postings_cap=5, min_docs=1)
+    rows = idx.collect()
+    assert rows, "index must be non-empty"
+    for r in rows:
+        assert 1 <= len(r["postings"]) <= 5
+        assert r["postings"] == sorted(r["postings"])  # smallest ids, sorted
+        assert r["n_docs"] >= len(r["postings"])
+    # spot-check one token's true document frequency against a direct count
+    tok = rows[0]["token"]
+    from pyspark.sql import functions as F
+
+    direct = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("t"), "doc_id")
+        .filter(F.col("t") == tok)
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_docs"] == direct
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs, "doc_id", "text", k=3).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc) == docs.count()  # every doc has tokens in this corpus
+    for doc_rows in per_doc.values():
+        ranks = sorted(r["rank"] for r in doc_rows)
+        assert ranks == list(range(1, len(doc_rows) + 1)) and len(doc_rows) <= 3
+        by_rank = sorted(doc_rows, key=lambda r: r["rank"])
+        scores = [r["tfidf"] for r in by_rank]
+        assert scores == sorted(scores, reverse=True)  # descending in rank order
+
+
+def test_tfidf_golden(spark):
+    # 2 docs; "rare" only in doc 1 and twice there -> its top term
+    df = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common common other")],
+        "doc_id long, text string",
+    )
+    top = {
+        r["doc_id"]: r["token"]
+        for r in TX.tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    }
+    assert top[1] == "rare"
+    # doc 2: "other" (df=1) beats "common" (df=2) despite lower tf? tf=2*ln(3/3)=0
+    assert top[2] == "other"
+
+
+def test_group_cap_sample_bounds_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = TX.group_cap_sample(docs, "doc_id", "lang", cap=7)
+    counts = {r["lang"]: r["n"] for r in a.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    group_sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    for lang, n in counts.items():
+        assert n == min(7, group_sizes[lang])
+    # deterministic and layout-independent: same ids after a repartition
+    ids_a = sorted(r["doc_id"] for r in a.collect())
+    ids_b = sorted(
+        r["doc_id"]
+        for r in TX.group_cap_sample(docs.repartition(13), "doc_id", "lang", cap=7).collect()
+    )
+    assert ids_a == ids_b

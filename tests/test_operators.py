@@ -304,3 +304,24 @@ def test_geomean_udaf_matches_native(spark, sf_dir):
     assert udaf.keys() == native.keys()
     for k in udaf:
         assert abs(udaf[k] - native[k]) / native[k] < 1e-9
+
+
+def test_resample_gap_fill_dense_and_conserving(spark, sf_dir):
+    from usedcars_bigdata_spark.operators.timeseries import resample_gap_fill
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    out = resample_gap_fill(events, "ts", "event_type", "value")
+    n_keys = events.select("event_type").distinct().count()
+    span = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).first()
+    n_buckets = int((span["hi"] - span["lo"]).total_seconds() // 3600) + 1
+    assert out.count() == n_keys * n_buckets  # dense by construction
+    # aggregate conservation: every event lands in exactly one bucket
+    assert out.agg(F.sum("n_events")).first()[0] == events.count()
+    # gap rows are genuinely zero-filled, not null
+    gaps = out.filter(F.col("n_events") == 0)
+    assert gaps.filter(F.col("sum_value").isNull()).count() == 0

@@ -581,6 +581,135 @@ def mixture_sample(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    postings_cap: int = 20,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Distributed inverted-index build: token → document frequency plus a
+    CAPPED, sorted postings sample (the ``postings_cap`` smallest doc ids)
+    — the index layer under corpus search, contamination lookups, and
+    targeted dedup.
+
+    The cap is structural, not cosmetic: an uncapped
+    ``collect_list(doc_id)`` puts a stopword's entire corpus-wide postings
+    into ONE aggregation buffer (gigabytes for a common token at 100 TB).
+    Instead rows are ranked per token (row_number over doc id) and
+    filtered to the cap BEFORE the collect, so no aggregation buffer ever
+    holds more than ``postings_cap`` entries; the true document frequency
+    is counted separately on the uncut (token, doc) set. The rank window
+    shuffles one row per distinct (token, doc) — the same key the count
+    needs anyway. Skewed tokens concentrate a window partition; at corpus
+    scale the standard refinement is a two-level min-k (per-salt min-k,
+    then merge), same output contract.
+
+    Output: (token, n_docs, postings) with postings sorted ascending."""
+    pairs = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(_words(text_col)).alias("token"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    ranked = pairs.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy("token").orderBy("__doc")),
+    ).filter(F.col("__rn") <= postings_cap)
+    postings = ranked.groupBy("token").agg(
+        F.array_sort(F.collect_list("__doc")).alias("postings")
+    )
+    return (
+        counts.filter(F.col("n_docs") >= min_docs)
+        .join(postings, "token")
+        .select("token", "n_docs", "postings")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms, pure DataFrame ops (no MLlib, no
+    fixed-width hashing — exact terms): tf = in-doc occurrences, idf =
+    ln((N+1)/(df+1)) with the +1 smoothing that keeps corpus-wide terms
+    finite. The keyword-extraction / topic-labeling primitive.
+
+    Shape: explode → per-(doc, token) counts (map-side combinable) →
+    token document frequencies (second aggregate over the same rows) →
+    equi-join tf with df keyed on the token (both sides already
+    aggregated — the join moves vocabulary-sized, not corpus-sized,
+    data) → per-doc top-k via row_number (ties broken by token text so
+    the selected set is deterministic). N is a 1-row aggregate joined by
+    broadcast.
+
+    Output: (id, token, tf, df, tfidf, rank)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)), ndigits
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def group_cap_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Deterministic per-group downsampling to at most ``cap`` rows — the
+    "no source dominates the corpus" quota step of a data mixture. Rows
+    are ranked inside each group by a salted content-independent md5 of
+    the id (a fixed random permutation of the group, stable under
+    re-runs, appends, and repartitioning — unlike sample(), whose draws
+    move with partition layout) and kept while rank ≤ cap.
+
+    One shuffle on the group key for the rank window; md5 (not xxhash64)
+    keeps the permutation engine-portable for the oracle. Groups are
+    assumed plural but each MUCH smaller than the corpus (they're
+    sources/domains); a group so large its window partition skews is the
+    signal to pre-filter with mixture_sample (rate-based, zero-shuffle)
+    before the exact cap.
+
+    Output: (id, group, sample_rank) for the kept rows."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), F.col(group_col), F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     id_col: str,

@@ -91,6 +91,13 @@ _CONTRACT_PRIORITY = [
     "rel_range_join",
     "rel_merge_upsert",
     "rel_pandas_udaf_geomean",
+    # round-3 latest additions (oracle-backed past-window; full pytest +
+    # full-range driver_sim coverage; rotate in next round): search-index /
+    # keyword / quota-sampling corpus ops and dense event-time resampling
+    "ext_inverted_index",
+    "ext_tfidf_top_terms",
+    "ext_group_cap_sample",
+    "ts_resample_gap_fill",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

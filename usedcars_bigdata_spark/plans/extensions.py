@@ -831,3 +831,93 @@ def ext_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the CCNet-style perplexity gate with the corpus as its own unigram
     model; Spark joins on hashed tokens, the oracle on token strings."""
     return TX.unigram_logprob_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "ext_inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, count(*) AS n_docs,
+           (list_sort(list(doc_id)))[1:20] AS postings
+    FROM t
+    GROUP BY token
+    HAVING count(*) >= 2
+    """,
+)
+def ext_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (ext.text.inverted_index): token -> document
+    frequency + the 20 smallest doc ids as a capped postings sample. The
+    cap is applied by rank BEFORE collect_list so no aggregation buffer
+    ever holds a stopword's full corpus postings; the oracle slices the
+    same 20-smallest prefix off a sorted DuckDB list."""
+    return TX.inverted_index(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        postings_cap=20,
+        min_docs=2,
+    )
+
+
+@query(
+    "ext_tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2
+    ), dfq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+             round(tf.tf * ln((n.n + 1) * 1.0 / (dfq.df + 1)), 4) AS tfidf
+      FROM tf JOIN dfq USING (token), n
+    )
+    SELECT * FROM (
+      SELECT doc_id, token, tf, df, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS "rank"
+      FROM scored
+    ) WHERE "rank" <= 3
+    """,
+)
+def ext_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (ext.text.tfidf_top_terms), exact
+    terms via two aggregates + a vocabulary-sized join — no fixed-width
+    feature hashing. Ordering (and thus the top-k cut) uses the ROUNDED
+    score on both engines so cross-engine ULP noise in ln() cannot flip
+    ranks; remaining ties break on the token text."""
+    return TX.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3
+    )
+
+
+@query(
+    "ext_group_cap_sample",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 50
+    """,
+)
+def ext_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (ext.text.group_cap_sample): keep at most 50
+    docs per language, chosen by a salted md5 permutation of the id —
+    deterministic under re-runs, appends, and repartitioning, unlike
+    sample() whose draws move with partition layout. Complements
+    ext_mixture_sample (rate-based) with an exact per-group ceiling."""
+    return TX.group_cap_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "lang", cap=50
+    )

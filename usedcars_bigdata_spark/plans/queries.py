@@ -25,6 +25,7 @@ from ..operators import joins as J
 from ..operators import sample as R
 from ..operators import setops as S
 from ..operators import sort as O
+from ..operators import timeseries as TS
 from ..operators import window as W
 from ..sources import load_table
 from .registry import query
@@ -1000,6 +1001,46 @@ def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ts_resample_gap_fill",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             count(*) AS n, round(sum(value), 2) AS s
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ), axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+             AS bucket_start
+      FROM span
+    ), keys AS (
+      SELECT DISTINCT event_type FROM events
+    )
+    SELECT k.event_type, a.bucket_start,
+           coalesce(g.n, 0) AS n_events,
+           coalesce(g.s, 0.0) AS sum_value
+    FROM keys k
+    CROSS JOIN axis a
+    LEFT JOIN agg g
+      ON g.event_type = k.event_type AND g.bucket_start = a.bucket_start
+    """,
+)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-type hourly resample with zero-filled gaps
+    (operators.timeseries.resample_gap_fill): the irregular event stream
+    becomes a fixed-step series where missing buckets are explicit zero
+    rows — the event-time counterpart ts_tumbling_hourly lacks (its
+    output has holes). One stream-sized shuffle (the pre-aggregation);
+    the dense (key x bucket) grid is built from 1-row span + distinct
+    keys and broadcast onto the aggregates."""
+    return TS.resample_gap_fill(
+        load_table(spark, sf_dir, "events"), "ts", "event_type", "value"
+    )
 
 
 @query(
