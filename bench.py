@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     "ext_boilerplate_ngrams",
     "ext_dup_gram_fraction",
     "ext_semantic_dedup",
+    "ext_inverted_index",
+    "ext_tfidf_top_terms",
+    "ext_group_cap_sample",
+    "ts_resample_gap_fill",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

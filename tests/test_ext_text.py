@@ -472,3 +472,37 @@ def test_group_cap_sample_bounds_and_determinism(spark, sf_dir):
         for r in TX.group_cap_sample(docs.repartition(13), "doc_id", "lang", cap=7).collect()
     )
     assert ids_a == ids_b
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    # 100 tokens, chunk 64 / stride 48 -> starts at 1, 49, 97
+    words = " ".join(f"w{i}" for i in range(1, 101))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(
+        TX.chunk_documents(df, "doc_id", "text", chunk_size=64, stride=48).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [64, 52, 4]
+    assert rows[0]["chunk_text"].startswith("w1 ") and rows[0]["chunk_text"].endswith(" w64")
+    assert rows[1]["chunk_text"].startswith("w49 ")  # overlap of 16 with chunk 0
+    assert rows[2]["chunk_text"] == "w97 w98 w99 w100"
+    # reconstruction: the union of chunk tokens covers every token
+    seen = set()
+    for r in rows:
+        seen.update(r["chunk_text"].split())
+    assert len(seen) == 100
+
+
+def test_quality_percentile_gate_exact_vs_approx(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = TX.quality_percentile_gate(docs, "doc_id", "text", pct=0.25, exact=True)
+    approx = TX.quality_percentile_gate(docs, "doc_id", "text", pct=0.25, exact=False)
+    n = docs.count()
+    n_exact, n_approx = exact.count(), approx.count()
+    # gate keeps roughly the top 75%; both forms within a loose band
+    assert 0.6 * n <= n_exact <= 0.95 * n
+    # sketch threshold may differ slightly -> kept-set sizes stay close
+    assert abs(n_exact - n_approx) <= 0.1 * n
+    thr = exact.select("threshold").first()[0]
+    assert all(r["quality_score"] >= thr for r in exact.collect())

@@ -325,3 +325,37 @@ def test_resample_gap_fill_dense_and_conserving(spark, sf_dir):
     # gap rows are genuinely zero-filled, not null
     gaps = out.filter(F.col("n_events") == 0)
     assert gaps.filter(F.col("sum_value").isNull()).count() == 0
+
+
+def test_zscore_outliers_matches_manual(spark):
+    from usedcars_bigdata_spark.operators.timeseries import zscore_outliers
+
+    import statistics
+
+    vals = [1.0, 1.1, 0.9, 1.05, 0.95, 50.0]  # one wild outlier
+    rows = [(i, "a", v) for i, v in enumerate(vals)] + [(99, "b", 7.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = zscore_outliers(df, "event_type", "value", "event_id", threshold=2.0).collect()
+    # group b is constant-free but single-valued: stddev_samp undefined -> no rows
+    assert all(r["event_type"] == "a" for r in got)
+    m, sd = statistics.mean(vals), statistics.stdev(vals)
+    expect = {i for i, v in enumerate(vals) if abs((v - m) / sd) >= 2.0}
+    assert {r["event_id"] for r in got} == expect
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    approx = {
+        r["l_returnflag"]: r
+        for r in QUERIES["rel_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in QUERIES["rel_count_distinct"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        for c in ["n_l_orderkey", "n_l_partkey", "n_l_suppkey"]:
+            rel = abs(approx[flag][c] - e[c]) / max(e[c], 1)
+            assert rel <= 0.08, (flag, c, approx[flag][c], e[c])

@@ -710,6 +710,88 @@ def group_cap_sample(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    sequence into ``chunk_size``-token windows every ``stride`` tokens
+    (overlap = chunk_size - stride) — the context-window preparation step
+    between curation and sequence packing.
+
+    The token array is projected ONCE per row (the hoist `_gram_array`
+    originally missed — see ext/dedup.py:73); the explode then fans each
+    doc out to ceil(n/stride) chunk rows with no shuffle anywhere — chunk
+    extraction is embarrassingly parallel and scales with input bytes.
+    Every window start in sequence(1, n, stride) is emitted, including a
+    final short window even when the tail is covered by the previous
+    chunk — trailing dedup is a caller policy, not baked in here.
+
+    Output: (id, chunk_id, n_tokens, chunk_text)."""
+    base = (
+        df.select(F.col(id_col), _words(text_col).alias("__w"))
+        .withColumn("__n", F.size("__w"))
+        .filter(F.col("__n") >= 1)
+    )
+    return base.select(
+        F.col(id_col),
+        "__w",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+        ).alias("__start"),
+    ).select(
+        F.col(id_col),
+        ((F.col("__start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("__start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice("__w", F.col("__start"), F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+    )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pct: float = 0.25,
+    exact: bool = False,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Relative quality curation: keep documents whose quality_score is at
+    or above the corpus's ``pct`` quantile — the adaptive alternative to
+    the fixed thresholds in curation_pipeline (a threshold tuned on one
+    corpus mix is wrong on the next).
+
+    The threshold is a 1-row aggregate broadcast onto the scored corpus,
+    so the only corpus-sized work is the scoring projection. ``exact``
+    picks the aggregation: percentile() moves every score through a
+    per-group sort (fine at test scale, the oracle-comparable form);
+    approx_percentile (default) is the scale path — a fixed-size
+    quantile sketch, map-side combinable, one tiny final merge.
+
+    Output: (id, quality_score, threshold) for kept docs."""
+    scored = quality_score(df, id_col, text_col).select(
+        id_col, "quality_score"
+    )
+    fn = "percentile" if exact else "approx_percentile"
+    thr = scored.agg(
+        F.round(F.expr(f"{fn}(quality_score, {pct})"), ndigits).alias(
+            "threshold"
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("threshold"))
+        .select(id_col, "quality_score", "threshold")
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     id_col: str,

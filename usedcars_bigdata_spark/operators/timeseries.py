@@ -76,3 +76,44 @@ def resample_gap_fill(
             F.coalesce("__sum", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier flagging: standardize each value against
+    its key's corpus-wide mean/stddev and keep |z| >= threshold — the
+    metric-anomaly primitive over an event stream.
+
+    Two passes over the key dimension, one over the stream: the per-key
+    moment aggregate is map-side combinable and key-cardinality-sized, so
+    it broadcasts back onto the stream — the stream itself never
+    shuffles. Keys with stddev 0 (constant series) produce no outliers by
+    definition rather than dividing by zero.
+
+    Output: (id, key, value, z) for flagged rows."""
+    stats = events.groupBy(F.col(key_col).alias("__k")).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    z_raw = (F.col(value_col) - F.col("__mean")) / F.col("__sd")
+    return (
+        events.join(
+            F.broadcast(stats), events[key_col] == F.col("__k"), "inner"
+        )
+        .filter(F.col("__sd") > 0)
+        # flag on the UNROUNDED z (matching any SQL replay); round only
+        # the reported value — a boundary row must not disagree with the
+        # oracle over rounding.
+        .filter(F.abs(z_raw) >= threshold)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.col(value_col),
+            F.round(z_raw, 4).alias("z"),
+        )
+    )

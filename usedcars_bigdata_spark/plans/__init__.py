@@ -98,6 +98,9 @@ _CONTRACT_PRIORITY = [
     "ext_tfidf_top_terms",
     "ext_group_cap_sample",
     "ts_resample_gap_fill",
+    "ext_doc_chunks",
+    "ext_quality_percentile",
+    "ts_zscore_anomaly",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

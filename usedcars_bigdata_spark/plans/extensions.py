@@ -921,3 +921,76 @@ def ext_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.group_cap_sample(
         load_table(spark, sf_dir, "documents"), "doc_id", "lang", cap=50
     )
+
+
+@query(
+    "ext_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, len(w) AS n,
+             unnest(generate_series(1, len(w), 48)) AS start
+      FROM t WHERE len(w) >= 1
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(least(64, n - start + 1) AS BIGINT) AS n_tokens,
+           array_to_string(w[start : start + 63], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def ext_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (ext.text.chunk_documents): 64-token
+    windows every 48 tokens. Token array projected once per row, explode
+    fans out chunk rows, zero shuffles — the context-window prep step
+    between curation and pack_shards."""
+    return TX.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        chunk_size=64,
+        stride=48,
+    )
+
+
+@query(
+    "ext_quality_percentile",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             round(len(list_filter(w, x -> x IN ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(w) * 0.5
+                   + least(len(w), 100) / 100.0 * 0.5, 4) AS quality_score
+      FROM t
+    ), thr AS (
+      SELECT round(quantile_cont(quality_score, 0.25), 4) AS threshold FROM s
+    )
+    SELECT doc_id, quality_score, threshold
+    FROM s, thr
+    WHERE quality_score >= threshold
+    """,
+)
+def ext_quality_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gate (ext.text.quality_percentile_gate): keep docs
+    at or above the corpus p25 quality score. This is the exact-percentile
+    oracle form (interpolation parity with DuckDB quantile_cont); the
+    production default is the approx_percentile sketch — same contract,
+    map-side combinable — exercised by ext_quality_percentile_approx."""
+    return TX.quality_percentile_gate(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", pct=0.25, exact=True
+    )
+
+
+@query("ext_quality_percentile_approx")
+def ext_quality_pct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ext_quality_percentile: approx_percentile quantile
+    sketch for the threshold. Rows-only (sketch values are
+    implementation-defined); the bound vs the exact gate is
+    property-tested in tests/test_ext_text.py."""
+    return TX.quality_percentile_gate(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", pct=0.25, exact=False
+    )

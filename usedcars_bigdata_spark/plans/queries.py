@@ -1044,6 +1044,51 @@ def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_zscore_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type AS k, avg(value) AS m, stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.m) / s.sd, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.k
+    WHERE s.sd > 0 AND abs((e.value - s.m) / s.sd) >= 2.5
+    """,
+)
+def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (operators.timeseries.zscore_outliers,
+    |z| >= 2.5): the key-cardinality-sized moment table broadcasts back
+    onto the stream, so the stream itself never shuffles. The flag filter
+    uses the UNROUNDED z on both engines (only the reported z is rounded)
+    so boundary rows can't disagree."""
+    return TS.zscore_outliers(
+        load_table(spark, sf_dir, "events"),
+        "event_type",
+        "value",
+        "event_id",
+        threshold=2.5,
+    )
+
+
+@query("rel_approx_count_distinct")
+def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct counts per group — the 100 TB form of
+    rel_count_distinct: a fixed-size sketch per (group, column), map-side
+    combinable, no shuffle of the distinct values themselves (exact
+    count-distinct expands rows per distinct column and shuffles them
+    all). Rows-only: sketch estimates are implementation-defined; the
+    relative-error bound vs the exact counts is property-tested in
+    tests/test_operators.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("n_l_orderkey"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_l_partkey"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("n_l_suppkey"),
+    )
+
+
+@query(
     "rel_asof_join",
     oracle="""
     SELECT l.event_id, l.user_id, l.ts,
