@@ -506,3 +506,21 @@ def test_quality_percentile_gate_exact_vs_approx(spark, sf_dir):
     assert abs(n_exact - n_approx) <= 0.1 * n
     thr = exact.select("threshold").first()[0]
     assert all(r["quality_score"] >= thr for r in exact.collect())
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    # two weight classes; heavy rows 100x weight -> dominate the sample
+    rows = [(i, 1000.0 if i < 50 else 10.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = TX.weighted_sample(df, "doc_id", "w", k=50)
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == 50
+    heavy = sum(1 for i in ids if i < 50)
+    assert heavy >= 30  # 50 heavy rows hold ~91% of total weight
+    # determinism incl. under repartition
+    again = [r["doc_id"] for r in TX.weighted_sample(df.repartition(7), "doc_id", "w", k=50).collect()]
+    assert ids == again
+    # zero/negative weights never selected
+    df2 = df.union(spark.createDataFrame([(900, 0.0), (901, -5.0)], "doc_id long, w double"))
+    ids2 = {r["doc_id"] for r in TX.weighted_sample(df2, "doc_id", "w", k=600).collect()}
+    assert 900 not in ids2 and 901 not in ids2

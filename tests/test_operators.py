@@ -359,3 +359,52 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
         for c in ["n_l_orderkey", "n_l_partkey", "n_l_suppkey"]:
             rel = abs(approx[flag][c] - e[c]) / max(e[c], 1)
             assert rel <= 0.08, (flag, c, approx[flag][c], e[c])
+
+
+def test_funnel_stages_golden(spark):
+    from usedcars_bigdata_spark.operators.timeseries import funnel_stages
+
+    # u1 completes the funnel in order; u2 clicked BEFORE viewing (click
+    # must not count); u3 only views.
+    rows = [
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 11:00:00"),
+        (1, "purchase", "2024-01-02 09:00:00"),
+        (2, "click", "2024-01-01 08:00:00"),
+        (2, "view", "2024-01-01 09:00:00"),
+        (3, "view", "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, ts) for u, t, ts in rows],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel_stages(df, "user_id", "event_type", "ts",
+                               ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_conserves_users(spark, sf_dir):
+    from usedcars_bigdata_spark.operators.timeseries import cohort_retention
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    ret = cohort_retention(events, "user_id", "ts")
+    # offset-0 row of each cohort counts exactly the cohort's members
+    week0 = {
+        r["cohort_week"]: r["n_users"]
+        for r in ret.filter(F.col("week_offset") == 0).collect()
+    }
+    cohort_sizes = {
+        r["cohort_week"]: r["n"]
+        for r in events.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert week0 == cohort_sizes
+    assert ret.filter(F.col("week_offset") < 0).count() == 0

@@ -833,3 +833,38 @@ def unigram_logprob_score(
         F.round(F.col("__alp"), ndigits).alias("avg_logp"),
         F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    salt: str = "ws",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis): each row draws u in (0, 1] from a salted md5
+    of its id and competes with key -ln(u)/w; the k smallest keys win.
+    Inclusion probability is proportional to weight, the draw is a pure
+    function of (salt, id) — stable under re-runs, appends, and
+    partition layout — and the whole selection is one
+    TakeOrderedAndProject: per-partition top-k heaps, k rows to the
+    driver side of the final merge, nothing global ever sorts.
+
+    u is quantized to 16 bits (the 4-hex-digit decode shared with
+    hash_split) and the key rounded to ``ndigits`` so any independent
+    replay (e.g. a SQL engine) ranks identically; residual ties break on
+    the id. Zero/negative weights are excluded (their true inclusion
+    probability is 0).
+
+    Output: (id, weight, sample_key), the k winners, smallest key first."""
+    hx = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    u = (F.conv(F.substring(hx, 1, 4), 16, 10).cast("long") + 1) / F.lit(65536.0)
+    key = F.round(-F.log(u) / F.col(weight_col), ndigits)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), key.alias("sample_key"))
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -117,3 +117,98 @@ def zscore_outliers(
             F.round(z_raw, 4).alias("z"),
         )
     )
+
+
+def funnel_stages(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+) -> DataFrame:
+    """Ordered funnel: how many users reached stage i — where "reached"
+    means an event of stage i's type AT OR AFTER that user's first
+    qualifying stage i-1 event (strict event-order funnel, not mere
+    set membership).
+
+    Each level is a user-keyed aggregate of the filtered stream; level
+    i+1 joins the stream to level i on the user key and min-reduces. All
+    joins and aggregates share ONE key (the user), so a single
+    repartition of events by user co-locates every stage at scale; each
+    intermediate is user-cardinality-sized, never stream-sized. The k
+    per-stage counts collapse into one job via union + aggregate (no
+    per-stage driver actions).
+
+    Output: (stage_idx, stage, n_users), one row per stage."""
+    levels = []
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    levels.append(
+        cur.select(
+            F.lit(0).cast("long").alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            F.col(user_col),
+        )
+    )
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (
+            events.filter(F.col(type_col) == st)
+            .alias("e")
+            .join(cur.alias("p"), on=user_col)
+            .filter(F.col(f"e.{ts_col}") >= F.col("p.__t"))
+            .groupBy(user_col)
+            .agg(F.min(f"e.{ts_col}").alias("__t"))
+        )
+        cur = nxt
+        levels.append(
+            cur.select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.col(user_col),
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("stage_idx", "stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; n_users counts how many of each cohort were active k weeks
+    later.
+
+    The first-seen table is user-cardinality-sized; the activity table is
+    pre-shrunk to distinct (user, week) BEFORE the join — the join moves
+    O(users x active-weeks), not O(events). Both stages key on the user,
+    so one repartition co-locates them at scale. Because activity rows
+    are distinct per (user, week), the final count(*) IS the distinct
+    user count — no count_distinct buffer.
+
+    Output: (cohort_week, week_offset, n_users)."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(user_col), F.date_trunc("week", F.col(ts_col)).alias("__wk")
+    ).distinct()
+    return (
+        active.join(first, on=user_col)
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("__wk"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

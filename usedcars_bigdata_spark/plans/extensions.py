@@ -994,3 +994,36 @@ def ext_quality_pct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_percentile_gate(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", pct=0.25, exact=False
     )
+
+
+@query(
+    "ext_weighted_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents WHERE n_chars > 0
+    ), u AS (
+      SELECT doc_id, n_chars,
+             (((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) + 1)
+             / 65536.0 AS u
+      FROM h
+    )
+    SELECT doc_id, n_chars, round(-ln(u) / n_chars, 6) AS sample_key
+    FROM u
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+)
+def ext_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (ext.text.weighted_sample,
+    Efraimidis-Spirakis): inclusion odds proportional to document length,
+    selection = one TakeOrderedAndProject over hash-derived keys — no
+    global sort, no sampling state. The oracle decodes the identical
+    salted 4-hex-digit draw and replays the race."""
+    return TX.weighted_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100
+    )

@@ -1071,6 +1071,76 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ts_funnel_stages",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1
+    )
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+           count(*) AS n_users FROM s0
+    UNION ALL
+    SELECT 1, 'click', count(*) FROM s1
+    UNION ALL
+    SELECT 2, 'purchase', count(*) FROM s2
+    """,
+)
+def ts_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel
+    (operators.timeseries.funnel_stages): stage i requires an event at or
+    after the user's first stage i-1 event. Every join/aggregate keys on
+    the user, so one repartition co-locates all stages; intermediates are
+    user-sized, never stream-sized."""
+    return TS.funnel_stages(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        ["view", "click", "purchase"],
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    oracle="""
+    WITH f AS (
+      -- DuckDB's week-truncation yields DATE; Spark's yields TIMESTAMP
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+             AS cohort_week
+      FROM events GROUP BY 1
+    ), a AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP)
+             AS wk
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                          CAST(a.wk AS DATE)) // 7 AS BIGINT) AS week_offset,
+           count(*) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def ts_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators.timeseries.cohort_retention):
+    activity is shrunk to distinct (user, week) BEFORE the user-keyed
+    join, so the join moves O(users x weeks), not O(events); the distinct
+    rows make the final count(*) a distinct-user count with no
+    count_distinct buffer."""
+    return TS.cohort_retention(
+        load_table(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
 @query("rel_approx_count_distinct")
 def rel_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts per group — the 100 TB form of
