@@ -144,3 +144,28 @@ def test_normalized_events_push_ts_predicates(spark, sf_dir, tmp_path):
     a = sorted(str(r) for r in base.select("event_id", "ts").collect())
     b = sorted(str(r) for r in filtered.select("event_id", "ts").collect())
     assert a == b
+
+
+def test_write_compacted_bounds_file_count(spark, sf_dir, tmp_path):
+    import glob as g
+
+    from usedcars_bigdata_spark.sources.io import write_compacted
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = li.count()
+    out = str(tmp_path / "compacted")
+    # target sized to force exactly 3 files
+    per_file = -(-n // 3)
+    write_compacted(li, out, target_rows_per_file=per_file)
+    files = g.glob(out + "/*.parquet")
+    assert len(files) == 3
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # partitioned form: directory layout preserved, counts conserved
+    out2 = str(tmp_path / "compacted_parts")
+    write_compacted(li, out2, target_rows_per_file=per_file,
+                    partition_by=["l_returnflag"])
+    back2 = spark.read.parquet(out2)
+    assert back2.count() == n
+    assert set(back2.select("l_returnflag").distinct().toPandas()["l_returnflag"]) == \
+        set(li.select("l_returnflag").distinct().toPandas()["l_returnflag"])

@@ -1835,6 +1835,51 @@ def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_schema_evolution",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+             AS n_with_priority,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    """,
+)
+def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (the add-a-column case every long-lived
+    dataset hits): two parquet batches of orders — an old layout without
+    o_orderpriority and a new layout with it — land in one directory;
+    ``mergeSchema`` unions the layouts and old rows surface NULL for the
+    added column. The aggregate proves both halves arrived and the
+    evolved column is null exactly on the old batch. mergeSchema is a
+    footer-metadata merge (per-file schemas, not data), so the read-time
+    cost at 100 TB is per-FILE, not per-row — and it's opt-in here
+    because production tables should evolve through a catalog, not
+    ad-hoc directory scans."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"usedcars_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(os.path.join(out, "batch=a"))
+    new.write.mode("overwrite").parquet(os.path.join(out, "batch=b"))
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 # Overlapping price bands for the banded range join (widths roughly double,
 # adjacent bands overlap — a genuine interval join, not a bucketization).
 _PRICE_BANDS: list[tuple[int, int, int]] = [

@@ -142,3 +142,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             elif isinstance(actual, T.TimestampNTZType):
                 df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Compaction-aware parquet sink: bound BOTH file-count and file-size
+    pathologies. Small-files (thousands of kilobyte files from an
+    over-partitioned upstream) destroy scan parallelism setup time and
+    metadata handling at 100 TB; monster files resist splitting for some
+    consumers. A count() pre-pass (cheap columnar metadata scan for
+    parquet-backed frames, one aggregate otherwise) sizes an explicit
+    repartition; maxRecordsPerFile caps per-task output as a backstop
+    when partition_by skews rows into one task's partition.
+
+    The repartition is round-robin (no key) — compaction must not
+    concentrate hot keys; callers wanting co-location pass partition_by
+    which becomes the directory layout, not the shuffle key."""
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    writer = (
+        df.repartition(n_files)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
