@@ -408,3 +408,23 @@ def test_cohort_retention_conserves_users(spark, sf_dir):
     }
     assert week0 == cohort_sizes
     assert ret.filter(F.col("week_offset") < 0).count() == 0
+
+
+def test_sessionize_golden(spark):
+    from usedcars_bigdata_spark.operators.timeseries import sessionize
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00"),
+        (2, 7, "2024-01-01 10:10:00"),  # 10 min -> same session
+        (3, 7, "2024-01-01 11:00:00"),  # 50 min -> new session
+        (4, 7, "2024-01-01 11:29:00"),  # 29 min -> same session
+        (5, 8, "2024-01-01 10:00:00"),  # other user starts at 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string"
+    ).selectExpr("event_id", "user_id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", "event_id", gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

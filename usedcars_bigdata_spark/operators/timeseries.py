@@ -212,3 +212,47 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a per-user session sequence number to EVERY event: a new
+    session starts at the first event and whenever the gap since the
+    previous event exceeds ``gap_minutes``. The event-level complement of
+    a session-window AGGREGATE (which emits one row per session and
+    drops the events) — downstream joins need the per-event label.
+
+    Two windows over one partitioning: lag() marks session starts,
+    a running sum numbers them. Both partition by the user, so the
+    stream shuffles ONCE on the user key and both windows (and any
+    later user-keyed join) reuse that exchange. Per-user ordering is
+    (ts, id) — the id tie-break keeps simultaneous events deterministic.
+
+    Output: (id, user, ts, session_seq) with session_seq starting at 1
+    per user."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | (
+            F.col(ts_col).cast("long") - prev.cast("long")
+            > gap_minutes * 60
+        ),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.sum(new_s).over(run).cast("long").alias("session_seq"),
+    )

@@ -105,6 +105,7 @@ _CONTRACT_PRIORITY = [
     "ts_cohort_retention",
     "ext_weighted_sample",
     "rel_schema_evolution",
+    "ts_sessionize",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

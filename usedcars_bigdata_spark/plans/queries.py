@@ -1072,6 +1072,36 @@ def ts_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM g
+    """,
+)
+def ts_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-level sessionization (operators.timeseries.sessionize,
+    30-minute gap): every event gets its user's session sequence number —
+    the per-event label the session-window AGGREGATE (ts_session_windows)
+    drops. One shuffle on the user key serves both the lag and the
+    running sum."""
+    return TS.sessionize(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        gap_minutes=30,
+    )
+
+
+@query(
     "ts_funnel_stages",
     oracle="""
     WITH s0 AS (
