@@ -54,7 +54,11 @@ BENCH_QUERIES = [
     "ext_inverted_index",
     "ext_tfidf_top_terms",
     "ext_group_cap_sample",
+    "ext_doc_chunks",
+    "ext_weighted_sample",
     "ts_resample_gap_fill",
+    "ts_sessionize",
+    "ts_funnel_stages",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

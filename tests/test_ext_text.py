@@ -524,3 +524,18 @@ def test_weighted_sample_deterministic_and_biased(spark):
     df2 = df.union(spark.createDataFrame([(900, 0.0), (901, -5.0)], "doc_id long, w double"))
     ids2 = {r["doc_id"] for r in TX.weighted_sample(df2, "doc_id", "w", k=600).collect()}
     assert 900 not in ids2 and 901 not in ids2
+
+
+def test_char_entropy_golden(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.char_entropy(df, "doc_id", "text").collect()}
+    assert 4 not in got  # empty excluded
+    assert got[1]["entropy"] == 0.0  # constant fill
+    assert got[2]["entropy"] == round(math.log(2), 4)  # two equiprobable chars
+    assert got[3]["entropy"] == round(math.log(4), 4)  # four equiprobable chars
+    assert got[3]["n_distinct_chars"] == 4

@@ -868,3 +868,36 @@ def weighted_sample(
         .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str, text_col: str, ndigits: int = 4
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution (bits'
+    natural-log cousin: nats) — the cheap gibberish detector: encoded
+    blobs and key-mash sit far above prose, constant-fill far below.
+
+    Entirely narrow column expressions: the char array is projected once,
+    the distinct-char histogram and the -sum(p ln p) fold run inside one
+    higher-order aggregate per row — zero shuffles, linear in input
+    bytes times alphabet size (alphabet is small by nature; a corpus
+    where it isn't — binary mis-read as text — is exactly what the score
+    flags). Empty documents are excluded (entropy undefined).
+
+    Output: (id, n_chars, n_distinct_chars, entropy)."""
+    base = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col), F.split(F.col(text_col), "").alias("__ch")
+    )
+    ent = F.expr(
+        "aggregate("
+        "  transform(array_distinct(__ch), c -> size(filter(__ch, x -> x = c))),"
+        "  CAST(0.0 AS DOUBLE),"
+        "  (acc, cnt) -> acc - (cnt / CAST(size(__ch) AS DOUBLE))"
+        "                * ln(cnt / CAST(size(__ch) AS DOUBLE)))"
+    )
+    return base.select(
+        F.col(id_col),
+        F.size("__ch").cast("long").alias("n_chars"),
+        F.size(F.array_distinct("__ch")).cast("long").alias("n_distinct_chars"),
+        F.round(ent, ndigits).alias("entropy"),
+    )

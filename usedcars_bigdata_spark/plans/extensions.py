@@ -1027,3 +1027,27 @@ def ext_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.weighted_sample(
         load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", k=100
     )
+
+
+@query(
+    "ext_char_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, string_split(text, '') AS ch, length(text) AS n
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(ch)) AS BIGINT) AS n_distinct_chars,
+           round(list_sum(list_transform(list_distinct(ch),
+                 c2 -> -(len(list_filter(ch, x -> x = c2)) * 1.0 / n)
+                       * ln(len(list_filter(ch, x -> x = c2)) * 1.0 / n))), 4)
+             AS entropy
+    FROM c
+    """,
+)
+def ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (ext.text.char_entropy):
+    gibberish/encoded-blob detector, zero shuffles, one higher-order
+    fold per row."""
+    return TX.char_entropy(load_table(spark, sf_dir, "documents"), "doc_id", "text")
