@@ -428,3 +428,20 @@ def test_sessionize_golden(spark):
         for r in sessionize(df, "user_id", "ts", "event_id", gap_minutes=30).collect()
     }
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_freq_items_no_false_negatives(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    row = QUERIES["rel_freq_items"](spark, sf_dir).first()
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    # every status with true frequency > 30% must be present
+    truly_heavy = {
+        r["o_orderstatus"]
+        for r in orders.groupBy("o_orderstatus").count().collect()
+        if r["count"] / n > 0.3
+    }
+    assert truly_heavy <= set(row["status_heavy"])

@@ -107,6 +107,8 @@ _CONTRACT_PRIORITY = [
     "rel_schema_evolution",
     "ts_sessionize",
     "ext_char_entropy",
+    "rel_group_correlation",
+    "rel_freq_items",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

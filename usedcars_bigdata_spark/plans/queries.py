@@ -1866,6 +1866,54 @@ def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_group_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)
+             AS qty_price_covar,
+           round(var_samp(l_quantity), 4) AS qty_var,
+           round(stddev_samp(l_extendedprice), 2) AS price_sd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_group_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per group (corr / covar_samp / var_samp /
+    stddev_samp): all are single-pass, map-side-combinable sum-of-products
+    aggregates — one shuffle of constant-width partial states per group
+    regardless of row count, the cheapest family there is at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+    )
+
+
+@query("rel_freq_items")
+def rel_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (DataFrameStatFunctions.freqItems —
+    Karp/Shenker/Papadimitriou one-pass counter sketch): every value with
+    frequency above the support threshold is guaranteed PRESENT (false
+    positives possible, false negatives not), with constant memory per
+    partition and a driver-side merge — no shuffle of the value
+    distribution at all. Rows-only: sketch contents beyond the guarantee
+    are implementation-defined; the no-false-negative guarantee is
+    asserted in tests/test_operators.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = orders.freqItems(["o_orderpriority", "o_orderstatus"], support=0.3)
+    # arrays sorted so the driver's schema/value probe sees a stable shape
+    return out.select(
+        F.array_sort("o_orderpriority_freqItems").alias("priority_heavy"),
+        F.array_sort("o_orderstatus_freqItems").alias("status_heavy"),
+    )
+
+
+@query(
     "rel_schema_evolution",
     oracle="""
     SELECT count(*) AS n_rows,
