@@ -109,6 +109,7 @@ _CONTRACT_PRIORITY = [
     "ext_char_entropy",
     "rel_group_correlation",
     "rel_freq_items",
+    "ts_stream_static_join",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

@@ -1004,6 +1004,51 @@ def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_stream_static_join",
+    oracle="""
+    SELECT CASE event_type
+             WHEN 'view' THEN 'engagement'
+             WHEN 'click' THEN 'engagement'
+             WHEN 'signup' THEN 'conversion'
+             WHEN 'purchase' THEN 'conversion'
+             ELSE 'ops' END AS tier,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ts_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join, contract-visible and actually
+    streamed (streaming.joins.enrich_with_tiers): file-source readStream
+    joins a broadcast dimension (event_type -> tier) — zero join state,
+    static side re-planned per micro-batch — then aggregates per tier;
+    availableNow drains the input and the complete-mode memory sink
+    equals the batch replay the oracle hashes. Complements
+    ts_stream_microbatch (stateful window agg) with the stateless
+    enrichment shape."""
+    from ..streaming.events import read_event_stream
+    from ..streaming.joins import EVENT_TIER_DIM, enrich_with_tiers
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_static_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    dim = spark.createDataFrame(EVENT_TIER_DIM, "event_type string, tier string")
+    out = enrich_with_tiers(read_event_stream(spark, sf_dir), dim)
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
     "ts_resample_gap_fill",
     oracle="""
     WITH agg AS (

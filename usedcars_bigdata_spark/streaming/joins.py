@@ -56,3 +56,31 @@ def clicks_to_purchases(
     return c.join(p, cond, "inner").select(
         "user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value"
     )
+
+
+# Event-type → business-tier dimension used by the stream-static join demo.
+# A real deployment reads this from a catalog table; it is the SMALL side
+# by construction (dimension tables are), so each micro-batch broadcasts it.
+EVENT_TIER_DIM: list[tuple[str, str]] = [
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+    ("error", "ops"),
+]
+
+
+def enrich_with_tiers(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + per-tier aggregate.
+
+    The static side is re-planned per micro-batch (Spark re-resolves
+    static relations each trigger), needs NO watermark and holds NO
+    state — unlike stream-stream joins. Inner-joining a stream to a
+    broadcastable dimension is the canonical enrichment shape: state cost
+    is zero, the only streaming state is the downstream aggregation's.
+    Runs identically on a batch DataFrame (the oracle path)."""
+    joined = events.join(F.broadcast(dim), "event_type")
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
