@@ -244,3 +244,53 @@ def test_merge_upsert_single_plan(spark, sf_dir):
     assert "FullOuter" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact to a FILTERED
+    dim must prune fact partitions at runtime from the dim's filter — the
+    plan carries a dynamicpruning subquery on the partition column. At
+    100 TB this is the difference between scanning 7 year directories and
+    scanning the 2 the dim selects."""
+    out = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn("o_year", F.year("o_orderdate")).write.partitionBy(
+        "o_year"
+    ).mode("overwrite").parquet(out)
+
+    # DPP preconditions at test scale: the fact side must NOT itself be
+    # broadcast (shrink the threshold so only the 2-row dim qualifies) and
+    # the dim side needs a selective predicate.
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+    try:
+        years = spark.createDataFrame(
+            [(1995, "old"), (1996, "a"), (1997, "b")], "y int, tag string"
+        ).filter(F.col("y") >= 1996)
+        fact = spark.read.parquet(out)
+        joined = (
+            fact.join(years, fact["o_year"] == years["y"])
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(joined)
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # correctness of the pruned read
+        got = {r["tag"]: r["n"] for r in joined.collect()}
+        want = {
+            r["tag"]: r["n"]
+            for r in orders.withColumn("o_year", F.year("o_orderdate"))
+            .filter(F.col("o_year") >= 1996)
+            .join(
+                spark.createDataFrame(
+                    [(1996, "a"), (1997, "b")], "y int, tag string"
+                ),
+                F.col("o_year") == F.col("y"),
+            )
+            .groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
