@@ -110,6 +110,7 @@ _CONTRACT_PRIORITY = [
     "rel_group_correlation",
     "rel_freq_items",
     "ts_stream_static_join",
+    "rel_outer_join_coalesce",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

@@ -1911,6 +1911,47 @@ def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_outer_join_coalesce",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderstatus AS status, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ), l AS (
+      SELECT l_linestatus AS status, count(*) AS n_lines
+      FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(o.status, l.status) AS status,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(n_lines, 0) AS n_lines
+    FROM o FULL OUTER JOIN l ON o.status = l.status
+    """,
+)
+def rel_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation (SURVEY.md §2.3 outer-join coverage):
+    per-status order counts vs lineitem counts, keys coalesced, missing
+    sides zero-filled — order status 'P' has no lineitem twin, so the
+    unmatched path is genuinely exercised. Both inputs are pre-aggregated
+    before the join: the outer join moves group-cardinality rows, never
+    fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    l = li.groupBy(F.col("l_linestatus").alias("__status")).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return (
+        J.join_facts(o, l, on=o["status"] == l["__status"], how="full")
+        .select(
+            F.coalesce("status", "__status").alias("status"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "rel_group_correlation",
     oracle="""
     SELECT l_returnflag,
