@@ -1,9 +1,11 @@
-"""Time-series resampling operators over event streams.
+"""Event-time analytics operators over event streams.
 
 Beyond-reference extension (the reference has no event-time processing at
-all): dense resampling with gap fill — the step that turns an irregular
-event stream into the fixed-step series that downstream models and
-dashboards expect (missing buckets as explicit zero rows, not absent rows).
+all): dense resampling with gap fill, per-key z-score outliers, ordered
+funnels, weekly cohort retention, and event-level sessionization. The
+shared scale discipline: the raw stream crosses the wire at most once,
+keyed by the entity (user/type) every downstream stage reuses; everything
+else is key- or bucket-cardinality-sized and broadcasts.
 """
 
 from __future__ import annotations
