@@ -169,3 +169,47 @@ def test_write_compacted_bounds_file_count(spark, sf_dir, tmp_path):
     assert back2.count() == n
     assert set(back2.select("l_returnflag").distinct().toPandas()["l_returnflag"]) == \
         set(li.select("l_returnflag").distinct().toPandas()["l_returnflag"])
+
+
+def test_read_binary_files_content_and_listing(spark, tmp_path):
+    import hashlib
+
+    from usedcars_bigdata_spark.sources.io import read_binary_files
+
+    blobs = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    for name, data in blobs.items():
+        (tmp_path / name).write_bytes(data)
+    (tmp_path / "ignore.txt").write_text("not a blob")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 5  # glob filtered the .txt out
+    for r in rows:
+        name = r["path"].rsplit("/", 1)[-1]
+        assert r["length"] == len(blobs[name])
+        assert hashlib.sha256(bytes(r["content"])).hexdigest() == \
+            hashlib.sha256(blobs[name]).hexdigest()
+
+
+def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
+    from usedcars_bigdata_spark.sources.io import read_jsonl_permissive
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good one"}\n'
+        'this is not json at all\n'
+        '{"doc_id": 2, "text": "also fine"}\n'
+        '{"doc_id": "oops-not-a-number", "text": "type clash"}\n'
+    )
+    df = read_jsonl_permissive(spark, str(p), "doc_id BIGINT, text STRING")
+    rows = df.collect()
+    assert len(rows) == 4  # nothing dropped
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    good = {r["doc_id"] for r in rows if r["_corrupt_record"] is None}
+    assert good == {1, 2}
+    assert any("not json" in r["_corrupt_record"] for r in bad)
+    # the measurable bad fraction the docstring promises. NB: Spark
+    # disallows queries touching ONLY _corrupt_record on a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a real audit job caches or
+    # persists the parsed batch first; here the collected rows serve.
+    assert len(bad) / len(rows) == 0.5

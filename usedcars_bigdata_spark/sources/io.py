@@ -173,3 +173,42 @@ def write_compacted(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_binary_files(
+    spark: SparkSession, directory: str, glob: str = "*"
+) -> DataFrame:
+    """Binary-file source (images/audio/any blob as rows): one row per
+    file with (path, modificationTime, length, content) — the ingest edge
+    of the multimodal pipeline (ext/multimodal.py consumes the content
+    column). File listing parallelizes across the driver's listing
+    threads and rows are read where they're scheduled, so a directory of
+    millions of objects behaves like any other scan; pair with
+    write_compacted-style consolidation upstream because per-file
+    overhead, not bytes, dominates small-blob corpora."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(directory)
+    )
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """JSONL reader that QUARANTINES malformed lines instead of failing
+    the job or silently dropping them: PERMISSIVE mode parses what it
+    can and lands the raw text of any broken line in ``_corrupt_record``
+    (NULL for clean rows). At corpus scale some fraction of a crawl is
+    always malformed — dying at row 3 billion (FAILFAST) or dropping
+    silently (DROPMALFORMED) are both wrong for auditable pipelines; the
+    quarantine column makes the bad fraction measurable and routable.
+    The schema is explicit, as everywhere in sources/ (inference is a
+    full extra pass)."""
+    full = schema.rstrip() + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
