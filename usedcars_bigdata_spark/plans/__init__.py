@@ -111,6 +111,7 @@ _CONTRACT_PRIORITY = [
     "rel_freq_items",
     "ts_stream_static_join",
     "rel_outer_join_coalesce",
+    "rel_sql_interface",
     # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
     # r01; each family keeps pytest + full-range driver_sim coverage; the
     # three scalar-function farms yield their slots to the new ext ops —

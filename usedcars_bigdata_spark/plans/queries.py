@@ -1911,6 +1911,40 @@ def rel_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_sql_interface",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_total,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+           round(avg(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice END), 2) AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string interface end-to-end: register a temp view, run
+    ``spark.sql`` verbatim — proving the engine's surface is reachable
+    without the DataFrame builder (ad-hoc analysts, BI tools). The query
+    itself covers conditional aggregation (CASE inside count/avg — the
+    filtered-aggregate idiom no other entry exercises); it plans
+    identically to the DataFrame form — one partial+final aggregate, so
+    the API choice costs nothing at any scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_total,
+               count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+               round(avg(CASE WHEN o_orderstatus = 'O'
+                              THEN o_totalprice END), 2) AS avg_open_price
+        FROM orders_v
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
     "rel_outer_join_coalesce",
     oracle="""
     WITH o AS (
