@@ -25,8 +25,15 @@ import sys
 import time
 import traceback
 
+import os
+
 import duckdb
 from pyspark.sql import SparkSession
+
+# Script lives in scripts/, so sys.path[0] is scripts/ — put the repo root
+# (where __spark_entry__.py and the package live) on the path regardless of
+# the caller's cwd/PYTHONPATH.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm_cell(v):
@@ -46,14 +53,22 @@ def _norm_cell(v):
 
 
 def canon_rows(df_pandas):
+    # Replicate the DRIVER's canonicalizer: a pandas sort_values over all
+    # columns (CORRECTNESS_r03 traceback: sort_values → lexsort_indexer →
+    # Categorical → factorize). That sort CRASHES on unhashable cells
+    # (list/ndarray) exactly as the driver does — round 3's
+    # ext_embedding_quantize red row passed here because this function
+    # pre-normalized arrays to tuples before sorting. Do NOT normalize
+    # before the sort; any contract output with raw array cells must fail
+    # in this sim the same way it fails in the official run.
     cols = sorted(df_pandas.columns)
-    return sorted(
-        (
-            tuple(_norm_cell(v) for v in row)
-            for row in df_pandas[cols].itertuples(index=False, name=None)
-        ),
-        key=str,
-    )
+    frame = df_pandas[cols]
+    if cols:
+        frame = frame.sort_values(by=cols, kind="mergesort")
+    return [
+        tuple(_norm_cell(v) for v in row)
+        for row in frame.itertuples(index=False, name=None)
+    ]
 
 
 def main() -> int:

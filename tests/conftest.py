@@ -53,7 +53,24 @@ def _norm_cell(v):
 
 def assert_df_matches_oracle(spark_df, duck_con, sql: str) -> None:
     """Mirror of the driver's comparison: sort columns by name, compare the
-    row multiset cell-by-cell (floats to 1e-9)."""
+    row multiset cell-by-cell (floats to 1e-9).
+
+    Also rejects array/map/struct columns in the Spark output up front:
+    the driver canonicalizes with a pandas sort_values over all columns,
+    which dies on unhashable cells (round 3's ext_embedding_quantize red
+    row) — an oracle-backed contract output must be flat; serialize
+    nested values to strings (rel_collect_sorted_lists precedent)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, (
+        f"oracle-backed output has nested columns {nested}: the driver's "
+        "pandas canonicalizer crashes on unhashable cells — stringify them"
+    )
     oracle = duck_con.execute(sql).fetch_arrow_table().to_pandas()
     got = spark_df.toPandas()
     assert sorted(got.columns) == sorted(oracle.columns), (

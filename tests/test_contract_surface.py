@@ -1,0 +1,100 @@
+"""Guards on the driver-facing contract surface.
+
+Round-3 post-mortem: the driver canonicalizes query outputs with a pandas
+``sort_values`` over all columns, which raises on unhashable cells
+(list/ndarray) — `ext_embedding_quantize` shipped a raw array column and
+went red while the repo's own driver_sim reported it green, because the
+sim pre-normalized arrays before sorting. These tests pin (a) that
+driver_sim's canonicalizer now reproduces the driver's failure mode, and
+(b) the round-4 rotation actually placed the never-driver-checked entries
+inside the 50-entry sweep window.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+
+import pandas as pd
+import pytest
+
+from usedcars_bigdata_spark.plans import ORACLES, QUERIES
+
+# VERDICT.md round-3 task 3, verbatim: the oracle-backed round-3 additions
+# that had no independent driver row and must be in-window in round 4.
+ROUND4_ROTATED_IN = [
+    "ts_stream_dedup",
+    "rel_exists_lineitem",
+    "rel_scalar_correlated",
+    "rel_partitioned_prune",
+    "rel_jsonl_roundtrip",
+    "rel_range_join",
+    "rel_merge_upsert",
+    "rel_pandas_udaf_geomean",
+    "ext_inverted_index",
+    "ext_tfidf_top_terms",
+    "ext_group_cap_sample",
+    "ts_resample_gap_fill",
+    "ext_doc_chunks",
+    "ext_quality_percentile",
+    "ts_zscore_anomaly",
+    "ts_funnel_stages",
+    "ts_cohort_retention",
+    "ext_weighted_sample",
+    "rel_schema_evolution",
+    "ts_sessionize",
+    "ext_char_entropy",
+    "rel_group_correlation",
+    "ts_stream_static_join",
+    "rel_outer_join_coalesce",
+    "rel_sql_interface",
+]
+
+DRIVER_WINDOW = 50
+
+
+def _driver_sim():
+    path = (
+        pathlib.Path(__file__).resolve().parents[1] / "scripts" / "driver_sim.py"
+    )
+    spec = importlib.util.spec_from_file_location("driver_sim", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_driver_sim_canon_crashes_on_array_cells():
+    """The sim's canonicalizer must fail on array cells exactly like the
+    driver's (pandas sort_values → factorize → unhashable list) — this is
+    the regression that let round 3's quantize failure hide."""
+    sim = _driver_sim()
+    frame = pd.DataFrame({"id": [2, 1], "q": [[1, 2], [3, 4]]})
+    with pytest.raises(TypeError):
+        sim.canon_rows(frame)
+
+
+def test_driver_sim_canon_flat_frames_sort_consistently():
+    sim = _driver_sim()
+    a = pd.DataFrame({"x": [3, 1, 2], "y": ["c", "a", "b"]})
+    b = pd.DataFrame({"y": ["b", "c", "a"], "x": [2, 3, 1]})
+    assert sim.canon_rows(a) == sim.canon_rows(b)
+
+
+def test_round4_rotation_window_membership():
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    missing = [n for n in ROUND4_ROTATED_IN if n not in window]
+    assert not missing, f"rotated-in entries outside the sweep window: {missing}"
+    # the fixed r3 red row needs a fresh driver verdict
+    assert "ext_embedding_quantize" in window
+
+
+def test_window_is_fully_oracle_backed():
+    window = list(QUERIES)[:DRIVER_WINDOW]
+    rows_only = [n for n in window if n not in ORACLES]
+    assert not rows_only, (
+        f"sweep-window slots spent on rows-only entries: {rows_only}"
+    )
+
+
+def test_registry_has_no_dangling_oracles():
+    assert set(ORACLES) <= set(QUERIES)

@@ -247,3 +247,72 @@ def test_default_cap_keeps_realistic_recall(near_dup_corpus):
         ).collect()
     }
     assert with_cap == without
+
+
+def test_near_dup_clusters_with_audit(near_dup_corpus):
+    # VERDICT r3 task 8: the bucket-cap truncation must be visible to the
+    # caller as a returned audit table, not only via in-plan observe
+    clusters, audit = X.near_dup_clusters(
+        near_dup_corpus, "doc_id", "text", with_audit=True
+    )
+    plain = X.near_dup_clusters(near_dup_corpus, "doc_id", "text")
+    got = {(r["doc_id"], r["component"]) for r in clusters.collect()}
+    want = {(r["doc_id"], r["component"]) for r in plain.collect()}
+    assert got == want  # audit mode never changes the answer
+    rows = audit.collect()
+    assert len(rows) == 4  # one row per band (default bands=4)
+    for r in rows:
+        assert set(r.asDict()) == {
+            "band",
+            "n_buckets",
+            "n_candidate_buckets",
+            "max_bucket_size",
+            "n_skipped_buckets",
+        }
+        assert r["n_skipped_buckets"] == 0  # harness corpus has no hot bucket
+        assert r["max_bucket_size"] >= 1
+
+
+def test_overlap_pairs_flags_containment(spark):
+    # doc 2 is a strict prefix of doc 1 (fully contained): low Jaccard,
+    # overlap coefficient 1.0
+    base = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, base + " " + " ".join(f"x{i}" for i in range(60))), (2, base)],
+        "doc_id long, text string",
+    )
+    sh = X.word_shingles(df, "doc_id", "text", n=3, hashed=True)
+    ov = X.overlap_pairs(sh, "doc_id", threshold=0.9).collect()
+    assert len(ov) == 1 and ov[0]["overlap"] == 1.0
+    jac = X.jaccard_pairs(sh, "doc_id", threshold=0.9).collect()
+    assert jac == []  # Jaccard misses the containment
+
+
+def test_edit_distance_pairs_golden(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilom"),  # 1 char edit, same prefix
+            (3, "alpha beta totally different tail content here"),
+            (4, "zeta eta unrelated opening words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in X.edit_distance_pairs(
+            df, "doc_id", "text", max_dist=5, prefix_tokens=2
+        ).collect()
+    }
+    assert got == {(1, 2): 1}  # doc 3 shares the prefix but dist > 5; doc 4 no bucket
+
+
+def test_edit_distance_hot_bucket_dropped(spark):
+    # 30 docs share one boilerplate prefix: with max_bucket=10 the bucket
+    # is dropped entirely (no quadratic fanout on boilerplate prefixes)
+    rows = [(i, f"common header tail{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = X.edit_distance_pairs(
+        df, "doc_id", "text", max_dist=100, prefix_tokens=2, max_bucket=10
+    ).collect()
+    assert out == []

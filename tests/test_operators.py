@@ -327,6 +327,60 @@ def test_resample_gap_fill_dense_and_conserving(spark, sf_dir):
     assert gaps.filter(F.col("sum_value").isNull()).count() == 0
 
 
+def test_resample_gap_fill_non_default_steps(spark, sf_dir):
+    # the round-3 ADVICE defect: the grid axis was hour-truncated while
+    # buckets honored `step`, so non-hour steps misaligned and silently
+    # DROPPED real buckets through the left join. Conservation (every
+    # event counted exactly once) now must hold for every step.
+    from usedcars_bigdata_spark.operators.timeseries import resample_gap_fill
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    for step in ("1 day", "30 minutes", "6 hours"):
+        out = resample_gap_fill(events, "ts", "event_type", "value", step=step)
+        assert out.agg(F.sum("n_events")).first()[0] == n_total, step
+        # grid points coincide with the aggregate's window starts: every
+        # non-empty bucket in the output matches a direct window aggregate
+        direct = (
+            events.groupBy(
+                F.col("event_type").alias("k"),
+                F.window("ts", step)["start"].alias("b"),
+            )
+            .agg(F.count("*").alias("n"))
+        )
+        joined = out.filter(F.col("n_events") > 0).join(
+            direct,
+            (F.col("event_type") == F.col("k"))
+            & (F.col("bucket_start") == F.col("b"))
+            & (F.col("n_events") == F.col("n")),
+        )
+        assert joined.count() == direct.count(), step
+
+
+def test_sessionize_fractional_second_boundary(spark):
+    # ADVICE r3: gaps within 1s of the boundary must compare at full
+    # microsecond precision, not second-truncated longs
+    from usedcars_bigdata_spark.operators.timeseries import sessionize
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0, 500_000)
+    rows = [
+        (1, "u", t0),
+        # gap = 1800.3s > 1800s -> NEW session (truncation would say 1800)
+        (2, "u", t0 + dt.timedelta(seconds=1800, microseconds=300_000)),
+        # gap exactly 1800.0s -> same session (not strictly greater)
+        (3, "u", t0 + dt.timedelta(seconds=3600, microseconds=300_000)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", "event_id", gap_minutes=30).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
 def test_zscore_outliers_matches_manual(spark):
     from usedcars_bigdata_spark.operators.timeseries import zscore_outliers
 
@@ -445,3 +499,70 @@ def test_freq_items_no_false_negatives(spark, sf_dir):
         if r["count"] / n > 0.3
     }
     assert truly_heavy <= set(row["status_heavy"])
+
+
+def test_ohlc_resample_golden(spark):
+    from usedcars_bigdata_spark.operators.timeseries import ohlc_resample
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows = [
+        (1, "a", t0 + dt.timedelta(minutes=5), 10.0),
+        (2, "a", t0 + dt.timedelta(minutes=20), 50.0),
+        (3, "a", t0 + dt.timedelta(minutes=40), 2.0),
+        (4, "a", t0 + dt.timedelta(minutes=55), 30.0),
+        (5, "a", t0 + dt.timedelta(minutes=70), 7.0),  # next hour
+        (6, "b", t0 + dt.timedelta(minutes=10), 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["event_type"], r["bucket_start"].hour): r
+        for r in ohlc_resample(df, "ts", "event_type", "value", "event_id").collect()
+    }
+    bar = got[("a", 10)]
+    assert (bar["open"], bar["high"], bar["low"], bar["close"]) == (10.0, 50.0, 2.0, 30.0)
+    assert bar["n_events"] == 4
+    assert got[("a", 11)]["open"] == got[("a", 11)]["close"] == 7.0
+    assert got[("b", 10)]["n_events"] == 1
+
+
+def test_ohlc_tie_break_deterministic(spark):
+    # two events at the SAME timestamp: the lower event_id is "first"
+    from usedcars_bigdata_spark.operators.timeseries import ohlc_resample
+    import datetime as dt
+
+    t = dt.datetime(2024, 3, 1, 10, 30, 0)
+    df = spark.createDataFrame(
+        [(2, "a", t, 99.0), (1, "a", t, 11.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    bar = ohlc_resample(df, "ts", "event_type", "value", "event_id").first()
+    assert bar["open"] == 11.0 and bar["close"] == 99.0
+
+
+def test_ewma_smooth_matches_recurrence(spark):
+    from usedcars_bigdata_spark.operators.timeseries import ewma_smooth
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10.0, 20.0, 5.0, 40.0]
+    rows = [(i, 7, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    rows.append((99, 8, t0, 3.0))  # second key: single point -> ewma = value
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_smooth(df, "user_id", "ts", "event_id", "value", alpha=0.3).collect()
+    }
+    # manual adjust=False recurrence: y0 = x0; y_i = 0.3 x_i + 0.7 y_{i-1}
+    y = vals[0]
+    expect = [y]
+    for v in vals[1:]:
+        y = 0.3 * v + 0.7 * y
+        expect.append(y)
+    for i, e in enumerate(expect):
+        assert abs(out[i] - round(e, 6)) < 1e-9
+    assert out[99] == 3.0

@@ -129,6 +129,86 @@ def jaccard_pairs(
     )
 
 
+def overlap_pairs(
+    shingles: DataFrame, id_col: str, threshold: float, shingle_col: str = "shingle"
+) -> DataFrame:
+    """Tier 2b: overlap-coefficient (containment) pairs —
+    |A∩B| / min(|A|,|B|) ≥ threshold. Flags SUBSET relationships Jaccard
+    structurally under-scores: a short article fully contained in a longer
+    re-post scores |A|/|B| on Jaccard (small when lengths differ) but 1.0
+    on containment — the republished-with-appended-boilerplate class every
+    web corpus carries. Identical inverted-index self-join shape (and
+    cost) as ``jaccard_pairs``; only the denominator differs."""
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a.{shingle_col}") == F.col(f"b.{shingle_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    ov = F.col("inter") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(ov >= threshold)
+        .select("id_a", "id_b", F.round(ov, 4).alias("overlap"))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 60,
+    prefix_tokens: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Character-level near-duplicate pairs: candidates share a token-
+    prefix fingerprint; exact Levenshtein verifies candidates only.
+
+    The complement of the shingle tiers: Jaccard/MinHash tolerate
+    REORDERING but dilute small in-place edits across every affected
+    shingle, while edit distance catches the "same document, scattered
+    small edits" class directly. Prefix fingerprinting exploits that this
+    class shares its opening tokens (template headers, re-posts with tail
+    edits). Cost is O(Σ|bucket|²) Levenshtein calls, never N²; buckets
+    larger than ``max_bucket`` are dropped (a prefix shared by thousands
+    of docs is boilerplate, not identity — run ``exact_dedup`` first, and
+    detect boilerplate with ext.text's boilerplate ops). Levenshtein is
+    JVM-native but O(len_a·len_b) per pair — bound document length
+    upstream (e.g. chunk first) on long-document corpora.
+
+    Output: (id_a, id_b, dist) with id_a < id_b and dist ≤ max_dist."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    fp = F.md5(F.concat_ws(" ", F.slice(words, 1, prefix_tokens)))
+    t = df.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
+    small = (
+        t.groupBy("__fp")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("__fp")
+    )
+    t = t.join(small, "__fp")
+    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), "__fp")
+    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), "__fp")
+    return (
+        a.join(b, "__fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("__ta", "__tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def _shingle_hash(shingle_col: str = "shingle") -> Column:
     """Nonnegative 61-bit base hash of a shingle."""
     return F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_P))
@@ -434,7 +514,9 @@ def near_dup_clusters(
     threshold: float = 0.5,
     use_minhash: bool = True,
     bands: int = 4,
-) -> DataFrame:
+    max_bucket: int | None = 1000,
+    with_audit: bool = False,
+):
     """End-to-end near-dup clustering: near-dup pair graph → connected
     components → per-doc (component, is_canonical) labels. The 'keep one
     per cluster' primitive of a training-data pipeline:
@@ -453,20 +535,36 @@ def near_dup_clusters(
     two paths agree in practice — measured identical pair sets and cluster
     assignments on the harness corpora (tests/test_ext_dedup.py pins the
     equivalence). For adversarial distributions flip ``use_minhash`` off
-    or raise ``bands``."""
+    or raise ``bands``.
+
+    ``with_audit=True`` additionally returns the per-band LSH bucket
+    audit (``lsh_bucket_stats``: n_buckets / n_candidate_buckets /
+    max_bucket_size / n_skipped_buckets) as a second DataFrame, so the
+    ``max_bucket`` truncation is VISIBLE to pipeline authors instead of
+    living only in the in-plan ``observe`` metrics (which a caller must
+    know to read, and which AQE can drop on empty results). Returns
+    (clusters, audit) in that mode; audit shares the persisted shingle
+    scan, so the extra cost is one small signature aggregate."""
+    audit_df = None
     if use_minhash:
-        pairs = minhash_near_dupes(
-            df, id_col, text_col, n=n, threshold=threshold, bands=bands
-        )
+        sh = word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
+        sigs = minhash_signatures(sh, id_col)
+        cands = lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket=max_bucket)
+        pairs = jaccard_for_pairs(sh, cands, id_col, threshold=threshold)
+        if with_audit:
+            audit_df = lsh_bucket_stats(
+                sigs, id_col, bands=bands, max_bucket=max_bucket
+            )
     else:
         sh = word_shingles(df, id_col, text_col, n=n, hashed=True)
         pairs = jaccard_pairs(sh, id_col, threshold=threshold)
     comp = connected_components(df.select(id_col), pairs, id_col)
-    return comp.select(
+    clusters = comp.select(
         id_col,
         "component",
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+    return (clusters, audit_df) if with_audit else clusters
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

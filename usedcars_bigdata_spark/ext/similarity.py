@@ -242,6 +242,43 @@ def embedding_near_dup_pairs(
         )
 
 
+def _representative_sample(
+    df: DataFrame, id_col: str, vec_col: str, cap: int, seed: int = 42
+) -> np.ndarray:
+    """Collect a corpus-representative vector sample of ~``cap`` rows for
+    driver-side quantizer/basis fitting.
+
+    A bare ``limit(cap)`` takes whichever partitions answer first — the
+    corpus's FIRST file(s). At 100 TB with time- or source-ordered layout
+    that sample is one crawl segment: centroids overfit it, cells skew,
+    and recall collapses on the rest of the corpus. Two-stage fix, fully
+    deterministic and layout/ordering-independent:
+
+    1. hash-gate on the id (``pmod(xxhash64(id, seed), p) == 0`` with p
+       sized from a count so ~4·cap rows survive) — a uniform stratum
+       drawn across the WHOLE corpus in one narrow pass;
+    2. rank the small survivor set by an independent hash and take the
+       top ``cap`` (TakeOrderedAndProject over ~4·cap rows — a plain
+       ``limit`` here would re-introduce head bias within the stratum,
+       and ranking the corpus directly would funnel partitions×cap rows
+       through the final top-k task).
+
+    The count is metadata-cheap on parquet sources; everything else
+    touches ~4·cap rows."""
+    n = df.count()
+    p = max(1, n // (4 * max(cap, 1)))  # expected survivors ≈ 4·cap
+    gated = df.select(F.col(id_col), F.col(vec_col))
+    if p > 1:
+        gated = gated.filter(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(p)) == 0
+        )
+    picked = gated.orderBy(F.xxhash64(F.col(id_col), F.lit(seed + 1)))
+    rows = picked.select(vec_col).limit(cap).toPandas()[vec_col].to_numpy()
+    if len(rows) == 0:  # degenerate hash luck on tiny inputs — ungated fallback
+        rows = df.select(vec_col).limit(cap).toPandas()[vec_col].to_numpy()
+    return np.stack(rows).astype(np.float64)
+
+
 def _fit_kmeans(sample: np.ndarray, k: int, max_iter: int, seed: int) -> np.ndarray:
     """Seeded k-means++ init + Lloyd iterations over an in-memory sample.
     Deterministic for a given (sample, k, max_iter, seed). The sample is
@@ -318,10 +355,10 @@ def ivf_topk(
     was the Spark-ML KMeans fit alone at 2k vectors). Cell ASSIGNMENT
     still covers every corpus vector, vectorized as one Arrow-batched
     matmul per batch, so index build is one pass over the data with a
-    constant-size broadcast."""
-    sample = np.stack(
-        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    constant-size broadcast. The training sample is hash-gated across the
+    whole corpus (``_representative_sample``), not the first partitions,
+    so the quantizer stays representative under ordered storage layouts."""
+    sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
     cents = _fit_kmeans(sample, n_centroids, max_iter, seed)
     assign_fn = _assign_cells_udf(cents)
 
@@ -447,10 +484,10 @@ def semantic_dedup(
     no static SQL oracle); properties are pytest-verified against a numpy
     brute-force recompute.
 
-    Output: (id, cell, kept) — every input row, survivors marked."""
-    sample = np.stack(
-        embeddings.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    Output: (id, cell, kept) — every input row, survivors marked. The
+    quantizer's training sample is hash-gated corpus-wide
+    (``_representative_sample``), not first-partitions-first."""
+    sample = _representative_sample(embeddings, id_col, vec_col, train_cap, seed)
     cents = _fit_kmeans(sample, n_clusters, max_iter, seed)
     assign_fn = _assign_cells_udf(cents)
     assigned = embeddings.select(
@@ -508,12 +545,12 @@ def pca_project(
     SQL oracle); variance ordering, reconstruction, and determinism are
     property-tested.
 
-    Output: (id, z) with z = round((x - mean) @ components.T, ndigits)."""
+    Output: (id, z) with z = round((x - mean) @ components.T, ndigits).
+    The SVD basis is fit on a hash-gated corpus-wide sample
+    (``_representative_sample``), not the first partitions."""
     from pyspark.sql.functions import pandas_udf
 
-    sample = np.stack(
-        embeddings.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
+    sample = _representative_sample(embeddings, id_col, vec_col, train_cap)
     mean = sample.mean(axis=0)
     _, _, vt = np.linalg.svd(sample - mean, full_matrices=False)
     comps = vt[:k]

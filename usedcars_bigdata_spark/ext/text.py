@@ -587,6 +587,7 @@ def inverted_index(
     text_col: str,
     postings_cap: int = 20,
     min_docs: int = 1,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Distributed inverted-index build: token → document frequency plus a
     CAPPED, sorted postings sample (the ``postings_cap`` smallest doc ids)
@@ -596,14 +597,20 @@ def inverted_index(
     The cap is structural, not cosmetic: an uncapped
     ``collect_list(doc_id)`` puts a stopword's entire corpus-wide postings
     into ONE aggregation buffer (gigabytes for a common token at 100 TB).
-    Instead rows are ranked per token (row_number over doc id) and
-    filtered to the cap BEFORE the collect, so no aggregation buffer ever
-    holds more than ``postings_cap`` entries; the true document frequency
-    is counted separately on the uncut (token, doc) set. The rank window
-    shuffles one row per distinct (token, doc) — the same key the count
-    needs anyway. Skewed tokens concentrate a window partition; at corpus
-    scale the standard refinement is a two-level min-k (per-salt min-k,
-    then merge), same output contract.
+    And the cap itself is computed as a SALTED two-level min-k, because a
+    single per-token row_number window has the same skew problem at the
+    task level: a stopword appearing in half the corpus makes one giant
+    window partition even though only ``postings_cap`` rows survive.
+
+    Level 1 partitions by (token, salt = xxhash64(doc) % n_salts) and
+    keeps each salt's ``postings_cap`` smallest doc ids — the widest
+    window task shrinks by 1/n_salts. Level 2 merges: a second min-k over
+    the survivors, whose per-token partition is bounded by
+    n_salts × postings_cap rows by construction. Global min-k equals
+    min-k of the union of per-salt min-k's, so the output contract is
+    unchanged (pytest-pinned against the single-window form). The true
+    document frequency is counted separately on the uncut (token, doc)
+    set; both aggregates reuse the same exploded pairs.
 
     Output: (token, n_docs, postings) with postings sorted ascending."""
     pairs = (
@@ -613,7 +620,16 @@ def inverted_index(
     from pyspark.sql import Window
 
     counts = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
-    ranked = pairs.withColumn(
+    salted = pairs.withColumn(
+        "__salt", F.pmod(F.xxhash64("__doc"), F.lit(n_salts))
+    )
+    level1 = salted.withColumn(
+        "__rn1",
+        F.row_number().over(
+            Window.partitionBy("token", "__salt").orderBy("__doc")
+        ),
+    ).filter(F.col("__rn1") <= postings_cap)
+    ranked = level1.withColumn(
         "__rn",
         F.row_number().over(Window.partitionBy("token").orderBy("__doc")),
     ).filter(F.col("__rn") <= postings_cap)

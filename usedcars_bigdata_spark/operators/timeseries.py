@@ -43,10 +43,15 @@ def resample_gap_fill(
     per-key ranges, same two-pass shape).
 
     Output: (key, bucket_start, n_events, sum_value) — n_events = 0 and
-    sum_value = 0.0 on filled gaps."""
-    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else F.window(
-        ts_col, step
-    )["start"]
+    sum_value = 0.0 on filled gaps.
+
+    The dense axis is derived by applying the SAME bucket expression
+    (``F.window(ts, step)['start']``) to the global min/max timestamps,
+    so grid points coincide with the aggregate's epoch-aligned window
+    starts for EVERY step — a previous revision hour-truncated the span
+    regardless of step, which misaligned the axis (and silently dropped
+    real buckets through the left join) for any non-hour step."""
+    bucket = F.window(ts_col, step)["start"]
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
         .agg(
@@ -54,9 +59,13 @@ def resample_gap_fill(
             F.round(F.sum(value_col), 2).alias("__sum"),
         )
     )
-    span = events.agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
-        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    # two projections (Spark rejects two window() exprs in one select),
+    # each over the same 1-row min/max aggregate
+    mm = events.agg(
+        F.min(ts_col).alias("__lo_ts"), F.max(ts_col).alias("__hi_ts")
+    )
+    span = mm.select(F.window("__lo_ts", step)["start"].alias("lo")).crossJoin(
+        mm.select(F.window("__hi_ts", step)["start"].alias("hi"))
     )
     axis = span.select(
         F.explode(
@@ -78,6 +87,84 @@ def resample_gap_fill(
             F.coalesce("__sum", F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+def ohlc_resample(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key OHLC (open/high/low/close) bars per fixed-step bucket — the
+    financial-tick / metrics-rollup primitive.
+
+    One partial-aggregated shuffle on (key, bucket): open/close are
+    ``min_by``/``max_by`` over the (ts, id) struct (the id tie-break keeps
+    simultaneous events deterministic), high/low are plain min/max — all
+    five aggregates map-side combinable, so the stream crosses the wire
+    once and pre-reduced. No window functions, no second pass.
+
+    Output: (key, bucket_start, open, high, low, close, n_events)."""
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        events.groupBy(
+            F.col(key_col).alias("key"),
+            F.window(ts_col, step)["start"].alias("bucket_start"),
+        )
+        .agg(
+            F.min_by(value_col, order).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, order).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumnRenamed("key", key_col)
+    )
+
+
+def ewma_smooth(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average in event order:
+    y_i = α·x_i + (1-α)·y_{i-1}, y_0 = x_0 (the adjust=False recurrence).
+
+    The recurrence is inherently sequential PER KEY and has no fixed-frame
+    window form (each output depends on the entire per-key prefix with
+    data-dependent weights), so this is the legitimate ``applyInPandas``
+    case: one shuffle partitions by key, each group is smoothed in a
+    single vectorized pandas ewm call. State is one group in memory at a
+    time — bounded by the largest per-key series, the same bound any
+    engine needs for this op. Rows-only in the contract (no closed-form
+    SQL); the recurrence is pytest-pinned against a manual replay.
+
+    Output: (id, key, ts, value, ewma)."""
+    dtypes = dict(events.dtypes)
+    schema = ", ".join(
+        [
+            f"{c} {dtypes[c]}"
+            for c in (id_col, key_col, ts_col, value_col)
+        ]
+        + ["ewma double"]
+    )
+    cols = [id_col, key_col, ts_col, value_col]
+
+    def smooth(pdf):
+        pdf = pdf.sort_values([ts_col, id_col])
+        out = pdf[cols].copy()
+        out["ewma"] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(ndigits)
+        )
+        return out
+
+    return events.select(*cols).groupBy(key_col).applyInPandas(smooth, schema)
 
 
 def zscore_outliers(
@@ -241,11 +328,15 @@ def sessionize(
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
     prev = F.lag(F.col(ts_col)).over(w)
+    # Full-microsecond precision: casting to long second-truncates, which
+    # can disagree with an interval-comparison replay (ts - lag(ts) >
+    # INTERVAL n MINUTE) on any gap within ~1s of the boundary when
+    # timestamps carry fractional seconds.
     new_s = F.when(
         prev.isNull()
         | (
-            F.col(ts_col).cast("long") - prev.cast("long")
-            > gap_minutes * 60
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+            > gap_minutes * 60 * 1_000_000
         ),
         1,
     ).otherwise(0)

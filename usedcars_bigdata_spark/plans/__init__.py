@@ -10,14 +10,16 @@ from . import vehicles as _vehicles  # noqa: E402,F401
 # registrations). Registration order follows module/source layout, which is
 # not a priority order — so re-key both dicts here.
 #
-# Round-3 ROTATION policy (ADVICE.md r2): flagship families (ref_* parity,
-# ext_* training-data, event-time/streaming) stay in-window every round;
-# the rel_* pool rotates so each entry gets an independent driver check at
-# least every other round. This round the 15 rel_* entries demoted in r2
-# rotate IN; the 19 rel_* entries green in CORRECTNESS_r02 rotate OUT
-# (still oracle-backed, replayed by tests/test_queries_oracle.py and the
-# full-range scripts/driver_sim.py run each round). Union across rounds:
-# every oracle-backed entry driver-green within the last two rounds.
+# Round-4 ROTATION (VERDICT.md r3 task 3): the 25 round-3 oracle-backed
+# additions that have never had an independent driver row rotate IN; to
+# make room, 25 r3-green entries rotate OUT (ext_* flagship extras, the
+# r3 rel_* pool, and the r3 corpus-prep entries that went green —
+# every rotated-out entry keeps pytest + full-range driver_sim coverage).
+# Kept in-window every round: the 12 ref_* parity queries, the streaming
+# window family, the dedup/ANN/curation core, and ext_embedding_quantize
+# (r3's only red row — its stringified-array fix needs a fresh driver
+# verdict). After this round every oracle-backed entry in the registry
+# will have been independently driver-verified at least once.
 _CONTRACT_PRIORITY = [
     # reference parity (every round)
     "ref_q1_avg_price_by_priority",
@@ -32,58 +34,28 @@ _CONTRACT_PRIORITY = [
     "ref_dedup_deterministic",
     "ref_skewness_transforms",
     "ref_summary_stats",
-    # training-data pipeline (every round)
+    # training-data core (every round: dedup tiers, curation, exact ANN)
     "ext_dedup_exact",
     "ext_dedup_ngram_jaccard",
     "ext_dedup_clusters",
     "ext_curation_pipeline",
     "ext_ann_cosine_topk",
-    "ext_dedup_embedding_cosine",
-    "ext_embedding_norms",
     "ext_text_token_stats",
     "ext_text_quality",
-    "ext_multimodal_features",
-    "ext_pii_redaction",
-    "ext_text_repetition",
-    "ext_contamination_ngram",
-    "ext_corpus_length_histogram",
-    "ext_boilerplate_ngrams",
-    # round-3 additions needing first driver visibility
-    "ext_text_normalize",
-    "ext_pack_shards",
-    "ext_text_normalize_nfc",
-    # event-time + streaming (every round; microbatch is new in r3)
+    # r3's red row, fixed this round (q array stringified) — needs a
+    # fresh driver verdict
+    "ext_embedding_quantize",
+    # event-time + streaming windows (every round)
     "ts_tumbling_hourly",
     "ts_sliding_hourly",
     "ts_session_windows",
     "ts_stream_microbatch",
     "rel_asof_join",
-    # rel_* pool, rotated IN this round (r2-demoted; green in r1)
-    "rel_grouping_sets",
-    "rel_intersect_nation_keys",
-    "rel_except_nation_keys",
-    "rel_explode_words",
-    "rel_range_frame_30d",
-    "rel_multi_quantiles",
-    "rel_cube_priority_status",
-    "rel_distinct_pairs",
-    "rel_above_avg_orders",
-    "rel_running_total",
-    # round-3 corpus-prep additions (hash split / vocab / int8 quantize /
-    # mixture quota sampling / Gopher dup-gram repetition)
-    "ext_hash_split",
-    "ext_vocab_topk",
-    "ext_embedding_quantize",
-    "ext_mixture_sample",
-    "ext_dup_gram_fraction",
-    # --- driver's 50-entry sweep window ends here ---
-    # streaming dedup (new in r3): oracle-backed past-window; the in-window
-    # streaming family (tumbling/sliding/session/microbatch) keeps driver
-    # visibility for the surface
+    # round-3 additions rotated IN for their first driver row (VERDICT r3
+    # task 3 list, complete): streaming dedup + static join, correlated
+    # subqueries, storage layout, joins, UDAF, corpus search/quality ops,
+    # event-time analytics, SQL interface
     "ts_stream_dedup",
-    # round-3 late additions (oracle-backed past-window; full pytest +
-    # full-range driver_sim coverage; rotate in next round): correlated
-    # subquery shapes and storage-layout round-trips
     "rel_exists_lineitem",
     "rel_scalar_correlated",
     "rel_partitioned_prune",
@@ -91,9 +63,6 @@ _CONTRACT_PRIORITY = [
     "rel_range_join",
     "rel_merge_upsert",
     "rel_pandas_udaf_geomean",
-    # round-3 latest additions (oracle-backed past-window; full pytest +
-    # full-range driver_sim coverage; rotate in next round): search-index /
-    # keyword / quota-sampling corpus ops and dense event-time resampling
     "ext_inverted_index",
     "ext_tfidf_top_terms",
     "ext_group_cap_sample",
@@ -108,18 +77,50 @@ _CONTRACT_PRIORITY = [
     "ts_sessionize",
     "ext_char_entropy",
     "rel_group_correlation",
-    "rel_freq_items",
     "ts_stream_static_join",
     "rel_outer_join_coalesce",
     "rel_sql_interface",
-    # rel_* pool, rotated OUT this round (all green in CORRECTNESS_r02 or
-    # r01; each family keeps pytest + full-range driver_sim coverage; the
-    # three scalar-function farms yield their slots to the new ext ops —
-    # their functions are exercised in-window by the ref_* queries).
-    # rel_rank_fractions / rel_first_last_window yielded their r3 slots to
-    # the two new corpus ops: the window family stays represented in-window
-    # by rel_running_total + rel_range_frame_30d + rel_window_rank_orders'
-    # pool rotation, and both remain in the full-range sweep below.
+    # --- driver's 50-entry sweep window ends here ---
+    # round-4 additions (oracle-backed or rows-only-by-nature; pytest +
+    # full-range driver_sim coverage this round; rotate in next round):
+    # character-level dedup tier, containment pairs, OHLC bars, EWMA
+    "ext_edit_distance_pairs",
+    "ext_overlap_containment",
+    "ts_ohlc_hourly",
+    "ts_ewma_smooth",
+    # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
+    # extras + r3 corpus-prep entries; pytest + full-range driver_sim
+    # coverage retained; rotate back next round per the every-other-round
+    # guarantee)
+    "ext_dedup_embedding_cosine",
+    "ext_embedding_norms",
+    "ext_multimodal_features",
+    "ext_pii_redaction",
+    "ext_text_repetition",
+    "ext_contamination_ngram",
+    "ext_corpus_length_histogram",
+    "ext_boilerplate_ngrams",
+    "ext_text_normalize",
+    "ext_pack_shards",
+    "ext_text_normalize_nfc",
+    "ext_hash_split",
+    "ext_vocab_topk",
+    "ext_mixture_sample",
+    "ext_dup_gram_fraction",
+    # rows-only by nature (no oracle row either way)
+    "rel_freq_items",
+    # rel_* pool, rotated OUT this round (green in CORRECTNESS_r03)
+    "rel_grouping_sets",
+    "rel_intersect_nation_keys",
+    "rel_except_nation_keys",
+    "rel_explode_words",
+    "rel_range_frame_30d",
+    "rel_multi_quantiles",
+    "rel_cube_priority_status",
+    "rel_distinct_pairs",
+    "rel_above_avg_orders",
+    "rel_running_total",
+    # rel_* pool, rotated OUT in r3 (green in CORRECTNESS_r01/r02)
     "rel_rank_fractions",
     "rel_first_last_window",
     "rel_string_funcs",

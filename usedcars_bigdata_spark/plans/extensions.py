@@ -67,6 +67,68 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.jaccard_pairs(sh, "doc_id", threshold=0.2)
 
 
+@query(
+    "ext_overlap_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / least(na.n_sh, nb.n_sh), 4) AS overlap
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE inter * 1.0 / least(na.n_sh, nb.n_sh) >= 0.5
+    """,
+)
+def ext_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient (containment) pairs (ext.dedup.overlap_pairs,
+    τ=0.5): |A∩B|/min(|A|,|B|) flags subset relationships Jaccard
+    under-scores — the republished-article-with-appended-boilerplate
+    class. Same single-shuffle inverted-index join as the Jaccard tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    return X.overlap_pairs(sh, "doc_id", threshold=0.5)
+
+
+@query(
+    "ext_edit_distance_pairs",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text,
+             md5(array_to_string(
+               (string_split_regex(trim(text), '\\s+'))[1:2], ' ')) AS fp
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 60
+    """,
+)
+def ext_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs (ext.dedup.edit_distance_pairs):
+    token-prefix fingerprint buckets generate candidates, JVM-native
+    Levenshtein verifies candidates only (O(Σ|bucket|²), never N²) — the
+    scattered-small-edits class the shingle tiers dilute. Hot prefix
+    buckets above max_bucket are dropped as boilerplate, mirroring the
+    LSH cap."""
+    return X.edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        max_dist=60, prefix_tokens=2,
+    )
+
+
 @query("ext_dedup_minhash_lsh")
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) candidates verified by exact Jaccard —
@@ -687,7 +749,8 @@ def ext_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS q
       FROM s
     )
-    SELECT vec_id, n_dims, round(scale, 6) AS scale, q,
+    SELECT vec_id, n_dims, round(scale, 6) AS scale,
+           array_to_string(q, ',') AS q_csv,
            CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT))) AS BIGINT)
              AS sum_q,
            CAST(list_sum(list_transform(q, x -> CAST(abs(x) AS BIGINT))) AS BIGINT)
@@ -699,8 +762,22 @@ def ext_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (ext.similarity.quantize_int8):
     per-vector scale = max|x|/127, narrow projection, zero shuffles; the
     oracle replays the identical double-precision expression tree and the
-    integer audit columns pin the quantized values exactly."""
-    return SIM.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    integer audit columns pin the quantized values exactly. The contract
+    output serializes the quantized vector to a CSV string (q_csv) because
+    raw array cells are unhashable in the driver's pandas canonicalizer —
+    the rel_collect_sorted_lists precedent; the library function keeps its
+    typed array<int> output."""
+    q = SIM.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        F.expr("array_join(transform(q, x -> CAST(x AS STRING)), ',')").alias(
+            "q_csv"
+        ),
+        "sum_q",
+        "l1_q",
+    )
 
 
 @query("rows_stratified_sample")
@@ -842,7 +919,7 @@ def ext_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT token, count(*) AS n_docs,
-           (list_sort(list(doc_id)))[1:20] AS postings
+           array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings_csv
     FROM t
     GROUP BY token
     HAVING count(*) >= 2
@@ -851,15 +928,26 @@ def ext_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (ext.text.inverted_index): token -> document
     frequency + the 20 smallest doc ids as a capped postings sample. The
-    cap is applied by rank BEFORE collect_list so no aggregation buffer
-    ever holds a stopword's full corpus postings; the oracle slices the
-    same 20-smallest prefix off a sorted DuckDB list."""
-    return TX.inverted_index(
+    cap is applied as a salted two-level min-k BEFORE collect_list so no
+    aggregation buffer (or window task) ever holds a stopword's full
+    corpus postings; the oracle slices the same 20-smallest prefix off a
+    sorted DuckDB list. Postings are serialized to a CSV string in the
+    CONTRACT output only (raw array cells are unhashable in the driver's
+    pandas canonicalizer — the quantize/collect_sorted_lists precedent);
+    the library function keeps its typed array output."""
+    idx = TX.inverted_index(
         load_table(spark, sf_dir, "documents"),
         "doc_id",
         "text",
         postings_cap=20,
         min_docs=2,
+    )
+    return idx.select(
+        "token",
+        "n_docs",
+        F.expr(
+            "array_join(transform(postings, x -> CAST(x AS STRING)), ',')"
+        ).alias("postings_csv"),
     )
 
 

@@ -1147,6 +1147,56 @@ def ts_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events
+    ), o AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM o GROUP BY 1, 2
+    """,
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators.timeseries.ohlc_resample):
+    open/close via min_by/max_by over the (ts, event_id) struct — all five
+    aggregates in ONE map-side-combinable pass, no window functions. The
+    oracle replays open/close with first/last row_number ranks over the
+    same (ts, id) order."""
+    return TS.ohlc_resample(
+        load_table(spark, sf_dir, "events"), "ts", "event_type", "value",
+        "event_id",
+    )
+
+
+@query("ts_ewma_smooth")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators.timeseries.ewma_smooth,
+    α=0.3, adjust=False recurrence). Rows-only: the sequential per-key
+    recurrence has no closed-form SQL; the recurrence is pytest-pinned
+    against a manual replay (tests/test_operators.py) and the group count
+    is stable. The op itself is the declared applyInPandas path — one
+    shuffle by user, one vectorized pandas ewm per group."""
+    return TS.ewma_smooth(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        "value", alpha=0.3,
+    )
+
+
+@query(
     "ts_funnel_stages",
     oracle="""
     WITH s0 AS (
@@ -2057,9 +2107,14 @@ def rel_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    # Keyed by applicationId as well as scale factor: two concurrent
+    # sessions against the same sf (bench overlapping the correctness
+    # harness) must not race overwrite-vs-read on a shared /tmp path.
     out = os.path.join(
         tempfile.gettempdir(),
-        f"usedcars_schema_evo_{os.path.basename(sf_dir.rstrip('/'))}",
+        "usedcars_schema_evo_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
     )
     orders = load_table(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderkey") % 2 == 0).select(

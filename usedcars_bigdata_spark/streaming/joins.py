@@ -78,8 +78,14 @@ def enrich_with_tiers(events: DataFrame, dim: DataFrame) -> DataFrame:
     state — unlike stream-stream joins. Inner-joining a stream to a
     broadcastable dimension is the canonical enrichment shape: state cost
     is zero, the only streaming state is the downstream aggregation's.
-    Runs identically on a batch DataFrame (the oracle path)."""
-    joined = events.join(F.broadcast(dim), "event_type")
+    Runs identically on a batch DataFrame (the oracle path).
+
+    Left join + coalesce to the 'ops' fallback tier: event types absent
+    from the dimension are counted, not dropped — an inner join would
+    silently lose events the moment a new type appears upstream."""
+    joined = events.join(F.broadcast(dim), "event_type", "left").withColumn(
+        "tier", F.coalesce(F.col("tier"), F.lit("ops"))
+    )
     return joined.groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
