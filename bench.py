@@ -59,6 +59,10 @@ BENCH_QUERIES = [
     "ts_resample_gap_fill",
     "ts_sessionize",
     "ts_funnel_stages",
+    "ext_edit_distance_pairs",
+    "ext_overlap_containment",
+    "ts_ohlc_hourly",
+    "ts_ewma_smooth",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -294,3 +294,40 @@ def test_dynamic_partition_pruning_on_fact_join(spark, sf_dir, tmp_path):
         assert got == want and got
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+
+
+def test_ohlc_single_aggregate_pass(spark, sf_dir):
+    """OHLC bars: all five aggregates (min_by/max_by/min/max/count) must
+    run in ONE partial+final aggregate pair — no window functions, no
+    second shuffle of the stream."""
+    plan = plan_of(QUERIES["ts_ohlc_hourly"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_edit_distance_equi_joins_on_fingerprint(spark, sf_dir):
+    """Edit-distance candidates come from a hash equi-join on the prefix
+    fingerprint — never a cartesian/NLJ over the corpus."""
+    plan = plan_of(QUERIES["ext_edit_distance_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan  # levenshtein is JVM-native
+
+
+def test_lateral_topk_decorrelates_to_window(spark, sf_dir):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate to a ranked
+    window (or equivalent join), never a per-row nested-loop replay."""
+    plan = plan_of(QUERIES["rel_lateral_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_recursive_cte_executes_bounded(spark, sf_dir):
+    """Recursive month spine: the recursion is calendar-sized; the plan
+    must contain the recursive union operator and exactly one data-sized
+    aggregate (the monthly revenue roll-up)."""
+    df = QUERIES["rel_recursive_cte"](spark, sf_dir)
+    assert df.count() >= 12  # multi-year span -> at least a year of months
+    plan = plan_of(df)
+    assert "UnionLoop" in plan or "Recursion" in plan or "Loop" in plan, plan[:1500]

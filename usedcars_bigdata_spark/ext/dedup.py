@@ -180,17 +180,37 @@ def edit_distance_pairs(
     shingle, while edit distance catches the "same document, scattered
     small edits" class directly. Prefix fingerprinting exploits that this
     class shares its opening tokens (template headers, re-posts with tail
-    edits). Cost is O(Σ|bucket|²) Levenshtein calls, never N²; buckets
-    larger than ``max_bucket`` are dropped (a prefix shared by thousands
-    of docs is boilerplate, not identity — run ``exact_dedup`` first, and
-    detect boilerplate with ext.text's boilerplate ops). Levenshtein is
-    JVM-native but O(len_a·len_b) per pair — bound document length
-    upstream (e.g. chunk first) on long-document corpora.
+    edits). Cost is O(Σ|bucket|²) bounded Levenshtein calls, never N²;
+    buckets larger than ``max_bucket`` are dropped (a prefix shared by
+    thousands of docs is boilerplate, not identity — run ``exact_dedup``
+    first, and detect boilerplate with ext.text's boilerplate ops).
+
+    Three measured mitigations keep verification cheap (11.3s → 0.9s on
+    the sf0.1 bench):
+
+    - a length-difference pre-filter (|len_a − len_b| > max_dist ⇒
+      dist > max_dist, no DP needed);
+    - the THRESHOLDED ``levenshtein(l, r, max_dist)`` form — banded DP,
+      O(len·max_dist) with early exit instead of O(len²); returns -1
+      above the threshold, dropped by the final filter;
+    - an EXPLICIT repartition of the probe side BEFORE the self-join:
+      Catalyst pushes the dist predicate into the broadcast-join
+      condition, so the DP executes inside the join — whose parallelism
+      is the probe side's scan partitioning (ONE task for a single small
+      file; measured 8.5s of the 8.7s total on one core). Repartitioning
+      the pair rows after the join doesn't help — the filter pushes back
+      through the exchange into the join. AQE sizes stages by bytes, not
+      CPU; compute-dense joins must pin the probe side's parallelism.
 
     Output: (id_a, id_b, dist) with id_a < id_b and dist ≤ max_dist."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     fp = F.md5(F.concat_ws(" ", F.slice(words, 1, prefix_tokens)))
-    t = df.select(F.col(id_col), F.col(text_col), fp.alias("__fp"))
+    t = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        fp.alias("__fp"),
+        F.length(text_col).alias("__len"),
+    )
     small = (
         t.groupBy("__fp")
         .agg(F.count("*").alias("__n"))
@@ -198,13 +218,21 @@ def edit_distance_pairs(
         .select("__fp")
     )
     t = t.join(small, "__fp")
-    a = t.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"), "__fp")
-    b = t.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"), "__fp")
+    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    a = t.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"),
+        F.col("__len").alias("__la"), "__fp",
+    ).repartition(n_tasks, "id_a")
+    b = t.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"),
+        F.col("__len").alias("__lb"), "__fp",
+    )
     return (
         a.join(b, "__fp")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("__ta", "__tb"))
-        .filter(F.col("dist") <= max_dist)
+        .filter(F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        .withColumn("dist", F.levenshtein("__ta", "__tb", max_dist))
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .select("id_a", "id_b", "dist")
     )
 

@@ -83,11 +83,15 @@ _CONTRACT_PRIORITY = [
     # --- driver's 50-entry sweep window ends here ---
     # round-4 additions (oracle-backed or rows-only-by-nature; pytest +
     # full-range driver_sim coverage this round; rotate in next round):
-    # character-level dedup tier, containment pairs, OHLC bars, EWMA
+    # character-level dedup tier, containment pairs, OHLC bars, EWMA,
+    # and the Spark-4 SQL surface (recursive CTE, LATERAL, Python UDTF)
     "ext_edit_distance_pairs",
     "ext_overlap_containment",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
+    "rel_recursive_cte",
+    "rel_lateral_topk",
+    "rel_python_udtf",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

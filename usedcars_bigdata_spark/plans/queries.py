@@ -1994,6 +1994,109 @@ def rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Recursive month spine + revenue fill: the SAME SQL text runs on Spark
+# (WITH RECURSIVE landed in Spark 4) and DuckDB — only the table name
+# differs, so the oracle is the query itself.
+_RECURSIVE_MONTHS_SQL = """
+WITH RECURSIVE months(m, hi) AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+         CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+  FROM {t}
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months WHERE m < hi
+)
+SELECT m AS month_start,
+       coalesce(r.rev, 0.0) AS revenue,
+       coalesce(r.n, 0) AS n_orders
+FROM months LEFT JOIN (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m2,
+         round(sum(o_totalprice), 2) AS rev, count(*) AS n
+  FROM {t} GROUP BY 1
+) r ON m = m2
+"""
+
+
+@query("rel_recursive_cte", oracle=_RECURSIVE_MONTHS_SQL.format(t="orders"))
+def rel_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new SQL surface in Spark 4): a month
+    spine from min to max order date, generated by recursion and LEFT
+    JOINed to monthly revenue so empty months surface as explicit zero
+    rows — the gap-filled-calendar idiom (the set-based cousin of
+    ts_resample_gap_fill's sequence() approach). The recursion carries its
+    stop bound as a column (no correlated subquery in the recursive step);
+    depth = number of months, so the iterative union is calendar-sized,
+    never data-sized — each step is a constant-width one-row append and
+    the single data-sized job is the monthly aggregate. Oracle: the
+    IDENTICAL SQL text on DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_RECURSIVE_MONTHS_SQL.format(t="orders_v"))
+
+
+@query(
+    "rel_lateral_topk",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal
+    FROM (
+      SELECT n.n_name, c.c_custkey, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS rn
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    ) WHERE rn <= 2
+    """,
+)
+def rel_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): per nation, the
+    top-2 customers by account balance via an ORDER BY ... LIMIT inside
+    the lateral — the per-row-subquery idiom BI tools emit. Catalyst
+    rewrites it to the same ranked-window shape the oracle replays
+    (DecorrelateInnerQuery), so the declarative form costs nothing vs the
+    window form rel_topk_per_group exercises directly."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_v n,
+        LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_v
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
+    )
+
+
+@query(
+    "rel_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[i] AS token
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents WHERE doc_id < 20))
+    """,
+)
+def rel_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (functions.udtf.PosTokens): one-row-in/N-out
+    positional tokenization as a LATERAL table function. Row-at-a-time
+    Python — the escape-hatch path, fed a BOUNDED slice (doc_id < 20)
+    here; the production rewrite is posexplode(split(...)), whose
+    semantics the DuckDB oracle certifies this matches exactly
+    (NULL text -> no rows, 0-based positions)."""
+    from ..functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM docs_v d, LATERAL pos_tokens(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )
+
+
 @query(
     "rel_outer_join_coalesce",
     oracle="""
