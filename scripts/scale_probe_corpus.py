@@ -81,6 +81,26 @@ def probe(spark, n_docs: int) -> dict:
         "char entropy",
         lambda: TX.char_entropy(docs, "doc_id", "text").count(),
     )
+    # round-4 additions: prefix-bucketed edit distance (candidate count
+    # tracks bucket collisions, not n²) and overlap-coefficient pairs
+    # (same inverted-index join as the jaccard tier)
+    from usedcars_bigdata_spark.ext import dedup as X
+
+    X.edit_distance_pairs(warm, "doc_id", "text", max_dist=40).count()
+    out["edit_distance"] = timed(
+        "edit-distance pairs (prefix-2, d<=40)",
+        lambda: X.edit_distance_pairs(docs, "doc_id", "text", max_dist=40).count(),
+    )
+    sh_warm = X.word_shingles(warm, "doc_id", "text", n=3, hashed=True)
+    X.overlap_pairs(sh_warm, "doc_id", threshold=0.8).count()
+    out["overlap_pairs"] = timed(
+        "overlap pairs (tau 0.8)",
+        lambda: X.overlap_pairs(
+            X.word_shingles(docs, "doc_id", "text", n=3, hashed=True),
+            "doc_id",
+            threshold=0.8,
+        ).count(),
+    )
     return out
 
 

@@ -599,3 +599,37 @@ def test_quality_percentile_approx_threshold_near_exact(spark, sf_dir):
         .first()[0]
     )
     assert abs(approx_thr - exact_thr) <= 0.05 * abs(spread) + 1e-9
+
+
+def test_sample_frames_schedule_and_determinism(spark):
+    import hashlib
+
+    rows = [
+        (1, b"abc", 3500),   # 1000ms spacing -> frames at 0,1000,2000,3000
+        (2, b"xy", None),    # NULL duration -> single poster frame
+        (3, b"long", 99000), # capped at max_frames
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, duration_ms long"
+    )
+    got = {}
+    for r in MM.sample_frames(df, every_ms=1000, max_frames=8).collect():
+        got.setdefault(r["media_id"], []).append(r)
+    assert [f["frame_ts_ms"] for f in sorted(got[1], key=lambda x: x["frame_idx"])] == [
+        0, 1000, 2000, 3000
+    ]
+    assert len(got[2]) == 1 and got[2][0]["frame_ts_ms"] == 0
+    assert len(got[3]) == 8  # capped
+    assert got[1][0]["frame_sha"] == hashlib.sha256(b"abc:0").hexdigest()
+
+
+def test_resize_image_stub_plumbing(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, b"imgbytes"), (2, None)], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in MM.resize_image(df, 64, 48).collect()}
+    assert got[1]["width"] == 64 and got[1]["height"] == 48
+    assert got[1]["thumb_sha"] == hashlib.sha256(b"imgbytes:64x48").hexdigest()
+    assert got[2]["thumb_sha"] == hashlib.sha256(b":64x48").hexdigest()

@@ -94,6 +94,86 @@ def extract_features(media: DataFrame, dim: int = 8, use_stub: bool = True) -> D
     return media.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling via mapInPandas: one input row → n output rows
+    (frame schedule), the 1-to-N expansion shape a real video pipeline
+    needs (ffmpeg keyframe extraction). The SCHEDULE math is real —
+    ``n_frames = min(max_frames, duration_ms // every_ms + 1)`` from the
+    duration metadata, timestamps at ``i * every_ms`` — while the decode
+    is stubbed deterministically (no codecs in this container): each
+    "frame" is fingerprinted as sha256(payload ':' idx) hex, so the
+    expansion is exactly replayable by a SQL oracle and swapping in a
+    real decoder changes one line.
+
+    Rows with NULL duration emit one frame at t=0 (the poster-frame
+    convention). Output: (media_id, frame_idx, frame_ts_ms, frame_sha)."""
+    out_schema = (
+        "media_id long, frame_idx int, frame_ts_ms long, frame_sha string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            mids, idxs, tss, shas = [], [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = 1
+                if dur is not None and not pd.isna(dur):
+                    n = min(max_frames, int(dur) // every_ms + 1)
+                for i in range(max(n, 1)):
+                    mids.append(mid)
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    shas.append(
+                        _hashlib.sha256(
+                            bytes(payload or b"") + f":{i}".encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_sha": pd.Series(shas, dtype="object"),
+                }
+            )
+
+    return media.select("media_id", "payload", "duration_ms").mapInPandas(
+        run, out_schema
+    )
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Thumbnail/resize plumbing via mapInPandas: metadata transform is
+    real (output dimensions recorded), pixel work is the deterministic
+    stub sha256(payload ':WxH') — swap one line for PIL.thumbnail when
+    codecs exist. Output: (media_id, width, height, thumb_sha)."""
+    out_schema = "media_id long, width int, height int, thumb_sha string"
+    tag = f":{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": pd.Series([width] * len(pdf), dtype="int32"),
+                    "height": pd.Series([height] * len(pdf), dtype="int32"),
+                    "thumb_sha": [
+                        _hashlib.sha256(bytes(p or b"") + tag).hexdigest()
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)
+
+
 def synthesize_media_from_docs(docs: DataFrame, media_type: str = "image") -> DataFrame:
     """Build a deterministic fake media table from the documents table so the
     plumbing can run against harness data (text bytes as payload)."""

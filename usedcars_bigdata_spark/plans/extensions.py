@@ -391,6 +391,44 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_video_frame_sample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) * 10 AS duration_ms
+      FROM documents
+    ), sched AS (
+      SELECT media_id, text,
+             unnest(range(CAST(least(8, duration_ms // 1000 + 1) AS BIGINT)))
+               AS i
+      FROM m
+    )
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           i * 1000 AS frame_ts_ms,
+           sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_sha
+    FROM sched
+    """,
+)
+def ext_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (ext.multimodal.sample_frames):
+    documents → synthetic video media (payload = text bytes, duration =
+    10 ms/byte) → mapInPandas 1-to-N frame expansion. The schedule math
+    (min(max_frames, duration//every_ms + 1) frames at every_ms spacing)
+    and the Arrow batch shape are real; the decode is the deterministic
+    sha256 stub (no codecs in this container), which is what lets the
+    DuckDB oracle replay the whole expansion — frame fingerprints hash
+    the same UTF-8 bytes on both engines."""
+    from ..ext import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_docs(docs, "video").withColumn(
+        "duration_ms", (F.octet_length("payload") * 10).cast("long")
+    )
+    return MM.sample_frames(media, every_ms=1000, max_frames=8)
+
+
+@query(
     "ext_multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
