@@ -566,3 +566,132 @@ def test_ewma_smooth_matches_recurrence(spark):
     for i, e in enumerate(expect):
         assert abs(out[i] - round(e, 6)) < 1e-9
     assert out[99] == 3.0
+
+
+def test_scd2_merge_semantics(spark):
+    from usedcars_bigdata_spark.operators.joins import scd2_merge
+    import datetime as dt
+
+    d0 = dt.date(2020, 1, 1)
+    eff = dt.date(2023, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            # key 1: history + current (current seg 'b')
+            (1, "a", d0, dt.date(2021, 1, 1), False),
+            (1, "b", dt.date(2021, 1, 1), None, True),
+            # key 2: current only
+            (2, "x", d0, None, True),
+            # key 3: current only, will be untouched (no update row)
+            (3, "z", d0, None, True),
+        ],
+        "k long, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "c", eff),   # changed -> close 'b', open 'c'
+            (2, "x", eff),   # identical -> no-op
+            (9, "n", eff),   # new key -> insert
+        ],
+        "k long, seg string, eff date",
+    )
+    out = scd2_merge(dim, upd, ["k"], ["seg"], "eff")
+    rows = {(r["k"], r["seg"]): r for r in out.collect()}
+    assert len(rows) == 6
+    assert rows[(1, "a")]["is_current"] is False          # history untouched
+    closed = rows[(1, "b")]
+    assert closed["is_current"] is False and closed["valid_to"] == eff
+    opened = rows[(1, "c")]
+    assert opened["is_current"] is True and opened["valid_from"] == eff
+    assert opened["valid_to"] is None
+    assert rows[(2, "x")]["is_current"] is True           # no spurious version
+    assert rows[(2, "x")]["valid_from"] == d0
+    assert rows[(3, "z")]["is_current"] is True           # untouched key
+    assert rows[(9, "n")]["valid_from"] == eff            # brand-new key
+
+
+def test_scd2_merge_null_safe_attr_change(spark):
+    from usedcars_bigdata_spark.operators.joins import scd2_merge
+    import datetime as dt
+
+    d0, eff = dt.date(2020, 1, 1), dt.date(2023, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, None, d0, None, True), (2, "v", d0, None, True)],
+        "k long, seg string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "now_set", eff), (2, None, eff)],
+        "k long, seg string, eff date",
+    )
+    out = scd2_merge(dim, upd, ["k"], ["seg"], "eff").collect()
+    # NULL->value and value->NULL must BOTH version (eqNullSafe comparison)
+    assert len(out) == 4
+    currents = {(r["k"], r["seg"]) for r in out if r["is_current"]}
+    assert currents == {(1, "now_set"), (2, None)}
+
+
+def test_zorder_layout_improves_multi_column_pruning(spark, tmp_path):
+    from usedcars_bigdata_spark.operators.partitioning import zorder_layout
+
+    # two independent uniform dimensions; a layout sorted by x alone gives
+    # ~full-span files on y, Z-order gives compact spans on BOTH
+    df = spark.range(40_000).select(
+        F.col("id"),
+        (F.xxhash64("id", F.lit(1)) % 10_000).alias("x"),
+        (F.xxhash64("id", F.lit(2)) % 10_000).alias("y"),
+    )
+    n_files = 16
+
+    def avg_span(path: str, col: str) -> float:
+        part = spark.read.parquet(path).withColumn(
+            "__f", F.input_file_name()
+        )
+        spans = (
+            part.groupBy("__f")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .first()[0]
+        )
+        full = 2 * 10_000  # x/y range is (-10000, 10000)
+        return float(spans) / full
+
+    single = str(tmp_path / "single")
+    df.repartitionByRange(n_files, "x").sortWithinPartitions("x").write.parquet(single)
+    zpath = str(tmp_path / "zorder")
+    zorder_layout(df, ["x", "y"], n_partitions=n_files).write.parquet(zpath)
+
+    # single-column layout: x files are tight, y files span ~everything
+    assert avg_span(single, "x") < 0.2
+    assert avg_span(single, "y") > 0.8
+    # z-order: BOTH dimensions get compact per-file spans
+    zx, zy = avg_span(zpath, "x"), avg_span(zpath, "y")
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+    # and the row set is unchanged
+    assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_zorder_key_deterministic_and_null_safe(spark):
+    from usedcars_bigdata_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, None, 5.0), (3, 10.0, None)],
+        "id long, x double, y double",
+    )
+    keyed, col = zorder_key(df, ["x", "y"], bits=4)
+    a = {r["id"]: r[col] for r in keyed.collect()}
+    b = {r["id"]: r[col] for r in zorder_key(df, ["x", "y"], bits=4)[0].collect()}
+    assert a == b
+    assert all(v is not None and v >= 0 for v in a.values())
+
+
+def test_profile_table_one_scan_semantics(tiny):
+    from usedcars_bigdata_spark.operators.agg import profile_table
+
+    got = {r["col_name"]: r for r in profile_table(tiny, ["k", "v", "tag"]).collect()}
+    assert set(got) == {"k", "v", "tag"}
+    assert all(r["n_rows"] == 5 for r in got.values())
+    assert got["v"]["n_nulls"] == 1 and got["tag"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 3
+    assert got["k"]["min_str"] == "a" and got["k"]["max_str"] == "c"
+    # one scan: a single aggregate, no per-column jobs
+    plan = profile_table(tiny, ["k", "v", "tag"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") <= 2  # expand-based distinct may rescan once

@@ -84,6 +84,42 @@ def summary_stats(df: DataFrame, col: str, ndigits: int = 2) -> DataFrame:
     )
 
 
+def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """Long-format data-profiling report: one row per profiled column with
+    row/null/distinct counts and the min/max rendered as strings — the
+    first thing a data-quality gate or catalog crawler computes over a
+    new table.
+
+    ONE scan regardless of column count: all metrics aggregate in a
+    single wide 1-row result (each metric is map-side combinable), then
+    a stack() unpivot reshapes driver-free to long format. Per-column
+    describe() loops scan once per column; at 100 TB that difference is
+    the whole cost. Distinct counts are exact here — swap
+    approx_count_distinct when profiling at interactive latency.
+
+    Output: (col_name, n_rows, n_nulls, n_distinct, min_str, max_str)."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __nulls_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_str, max_str)"
+        ),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+
+
 def skewness_of(col: Column | str, ndigits: int = 4) -> Column:
     """A8: population skewness g1 = m3/m2^1.5, Spark's native definition
     (used for the odometer skew study, data-viz&cleaning.py:142,195,207)."""

@@ -188,6 +188,81 @@ def merge_upsert(
     return joined.select(*out_cols)
 
 
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    eff_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    flag_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply one batch of updates
+    to a versioned dimension, KEEPING history — the warehouse complement
+    of ``merge_upsert`` (which overwrites in place).
+
+    Per update row (key, attrs, effective ts):
+    - attrs CHANGED vs the key's current row → close the current row
+      (valid_to = eff, is_current = false) and append a new current
+      version (valid_from = eff, open-ended);
+    - attrs identical → no-op (no spurious versions);
+    - key unseen → insert as a new current row.
+    Historical (non-current) rows pass through untouched; updates must be
+    key-unique per batch (dedupe upstream — duplicate keys would fan out).
+
+    One full-outer join on the key and ONE pass over it: each joined row
+    emits its 0/1/2 output versions through a when()-array + explode, so
+    the change detection isn't re-joined per branch. Attribute comparison
+    is null-safe (``eqNullSafe``) — NULL→value and value→NULL both count
+    as changes. At 100 TB the dimension is tiny next to facts; if not,
+    partition both sides by the key so the merge is co-located, same as
+    merge_upsert."""
+    key_list = list(keys)
+    attrs = list(attr_cols)
+    cur = dim.filter(F.col(flag_col))
+    hist = dim.filter(~F.col(flag_col))
+    joined = cur.alias("__c").join(updates.alias("__u"), key_list, "full_outer")
+
+    cur_present = F.col(f"__c.{flag_col}").isNotNull()
+    upd_present = F.col(f"__u.{eff_col}").isNotNull()
+    differs = None
+    for a in attrs:
+        d = ~F.col(f"__c.{a}").eqNullSafe(F.col(f"__u.{a}"))
+        differs = d if differs is None else (differs | d)
+
+    def ver(attr_side: str, vfrom, vto, current) -> Column:
+        fields = [F.col(k).alias(k) for k in key_list]
+        fields += [F.col(f"{attr_side}.{a}").alias(a) for a in attrs]
+        fields += [
+            vfrom.alias(from_col),
+            vto.alias(to_col),
+            current.alias(flag_col),
+        ]
+        return F.struct(*fields)
+
+    closed = ver(
+        "__c", F.col(f"__c.{from_col}"), F.col(f"__u.{eff_col}"), F.lit(False)
+    )
+    fresh = ver(
+        "__u", F.col(f"__u.{eff_col}"), F.lit(None).cast("date"), F.lit(True)
+    )
+    keep = ver(
+        "__c", F.col(f"__c.{from_col}"), F.col(f"__c.{to_col}"), F.lit(True)
+    )
+    emit = (
+        F.when(cur_present & upd_present & differs, F.array(closed, fresh))
+        .when(cur_present, F.array(keep))
+        .otherwise(F.array(fresh))
+    )
+    out_cols = key_list + attrs + [from_col, to_col, flag_col]
+    merged = (
+        joined.select(F.explode(emit).alias("__v"))
+        .select(*[F.col(f"__v.{c}").alias(c) for c in out_cols])
+    )
+    return hist.select(*out_cols).unionByName(merged)
+
+
 def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """EXISTS: rows of left with a match — right side never widens the row."""
     return left.join(right, on=on, how="left_semi")

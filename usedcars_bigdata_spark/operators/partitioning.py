@@ -89,6 +89,72 @@ def bucketed_write(
     writer.saveAsTable(table_name)
 
 
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 8
+) -> "tuple[DataFrame, str]":
+    """Append a Morton (Z-order) interleave key over ``cols``: each column
+    is bucketized onto a uniform 2^bits grid between its min and max (one
+    cheap agg), then the bucket bits are interleaved into one long. Rows
+    close in Z value are close in EVERY keyed dimension, which is what
+    makes multi-column min/max pruning work after a range layout.
+
+    Pure JVM column expressions (width_bucket + shift/or folds — no
+    Python, no window). Uniform grid caveat: heavily skewed columns
+    should be pre-transformed (log/rank) before keying, the same caveat
+    every uniform-grid Z-order implementation carries. NULLs land in
+    bucket 0 (sort first, prune-neutral).
+
+    Returns (df_with_key, key_col_name)."""
+    cols = list(cols)
+    stats = df.agg(
+        *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn = float(stats[f"__mn_{i}"])
+        mx = float(stats[f"__mx_{i}"])
+        if mx <= mn:
+            mx = mn + 1.0
+        bucket = (
+            F.width_bucket(F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n_buckets))
+            - 1
+        )
+        bucket = F.coalesce(
+            F.least(F.greatest(bucket, F.lit(0)), F.lit(n_buckets - 1)), F.lit(0)
+        ).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+    return df.withColumn("__zorder", z), "__zorder"
+
+
+def zorder_layout(
+    df: DataFrame, cols: Sequence[str], n_partitions: int, bits: int = 8
+) -> DataFrame:
+    """Z-order data layout: range-partition + sort by the Morton key so
+    each output file covers a compact hyper-rectangle of the keyed
+    columns. Parquet then records tight per-file/row-group min/max for
+    ALL keyed columns, and a reader filtering on ANY of them skips most
+    files — the standard multi-dimensional layout trick (Delta OPTIMIZE
+    ZORDER BY, Iceberg sort orders) expressed with stock Spark: one
+    range exchange, one in-partition sort, no custom writer.
+
+    A single-column sort gives perfect pruning on that column and NONE
+    on the others; Z-order trades a little per-column tightness for
+    pruning on every keyed dimension (measured in
+    tests/test_operators.py: file-span fraction on the second column
+    drops from ~1.0 to a small fraction). Write the result with
+    ``.write.parquet`` as usual."""
+    keyed, key = zorder_key(df, cols, bits=bits)
+    return (
+        keyed.repartitionByRange(n_partitions, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+    )
+
+
 def cache_hot(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist for iterative reuse (ML training loops).
     Always pair with an eventual unpersist in long-lived jobs."""

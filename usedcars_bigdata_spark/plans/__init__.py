@@ -93,6 +93,9 @@ _CONTRACT_PRIORITY = [
     "rel_lateral_topk",
     "rel_python_udtf",
     "ext_video_frame_sample",
+    "rel_scd2_merge",
+    "rel_zorder_layout",
+    "rel_profile_table",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2328,6 +2328,158 @@ def rel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_scd2_merge",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             DATE '1990-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MOVED' ELSE c_mktsegment END
+               AS seg,
+             DATE '1996-06-01' AS eff
+      FROM customer WHERE c_custkey % 3 = 0 OR c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 'NEWSEG', DATE '1996-06-01'
+      FROM customer WHERE c_custkey % 11 = 0
+    ), changed AS (
+      SELECT d.k, d.seg AS old_seg, u.seg AS new_seg, u.eff
+      FROM dim d JOIN upd u ON d.k = u.k AND d.seg <> u.seg
+    )
+    SELECT k AS c_custkey, seg, valid_from, valid_to, is_current FROM dim
+    WHERE k NOT IN (SELECT k FROM changed)
+    UNION ALL
+    SELECT k, old_seg, DATE '1990-01-01', eff, FALSE FROM changed
+    UNION ALL
+    SELECT k, new_seg, eff, CAST(NULL AS DATE), TRUE FROM changed
+    UNION ALL
+    SELECT u.k, u.seg, u.eff, CAST(NULL AS DATE), TRUE
+    FROM upd u WHERE u.k NOT IN (SELECT k FROM dim)
+    """,
+)
+def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge (operators.joins.scd2_merge): a versioned customer
+    dimension absorbs one update batch containing changed segments (every
+    3rd key), no-op rows (every 7th — must NOT produce spurious
+    versions), and brand-new keys. Changed keys emit a closed historical
+    row plus an open current row; the whole merge is one full-outer join
+    and one explode pass. The oracle rebuilds the expected version set
+    with plain set logic."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter((F.col("c_custkey") % 3 == 0) | (F.col("c_custkey") % 7 == 0))
+        .select(
+            F.col("c_custkey"),
+            F.when(F.col("c_custkey") % 3 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.to_date(F.lit("1996-06-01")).alias("eff"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("seg"),
+                F.to_date(F.lit("1996-06-01")).alias("eff"),
+            )
+        )
+    )
+    return J.scd2_merge(
+        dim, updates, keys=["c_custkey"], attr_cols=["seg"], eff_col="eff"
+    )
+
+
+_PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+@query(
+    "rel_profile_table",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           (SELECT count(*) FROM orders) AS n_rows,
+           (SELECT count(*) FROM orders WHERE {c} IS NULL) AS n_nulls,
+           (SELECT count(DISTINCT {c}) FROM orders) AS n_distinct,
+           (SELECT min(CAST({c} AS VARCHAR)) FROM orders) AS min_str,
+           (SELECT max(CAST({c} AS VARCHAR)) FROM orders) AS max_str
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling report (operators.agg.profile_table): per-column
+    row/null/distinct counts + lexicographic min/max as strings, computed
+    for ALL columns in ONE scan (wide aggregate, then a stack() unpivot)
+    — vs the per-column describe() loop that scans once per column. The
+    contract profiles the int/string/date columns of orders; doubles are
+    excluded from the ORACLE only because float-to-string rendering is
+    engine-specific (the operator itself takes any column list)."""
+    return A.profile_table(
+        load_table(spark, sf_dir, "orders"), _PROFILE_COLS
+    )
+
+
+@query("rel_zorder_layout")
+def rel_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout quality report
+    (operators.partitioning.zorder_layout): orders range-laid-out on the
+    interleaved (o_totalprice, o_custkey) key, written to parquet, read
+    back, and summarized as per-file min/max span fractions for BOTH
+    dimensions — the statistic that determines multi-column file pruning
+    at 100 TB (a span fraction of s means a point predicate skips ~1-s
+    of the files on that column). Rows-only: the report depends on file
+    boundaries, which are an engine-layout property with no SQL oracle;
+    the pruning improvement itself is pinned in tests/test_operators.py
+    against a single-column sort baseline."""
+    import os
+    import tempfile
+
+    from ..operators.partitioning import zorder_layout
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_zorder_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_custkey"
+    )
+    zorder_layout(orders, ["o_totalprice", "o_custkey"], n_partitions=8).write.mode(
+        "overwrite"
+    ).parquet(out)
+    back = spark.read.parquet(out).withColumn("__f", F.input_file_name())
+    spans = back.groupBy("__f").agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("span_price"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("span_cust"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ranges = orders.agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("r_price"),
+        (F.max("o_custkey") - F.min("o_custkey")).alias("r_cust"),
+    )
+    return spans.crossJoin(F.broadcast(ranges)).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows_total"),
+        F.round(F.avg(F.col("span_price") / F.col("r_price")), 4).alias(
+            "avg_span_frac_price"
+        ),
+        F.round(F.avg(F.col("span_cust") / F.col("r_cust")), 4).alias(
+            "avg_span_frac_cust"
+        ),
+    )
+
+
+@query(
     "rel_pandas_udaf_geomean",
     oracle="""
     SELECT o_orderpriority,
