@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "ts_funnel_stages",
     "ext_edit_distance_pairs",
     "ext_overlap_containment",
+    "ext_line_dedup",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
 ]

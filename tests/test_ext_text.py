@@ -633,3 +633,33 @@ def test_resize_image_stub_plumbing(spark):
     assert got[1]["width"] == 64 and got[1]["height"] == 48
     assert got[1]["thumb_sha"] == hashlib.sha256(b"imgbytes:64x48").hexdigest()
     assert got[2]["thumb_sha"] == hashlib.sha256(b":64x48").hexdigest()
+
+
+def test_line_dedup_first_occurrence_survives(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nBOILERPLATE\nunique two"),
+            (2, "BOILERPLATE\nunique three"),
+            (3, "unique four\nBOILERPLATE"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.line_dedup(df, "doc_id", "text").collect()}
+    # the boilerplate line survives only in doc 1 (first occurrence)
+    assert got[1]["text_dedup"] == "unique one\nBOILERPLATE\nunique two"
+    assert got[2]["text_dedup"] == "unique three"
+    assert got[3]["text_dedup"] == "unique four"
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (2, 1)
+
+
+def test_line_dedup_within_doc_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\na\nb"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.line_dedup(df, "doc_id", "text").collect()}
+    # duplicate 'a' within one doc deduped; empty lines exempt and kept
+    assert got[1]["text_dedup"] == "a\n\nb"
+    assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 3
+    # a fully-empty doc keeps its (single empty) line via the exemption
+    assert got[2]["n_kept"] == 1

@@ -643,6 +643,73 @@ def inverted_index(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide LINE-level deduplication — the sub-document dedup pass
+    (RefinedWeb/CCNet style) that strips repeated boilerplate lines
+    (headers, nav bars, license blurbs) exact document dedup can't touch:
+    a line survives only at its FIRST corpus occurrence (min doc id, then
+    min position), every later copy is dropped, and documents are
+    reassembled from their surviving lines in original order.
+
+    Shape: posexplode to (doc, pos, line) → survivor election as a
+    grouped min over a SINGLE sortable key (doc_id·2²⁰ + pos — groupBy,
+    not a per-line window, so hot boilerplate lines partial-aggregate
+    instead of concentrating one window task) → equi-join back on the
+    line hash → per-doc reassembly via sorted struct collect. Two
+    shuffles total (line key, then doc key), both map-side combinable.
+    Lines shorter than ``min_line_chars`` are exempt (blank separators
+    carry no dedup signal).
+
+    Output: (id, text_dedup, n_lines, n_kept)."""
+    pos_cap = 1 << 20  # positions per doc bound for the packed survivor key
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    eligible = lines.filter(F.length("__line") >= min_line_chars)
+    packed = (F.col(id_col) * pos_cap + F.col("__pos")).alias("__key")
+    first = (
+        eligible.select(F.xxhash64("__line").alias("__h"), packed)
+        .groupBy("__h")
+        .agg(F.min("__key").alias("__first"))
+    )
+    survivors = eligible.join(
+        first,
+        (F.xxhash64(F.col("__line")) == F.col("__h"))
+        & ((F.col(id_col) * pos_cap + F.col("__pos")) == F.col("__first")),
+    ).select(id_col, "__pos", "__line")
+    exempt = lines.filter(F.length("__line") < min_line_chars).select(
+        id_col, "__pos", "__line"
+    )
+    kept = survivors.unionByName(exempt)
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.expr(
+                "transform(array_sort(collect_list(struct(__pos, __line))),"
+                " s -> s.__line)"
+            ),
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str,

@@ -96,6 +96,7 @@ _CONTRACT_PRIORITY = [
     "rel_scd2_merge",
     "rel_zorder_layout",
     "rel_profile_table",
+    "ext_line_dedup",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -68,6 +68,59 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_line_dedup",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text),
+                 '((\\S+\\s+){4}\\S+)\\s+', '\\1' || chr(10), 'g'),
+               chr(10)) AS ls
+      FROM documents
+    ), l AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ls[i] AS line
+      FROM (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+            FROM m)
+    ), f AS (
+      SELECT line, min(doc_id * 1048576 + pos) AS first_key
+      FROM l WHERE length(line) >= 1 GROUP BY line
+    ), kept AS (
+      SELECT l.doc_id, l.pos, l.line FROM l JOIN f
+        ON l.line = f.line AND l.doc_id * 1048576 + l.pos = f.first_key
+      UNION ALL
+      SELECT doc_id, pos, line FROM l WHERE length(line) < 1
+    ), tot AS (
+      SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id
+    ), reb AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, coalesce(reb.text_dedup, '') AS text_dedup,
+           t.n_lines, coalesce(reb.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN reb ON t.doc_id = reb.doc_id
+    """,
+)
+def ext_line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide line dedup (ext.text.line_dedup — the RefinedWeb-style
+    sub-document pass): repeated lines survive only at their first corpus
+    occurrence and documents are reassembled in order. The harness corpus
+    is single-line, so the entry first folds every 5th word break into a
+    newline with one regexp (byte-identical on both engines — verified
+    across all docs) to synthesize a multi-line corpus; the oracle
+    replays survivor election over the packed (doc·2²⁰+pos) key and
+    rebuilds with an ordered string_agg. Spark joins lines on xxhash64;
+    the string-keyed oracle certifies equality at harness scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim("text"), r"((\S+\s+){4}\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    return TX.line_dedup(multi, "doc_id", "text")
+
+
+@query(
     "ext_overlap_containment",
     oracle="""
     WITH t AS (
