@@ -695,3 +695,20 @@ def test_profile_table_one_scan_semantics(tiny):
     # one scan: a single aggregate, no per-column jobs
     plan = profile_table(tiny, ["k", "v", "tag"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") <= 2  # expand-based distinct may rescan once
+
+
+def test_pseudonymize_integrity_and_nulls(spark):
+    from usedcars_bigdata_spark.operators.clean import pseudonymize
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "alice", "x"), (2, "bob", "y"), (3, "alice", "z"), (4, None, "w")],
+        "id long, name string, other string",
+    )
+    got = {r["id"]: r for r in pseudonymize(df, ["name"], salt="s").collect()}
+    # deterministic + referential integrity: same value -> same token
+    assert got[1]["name"] == got[3]["name"]
+    assert got[1]["name"] == hashlib.sha256(b"s:alice").hexdigest()
+    assert got[1]["name"] != got[2]["name"]
+    assert got[4]["name"] is None          # NULL stays NULL
+    assert got[1]["other"] == "x"          # untouched columns pass through

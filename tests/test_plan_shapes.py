@@ -331,3 +331,42 @@ def test_recursive_cte_executes_bounded(spark, sf_dir):
     assert df.count() >= 12  # multi-year span -> at least a year of months
     plan = plan_of(df)
     assert "UnionLoop" in plan or "Recursion" in plan or "Loop" in plan, plan[:1500]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime Bloom-filter join pruning: joining a large fact to a
+    SELECTIVE dim without broadcast must inject a bloom_filter_agg on the
+    creation side and a might_contain probe into the fact scan — at
+    100 TB this is the difference between shuffling every fact row and
+    shuffling only likely-matching ones. Size thresholds are lowered to
+    trigger the rewrite at test scale (production defaults gate it to
+    10GB+ scans, where it matters)."""
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert j.collect()[0]["n"] > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

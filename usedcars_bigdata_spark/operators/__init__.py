@@ -15,5 +15,6 @@ from . import (  # noqa: F401
     sample,
     setops,
     sort,
+    timeseries,
     window,
 )

@@ -109,3 +109,25 @@ def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     for old, new in mapping.items():
         out = out.withColumnRenamed(old, new)
     return out
+
+
+def pseudonymize(
+    df: DataFrame, cols: Sequence[str], salt: str
+) -> DataFrame:
+    """Deterministic pseudonymization: replace identifier columns with
+    salted sha256 hex tokens — the governance counterpart of
+    ext.text.redact_pii (which targets free text). Same value → same
+    token, so referential integrity survives: joins, group-bys, and
+    distinct counts on the tokenized columns still work, while the
+    original values are irrecoverable without the salt. NULLs stay NULL
+    (a hashed NULL would manufacture a join key out of missing data).
+    Pure narrow projection — zero shuffles, JVM-native sha2."""
+    out = df
+    for c in cols:
+        tok = F.sha2(
+            F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), 256
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
+        )
+    return out

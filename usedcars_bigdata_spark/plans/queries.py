@@ -2398,6 +2398,30 @@ def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_pseudonymize",
+    oracle="""
+    SELECT c_custkey,
+           sha256('tok:' || c_name) AS c_name,
+           sha256('tok:' || CAST(c_nationkey AS VARCHAR)) AS c_nationkey,
+           c_mktsegment
+    FROM customer
+    """,
+)
+def rel_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization (operators.clean.pseudonymize):
+    identifier columns replaced by salted sha256 tokens in one narrow
+    zero-shuffle projection — same value, same token, so joins and
+    distinct counts survive while the identifiers are irrecoverable
+    without the salt (the tokenized nation key still joins/groups with
+    25 distinct values). Both engines hash the same UTF-8 bytes, so the
+    oracle replays the tokens exactly."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    return C.pseudonymize(cust, ["c_name", "c_nationkey"], salt="tok")
+
+
 _PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
 
 
