@@ -98,6 +98,7 @@ _CONTRACT_PRIORITY = [
     "rel_profile_table",
     "ext_line_dedup",
     "rel_pseudonymize",
+    "ts_stream_ohlc",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -963,6 +963,59 @@ def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_stream_ohlc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+             ts, event_id, value
+      FROM events
+    ), o AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, bucket_start
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT event_type, bucket_start,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_events
+    FROM o GROUP BY 1, 2
+    """,
+)
+def ts_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING OHLC bars: the same unbound ohlc_resample transformation
+    the batch twin ts_ohlc_hourly checks, run as an actual micro-batch
+    query (file-source readStream, watermark, complete-mode memory sink,
+    availableNow) — exercising min_by/max_by as STATEFUL streaming
+    aggregates, a step past the count/sum shapes ts_stream_microbatch
+    covers. The final table equals the batch aggregation, so the same
+    DuckDB oracle hash-checks a real streaming execution."""
+    from ..operators.timeseries import ohlc_resample
+    from ..streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_ohlc_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = read_event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    out = ohlc_resample(stream, "ts", "event_type", "value", "event_id")
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
     "ts_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type,
