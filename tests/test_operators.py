@@ -712,3 +712,26 @@ def test_pseudonymize_integrity_and_nulls(spark):
     assert got[1]["name"] != got[2]["name"]
     assert got[4]["name"] is None          # NULL stays NULL
     assert got[1]["other"] == "x"          # untouched columns pass through
+
+
+def test_hll_sketch_rollup_merges_without_rescan(spark, sf_dir):
+    from usedcars_bigdata_spark.operators.agg import hll_sketch_rollup
+    from usedcars_bigdata_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r["o_orderpriority"]: r["n_distinct_est"]
+        for r in hll_sketch_rollup(orders, ["o_orderpriority"], "o_custkey").collect()
+    }
+    exact_per = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact_all = orders.agg(F.countDistinct("o_custkey").alias("n")).first()["n"]
+    for k, exact in exact_per.items():
+        assert abs(got[k] - exact) <= max(2, 0.05 * exact), (k, got[k], exact)
+    # the ALL row comes from sketch UNION, not a second scan — estimate
+    # must still track the true global distinct
+    assert abs(got["ALL"] - exact_all) <= max(2, 0.05 * exact_all)

@@ -143,6 +143,32 @@ def approx_distinct_agg(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def hll_sketch_rollup(
+    df: DataFrame, keys: Sequence[str], col: str, all_label: str = "ALL"
+) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL, native
+    in Spark 3.5+): per-group binary sketches are built in ONE pass, and
+    the corpus-wide distinct comes from UNIONING the group sketches —
+    never re-scanning the data. That mergeability is the 100 TB property
+    exact countDistinct lacks (its partials aren't combinable across
+    jobs): daily partition sketches roll up to monthly/global distincts
+    as a metadata-sized aggregation, the cube/rollup of cardinality.
+
+    Output: one row per group plus one ``all_label`` row, each with the
+    sketch's estimate. Estimates carry HLL error (~1.6% at default lgK);
+    the bound is property-tested against exact counts."""
+    per = df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("__sk"))
+    grouped = per.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        F.hll_sketch_estimate("__sk").alias("n_distinct_est"),
+    )
+    total = per.agg(F.hll_union_agg("__sk").alias("__u")).select(
+        *[F.lit(all_label).alias(k) for k in keys],
+        F.hll_sketch_estimate("__u").alias("n_distinct_est"),
+    )
+    return grouped.unionByName(total)
+
+
 def pivot_counts(
     df: DataFrame, key: str, pivot_col: str, values: Sequence[str]
 ) -> DataFrame:

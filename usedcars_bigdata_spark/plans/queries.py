@@ -2451,6 +2451,19 @@ def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rel_hll_sketch_rollup")
+def rel_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct sketches (operators.agg.hll_sketch_rollup):
+    per-priority distinct-customer estimates plus an ALL row produced by
+    UNIONING the group sketches — the corpus-wide distinct costs a
+    metadata-sized merge, not a rescan (the mergeability exact
+    countDistinct partials lack). Rows-only: sketch estimates are
+    engine-specific; the ≤5%-of-exact bound is pytest-pinned."""
+    return A.hll_sketch_rollup(
+        load_table(spark, sf_dir, "orders"), ["o_orderpriority"], "o_custkey"
+    )
+
+
 @query(
     "rel_pseudonymize",
     oracle="""
