@@ -1,1 +1,1 @@
-from . import features, regress, textsim  # noqa: F401
+from . import features, prep, regress, textsim  # noqa: F401

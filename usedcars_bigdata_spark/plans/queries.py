@@ -2621,6 +2621,43 @@ def rows_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_model_suite(data, ["linear", "decision_tree"])
 
 
+@query("rows_ml_kmeans_clusters")
+def rows_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's dead-import estimators end-to-end (SURVEY F12 via
+    ml.prep): impute → bucketize price bands → index/assemble → seeded
+    KMeans → per-cluster sizes + silhouette. Rows-only: cluster identity
+    is seed/engine-specific; determinism and silhouette bounds are
+    pytest-pinned in tests/test_ml.py."""
+    from ..ml.features import build_feature_table
+    from ..ml.prep import bucketize, impute_numeric, kmeans_cluster
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("label"),
+        F.year("o_orderdate").cast("double").alias("order_year"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    holey = orders.withColumn(
+        "order_year",
+        F.when(F.rand(7) < 0.05, None).otherwise(F.col("order_year")),
+    )
+    imputed, _ = impute_numeric(holey, ["order_year"])
+    banded = bucketize(
+        imputed.drop("order_year").withColumnRenamed("order_year__imp", "order_year"),
+        "label",
+        [0.0, 50000.0, 150000.0, float("inf")],
+    )
+    data = build_feature_table(
+        banded, "label", ["order_year", "o_orderpriority", "o_orderstatus", "label__bucket"]
+    )
+    clustered, _, sil = kmeans_cluster(data, k=4)
+    return (
+        clustered.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("silhouette", F.round(F.lit(sil), 4))
+    )
+
+
 @query("rows_bernoulli_sample")
 def rows_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: seeded Bernoulli sample — engine-specific RNG, rows-only check;
