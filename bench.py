@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ext_edit_distance_pairs",
     "ext_overlap_containment",
     "ext_line_dedup",
+    "ext_dup_spans",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
 ]

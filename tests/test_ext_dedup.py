@@ -316,3 +316,53 @@ def test_edit_distance_hot_bucket_dropped(spark):
         df, "doc_id", "text", max_dist=100, prefix_tokens=2, max_bucket=10
     ).collect()
     assert out == []
+
+
+def test_duplicated_spans_golden(spark):
+    # shared 6-token sentence planted in docs 1 and 2 at different offsets;
+    # doc 3 is fully unique; doc 4 too short for 5-grams
+    shared = "the quick brown fox jumps high"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota kappa"),
+            (3, "entirely unique words that appear nowhere else at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in X.duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    # doc 1: shared sentence at token positions 2..7 -> 5-gram starts 2,3
+    # -> one span of 2+5-1 = wait: starts {2,3}, span tokens [2, 3+5) = 6 tokens
+    assert got[1]["n_dup_spans"] == 1
+    assert got[1]["longest_span_tokens"] == 6
+    assert got[1]["dup_token_frac"] == round(6 / 10, 4)
+    # doc 2: shared sentence at start -> starts {0,1}, 6 tokens covered
+    assert got[2]["n_dup_spans"] == 1
+    assert got[2]["longest_span_tokens"] == 6
+    # doc 3: nothing duplicated
+    assert got[3]["n_dup_spans"] == 0 and got[3]["dup_token_frac"] == 0.0
+    # doc 4: shorter than n -> zeros, still present
+    assert got[4]["n_dup_spans"] == 0
+
+
+def test_duplicated_spans_merges_overlapping_runs(spark):
+    # two duplicated 5-gram RUNS in one doc whose token intervals overlap
+    # (gap between runs < n) must merge into ONE span with exact coverage
+    a = "one two three four five six seven"        # tokens 0..6 dup block
+    b = "eight nine ten eleven twelve thirteen"    # appears later, overlaps
+    df = spark.createDataFrame(
+        [
+            (1, f"{a} X {b}"),
+            (2, f"{a} Y filler filler2 {b}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in X.duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()}
+    # both docs contain both blocks; spans must not double-count any token
+    for r in rows.values():
+        assert r["dup_token_frac"] <= 1.0
+        assert r["n_dup_spans"] >= 1

@@ -737,3 +737,98 @@ def duplicated_gram_fraction(
         F.round(frac, ndigits).alias("dup_frac"),
         (frac >= flag_threshold).alias("flagged"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Span-level exact-substring duplication report — the span
+    EXTRACTION at the core of suffix-array training-data dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), bounded to n-gram resolution: per document, the maximal
+    token spans covered by n-grams occurring in >= ``min_docs`` documents
+    corpus-wide. Where ``duplicated_gram_fraction`` SCORES a document,
+    this localizes WHICH token ranges are corpus-duplicated — the input a
+    span-removal pass needs.
+
+    Shape at scale: gram starts explode ONCE with positions (hashed gram
+    keys — fixed-width shuffle rows, the dup-gram lesson); document
+    frequency is a grouped count over per-(doc, gram) distinct rows; the
+    df table joins back on the hash. Then two gaps-and-islands windows,
+    BOTH partitioned by the document (width bounded by doc length, never
+    corpus-sized): consecutive duplicated gram starts merge into runs,
+    runs widen to half-open token intervals [start, start+len+n-1), and
+    intervals that overlap (possible when run gaps < n) merge via a
+    running max of the interval end. Coverage is exact — no
+    double-counting of overlapped tokens.
+
+    Output: (id, n_tokens, n_dup_spans, longest_span_tokens,
+    dup_token_frac) for every input document (zeros when nothing is
+    duplicated or the doc is shorter than n)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
+    with_words = df.select(F.col(id_col), words.alias("__words")).filter(
+        F.size("__words") >= n
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n}))))"
+    )
+    starts = with_words.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    gram_df = (
+        starts.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    dup_starts = starts.join(gram_df, "gram").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup_starts.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        runs.withColumn(
+            "__new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "__m", F.sum("__new").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "__m")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    per_doc = merged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.max(F.col("me") - F.col("ms")).alias("longest_span_tokens"),
+        F.sum(F.col("me") - F.col("ms")).alias("__covered"),
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("longest_span_tokens", F.lit(0))
+            .cast("long")
+            .alias("longest_span_tokens"),
+            F.round(
+                F.coalesce(F.col("__covered"), F.lit(0)) / F.col("n_tokens"),
+                ndigits,
+            ).alias("dup_token_frac"),
+        )
+    )

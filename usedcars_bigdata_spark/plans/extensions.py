@@ -68,6 +68,73 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS n_tokens FROM t
+    ), g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM t WHERE len(w) >= 5)
+    ), dfq AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), d AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)
+    ), runs AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS isl
+            FROM d)
+      GROUP BY doc_id, isl
+    ), merged AS (
+      SELECT doc_id, m, min(s) AS ms, max(e) AS me
+      FROM (
+        SELECT doc_id, s, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS m
+        FROM (
+          SELECT doc_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS newf
+          FROM (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM runs))
+      ) GROUP BY doc_id, m
+    ), per AS (
+      SELECT doc_id, count(*) AS n_dup_spans,
+             max(me - ms) AS longest_span_tokens,
+             sum(me - ms) AS covered
+      FROM merged GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+           coalesce(per.longest_span_tokens, 0) AS longest_span_tokens,
+           round(coalesce(per.covered, 0) * 1.0 / b.n_tokens, 4)
+             AS dup_token_frac
+    FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+    """,
+)
+def ext_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span extraction (ext.dedup.duplicated_spans, 5-grams,
+    min_docs 2): localizes WHICH token ranges of each document are
+    corpus-duplicated — the span-removal input of exact-substring dedup
+    (Lee et al. 2022), where dup_gram_fraction only scores. Two
+    doc-partitioned gaps-and-islands windows (runs of duplicated gram
+    starts, then overlapping-interval merge); the oracle replays both
+    windows string-keyed."""
+    return X.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, min_docs=2,
+    )
+
+
+@query(
     "ext_line_dedup",
     oracle="""
     WITH m AS (
