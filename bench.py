@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "ext_overlap_containment",
     "ext_line_dedup",
     "ext_dup_spans",
+    "ext_remove_dup_spans",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
 ]

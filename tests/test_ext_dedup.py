@@ -366,3 +366,50 @@ def test_duplicated_spans_merges_overlapping_runs(spark):
     for r in rows.values():
         assert r["dup_token_frac"] <= 1.0
         assert r["n_dup_spans"] >= 1
+
+
+def test_remove_duplicated_spans_keeps_first_occurrence(spark):
+    shared = "the quick brown fox jumps high"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota kappa"),
+            (3, "entirely unique words that appear nowhere else at all"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in X.remove_duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    # doc 1 (lowest id) keeps the shared sentence; doc 2 loses it
+    assert got[1]["text_clean"] == f"alpha beta {shared} gamma delta"
+    assert got[2]["text_clean"] == "zeta eta theta iota kappa"
+    assert got[2]["n_tokens_kept"] == 5 and got[2]["n_tokens"] == 11
+    # unique and short docs pass through untouched
+    assert got[3]["text_clean"].startswith("entirely unique")
+    assert got[4]["text_clean"] == "too short"
+    assert got[4]["n_tokens_kept"] == 2
+
+
+def test_remove_duplicated_spans_distinct_contents_survive_separately(spark):
+    # two DIFFERENT duplicated sentences: each survives at ITS OWN first
+    # occurrence (per-content election, not per-doc)
+    s1 = "one two three four five six"
+    s2 = "seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [
+            (1, f"{s1} filler fillerx"),
+            (2, f"{s2} fillery fillerz"),
+            (3, f"{s1} mid {s2}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in X.remove_duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    assert got[1] == f"{s1} filler fillerx"
+    assert got[2] == f"{s2} fillery fillerz"
+    assert got[3] == "mid"

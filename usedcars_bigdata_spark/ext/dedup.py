@@ -739,6 +739,61 @@ def duplicated_gram_fraction(
     )
 
 
+def _with_words(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, __words) for docs with at least n tokens — tokenized ONCE."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(F.col(id_col), words.alias("__words")).filter(
+        F.size("__words") >= n
+    )
+
+
+def _merged_dup_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
+) -> DataFrame:
+    """Shared core of ``duplicated_spans`` / ``remove_duplicated_spans``:
+    per document, the MERGED half-open token intervals [ms, me) covered by
+    n-grams occurring in >= min_docs documents. Hashed gram keys; both
+    gaps-and-islands windows partition by the document."""
+    with_words = _with_words(df, id_col, text_col, n)
+    grams = F.expr(
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n}))))"
+    )
+    starts = with_words.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
+    )
+    gram_df = (
+        starts.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("gram")
+    )
+    dup_starts = starts.join(gram_df, "gram").select(id_col, "pos")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup_starts.withColumn("__isl", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__isl")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
+    )
+    w2 = Window.partitionBy(id_col).orderBy("s")
+    prev_max = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
+    return (
+        runs.withColumn(
+            "__new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+        )
+        .withColumn(
+            "__m", F.sum("__new").over(w2.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(id_col, "__m")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -772,46 +827,7 @@ def duplicated_spans(
     duplicated or the doc is shorter than n)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
-    with_words = df.select(F.col(id_col), words.alias("__words")).filter(
-        F.size("__words") >= n
-    )
-    grams = F.expr(
-        f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n}))))"
-    )
-    starts = with_words.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    )
-    gram_df = (
-        starts.select(id_col, "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= min_docs)
-        .select("gram")
-    )
-    dup_starts = starts.join(gram_df, "gram").select(id_col, "pos")
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = (
-        dup_starts.withColumn("__isl", F.col("pos") - F.row_number().over(w))
-        .groupBy(id_col, "__isl")
-        .agg(F.min("pos").alias("s"), (F.max("pos") + n).alias("e"))
-    )
-    w2 = Window.partitionBy(id_col).orderBy("s")
-    prev_max = F.max("e").over(w2.rowsBetween(Window.unboundedPreceding, -1))
-    merged = (
-        runs.withColumn(
-            "__new", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
-        )
-        .withColumn(
-            "__m", F.sum("__new").over(w2.rowsBetween(Window.unboundedPreceding, 0))
-        )
-        .groupBy(id_col, "__m")
-        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
-    )
+    merged = _merged_dup_spans(df, id_col, text_col, n, min_docs)
     per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.max(F.col("me") - F.col("ms")).alias("longest_span_tokens"),
@@ -830,5 +846,101 @@ def duplicated_spans(
                 F.coalesce(F.col("__covered"), F.lit(0)) / F.col("n_tokens"),
                 ndigits,
             ).alias("dup_token_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup APPLIED (Lee et al. 2022 semantics at n-gram
+    resolution): every merged duplicated span survives only at its FIRST
+    occurrence of that exact span content (min doc id, then min start —
+    the engine's standard survivor convention); later occurrences are cut
+    from the text, unique content is untouched.
+
+    Pipeline (everything document- or span-keyed — no corpus-sized
+    window): merged spans from ``_merged_dup_spans`` → span CONTENT
+    (token slice) hashed → grouped min over a packed (doc·2²⁰ + start)
+    key elects each content's survivor → non-survivor spans join back to
+    their doc's tokens (equi-join on the doc id, range predicate on the
+    tiny per-doc span list) → anti-joined tokens reassemble in order.
+    Span content hashing mirrors line_dedup's convention (fixed-width
+    keys; collisions merge two contents' survivor elections — harness
+    scale is certified by the string-keyed oracle).
+
+    Output: (id, text_clean, n_tokens, n_tokens_kept) for EVERY input
+    document."""
+    pos_cap = 1 << 20
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
+    with_words = _with_words(df, id_col, text_col, n)
+    spans = _merged_dup_spans(df, id_col, text_col, n, min_docs)
+    spans_txt = spans.join(with_words, id_col).select(
+        F.col(id_col),
+        "ms",
+        "me",
+        F.xxhash64(
+            F.concat_ws(
+                " ", F.expr("slice(__words, ms + 1, me - ms)")
+            )
+        ).alias("__ch"),
+    )
+    packed = (F.col(id_col) * pos_cap + F.col("ms")).alias("__key")
+    survivors = (
+        spans_txt.select("__ch", packed)
+        .groupBy("__ch")
+        .agg(F.min("__key").alias("__first"))
+    )
+    removed = spans_txt.join(
+        survivors.withColumnRenamed("__ch", "__ch_s"),
+        (F.col("__ch") == F.col("__ch_s"))
+        & ((F.col(id_col) * pos_cap + F.col("ms")) != F.col("__first")),
+    ).select(F.col(id_col).alias("__rid"), "ms", "me")
+    toks = with_words.select(
+        F.col(id_col), F.posexplode("__words").alias("__idx", "__tok")
+    )
+    kept = toks.join(
+        removed,
+        (toks[id_col] == F.col("__rid"))
+        & (F.col("__idx") >= F.col("ms"))
+        & (F.col("__idx") < F.col("me")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(__idx, __tok))),"
+                " s -> s.__tok)"
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+    )
+    short = base.join(with_words.select(id_col), id_col, "left_anti").join(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(
+            short.select(F.col(id_col), F.col(text_col).alias("__orig")),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", "__orig", F.lit("")).alias("text_clean"),
+            "n_tokens",
+            F.coalesce(
+                "n_tokens_kept",
+                F.when(F.col("__orig").isNotNull(), F.col("n_tokens")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_tokens_kept"),
         )
     )

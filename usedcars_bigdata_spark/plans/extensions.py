@@ -135,6 +135,96 @@ def ext_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ext_remove_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, text, len(w) AS n_tokens FROM t
+    ), g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM t WHERE len(w) >= 5)
+    ), dfq AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), d AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)
+    ), runs AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS isl
+            FROM d)
+      GROUP BY doc_id, isl
+    ), merged AS (
+      SELECT doc_id, m, min(s) AS ms, max(e) AS me
+      FROM (
+        SELECT doc_id, s, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS m
+        FROM (
+          SELECT doc_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS newf
+          FROM (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM runs))
+      ) GROUP BY doc_id, m
+    ), sp AS (
+      SELECT m.doc_id, m.ms, m.me,
+             array_to_string((t.w)[m.ms + 1 : m.me], ' ') AS span_text
+      FROM merged m JOIN t ON m.doc_id = t.doc_id
+    ), surv AS (
+      SELECT span_text, min(doc_id * 1048576 + ms) AS first_key
+      FROM sp GROUP BY span_text
+    ), rem AS (
+      SELECT sp.doc_id, sp.ms, sp.me
+      FROM sp JOIN surv ON sp.span_text = surv.span_text
+      WHERE sp.doc_id * 1048576 + sp.ms <> surv.first_key
+    ), toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM t WHERE len(w) >= 5)
+    ), kept AS (
+      SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem
+        WHERE rem.doc_id = tk.doc_id
+          AND tk.idx >= rem.ms AND tk.idx < rem.me)
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+             count(*) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(reb.text_clean,
+                    CASE WHEN b.n_tokens < 5 THEN b.text ELSE '' END)
+             AS text_clean,
+           b.n_tokens,
+           coalesce(reb.n_tokens_kept,
+                    CASE WHEN b.n_tokens < 5 THEN b.n_tokens ELSE 0 END)
+             AS n_tokens_kept
+    FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
+    """,
+)
+def ext_remove_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (ext.dedup.remove_duplicated_spans,
+    5-grams, min_docs 2): each duplicated span survives only at its first
+    occurrence of that exact content (min doc, then min start); later
+    copies are cut and documents reassembled. The oracle replays the full
+    pipeline — span merge, per-content survivor election over the packed
+    (doc·2²⁰+start) key, and ordered token rebuild — string-keyed."""
+    return X.remove_duplicated_spans(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=5, min_docs=2,
+    )
+
+
+@query(
     "ext_line_dedup",
     oracle="""
     WITH m AS (
