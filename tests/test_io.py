@@ -213,3 +213,39 @@ def test_read_jsonl_permissive_quarantines_bad_lines(spark, tmp_path):
     # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — a real audit job caches or
     # persists the parsed batch first; here the collected rows serve.
     assert len(bad) / len(rows) == 0.5
+
+
+def test_messy_csv_roundtrip_embedded_newlines_and_quotes(spark, tmp_path):
+    """The reference's core ingestion hazard (SURVEY.md §1.2): the
+    vehicles CSV carries embedded newlines/quotes in free text, which
+    defeats naive line-based CSV parsing (and degrades inferSchema to
+    all-string). Our permissive reader (multiLine + quote escaping) must
+    round-trip such values LOSSLESSLY with an explicit schema."""
+    from pyspark.sql import types as T
+
+    from usedcars_bigdata_spark.sources.io import read_csv
+
+    rows = [
+        (1, 'plain description', 100),
+        (2, 'line one\nline two "quoted" end', 200),
+        (3, 'comma, inside, text', 300),
+        (4, None, 400),
+        (5, 'trailing quote "', 500),
+    ]
+    df = spark.createDataFrame(rows, "id long, description string, price long")
+    out = str(tmp_path / "messy_csv")
+    # quote/escape on write must match the reader's contract
+    df.write.mode("overwrite").option("header", "true").option(
+        "escape", '"'
+    ).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("description", T.StringType()),
+            T.StructField("price", T.LongType()),
+        ]
+    )
+    back = read_csv(spark, out, schema=schema)
+    got = {r["id"]: (r["description"], r["price"]) for r in back.collect()}
+    want = {i: (d, p) for i, d, p in rows}
+    assert got == want  # byte-lossless including the embedded newline

@@ -1,16 +1,27 @@
 """Deduplication operators for document corpora.
 
-Four tiers, cheapest → most semantic, all pure DataFrame ops (no Python in
-the hot path):
+Document-level tiers, cheapest → most semantic, all pure DataFrame ops
+(no Python in the hot path):
 
 1. exact          — md5-hash groupBy; one shuffle on the 16-byte digest.
 2. ngram Jaccard  — word-n-gram shingle inverted index + self-join; exact
                     set similarity, quadratic only within shared shingles.
+2b. overlap       — same join, containment denominator: catches subset
+                    relationships (article + appended boilerplate).
+2c. edit distance — prefix-bucketed candidates + banded Levenshtein:
+                    catches scattered-small-edit near-copies the shingle
+                    tiers dilute.
 3. MinHash + LSH  — fixed random-affine permutations over xxhash64 shingle
                     hashes; band-bucket join prunes candidates to
                     near-collisions. Linear-ish; the 100 TB workhorse.
 4. SimHash        — 64-bit fingerprints from signed token-hash bit sums;
                     near-dup ⇔ small Hamming distance; chunk-index join.
+
+Sub-document (span) surface — the exact-substring dedup of Lee et al.
+2022 at n-gram resolution: ``duplicated_gram_fraction`` scores documents,
+``duplicated_spans`` localizes the corpus-duplicated token ranges, and
+``remove_duplicated_spans`` cuts every occurrence after the first.
+(Line-granularity dedup lives in ext/text.py ``line_dedup``.)
 
 MinHash/SimHash constants are fixed literals so results are deterministic
 across runs and cluster layouts.
