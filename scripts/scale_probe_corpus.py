@@ -101,6 +101,23 @@ def probe(spark, n_docs: int) -> dict:
             threshold=0.8,
         ).count(),
     )
+    # span-level exact-substring surface: doc-partitioned windows + gram
+    # df joins — expected near-linear in total grams
+    X.duplicated_spans(warm, "doc_id", "text").count()
+    out["dup_spans"] = timed(
+        "duplicated spans (n=5)",
+        lambda: X.duplicated_spans(docs, "doc_id", "text").count(),
+    )
+    X.remove_duplicated_spans(warm, "doc_id", "text").count()
+    out["remove_dup_spans"] = timed(
+        "remove duplicated spans (n=5)",
+        lambda: X.remove_duplicated_spans(docs, "doc_id", "text").count(),
+    )
+    TX.line_dedup(warm, "doc_id", "text", sep=" ").count()
+    out["line_dedup"] = timed(
+        "line dedup (space-sep lines)",
+        lambda: TX.line_dedup(docs, "doc_id", "text", sep=" ").count(),
+    )
     return out
 
 
