@@ -45,12 +45,15 @@ def resample_gap_fill(
     Output: (key, bucket_start, n_events, sum_value) — n_events = 0 and
     sum_value = 0.0 on filled gaps.
 
-    The dense axis is derived by applying the SAME bucket expression
-    (``F.window(ts, step)['start']``) to the global min/max timestamps,
-    so grid points coincide with the aggregate's epoch-aligned window
-    starts for EVERY step — a previous revision hour-truncated the span
-    regardless of step, which misaligned the axis (and silently dropped
-    real buckets through the left join) for any non-hour step."""
+    The dense axis spans [min, max] of the AGGREGATE's bucket_start
+    values — the same bucket expression that keyed the aggregate, so grid
+    points coincide with the epoch-aligned window starts for EVERY step
+    (a previous revision hour-truncated the raw-timestamp span regardless
+    of step, which misaligned the axis and silently dropped real buckets
+    through the left join for any non-hour step). Deriving the span from
+    the bucketed table also means the raw stream is scanned exactly ONCE:
+    the span aggregate runs over the already-reduced |keys|×|buckets|
+    rows, not the events."""
     bucket = F.window(ts_col, step)["start"]
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
@@ -59,20 +62,18 @@ def resample_gap_fill(
             F.round(F.sum(value_col), 2).alias("__sum"),
         )
     )
-    # two projections (Spark rejects two window() exprs in one select),
-    # each over the same 1-row min/max aggregate
-    mm = events.agg(
-        F.min(ts_col).alias("__lo_ts"), F.max(ts_col).alias("__hi_ts")
-    )
-    span = mm.select(F.window("__lo_ts", step)["start"].alias("lo")).crossJoin(
-        mm.select(F.window("__hi_ts", step)["start"].alias("hi"))
+    span = agg.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
     )
     axis = span.select(
         F.explode(
             F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
         ).alias("bucket_start")
     )
-    keys = events.select(F.col(key_col).alias("key")).distinct()
+    # keys also come from the aggregate (identical set — every key has at
+    # least one event), so all three branches read the SAME reduced
+    # subtree and AQE's ReusedExchange collapses them to one stream scan
+    keys = agg.select("key").distinct()
     grid = keys.crossJoin(F.broadcast(axis))
     return (
         grid.join(
