@@ -413,3 +413,31 @@ def test_remove_duplicated_spans_distinct_contents_survive_separately(spark):
     assert got[1] == f"{s1} filler fillerx"
     assert got[2] == f"{s2} fillery fillerz"
     assert got[3] == "mid"
+
+
+def test_remove_duplicated_spans_string_ids(spark):
+    # survivor election must work for STRING doc ids (URLs/UUIDs): the
+    # struct-min election orders lexicographically, no numeric packing
+    s1 = "one two three four five six"
+    df = spark.createDataFrame(
+        [
+            ("a/doc", f"{s1} filler fillerx"),
+            ("b/doc", f"{s1} other tail here"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in X.remove_duplicated_spans(df, "doc_id", "text", n=5, min_docs=2).collect()
+    }
+    assert got["a/doc"] == f"{s1} filler fillerx"   # first id keeps the span
+    assert got["b/doc"] == "other tail here"        # later id loses it
+
+
+def test_near_dup_clusters_audit_requires_minhash(near_dup_corpus):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="use_minhash"):
+        X.near_dup_clusters(
+            near_dup_corpus, "doc_id", "text", use_minhash=False, with_audit=True
+        )

@@ -663,3 +663,22 @@ def test_line_dedup_within_doc_and_empty(spark):
     assert got[1]["n_lines"] == 4 and got[1]["n_kept"] == 3
     # a fully-empty doc keeps its (single empty) line via the exemption
     assert got[2]["n_kept"] == 1
+
+
+def test_line_dedup_string_ids_and_literal_separator(spark):
+    # string doc ids elect survivors lexicographically (no numeric
+    # packing), and '|' is a LITERAL separator, not a regex
+    df = spark.createDataFrame(
+        [
+            ("a/1", "BOILER|unique one"),
+            ("b/2", "unique two|BOILER"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TX.line_dedup(df, "doc_id", "text", sep="|").collect()
+    }
+    assert got["a/1"]["text_dedup"] == "BOILER|unique one"
+    assert got["b/2"]["text_dedup"] == "unique two"
+    assert got["b/2"]["n_kept"] == 1

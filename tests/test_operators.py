@@ -735,3 +735,42 @@ def test_hll_sketch_rollup_merges_without_rescan(spark, sf_dir):
     # the ALL row comes from sketch UNION, not a second scan — estimate
     # must still track the true global distinct
     assert abs(got["ALL"] - exact_all) <= max(2, 0.05 * exact_all)
+
+
+def test_profile_table_numeric_min_max_not_lexicographic(spark):
+    from usedcars_bigdata_spark.operators.agg import profile_table
+
+    df = spark.createDataFrame([(9,), (10,), (200,)], "price long")
+    r = profile_table(df, ["price"]).first()
+    assert r["min_str"] == "9" and r["max_str"] == "200"
+
+
+def test_scd2_merge_preserves_timestamp_validity_type(spark):
+    from usedcars_bigdata_spark.operators.joins import scd2_merge
+    import datetime as dt
+
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+    eff = dt.datetime(2023, 6, 1, 9, 30, 0)
+    dim = spark.createDataFrame(
+        [(1, "a", t0, None, True)],
+        "k long, seg string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, "b", eff)], "k long, seg string, eff timestamp")
+    out = scd2_merge(dim, upd, ["k"], ["seg"], "eff")
+    assert dict(out.dtypes)["valid_to"] == "timestamp"
+    rows = {r["seg"]: r for r in out.collect()}
+    assert rows["a"]["valid_to"] == eff and rows["b"]["valid_to"] is None
+
+
+def test_zorder_key_empty_and_all_null_inputs(spark):
+    from usedcars_bigdata_spark.operators.partitioning import zorder_key
+
+    empty = spark.createDataFrame([], "id long, x double, y double")
+    keyed, col = zorder_key(empty, ["x", "y"], bits=4)
+    assert keyed.count() == 0  # degenerate layout, no crash
+    nulls = spark.createDataFrame(
+        [(1, None, None), (2, None, None)], "id long, x double, y double"
+    )
+    keyed2, col2 = zorder_key(nulls, ["x", "y"], bits=4)
+    vals = [r[col2] for r in keyed2.collect()]
+    assert vals == [0, 0]  # all-NULL columns land in bucket 0

@@ -229,7 +229,12 @@ def edit_distance_pairs(
         .select("__fp")
     )
     t = t.join(small, "__fp")
-    n_tasks = df.sparkSession.sparkContext.defaultParallelism
+    # never REDUCE parallelism: a corpus already read as many partitions
+    # keeps them; the floor only lifts the single-small-file case
+    n_tasks = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
     a = t.select(
         F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"),
         F.col("__len").alias("__la"), "__fp",
@@ -584,6 +589,12 @@ def near_dup_clusters(
     know to read, and which AQE can drop on empty results). Returns
     (clusters, audit) in that mode; audit shares the persisted shingle
     scan, so the extra cost is one small signature aggregate."""
+    if with_audit and not use_minhash:
+        raise ValueError(
+            "with_audit=True requires use_minhash=True: the bucket audit "
+            "describes the LSH candidate stage, which the exact jaccard "
+            "path does not run"
+        )
     audit_df = None
     if use_minhash:
         sh = word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
@@ -876,17 +887,19 @@ def remove_duplicated_spans(
 
     Pipeline (everything document- or span-keyed — no corpus-sized
     window): merged spans from ``_merged_dup_spans`` → span CONTENT
-    (token slice) hashed → grouped min over a packed (doc·2²⁰ + start)
-    key elects each content's survivor → non-survivor spans join back to
-    their doc's tokens (equi-join on the doc id, range predicate on the
-    tiny per-doc span list) → anti-joined tokens reassemble in order.
-    Span content hashing mirrors line_dedup's convention (fixed-width
-    keys; collisions merge two contents' survivor elections — harness
-    scale is certified by the string-keyed oracle).
+    (token slice) hashed → grouped min over the (doc, start) STRUCT
+    elects each content's survivor (struct min is lexicographic — the
+    standard "min doc then min start" convention — and works for any
+    orderable id type, string ids included, with no packed-key collision
+    between documents) → non-survivor spans join back to their doc's
+    tokens (equi-join on the doc id, range predicate on the tiny per-doc
+    span list) → anti-joined tokens reassemble in order. Span content
+    hashing mirrors line_dedup's convention (fixed-width keys; collisions
+    merge two contents' survivor elections — harness scale is certified
+    by the string-keyed oracle).
 
     Output: (id, text_clean, n_tokens, n_tokens_kept) for EVERY input
     document."""
-    pos_cap = 1 << 20
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
     with_words = _with_words(df, id_col, text_col, n)
@@ -901,16 +914,23 @@ def remove_duplicated_spans(
             )
         ).alias("__ch"),
     )
-    packed = (F.col(id_col) * pos_cap + F.col("ms")).alias("__key")
     survivors = (
-        spans_txt.select("__ch", packed)
+        spans_txt.select(
+            "__ch",
+            F.struct(F.col(id_col).alias("__id"), F.col("ms").alias("__s")).alias(
+                "__key"
+            ),
+        )
         .groupBy("__ch")
         .agg(F.min("__key").alias("__first"))
     )
     removed = spans_txt.join(
         survivors.withColumnRenamed("__ch", "__ch_s"),
         (F.col("__ch") == F.col("__ch_s"))
-        & ((F.col(id_col) * pos_cap + F.col("ms")) != F.col("__first")),
+        & (
+            (F.col(id_col) != F.col("__first.__id"))
+            | (F.col("ms") != F.col("__first.__s"))
+        ),
     ).select(F.col(id_col).alias("__rid"), "ms", "me")
     toks = with_words.select(
         F.col(id_col), F.posexplode("__words").alias("__idx", "__tok")

@@ -658,31 +658,39 @@ def line_dedup(
     reassembled from their surviving lines in original order.
 
     Shape: posexplode to (doc, pos, line) → survivor election as a
-    grouped min over a SINGLE sortable key (doc_id·2²⁰ + pos — groupBy,
-    not a per-line window, so hot boilerplate lines partial-aggregate
-    instead of concentrating one window task) → equi-join back on the
-    line hash → per-doc reassembly via sorted struct collect. Two
-    shuffles total (line key, then doc key), both map-side combinable.
-    Lines shorter than ``min_line_chars`` are exempt (blank separators
-    carry no dedup signal).
+    grouped min over the (doc, pos) STRUCT (struct min is lexicographic,
+    so this is exactly "min doc then min position" and works for ANY
+    orderable id type — string URLs/UUIDs included; a groupBy, not a
+    per-line window, so hot boilerplate lines partial-aggregate instead
+    of concentrating one window task) → equi-join back on the line hash →
+    per-doc reassembly via sorted struct collect. Two shuffles total
+    (line key, then doc key), both map-side combinable. Lines shorter
+    than ``min_line_chars`` are exempt (blank separators carry no dedup
+    signal). ``sep`` is taken LITERALLY (regex-quoted before the split —
+    '|' or '.' separators do not explode into regex semantics).
 
     Output: (id, text_dedup, n_lines, n_kept)."""
-    pos_cap = 1 << 20  # positions per doc bound for the packed survivor key
+    sep_rx = "\\Q" + sep + "\\E"  # literal separator, not a regex
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__line"),
     )
     eligible = lines.filter(F.length("__line") >= min_line_chars)
-    packed = (F.col(id_col) * pos_cap + F.col("__pos")).alias("__key")
     first = (
-        eligible.select(F.xxhash64("__line").alias("__h"), packed)
+        eligible.select(
+            F.xxhash64("__line").alias("__h"),
+            F.struct(F.col(id_col).alias("__id"), F.col("__pos").alias("__p")).alias(
+                "__key"
+            ),
+        )
         .groupBy("__h")
         .agg(F.min("__key").alias("__first"))
     )
     survivors = eligible.join(
         first,
         (F.xxhash64(F.col("__line")) == F.col("__h"))
-        & ((F.col(id_col) * pos_cap + F.col("__pos")) == F.col("__first")),
+        & (F.col(id_col) == F.col("__first.__id"))
+        & (F.col("__pos") == F.col("__first.__p")),
     ).select(id_col, "__pos", "__line")
     exempt = lines.filter(F.length("__line") < min_line_chars).select(
         id_col, "__pos", "__line"

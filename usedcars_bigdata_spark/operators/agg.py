@@ -104,8 +104,11 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
             F.countDistinct(c).alias(f"__nd_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"__mn_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"__mx_{c}"),
+            # min/max in the COLUMN'S OWN type, rendered after — casting
+            # before the aggregate would make numeric minima lexicographic
+            # ('10' < '9')
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(

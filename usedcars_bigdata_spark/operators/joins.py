@@ -244,8 +244,12 @@ def scd2_merge(
     closed = ver(
         "__c", F.col(f"__c.{from_col}"), F.col(f"__u.{eff_col}"), F.lit(False)
     )
+    # the open-ended valid_to takes the DIMENSION's own validity type
+    # (date, timestamp, epoch int, ...) — hardcoding a date cast would
+    # silently widen/clash with non-date dimensions
+    to_type = dim.schema[to_col].dataType
     fresh = ver(
-        "__u", F.col(f"__u.{eff_col}"), F.lit(None).cast("date"), F.lit(True)
+        "__u", F.col(f"__u.{eff_col}"), F.lit(None).cast(to_type), F.lit(True)
     )
     keep = ver(
         "__c", F.col(f"__c.{from_col}"), F.col(f"__c.{to_col}"), F.lit(True)

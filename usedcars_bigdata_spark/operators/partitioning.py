@@ -113,8 +113,12 @@ def zorder_key(
     n_buckets = 1 << bits
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        mn = float(stats[f"__mn_{i}"])
-        mx = float(stats[f"__mx_{i}"])
+        # empty input / all-NULL column: no min/max — degenerate to a
+        # constant grid so every row lands in bucket 0 (valid, prune-
+        # neutral layout) instead of crashing on float(None)
+        mn_raw, mx_raw = stats[f"__mn_{i}"], stats[f"__mx_{i}"]
+        mn = float(mn_raw) if mn_raw is not None else 0.0
+        mx = float(mx_raw) if mx_raw is not None else 1.0
         if mx <= mn:
             mx = mn + 1.0
         bucket = (

@@ -67,14 +67,11 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.jaccard_pairs(sh, "doc_id", threshold=0.2)
 
 
-@query(
-    "ext_dup_spans",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
-    ), base AS (
-      SELECT doc_id, len(w) AS n_tokens FROM t
-    ), g AS (
+# Shared gram → duplicated-run → merged-interval CTE chain for the two
+# span oracles (one definition — the report and the removal can never
+# certify diverging span semantics). Expects a prior CTE ``t`` exposing
+# (doc_id, w).
+_SPAN_MERGE_CTES = """g AS (
       SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
              array_to_string(w[i:i+4], ' ') AS gram
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
@@ -106,7 +103,19 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     AND 1 PRECEDING) AS pm
                 FROM runs))
       ) GROUP BY doc_id, m
-    ), per AS (
+    )"""
+
+
+@query(
+    "ext_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), base AS (
+      SELECT doc_id, len(w) AS n_tokens FROM t
+    ), """
+    + _SPAN_MERGE_CTES
+    + """, per AS (
       SELECT doc_id, count(*) AS n_dup_spans,
              max(me - ms) AS longest_span_tokens,
              sum(me - ms) AS covered
@@ -142,39 +151,9 @@ def ext_dup_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), base AS (
       SELECT doc_id, text, len(w) AS n_tokens FROM t
-    ), g AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             array_to_string(w[i:i+4], ' ') AS gram
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
-            FROM t WHERE len(w) >= 5)
-    ), dfq AS (
-      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-      GROUP BY gram HAVING count(*) >= 2
-    ), d AS (
-      SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)
-    ), runs AS (
-      SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
-      FROM (SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                     AS isl
-            FROM d)
-      GROUP BY doc_id, isl
-    ), merged AS (
-      SELECT doc_id, m, min(s) AS ms, max(e) AS me
-      FROM (
-        SELECT doc_id, s, e,
-               sum(newf) OVER (PARTITION BY doc_id ORDER BY s
-                               ROWS UNBOUNDED PRECEDING) AS m
-        FROM (
-          SELECT doc_id, s, e,
-                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS newf
-          FROM (SELECT doc_id, s, e,
-                       max(e) OVER (PARTITION BY doc_id ORDER BY s
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS pm
-                FROM runs))
-      ) GROUP BY doc_id, m
-    ), sp AS (
+    ), """
+    + _SPAN_MERGE_CTES
+    + """, sp AS (
       SELECT m.doc_id, m.ms, m.me,
              array_to_string((t.w)[m.ms + 1 : m.me], ' ') AS span_text
       FROM merged m JOIN t ON m.doc_id = t.doc_id

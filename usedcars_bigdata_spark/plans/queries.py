@@ -962,9 +962,10 @@ def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@query(
-    "ts_stream_ohlc",
-    oracle="""
+# Shared by the streaming and batch OHLC entries — ONE definition so the
+# two can never certify diverging semantics (the _RECURSIVE_MONTHS_SQL
+# precedent).
+_OHLC_ORACLE = """
     WITH b AS (
       SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
              ts, event_id, value
@@ -984,8 +985,10 @@ def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(CASE WHEN rn_d = 1 THEN value END) AS close,
            count(*) AS n_events
     FROM o GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@query("ts_stream_ohlc", oracle=_OHLC_ORACLE)
 def ts_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING OHLC bars: the same unbound ohlc_resample transformation
     the batch twin ts_ohlc_hourly checks, run as an actual micro-batch
@@ -1199,30 +1202,7 @@ def ts_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ts_ohlc_hourly",
-    oracle="""
-    WITH b AS (
-      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
-             ts, event_id, value
-      FROM events
-    ), o AS (
-      SELECT *,
-             row_number() OVER (PARTITION BY event_type, bucket_start
-                                ORDER BY ts, event_id) AS rn_a,
-             row_number() OVER (PARTITION BY event_type, bucket_start
-                                ORDER BY ts DESC, event_id DESC) AS rn_d
-      FROM b
-    )
-    SELECT event_type, bucket_start,
-           max(CASE WHEN rn_a = 1 THEN value END) AS open,
-           max(value) AS high,
-           min(value) AS low,
-           max(CASE WHEN rn_d = 1 THEN value END) AS close,
-           count(*) AS n_events
-    FROM o GROUP BY 1, 2
-    """,
-)
+@query("ts_ohlc_hourly", oracle=_OHLC_ORACLE)
 def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC bars per event type (operators.timeseries.ohlc_resample):
     open/close via min_by/max_by over the (ts, event_id) struct — all five
@@ -2499,8 +2479,8 @@ _PROFILE_COLS = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
            (SELECT count(*) FROM orders) AS n_rows,
            (SELECT count(*) FROM orders WHERE {c} IS NULL) AS n_nulls,
            (SELECT count(DISTINCT {c}) FROM orders) AS n_distinct,
-           (SELECT min(CAST({c} AS VARCHAR)) FROM orders) AS min_str,
-           (SELECT max(CAST({c} AS VARCHAR)) FROM orders) AS max_str
+           (SELECT CAST(min({c}) AS VARCHAR) FROM orders) AS min_str,
+           (SELECT CAST(max({c}) AS VARCHAR) FROM orders) AS max_str
     """
         for c in _PROFILE_COLS
     ),
