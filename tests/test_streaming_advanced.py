@@ -144,3 +144,45 @@ def test_stream_stream_interval_join(spark, sf_dir):
         assert bad == 0
     finally:
         sq.stop()
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Exactly-once across QUERY RESTARTS: stop a foreachBatch upsert
+    query, append new input, restart a fresh query on the SAME
+    checkpoint — already-committed batches must not be replayed into the
+    target (no duplicate merges), and only the new input lands."""
+    target = str(tmp_path / "restart_target")
+    src = str(tmp_path / "restart_src")
+    ck = str(tmp_path / "restart_ck")
+    _write_events(spark, src, [(1, _ns(0), 10, "view", 1.0, "{}"),
+                               (2, _ns(1), 20, "view", 2.0, "{}")])
+
+    def start():
+        stream = SE.read_event_stream(spark, src, glob="*.parquet").select(
+            "event_id", "user_id", "value"
+        )
+        return SK.upsert_to_parquet(
+            stream, target, key="event_id", checkpoint=ck,
+            query_name="restart_upsert",
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {
+        r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()
+    } == {1: 1.0, 2: 2.0}
+
+    # input appended while the query is DOWN
+    _write_events(spark, src, [(3, _ns(2), 30, "view", 3.0, "{}")])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["event_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+    # keys 1/2 exactly once (not re-merged as duplicates), key 3 arrived
+    assert got == {1: 1.0, 2: 2.0, 3: 3.0}
+    assert spark.read.parquet(target).count() == 3
