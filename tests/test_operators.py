@@ -774,3 +774,36 @@ def test_zorder_key_empty_and_all_null_inputs(spark):
     keyed2, col2 = zorder_key(nulls, ["x", "y"], bits=4)
     vals = [r[col2] for r in keyed2.collect()]
     assert vals == [0, 0]  # all-NULL columns land in bucket 0
+
+
+def test_snapshot_diff_classification(spark):
+    from usedcars_bigdata_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "b", 99.0),          # updated (value)
+         (4, "now", 40.0),        # updated (NULL -> value, null-safe)
+         (5, "e", 50.0)],         # inserted; key 3 deleted
+        "k long, s string, v double",
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {2, 3, 4, 5}  # unchanged excluded
+    assert got[2]["change_type"] == "updated" and got[2]["v"] == 99.0
+    assert got[3]["change_type"] == "deleted" and got[3]["v"] == 30.0
+    assert got[4]["change_type"] == "updated" and got[4]["s"] == "now"
+    assert got[5]["change_type"] == "inserted"
+    # include_unchanged mode reports everything
+    full = snapshot_diff(old, new, ["k"], include_unchanged=True)
+    assert full.count() == 5
+    # round-trip: applying the changeset via merge reproduces `new`
+    from usedcars_bigdata_spark.operators.joins import merge_upsert
+
+    changes = snapshot_diff(old, new, ["k"])
+    upserts = changes.filter("change_type != 'deleted'").drop("change_type")
+    deletes = changes.filter("change_type = 'deleted'").select("k")
+    rebuilt = merge_upsert(old, upserts, ["k"]).join(deletes, "k", "left_anti")
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))

@@ -267,6 +267,56 @@ def scd2_merge(
     return hist.select(*out_cols).unionByName(merged)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Changeset between two snapshots of the same table — the CDC
+    extraction primitive for incremental pipelines: feed ``merge_upsert``
+    or ``scd2_merge`` with ONLY what changed instead of reprocessing the
+    full snapshot.
+
+    Full-outer join on the key; rows classify as ``inserted`` (absent
+    from old), ``deleted`` (absent from new), ``updated`` (present in
+    both, any non-key column differs — null-safe, so NULL→value and
+    value→NULL both count), else unchanged (excluded by default).
+    Reported values come from the NEW side except for deletions (which
+    only exist in old). One shuffle per side on the key; at scale,
+    snapshots partitioned the same way diff with co-located joins.
+
+    Output: (keys..., change_type, <non-key columns>)."""
+    key_list = list(keys)
+    val_cols = [c for c in old.columns if c not in key_list]
+    assert set(old.columns) == set(new.columns), "snapshot schemas differ"
+    # presence markers are literal-true columns — data columns could be
+    # legitimately NULL and misclassify presence
+    old_m = old.withColumn("__op", F.lit(True))
+    new_m = new.withColumn("__np", F.lit(True))
+    joined = old_m.alias("__o").join(new_m.alias("__n"), key_list, "full_outer")
+    in_old = F.col("__o.__op").isNotNull()
+    in_new = F.col("__n.__np").isNotNull()
+    differs = None
+    for c in val_cols:
+        d = ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(differs if differs is not None else F.lit(False), F.lit("updated"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out_vals = [
+        F.when(in_new, F.col(f"__n.{c}")).otherwise(F.col(f"__o.{c}")).alias(c)
+        for c in val_cols
+    ]
+    out = joined.select(*key_list, change.alias("change_type"), *out_vals)
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out
+
+
 def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """EXISTS: rows of left with a match — right side never widens the row."""
     return left.join(right, on=on, how="left_semi")

@@ -2431,6 +2431,68 @@ def rel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice + 100.0, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', 1.0
+      FROM orders WHERE o_orderkey % 17 = 0
+    )
+    SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+                WHEN n.o_orderkey IS NULL THEN 'deleted'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'updated'
+                ELSE 'unchanged' END AS change_type,
+           coalesce(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           coalesce(n.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+               AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+    """,
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changeset extraction (operators.joins.snapshot_diff): diff two
+    snapshots of orders — deletions (every 13th key), updates (every 7th
+    price bumped), insertions (new keys) — classified through one
+    full-outer join with null-safe column comparison. The changeset is
+    what incremental pipelines feed to merge_upsert/scd2_merge instead of
+    reprocessing the snapshot."""
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 13 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.round(F.col("o_totalprice") + 100.0, 2),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 17 == 0).select(
+                (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit(1.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return J.snapshot_diff(old, new, keys=["o_orderkey"])
+
+
 @query("rel_hll_sketch_rollup")
 def rel_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct sketches (operators.agg.hll_sketch_rollup):
