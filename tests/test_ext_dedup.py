@@ -441,3 +441,22 @@ def test_near_dup_clusters_audit_requires_minhash(near_dup_corpus):
         X.near_dup_clusters(
             near_dup_corpus, "doc_id", "text", use_minhash=False, with_audit=True
         )
+
+
+def test_pair_graph_stats_golden(spark):
+    # a triangle {1,2,3} plus a pendant edge 3-4: 4 vertices, 4 edges,
+    # exactly ONE triangle, max degree 3 (vertex 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    r = X.pair_graph_stats(pairs).first()
+    assert (r["n_vertices"], r["n_edges"]) == (4, 4)
+    assert r["n_triangles"] == 1
+    assert r["max_degree"] == 3
+    # a 4-clique has C(4,3)=4 triangles, each counted once
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    r2 = X.pair_graph_stats(clique).first()
+    assert r2["n_triangles"] == 4 and r2["n_edges"] == 6

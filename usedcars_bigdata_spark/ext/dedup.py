@@ -480,6 +480,55 @@ def minhash_near_dupes(
     return jaccard_for_pairs(sh, cands, id_col, threshold=threshold)
 
 
+def pair_graph_stats(pairs: DataFrame) -> DataFrame:
+    """Structural diagnostics of a near-dup pair graph: vertex/edge
+    counts, max degree, and the TRIANGLE count — the density signal that
+    separates genuine duplicate clusters (near-cliques, many triangles)
+    from chains of borderline pairs (few), and the standard sanity check
+    before trusting connected components at a given threshold.
+
+    Edges arrive as (id_a < id_b) rows. Degrees are one symmetrized
+    groupBy; triangles use the ordered-wedge join (a<b<c): wedges
+    (a,b)⋈(b,c) then a semi-join probe for the closing (a,c) edge — each
+    triangle counted exactly once, cost O(Σ deg(b)²) over wedge centers,
+    never all-triples. At 100 TB pair graphs are dup-subgraph-sized (the
+    CC argument), so the wedge join stays proportional to actual
+    duplication, and a hot center's wedges partial-aggregate.
+
+    Output: one row (n_vertices, n_edges, max_degree, n_triangles)."""
+    e = pairs.select("id_a", "id_b").distinct()
+    verts = (
+        e.select(F.col("id_a").alias("v"))
+        .unionByName(e.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    degrees = (
+        e.select(F.col("id_a").alias("v"))
+        .unionByName(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = (
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .join(
+            e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c")),
+            "b",
+        )
+    )
+    triangles = wedges.join(
+        e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    n_tri = triangles.count()
+    return (
+        verts.agg(F.count(F.lit(1)).alias("n_vertices"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(degrees.agg(F.max("deg").alias("max_degree")))
+        .withColumn("n_triangles", F.lit(n_tri).cast("long"))
+    )
+
+
 def connected_components(
     ids: DataFrame, pairs: DataFrame, id_col: str, max_iters: int = 20
 ) -> DataFrame:

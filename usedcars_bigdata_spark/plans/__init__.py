@@ -103,6 +103,7 @@ _CONTRACT_PRIORITY = [
     "ext_dup_spans",
     "ext_remove_dup_spans",
     "rel_snapshot_diff",
+    "ext_pair_graph_stats",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

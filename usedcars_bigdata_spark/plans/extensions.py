@@ -67,6 +67,57 @@ def ext_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.jaccard_pairs(sh, "doc_id", threshold=0.2)
 
 
+@query(
+    "ext_pair_graph_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    ), verts AS (
+      SELECT DISTINCT v FROM (SELECT id_a AS v FROM e
+                              UNION ALL SELECT id_b FROM e)
+    ), deg AS (
+      SELECT v, count(*) AS d FROM (SELECT id_a AS v FROM e
+                                    UNION ALL SELECT id_b FROM e) GROUP BY v
+    ), tri AS (
+      SELECT count(*) AS n FROM (
+        SELECT w.a, w.b, w.c FROM
+          (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+           FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a) w
+        JOIN e ON e.id_a = w.a AND e.id_b = w.c)
+    )
+    SELECT (SELECT count(*) FROM verts) AS n_vertices,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT max(d) FROM deg) AS max_degree,
+           (SELECT n FROM tri) AS n_triangles
+    """,
+)
+def ext_pair_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph diagnostics (ext.dedup.pair_graph_stats) over the
+    exact Jaccard pair graph (τ=0.2): vertex/edge counts, max degree, and
+    the triangle count via the ordered-wedge join — the density signal
+    separating genuine duplicate clusters (near-cliques) from chains of
+    borderline pairs. Oracle replays the wedge join string-keyed."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    pairs = X.jaccard_pairs(sh, "doc_id", threshold=0.2)
+    return X.pair_graph_stats(pairs)
+
+
 # Shared gram → duplicated-run → merged-interval CTE chain for the two
 # span oracles (one definition — the report and the removal can never
 # certify diverging span semantics). Expects a prior CTE ``t`` exposing
