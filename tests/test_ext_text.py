@@ -682,3 +682,24 @@ def test_line_dedup_string_ids_and_literal_separator(spark):
     assert got["a/1"]["text_dedup"] == "BOILER|unique one"
     assert got["b/2"]["text_dedup"] == "unique two"
     assert got["b/2"]["n_kept"] == 1
+
+
+def test_curation_v2_pipeline_invariants(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = QUERIES["ext_curation_v2"](spark, sf_dir)
+    rows = out.collect()
+    # monotone: exact-dedup + quality gate only ever DROP documents
+    assert 0 < len(rows) <= n_docs
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == len(ids)  # one row per surviving doc
+    # split completeness: every survivor gets exactly one named split
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    # the quality gate actually bit: kept docs sit at/above the threshold
+    # relative to the full post-dedup population (gate keeps ~75%)
+    assert len(rows) < n_docs
+    assert all(r["quality_score"] is not None for r in rows)
+    # span removal happened before gating: token counts reflect cleaning
+    assert all(r["n_tokens_kept"] >= 1 for r in rows)

@@ -104,6 +104,7 @@ _CONTRACT_PRIORITY = [
     "ext_remove_dup_spans",
     "rel_snapshot_diff",
     "ext_pair_graph_stats",
+    "ext_curation_v2",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -429,6 +429,38 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
+@query("ext_curation_v2")
+def ext_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round-4 sub-document dedup stages
+    composed end-to-end: exact dedup (drop full copies) → corpus-wide
+    duplicated-SPAN removal (cut repeated substrings, keep-first) →
+    relative quality gate (percentile threshold on the cleaned text) →
+    deterministic hash split. One declarative plan; every stage is
+    individually oracle-backed (ext_dedup_exact, ext_remove_dup_spans,
+    ext_quality_percentile, ext_hash_split) — this entry is rows-only
+    because composing their four oracle SQLs is a maintenance hazard,
+    and pipeline invariants (monotone row counts, split completeness)
+    are pytest-pinned instead.
+
+    Output: (doc_id, n_tokens_kept, quality_score, split)."""
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = X.exact_dedup(docs, "doc_id", "text")
+    cleaned = X.remove_duplicated_spans(
+        survivors, "doc_id", "text", n=5, min_docs=2
+    ).select("doc_id", F.col("text_clean").alias("text"), "n_tokens_kept")
+    gated = TX.quality_percentile_gate(
+        cleaned.filter(F.length("text") > 0), "doc_id", "text", pct=0.25,
+        exact=True,
+    )
+    with_q = cleaned.join(gated.select("doc_id", "quality_score"), "doc_id")
+    split = TX.hash_split(with_q.select("doc_id"), "doc_id").select(
+        "doc_id", "split"
+    )
+    return with_q.join(split, "doc_id").select(
+        "doc_id", "n_tokens_kept", "quality_score", "split"
+    )
+
+
 @query(
     "ext_curation_pipeline",
     oracle="""
