@@ -72,7 +72,16 @@ def canon_rows(df_pandas):
 
 
 def main() -> int:
-    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    # argv[1]: either an integer (sweep the first N registry entries, the
+    # driver's behavior) or a comma-separated list of query-name prefixes
+    # (validate just-added entries without sweeping the whole registry).
+    name_filter: list[str] | None = None
+    first_n = 50
+    if len(sys.argv) > 1:
+        try:
+            first_n = int(sys.argv[1])
+        except ValueError:
+            name_filter = sys.argv[1].split(",")
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
 
     # Deliberately NOT get_session(): mirror the driver's plain session.
@@ -94,7 +103,12 @@ def main() -> int:
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    names = list(queries)[:first_n]
+    if name_filter is not None:
+        names = [
+            n for n in queries if any(n.startswith(p) for p in name_filter)
+        ]
+    else:
+        names = list(queries)[:first_n]
     failures: list[str] = []
     for name in names:
         t0 = time.time()

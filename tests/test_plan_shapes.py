@@ -370,3 +370,53 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: the shipdate range, discount
+    bounds, and quantity cap must ALL reach the parquet scan."""
+    plan = plan_of(QUERIES["rel_tpch_q6_forecast"](spark, sf_dir))
+    pushed = plan.split("PushedFilters")[-1].split("]")[0]
+    for frag in ["l_shipdate", "l_discount", "LessThan(l_quantity,24.0)"]:
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_tpch_q19_hoisted_bounds_push(spark, sf_dir):
+    """The OR-of-ANDs itself is not scan-pushable, but the hoisted implied
+    bounds (brand IN-list + size/quantity ranges) must be."""
+    plan = plan_of(QUERIES["rel_tpch_q19_disjunctive"](spark, sf_dir))
+    pushed_all = plan.split("ReadSchema")[0]
+    assert "In(p_brand" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert pushed_all  # plan rendered
+
+
+def test_tpch_q18_aggregates_before_join(spark, sf_dir):
+    """The quantity rollup + HAVING must collapse lineitem BEFORE any join:
+    the plan's joins consume the aggregated side, not raw lineitem."""
+    df = QUERIES["rel_tpch_q18_large_orders"](spark, sf_dir)
+    plan = plan_of(df)
+    agg_pos = plan.find("sum_qty")
+    assert agg_pos != -1
+    # the filter on the aggregate exists (HAVING), not a post-join filter
+    assert "(sum_qty" in plan or "sum(l_quantity)" in plan
+
+
+def test_tpch_q13_preserves_orderless_customers(spark, sf_dir):
+    """Q13's LEFT join must keep customers with zero qualifying orders —
+    a c_count = 0 bucket exists whenever any customer has only URGENT
+    orders or none at all (true at every harness SF)."""
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in QUERIES["rel_tpch_q13_custdist"](spark, sf_dir).collect()
+    }
+    total = sum(rows.values())
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert total == n_cust  # every customer lands in exactly one bucket
+
+
+def test_tpch_q22_anti_join_no_row_widening(spark, sf_dir):
+    """Q22's NOT EXISTS must plan as a LEFT ANTI join over the pruned
+    o_custkey column, never a full outer + filter."""
+    plan = plan_of(QUERIES["rel_tpch_q22_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan

@@ -1,0 +1,530 @@
+"""TPC-H breadth batch (round 4): the remaining classic query shapes that the
+simplified harness schema can express (no partsupp / shipmode / commitdate /
+phone columns — Q2/Q9/Q11/Q12/Q16/Q20/Q21 need those and are adapted or
+skipped; Q4 and Q17 shapes already live in plans/queries.py as
+``rel_exists_lineitem`` / ``rel_scalar_correlated``).
+
+Each entry is the canonical operator pattern the published query exercises —
+selective scan-agg (Q6), bidirectional dim pair join (Q7), conditional market
+share (Q8), top-k revenue join (Q10), left-join count-of-counts (Q13),
+conditional-aggregate ratio (Q14), scalar-max CTE reuse (Q15), groupBy-HAVING
+IN (Q18), OR-of-ANDs pushdown (Q19), NOT EXISTS + scalar avg (Q22) — written
+Spark-first per the engine's join policy: explicit broadcast hints only on
+fixed-cardinality dims (nation 25 / region 5 rows), AQE picks the strategy for
+O(sf) sides.
+
+Oracle-hash conventions (plans/registry.py): every float is rounded in-query
+on both sides; every LIMIT carries a unique tie-break on the ROUNDED measure
+so both engines select the same row set; DuckDB's year() returns BIGINT and is
+cast to match Spark's INT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import joins as J
+from ..operators import sort as O
+from ..sources import load_table
+from .registry import query
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+@query(
+    "rel_tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.045 AND l_discount <= 0.075
+      AND l_quantity < 24
+    """,
+)
+def rel_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure selective scan + global
+    agg — the canonical predicate-pushdown probe. All four predicates are
+    scan-level conjuncts (PushedFilters carries the shipdate range and the
+    quantity bound), so at 100 TB the min/max footer stats skip whole
+    row-groups; no shuffle at all except the single-row final agg.
+    Discount bounds sit mid-gap (0.045/0.075) between the data's exact
+    two-decimal grid points so FP parsing differences can't flip a row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.045)
+            & (F.col("l_discount") <= 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "rel_tpch_q7_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation,
+             n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def rel_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): trade volume between two nations in both
+    directions, by ship year. The two nation lookups are broadcast (25 rows
+    each); the bidirectional pair predicate is applied AFTER both joins so
+    it stays one plan (Catalyst folds the disjunction into the broadcast
+    join's output filter — the alternative union-of-two-plans scans
+    lineitem twice). lineitem ⋈ orders is the only big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), supplier.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), customer.c_nationkey == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+@query(
+    "rel_tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_7' THEN volume ELSE 0 END)
+                 / sum(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    """,
+)
+def rel_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7's share of ECONOMY-part
+    volume sold into ASIA, by order year — the conditional-aggregate-ratio
+    pattern (one pass computes both numerator and denominator; the naive
+    two-query form scans the join twice). part is pre-filtered to the type
+    BEFORE the fact join so the biggest join's probe side shrinks first;
+    nation/region broadcast; customer/supplier/part are O(sf) and left to
+    AQE."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), customer.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n2), supplier.s_nationkey == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "rel_tpch_q10_returned",
+    oracle="""
+    SELECT c_custkey, c_name, revenue, n_name
+    FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    )
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def rel_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost revenue
+    from returned lineitems in a half-year window. Both fact filters reach
+    their scans (orderdate range on orders, returnflag on lineitem); the
+    group-by keys include the dim attributes so no second join after the
+    agg. Top-k orders by the ROUNDED revenue with c_custkey as tie-break —
+    both engines then select an identical row set (ordering by the raw sum
+    could flip ranks on a last-ulp disagreement)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    grouped = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return O.top_k(
+        grouped.select("c_custkey", "c_name", "revenue", "n_name"),
+        [F.col("revenue").desc(), F.col("c_custkey").asc()],
+        20,
+    )
+
+
+@query(
+    "rel_tpch_q13_custdist",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def rel_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): count-of-counts histogram
+    over a LEFT join — the join predicate (priority filter) must live in
+    the join condition, not a WHERE, so order-less customers survive with
+    c_count = 0. Spark-first: filter orders BEFORE the left join (for an
+    outer join, pushing the right-side-only predicate below the join is
+    semantics-preserving and lets the scan prune); count(o_orderkey) counts
+    non-null matches exactly like SQL. Two shuffles by nature (custkey,
+    then c_count) — the second is over at most |distinct counts| rows."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "rel_tpch_q14_promo",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+)
+def rel_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): percent of quarterly revenue from PROMO
+    parts — conditional-aggregate ratio in one pass. The shipdate range is
+    the only fact filter and reaches the scan; part carries only
+    (p_partkey, p_type) into the join (column pruning keeps the build side
+    two columns wide no matter how wide part gets)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                2,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "rel_tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def rel_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the CTE-reuse pattern — the quarterly
+    revenue aggregate feeds both the scalar max and the equality filter.
+    Spark-first: compute the agg once, take the max via a window over no
+    partition ON THE AGGREGATED (|suppliers|-row) relation, filter, then
+    join supplier. The max comparison happens on the ROUNDED revenue so
+    both engines agree on ties; no second scan of lineitem (the SQL form
+    would re-evaluate the CTE in engines without CTE materialization)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.withColumn(
+        "__max", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("__max"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        supplier.join(best, supplier.s_suppkey == best.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "rel_tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           round(sum_qty, 1) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    ) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def rel_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): groupBy-HAVING feeding a join —
+    the IN-subquery of the published query decorrelated to its join form.
+    The quantity rollup happens FIRST (lineitem's only shuffle, on
+    l_orderkey) and the HAVING collapses it to the rare heavy orders, so
+    the subsequent joins see a tiny left side; at 100 TB AQE broadcasts the
+    survivors against orders. l_quantity is integer-valued so sum > 150 is
+    FP-exact; top-k orders on (rounded price, orderkey) for a deterministic
+    row set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 1).alias("sum_qty"),
+        )
+    )
+    return O.top_k(
+        joined, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 20
+    )
+
+
+@query(
+    "rel_tpch_q19_disjunctive",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def rel_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): the classic
+    OR-of-ANDs that mixes columns from both join sides. Spark-first: hoist
+    the per-side implied predicates ABOVE the disjunction —
+    p_brand IN (three brands) / p_size BETWEEN 1 AND 15 prune part, and
+    l_quantity BETWEEN 1 AND 30 prunes lineitem, each pushable to its scan
+    (Catalyst does not infer these from the OR on its own); the exact
+    disjunction then filters the join output. At 100 TB the hoisted bounds
+    are the difference between joining 3/25ths of part and all of it."""
+    brands = ["Brand#12", "Brand#23", "Brand#3"]
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(brands) & (F.col("p_size") >= 1) & (F.col("p_size") <= 15)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5) & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10) & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 15) & (q >= 20) & (q <= 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "rel_tpch_q22_idle_customers",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+    FROM (
+      SELECT CAST(c_custkey % 7 AS INTEGER) AS cntrycode, c_acctbal
+      FROM customer c
+      WHERE c_custkey % 7 IN (1, 2, 3)
+        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        AND NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def rel_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): well-funded customers with no
+    RECENT order, bucketed by country code — NOT EXISTS (anti join) + an
+    uncorrelated scalar subquery. Two harness adaptations: no phone column,
+    so the country code is c_custkey % 7 (same substring-bucket shape); and
+    every sf0.01 customer has ≥1 order ever, so "never ordered" selects the
+    empty set — the anti-join side is date-bounded instead ("no order since
+    2000"), which keeps the check non-trivial (29 rows at sf0.01).
+    Spark-first: the positive-balance average is a one-row aggregate
+    broadcast-cross-joined back; the anti join sees only the
+    balance-filtered survivors, and orders contributes only its pruned
+    (o_custkey) column after its date filter hits the scan."""
+    customer = load_table(spark, sf_dir, "customer")
+    cntry = (F.col("c_custkey") % 7).cast("int")
+    # The scalar avg is over ALL positive balances (not only the cntry-
+    # filtered rows), so it cannot ride the filtered projection as a window
+    # — it is a one-row aggregate cross-joined back via broadcast.
+    pos_avg = (
+        customer.select("c_acctbal")
+        .filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("__avg"))
+    )
+    funded = (
+        customer.select("c_custkey", "c_acctbal")
+        .filter(cntry.isin(1, 2, 3))
+        .join(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("2000-01-01"))
+        .select("o_custkey")
+    )
+    idle = J.anti(funded, orders, funded.c_custkey == orders.o_custkey)
+    return (
+        idle.select(cntry.alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
