@@ -703,3 +703,98 @@ def test_curation_v2_pipeline_invariants(spark, sf_dir):
     assert all(r["quality_score"] is not None for r in rows)
     # span removal happened before gating: token counts reflect cleaning
     assert all(r["n_tokens_kept"] >= 1 for r in rows)
+
+
+class TestGopherQuality:
+    def test_rule_branches_on_fixtures(self, spark):
+        from usedcars_bigdata_spark.ext.text import gopher_quality
+
+        df = spark.createDataFrame(
+            [
+                (1, "- b one here\n- b two here\n* three\nplain."),  # bullets
+                (2, "goes on...\nand on…\nshort end"),  # ellipsis lines
+                (3, "# # ## tags # everywhere…"),  # symbol soup
+                (
+                    4,
+                    ". ".join(
+                        ["the quick brown fox jumps over the lazy dog and runs to the green park in the warm sun"]
+                        * 3
+                    )
+                    + ".",
+                ),  # passes everything
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+        assert out[1]["bullet_line_frac"] == 0.75
+        assert not out[1]["gopher_pass"]  # too few words + bullets
+        assert out[2]["ellipsis_line_frac"] > 0.3
+        assert not out[2]["gopher_pass"]
+        assert out[3]["symbol_ratio"] > 0.1
+        assert not out[3]["gopher_pass"]
+        assert out[4]["n_words"] == 57
+        assert out[4]["stopword_hits"] >= 2
+        assert out[4]["gopher_pass"]
+
+    def test_stays_native_no_shuffle(self, spark, sf_dir):
+        from usedcars_bigdata_spark.ext.text import gopher_quality
+        from usedcars_bigdata_spark.sources import load_table
+
+        df = gopher_quality(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan  # per-row op: zero shuffles
+
+
+class TestC4Filters:
+    def test_rule_branches(self, spark):
+        from usedcars_bigdata_spark.ext.text import c4_line_filters
+
+        df = spark.createDataFrame(
+            [
+                (1, "this first line has more than five words total.\nshort one.\nno end"),
+                (2, "function foo() { return 1; }"),
+                (3, "lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+                (4, "please enable javascript to view this awesome page!"),
+                (5, "a clean sentence with exactly seven words here."),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in c4_line_filters(df, "doc_id", "text").collect()}
+        assert out[1]["n_kept_lines"] == 1 and out[1]["c4_keep"]
+        assert out[2]["has_brace"] and not out[2]["c4_keep"]
+        assert out[3]["has_lorem"] and not out[3]["c4_keep"]
+        assert out[4]["has_javascript"] and not out[4]["c4_keep"]
+        assert out[5]["c4_keep"]
+
+
+class TestDomainDivergence:
+    def test_identical_domains_have_zero_kl(self, spark):
+        from usedcars_bigdata_spark.ext.text import domain_divergence
+
+        df = spark.createDataFrame(
+            [("a", "x y z"), ("b", "x y z"), ("a", "x y z"), ("b", "x y z")],
+            "source string, text string",
+        )
+        out = domain_divergence(df, "source", "text").collect()
+        assert all(abs(r["kl_divergence"]) < 1e-9 for r in out)
+
+    def test_skewed_domain_scores_higher(self, spark):
+        from usedcars_bigdata_spark.ext.text import domain_divergence
+
+        # Overlapping vocabulary: "bal" mirrors the corpus mix closely,
+        # "skew" collapses onto one token. (Disjoint vocabularies would give
+        # both domains the same KL = ln 2 — mass position, not "weirdness".)
+        df = spark.createDataFrame(
+            [("bal", "x y x y x y x y"), ("skew", "x x x x x x x x")],
+            "source string, text string",
+        )
+        out = {r["domain"]: r["kl_divergence"] for r in domain_divergence(
+            df, "source", "text"
+        ).collect()}
+        import math
+
+        assert abs(out["skew"] - math.log(16 / 12)) < 1e-6
+        assert out["skew"] > out["bal"] > 0.0

@@ -992,3 +992,157 @@ def char_entropy(
         F.size(F.array_distinct("__ch")).cast("long").alias("n_distinct_chars"),
         F.round(ent, ndigits).alias("entropy"),
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1 — public
+# paper). Documents outside these bounds are flagged, not dropped, so the
+# caller picks the policy.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full Gopher rule-set quality signals, one narrow pass, all native
+    higher-order functions (zero Python in the row path, zero shuffles):
+
+    - word count + mean word length,
+    - symbol-to-word ratio (# and ellipsis),
+    - bullet-start and ellipsis-end line fractions,
+    - fraction of words containing an alphabetic character,
+    - stopword hits (fluency proxy),
+    - ``gopher_pass`` verdict per the published thresholds.
+
+    Word splitting and per-rule arithmetic are integer/ratio math so the
+    DuckDB oracle reproduces them bit-for-bit. Line rules degrade gracefully
+    on single-line documents (the whole text is one line)."""
+    w = _words(text_col)
+    lines = F.split(F.col(text_col), "\n")
+    n_words = F.size(w)
+    n_lines = F.size(lines)
+    mean_word_len = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    ) / n_words
+    n_symbol = (
+        F.size(F.filter(w, lambda x: x.contains("#")))
+        + F.size(F.filter(w, lambda x: x.contains("...")))
+        + F.size(F.filter(w, lambda x: x.contains("…")))
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("-")
+            | ln.startswith("*")
+            | ln.startswith("•"),
+        )
+    )
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda ln: ln.endswith("...") | ln.endswith("…"))
+    )
+    n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    n_stop_hits = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(n_symbol / n_words, 4).alias("symbol_ratio"),
+        F.round(n_bullet / n_lines, 4).alias("bullet_line_frac"),
+        F.round(n_ellipsis_end / n_lines, 4).alias("ellipsis_line_frac"),
+        F.round(n_alpha_words / n_words, 4).alias("alpha_word_frac"),
+        n_stop_hits.alias("stopword_hits"),
+    )
+    verdict = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE_FRAC)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+        & (F.col("alpha_word_frac") >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS)
+    )
+    return out.withColumn("gopher_pass", verdict)
+
+
+def c4_line_filters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style line/document hygiene (Raffel et al. 2020 §2.2, public
+    paper): per document, count lines that survive the line rules (ends in
+    terminal punctuation AND has ≥5 words) and flag the document-level
+    rules (lorem ipsum placeholder, curly brace = code leak, 'javascript'
+    = boilerplate warning). ``c4_keep`` = no doc-level flag AND ≥1
+    surviving line. One narrow pass, native lambdas only."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: (
+            ln.endswith(".") | ln.endswith("!") | ln.endswith("?") | ln.endswith('."')
+        )
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5),
+    )
+    lower = F.lower(F.col(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_js = lower.contains("javascript")
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_js.alias("has_javascript"),
+    )
+    return out.withColumn(
+        "c4_keep",
+        (~F.col("has_lorem"))
+        & (~F.col("has_brace"))
+        & (~F.col("has_javascript"))
+        & (F.col("n_kept_lines") >= 1),
+    )
+
+
+def domain_divergence(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-domain unigram KL divergence vs the whole-corpus distribution —
+    the mixture-weighting signal a pretraining pipeline uses to spot
+    off-distribution sources (CCNet/DoReMi-style, public papers).
+
+    KL(domain ‖ corpus) = Σ_w p_w · ln(p_w / q_w) with p from the domain's
+    token counts and q from the corpus's. Plan: one explode → two hash
+    aggs ((domain, word) then word) → vocabulary-sized broadcast join →
+    per-domain sum. The corpus side is |vocab| rows, so the join state is
+    bounded by vocabulary size no matter how many documents — at 100 TB the
+    only full-data pass is the explode+partial-agg, which combines
+    map-side."""
+    words = df.select(
+        F.col(group_col).alias("domain"),
+        F.explode(_words(text_col)).alias("word"),
+    ).filter(F.col("word") != "")
+    by_domain = words.groupBy("domain", "word").agg(F.count("*").alias("nw"))
+    domain_tot = by_domain.groupBy("domain").agg(F.sum("nw").alias("nd"))
+    corpus = by_domain.groupBy("word").agg(F.sum("nw").alias("cw"))
+    corpus_tot = corpus.agg(F.sum("cw").alias("nc"))
+    joined = (
+        by_domain.join(F.broadcast(corpus), "word")
+        .join(domain_tot, "domain")
+        .join(F.broadcast(corpus_tot))
+    )
+    term = (F.col("nw") / F.col("nd")) * (
+        F.log((F.col("nw") / F.col("nd")) / (F.col("cw") / F.col("nc")))
+    )
+    return (
+        joined.groupBy("domain")
+        .agg(
+            F.max("nd").cast("long").alias("n_tokens"),
+            F.round(F.sum(term), 6).alias("kl_divergence"),
+        )
+    )

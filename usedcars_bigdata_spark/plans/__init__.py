@@ -118,6 +118,11 @@ _CONTRACT_PRIORITY = [
     "rel_tpch_q18_large_orders",
     "rel_tpch_q19_disjunctive",
     "rel_tpch_q22_idle_customers",
+    # round-4 late batch: corpus-quality rule sets (Gopher/C4 with planted
+    # rule-exercising fixtures) + domain mixture divergence
+    "ext_gopher_quality",
+    "ext_c4_filters",
+    "ext_domain_divergence",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -1449,3 +1449,194 @@ def ext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     gibberish/encoded-blob detector, zero shuffles, one higher-order
     fold per row."""
     return TX.char_entropy(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality rule sets (round 4 late batch)
+# ---------------------------------------------------------------------------
+
+# The harness documents are single-line word soup (no \n, '.', '{', bullets),
+# so the line-based Gopher/C4 rules would be trivially constant on them.
+# Both entries therefore UNION a small set of planted fixture documents —
+# spelled as identical literals on the Spark side (createDataFrame) and the
+# oracle side (VALUES with chr(10) line joins) — so every rule branch is
+# exercised by the driver comparison, not only by pytest.
+
+_GOPHER_FIXTURES = [
+    (1000000001, "- bullet one here\n- bullet two here\n* third bullet\nregular closing line."),
+    (1000000002, "the story goes on...\nand on it goes…\na short end"),
+    (1000000003, "# # ## tags # everywhere… # yes..."),
+    (
+        1000000004,
+        ". ".join(
+            ["the quick brown fox jumps over the lazy dog and runs to the green park in the warm sun"] * 3
+        )
+        + ".",
+    ),
+]
+
+_C4_FIXTURES = [
+    (2000000001, "this first line has more than five words total.\nshort one.\nno punctuation end"),
+    (2000000002, "function foo() { return 1; }"),
+    (2000000003, "lorem ipsum dolor sit amet, consectetur adipiscing elit."),
+    (2000000004, "please enable javascript to view this awesome page!"),
+]
+
+
+def _docs_with_fixtures(spark: SparkSession, sf_dir: str, fixtures) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(fixtures, "doc_id long, text string")
+    return base.unionByName(planted)
+
+
+_GOPHER_FIXTURE_SQL = """
+      SELECT * FROM (VALUES
+        (1000000001, '- bullet one here' || chr(10) || '- bullet two here' || chr(10) || '* third bullet' || chr(10) || 'regular closing line.'),
+        (1000000002, 'the story goes on...' || chr(10) || 'and on it goes…' || chr(10) || 'a short end'),
+        (1000000003, '# # ## tags # everywhere… # yes...'),
+        (1000000004, 'the quick brown fox jumps over the lazy dog and runs to the green park in the warm sun. the quick brown fox jumps over the lazy dog and runs to the green park in the warm sun. the quick brown fox jumps over the lazy dog and runs to the green park in the warm sun.')
+      ) t(doc_id, text)
+"""
+
+_C4_FIXTURE_SQL = """
+      SELECT * FROM (VALUES
+        (2000000001, 'this first line has more than five words total.' || chr(10) || 'short one.' || chr(10) || 'no punctuation end'),
+        (2000000002, 'function foo() { return 1; }'),
+        (2000000003, 'lorem ipsum dolor sit amet, consectetur adipiscing elit.'),
+        (2000000004, 'please enable javascript to view this awesome page!')
+      ) t(doc_id, text)
+"""
+
+
+@query(
+    "ext_gopher_quality",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_GOPHER_FIXTURE_SQL}
+    ),
+    m AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM docs
+    ),
+    r AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
+               AS mean_word_len,
+             round((len(list_filter(w, x -> contains(x, '#')))
+                    + len(list_filter(w, x -> contains(x, '...')))
+                    + len(list_filter(w, x -> contains(x, '…')))) * 1.0 / len(w), 4)
+               AS symbol_ratio,
+             round(len(list_filter(lines, l -> starts_with(l, '-')
+                                            OR starts_with(l, '*')
+                                            OR starts_with(l, '•'))) * 1.0 / len(lines), 4)
+               AS bullet_line_frac,
+             round(len(list_filter(lines, l -> ends_with(l, '...')
+                                            OR ends_with(l, '…'))) * 1.0 / len(lines), 4)
+               AS ellipsis_line_frac,
+             round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(w), 4)
+               AS alpha_word_frac,
+             len(list_filter(w, x -> x = 'the' OR x = 'a' OR x = 'of' OR x = 'and'
+                                   OR x = 'to' OR x = 'in' OR x = 'is'))
+               AS stopword_hits
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(n_words AS INTEGER) AS n_words,
+           mean_word_len, symbol_ratio, bullet_line_frac, ellipsis_line_frac,
+           alpha_word_frac,
+           CAST(stopword_hits AS INTEGER) AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8
+            AND stopword_hits >= 2) AS gopher_pass
+    FROM r
+    """,
+)
+def ext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-set quality signals (ext.text.gopher_quality) over the
+    corpus + planted rule-exercising fixtures. All native higher-order
+    functions; zero shuffles; verdict computed on the rounded metrics so
+    both engines make identical threshold decisions."""
+    return TX.gopher_quality(
+        _docs_with_fixtures(spark, sf_dir, _GOPHER_FIXTURES), "doc_id", "text"
+    )
+
+
+@query(
+    "ext_c4_filters",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_C4_FIXTURE_SQL}
+    ),
+    m AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM docs
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS INTEGER) AS n_lines,
+           CAST(len(list_filter(lines,
+                l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                      OR ends_with(l, '."'))
+                     AND len(string_split_regex(trim(l), '\\s+')) >= 5))
+             AS INTEGER) AS n_kept_lines,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           contains(lower(text), 'javascript') AS has_javascript,
+           (NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')
+            AND NOT contains(lower(text), 'javascript')
+            AND len(list_filter(lines,
+                l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+                      OR ends_with(l, '."'))
+                     AND len(string_split_regex(trim(l), '\\s+')) >= 5)) >= 1)
+             AS c4_keep
+    FROM m
+    """,
+)
+def ext_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/document hygiene (ext.text.c4_line_filters) over the
+    corpus + planted fixtures covering every rule branch (brace leak,
+    lorem-ipsum placeholder, javascript boilerplate, surviving-line
+    count)."""
+    return TX.c4_line_filters(
+        _docs_with_fixtures(spark, sf_dir, _C4_FIXTURES), "doc_id", "text"
+    )
+
+
+@query(
+    "ext_domain_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT source AS domain, w AS word
+      FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    bd AS (SELECT domain, word, count(*) AS nw FROM words GROUP BY 1, 2),
+    dt AS (SELECT domain, sum(nw) AS nd FROM bd GROUP BY 1),
+    cw AS (SELECT word, sum(nw) AS cw FROM bd GROUP BY 1),
+    ct AS (SELECT sum(cw) AS nc FROM cw)
+    SELECT domain,
+           CAST(nd AS BIGINT) AS n_tokens,
+           round(sum((nw * 1.0 / nd) * ln((nw * 1.0 / nd) / (cw * 1.0 / nc))), 6)
+             AS kl_divergence
+    FROM bd JOIN dt USING (domain) JOIN cw USING (word) CROSS JOIN ct
+    GROUP BY domain, nd
+    """,
+)
+def ext_domain_div(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence vs the corpus distribution
+    (ext.text.domain_divergence) — the mixture-weighting signal for
+    spotting off-distribution sources. Corpus side of the join is
+    vocabulary-sized and broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.domain_divergence(docs, "source", "text")
