@@ -807,3 +807,96 @@ def test_snapshot_diff_classification(spark):
     deletes = changes.filter("change_type = 'deleted'").select("k")
     rebuilt = merge_upsert(old, upserts, ["k"]).join(deletes, "k", "left_anti")
     assert sorted(map(tuple, rebuilt.collect())) == sorted(map(tuple, new.collect()))
+
+
+class TestCumulativeDistinct:
+    def test_growth_curve(self, spark):
+        from usedcars_bigdata_spark.operators.timeseries import cumulative_distinct
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00"),
+                (1, "2024-01-03 10:00:00"),  # repeat user: not new on day 3
+                (2, "2024-01-01 12:00:00"),
+                (3, "2024-01-02 09:00:00"),
+            ],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rows = {
+            str(r["d"])[:10]: (r["new_keys"], r["cum_keys"])
+            for r in cumulative_distinct(df, "user_id", "ts").collect()
+        }
+        assert rows["2024-01-01"] == (2, 2)
+        assert rows["2024-01-02"] == (1, 3)
+        assert "2024-01-03" not in rows  # no NEW users that day
+
+
+class TestEventTransitions:
+    def test_pair_counts_with_tiebreak(self, spark):
+        from usedcars_bigdata_spark.operators.timeseries import event_transitions
+
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00", "view", 1),
+                (1, "2024-01-01 10:01:00", "click", 2),
+                (1, "2024-01-01 10:02:00", "click", 3),
+                (2, "2024-01-01 10:00:00", "view", 4),
+                # same timestamp as id 4: order pinned by id
+                (2, "2024-01-01 10:00:00", "purchase", 5),
+            ],
+            "user_id long, ts string, event_type string, event_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r["from_type"], r["to_type"]): r["n_transitions"]
+            for r in event_transitions(
+                df, "user_id", "ts", "event_type", "event_id"
+            ).collect()
+        }
+        assert out == {
+            ("view", "click"): 1,
+            ("click", "click"): 1,
+            ("view", "purchase"): 1,
+        }
+
+
+class TestMaxConcurrency:
+    def test_overlap_and_touching(self, spark):
+        from usedcars_bigdata_spark.operators.timeseries import max_concurrency
+
+        df = spark.createDataFrame(
+            [
+                # type a: [0,10], [5,15], [12,20] → peak 2
+                ("a", "2024-01-01 00:00:00", 10.0),
+                ("a", "2024-01-01 00:00:05", 10.0),
+                ("a", "2024-01-01 00:00:12", 8.0),
+                # type b: [0,10] and [10,20] touch → NOT concurrent
+                ("b", "2024-01-01 00:00:00", 10.0),
+                ("b", "2024-01-01 00:00:10", 10.0),
+            ],
+            "event_type string, ts string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            r["event_type"]: r["max_concurrent"]
+            for r in max_concurrency(df, "ts", "value", "event_type").collect()
+        }
+        assert out == {"a": 2, "b": 1}
+
+
+class TestGapsIslands:
+    def test_streaks(self, spark):
+        from usedcars_bigdata_spark.operators.timeseries import gaps_islands
+
+        rows = []
+        for d in ["01", "02", "03", "07", "08", "15"]:
+            rows.append((1, f"2024-01-{d} 09:00:00"))
+            rows.append((1, f"2024-01-{d} 17:00:00"))  # two events same day
+        rows.append((2, "2024-01-05 09:00:00"))
+        df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            r["user_id"]: (r["n_islands"], r["longest_run"], r["active_days"])
+            for r in gaps_islands(df, "user_id", "ts").collect()
+        }
+        assert out[1] == (3, 3, 6)  # [1-3], [7-8], [15]
+        assert out[2] == (1, 1, 1)
