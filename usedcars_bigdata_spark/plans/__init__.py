@@ -123,6 +123,14 @@ _CONTRACT_PRIORITY = [
     "ext_gopher_quality",
     "ext_c4_filters",
     "ext_domain_divergence",
+    # round-4 late batch: event-time growth/transition/concurrency/streaks
+    "ts_cumulative_distinct",
+    "ts_event_transitions",
+    "ts_max_concurrency",
+    "ts_gaps_islands",
+    # round-4 late batch: data-quality statistics
+    "rel_group_mode",
+    "rel_benford_digits",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

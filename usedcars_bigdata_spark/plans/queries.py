@@ -2714,3 +2714,194 @@ def rows_mono(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout; uniqueness/monotonicity asserted in tests."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return D.add_monotonic_index(docs, alias="index")
+
+
+# ---------------------------------------------------------------------------
+# Event-time batch (round 4 late): growth curve, transitions, concurrency,
+# activity islands
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_cumulative_distinct",
+    oracle="""
+    WITH fs AS (
+      SELECT user_id, min(date_trunc('hour', ts)) AS d FROM events GROUP BY 1
+    ),
+    hourly AS (SELECT d, count(*) AS new_keys FROM fs GROUP BY 1)
+    SELECT d, new_keys,
+           sum(new_keys) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_keys
+    FROM hourly
+    """,
+)
+def ts_cum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-users-to-date growth curve, hourly buckets
+    (operators.timeseries.cumulative_distinct): the first-seen rewrite of
+    cumulative COUNT(DISTINCT) — each user contributes only its min-bucket
+    row, so the running sum ranges over |buckets| rows instead of holding
+    every user in every frame. (Hourly, not daily, because all harness
+    users first appear within two days — day buckets would make this a
+    2-row check.)"""
+    return TS.cumulative_distinct(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", bucket="hour"
+    )
+
+
+@query(
+    "ts_event_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS from_type,
+             event_type AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM p WHERE from_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def ts_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts of event types per user
+    (operators.timeseries.event_transitions). One shuffle on the user key;
+    the output is |types|² rows."""
+    return TS.event_transitions(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id",
+    )
+
+
+@query(
+    "ts_max_concurrency",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type AS k, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(ts) + CAST(value * 1000000 AS BIGINT), -1 FROM events
+    ),
+    run AS (
+      SELECT k, sum(delta) OVER (PARTITION BY k ORDER BY t, delta
+                                 ROWS UNBOUNDED PRECEDING) AS load
+      FROM bounds
+    )
+    SELECT k AS event_type, CAST(max(load) AS INTEGER) AS max_concurrent
+    FROM run GROUP BY k
+    """,
+)
+def ts_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent events per type, treating each event as the interval
+    [ts, ts + value seconds] (operators.timeseries.max_concurrency) — the
+    sweep-line +1/−1 running sum, ends before starts at the same instant
+    so touching intervals don't overlap."""
+    return TS.max_concurrency(
+        load_table(spark, sf_dir, "events"), "ts", "value", "event_type"
+    )
+
+
+@query(
+    "ts_gaps_islands",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM d
+    ),
+    i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+    SELECT user_id,
+           count(*) AS n_islands,
+           max(len) AS longest_run,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM i GROUP BY 1
+    """,
+)
+def ts_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day islands per user
+    (operators.timeseries.gaps_islands): date − row_number grouping;
+    reports streak count, longest streak, and total active days."""
+    return TS.gaps_islands(load_table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@query(
+    "rel_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, o_orderstatus ASC) AS rk
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS mode_status, n AS mode_count
+    FROM r WHERE rk = 1
+    """,
+)
+def rel_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent order status per
+    priority). Both engines' native mode() breaks frequency ties
+    arbitrarily, so this is the count + row_number rewrite with an
+    explicit value tie-break — two map-side-combinable aggregations and a
+    window over the tiny (|priorities|×|statuses|) count relation."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), F.col("o_orderstatus").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "rel_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 4) AS observed_freq,
+           round(log10(1.0 + 1.0 / digit), 4) AS benford_freq
+    FROM d GROUP BY digit
+    """,
+)
+def rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit of order totals — the classic
+    anomaly screen for fabricated numeric data. The digit extraction
+    floor()s to integer FIRST — an explicit floor on BOTH sides, because
+    Spark's double→bigint cast truncates while DuckDB's ROUNDS (a 9999.6
+    order would land on digit 9 vs digit 1) — then substrings the integer's
+    string form (a float's string form would hit engine-specific
+    formatting). Observed vs expected frequencies land in one pass via a
+    window over the 9-row aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("observed_freq"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_freq"),
+    )
