@@ -66,6 +66,24 @@ BENCH_QUERIES = [
     "ext_remove_dup_spans",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
+    # round-4 late batch: TPC-H breadth + corpus rule sets + event-time
+    "rel_tpch_q6_forecast",
+    "rel_tpch_q8_market_share",
+    "rel_tpch_q10_returned",
+    "rel_tpch_q13_custdist",
+    "rel_tpch_q18_large_orders",
+    "rel_tpch_q19_disjunctive",
+    "ext_gopher_quality",
+    "ext_c4_filters",
+    "ext_domain_divergence",
+    "ts_cumulative_distinct",
+    "ts_event_transitions",
+    "ts_max_concurrency",
+    "ts_gaps_islands",
+    "ts_time_weighted_avg",
+    "rel_rfm_segments",
+    "rel_abc_analysis",
+    "rel_copurchase_pairs",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1022,9 +1022,19 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Word splitting and per-rule arithmetic are integer/ratio math so the
     DuckDB oracle reproduces them bit-for-bit. Line rules degrade gracefully
-    on single-line documents (the whole text is one line)."""
-    w = _words(text_col)
-    lines = F.split(F.col(text_col), "\n")
+    on single-line documents (the whole text is one line).
+
+    The word/line arrays are hoisted into a materialized projection first —
+    the seven rules reference them ~10 times, and Catalyst does not CSE a
+    repeated split() across higher-order-function arguments (same lesson as
+    round 2's `_with_grams` hoist, which cut the n-gram ops ~3-4×)."""
+    split_df = df.select(
+        F.col(id_col),
+        _words(text_col).alias("__w"),
+        F.split(F.col(text_col), "\n").alias("__lines"),
+    )
+    w = F.col("__w")
+    lines = F.col("__lines")
     n_words = F.size(w)
     n_lines = F.size(lines)
     mean_word_len = F.aggregate(
@@ -1049,7 +1059,7 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
     n_stop_hits = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
 
-    out = df.select(
+    out = split_df.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),

@@ -458,3 +458,27 @@ def gaps_islands(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
         )
         .withColumnRenamed("k", key_col)
     )
+
+
+def time_weighted_avg(
+    df: DataFrame, key_col: str, ts_col: str, id_col: str, value_col: str
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation holds until
+    the next one, so it is weighted by its holding time (lead(ts) − ts in
+    microseconds); the final observation per key has no successor and
+    carries zero weight. One shuffle on the key serves the lead window and
+    the aggregate. Weights are integer micros (exact); ties in the
+    ordering break on the unique id."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    us = F.unix_micros(F.col(ts_col))
+    weighted = df.select(
+        F.col(key_col),
+        F.col(value_col),
+        (F.lead(us).over(w) - us).alias("hold_us"),
+    ).filter(F.col("hold_us").isNotNull())
+    return weighted.groupBy(key_col).agg(
+        F.count("*").alias("n_obs"),
+        F.round(
+            F.sum(F.col(value_col) * F.col("hold_us")) / F.sum("hold_us"), 4
+        ).alias("twap"),
+    )

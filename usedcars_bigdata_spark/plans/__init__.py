@@ -131,6 +131,11 @@ _CONTRACT_PRIORITY = [
     # round-4 late batch: data-quality statistics
     "rel_group_mode",
     "rel_benford_digits",
+    # round-4 late batch: business-analytics patterns
+    "ts_time_weighted_avg",
+    "rel_rfm_segments",
+    "rel_abc_analysis",
+    "rel_copurchase_pairs",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2905,3 +2905,197 @@ def rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") / F.sum("n").over(w), 4).alias("observed_freq"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 4).alias("benford_freq"),
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, value,
+             lead(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)
+               - epoch_us(ts) AS hold_us
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_obs,
+           round(sum(value * hold_us) / sum(hold_us), 4) AS twap
+    FROM h WHERE hold_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type
+    (operators.timeseries.time_weighted_avg): each observation weighted by
+    its holding time to the next — the uneven-sampling-robust mean an
+    evenly-weighted avg misstates."""
+    return TS.time_weighted_avg(
+        load_table(spark, sf_dir, "events"), "event_type", "ts", "event_id",
+        "value",
+    )
+
+
+@query(
+    "rel_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             datediff('day', max(o_orderdate),
+                      (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
+             ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+      FROM base
+    )
+    SELECT r_score * 100 + f_score * 10 + m_score AS segment,
+           count(*) AS n_customers,
+           round(avg(monetary), 2) AS avg_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles
+    (ntile(5)) composed into a 3-digit segment, with customer counts and
+    average spend per segment. Every ntile ordering carries the custkey
+    tie-break so both engines assign identical quintiles at metric ties.
+    The per-customer rollup shuffles once on custkey; the three ntile
+    windows run over the |customers|-row aggregate — the documented
+    single-axis cost, bounded by customer count not order count (scale
+    path: percent_rank against broadcast quantile bounds)."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref_date = orders.agg(F.max("o_orderdate").alias("__ref"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .join(F.broadcast(ref_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("__ref"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = base.select(
+        "monetary",
+        (
+            F.ntile(5).over(r_w) * 100
+            + F.ntile(5).over(f_w) * 10
+            + F.ntile(5).over(m_w)
+        ).alias("segment"),
+    )
+    return scored.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+    )
+
+
+@query(
+    "rel_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) AS rev_fp
+      FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+      SELECT l_partkey, rev_fp,
+             sum(rev_fp) OVER (ORDER BY rev_fp DESC, l_partkey ASC
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+               / sum(rev_fp) OVER () AS cum_share
+      FROM rev
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           count(*) AS n_parts,
+           round(sum(rev_fp) / 10000.0, 2) AS class_revenue
+    FROM c GROUP BY 1
+    """,
+)
+def rel_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory analysis: parts ranked by revenue, classified
+    by cumulative revenue share (A ≤ 80%, B ≤ 95%, C rest). ALL revenue
+    arithmetic runs in fixed point (line revenue × 10⁴ as BIGINT): per-part
+    sums of ~10⁹-magnitude doubles land on cent rounding boundaries under
+    engine-specific accumulation order, which flipped a class total by
+    0.01 in the first cut of this query — integer sums are order-exact, so
+    ranks, cumulative shares, and class totals all agree bit-for-bit. The
+    global-order window runs on the |parts|-row aggregate (documented
+    single-axis cost)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    line_fp = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(line_fp).alias("rev_fp"))
+    order_w = (
+        Window.orderBy(F.col("rev_fp").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    total_w = Window.partitionBy()
+    c = rev.select(
+        "rev_fp",
+        (
+            F.sum("rev_fp").over(order_w) * 1.0 / F.sum("rev_fp").over(total_w)
+        ).alias("cum_share"),
+    )
+    klass = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return c.select(klass.alias("abc_class"), "rev_fp").groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("rev_fp") / 10000.0, 2).alias("class_revenue"),
+    )
+
+
+@query(
+    "rel_copurchase_pairs",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+)
+def rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in ≥2
+    orders. The self-join is basket-bounded — distinct (order, part) first
+    (collapses duplicate lines map-side), then an equi-join on l_orderkey
+    with the a < b triangle predicate halving the pair space. Pair volume
+    is Σ basket_size², independent of part-table width; at 100 TB a
+    pathological mega-basket would salt the orderkey (the same skew
+    treatment as operators.joins.salted), noted here because TPC-H baskets
+    are bounded at 7."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = a.join(
+        b, (a.l_orderkey == b.__ok) & (F.col("part_a") < F.col("part_b"))
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
