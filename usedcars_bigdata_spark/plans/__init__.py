@@ -136,6 +136,11 @@ _CONTRACT_PRIORITY = [
     "rel_rfm_segments",
     "rel_abc_analysis",
     "rel_copurchase_pairs",
+    # round-4 late batch: stateful streaming surface (stream-stream interval
+    # join; applyInPandasWithState custom operator) — both run REAL
+    # streaming queries under the oracle hash check
+    "ts_stream_stream_join",
+    "ts_stream_stateful_anomaly",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

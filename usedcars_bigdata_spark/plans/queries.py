@@ -3099,3 +3099,123 @@ def rel_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "ts_stream_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           c.ts AS click_ts,
+           p.event_id AS purchase_id,
+           p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def ts_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM event-time interval join, contract-visible
+    (streaming.joins.clicks_to_purchases): attribute each purchase to the
+    same user's clicks within the prior hour. Both sides are watermarked
+    readStream branches of the events source; the interval condition is
+    what bounds the join state (click state evicts at watermark+1h,
+    purchase state at watermark). Inner join → append output drained with
+    availableNow into a memory sink; the emitted pair set equals the batch
+    interval self-join, which the DuckDB oracle replays — a real
+    stateful-join streaming execution under the driver's hash check, not
+    a batch twin."""
+    from ..streaming.events import read_event_stream
+    from ..streaming.joins import clicks_to_purchases
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_stream_join_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = read_event_stream(spark, sf_dir)
+    joined = clicks_to_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@query(
+    "ts_stream_stateful_anomaly",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, round(value * 100) AS value_cents FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, value_cents,
+             avg(value_cents) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+               AS running_mean_cents
+      FROM c
+    )
+    SELECT user_id, event_id, value_cents,
+           round(running_mean_cents, 4) AS running_mean_cents,
+           coalesce(value_cents > 3.0 * running_mean_cents, false) AS flagged
+    FROM m
+    """,
+)
+def ts_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator, contract-visible
+    (streaming.stateful.running_anomaly_flags, applyInPandasWithState):
+    per-user running spend tracker flagging events above 3× the user's
+    mean-so-far — state (n, total) persists across micro-batches,
+    Arrow-batched, sharded by user. Drained with availableNow into an
+    append memory sink; with the harness's single-file source the arrival
+    order is the per-user event_id order, so the emitted rows equal the
+    batch prefix-window twin the oracle replays.
+
+    The contract feeds the tracker integer CENTS (round(value*100) — still
+    a double column, but integer-valued, so Python's sequential float
+    accumulation and DuckDB's window aggregate sum the SAME exact integers
+    and the mean is a bit-identical integer÷count on both sides). The
+    first cut fed raw dollars and one of 10 000 rows flipped at the
+    6th-decimal rounding boundary — prefix means are the worst case for
+    accumulation-order drift because every prefix is its own sum."""
+    from ..streaming.events import read_event_stream
+    from ..streaming.stateful import running_anomaly_flags
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_stateful_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    cents = read_event_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100)
+    )
+    flags = running_anomaly_flags(cents)
+    q = (
+        flags.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("value_cents"),
+        F.round("running_mean", 4).alias("running_mean_cents"),
+        "flagged",
+    )
