@@ -798,3 +798,33 @@ class TestDomainDivergence:
 
         assert abs(out["skew"] - math.log(16 / 12)) < 1e-6
         assert out["skew"] > out["bal"] > 0.0
+
+
+class TestBigramLogprob:
+    def test_known_values(self, spark):
+        import math
+
+        from usedcars_bigdata_spark.ext.text import bigram_logprob_score
+
+        # corpus bigrams: (a,b)x2 from docs 1,2; (b,c)x1 from doc 2
+        # contexts: a -> {b:2}/2, b -> {c:1}/1
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b c"), (3, "solo")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_score(df, "doc_id", "text").collect()}
+        # P(b|a)=1, P(c|b)=1 -> all logps 0, ppl 1
+        assert out[1]["n_bigrams"] == 1 and out[1]["avg_logp"] == 0.0
+        assert out[2]["n_bigrams"] == 2 and out[2]["ppl"] == 1.0
+        assert 3 not in out  # single-token doc has no bigrams
+
+    def test_rare_continuation_scores_lower(self, spark):
+        from usedcars_bigdata_spark.ext.text import bigram_logprob_score
+
+        # 'x' continues to 'common' 9 times, to 'rare' once
+        rows = [(i, "x common") for i in range(9)] + [(100, "x rare")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["avg_logp"] for r in bigram_logprob_score(
+            df, "doc_id", "text"
+        ).collect()}
+        assert out[100] < out[0] < 0.0 or (out[0] > out[100])

@@ -1156,3 +1156,57 @@ def domain_divergence(
             F.round(F.sum(term), 6).alias("kl_divergence"),
         )
     )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Language-model quality filtering, bigram form — the next rung above
+    unigram_logprob_score on the CCNet-style ladder: score each document by
+    the mean log P(w_i | w_{i-1}) under the corpus bigram distribution
+    (conditional MLE: c(w1,w2) / c(w1,·)). Scoring the corpus against
+    itself means every observed bigram has count ≥ 1, so no smoothing term
+    is needed; an external-model deployment would add one.
+
+    Same plan discipline as the unigram gate: the pair explode is the only
+    stream-sized pass; both count aggregates partial-combine; joins key on
+    xxhash64 of the pair / predecessor (fixed-width shuffle keys — a
+    collision merges two contexts' counts, statistical noise certified
+    against the string-keyed oracle at harness scale). Documents with
+    fewer than two tokens have no bigrams and drop out (both engines).
+
+    Output: (id, n_bigrams, avg_logp, ppl)."""
+    base = df.select(F.col(id_col), _words(text_col).alias("__w"))
+    pair_structs = F.transform(
+        F.slice("__w", 1, F.size("__w") - 1),
+        lambda x, i: F.struct(
+            x.alias("w1"), F.element_at(F.col("__w"), i + 2).alias("w2")
+        ),
+    )
+    pairs = (
+        base.select(F.col(id_col), F.explode(pair_structs).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.xxhash64("__p.w1").alias("k1"),
+            F.xxhash64("__p.w1", "__p.w2").alias("k12"),
+        )
+    )
+    c12 = pairs.groupBy("k1", "k12").agg(F.count("*").alias("n12"))
+    c1 = c12.groupBy("k1").agg(F.sum("n12").alias("n1"))
+    logp = c12.join(c1, "k1").select(
+        "k12", F.log(F.col("n12") / F.col("n1")).alias("lp")
+    )
+    per_doc = (
+        pairs.join(logp, "k12")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.avg("lp").alias("__alp"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round("__alp", ndigits).alias("avg_logp"),
+        F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
+    )

@@ -141,6 +141,9 @@ _CONTRACT_PRIORITY = [
     # streaming queries under the oracle hash check
     "ts_stream_stream_join",
     "ts_stream_stateful_anomaly",
+    # round-4 late batch: bigram LM gate + ORC source round-trip
+    "ext_bigram_logprob",
+    "rel_orc_roundtrip",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -1640,3 +1640,39 @@ def ext_domain_div(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized and broadcast."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.domain_divergence(docs, "source", "text")
+
+
+@query(
+    "ext_bigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM w)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM b GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(n12) AS n1 FROM c12 GROUP BY 1),
+    lp AS (
+      SELECT w1, w2, ln(n12 * 1.0 / n1) AS lp
+      FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(lp), 4) AS avg_logp,
+           round(exp(-avg(lp)), 2) AS ppl
+    FROM b JOIN lp USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality gate (ext.text.bigram_logprob_score): mean
+    conditional log-probability per document under the corpus bigram
+    model — hashed pair keys on the Spark side, string keys in the
+    oracle."""
+    return TX.bigram_logprob_score(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )

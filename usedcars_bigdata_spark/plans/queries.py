@@ -3219,3 +3219,33 @@ def ts_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("running_mean", 4).alias("running_mean_cents"),
         "flagged",
     )
+
+
+@query(
+    "rel_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    """,
+)
+def rel_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read round-trip (S5 source family): the engine's columnar
+    formats are interchangeable behind the same DataFrame surface — write
+    the documents metadata as ORC (zlib), read it back, certify
+    value-identity against the parquet-derived oracle. Text column
+    excluded to keep the round-trip payload metadata-shaped. Tempdir keyed
+    by applicationId per the schema-evolution precedent (no
+    overwrite-vs-read race between concurrent harnesses)."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_orc_rt_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
