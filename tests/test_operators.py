@@ -900,3 +900,27 @@ class TestGapsIslands:
         }
         assert out[1] == (3, 3, 6)  # [1-3], [7-8], [15]
         assert out[2] == (1, 1, 1)
+
+
+class TestPagerankUnrolled:
+    def test_symmetric_triangle_is_uniform(self, spark):
+        from usedcars_bigdata_spark.operators.graph import pagerank_unrolled
+
+        # K3: symmetry forces the uniform distribution at every iteration
+        edges = spark.createDataFrame(
+            [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b],
+            "src long, dst long",
+        )
+        out = {r["node"]: r["pr"] for r in pagerank_unrolled(edges, "src", "dst").collect()}
+        assert all(abs(v - 1 / 3) < 5e-8 for v in out.values())  # 8-decimal grid
+
+    def test_star_center_dominates_and_mass_conserved(self, spark):
+        from usedcars_bigdata_spark.operators.graph import pagerank_unrolled
+
+        pairs = [(0, i) for i in (1, 2, 3)] + [(i, 0) for i in (1, 2, 3)]
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        out = {r["node"]: r["pr"] for r in pagerank_unrolled(edges, "src", "dst").collect()}
+        # hand-unrolled 3 iterations, d=0.85, N=4
+        assert abs(out[0] - 0.6208125) < 1e-7
+        assert abs(out[1] - 0.1263958333) < 1e-7
+        assert abs(sum(out.values()) - 1.0) < 5e-8  # no dangling mass lost (8-dec grid)

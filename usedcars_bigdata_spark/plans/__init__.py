@@ -144,6 +144,8 @@ _CONTRACT_PRIORITY = [
     # round-4 late batch: bigram LM gate + ORC source round-trip
     "ext_bigram_logprob",
     "rel_orc_roundtrip",
+    # round-4 late batch: iterative graph analytics as one declarative plan
+    "rel_pagerank_copurchase",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2943,19 +2943,19 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
              datediff('day', max(o_orderdate),
                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
              count(*) AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
       FROM orders GROUP BY o_custkey
     ),
     scored AS (
-      SELECT o_custkey, recency_days, frequency, monetary,
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
              ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score,
              ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score,
-             ntile(5) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m_score
+             ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m_score
       FROM base
     )
     SELECT r_score * 100 + f_score * 10 + m_score AS segment,
            count(*) AS n_customers,
-           round(avg(monetary), 2) AS avg_monetary
+           CAST(round(avg(monetary_cents)) AS BIGINT) AS avg_monetary_cents
     FROM scored GROUP BY 1
     """,
 )
@@ -2964,32 +2964,42 @@ def rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ntile(5)) composed into a 3-digit segment, with customer counts and
     average spend per segment. Every ntile ordering carries the custkey
     tie-break so both engines assign identical quintiles at metric ties.
+
+    Monetary is integer CENTS end-to-end: the dollars form hit a segment
+    whose average landed exactly on a half-cent (x.695), where Spark's
+    round (HALF_UP on the decimal string) and DuckDB's (on the binary
+    double) disagree. With integer cents the group average is sum/n of
+    exact integers: either exactly representable (both engines round it
+    identically) or ≥ 1/(2n) away from the .5 boundary — orders of
+    magnitude beyond the one-division FP error.
+
     The per-customer rollup shuffles once on custkey; the three ntile
     windows run over the |customers|-row aggregate — the documented
     single-axis cost, bounded by customer count not order count (scale
     path: percent_rank against broadcast quantile bounds)."""
     orders = load_table(spark, sf_dir, "orders")
     ref_date = orders.agg(F.max("o_orderdate").alias("__ref"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     base = (
         orders.groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("frequency"),
-            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+            F.sum(cents).alias("monetary_cents"),
         )
         .join(F.broadcast(ref_date))
         .select(
             "o_custkey",
             F.datediff(F.col("__ref"), F.col("last_order")).alias("recency_days"),
             "frequency",
-            "monetary",
+            "monetary_cents",
         )
     )
     r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
     f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
     scored = base.select(
-        "monetary",
+        "monetary_cents",
         (
             F.ntile(5).over(r_w) * 100
             + F.ntile(5).over(f_w) * 10
@@ -2998,7 +3008,7 @@ def rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.groupBy("segment").agg(
         F.count("*").alias("n_customers"),
-        F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        F.round(F.avg("monetary_cents")).cast("bigint").alias("avg_monetary_cents"),
     )
 
 
@@ -3249,3 +3259,56 @@ def rel_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "rel_pagerank_copurchase",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS pr FROM deg),
+    pr1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(pr0.pr / deg.d) AS pr
+      FROM e JOIN pr0 ON e.src = pr0.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    pr2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(pr1.pr / deg.d) AS pr
+      FROM e JOIN pr1 ON e.src = pr1.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ),
+    pr3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM nn) + 0.85 * sum(pr2.pr / deg.d) AS pr
+      FROM e JOIN pr2 ON e.src = pr2.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )
+    SELECT node, round(pr, 8) AS pr FROM pr3
+    """,
+)
+def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations, operators.graph.pagerank_unrolled)
+    over the symmetric co-purchase part graph — iterative graph analytics
+    as ONE declarative plan, oracle-replayed by unrolled CTEs. The
+    symmetric edge set guarantees no dangling nodes, so the simple
+    damping form is exact."""
+    from ..operators.graph import pagerank_unrolled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("dst")
+    )
+    edges = a.join(
+        b, (a.l_orderkey == b.__ok) & (F.col("src") != F.col("dst"))
+    ).select("src", "dst")
+    return pagerank_unrolled(edges, "src", "dst", iterations=3)
