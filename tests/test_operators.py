@@ -924,3 +924,29 @@ class TestPagerankUnrolled:
         assert abs(out[0] - 0.6208125) < 1e-7
         assert abs(out[1] - 0.1263958333) < 1e-7
         assert abs(sum(out.values()) - 1.0) < 5e-8  # no dangling mass lost (8-dec grid)
+
+
+class TestRollingActiveKeys:
+    def test_window_semantics(self, spark):
+        from usedcars_bigdata_spark.operators.timeseries import rolling_active_keys
+
+        # user 1 active hour 0; user 2 active hour 1; window=2h
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:10:00"),
+                (1, "2024-01-01 00:50:00"),  # same hour: distinct collapses
+                (2, "2024-01-01 01:10:00"),
+                (3, "2024-01-01 03:10:00"),
+            ],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            str(r["bucket_start"]): r["n_active"]
+            for r in rolling_active_keys(
+                df, "user_id", "ts", window_buckets=2, bucket="hour"
+            ).collect()
+        }
+        assert out["2024-01-01 00:00:00"] == 1  # u1
+        assert out["2024-01-01 01:00:00"] == 2  # u1 (carry) + u2
+        assert out["2024-01-01 02:00:00"] == 1  # u2 carry
+        assert out["2024-01-01 03:00:00"] == 1  # u3

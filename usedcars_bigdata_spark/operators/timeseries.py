@@ -482,3 +482,47 @@ def time_weighted_avg(
             F.sum(F.col(value_col) * F.col("hold_us")) / F.sum("hold_us"), 4
         ).alias("twap"),
     )
+
+
+def rolling_active_keys(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_buckets: int = 24,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Rolling distinct-key count per time bucket (e.g. 24h rolling active
+    users by hour) — the contribution rewrite of a sliding COUNT(DISTINCT):
+    each (key, bucket) observation CONTRIBUTES to the ``window_buckets``
+    bucket-ends that cover it, so the sliding distinct becomes explode +
+    plain count(DISTINCT) per target bucket. Work is
+    |distinct key-buckets| × window, never |events| × window (the distinct
+    collapses first, map-side); no window function holds a set. Target
+    buckets outside the observed [min, max] span are dropped (leading ramp
+    stays — a bucket near the start simply has fewer covered hours, the
+    standard dashboard convention)."""
+    step = {"hour": 3600, "day": 86400}[bucket]
+    kb = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+        )
+        .distinct()
+    )
+    span = kb.agg(F.min("b").alias("lo"), F.max("b").alias("hi"))
+    contrib = kb.select(
+        "k",
+        F.explode(
+            F.sequence(
+                F.col("b"),
+                F.col("b") + F.expr(f"INTERVAL {window_buckets - 1} {bucket}"),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ).alias("td"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(span))
+        .filter((F.col("td") >= F.col("lo")) & (F.col("td") <= F.col("hi")))
+        .groupBy(F.col("td").alias("bucket_start"))
+        .agg(F.countDistinct("k").alias("n_active"))
+    )

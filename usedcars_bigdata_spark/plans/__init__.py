@@ -146,6 +146,10 @@ _CONTRACT_PRIORITY = [
     "rel_orc_roundtrip",
     # round-4 late batch: iterative graph analytics as one declarative plan
     "rel_pagerank_copurchase",
+    # round-4 late batch: rolling distinct, FK audit, PSI drift monitor
+    "ts_rolling_active_users",
+    "rel_fk_audit",
+    "rel_psi_drift",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

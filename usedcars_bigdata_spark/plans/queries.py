@@ -3312,3 +3312,144 @@ def rel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (a.l_orderkey == b.__ok) & (F.col("src") != F.col("dst"))
     ).select("src", "dst")
     return pagerank_unrolled(edges, "src", "dst", iterations=3)
+
+
+@query(
+    "ts_rolling_active_users",
+    oracle="""
+    WITH kb AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS b FROM events
+    ),
+    span AS (SELECT min(b) AS lo, max(b) AS hi FROM kb),
+    contrib AS (
+      SELECT user_id,
+             unnest(generate_series(b, b + INTERVAL 23 HOUR, INTERVAL 1 HOUR))
+               AS td
+      FROM kb
+    )
+    SELECT td AS bucket_start, count(DISTINCT user_id) AS n_active
+    FROM contrib, span
+    WHERE td BETWEEN lo AND hi
+    GROUP BY 1
+    """,
+)
+def ts_rolling_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour rolling active users by hour
+    (operators.timeseries.rolling_active_keys): the contribution rewrite of
+    sliding COUNT(DISTINCT) — work scales with |user-hours| × 24, not
+    events × window, and no per-frame distinct set is ever held."""
+    return TS.rolling_active_keys(
+        load_table(spark, sf_dir, "events"), "user_id", "ts",
+        window_buckets=24, bucket="hour",
+    )
+
+
+@query(
+    "rel_fk_audit",
+    oracle="""
+    SELECT 'lineitem_order_orphans' AS check_name, count(*) AS n_violations
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_childless', count(*)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    UNION ALL
+    SELECT 'lineitem_part_orphans', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def rel_fk_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphaned lineitems (no parent order),
+    childless orders (no lineitem), and dangling part references — three
+    anti-join counts in one result, the standard pre-ingest FK check a
+    warehouse runs on every batch. Each anti join moves only the pruned
+    key column; counts aggregate map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def _count(df, name):
+        return df.agg(F.count("*").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    ok = orders.select("o_orderkey")
+    lk = li.select("l_orderkey")
+    pk = part.select("p_partkey")
+    a = _count(J.anti(li.select("l_orderkey"), ok,
+                      F.col("l_orderkey") == F.col("o_orderkey")),
+               "lineitem_order_orphans")
+    b = _count(J.anti(orders.select("o_orderkey"), lk,
+                      F.col("o_orderkey") == F.col("l_orderkey")),
+               "orders_childless")
+    c = _count(J.anti(li.select("l_partkey"), pk,
+                      F.col("l_partkey") == F.col("p_partkey")),
+               "lineitem_part_orphans")
+    return a.unionByName(b).unionByName(c)
+
+
+@query(
+    "rel_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT least(floor(CAST(round(o_totalprice * 100) AS BIGINT)
+                         / 5000000.0), 9) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END
+               AS is_ref
+      FROM orders
+    ),
+    c AS (
+      SELECT CAST(bucket AS INTEGER) AS bucket,
+             sum(is_ref) AS n_ref,
+             sum(1 - is_ref) AS n_cur
+      FROM b GROUP BY 1
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM c)
+    SELECT bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round((n_cur * 1.0 / tc - n_ref * 1.0 / tr)
+                 * ln((n_cur * 1.0 / tc) / (n_ref * 1.0 / tr)), 6) AS psi_term
+    FROM c, t
+    WHERE n_ref > 0 AND n_cur > 0
+    """,
+)
+def rel_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order totals, reference (pre-1998) vs
+    current — the standard model-monitoring drift metric. Buckets are
+    FIXED-width (50k, capped at 10) over integer cents: quantile-derived
+    edges would hinge on interpolation FP that differs across engines for
+    non-midpoint fractions, while cents/5e6 is one exact-integer IEEE
+    division — bucket assignment is bit-deterministic. One pass computes
+    both distributions (conditional aggregates); buckets empty on either
+    side are excluded (counts are identical in both engines, so the
+    exclusion is too)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    bucket = F.least(F.floor(cents / 5000000.0), F.lit(9)).cast("int")
+    is_ref = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1
+    ).otherwise(0)
+    c = (
+        orders.select(bucket.alias("bucket"), is_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    t = c.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p_cur = F.col("n_cur") / F.col("tc")
+    p_ref = F.col("n_ref") / F.col("tr")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cur",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+    )
