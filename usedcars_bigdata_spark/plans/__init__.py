@@ -150,6 +150,9 @@ _CONTRACT_PRIORITY = [
     "ts_rolling_active_users",
     "rel_fk_audit",
     "rel_psi_drift",
+    "ts_mad_outliers",
+    "ts_mom_growth",
+    "rel_topk_with_ties",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -3453,3 +3453,141 @@ def rel_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
         )
     )
+
+
+@query(
+    "ts_mad_outliers",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, round(value * 100) AS v FROM events
+    ),
+    m AS (SELECT event_type, quantile_cont(v, 0.5) AS med FROM c GROUP BY 1),
+    d AS (
+      SELECT c.event_type, v, abs(v - med) AS dev
+      FROM c JOIN m USING (event_type)
+    ),
+    md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY 1)
+    SELECT d.event_type,
+           count(*) AS n,
+           max(m.med) AS median_cents,
+           max(md.mad) AS mad_cents,
+           CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM d JOIN md USING (event_type) JOIN m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def ts_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD), the breakdown-resistant alternative to the z-score gate
+    (ts_zscore_anomaly) — one wild value shifts a mean/stddev but not a
+    median/MAD. All arithmetic in integer cents so medians interpolate at
+    exact multiples of 0.25 (midpoint of half-integers) — bit-identical
+    across engines with NO output rounding at all; the 3×MAD threshold
+    compares exact quantities, so even boundary-equal deviations classify
+    identically. Three passes over the stream (median → deviations/MAD →
+    outlier count), each a per-type aggregate with the tiny stats side
+    broadcast back; the one-pass scale variant swaps in approx_percentile
+    like the quality gate's sketch twin."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.select(
+        "event_type", F.round(F.col("value") * 100).alias("v")
+    )
+    m = c.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    d = c.join(F.broadcast(m), "event_type").select(
+        "event_type", "v", F.abs(F.col("v") - F.col("med")).alias("dev"),
+        "med",
+    )
+    md = d.groupBy("event_type").agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        d.join(F.broadcast(md), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("median_cents"),
+            F.max("mad").alias("mad_cents"),
+            F.sum(
+                F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "ts_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT y, mo, n_orders,
+           round(rev_cents / 100.0, 2) AS revenue,
+           round((rev_cents - lag(rev_cents) OVER (ORDER BY y, mo)) * 1.0
+                 / lag(rev_cents) OVER (ORDER BY y, mo), 6) AS mom_growth
+    FROM m
+    """,
+)
+def ts_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth: monthly rollup (exact integer
+    cents) + lag over the |months|-row aggregate — the reporting pattern
+    every finance dashboard runs. The growth ratio divides exact integers,
+    so both engines start from identical doubles; the single-task window
+    is month-cardinality-sized."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("mo")
+    ).agg(
+        F.sum(cents).alias("rev_cents"), F.count("*").alias("n_orders")
+    )
+    w = Window.orderBy("y", "mo")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "y",
+        "mo",
+        "n_orders",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round((F.col("rev_cents") - prev) * 1.0 / prev, 6).alias("mom_growth"),
+    )
+
+
+@query(
+    "rel_topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+           rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY CAST(round(o_totalprice * 100)
+                                               AS BIGINT) DESC) AS INTEGER)
+               AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+def rel_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order VALUES per priority WITH ties (dense_rank) — the
+    tie-preserving semantics row_number-based top-k
+    (rel_topk_per_group) deliberately drops: every order sharing a top-3
+    price survives, so the output is value-deterministic without an
+    arbitrary tie-break. Ranks compare integer cents (exact), not raw
+    doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents.desc())
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.dense_rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
