@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     "rel_rfm_segments",
     "rel_abc_analysis",
     "rel_copurchase_pairs",
+    "ext_bigram_logprob",
+    "rel_pagerank_copurchase",
+    "ts_rolling_active_users",
+    "ts_mad_outliers",
+    "rel_psi_drift",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -186,3 +186,74 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     # keys 1/2 exactly once (not re-merged as duplicates), key 3 arrived
     assert got == {1: 1.0, 2: 2.0, 3: 3.0}
     assert spark.read.parquet(target).count() == 3
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no purchase within the
+    interval must eventually emit with NULL purchase columns — but only
+    once the watermark has passed the click's join horizon (before that,
+    a matching purchase could still arrive, so the engine must hold it).
+    This pins the semantics that distinguish outer from inner stream
+    joins: nulls are watermark-driven, not batch-driven."""
+    from usedcars_bigdata_spark.streaming import joins as SJ
+
+    src = str(tmp_path / "ev_src")
+    # batch 1: one click (user 1) with a match, one click (user 2) without
+    _write_events(
+        spark,
+        src,
+        [
+            (1, _ns(0), 1, "click", 1.0, "{}"),
+            (2, _ns(5), 1, "purchase", 9.0, "{}"),
+            (3, _ns(0), 2, "click", 1.0, "{}"),
+        ],
+    )
+    stream = SE.read_event_stream(spark, src, glob="*.parquet")
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    c = clicks.withWatermark("ts", "10 minutes").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "10 minutes").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = c.join(p, cond, "left_outer")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_join_out")
+        .option("checkpointLocation", str(tmp_path / "ck_lo"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {
+            r["click_id"]: r["purchase_id"]
+            for r in spark.sql("SELECT * FROM lo_join_out").collect()
+        }
+        # the matched pair may emit immediately; the unmatched click must NOT
+        # have emitted a null row yet (its horizon hasn't passed)
+        assert 3 not in mid, mid
+        assert mid.get(1, 2) == 2, mid  # if the match emitted, it's correct
+        # advance event time far past click 3's horizon (1h interval + 10m wm)
+        _write_events(spark, src, [(9, _ns(300), 3, "click", 1.0, "{}")])
+        q.processAllAvailable()
+        _write_events(spark, src, [(10, _ns(600), 3, "purchase", 1.0, "{}")])
+        q.processAllAvailable()
+        got = {
+            r["click_id"]: r["purchase_id"]
+            for r in spark.sql("SELECT * FROM lo_join_out").collect()
+        }
+        assert got[1] == 2  # matched within interval
+        assert 3 in got and got[3] is None  # unmatched click emitted with NULLs
+    finally:
+        q.stop()

@@ -153,6 +153,9 @@ _CONTRACT_PRIORITY = [
     "ts_mad_outliers",
     "ts_mom_growth",
     "rel_topk_with_ties",
+    "rel_chi_square",
+    "rel_gini_revenue",
+    "ts_user_entropy",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

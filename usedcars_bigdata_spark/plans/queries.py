@@ -3591,3 +3591,129 @@ def rel_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@query(
+    "rel_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS p, o_orderstatus AS s, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    r AS (SELECT p, sum(n) AS rn FROM c GROUP BY 1),
+    cl AS (SELECT s, sum(n) AS cn FROM c GROUP BY 1),
+    t AS (SELECT sum(n) AS tot FROM c)
+    SELECT c.p AS o_orderpriority, c.s AS o_orderstatus,
+           CAST(c.n AS BIGINT) AS observed,
+           round(r.rn * cl.cn * 1.0 / t.tot, 4) AS expected,
+           round(pow(c.n - r.rn * cl.cn * 1.0 / t.tot, 2)
+                 / (r.rn * cl.cn * 1.0 / t.tot), 6) AS chi2_term
+    FROM c JOIN r USING (p) JOIN cl USING (s) CROSS JOIN t
+    """,
+)
+def rel_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence for priority × status: per-cell
+    observed vs expected (row·col/N) with the χ² contribution — the
+    categorical-association screen run before trusting a segmentation.
+    All inputs are exact integer counts, so the expected-value doubles are
+    bit-identical across engines; the margins are |priorities|- and
+    |statuses|-sized and broadcast onto the cell table."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count("*").alias("n"))
+    r = c.groupBy("p").agg(F.sum("n").alias("rn"))
+    cl = c.groupBy("s").agg(F.sum("n").alias("cn"))
+    t = c.agg(F.sum("n").alias("tot"))
+    e = F.col("rn") * F.col("cn") * 1.0 / F.col("tot")
+    return (
+        c.join(F.broadcast(r), "p")
+        .join(F.broadcast(cl), "s")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            F.col("s").alias("o_orderstatus"),
+            F.col("n").alias("observed"),
+            F.round(e, 4).alias("expected"),
+            F.round(F.pow(F.col("n") - e, 2) / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+@query(
+    "rel_gini_revenue",
+    oracle="""
+    WITH m AS (
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      FROM m
+    )
+    SELECT count(*) AS n_customers,
+           round((2.0 * sum(i * cents) - (count(*) + 1) * sum(cents))
+                 / (count(*) * sum(cents)), 6) AS gini
+    FROM rk
+    """,
+)
+def rel_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality/concentration metric (how much spend the top customers
+    command). Exact integer cents and rank arithmetic: Σ i·xᵢ stays in
+    int64 (rank ≤ |customers|, cents ≤ 10⁹ → products ~10¹³; ANSI mode
+    would throw loudly on a true overflow rather than wrap). The global
+    rank is the documented |customers|-axis window; the final formula is
+    one aggregate over it."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    rk = m.select("cents", F.row_number().over(w).alias("i"))
+    n = F.count("*")
+    return rk.agg(
+        n.alias("n_customers"),
+        F.round(
+            (2.0 * F.sum(F.col("i") * F.col("cents")) - (n + 1) * F.sum("cents"))
+            / (n * F.sum("cents")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "ts_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    u AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(count(*) AS INTEGER) AS n_types,
+           CAST(max(u.tot) AS BIGINT) AS n_events,
+           round(-sum((n * 1.0 / tot) * ln(n * 1.0 / tot)), 6) AS entropy
+    FROM c JOIN u USING (user_id)
+    GROUP BY c.user_id
+    """,
+)
+def ts_user_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user: Shannon entropy of the event-type
+    distribution — bots and single-purpose accounts sit near 0, diverse
+    organic users near ln(|types|). Two key-local aggregates (both shuffle
+    on user_id once, AQE reuses the exchange); probabilities are exact
+    integer ratios."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    u = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(u, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("int").alias("n_types"),
+            F.max("tot").cast("bigint").alias("n_events"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
