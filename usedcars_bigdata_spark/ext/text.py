@@ -4,7 +4,7 @@ expressions (split/filter/transform/aggregate); no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
@@ -1209,4 +1209,88 @@ def bigram_logprob_score(
         "n_bigrams",
         F.round("__alp", ndigits).alias("avg_logp"),
         F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_k: int = 1000) -> DataFrame:
+    """Zipf law fit of the corpus rank-frequency curve: least-squares slope
+    of ln(freq) on ln(rank) over the top-``top_k`` vocabulary — natural
+    corpora run slope ≈ −1; templated/synthetic corpora flatten toward 0
+    (a corpus-level generation-artifact screen, same family as the
+    dup-gram and boilerplate checks).
+
+    One explode + count (map-side combined), a single top-k rank window
+    over the vocabulary aggregate (capped at top_k rows), then a 1-row
+    least-squares aggregate — the regression inputs are ln() of exact
+    integer counts and ranks, so both engines start from identical
+    doubles. Output: (n_terms, slope, intercept, r2)."""
+    words = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = words.groupBy("w").agg(F.count("*").alias("n"))
+    rk = Window.orderBy(F.col("n").desc(), F.col("w").asc())
+    ranked = (
+        counts.select(F.row_number().over(rk).alias("r"), "n")
+        .filter(F.col("r") <= top_k)
+    )
+    x = F.log(F.col("r") * 1.0)
+    y = F.log(F.col("n") * 1.0)
+    agg = ranked.agg(
+        F.count("*").alias("k"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+    )
+    k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    r2 = F.pow(k * sxy - sx * sy, 2) / (
+        (k * sxx - sx * sx) * (k * syy - sy * sy)
+    )
+    return agg.select(
+        F.col("k").cast("int").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def source_overlap(
+    df: DataFrame, group_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every pair of sources,
+    how many distinct word n-grams they share — the mirrored-content /
+    cross-crawl duplication screen a corpus audit runs before assigning
+    mixture weights (a gram appearing in many sources is syndicated or
+    boilerplate; two sources sharing a large gram set are mirrors).
+
+    Plan shape is the co-purchase triangle join transplanted to grams:
+    distinct (gram, source) first (collapses within-source repeats
+    map-side), then pairs WITHIN each gram via self-join with src_a <
+    src_b — pair volume is Σ per-gram-source-count², bounded by |sources|²
+    per gram, never corpus-sized. Grams travel as xxhash64 (fixed-width
+    shuffle keys); the string-keyed oracle certifies harness scale."""
+    grams_col = F.expr(
+        f"IF(size(__words) >= {n}, "
+        f"transform(sequence(1, size(__words) - {n - 1}), "
+        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n})))), array())"
+    )
+    gs = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__words"),
+        )
+        .select("src", F.explode(grams_col).alias("g"))
+        .distinct()
+    )
+    a = gs.select(F.col("g"), F.col("src").alias("src_a"))
+    b = gs.select(F.col("g").alias("__g"), F.col("src").alias("src_b"))
+    pairs = a.join(
+        b, (a.g == b.__g) & (F.col("src_a") < F.col("src_b"))
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared_grams")
     )

@@ -156,6 +156,10 @@ _CONTRACT_PRIORITY = [
     "rel_chi_square",
     "rel_gini_revenue",
     "ts_user_entropy",
+    "ext_langid_confusion",
+    "ts_interarrival_burstiness",
+    "ext_zipf_fit",
+    "ext_source_overlap",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -1676,3 +1676,121 @@ def ext_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_logprob_score(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query(
+    "ext_langid_confusion",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(ws, x -> x='the' OR x='and' OR x='of' OR x='to' OR x='a')) AS en,
+        len(list_filter(ws, x -> x='der' OR x='die' OR x='und' OR x='das' OR x='ist')) AS de,
+        len(list_filter(ws, x -> x='el' OR x='la' OR x='de' OR x='que' OR x='y')) AS es,
+        len(list_filter(ws, x -> x='le' OR x='la' OR x='et' OR x='les' OR x='des')) AS fr,
+        len(list_filter(ws, x -> x='o' OR x='a' OR x='de' OR x='que' OR x='e')) AS pt
+      FROM w
+    ),
+    p AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(en, de, es, fr, pt) = 0 THEN 'und'
+             WHEN en = greatest(en, de, es, fr, pt) THEN 'en'
+             WHEN de = greatest(en, de, es, fr, pt) THEN 'de'
+             WHEN es = greatest(en, de, es, fr, pt) THEN 'es'
+             WHEN fr = greatest(en, de, es, fr, pt) THEN 'fr'
+             ELSE 'pt' END AS lang_pred
+      FROM s
+    )
+    SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY 1, 2
+    """,
+)
+def ext_langid_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic's predictions
+    (ext.text.langid_heuristic — stopword-profile argmax, ties broken in
+    profile order en/de/es/fr/pt) cross-tabulated against the corpus's
+    labeled lang column. This upgrades the language-ID op from rows-only
+    to oracle-checked: the oracle replays the full scoring + tie-break
+    CASE chain in SQL, so the driver certifies the classifier's exact
+    decision function, not just its row count."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = TX.langid_heuristic(docs, "doc_id", "text").select(
+        "doc_id", "lang_pred"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ext_zipf_fit",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    counts AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY 1),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, w ASC) AS r, n FROM counts
+      QUALIFY r <= 1000
+    ),
+    agg AS (
+      SELECT count(*) AS k,
+             sum(ln(r * 1.0)) AS sx, sum(ln(n * 1.0)) AS sy,
+             sum(ln(r * 1.0) * ln(r * 1.0)) AS sxx,
+             sum(ln(r * 1.0) * ln(n * 1.0)) AS sxy,
+             sum(ln(n * 1.0) * ln(n * 1.0)) AS syy
+      FROM ranked
+    )
+    SELECT CAST(k AS INTEGER) AS n_terms,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k, 6)
+             AS intercept,
+           round(pow(k * sxy - sx * sy, 2)
+                 / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2
+    FROM agg
+    """,
+)
+def ext_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary
+    (ext.text.zipf_fit): least-squares slope/intercept/R² of ln(freq) vs
+    ln(rank) — the corpus-level generation-artifact screen (natural text
+    slopes ≈ −1; templated corpora flatten)."""
+    return TX.zipf_fit(load_table(spark, sf_dir, "documents"), "text")
+
+
+@query(
+    "ext_source_overlap",
+    oracle="""
+    WITH gs AS (
+      SELECT DISTINCT source AS src, g
+      FROM (
+        SELECT source,
+               unnest(list_transform(
+                 list_zip(ws[1:len(ws)-4], ws[2:len(ws)-3], ws[3:len(ws)-2],
+                          ws[4:len(ws)-1], ws[5:len(ws)]),
+                 p -> p[1] || ' ' || p[2] || ' ' || p[3] || ' ' || p[4]
+                      || ' ' || p[5])) AS g
+        FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+              FROM documents)
+      )
+    )
+    SELECT a.src AS src_a, b.src AS src_b, count(*) AS shared_grams
+    FROM gs a JOIN gs b ON a.g = b.g AND a.src < b.src
+    GROUP BY 1, 2
+    """,
+)
+def ext_src_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shared-5-gram matrix (ext.text.source_overlap): the
+    mirrored-content screen — pair volume bounded by |sources|² per gram
+    via the distinct-first triangle join. Spark side travels hashed
+    grams; the oracle re-derives the same pairs from gram STRINGS, so a
+    hash collision that created a false pair would fail the row-count
+    check (none at harness scale)."""
+    return TX.source_overlap(
+        load_table(spark, sf_dir, "documents"), "source", "text", n=5
+    )

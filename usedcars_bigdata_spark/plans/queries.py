@@ -3717,3 +3717,74 @@ def ts_user_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
         )
     )
+
+
+@query(
+    "ts_interarrival_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                     ORDER BY ts, event_id))
+               // 1000000 AS dt_s
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, count(*) AS n,
+             sum(dt_s) AS sx, sum(dt_s * dt_s) AS sxx
+      FROM g WHERE dt_s IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_gaps,
+           round(sx * 1.0 / n, 4) AS mean_gap_s,
+           round(sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+                 / (sx * 1.0 / n), 6) AS cv,
+           round((sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+                  / (sx * 1.0 / n) - 1)
+                 / (sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1)))
+                    / (sx * 1.0 / n) + 1), 6) AS burstiness
+    FROM m WHERE n >= 2 AND sx > 0
+    """,
+)
+def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: coefficient of variation of the
+    gap distribution and the Goh-Barabási burstiness B = (cv−1)/(cv+1) —
+    B→−1 periodic, 0 Poisson, →1 bursty; the standard bot-vs-human timing
+    signature. Gaps are floor-divided to integer SECONDS and the variance
+    comes from exact integer moments (n·Σx² − (Σx)²) rather than a
+    streaming stddev — engine-order-independent by construction, the same
+    fixed-point discipline as the session's currency ops. One shuffle on
+    the user key serves both the lag and the moment aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    # integer floor-division semantics matching DuckDB's `//`
+    g = events.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - lag(unix_micros(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id)) div 1000000"
+        ).alias("dt_s"),
+    )
+    m = (
+        g.filter(F.col("dt_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("dt_s").alias("sx"),
+            F.sum(F.col("dt_s") * F.col("dt_s")).alias("sxx"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("sx") > 0))
+    )
+    mean = F.col("sx") * 1.0 / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        / (F.col("n") * (F.col("n") - 1))
+    )
+    cv = sd / mean
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 4).alias("mean_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
+    )
