@@ -88,6 +88,28 @@ SHOWCASE = [
      "Duplicated-span extraction: gram doc-frequency joins back on "
      "hashed keys; both gaps-and-islands windows partition by the "
      "DOCUMENT (width bounded by doc length, never corpus-sized)."),
+    ("rel_tpch_q19_disjunctive",
+     "OR-of-ANDs: the hoisted implied bounds (brand IN-list, size and "
+     "quantity ranges) reach both scans as PushedFilters — Catalyst "
+     "does not infer them from the disjunction alone; the exact "
+     "predicate filters only the equi-join output."),
+    ("rel_copurchase_pairs",
+     "Basket self-join: distinct (order, part) collapses map-side "
+     "BEFORE the join; the a<b triangle predicate halves the pair "
+     "space; pair volume is basket-bounded, no cartesian anywhere."),
+    ("rel_pagerank_copurchase",
+     "Three unrolled PageRank iterations in ONE plan: each iteration "
+     "is an edges⋈ranks hash join + dst aggregate; the edge relation's "
+     "exchange is built once and reused (ReusedExchange) across "
+     "iterations; N arrives via a 1-row broadcast, never a collect."),
+    ("ext_gopher_quality",
+     "Gopher rules: word/line arrays materialized ONCE per row, seven "
+     "rules evaluated as higher-order functions over them — zero "
+     "exchanges, zero Python, composes with any upstream scan."),
+    ("ts_rolling_active_users",
+     "Sliding COUNT(DISTINCT) as contribution explode: distinct "
+     "(user, hour) collapses first, each survivor fans out to 24 "
+     "bucket-ends, one count-distinct aggregate — no per-frame state."),
 ]
 
 

@@ -420,3 +420,39 @@ def test_tpch_q22_anti_join_no_row_widening(spark, sf_dir):
     o_custkey column, never a full outer + filter."""
     plan = plan_of(QUERIES["rel_tpch_q22_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in plan
+
+
+def test_copurchase_no_cartesian_distinct_first(spark, sf_dir):
+    """The basket self-join must be an equi-join over the pre-collapsed
+    distinct (order, part) relation — never a cartesian/BNLJ."""
+    plan = plan_of(QUERIES["rel_copurchase_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_overlap_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["ext_source_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_reuses_edge_exchange(spark, sf_dir):
+    """The three unrolled iterations must reuse the edge relation's
+    exchange rather than rebuilding it per iteration."""
+    df = QUERIES["rel_pagerank_copurchase"](spark, sf_dir)
+    plan = plan_of(df, execute=True)
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_corpus_ops_stay_native(spark, sf_dir):
+    """Gopher/C4/divergence/bigram/zipf must not plan Python evaluation."""
+    for name in [
+        "ext_gopher_quality",
+        "ext_c4_filters",
+        "ext_domain_divergence",
+        "ext_bigram_logprob",
+        "ext_zipf_fit",
+    ]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell back to Python"
