@@ -456,3 +456,46 @@ def test_new_corpus_ops_stay_native(spark, sf_dir):
     ]:
         plan = plan_of(QUERIES[name](spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} fell back to Python"
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew handling: a sort-merge join where one key holds most of
+    the probe side must show skew-split partitions (`skew=true`) in the
+    final plan — the runtime complement to the manual salting operator
+    (operators.partitioning / rel_salted_join). Thresholds are lowered so
+    harness-sized data trips the same code path production data would."""
+    overrides = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8192",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+        # coalescing merges the small partitions first and suppresses the
+        # skew reader at harness sizes; production leaves it on because
+        # real partitions dwarf the advisory size
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of the fact side lands on key 7. NB: a downstream groupBy on
+        # the join key would SUPPRESS the split (AQE won't break a
+        # partitioning a later stage needs) — the probe is a global agg.
+        fact = spark.range(0, 200_000, 1, 16).selectExpr(
+            "IF(id % 20 = 0, CAST(id % 13 AS LONG), 7L) AS k",
+            "repeat('x', 128) AS pad",
+        )
+        dim = spark.range(0, 13).selectExpr("id AS k", "CAST(id * 10 AS LONG) AS v")
+        j = fact.join(dim, "k").selectExpr("count(v) AS n")
+        assert j.collect()[0]["n"] == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

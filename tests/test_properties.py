@@ -11,6 +11,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from usedcars_bigdata_spark.ext import dedup as X
 from usedcars_bigdata_spark.operators import clean as C
 from usedcars_bigdata_spark.operators import window as W
@@ -184,3 +186,144 @@ def test_line_dedup_idempotent(spark):
     a = {r["doc_id"]: r["text_dedup"] for r in once.collect()}
     b = {r["doc_id"]: r["text_dedup"] for r in again.collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-4 late batch: event-time + graph operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+_intervals = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),          # type
+        st.integers(0, 120),                   # start second
+        st.integers(1, 60),                    # duration seconds
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ivs=_intervals)
+@SET
+def test_max_concurrency_matches_bruteforce(spark, ivs):
+    from usedcars_bigdata_spark.operators.timeseries import max_concurrency
+
+    rows = [
+        (k, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", float(d))
+        for k, s, d in ivs
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_type"]: r["max_concurrent"]
+        for r in max_concurrency(df, "ts", "value", "event_type").collect()
+    }
+    # brute force sweep: ends sort before starts at the same instant
+    want = {}
+    for key in {k for k, _, _ in ivs}:
+        bounds = []
+        for k, s, d in ivs:
+            if k != key:
+                continue
+            bounds.append((s, 1))
+            bounds.append((s + d, -1))
+        bounds.sort(key=lambda t: (t[0], t[1]))
+        cur = peak = 0
+        for _, delta in bounds:
+            cur += delta
+            peak = max(peak, cur)
+        want[key] = peak
+    assert got == want
+
+
+_day_sets = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(1, 28)),  # (user, january day)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(days=_day_sets)
+@SET
+def test_gaps_islands_matches_bruteforce(spark, days):
+    from usedcars_bigdata_spark.operators.timeseries import gaps_islands
+
+    rows = [(u, f"2024-01-{d:02d} 12:00:00") for u, d in days]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["user_id"]: (r["n_islands"], r["longest_run"], r["active_days"])
+        for r in gaps_islands(df, "user_id", "ts").collect()
+    }
+    want = {}
+    for u in {u for u, _ in days}:
+        ds = sorted({d for uu, d in days if uu == u})
+        runs, cur = [], [ds[0]]
+        for d in ds[1:]:
+            if d == cur[-1] + 1:
+                cur.append(d)
+            else:
+                runs.append(cur)
+                cur = [d]
+        runs.append(cur)
+        want[u] = (len(runs), max(len(r) for r in runs), len(ds))
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)).filter(
+            lambda t: t[0] != t[1]
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@SET
+def test_pagerank_conserves_mass_on_symmetric_graphs(spark, edges):
+    from usedcars_bigdata_spark.operators.graph import pagerank_unrolled
+
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    df = spark.createDataFrame(sym, "src long, dst long")
+    out = [r["pr"] for r in pagerank_unrolled(df, "src", "dst").collect()]
+    n_nodes = len({a for a, _ in sym} | {b for _, b in sym})
+    assert len(out) == n_nodes
+    assert all(v > 0 for v in out)
+    # symmetric graphs have no dangling mass: ranks sum to 1 (8-dec grid)
+    assert abs(sum(out) - 1.0) < n_nodes * 5e-8
+
+
+@given(
+    obs=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 72)),  # (user, hour idx)
+        min_size=1,
+        max_size=25,
+    )
+)
+@SET
+def test_rolling_active_matches_bruteforce(spark, obs):
+    from usedcars_bigdata_spark.operators.timeseries import rolling_active_keys
+
+    rows = [
+        (u, f"2024-01-{1 + h // 24:02d} {h % 24:02d}:30:00") for u, h in obs
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        r["bucket_start"].day * 100 + r["bucket_start"].hour: r["n_active"]
+        for r in rolling_active_keys(
+            df, "user_id", "ts", window_buckets=3, bucket="hour"
+        ).collect()
+    }
+    hours = sorted({h for _, h in obs})
+    lo, hi = min(hours), max(hours)
+    want = {}
+    for t in range(lo, hi + 1):
+        users = {u for u, h in obs if t - 2 <= h <= t}
+        if users:
+            want[(1 + t // 24) * 100 + t % 24] = len(users)
+    # buckets with zero active users simply don't appear in the output
+    assert got == {k: v for k, v in want.items() if v > 0}
