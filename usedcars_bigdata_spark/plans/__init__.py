@@ -160,6 +160,9 @@ _CONTRACT_PRIORITY = [
     "ts_interarrival_burstiness",
     "ext_zipf_fit",
     "ext_source_overlap",
+    "rel_incremental_agg",
+    "rel_dynamic_partition_overwrite",
+    "rel_nth_value_window",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

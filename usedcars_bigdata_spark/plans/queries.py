@@ -3788,3 +3788,139 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("cv"),
         F.round((cv - 1) / (cv + 1), 6).alias("burstiness"),
     )
+
+
+@query(
+    "rel_incremental_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (materialized-view delta merge):
+    the stored per-priority state from the pre-1998 "initial load" is
+    MERGED with the 1998+ "new batch" state — count/sum/min/max are
+    mergeable aggregates, so the refresh touches only the new partition
+    plus the |groups|-sized state, never the full history. The oracle
+    computes the aggregate over everything in one pass; equality certifies
+    the merge law (state(A) ⊕ state(B) = state(A ∪ B)) on real data, not
+    just algebra. Sums merge in exact integer cents (the session's
+    fixed-point policy); min/max are order-free."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def state(part: DataFrame) -> DataFrame:
+        return part.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+            F.min("o_totalprice").alias("min_p"),
+            F.max("o_totalprice").alias("max_p"),
+        )
+
+    old = state(orders.filter(F.col("o_orderdate") < cut))
+    new = state(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        old.unionByName(new)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.round(F.min("min_p"), 2).alias("min_price"),
+            F.round(F.max("max_p"), 2).alias("max_price"),
+        )
+    )
+    return merged
+
+
+@query(
+    "rel_dynamic_partition_overwrite",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+           count(*) AS n,
+           sum(CAST(round(
+             CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END * 100) AS BIGINT)) AS cents
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def rel_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (the idempotent-backfill primitive):
+    write orders partitioned by year, then re-run ONLY 1997 with a +10%
+    price restatement in partitionOverwriteMode=dynamic — untouched years
+    must survive, the restated partition must fully replace (INSERT
+    OVERWRITE a static mode would truncate the whole table; dynamic
+    replaces exactly the partitions present in the new batch). The final
+    read-back aggregate matches the oracle's restated view of the source.
+    Tempdir keyed by applicationId per the schema-evolution precedent."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_dpo_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "y", F.year("o_orderdate")
+    )
+    orders.select("y", "o_totalprice").write.mode("overwrite").partitionBy(
+        "y"
+    ).parquet(out)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated = (
+            orders.filter(F.col("y") == 1997)
+            .select("y", (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+        )
+        restated.write.mode("overwrite").partitionBy("y").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(out)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return back.groupBy(F.col("y").cast("int").alias("y")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("cents")
+    )
+
+
+@query(
+    "rel_nth_value_window",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                      o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_best_order
+    FROM orders
+    """,
+)
+def rel_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value window coverage: each customer's SECOND-highest-value
+    order key over the full-partition frame (NULL for single-order
+    customers — preserved, not dropped). Ordering on integer cents with
+    the orderkey tie-break keeps the selected row identical across
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(cents.desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            F.nth_value("o_orderkey", 2).over(w).alias("second_best_order"),
+        )
+        .distinct()
+    )
