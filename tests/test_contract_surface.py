@@ -98,3 +98,38 @@ def test_window_is_fully_oracle_backed():
 
 def test_registry_has_no_dangling_oracles():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_partition_layout_independence(spark, sf_dir):
+    """Representative oracle entries must produce the same row multiset
+    under a pathological shuffle-partition setting (3) as under the test
+    default — any layout dependence (limit-without-order, per-partition
+    ids leaking into output, accumulation-order-sensitive rounding) shows
+    up as a diff here before it shows up as a driver hash mismatch."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    names = [
+        "ref_q1_avg_price_by_priority",
+        "rel_tpch_q18_large_orders",
+        "ext_dedup_exact",
+        "rel_abc_analysis",
+        "ts_event_transitions",
+        "rel_pagerank_copurchase",
+        "rel_rfm_segments",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {}
+    for n in names:
+        baseline[n] = sorted(
+            tuple(str(v) for v in r) for r in QUERIES[n](spark, sf_dir).collect()
+        )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            got = sorted(
+                tuple(str(v) for v in r)
+                for r in QUERIES[n](spark, sf_dir).collect()
+            )
+            assert got == baseline[n], f"{n} is partition-layout dependent"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

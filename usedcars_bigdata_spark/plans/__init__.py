@@ -163,6 +163,7 @@ _CONTRACT_PRIORITY = [
     "rel_incremental_agg",
     "rel_dynamic_partition_overwrite",
     "rel_nth_value_window",
+    "ts_session_conversion",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

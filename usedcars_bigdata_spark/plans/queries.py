@@ -3924,3 +3924,71 @@ def rel_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "ts_session_conversion",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_type,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM g
+    ),
+    per_session AS (
+      SELECT user_id, session_seq,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+             (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+      FROM s GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(sum(converted) * 1.0 / count(*), 6) AS conversion_rate,
+           round(avg(n_events), 4) AS avg_events_per_session,
+           round(sum(duration_s) * 1.0 / count(*), 4) AS avg_duration_s
+    FROM per_session
+    """,
+)
+def ts_session_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level conversion report COMPOSED from the sessionize
+    operator (operators.timeseries.sessionize feeds a per-session rollup):
+    total sessions, sessions containing a purchase, conversion rate, mean
+    events and mean duration per session. Certifies that sessionize's
+    labels survive composition into downstream aggregates (the oracle
+    re-derives sessions from scratch in SQL). Durations floor-divide to
+    integer seconds and the rate/means are exact-integer ratios — the
+    session's fixed-point discipline."""
+    events = load_table(spark, sf_dir, "events")
+    labeled = TS.sessionize(events, "user_id", "ts", "event_id", gap_minutes=30)
+    with_type = labeled.join(
+        events.select("event_id", "event_type"), "event_id"
+    )
+    per_session = with_type.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000").alias(
+            "duration_s"
+        ),
+    )
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        F.round(F.sum("converted") * 1.0 / F.count("*"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.round(F.sum("duration_s") * 1.0 / F.count("*"), 4).alias(
+            "avg_duration_s"
+        ),
+    )
