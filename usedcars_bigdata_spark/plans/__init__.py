@@ -164,6 +164,8 @@ _CONTRACT_PRIORITY = [
     "rel_dynamic_partition_overwrite",
     "rel_nth_value_window",
     "ts_session_conversion",
+    "ts_time_to_convert",
+    "ext_source_quality_rank",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -6,7 +6,7 @@ rows-only here and property-tested in tests/ against exact baselines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext import dedup as X
@@ -1793,4 +1793,53 @@ def ext_src_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     check (none at harness scale)."""
     return TX.source_overlap(
         load_table(spark, sf_dir, "documents"), "source", "text", n=5
+    )
+
+
+@query(
+    "ext_source_quality_rank",
+    oracle="""
+    WITH q AS (
+      SELECT source,
+             CAST(round((len(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to'
+                      OR x='in' OR x='is')) * 1.0
+                  / len(string_split_regex(trim(text), '\\s+'))) * 0.5 * 10000
+                 + least(len(string_split_regex(trim(text), '\\s+')), 100)
+                   / 100.0 * 0.5 * 10000) AS BIGINT) AS q4
+      FROM documents
+    ),
+    s AS (
+      SELECT source, count(*) AS n_docs, sum(q4) AS sum_q4 FROM q GROUP BY 1
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(round(sum_q4 * 1.0 / n_docs) AS BIGINT) AS avg_quality_x1e4,
+           CAST(rank() OVER (ORDER BY sum_q4 * 1.0 / n_docs DESC, source ASC)
+                AS INTEGER) AS quality_rank
+    FROM s
+    """,
+)
+def ext_src_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality leaderboard: mean heuristic quality score
+    (ext.text.quality_score's formula) per source, ranked — the
+    mixture-weighting companion to ext_domain_divergence (down-weight
+    sources whose documents score low). Scores convert to exact 1e-4
+    fixed point BEFORE averaging (the session's fixed-point policy: a
+    mean of 4-decimal-grid doubles lands exactly on rounding boundaries);
+    the rank orders by the exact integer ratio with a source tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TX.quality_score(docs, "doc_id", "text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    q4 = F.round(F.col("quality_score") * 10000).cast("bigint")
+    s = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(q4).alias("sum_q4")
+    )
+    avg_exact = F.col("sum_q4") * 1.0 / F.col("n_docs")
+    w = Window.orderBy(avg_exact.desc(), F.col("source").asc())
+    return s.select(
+        "source",
+        "n_docs",
+        F.round(avg_exact).cast("bigint").alias("avg_quality_x1e4"),
+        F.rank().over(w).cast("int").alias("quality_rank"),
     )

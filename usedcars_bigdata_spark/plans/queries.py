@@ -3992,3 +3992,53 @@ def ts_session_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_duration_s"
         ),
     )
+
+
+@query(
+    "ts_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id,
+             (epoch_us(min(e.ts)) - epoch_us(min(v.t0))) // 1000000 AS dt_s
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= v.t0
+      GROUP BY e.user_id
+    )
+    SELECT count(*) AS n_converted,
+           quantile_cont(dt_s, 0.5) AS median_s,
+           round(sum(dt_s) * 1.0 / count(*), 4) AS mean_s
+    FROM p
+    """,
+)
+def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: seconds from each user's first view to their first
+    subsequent purchase — converting-user count, median (integer seconds →
+    midpoint interpolation exact), and mean (exact integer ratio). The
+    funnel operator's timing companion; both stage reductions key on the
+    user, so one exchange serves the join and both aggregates."""
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(unix_micros(min(ts)) - unix_micros(min(t0))) div 1000000"
+            ).alias("dt_s")
+        )
+    )
+    return p.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(dt_s, 0.5)").alias("median_s"),
+        F.round(F.sum("dt_s") * 1.0 / F.count("*"), 4).alias("mean_s"),
+    )
