@@ -166,6 +166,9 @@ _CONTRACT_PRIORITY = [
     "ts_session_conversion",
     "ts_time_to_convert",
     "ext_source_quality_rank",
+    "rel_try_ansi_safety",
+    "rel_map_roundtrip",
+    "rel_tpch_q21_waiting",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

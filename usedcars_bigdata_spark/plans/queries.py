@@ -4042,3 +4042,144 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dt_s, 0.5)").alias("median_s"),
         F.round(F.sum("dt_s") * 1.0 / F.count("*"), 4).alias("mean_s"),
     )
+
+
+@query(
+    "rel_try_ansi_safety",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS n_div_null,
+           sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS sum_prefix,
+           sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                    THEN 1 ELSE 0 END) AS n_parse_fail
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def rel_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: this engine runs Spark 4 ANSI mode,
+    where bare division-by-zero and bad casts THROW — try_divide /
+    try_cast are the production idiom for dirty data. Per priority:
+    rows whose try_divide(price, custkey%5) returned NULL (the zero
+    denominators), the sum of the parseable priority prefix digits, and
+    the count of full-string casts that failed. DuckDB's `/` and
+    TRY_CAST already carry NULL-on-error semantics, so the oracle states
+    the same contract natively."""
+    orders = load_table(spark, sf_dir, "orders")
+    denom = F.col("o_custkey") % 5
+    ratio = F.try_divide(F.col("o_totalprice"), denom)
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(ratio.isNull(), 1).otherwise(0)).alias("n_div_null"),
+        F.sum(
+            F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)").cast("long")
+        ).alias("sum_prefix"),
+        F.sum(
+            F.when(
+                F.expr("try_cast(o_orderpriority AS INT)").isNull(), 1
+            ).otherwise(0)
+        ).alias("n_parse_fail"),
+    )
+
+
+@query(
+    "rel_map_roundtrip",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    k AS (
+      SELECT o_orderpriority, count(*) AS n_statuses FROM c GROUP BY 1
+    )
+    SELECT c.o_orderpriority, c.o_orderstatus, c.n,
+           CAST(k.n_statuses AS INTEGER) AS n_statuses
+    FROM c JOIN k USING (o_orderpriority)
+    """,
+)
+def rel_map_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column round-trip (complex-type coverage): status→count per
+    priority built with map_from_entries(collect_list(struct)), then
+    exploded back to rows alongside the map's cardinality. collect_list
+    order is partition-dependent, but map CONTENT is not — exploding back
+    to rows makes the check order-free (returning the raw map would also
+    crash the driver's pandas canonicalizer, the ext_embedding_quantize
+    lesson). Certifies build → size → explode as one plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    mapped = counts.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "o_orderpriority",
+        F.size("m").alias("n_statuses"),
+        F.explode("m").alias("o_orderstatus", "n"),
+    ).select("o_orderpriority", "o_orderstatus", "n", "n_statuses")
+
+
+@query(
+    "rel_tpch_q21_waiting",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT l_orderkey, count(*) AS n_sup, sum(late) AS n_late
+      FROM l GROUP BY 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l
+    JOIN o ON l.l_orderkey = o.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.late = 1 AND o.n_sup >= 2 AND o.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def rel_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS double correlation, decorrelated Spark-first —
+    per-(order, supplier) lateness flags aggregate once, per-order
+    supplier/lateness counts aggregate once more, and both correlated
+    predicates collapse into `n_sup ≥ 2 AND n_late = 1` on the join —
+    no subquery replay, two exchanges total on the order key (AQE reuses
+    the first). Lateness adapts the published commitdate/receiptdate
+    test to ship-lag > 60 days (the harness schema carries no
+    receipt/commit dates)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_flag = F.max(
+        F.when(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+            1,
+        ).otherwise(0)
+    )
+    l = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(late_flag.alias("late"))
+    )
+    o = l.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_sup"), F.sum("late").alias("n_late")
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        l.join(o, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_sup") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(supplier, l.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
