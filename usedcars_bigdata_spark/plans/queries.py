@@ -4183,3 +4183,92 @@ def rel_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@query(
+    "rel_percentile_disc",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5)
+             AS p50_cents,
+           quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9)
+             AS p90_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_pct_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles per group (an actual data value, not an
+    interpolation — the right semantics for latencies and money where an
+    interpolated value may not exist). Spark has no percentile_disc
+    aggregate, so this is the rank-selection rewrite: value at rank
+    ceil(p·n) in the sorted multiset — DuckDB's quantile_disc rule,
+    probed and matched. Rank selection is value-deterministic under ties
+    regardless of tie ORDER (the sorted multiset fixes rank→value), and
+    everything is integer cents."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents.asc())
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        cents.alias("cents"),
+    ).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w.orderBy(F.col("cents").asc(), F.lit(1))).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("cents"))
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        pick(0.5).alias("p50_cents"), pick(0.9).alias("p90_cents")
+    )
+
+
+@query(
+    "rel_pivot_multi_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_n,
+           round(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS f_rev,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_n,
+           round(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS o_rev,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_n,
+           round(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) / 100.0, 2) AS p_rev
+    FROM orders GROUP BY 1
+    """,
+)
+def rel_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivoted value (count AND revenue
+    per status column) — the wide-report shape single-agg pivot
+    (rel_pivot_status) can't express. The pivot values are declared
+    explicitly (no extra distinct-scan job to discover them) and revenue
+    sums ride integer cents. Spark names multi-agg pivot columns
+    '<value>_<alias>'; the select renames to the oracle's flat names."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pivoted = (
+        orders.select("o_orderpriority", "o_orderstatus", cents.alias("c"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # count("*") is invalid inside pivot
+            F.round(F.sum("c") / 100.0, 2).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("F_rev").alias("f_rev"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_rev").alias("o_rev"),
+        F.col("P_n").alias("p_n"),
+        F.col("P_rev").alias("p_rev"),
+    )
