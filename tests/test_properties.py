@@ -327,3 +327,90 @@ def test_rolling_active_matches_bruteforce(spark, obs):
             want[(1 + t // 24) * 100 + t % 24] = len(users)
     # buckets with zero active users simply don't appear in the output
     assert got == {k: v for k, v in want.items() if v > 0}
+
+
+# ---------------------------------------------------------------------------
+# Analytic invariants: the statistics ops must reproduce closed-form truths
+# ---------------------------------------------------------------------------
+
+
+def test_statistical_invariants(spark):
+    """Ground truths with known closed forms: identical distributions have
+    zero divergence/drift, constant distributions have zero inequality,
+    independent factors have (near-)zero chi². These pin the FORMULAS, not
+    just cross-engine agreement (both engines could implement the same
+    wrong math and still hash-match)."""
+    from usedcars_bigdata_spark.ext.text import domain_divergence
+
+    # KL(X ‖ X) = 0 exactly, any content
+    df = spark.createDataFrame(
+        [("s1", "x y z w"), ("s2", "x y z w")], "source string, text string"
+    )
+    kl = {r["domain"]: r["kl_divergence"] for r in domain_divergence(
+        df, "source", "text"
+    ).collect()}
+    assert all(v == 0.0 for v in kl.values())
+
+    # Gini of a perfectly equal distribution: (2Σi·x − (n+1)Σx)/(nΣx) with
+    # x constant → (2·(n(n+1)/2)·x − (n+1)·n·x)/(n·n·x) = 0
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    m = spark.createDataFrame([(i, 1000) for i in range(1, 9)], "k long, cents long")
+    w = Window.orderBy(F2.col("cents").asc(), F2.col("k").asc())
+    rk = m.select("cents", F2.row_number().over(w).alias("i"))
+    n = F2.count("*")
+    gini = rk.agg(
+        F2.round(
+            (2.0 * F2.sum(F2.col("i") * F2.col("cents")) - (n + 1) * F2.sum("cents"))
+            / (n * F2.sum("cents")),
+            6,
+        ).alias("g")
+    ).collect()[0]["g"]
+    assert gini == 0.0
+
+    # chi² of an EXACTLY independent 2×2 table (counts = product form) = 0
+    rows = []
+    for a, na in [("p", 30), ("q", 70)]:
+        for b, nb in [("u", 40), ("v", 60)]:
+            rows.extend([(a, b)] * (na * nb // 100))
+    t = spark.createDataFrame(rows, "x string, y string")
+    c = t.groupBy("x", "y").agg(F2.count("*").alias("n"))
+    r = c.groupBy("x").agg(F2.sum("n").alias("rn"))
+    cl = c.groupBy("y").agg(F2.sum("n").alias("cn"))
+    tot = c.agg(F2.sum("n").alias("tot"))
+    e = F2.col("rn") * F2.col("cn") * 1.0 / F2.col("tot")
+    chi2 = (
+        c.join(r, "x").join(cl, "y").crossJoin(tot)
+        .agg(F2.round(F2.sum(F2.pow(F2.col("n") - e, 2) / e), 9).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert chi2 == 0.0
+
+
+def test_psi_identical_halves_is_zero(spark, sf_dir):
+    """PSI between two hash-split halves of the SAME distribution must be
+    near zero (sampling noise only), and PSI(X, X) is exactly zero —
+    run the drift formula on a self-split and assert the sum stays tiny."""
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F2.round(F2.col("o_totalprice") * 100).cast("bigint")
+    bucket = F2.least(F2.floor(cents / 5000000.0), F2.lit(9)).cast("int")
+    is_ref = (F2.xxhash64("o_orderkey") % 2 == 0).cast("int")
+    c = (
+        orders.select(bucket.alias("b"), is_ref.alias("r"))
+        .groupBy("b")
+        .agg(F2.sum("r").alias("n_ref"), F2.sum(1 - F2.col("r")).alias("n_cur"))
+        .filter((F2.col("n_ref") > 0) & (F2.col("n_cur") > 0))
+    )
+    t = c.agg(F2.sum("n_ref").alias("tr"), F2.sum("n_cur").alias("tc"))
+    pc = F2.col("n_cur") / F2.col("tc")
+    pr = F2.col("n_ref") / F2.col("tr")
+    psi = (
+        c.crossJoin(t)
+        .agg(F2.sum((pc - pr) * F2.log(pc / pr)).alias("psi"))
+        .collect()[0]["psi"]
+    )
+    assert 0.0 <= psi < 0.05  # same distribution → only sampling noise
