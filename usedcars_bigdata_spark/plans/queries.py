@@ -4272,3 +4272,66 @@ def rel_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("P_n").alias("p_n"),
         F.col("P_rev").alias("p_rev"),
     )
+
+
+@query(
+    "ts_stream_multibatch",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def ts_stream_multibatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-micro-batch streaming run: the events table is re-laid-out as
+    THREE parquet files split by event-time range, streamed with
+    maxFilesPerTrigger=1 — so the windowed aggregation's state genuinely
+    carries across three micro-batches with the watermark advancing
+    between them (ts_stream_microbatch drains everything in one batch;
+    this is the incremental-state path a production file/Kafka source
+    exercises). Complete output mode retains every window, so the final
+    table equals the batch aggregation whatever the batch boundaries.
+    Range-split (not random) so each batch advances event time
+    monotonically, the realistic arrival order. Tempdir keyed by
+    applicationId per the repo precedent."""
+    import os
+    import tempfile
+
+    from ..streaming.events import read_event_stream, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_mb_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        (
+            events.repartitionByRange(3, "ts")
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+    sink = "ts_stream_multibatch_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = windowed_counts(
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.table(sink)
