@@ -183,3 +183,38 @@ def test_prep_dead_import_surface(spark, sf_dir):
         n_folds=2,
     )
     assert len(metrics) == 2 and all(m > 0 for m in metrics)
+
+
+class TestALS:
+    def test_block_structure_recommendations(self, spark):
+        """Planted preference blocks: users 0-9 interact only with items
+        0-9, users 10-19 only with items 10-19. ALS must recommend
+        within-block items — cross-block recommendations mean the
+        factorization failed to learn an obvious structure."""
+        from usedcars_bigdata_spark.ml.als import fit_als, top_recommendations
+
+        rows = []
+        for u in range(20):
+            base = 0 if u < 10 else 10
+            for j in range(10):
+                if (u + j) % 3 != 0:  # leave holes so there IS something to predict
+                    rows.append((u, base + j, 5.0))
+        ratings = spark.createDataFrame(rows, "user int, item int, strength double")
+        model = fit_als(ratings, rank=4, max_iter=8, seed=7)
+        recs = top_recommendations(model, n=2).collect()
+        assert len(recs) == 40  # 20 users x 2 ranks
+        for r in recs:
+            in_block = (r["user"] < 10) == (r["item"] < 10)
+            assert in_block, f"cross-block rec: {r}"
+
+    def test_implicit_ratings_rollup(self, spark, sf_dir):
+        from usedcars_bigdata_spark.ml.als import implicit_ratings
+        from usedcars_bigdata_spark.sources import load_table
+
+        r = implicit_ratings(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        )
+        assert r.columns == ["user", "item", "strength"]
+        row = r.agg(F.min("strength").alias("lo")).collect()[0]
+        assert row["lo"] >= 1.0  # quantities are >= 1

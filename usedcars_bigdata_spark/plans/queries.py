@@ -4335,3 +4335,22 @@ def ts_stream_multibatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batches = len(q.recentProgress)
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
     return spark.table(sink)
+
+
+@query("rows_als_recommendations")
+def rows_als(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS collaborative filtering end-to-end (ml.als): implicit strengths
+    from order history → seeded blocked factorization →
+    recommendForAllUsers, exploded to (user, rec_rank, item) rows.
+    Rows-only by nature: factor values depend on input partitioning
+    (float reduction order in the block solves), so the driver checks
+    shape/row-count while the planted-block preference test in
+    tests/test_ml.py pins recommendation QUALITY — the LSH/IVF recall
+    pattern."""
+    from ..ml.als import fit_als, implicit_ratings, top_recommendations
+
+    ratings = implicit_ratings(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+    model = fit_als(ratings, rank=8, max_iter=5, seed=42)
+    return top_recommendations(model, n=3)
