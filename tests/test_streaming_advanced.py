@@ -195,8 +195,6 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     a matching purchase could still arrive, so the engine must hold it).
     This pins the semantics that distinguish outer from inner stream
     joins: nulls are watermark-driven, not batch-driven."""
-    from usedcars_bigdata_spark.streaming import joins as SJ
-
     src = str(tmp_path / "ev_src")
     # batch 1: one click (user 1) with a match, one click (user 2) without
     _write_events(

@@ -1219,20 +1219,20 @@ def zipf_fit(df: DataFrame, text_col: str, top_k: int = 1000) -> DataFrame:
     (a corpus-level generation-artifact screen, same family as the
     dup-gram and boilerplate checks).
 
-    One explode + count (map-side combined), a single top-k rank window
-    over the vocabulary aggregate (capped at top_k rows), then a 1-row
-    least-squares aggregate — the regression inputs are ln() of exact
-    integer counts and ranks, so both engines start from identical
-    doubles. Output: (n_terms, slope, intercept, r2)."""
+    One explode + count (map-side combined); the top-k cut runs as a
+    distributed TakeOrderedAndProject BEFORE the rank window, so the
+    single-task window sees at most top_k rows — ranking the WHOLE
+    vocabulary through one window and filtering after would funnel every
+    distinct term into one task (review finding). The regression inputs
+    are ln() of exact integer counts and ranks, so both engines start
+    from identical doubles. Output: (n_terms, slope, intercept, r2)."""
     words = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
     counts = words.groupBy("w").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("w").asc()).limit(top_k)
     rk = Window.orderBy(F.col("n").desc(), F.col("w").asc())
-    ranked = (
-        counts.select(F.row_number().over(rk).alias("r"), "n")
-        .filter(F.col("r") <= top_k)
-    )
+    ranked = top.select(F.row_number().over(rk).alias("r"), "n")
     x = F.log(F.col("r") * 1.0)
     y = F.log(F.col("n") * 1.0)
     agg = ranked.agg(

@@ -501,7 +501,8 @@ def rolling_active_keys(
     buckets outside the observed [min, max] span are dropped (leading ramp
     stays — a bucket near the start simply has fewer covered hours, the
     standard dashboard convention)."""
-    step = {"hour": 3600, "day": 86400}[bucket]
+    if bucket not in ("hour", "day"):
+        raise ValueError(f"unsupported bucket {bucket!r} (hour or day)")
     kb = (
         df.select(
             F.col(key_col).alias("k"),

@@ -1801,12 +1801,12 @@ def ext_src_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH q AS (
       SELECT source,
-             CAST(round((len(list_filter(string_split_regex(trim(text), '\\s+'),
+             CAST(round(len(list_filter(string_split_regex(trim(text), '\\s+'),
                     x -> x='the' OR x='a' OR x='of' OR x='and' OR x='to'
-                      OR x='in' OR x='is')) * 1.0
-                  / len(string_split_regex(trim(text), '\\s+'))) * 0.5 * 10000
-                 + least(len(string_split_regex(trim(text), '\\s+')), 100)
-                   / 100.0 * 0.5 * 10000) AS BIGINT) AS q4
+                      OR x='in' OR x='is')) * 5000.0
+                  / len(string_split_regex(trim(text), '\\s+'))
+                 + least(len(string_split_regex(trim(text), '\\s+')), 100) * 50)
+               AS BIGINT) AS q4
       FROM documents
     ),
     s AS (
@@ -1823,17 +1823,25 @@ def ext_src_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source quality leaderboard: mean heuristic quality score
     (ext.text.quality_score's formula) per source, ranked — the
     mixture-weighting companion to ext_domain_divergence (down-weight
-    sources whose documents score low). Scores convert to exact 1e-4
-    fixed point BEFORE averaging (the session's fixed-point policy: a
-    mean of 4-decimal-grid doubles lands exactly on rounding boundaries);
-    the rank orders by the exact integer ratio with a source tie-break."""
+    sources whose documents score low). The per-doc score lands in 1e-4
+    fixed point via ONE integer-derived division (n_stop·5000/n_tokens +
+    min(n_tokens,100)·50, then round) — rescaling quality_score's
+    ROUNDED double instead can flip a fixed-point unit where the rescaled
+    value's shortest representation crosses a .5 boundary (review
+    finding); a single int/int quotient is either exactly half (both
+    engines round away from zero identically) or ≥ 1/(2·n_tokens) from
+    the boundary. Averaging then ranking stay in exact integers."""
+    from ..ext.text import STOPWORDS, _stopword_pred, _words
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = TX.quality_score(docs, "doc_id", "text").join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    q4 = F.round(F.col("quality_score") * 10000).cast("bigint")
-    s = scored.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum(q4).alias("sum_q4")
+    w = _words("text")
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
+    q4 = F.round(
+        n_stop * 5000.0 / n_tokens + F.least(n_tokens, F.lit(100)) * 50
+    ).cast("bigint")
+    s = docs.select("source", q4.alias("q4")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("q4").alias("sum_q4")
     )
     avg_exact = F.col("sum_q4") * 1.0 / F.col("n_docs")
     w = Window.orderBy(avg_exact.desc(), F.col("source").asc())

@@ -3795,7 +3795,8 @@ def ts_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            round(min(o_totalprice), 2) AS min_price,
            round(max(o_totalprice), 2) AS max_price
     FROM orders GROUP BY 1
@@ -3843,9 +3844,9 @@ def rel_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
            count(*) AS n,
-           sum(CAST(round(
+           CAST(sum(CAST(round(
              CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice * 1.1
-                  ELSE o_totalprice END * 100) AS BIGINT)) AS cents
+                  ELSE o_totalprice END * 100) AS BIGINT)) AS BIGINT) AS cents
     FROM orders
     GROUP BY 1
     """,
@@ -4049,10 +4050,12 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n,
-           sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS n_div_null,
-           sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS sum_prefix,
-           sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
-                    THEN 1 ELSE 0 END) AS n_parse_fail
+           CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(sum(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+             AS sum_prefix,
+           CAST(sum(CASE WHEN TRY_CAST(o_orderpriority AS INTEGER) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_parse_fail
     FROM orders
     GROUP BY 1
     """,
@@ -4230,15 +4233,15 @@ def rel_pct_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_pivot_multi_agg",
     oracle="""
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_n,
            round(sum(CASE WHEN o_orderstatus = 'F'
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
                           ELSE 0 END) / 100.0, 2) AS f_rev,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_n,
            round(sum(CASE WHEN o_orderstatus = 'O'
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
                           ELSE 0 END) / 100.0, 2) AS o_rev,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS p_n,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
            round(sum(CASE WHEN o_orderstatus = 'P'
                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
                           ELSE 0 END) / 100.0, 2) AS p_rev
@@ -4263,14 +4266,18 @@ def rel_pivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c") / 100.0, 2).alias("rev"),
         )
     )
+    # a priority with zero orders of some status yields a NULL pivot cell,
+    # while the oracle's conditional sums yield 0/0.00 — coalesce to match
+    # (review finding: latent at any SF where a (priority, status) cell
+    # empties out)
     return pivoted.select(
         "o_orderpriority",
-        F.col("F_n").alias("f_n"),
-        F.col("F_rev").alias("f_rev"),
-        F.col("O_n").alias("o_n"),
-        F.col("O_rev").alias("o_rev"),
-        F.col("P_n").alias("p_n"),
-        F.col("P_rev").alias("p_rev"),
+        F.coalesce("F_n", F.lit(0)).alias("f_n"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("f_rev"),
+        F.coalesce("O_n", F.lit(0)).alias("o_n"),
+        F.coalesce("O_rev", F.lit(0.0)).alias("o_rev"),
+        F.coalesce("P_n", F.lit(0)).alias("p_n"),
+        F.coalesce("P_rev", F.lit(0.0)).alias("p_rev"),
     )
 
 
