@@ -125,6 +125,28 @@ def main() -> int:
                     f"oracle={sorted(want.columns)}"
                 )
                 continue
+            # dtype KIND check: DuckDB widens uncast integer sums to
+            # HUGEINT → decimal128 → pandas object cells. Python's
+            # Decimal(6) == 6, so the value comparison below is blind to
+            # it, but the driver's schema/hash gate is not (round-4
+            # review finding: four entries shipped that way). Compare
+            # numpy kinds per column; 'O' (object) vs numeric = failure
+            # unless BOTH sides are object (strings).
+            kind_bad = [
+                c
+                for c in got.columns
+                if (got[c].dtype.kind == "O") != (want[c].dtype.kind == "O")
+            ]
+            if kind_bad:
+                failures.append(name)
+                print(
+                    f"FAIL dtype {name}: "
+                    + ", ".join(
+                        f"{c}: spark={got[c].dtype} oracle={want[c].dtype}"
+                        for c in kind_bad
+                    )
+                )
+                continue
             g, w = canon_rows(got), canon_rows(want)
             if len(g) != len(w):
                 failures.append(name)

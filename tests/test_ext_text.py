@@ -828,3 +828,24 @@ class TestBigramLogprob:
             df, "doc_id", "text"
         ).collect()}
         assert out[100] < out[0] < 0.0 or (out[0] > out[100])
+
+
+class TestTemplatePrefixes:
+    def test_header_detection(self, spark):
+        from usedcars_bigdata_spark.ext.text import template_prefixes
+
+        rows = (
+            [(f"d{i}", "s1", "site nav bar content body " + str(i)) for i in range(8)]
+            + [("dx", "s1", "unique opening words here")]
+            + [(f"e{i}", "s2", f"totally {i} different text now") for i in range(3)]
+        )
+        df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+        out = {
+            (r["source"], r["prefix_rank"]): (r["prefix"], r["share"])
+            for r in template_prefixes(df, "source", "text", n_words=3, top_k=1).collect()
+        }
+        prefix, share = out[("s1", 1)]
+        assert prefix == "site nav bar"
+        assert share == round(8 / 9, 6)  # share is rounded to 6 in-query
+        # s2 has no repeated header: top prefix share is 1/3
+        assert out[("s2", 1)][1] == round(1 / 3, 6)

@@ -1294,3 +1294,39 @@ def source_overlap(
     return pairs.groupBy("src_a", "src_b").agg(
         F.count("*").alias("shared_grams")
     )
+
+
+def template_prefixes(
+    df: DataFrame, group_col: str, text_col: str, n_words: int = 3, top_k: int = 1
+) -> DataFrame:
+    """Template-header mining: per group (source/domain), the most common
+    document PREFIX of ``n_words`` words and its share of the group's
+    documents — a high share means the source stamps a boilerplate header
+    (nav bar, license line) that a curation pipeline should strip before
+    dedup (shared headers inflate n-gram similarity between unrelated
+    docs). The suffix variant is the same plan on slice(reverse(words)).
+
+    One narrow prefix projection, one (group, prefix) count (map-side
+    combined), one rank window over the count relation (bounded by
+    distinct prefixes per group), share as an exact integer ratio."""
+    words = _words(text_col)
+    prefix = F.concat_ws(" ", F.slice(words, 1, n_words))
+    c = (
+        df.select(F.col(group_col).alias("grp"), prefix.alias("prefix"))
+        .groupBy("grp", "prefix")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = c.groupBy("grp").agg(F.sum("n").alias("n_docs"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("prefix").asc())
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .join(tot, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("rk").alias("prefix_rank"),
+            "prefix",
+            F.col("n").alias("n_with_prefix"),
+            F.round(F.col("n") * 1.0 / F.col("n_docs"), 6).alias("share"),
+        )
+    )

@@ -173,6 +173,7 @@ _CONTRACT_PRIORITY = [
     "rel_pivot_multi_agg",
     "ts_stream_multibatch",
     "rows_als_recommendations",
+    "ext_template_headers",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

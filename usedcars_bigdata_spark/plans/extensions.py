@@ -1851,3 +1851,40 @@ def ext_src_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avg_exact).cast("bigint").alias("avg_quality_x1e4"),
         F.rank().over(w).cast("int").alias("quality_rank"),
     )
+
+
+@query(
+    "ext_template_headers",
+    oracle="""
+    WITH c AS (
+      SELECT source AS grp,
+             array_to_string(string_split_regex(trim(text), '\\s+')[1:3], ' ')
+               AS prefix,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT grp, sum(n) AS n_docs FROM c GROUP BY 1),
+    r AS (
+      SELECT grp, prefix, n,
+             row_number() OVER (PARTITION BY grp ORDER BY n DESC, prefix ASC)
+               AS rk
+      FROM c
+    )
+    SELECT r.grp AS source,
+           CAST(rk AS INTEGER) AS prefix_rank,
+           prefix,
+           n AS n_with_prefix,
+           round(n * 1.0 / n_docs, 6) AS share
+    FROM r JOIN tot USING (grp)
+    WHERE rk <= 2
+    """,
+)
+def ext_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-header mining (ext.text.template_prefixes): each source's
+    two most common 3-word document prefixes and their share — the
+    boilerplate-header detector a curation pipeline runs before n-gram
+    dedup (stamped headers inflate similarity between unrelated docs)."""
+    return TX.template_prefixes(
+        load_table(spark, sf_dir, "documents"), "source", "text",
+        n_words=3, top_k=2,
+    )

@@ -1964,7 +1964,7 @@ def rel_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(length(text)) AS total_chars
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -2223,8 +2223,8 @@ def rel_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_schema_evolution",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
-             AS n_with_priority,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_priority,
            round(sum(o_totalprice), 2) AS total_price
     FROM orders
     """,
@@ -2730,7 +2730,8 @@ def rows_mono(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (SELECT d, count(*) AS new_keys FROM fs GROUP BY 1)
     SELECT d, new_keys,
-           sum(new_keys) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum_keys
+           CAST(sum(new_keys) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_keys
     FROM hourly
     """,
 )
