@@ -21,6 +21,20 @@ from . import tpch as _tpch  # noqa: E402,F401
 # (r3's only red row — its stringified-array fix needs a fresh driver
 # verdict). After this round every oracle-backed entry in the registry
 # will have been independently driver-verified at least once.
+#
+# ROUND-5 ROTATION PLAN (for the next builder): rotate IN the ~60
+# round-4-late oracle-backed additions in priority order — the TPC-H
+# breadth batch (q6..q22 + q21), the corpus rule sets
+# (gopher/c4/divergence/bigram/zipf/source_overlap/langid_confusion/
+# template_headers/source_quality), the event-time batch (cumulative/
+# transitions/concurrency/islands/twap/rolling/burstiness/mad/mom/ttc/
+# session_conversion), the analytics batch (rfm/abc/copurchase/mode/
+# benford/chi2/gini/entropy/psi/fk), the lakehouse batch (incremental
+# agg/dpo/nth_value/try/map/percentile_disc/pivot_multi/orc), pagerank,
+# and the three REAL streaming runs (stream_stream, stateful, multibatch)
+# — keeping only the 12 ref_* parity rows pinned. Two driver rounds cover
+# them all; everything stays under pytest + full-range dtype-checked
+# driver_sim + the verify drive regardless of window position.
 _CONTRACT_PRIORITY = [
     # reference parity (every round)
     "ref_q1_avg_price_by_priority",
