@@ -89,6 +89,10 @@ BENCH_QUERIES = [
     "ts_rolling_active_users",
     "ts_mad_outliers",
     "rel_psi_drift",
+    # round-4 continuation: skyline, linear interpolation, entity resolution
+    "rel_skyline_pareto",
+    "ts_interpolate_linear",
+    "ext_er_entities",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

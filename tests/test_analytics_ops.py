@@ -1,0 +1,234 @@
+"""Round-4-late operators: skyline, linear interpolation, entity
+resolution, association rules, seasonal baseline, and the MLlib pattern
+miners. Each declarative op is checked against an independent brute-force
+or hand-computed ground truth at test scale; the oracle parity itself is
+covered by tests/test_queries_oracle.py's registry sweep.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.ext import dedup as X
+from usedcars_bigdata_spark.operators import timeseries as TS
+from usedcars_bigdata_spark.operators.sort import pareto_frontier_2d
+
+
+# ---------------------------------------------------------------- skyline
+def _brute_skyline(points):
+    """O(n²) dominance by definition."""
+    out = []
+    for i, (g1, mn1, mx1) in enumerate(points):
+        dominated = any(
+            g2 == g1
+            and mn2 <= mn1
+            and mx2 >= mx1
+            and (mn2 < mn1 or mx2 > mx1)
+            for j, (g2, mn2, mx2) in enumerate(points)
+            if j != i
+        )
+        if not dominated:
+            out.append((g1, mn1, mx1))
+    return sorted(out)
+
+
+def test_skyline_matches_bruteforce(spark):
+    rng = random.Random(42)
+    rows = [
+        (i, rng.choice(["a", "b"]), rng.randrange(0, 50), rng.randrange(0, 50))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["id", "grp", "cost", "gain"])
+    got = sorted(
+        (r.grp, r.cost, r.gain)
+        for r in pareto_frontier_2d(
+            df, "cost", "gain", n_salts=4, salt_on="id", group_cols=["grp"]
+        ).collect()
+    )
+    assert got == _brute_skyline([(g, c, x) for _, g, c, x in rows])
+
+
+def test_skyline_duplicate_points_all_survive(spark):
+    # identical (min, max) points do not dominate each other
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 10, 5), (3, 10, 4)], ["id", "cost", "gain"]
+    )
+    got = pareto_frontier_2d(df, "cost", "gain", n_salts=2, salt_on="id")
+    assert sorted(r.id for r in got.collect()) == [1, 2]
+
+
+def test_skyline_ungrouped(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 30), rng.randrange(0, 30)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "cost", "gain"])
+    got = sorted(
+        (r.cost, r.gain)
+        for r in pareto_frontier_2d(df, "cost", "gain", n_salts=8).collect()
+    )
+    brute = _brute_skyline([(None, c, x) for _, c, x in rows])
+    assert got == [(c, x) for _, c, x in brute]
+
+
+# ---------------------------------------------------- linear interpolation
+def test_interpolate_linear_exact(spark):
+    # key k: observed at hours 0 (100.00) and 3 (400.00); hours 1, 2 are
+    # gaps -> 200.00, 300.00. Key m: single point -> axis rows clamp to it.
+    rows = [
+        ("k", "2024-01-01 00:15:00", 100.0),
+        ("k", "2024-01-01 03:45:00", 400.0),
+        ("m", "2024-01-01 01:30:00", 7.5),
+    ]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"]).select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r.key, r.bucket_start.hour): (r.value_fp, r.observed)
+        for r in TS.interpolate_linear(df, "ts", "key", "value").collect()
+    }
+    assert out[("k", 0)] == (10000, True)
+    assert out[("k", 1)] == (20000, False)
+    assert out[("k", 2)] == (30000, False)
+    assert out[("k", 3)] == (40000, True)
+    # m observed only at hour 1: hours 0/2/3 clamp to the single neighbor
+    assert out[("m", 1)] == (750, True)
+    assert out[("m", 0)] == (750, False)
+    assert out[("m", 2)] == (750, False)
+    assert out[("m", 3)] == (750, False)
+    assert len(out) == 8
+
+
+def test_interpolate_linear_downslope_truncation(spark):
+    # 400 -> 100 over 3 hours: interp at h1 = 400 + (100-400)*1//3 = 300
+    # exercises the negative-numerator truncating division
+    rows = [("k", "2024-01-01 00:00:01", 4.0), ("k", "2024-01-01 03:00:01", 0.5)]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"]).select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        r.bucket_start.hour: r.value_fp
+        for r in TS.interpolate_linear(df, "ts", "key", "value").collect()
+    }
+    assert out[0] == 400 and out[3] == 50
+    # (50-400)*1 div 3 truncates toward zero: -116, not floor's -117
+    assert out[1] == 400 - 116 == 284
+    # (50-400)*2 div 3 = -233
+    assert out[2] == 400 - 233 == 167
+
+
+# ------------------------------------------------------- entity resolution
+def test_blocked_er_pairs_block_and_threshold(spark):
+    rows = [
+        (1, "b1", "acme corp"),
+        (2, "b1", "acme corp."),  # dist 1 to id 1
+        (3, "b1", "completely different name"),
+        (4, "b2", "acme corp"),  # same name, other block: no pair
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    pairs = X.blocked_er_pairs(df, "id", "name", ["blk"], max_dist=2).collect()
+    assert [(r.id_a, r.id_b, r.dist) for r in pairs] == [(1, 2, 1)]
+
+
+def test_blocked_er_pairs_oversize_block_dropped(spark):
+    rows = [(i, "hot", "same name") for i in range(10)] + [
+        (100, "cold", "x"),
+        (101, "cold", "x"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    pairs = X.blocked_er_pairs(
+        df, "id", "name", ["blk"], max_dist=2, max_block=5
+    ).collect()
+    # the 10-row block exceeds max_block and is dropped; cold block survives
+    assert [(r.id_a, r.id_b) for r in pairs] == [(100, 101)]
+
+
+def test_resolve_entities_transitive_chain(spark):
+    # A~B (1 edit) and B~C (1 edit) but A-C is 2 edits: one entity anyway
+    rows = [
+        (10, "b", "aaaa"),
+        (11, "b", "aaab"),
+        (12, "b", "aabb"),
+        (13, "b", "zzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name"])
+    ents = {
+        r.id: (r.entity_id, r.is_canonical)
+        for r in X.resolve_entities(df, "id", "name", ["blk"], max_dist=1).collect()
+    }
+    assert ents[10] == (10, True)
+    assert ents[11] == (10, False)
+    assert ents[12] == (10, False)
+    assert ents[13] == (13, True)
+
+
+# ------------------------------------------------------- association rules
+def test_association_rules_math(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    out = QUERIES["rel_association_rules"](spark, sf_dir)
+    rows = out.collect()
+    assert rows, "expected at least one rule at test scale"
+    for r in rows:
+        assert r.conf_bp == (10000 * r.n_both) // r.n_ante
+        assert 0 < r.conf_bp <= 10000
+        assert r.n_both <= min(r.n_ante, r.n_cons)
+    # rules come in both directions with equal n_both
+    sup = {(r.antecedent, r.consequent): r.n_both for r in rows}
+    for (a, c), n in sup.items():
+        assert sup.get((c, a), n) == n
+
+
+# ------------------------------------------------------- seasonal baseline
+def test_seasonal_baseline_residual_zero_mean_per_cell(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    out = QUERIES["ts_seasonal_baseline"](spark, sf_dir)
+    # per (type, hour-of-day): baseline is the truncating mean, so the
+    # residual sum over the cell is bounded by the truncation remainder
+    chk = (
+        out.groupBy("event_type", F.hour("bucket_start").alias("hod"))
+        .agg(
+            F.sum("resid_fp").alias("rs"),
+            F.count("*").alias("n"),
+            F.sum("actual_fp").alias("tot"),
+        )
+        .collect()
+    )
+    assert chk
+    for r in chk:
+        assert r.rs == r.tot - (r.tot // r.n if r.tot >= 0 else -((-r.tot) // r.n)) * r.n
+
+
+# ------------------------------------------------------------ pattern miners
+def test_fpgrowth_contains_singletons_and_monotone(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["rows_fpgrowth_itemsets"](spark, sf_dir).collect()
+    freq = {r.itemset: r.freq for r in rows}
+    assert freq
+    # anti-monotone support: any 2-itemset's freq <= each member's freq
+    for s, f in freq.items():
+        items = s.split(",")
+        if len(items) == 2 and all(i in freq for i in items):
+            assert f <= min(freq[i] for i in items)
+
+
+def test_prefixspan_deterministic_and_monotone(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    a = sorted(
+        (r.pattern, r.freq)
+        for r in QUERIES["rows_prefixspan_patterns"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.pattern, r.freq)
+        for r in QUERIES["rows_prefixspan_patterns"](spark, sf_dir).collect()
+    )
+    assert a == b and a
+    freq = dict(a)
+    # a length-2 pattern is never more frequent than its prefix
+    for p, f in freq.items():
+        steps = p.split(">")
+        if len(steps) == 2 and steps[0] in freq:
+            assert f <= freq[steps[0]]

@@ -527,3 +527,87 @@ def rolling_active_keys(
         .groupBy(F.col("td").alias("bucket_start"))
         .agg(F.countDistinct("k").alias("n_active"))
     )
+
+
+def interpolate_linear(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    step_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key fixed-step resample where MISSING buckets are linearly
+    interpolated between the nearest observed neighbors (the gap-repair
+    counterpart of resample_gap_fill's zero fill — zeros are correct for
+    counts, wrong for level-like series such as revenue-per-hour feeding
+    a forecaster).
+
+    Same two-pass shape as resample_gap_fill: one partial-aggregated
+    stream shuffle down to |keys| x |buckets| rows, a broadcast dense
+    grid, then TWO windows over ONE per-key partitioning (last/first with
+    ignorenulls for the previous/next observed bucket) — the per-key
+    series is bucket-cardinality-sized, so the windows never see raw
+    stream rows and the widest partition is the time axis, not the data.
+
+    All interpolation arithmetic is integer fixed-point (per-row cents
+    summed as BIGINT, truncating integer division) so a DuckDB replay is
+    bit-exact: per-row rounding keeps the sum order-independent, and
+    Spark's `div` and DuckDB's `//` both truncate toward zero, so even
+    a downward-sloping gap (negative numerator) agrees. Leading/trailing
+    gaps with only one observed neighbor clamp to it (constant
+    extrapolation) — deterministic and mirrorable, where NULL would just
+    push the policy downstream.
+
+    Output: (key, bucket_start, value_fp, observed) — value_fp in cents,
+    observed=false on interpolated rows."""
+    bucket = F.window(ts_col, step)["start"]
+    agg = (
+        events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
+        .agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__fp"))
+    )
+    span = agg.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    )
+    axis = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias(
+            "bucket_start"
+        )
+    )
+    keys = agg.select("key").distinct()
+    grid = keys.crossJoin(F.broadcast(axis))
+    filled = grid.join(agg, on=["key", "bucket_start"], how="left").select(
+        "key",
+        "bucket_start",
+        "__fp",
+        (F.unix_timestamp("bucket_start") / step_seconds).cast("long").alias("__i"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket_start")
+    prev_w = w.rowsBetween(Window.unboundedPreceding, -1)
+    next_w = w.rowsBetween(1, Window.unboundedFollowing)
+    obs_i = F.when(F.col("__fp").isNotNull(), F.col("__i"))
+    prev_fp = F.last("__fp", ignorenulls=True).over(prev_w)
+    prev_i = F.last(obs_i, ignorenulls=True).over(prev_w)
+    next_fp = F.first("__fp", ignorenulls=True).over(next_w)
+    next_i = F.first(obs_i, ignorenulls=True).over(next_w)
+    interp = F.expr(
+        "__prev_fp + ((__next_fp - __prev_fp) * (__i - __prev_i))"
+        " div (__next_i - __prev_i)"
+    )
+    return (
+        filled.withColumn("__prev_fp", prev_fp)
+        .withColumn("__prev_i", prev_i)
+        .withColumn("__next_fp", next_fp)
+        .withColumn("__next_i", next_i)
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_start",
+            F.coalesce(
+                "__fp",
+                interp.cast("long"),
+                "__prev_fp",
+                "__next_fp",
+            ).alias("value_fp"),
+            F.col("__fp").isNotNull().alias("observed"),
+        )
+    )

@@ -1888,3 +1888,72 @@ def ext_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "source", "text",
         n_words=3, top_k=2,
     )
+
+
+@query(
+    "ext_er_blocking_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a
+    JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+               AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def ext_er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (ext.dedup.blocked_er_pairs):
+    parts blocked on the STRUCTURED key (brand, type), Levenshtein on the
+    name verifies within blocks only — classic record linkage, the typed-
+    attribute complement of edit_distance_pairs' inferred prefix buckets.
+    Cost is Σ|block|² comparisons, never N²; both engines run the same
+    unit-cost edit distance so the pair set hashes exactly."""
+    return X.blocked_er_pairs(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", "p_type"],
+        max_dist=4,
+    ).select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+@query(
+    "ext_er_entities",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM part a
+      JOIN part b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+                 AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ), edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+      SELECT s AS id, least(s, min(t)) AS entity FROM reach GROUP BY s
+    )
+    SELECT p.p_partkey,
+           coalesce(c.entity, p.p_partkey) AS entity_id,
+           p.p_partkey = coalesce(c.entity, p.p_partkey) AS is_canonical
+    FROM part p LEFT JOIN comp c ON c.id = p.p_partkey
+    """,
+)
+def ext_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution (ext.dedup.resolve_entities): blocked
+    match pairs → transitive closure → canonical min-id entity labels.
+    The oracle computes the closure with a recursive CTE (viable at
+    oracle scale, the ext_dedup_clusters precedent); the engine iterates
+    min-label propagation over the MATCHED subgraph only with bounded
+    lineage — singleton records never enter the loop, which is what makes
+    the op affordable on a mostly-unique 100 TB corpus."""
+    return X.resolve_entities(
+        load_table(spark, sf_dir, "part"),
+        "p_partkey",
+        "p_name",
+        ["p_brand", "p_type"],
+        max_dist=4,
+    )

@@ -4362,3 +4362,314 @@ def rows_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = fit_als(ratings, rank=8, max_iter=5, seed=42)
     return top_recommendations(model, n=3)
+
+
+@query(
+    "rel_skyline_pareto",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_type,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             p_size
+      FROM part
+    )
+    SELECT a.p_partkey, a.p_type, a.price_cents, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.p_type = a.p_type
+        AND b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    """,
+)
+def rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped skyline / Pareto frontier (operators.sort.
+    pareto_frontier_2d): per product type, the parts not dominated on
+    (min price, max size) — the multi-objective shortlist a single
+    ORDER BY cannot express. The oracle replays the DEFINITION
+    (quadratic correlated NOT EXISTS anti-join); the engine runs the
+    two-phase salted-window form whose widest window partition is
+    1/n_salts of a group locally and frontier-sized globally — the
+    independent formulations agreeing is the point of the check. Price
+    in integer cents so the dominance comparisons are exact on both
+    engines."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        "p_size",
+    )
+    return O.pareto_frontier_2d(
+        p, "price_cents", "p_size", salt_on="p_partkey", group_cols=["p_type"]
+    )
+
+
+@query(
+    "rel_association_rules",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), tot AS (
+      SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+    ), brand AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ), pr AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.p_brand <> b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT antecedent, consequent, n_both,
+           ba.n AS n_ante, bc.n AS n_cons,
+           (10000 * n_both) // ba.n AS conf_bp,
+           (10000 * n_both * t.n_orders) // (ba.n * bc.n) AS lift_bp
+    FROM pr
+    JOIN brand ba ON ba.p_brand = antecedent
+    JOIN brand bc ON bc.p_brand = consequent
+    CROSS JOIN tot t
+    WHERE n_both >= 20
+    """,
+)
+def rel_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over order baskets at the BRAND level:
+    antecedent→consequent with support, confidence and lift — the
+    market-basket step after rel_copurchase_pairs' raw co-occurrence
+    (counts alone can't rank rules; lift normalizes away popularity).
+    Brand-level baskets keep support meaningful (25 brands vs 20k parts).
+
+    Plan: distinct (order, brand) collapses map-side → one equi-join on
+    the orderkey bounded by basket size² → three broadcast-able joins
+    against the 25-row brand-count table and the 1-row total. Confidence
+    and lift are emitted in integer BASIS POINTS via truncating integer
+    division (Spark `div` and DuckDB `//` both truncate toward zero) —
+    no floating division anywhere, so the driver hash is exact by
+    construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    items = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand = items.groupBy("p_brand").agg(F.count("*").alias("n"))
+    a = items.select(F.col("l_orderkey"), F.col("p_brand").alias("antecedent"))
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("p_brand").alias("consequent")
+    )
+    both = (
+        a.join(
+            b,
+            (a.l_orderkey == b.__ok)
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    ba = brand.select(F.col("p_brand").alias("__ba"), F.col("n").alias("n_ante"))
+    bc = brand.select(F.col("p_brand").alias("__bc"), F.col("n").alias("n_cons"))
+    return (
+        both.join(F.broadcast(ba), F.col("antecedent") == F.col("__ba"))
+        .join(F.broadcast(bc), F.col("consequent") == F.col("__bc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "n_cons",
+            F.expr("(10000 * n_both) div n_ante").alias("conf_bp"),
+            F.expr("(10000 * n_both * n_orders) div (n_ante * n_cons)").alias(
+                "lift_bp"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, date_trunc('hour', ts) AS bucket_start,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS fp
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM agg
+    ), axis AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+             AS bucket_start
+      FROM span
+    ), keys AS (
+      SELECT DISTINCT key FROM agg
+    ), grid AS (
+      SELECT k.key, a.bucket_start, g.fp,
+             CAST(epoch(a.bucket_start) AS BIGINT) // 3600 AS i
+      FROM keys k CROSS JOIN axis a
+      LEFT JOIN agg g ON g.key = k.key AND g.bucket_start = a.bucket_start
+    ), nb AS (
+      SELECT key, bucket_start, fp, i,
+        last_value(fp IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_fp,
+        last_value(CASE WHEN fp IS NOT NULL THEN i END IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i,
+        first_value(fp IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bucket_start
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_fp,
+        first_value(CASE WHEN fp IS NOT NULL THEN i END IGNORE NULLS) OVER
+          (PARTITION BY key ORDER BY bucket_start
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
+      FROM grid
+    )
+    SELECT key AS event_type, bucket_start,
+           coalesce(
+             fp,
+             prev_fp + ((next_fp - prev_fp) * (i - prev_i)) // (next_i - prev_i),
+             prev_fp, next_fp
+           ) AS value_fp,
+           fp IS NOT NULL AS observed
+    FROM nb
+    """,
+)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation (operators.timeseries.interpolate_linear):
+    hourly per-type value series where missing buckets take the linear
+    blend of the nearest observed neighbors — the level-series repair
+    ts_resample_gap_fill's zero fill gets wrong (about 6% of the sf grid
+    is gaps). All arithmetic integer fixed-point with truncating division
+    on BOTH engines, so even downward-sloping gaps (negative numerators)
+    hash exactly."""
+    return TS.interpolate_linear(
+        load_table(spark, sf_dir, "events"), "ts", "event_type", "value"
+    )
+
+
+@query(
+    "ts_seasonal_baseline",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS actual_fp
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, CAST(hour(bucket_start) AS INTEGER) AS hod,
+             CAST(SUM(actual_fp) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.bucket_start, h.actual_fp,
+           b.tot // b.n AS baseline_fp,
+           h.actual_fp - b.tot // b.n AS resid_fp
+    FROM hourly h
+    JOIN base b ON b.event_type = h.event_type
+               AND b.hod = CAST(hour(h.bucket_start) AS INTEGER)
+    """,
+)
+def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive baseline and residual: each hourly bucket compared
+    to the mean of SAME-HOUR-OF-DAY buckets for that event type — the
+    deseasonalizing step that makes anomaly thresholds (ts_zscore_anomaly,
+    ts_mad_outliers) meaningful on traffic with a daily cycle; a raw
+    z-score flags every midnight as an anomaly. The baseline table is
+    |types| x 24 rows and broadcasts back onto the hourly aggregate; the
+    raw stream shuffles once. Integer fixed-point baseline (truncating
+    mean) keeps both engines exact."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("actual_fp"))
+    base = hourly.groupBy(
+        "event_type", F.hour("bucket_start").alias("hod")
+    ).agg(F.sum("actual_fp").alias("tot"), F.count("*").alias("n"))
+    b = base.select(
+        F.col("event_type").alias("__et"),
+        "hod",
+        F.expr("tot div n").alias("baseline_fp"),
+    )
+    return (
+        hourly.join(
+            F.broadcast(b),
+            (F.col("event_type") == F.col("__et"))
+            & (F.hour("bucket_start") == F.col("hod")),
+        )
+        .select(
+            "event_type",
+            "bucket_start",
+            "actual_fp",
+            "baseline_fp",
+            (F.col("actual_fp") - F.col("baseline_fp")).alias("resid_fp"),
+        )
+    )
+
+
+@query("rows_fpgrowth_itemsets")
+def rows_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FP-Growth frequent itemsets over brand-level order baskets
+    (pyspark.ml.fpm.FPGrowth, minSupport=0.05) — the MLlib counterpart of
+    the declarative rel_association_rules (which only enumerates pairs;
+    FP-Growth finds arbitrary-size itemsets without materializing the
+    powerset). Rows-only: the FP-tree traversal is engine-specific, and
+    the pairwise slice is already oracle-checked by rel_association_rules.
+    Itemsets are emitted as a sorted comma-joined string (raw array cells
+    crash the driver's pandas canonicalizer — rel_collect_sorted_lists
+    precedent)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.05, minConfidence=0.3
+    ).fit(baskets)
+    return model.freqItemsets.select(
+        F.array_join(F.array_sort("items"), ",").alias("itemset"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+@query("rows_prefixspan_patterns")
+def rows_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixSpan sequential patterns over per-user event-type journeys
+    (pyspark.ml.fpm.PrefixSpan, minSupport=0.2, maxPatternLength=3):
+    ORDER matters — <view, click, purchase> is a different pattern from
+    its permutations, which no itemset miner sees. Sequences are built
+    with ONE user-keyed shuffle (collect_list over a (ts, id)-sorted
+    struct keeps intra-user order deterministic). Rows-only: the
+    projected-database search is engine-specific; determinism and
+    support-monotonicity are pytest-pinned. Patterns emitted as a
+    '>'-joined string for the canonicalizer."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__ordered")
+        )
+        .select(
+            F.transform("__ordered", lambda s: F.array(s["event_type"])).alias(
+                "sequence"
+            )
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=0.2, maxPatternLength=3, maxLocalProjDBSize=32_000_000
+    )
+    return ps.findFrequentSequentialPatterns(seqs).select(
+        F.array_join(
+            F.transform("sequence", lambda s: F.array_join(s, "+")), ">"
+        ).alias("pattern"),
+        F.col("freq").cast("long").alias("freq"),
+    )
