@@ -4,6 +4,8 @@ expressions (split/filter/transform/aggregate); no Python in the row path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1329,4 +1331,167 @@ def template_prefixes(
             F.col("n").alias("n_with_prefix"),
             F.round(F.col("n") * 1.0 / F.col("n_docs"), 6).alias("share"),
         )
+    )
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 16,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Learn a Byte-Pair-Encoding merge table from a corpus (Sennrich et
+    al. 2016): starting from characters (plus the `</w>` end-of-word
+    marker), repeatedly merge the most frequent adjacent symbol pair.
+    The merge list IS the tokenizer — training it is the canonical
+    pretraining-pipeline step this module's token counters approximate.
+
+    Scale shape — the corpus is touched ONCE: BPE statistics only depend
+    on the WORD-FREQUENCY table, so the first step collapses N documents
+    to |word vocab| weighted rows (one shuffle, map-side combined) and
+    every merge iteration runs over that vocabulary table, whose size is
+    language-shaped (~10⁵–10⁶), independent of corpus row count. Per
+    iteration: adjacent pairs explode from the symbol arrays →
+    weight-summed (vocab-sized shuffle) → ONE driver-side row for the
+    argmax (the same bounded scalar-per-round pattern as
+    connected_components' change count) → the merge applies via an
+    Arrow-batched pandas UDF (greedy left-to-right within each word —
+    inherently sequential per word, words are short; this is a declared
+    vectorized-Python path). Symbol state is localCheckpoint-ed each
+    round to keep lineage flat.
+
+    Ties break deterministically: (count DESC, left ASC, right ASC).
+    Stops early when no pair reaches ``min_pair_count``.
+
+    Output: (rank, left, right, merged, pair_count) — rank 1 = first
+    merge learned."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    symbols = words.select(
+        "cnt",
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit("</w>"))
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = symbols.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    # fully-merged words collapse to ONE symbol; sequence(1,0)
+                    # would DESCEND into syms[-1] (ANSI index error) — guard.
+                    "IF(size(syms) >= 2, "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS l, syms[i] AS r)), "
+                    "array())"
+                )
+            ).alias("p"),
+        ).groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r")).agg(
+            F.sum("cnt").alias("n")
+        )
+        top = (
+            pairs.filter(F.col("n") >= min_pair_count)
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        x, y, n = top[0].l, top[0].r, top[0].n
+        merges.append((rank, x, y, x + y, int(n)))
+
+        def _make_merge(x: str, y: str):
+            @pandas_udf("array<string>")
+            def _merge(col: pd.Series) -> pd.Series:
+                def m(seq):
+                    out, i, ln = [], 0, len(seq)
+                    while i < ln:
+                        if i + 1 < ln and seq[i] == x and seq[i + 1] == y:
+                            out.append(x + y)
+                            i += 2
+                        else:
+                            out.append(seq[i])
+                            i += 1
+                    return out
+
+                return col.map(m)
+
+            return _merge
+
+        symbols = symbols.select(
+            "cnt", _make_merge(x, y)("syms").alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Tokenize with a LEARNED BPE merge table (the apply half of
+    ``bpe_merges``): each word starts as characters + `</w>` and the
+    merges replay in training order — exactly the encoder a pretraining
+    pipeline ships next to its corpus stats.
+
+    The merge table (tens of thousands of entries in practice, 16 here)
+    travels by closure into ONE Arrow-batched pandas UDF; application is
+    embarrassingly parallel per row with zero shuffles, so it composes
+    with any scan. Within a batch, distinct words memoize their
+    tokenization (Zipf makes the memo hit rate high), which is the same
+    trick production BPE encoders use.
+
+    Output: (id, n_bpe_tokens, n_words) — counts only; emitting the
+    token arrays is a one-line change but bloats the row for the common
+    budget-accounting use."""
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = list(merges)
+
+    @pandas_udf("long")
+    def n_tokens(texts: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def word_tokens(w: str) -> int:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            seq = list(w) + ["</w>"]
+            for x, y in pairs:
+                out, i, ln = [], 0, len(seq)
+                while i < ln:
+                    if i + 1 < ln and seq[i] == x and seq[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            memo[w] = len(seq)
+            return memo[w]
+
+        return texts.map(
+            lambda t: sum(word_tokens(w) for w in t.split()) if t else 0
+        )
+
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    return df.select(
+        F.col(id_col),
+        n_tokens(F.col(text_col)).alias("n_bpe_tokens"),
+        F.size(w).cast("long").alias("n_words"),
     )

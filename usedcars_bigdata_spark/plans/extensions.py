@@ -1957,3 +1957,32 @@ def ext_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["p_brand", "p_type"],
         max_dist=4,
     )
+
+
+@query("ext_bpe_merges")
+def ext_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training (ext.text.bpe_merges, 16 merges over the
+    documents corpus): rows-only by nature — the merge loop is iterative
+    with a per-round argmax, not a single SQL expression. Determinism
+    (fixed tie-breaks) and agreement with a brute-force reference BPE
+    are pytest-pinned in tests/test_analytics_ops.py."""
+    return TX.bpe_merges(
+        load_table(spark, sf_dir, "documents"), "text", n_merges=16
+    )
+
+
+@query("ext_bpe_tokenize")
+def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-apply BPE (ext.text.bpe_merges → bpe_apply, 8 merges):
+    per-document subword token counts under the corpus's OWN learned
+    tokenizer — the real token-budget accounting step, where
+    ext_text_token_stats' regex count is the cheap approximation. The
+    merge table is collected once (8 rows, driver-bounded) and ships by
+    closure into the stateless apply UDF. Rows-only: iterative training
+    + sequential merge application have no SQL form; the learner and
+    applier are each pinned against brute-force references in
+    tests/test_analytics_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    table = TX.bpe_merges(docs, "text", n_merges=8).orderBy("rank").collect()
+    merges = [(r.left, r.right) for r in table]
+    return TX.bpe_apply(docs, "doc_id", "text", merges)

@@ -4673,3 +4673,131 @@ def rows_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pattern"),
         F.col("freq").cast("long").alias("freq"),
     )
+
+
+@query(
+    "rel_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_size,
+           count(*) < 10 AS suppress
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def rel_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair
+    (nationality, market segment), k=10: any equivalence class smaller
+    than k re-identifies its members and must be suppressed or
+    generalized before release — the group-size complement of
+    rel_pseudonymize's direct-identifier masking. One map-side-combined
+    aggregate over the quasi-identifier key; the flag rides along so the
+    release pipeline filters on it without re-counting."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") < 10).alias("suppress"),
+        )
+    )
+
+
+@query(
+    "rel_max_by_lookup",
+    oracle="""
+    SELECT c_nationkey,
+           c_custkey AS top_custkey,
+           round(c_acctbal, 2) AS top_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey DESC
+             ) AS rn
+      FROM customer
+    )
+    WHERE rn = 1
+    """,
+)
+def rel_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via the max_by AGGREGATE instead of a window:
+    richest customer per nation. max_by(struct ordering, custkey
+    tie-break) is partial-aggregatable — executors keep one candidate
+    per group and merge (map-side combine, no sort) — where the
+    row_number form shuffles and SORTS every row; for top-1 the
+    aggregate is strictly cheaper at scale. The oracle deliberately
+    replays the WINDOW formulation, so the two independent plans must
+    agree on values and tie-breaks."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.expr(
+            "max_by(c_custkey, struct(c_acctbal, c_custkey))"
+        ).alias("top_custkey"),
+        F.round(F.max(F.col("c_acctbal")), 2).alias("top_acctbal"),
+    )
+
+
+@query("rows_ml_quality_classifier")
+def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quality classifier (LogisticRegression over surface
+    features): predicts whether a document clears the 75th-percentile
+    quality bar from features that do NOT include the score itself
+    (char/word/avg-word-length/digit+punct ratios). The missing family
+    next to the nine reference regressors — corpus curation wants a
+    calibrated gate, not a point estimate. Deterministic: features and
+    labels are exact column math, the 75th percentile is the exact
+    interpolated form, LBFGS from a fixed init on a fixed feature order.
+    Output: one metrics row (auc, accuracy, n_pos, n) — rows-only (MLlib
+    internals), quality floor pytest-pinned."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..ext.text import quality_score as _qs
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = _qs(docs, "doc_id", "text").select("doc_id", "quality_score")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    feats = docs.join(q, "doc_id").select(
+        "doc_id",
+        F.col("quality_score"),
+        F.length("text").cast("double").alias("f_chars"),
+        F.size(w).cast("double").alias("f_words"),
+        (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / F.size(w)).alias(
+            "f_avg_wlen"
+        ),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+            / F.length("text")
+        ).alias("f_digit_ratio"),
+        (
+            F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+            / F.length("text")
+        ).alias("f_punct_ratio"),
+    )
+    thr = feats.agg(
+        F.expr("percentile(quality_score, 0.75)").alias("t")
+    ).collect()[0].t
+    data = feats.withColumn(
+        "label", (F.col("quality_score") >= F.lit(thr)).cast("double")
+    )
+    cols = ["f_chars", "f_words", "f_avg_wlen", "f_digit_ratio", "f_punct_ratio"]
+    assembled = VectorAssembler(inputCols=cols, outputCol="features").transform(
+        data
+    )
+    model = LogisticRegression(maxIter=25, regParam=0.01).fit(assembled)
+    pred = model.transform(assembled)
+    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(pred)
+    acc = pred.filter(
+        (F.col("prediction") == F.col("label"))
+    ).count() / pred.count()
+    n_pos = int(data.filter("label = 1.0").count())
+    n = int(data.count())
+    return spark.createDataFrame(
+        [(round(auc, 6), round(acc, 6), n_pos, n)],
+        "auc DOUBLE, accuracy DOUBLE, n_pos BIGINT, n BIGINT",
+    )
