@@ -499,3 +499,55 @@ def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_skyline_windows_never_nl_join(spark, sf_dir):
+    """The skyline must run as dominance WINDOWS (salted local + grouped
+    global), never the quadratic NOT EXISTS rewrite the oracle uses."""
+    plan = plan_of(QUERIES["rel_skyline_pareto"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 4  # two dominance tests per phase
+
+
+def test_er_pairs_join_on_block_key(spark, sf_dir):
+    """Blocked ER pairs: the self-join must be an EQUI join on the block
+    columns (Levenshtein runs post-join inside blocks), not a nested loop
+    over the whole table."""
+    plan = plan_of(QUERIES["ext_er_blocking_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # verification stays JVM-native
+
+
+def test_interpolate_single_stream_shuffle(spark, sf_dir):
+    """Linear interpolation touches the raw stream once: the only
+    stream-sized exchange is the bucket pre-aggregation; grid and
+    windows operate on |keys|x|buckets| rows."""
+    plan = plan_of(QUERIES["ts_interpolate_linear"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_seasonal_baseline_broadcasts_back(spark, sf_dir):
+    """The |types|x24 baseline table must broadcast onto the hourly
+    aggregate — a shuffle join here would re-shuffle the whole series."""
+    plan = plan_of(QUERIES["ts_seasonal_baseline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_association_rules_broadcast_counts(spark, sf_dir):
+    """Brand counts (25 rows) and the total (1 row) broadcast; the only
+    data-sized shuffles are the distinct and the pair aggregation."""
+    plan = plan_of(QUERIES["rel_association_rules"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_max_by_partial_aggregates(spark, sf_dir):
+    """max_by top-1 must partial-aggregate (map-side candidate per group)
+    and carry NO window/sort over the full table."""
+    plan = plan_of(QUERIES["rel_max_by_lookup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "max_by" in plan
