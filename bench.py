@@ -93,6 +93,11 @@ BENCH_QUERIES = [
     "rel_skyline_pareto",
     "ts_interpolate_linear",
     "ext_er_entities",
+    "ext_pmi_cooccurrence",
+    "ts_cusum_changepoints",
+    "rel_kmv_sketch",
+    "ext_split_lm_gate",
+    "ts_survival_km",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

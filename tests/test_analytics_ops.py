@@ -340,3 +340,157 @@ def test_quality_classifier_beats_chance(spark, sf_dir):
     # gate must be decisively better than chance at any harness scale
     assert row.auc >= 0.75
     assert 0 < row.n_pos < row.n
+
+
+# ------------------------------------------------------------------- PMI
+def test_pmi_matches_bruteforce(spark):
+    from math import log
+
+    from usedcars_bigdata_spark.ext.text import pmi_cooccurrence
+
+    docs = [(1, "a b c a b"), (2, "b a a b x")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.word_a, r.word_b): (r.n_pair, r.n_a, r.n_b, r.pmi)
+        for r in pmi_cooccurrence(df, "doc_id", "text", window=2, min_count=1).collect()
+    }
+    # brute force
+    pairs = {}
+    P = 0
+    uni = {}
+    for _, t in docs:
+        w = t.split()
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for i in range(len(w)):
+            for k in (1, 2):
+                if i + k < len(w):
+                    key = tuple(sorted((w[i], w[i + k])))
+                    pairs[key] = pairs.get(key, 0) + 1
+                    P += 1
+    T = sum(uni.values())
+    assert set(got) == set(pairs)
+    for (x, y), c in pairs.items():
+        n_pair, n_a, n_b, pmi = got[(x, y)]
+        assert (n_pair, n_a, n_b) == (c, uni[x], uni[y])
+        expect = log(c) + 2.0 * log(T) - log(P) - log(uni[x]) - log(uni[y])
+        assert abs(pmi - round(expect, 6)) < 1e-9
+
+
+# ----------------------------------------------------------------- CUSUM
+def test_cusum_flags_sustained_shift(spark):
+    from usedcars_bigdata_spark.plans import QUERIES  # noqa: F401  (style parity)
+
+    # 48 hours: rate 10/h for day one, 14/h for day two -> per-bucket
+    # z-tests never fire (max deviation ~2), but CUSUM integrates
+    rows = []
+    eid = 0
+    for h in range(48):
+        rate = 10 if h < 24 else 14
+        for i in range(rate):
+            rows.append((eid, "t", f"2024-01-0{1 + h // 24} {h % 24:02d}:10:00"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "ts"]).select(
+        "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    hourly = df.groupBy(
+        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").alias("mean_n")
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    j = hourly.crossJoin(base.select("mean_n"))
+    out = j.select(
+        "bucket_start",
+        F.sum(F.col("n") - F.col("mean_n")).over(w).cast("long").alias("cusum"),
+        (
+            F.abs(F.sum(F.col("n") - F.col("mean_n")).over(w).cast("long"))
+            > 3 * F.col("mean_n")
+        ).alias("drifted"),
+    ).collect()
+    by_hour = sorted(out, key=lambda r: r.bucket_start)
+    # mean is 12; day-one cusum walks to -48 (drifted), day-two recovers
+    assert any(r.drifted for r in by_hour)
+    assert by_hour[-1].cusum == 0  # integer bookkeeping closes exactly
+
+
+# ------------------------------------------------------------------- KMV
+def test_kmv_estimate_within_tolerance(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    for r in QUERIES["rel_kmv_sketch"](spark, sf_dir).collect():
+        digests = r.sketch.split(",")
+        assert digests == sorted(digests) and len(digests) == r.k_filled
+        if r.k_filled < 32:
+            # sketch holds ALL hashes -> k_filled == exact count
+            assert r.k_filled == r.n_exact
+            continue
+        # estimate from the kth minimum, first 15 hex chars as uniform
+        v = int(digests[-1][:15], 16) / float(16**15)
+        est = (r.k_filled - 1) / v
+        assert abs(est - r.n_exact) / r.n_exact < 0.6  # k=32 -> ~18% se
+
+
+# ------------------------------------------------------- split-hygienic LM
+def test_split_lm_gate_protocol(spark):
+    from math import exp, log
+
+    from usedcars_bigdata_spark.ext.text import split_lm_gate
+
+    # ids 1-8 hash into the train bucket, 9 and 11 into val (computed
+    # from the same md5 arithmetic hash_split uses)
+    docs = [(i, "alpha beta gamma") for i in range(1, 9)] + [
+        (9, "alpha beta"),          # fully in-vocab val doc
+        (11, "zork quux"),          # fully OOV val doc
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in split_lm_gate(df, "doc_id", "text").collect()}
+    # only val docs are scored
+    assert set(got) == {9, 11}
+    assert got[9].n_oov == 0 and got[11].n_oov == 2
+    # train corpus: 8 docs x 3 tokens, each word count 8, T=24, V=3
+    lp_known = log((8 + 1) / (24 + 3 + 1))
+    lp_oov = log(1 / 28)
+    assert abs(got[9].avg_logp - round(lp_known, 4)) < 1e-9
+    assert abs(got[11].avg_logp - round(lp_oov, 4)) < 1e-9
+    assert got[11].ppl > got[9].ppl
+    assert abs(got[11].ppl - round(exp(-lp_oov), 2)) < 1e-9
+
+
+# --------------------------------------------------------------- survival
+def test_survival_km_hand_case(spark):
+    from usedcars_bigdata_spark.operators.timeseries import survival_km
+
+    # corpus max ts = day 10; censor window 24h -> cut = day 9.
+    # u1: dies at t=24h; u2: dies at t=48h; u3: dies at t=48h;
+    # u4: last event inside the final day -> censored at t=72h
+    rows = [
+        ("u1", "2024-01-01 00:00:00"), ("u1", "2024-01-02 00:00:00"),
+        ("u2", "2024-01-01 00:00:00"), ("u2", "2024-01-03 00:00:00"),
+        ("u3", "2024-01-02 00:00:00"), ("u3", "2024-01-04 00:00:00"),
+        ("u4", "2024-01-06 12:00:00"), ("u4", "2024-01-09 12:00:00"),
+        ("anchor", "2024-01-10 00:00:00"),  # sets corpus max; t=0 death
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"]).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    out = {r.t_hours: r for r in survival_km(df, "user_id", "ts").collect()}
+    # anchor: duration 0, uncensored (its last event IS max ts -> > cut?
+    # max ts > max ts - 24h is TRUE -> censored). So t=0 has no death row.
+    assert set(out) == {24, 48}
+    # at t=24: risk set = all 4 non-anchor users (anchor censored at 0
+    # leaves risk before t=24); S = 1 - 1/4
+    r24 = out[24]
+    assert (r24.n_at_risk, r24.n_deaths) == (4, 1)
+    assert abs(r24.survival - round(3 / 4, 6)) < 1e-9
+    # at t=48: risk set = u2, u3, u4; two deaths -> S = 3/4 * 1/3
+    r48 = out[48]
+    assert (r48.n_at_risk, r48.n_deaths) == (3, 2)
+    assert abs(r48.survival - round(3 / 4 * 1 / 3, 6)) < 1e-9

@@ -1495,3 +1495,141 @@ def bpe_apply(
         n_tokens(F.col(text_col)).alias("n_bpe_tokens"),
         F.size(w).cast("long").alias("n_words"),
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Skip-gram co-occurrence with pointwise mutual information: unordered
+    word pairs within ``window`` tokens, scored by
+    PMI = ln(c_xy·T²/(P·c_x·c_y)) — the classic collocation/embedding
+    statistic (word2vec's implicit matrix).
+
+    Pairs are generated WITHOUT a join: one higher-order transform emits
+    the (i, i+k) pairs per document (O(len·window) rows, data-parallel),
+    so the only shuffles are the three aggregations (pair counts, unigram
+    counts, scalar totals), all map-side combined. The two count tables
+    join on the word (vocabulary-sized), and totals broadcast.
+
+    PMI is computed as a SUM OF LOGS — ln(c_xy)+2ln(T)−ln(P)−ln(c_x)−
+    ln(c_y) — which both avoids int64 overflow in the product form
+    (c·T² exceeds 2⁶³ on ~10B-token corpora) and pins the FP evaluation
+    order so a replay in another engine is bit-identical.
+
+    Output: (word_a, word_b, n_pair, n_a, n_b, pmi) for pairs with
+    n_pair ≥ min_count, word_a < word_b."""
+    with_words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
+    ).filter(F.size("__words") >= 2)
+    pair_structs = F.expr(
+        "flatten(transform(sequence(1, size(__words) - 1), i -> "
+        f"transform(sequence(1, {window}), k -> "
+        "IF(i + k <= size(__words), "
+        "struct(least(__words[i-1], __words[i+k-1]) AS x, "
+        "greatest(__words[i-1], __words[i+k-1]) AS y), "
+        "CAST(NULL AS STRUCT<x: STRING, y: STRING>)))))"
+    )
+    pairs = with_words.select(F.explode(pair_structs).alias("p")).filter(
+        F.col("p").isNotNull()
+    )
+    pair_counts = pairs.groupBy(
+        F.col("p.x").alias("word_a"), F.col("p.y").alias("word_b")
+    ).agg(F.count("*").alias("n_pair"))
+    total_pairs = pairs.agg(F.count("*").alias("P"))
+    tokens = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    uni = tokens.groupBy("w").agg(F.count("*").alias("n"))
+    total_tokens = tokens.agg(F.count("*").alias("T"))
+    na = uni.select(F.col("w").alias("word_a"), F.col("n").alias("n_a"))
+    nb = uni.select(F.col("w").alias("word_b"), F.col("n").alias("n_b"))
+    return (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(na, "word_a")
+        .join(nb, "word_b")
+        .crossJoin(F.broadcast(total_pairs))
+        .crossJoin(F.broadcast(total_tokens))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log("n_pair")
+                + F.lit(2.0) * F.log("T")
+                - F.log("P")
+                - F.log("n_a")
+                - F.log("n_b"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def split_lm_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Unigram LM quality gate with SPLIT HYGIENE: the model is fit on
+    the train split only and scores the val split with add-one
+    smoothing — the leakage-free protocol unigram_logprob_score skips
+    (fitting on the full corpus makes every val document look more
+    in-distribution than it is; a gate tuned that way over-admits).
+
+    Same two-pass shape as the full-corpus gate, restricted: train
+    tokens → count table (+1 smoothing over V+1 classes, the +1 class
+    absorbing out-of-vocabulary tokens); val tokens LEFT join it (string
+    keys here — the split protocol is the point, and the oracle
+    re-derives the split from the same md5 arithmetic as hash_split).
+    Scalars (train total, vocab size) broadcast.
+
+    Output (val docs only): (id, n_tokens, n_oov, avg_logp, ppl)."""
+    split = hash_split(df.select(F.col(id_col)), id_col).select(
+        F.col(id_col), "split"
+    )
+    labeled = df.join(split, id_col)
+    toks = labeled.select(
+        F.col(id_col),
+        "split",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    train_counts = (
+        toks.filter(F.col("split") == "train")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    scal = train_counts.agg(
+        F.sum("n_tok").alias("n_total"), F.count("*").alias("v")
+    )
+    val = toks.filter(F.col("split") == "val").join(
+        train_counts, "tok", "left"
+    )
+    smoothed = F.log(
+        (F.coalesce(F.col("n_tok"), F.lit(0)) + 1)
+        / (F.col("n_total") + F.col("v") + 1)
+    )
+    return (
+        val.crossJoin(F.broadcast(scal))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("n_tok").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.avg(smoothed).alias("__alp"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("n_oov").cast("long").alias("n_oov"),
+            F.round("__alp", ndigits).alias("avg_logp"),
+            F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
+        )
+    )

@@ -611,3 +611,68 @@ def interpolate_linear(
             F.col("__fp").isNotNull().alias("observed"),
         )
     )
+
+
+def survival_km(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    censor_window: str = "24 hours",
+) -> DataFrame:
+    """Kaplan-Meier survival curve over per-entity lifetimes: duration =
+    hours between an entity's first and last event; entities whose last
+    event falls inside the corpus's final ``censor_window`` are RIGHT-
+    CENSORED (still alive at observation end) and contribute to the risk
+    set without counting as deaths — the estimator retention curves
+    (ts_cohort_retention) approximate by ignoring censoring.
+
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over distinct event times, computed as
+    exp(Σ ln(1 − dᵢ/nᵢ)) in ONE ordered window (cumulative product via
+    sum-of-logs, the ext_pmi_cooccurrence FP discipline). A time where
+    every at-risk entity dies (factor 0) zeroes the curve from there on —
+    handled with a cumulative flag instead of ln(0), which Spark nulls.
+
+    One entity-keyed shuffle (the per-entity min/max aggregate); the
+    curve itself is |distinct durations|-sized, windowed in one
+    partition BY DESIGN — it is an output table, not data.
+
+    Output: one row per distinct duration with a death:
+    (t_hours, n_at_risk, n_deaths, n_censored_here, survival)."""
+    per = events.groupBy(F.col(key_col).alias("k")).agg(
+        F.min(ts_col).alias("first_ts"), F.max(ts_col).alias("last_ts")
+    )
+    horizon = events.agg(
+        (F.max(ts_col) - F.expr(f"INTERVAL {censor_window}")).alias("cut")
+    )
+    lives = per.crossJoin(F.broadcast(horizon)).select(
+        "k",
+        F.expr("(unix_micros(last_ts) - unix_micros(first_ts))"
+               " div 3600000000").alias("t_hours"),
+        (F.col("last_ts") > F.col("cut")).alias("censored"),
+    )
+    grid = lives.groupBy("t_hours").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("n_deaths"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias(
+            "n_censored_here"
+        ),
+    )
+    w = Window.orderBy("t_hours")
+    n_at_risk = (
+        F.sum(F.col("n_deaths") + F.col("n_censored_here")).over(
+            w.rowsBetween(0, Window.unboundedFollowing)
+        )
+    ).alias("n_at_risk")
+    curve = grid.select("t_hours", "n_deaths", "n_censored_here", n_at_risk)
+    factor = (F.col("n_at_risk") - F.col("n_deaths")) / F.col("n_at_risk")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    died_out = F.max(F.when(factor == 0, 1).otherwise(0)).over(wc)
+    logsum = F.sum(F.when(factor > 0, F.log(factor))).over(wc)
+    return curve.filter(F.col("n_deaths") > 0).select(
+        "t_hours",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.col("n_deaths").cast("long").alias("n_deaths"),
+        F.col("n_censored_here").cast("long").alias("n_censored_here"),
+        F.when(died_out == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(logsum), 6))
+        .alias("survival"),
+    )

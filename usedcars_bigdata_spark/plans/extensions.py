@@ -1986,3 +1986,115 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = TX.bpe_merges(docs, "text", n_merges=8).orderBy("rank").collect()
     merges = [(r.left, r.right) for r in table]
     return TX.bpe_apply(docs, "doc_id", "text", merges)
+
+
+@query(
+    "ext_pmi_cooccurrence",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ), pos AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM t
+    ), raw AS (
+      SELECT least(w[i], w[i+k]) AS word_a, greatest(w[i], w[i+k]) AS word_b
+      FROM (SELECT doc_id, w, i, unnest(generate_series(1, 3)) AS k FROM pos)
+      WHERE i + k <= len(w)
+    ), pc AS (
+      SELECT word_a, word_b, CAST(count(*) AS BIGINT) AS n_pair
+      FROM raw GROUP BY 1, 2
+    ), tp AS (
+      SELECT CAST(count(*) AS BIGINT) AS P FROM raw
+    ), tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok WHERE w <> ''
+      GROUP BY 1
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS T FROM tok WHERE w <> ''
+    )
+    SELECT p.word_a, p.word_b, p.n_pair, a.n AS n_a, b.n AS n_b,
+           round(ln(p.n_pair) + 2.0 * ln(tt.T) - ln(tp.P)
+                 - ln(a.n) - ln(b.n), 6) AS pmi
+    FROM pc p
+    JOIN uni a ON a.w = p.word_a
+    JOIN uni b ON b.w = p.word_b
+    CROSS JOIN tp CROSS JOIN tt
+    WHERE p.n_pair >= 5
+    """,
+)
+def ext_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram PMI collocations (ext.text.pmi_cooccurrence, window=3,
+    min_count=5): the co-occurrence statistic under word2vec/GloVe,
+    computed join-free (one higher-order transform emits the positional
+    pairs) with PMI as a SUM OF LOGS so the FP path is overflow-safe and
+    bit-reproducible across engines."""
+    return TX.pmi_cooccurrence(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        window=3, min_count=5,
+    )
+
+
+@query(
+    "ext_split_lm_gate",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 1000 AS bucket
+      FROM documents
+    ), lab AS (
+      SELECT d.doc_id, d.text,
+             CASE WHEN s.bucket < 800 THEN 'train'
+                  WHEN s.bucket < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d JOIN sp s USING (doc_id)
+    ), tok AS (
+      SELECT doc_id, split,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM lab
+    ), tok2 AS (
+      SELECT * FROM tok WHERE tok <> ''
+    ), tc AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n_tok
+      FROM tok2 WHERE split = 'train' GROUP BY 1
+    ), sc AS (
+      SELECT CAST(sum(n_tok) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS v
+      FROM tc
+    ), val AS (
+      SELECT t.doc_id, c.n_tok
+      FROM tok2 t LEFT JOIN tc c ON c.tok = t.tok
+      WHERE t.split = 'val'
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN n_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(avg(ln((coalesce(n_tok, 0) + 1)
+                        / (sc.n_total + sc.v + 1))), 4) AS avg_logp,
+           round(exp(-avg(ln((coalesce(n_tok, 0) + 1)
+                             / (sc.n_total + sc.v + 1)))), 2) AS ppl
+    FROM val CROSS JOIN sc
+    GROUP BY doc_id
+    """,
+)
+def ext_split_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-hygienic unigram LM gate (ext.text.split_lm_gate): the model
+    fits on the TRAIN split only and scores VAL with add-one smoothing —
+    the leakage-free protocol, where ext_unigram_logprob's full-corpus
+    fit is the (standard but optimistic) shortcut. The oracle re-derives
+    the 80/10/10 md5 split with the ext_hash_split strpos arithmetic, so
+    the whole protocol — split, fit, smooth, score — is replayed
+    end-to-end."""
+    return TX.split_lm_gate(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -4754,7 +4754,6 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one metrics row (auc, accuracy, n_pos, n) — rows-only (MLlib
     internals), quality floor pytest-pinned."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
     from ..ext.text import quality_score as _qs
@@ -4790,14 +4789,230 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         data
     )
     model = LogisticRegression(maxIter=25, regParam=0.01).fit(assembled)
-    pred = model.transform(assembled)
-    auc = BinaryClassificationEvaluator(labelCol="label").evaluate(pred)
-    acc = pred.filter(
-        (F.col("prediction") == F.col("label"))
-    ).count() / pred.count()
-    n_pos = int(data.filter("label = 1.0").count())
-    n = int(data.count())
+    # Metrics WITHOUT MLlib transform/evaluator/summary jobs: in Spark 4,
+    # once any Observation has been registered on the session, the
+    # LogisticRegressionModel's training summary (which pins the session)
+    # fails closure serialization with "Task not serializable:
+    # ObservationManager" — model.transform and summary.areaUnderROC both
+    # trip it. The model is only a (w, b) pair here, so score with a plain
+    # column expression and compute AUC by the tie-aware rank formula —
+    # deterministic, declarative, and nothing MLlib-owned in any closure.
+    wts = model.coefficients.toArray().tolist()
+    b = float(model.intercept)
+    z = F.lit(b)
+    for c, wt in zip(cols, wts):
+        z = z + F.lit(float(wt)) * F.col(c)
+    scored = data.select("label", z.alias("z"))
+    wz = Window.orderBy("z")
+    ranked = scored.select(
+        "label",
+        (
+            F.rank().over(wz)
+            + (F.count("*").over(Window.partitionBy("z")) - 1) / 2.0
+        ).alias("r"),
+        ((F.col("z") >= 0).cast("double") == F.col("label"))
+        .cast("double")
+        .alias("hit"),
+    )
+    m = ranked.agg(
+        F.sum(F.when(F.col("label") == 1.0, F.col("r"))).alias("rp"),
+        F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)).alias("np"),
+        F.count("*").alias("n"),
+        F.avg("hit").alias("acc"),
+    ).collect()[0]
+    n_pos, n = int(m.np), int(m.n)
+    n_neg = n - n_pos
+    auc = (m.rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return spark.createDataFrame(
-        [(round(auc, 6), round(acc, 6), n_pos, n)],
+        [(round(auc, 6), round(float(m.acc), 6), n_pos, n)],
         "auc DOUBLE, accuracy DOUBLE, n_pos BIGINT, n BIGINT",
+    )
+
+
+@query(
+    "ts_cusum_changepoints",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_n
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, h.bucket_start, h.n,
+           CAST(SUM(h.n - b.mean_n) OVER (
+             PARTITION BY h.event_type ORDER BY h.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cusum,
+           abs(CAST(SUM(h.n - b.mean_n) OVER (
+             PARTITION BY h.event_type ORDER BY h.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT)) > 3 * b.mean_n AS drifted
+    FROM hourly h JOIN base b ON b.event_type = h.event_type
+    """,
+)
+def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on hourly event rates: the running sum of
+    deviations from each type's mean rate, flagged when it exceeds
+    3× the mean — catches SUSTAINED level shifts that per-bucket
+    outlier tests (ts_zscore_anomaly, ts_mad_outliers) structurally
+    miss, because a 10% rate change never trips a per-bucket threshold
+    but integrates linearly in the CUSUM. Integer throughout (truncating
+    mean, integer running sum): both engines agree bit-for-bit. One
+    stream shuffle (the hourly pre-aggregation); the mean table
+    broadcasts; the window runs over |types| bucket-sized partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("event_type").agg(
+        F.expr("sum(n) div count(*)").alias("mean_n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = hourly.join(
+        F.broadcast(base.withColumnRenamed("event_type", "__et")),
+        F.col("event_type") == F.col("__et"),
+    )
+    cusum = F.sum(F.col("n") - F.col("mean_n")).over(w).cast("long")
+    return joined.select(
+        "event_type",
+        "bucket_start",
+        "n",
+        cusum.alias("cusum"),
+        (F.abs(cusum) > 3 * F.col("mean_n")).alias("drifted"),
+    )
+
+
+@query(
+    "rel_kmv_sketch",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority,
+             md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders
+    ), r AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM d
+    ), ex AS (
+      SELECT o_orderpriority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      FROM orders GROUP BY 1
+    )
+    SELECT r.o_orderpriority,
+           string_agg(r.h, ',' ORDER BY r.h) AS sketch,
+           CAST(count(*) AS BIGINT) AS k_filled,
+           any_value(ex.n_exact) AS n_exact
+    FROM r JOIN ex ON ex.o_orderpriority = r.o_orderpriority
+    WHERE r.rn <= 32
+    GROUP BY 1
+    """,
+)
+def rel_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch, k=32, per order priority:
+    the 32 lexicographically smallest md5(custkey) digests — a MERGEABLE
+    sketch (union = min-k of concatenation) whose kth value estimates
+    cardinality, the exact-verifiable cousin of the HLL behind
+    approx_count_distinct (rel_approx_count_distinct is rows-only; this
+    sketch is deterministic, so the driver hash-checks it).
+
+    Scale shape: min-k uses the two-level salted pattern (the
+    inverted_index precedent) — per (priority, salt) top-k bounds the
+    widest window partition at 1/16 of a group, then the global pass
+    sees ≤ 16k candidate rows per group. collect_list only ever
+    aggregates the ≤ 32 survivors. n_exact rides along for the
+    estimator's error test; a production sketch would drop it."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderpriority", F.md5(F.col("o_custkey").cast("string")).alias("h")
+    ).distinct()
+    salted = d.withColumn("__salt", F.pmod(F.xxhash64("h"), F.lit(16)))
+    w1 = Window.partitionBy("o_orderpriority", "__salt").orderBy("h")
+    local = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= 32)
+        .drop("rn", "__salt")
+    )
+    w2 = Window.partitionBy("o_orderpriority").orderBy("h")
+    topk = local.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= 32
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        topk.groupBy("o_orderpriority")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("h"))).alias("sketch"),
+            F.count("*").alias("k_filled"),
+        )
+        .join(F.broadcast(ex), "o_orderpriority")
+        .select("o_orderpriority", "sketch", "k_filled", "n_exact")
+    )
+
+
+@query(
+    "ts_survival_km",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, min(ts) AS f, max(ts) AS l FROM events GROUP BY 1
+    ), hz AS (
+      SELECT max(ts) - INTERVAL 24 HOUR AS cut FROM events
+    ), lives AS (
+      SELECT (epoch_us(l) - epoch_us(f)) // 3600000000 AS t_hours,
+             l > hz.cut AS censored
+      FROM per CROSS JOIN hz
+    ), grid AS (
+      SELECT t_hours,
+             CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deaths,
+             CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_censored_here
+      FROM lives GROUP BY 1
+    ), curve AS (
+      SELECT t_hours, n_deaths, n_censored_here,
+             CAST(sum(n_deaths + n_censored_here) OVER (
+               ORDER BY t_hours
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS BIGINT) AS n_at_risk
+      FROM grid
+    ), sc AS (
+      SELECT *,
+             ((n_at_risk - n_deaths) * 1.0) / n_at_risk AS factor
+      FROM curve
+    ), fin AS (
+      SELECT t_hours, n_at_risk, n_deaths, n_censored_here,
+             max(CASE WHEN factor = 0 THEN 1 ELSE 0 END) OVER (
+               ORDER BY t_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS died_out,
+             sum(CASE WHEN factor > 0 THEN ln(factor) END) OVER (
+               ORDER BY t_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS logsum
+      FROM sc
+    )
+    SELECT t_hours, n_at_risk, n_deaths, n_censored_here,
+           CASE WHEN died_out = 1 THEN 0.0
+                ELSE round(exp(logsum), 6) END AS survival
+    FROM fin
+    WHERE n_deaths > 0
+    """,
+)
+def ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes
+    (operators.timeseries.survival_km): right-censored entities (active
+    in the final 24h) stay in the risk set without counting as deaths —
+    the statistically correct retention curve next to
+    ts_cohort_retention's raw ratios. Cumulative product via ordered
+    sum-of-logs; the curve table is |distinct durations|-sized, so its
+    single-partition window is output-shaped, not data-shaped."""
+    return TS.survival_km(
+        load_table(spark, sf_dir, "events"), "user_id", "ts"
     )
