@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "rel_kmv_sketch",
     "ext_split_lm_gate",
     "ts_survival_km",
+    "rel_dq_expectations",
+    "ext_crosssplit_decontamination",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -494,3 +494,75 @@ def test_survival_km_hand_case(spark):
     r48 = out[48]
     assert (r48.n_at_risk, r48.n_deaths) == (3, 2)
     assert abs(r48.survival - round(3 / 4 * 1 / 3, 6)) < 1e-9
+
+
+# -------------------------------------------------------- DQ expectations
+def test_dq_expectations_clean_feed_passes(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = {r.rule: r for r in QUERIES["rel_dq_expectations"](spark, sf_dir).collect()}
+    assert len(rows) == 5
+    # harness data is clean: every contract passes with 0 violations
+    for r in rows.values():
+        assert r.n_violations == 0 and bool(r.pass_ if hasattr(r, "pass_") else r["pass"])
+
+
+def test_dq_expectations_detect_planted_violations(spark, tmp_path):
+    import os
+
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    # plant rows by overriding fields on a template row so the full
+    # orders schema survives the round-trip through load_table
+    dtypes = dict(o.dtypes)
+    template = o.orderBy("o_orderkey").limit(1)
+
+    def plant(**over):
+        d = template
+        for k, v in over.items():
+            d = d.withColumn(k, F.lit(v).cast(dtypes[k]))
+        return d
+
+    existing_key = template.collect()[0].o_orderkey
+    bad = (
+        plant(o_orderkey=existing_key, o_custkey=999_999_999)  # dup + orphan
+        .unionByName(plant(o_orderkey=888_888_881, o_custkey=None))
+        .unionByName(plant(o_orderkey=888_888_882, o_totalprice=-5.0))
+        .unionByName(plant(o_orderkey=888_888_883, o_orderpriority="9-BOGUS"))
+    )
+    dirty = o.unionByName(bad)
+    tmp = os.path.join(str(tmp_path), "dirty")
+    dirty.write.parquet(os.path.join(tmp, "orders.parquet"))
+    c.write.parquet(os.path.join(tmp, "customer.parquet"))
+    rows = {r.rule: r for r in QUERIES["rel_dq_expectations"](spark, tmp).collect()}
+    assert rows["not_null:o_custkey"].n_violations == 1
+    assert rows["range:o_totalprice"].n_violations == 1
+    assert rows["accepted_values:o_orderpriority"].n_violations == 1
+    assert rows["unique:o_orderkey"].n_violations == 1
+    assert rows["fk:o_custkey->customer"].n_violations >= 1
+    assert not any(r["pass"] for r in rows.values())
+
+
+# ------------------------------------------------- cross-split decontamination
+def test_decontamination_flags_planted_cross_split_dup(spark):
+    from usedcars_bigdata_spark.ext.dedup import cross_split_contamination
+
+    # ids 1..8 -> train, 9/11 -> val (hash_split md5 arithmetic)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = (
+        [(i, f"completely unrelated text number {i} about nothing") for i in range(1, 8)]
+        + [(8, base), (9, base + " tail"), (11, "something else entirely here")]
+    )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.split, r.train_match, r.jaccard)
+        for r in cross_split_contamination(df, "doc_id", "text").collect()
+    }
+    # doc 9 (val) near-dups train doc 8; doc 11 is clean
+    assert set(got) == {9}
+    split, match, jac = got[9]
+    assert split == "val" and match == 8 and jac >= 0.5

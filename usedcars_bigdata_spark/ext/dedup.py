@@ -1130,3 +1130,69 @@ def resolve_entities(
         F.col("component").alias("entity_id"),
         (F.col(id_col) == F.col("component")).alias("is_canonical"),
     )
+
+
+def cross_split_contamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Eval-split decontamination: val/test documents whose n-gram Jaccard
+    against ANY train document reaches ``threshold`` — the cross-split
+    complement of within-corpus dedup. An eval document near-duplicating
+    a train document silently inflates every benchmark run on it; this
+    is the screen train/test protocols run AFTER splitting (dedup before
+    splitting cannot catch near-dups that straddle the cut).
+
+    Shape: the split assignment is the zero-shuffle hash_split; shingles
+    build once over the whole corpus and partition into train/eval
+    postings; candidates come from the shared-shingle equi-join (never
+    |train|×|eval|); exact Jaccard verifies candidates; the best train
+    match per eval doc survives via one (jaccard DESC, train id ASC)
+    window.
+
+    Output: (doc_id, split, train_match, jaccard) for contaminated eval
+    docs."""
+    from .text import hash_split  # local: avoid a module-level ext.text cycle
+
+    split = hash_split(df.select(F.col(id_col)), id_col).select(
+        F.col(id_col), "split"
+    )
+    sh = word_shingles(df, id_col, text_col, n=n).join(split, id_col)
+    sizes = sh.groupBy(id_col, "split").agg(F.count("*").alias("n_sh"))
+    train = sh.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("train_match"), F.col("shingle")
+    )
+    ev = sh.filter(F.col("split") != "train").select(
+        F.col(id_col), F.col("split"), F.col("shingle")
+    )
+    inter = (
+        ev.join(train, "shingle")
+        .groupBy(id_col, "split", "train_match")
+        .agg(F.count("*").alias("inter"))
+    )
+    ne = sizes.select(F.col(id_col), F.col("n_sh").alias("n_e"))
+    nt = sizes.select(
+        F.col(id_col).alias("train_match"), F.col("n_sh").alias("n_t")
+    )
+    jac = F.col("inter") / (F.col("n_e") + F.col("n_t") - F.col("inter"))
+    scored = (
+        inter.join(ne, id_col)
+        .join(nt, "train_match")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("jaccard").desc(), F.col("train_match").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col, "split", "train_match", F.round("jaccard", 6).alias("jaccard")
+        )
+    )

@@ -2098,3 +2098,75 @@ def ext_split_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.split_lm_gate(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+@query(
+    "ext_crosssplit_decontamination",
+    oracle="""
+    WITH sp AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+             ) % 1000 AS bucket
+      FROM documents
+    ), lab AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 800 THEN 'train'
+                  WHEN bucket < 900 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sp
+    ), t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sized AS (
+      SELECT s.doc_id, l.split, count(*) AS n_sh
+      FROM sh s JOIN lab l ON l.doc_id = s.doc_id
+      GROUP BY 1, 2
+    ), inter AS (
+      SELECT e.doc_id, le.split, tr.doc_id AS train_match,
+             count(*) AS inter
+      FROM sh e
+      JOIN lab le ON le.doc_id = e.doc_id AND le.split <> 'train'
+      JOIN sh tr ON tr.shingle = e.shingle
+      JOIN lab lt ON lt.doc_id = tr.doc_id AND lt.split = 'train'
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT i.doc_id, i.split, i.train_match,
+             i.inter * 1.0 / (ne.n_sh + nt.n_sh - i.inter) AS jaccard
+      FROM inter i
+      JOIN sized ne ON ne.doc_id = i.doc_id
+      JOIN sized nt ON nt.doc_id = i.train_match
+    ), best AS (
+      SELECT doc_id, split, train_match, jaccard,
+             row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY jaccard DESC, train_match ASC
+             ) AS rn
+      FROM scored WHERE jaccard >= 0.5
+    )
+    SELECT doc_id, split, train_match, round(jaccard, 6) AS jaccard
+    FROM best WHERE rn = 1
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split decontamination (ext.dedup.cross_split_contamination):
+    val/test documents near-duplicating (3-gram Jaccard ≥ 0.5) ANY train
+    document — the post-split screen that keeps benchmark numbers
+    honest; within-corpus dedup alone cannot catch near-dups straddling
+    the split. Candidates come from the shared-shingle inverted-index
+    join (never |train|×|eval|); the oracle replays the md5 split
+    arithmetic AND the exact Jaccard end-to-end."""
+    return X.cross_split_contamination(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, threshold=0.5,
+    )

@@ -5016,3 +5016,117 @@ def ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.survival_km(
         load_table(spark, sf_dir, "events"), "user_id", "ts"
     )
+
+
+@query(
+    "rel_dq_expectations",
+    oracle="""
+    WITH rowchecks AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_cust,
+             CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN
+                           ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED',
+                            '5-LOW')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_priority
+      FROM orders
+    ), dup AS (
+      SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) AS extra
+      FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+      WHERE c > 1
+    ), orphan AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orphans
+      FROM orders o
+      WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+      )
+    )
+    SELECT * FROM (
+      SELECT 'not_null:o_custkey' AS rule, n AS n_checked,
+             null_cust AS n_violations, null_cust = 0 AS pass
+      FROM rowchecks
+      UNION ALL
+      SELECT 'range:o_totalprice', n, bad_price, bad_price = 0
+      FROM rowchecks
+      UNION ALL
+      SELECT 'accepted_values:o_orderpriority', n, bad_priority,
+             bad_priority = 0
+      FROM rowchecks
+      UNION ALL
+      SELECT 'unique:o_orderkey', n, dup.extra, dup.extra = 0
+      FROM rowchecks CROSS JOIN dup
+      UNION ALL
+      SELECT 'fk:o_custkey->customer', n, orphan.n_orphans,
+             orphan.n_orphans = 0
+      FROM rowchecks CROSS JOIN orphan
+    )
+    """,
+)
+def rel_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite over orders — the
+    contract-check stage (dbt-test / Great-Expectations shape) a feed
+    runs before publishing: NOT NULL, value range, accepted values,
+    uniqueness, referential integrity. One summary row per rule with
+    checked/violation counts and a pass flag.
+
+    Plan shape: the three ROW-LEVEL rules fuse into a SINGLE conditional
+    aggregate (one scan, map-side combined — adding rules is free);
+    uniqueness is a key-grouped count and the FK check a broadcast
+    ANTI join, each irreducibly its own shuffle. The 5-row result
+    assembles with unions over 1-row aggregates. Complements
+    rel_fk_audit (which reports the orphan rows; this reports the
+    contract verdict)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    rowchecks = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_cust"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 1_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin(pri), 1).otherwise(0)
+        ).alias("bad_priority"),
+    )
+    dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("extra"))
+    )
+    orphan = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_orphans"))
+
+    def rule(name, viol):
+        return (
+            rowchecks.crossJoin(F.broadcast(dup))
+            .crossJoin(F.broadcast(orphan))
+            .select(
+                F.lit(name).alias("rule"),
+                F.col("n").alias("n_checked"),
+                viol.alias("n_violations"),
+                (viol == 0).alias("pass"),
+            )
+        )
+
+    return (
+        rule("not_null:o_custkey", F.col("null_cust"))
+        .unionByName(rule("range:o_totalprice", F.col("bad_price")))
+        .unionByName(
+            rule("accepted_values:o_orderpriority", F.col("bad_priority"))
+        )
+        .unionByName(rule("unique:o_orderkey", F.col("extra")))
+        .unionByName(rule("fk:o_custkey->customer", F.col("n_orphans")))
+    )
