@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "ts_survival_km",
     "rel_dq_expectations",
     "ext_crosssplit_decontamination",
+    "ext_dedup_quality_survivor",
+    "ext_token_budget_sample",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -566,3 +566,42 @@ def test_decontamination_flags_planted_cross_split_dup(spark):
     assert set(got) == {9}
     split, match, jac = got[9]
     assert split == "val" and match == 8 and jac >= 0.5
+
+
+# ---------------------------------------------------- quality-aware dedup
+def test_quality_survivor_one_per_component(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["ext_dedup_quality_survivor"](spark, sf_dir).collect()
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    assert by_comp
+    multi = 0
+    for comp, members in by_comp.items():
+        survivors = [m for m in members if m.is_survivor]
+        assert len(survivors) == 1
+        best = max(members, key=lambda m: (m.quality_score, -m.doc_id))
+        assert survivors[0].doc_id == best.doc_id
+        if len(members) > 1:
+            multi += 1
+    assert multi > 0, "expected at least one non-trivial dup cluster"
+
+
+# ----------------------------------------------------- token-budget sample
+def test_token_budget_binding_and_deterministic(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    a = sorted(tuple(r) for r in QUERIES["ext_token_budget_sample"](spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in QUERIES["ext_token_budget_sample"](spark, sf_dir).collect())
+    assert a == b and a
+    per_source = {}
+    for _, src, n, cum in a:
+        per_source[src] = max(per_source.get(src, 0), cum)
+    assert all(v <= 800 for v in per_source.values())
+    # greedy prefix property: cum_tokens is consistent with the sum of
+    # selected docs per source
+    sums = {}
+    for _, src, n, _ in a:
+        sums[src] = sums.get(src, 0) + n
+    assert sums == per_source

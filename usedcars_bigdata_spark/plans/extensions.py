@@ -2170,3 +2170,131 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, threshold=0.5,
     )
+
+
+@query(
+    "ext_dedup_quality_survivor",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), q AS (
+      SELECT doc_id,
+             round(len(list_filter(w, x -> x IN
+                     ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(w) * 0.5
+                   + least(len(w), 100) / 100.0 * 0.5, 4) AS quality_score
+      FROM t
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    ), edges AS (
+      SELECT id_a AS s, id_b AS t FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(s, t) AS (
+      SELECT s, t FROM edges
+      UNION
+      SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+    ), comp AS (
+      SELECT s AS doc_id, least(s, min(t)) AS component FROM reach GROUP BY s
+    ), labeled AS (
+      SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component,
+             q.quality_score
+      FROM q LEFT JOIN comp c ON c.doc_id = q.doc_id
+    )
+    SELECT doc_id, component, quality_score,
+           row_number() OVER (
+             PARTITION BY component
+             ORDER BY quality_score DESC, doc_id ASC
+           ) = 1 AS is_survivor
+    FROM labeled
+    """,
+)
+def ext_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection: cluster near-duplicates
+    (the ext_dedup_clusters graph) and keep the HIGHEST-QUALITY copy per
+    cluster instead of the arbitrary min-id — the curation-correct
+    choice when duplicates differ (one copy truncated, one
+    boilerplate-wrapped; min-id picks blindly). One window over the
+    cluster label (quality DESC, id ASC tie-break) on top of the
+    component output; the quality table joins on the doc id the
+    component pass already shuffled on."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
+    q = TX.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    labeled = clusters.select("doc_id", "component").join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return labeled.select(
+        "doc_id",
+        "component",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+
+
+@query(
+    "ext_token_budget_sample",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             md5('budget:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: take documents per source in salted-hash
+    order until each source's cumulative token count reaches the budget
+    (800 here — chosen to BIND at the harness scales) — how pretraining mixtures are actually specified
+    ("X billion tokens of source S"), where ext_mixture_sample's
+    per-source FRACTIONS are only a proxy. Deterministic (salted md5
+    order, doc_id tie-break), one shuffle on the source key; the budget
+    cut is a running-sum window inside each source partition. A skewed
+    source at 100 TB salts the same way the pack_shards prefix sum
+    does — noted, not needed at harness scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    t = docs.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.md5(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias(
+            "__h"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("__h").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
