@@ -605,3 +605,20 @@ def test_token_budget_binding_and_deterministic(spark, sf_dir):
     for _, src, n, _ in a:
         sums[src] = sums.get(src, 0) + n
     assert sums == per_source
+
+
+def test_interpolate_linear_non_hour_step(spark):
+    # 30-minute buckets: observed at :00 (fp 300) and :90 (fp 600);
+    # the two gap buckets interpolate to 400 and 500 — exercises the
+    # raw-epoch index with a non-default step
+    rows = [("k", "2024-01-01 00:05:00", 3.0), ("k", "2024-01-01 01:35:00", 6.0)]
+    df = spark.createDataFrame(rows, ["key", "ts", "value"]).select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    out = {
+        (r.bucket_start.hour, r.bucket_start.minute): r.value_fp
+        for r in TS.interpolate_linear(
+            df, "ts", "key", "value", step="30 minutes"
+        ).collect()
+    }
+    assert out == {(0, 0): 300, (0, 30): 400, (1, 0): 500, (1, 30): 600}

@@ -535,7 +535,6 @@ def interpolate_linear(
     key_col: str,
     value_col: str,
     step: str = "1 hour",
-    step_seconds: int = 3600,
 ) -> DataFrame:
     """Per-key fixed-step resample where MISSING buckets are linearly
     interpolated between the nearest observed neighbors (the gap-repair
@@ -554,7 +553,12 @@ def interpolate_linear(
     summed as BIGINT, truncating integer division) so a DuckDB replay is
     bit-exact: per-row rounding keeps the sum order-independent, and
     Spark's `div` and DuckDB's `//` both truncate toward zero, so even
-    a downward-sloping gap (negative numerator) agrees. Leading/trailing
+    a downward-sloping gap (negative numerator) agrees. The time index
+    is the RAW epoch second of the bucket start — interpolation only
+    uses index DIFFERENCES, which are exact step multiples for every
+    step, so no per-step scaling parameter exists to misconfigure (an
+    earlier revision took a step_seconds divisor that could silently
+    disagree with ``step``). Leading/trailing
     gaps with only one observed neighbor clamp to it (constant
     extrapolation) — deterministic and mirrorable, where NULL would just
     push the policy downstream.
@@ -580,7 +584,7 @@ def interpolate_linear(
         "key",
         "bucket_start",
         "__fp",
-        (F.unix_timestamp("bucket_start") / step_seconds).cast("long").alias("__i"),
+        F.unix_timestamp("bucket_start").alias("__i"),
     )
     w = Window.partitionBy("key").orderBy("bucket_start")
     prev_w = w.rowsBetween(Window.unboundedPreceding, -1)

@@ -35,6 +35,14 @@ from . import tpch as _tpch  # noqa: E402,F401
 # — keeping only the 12 ref_* parity rows pinned. Two driver rounds cover
 # them all; everything stays under pytest + full-range dtype-checked
 # driver_sim + the verify drive regardless of window position.
+#
+# ROUND-4 CONTINUATION SESSION added 22 more entries (17 oracle-backed:
+# skyline/association/interpolate/seasonal/er_pairs/er_entities/k_anon/
+# max_by/pmi/cusum/kmv/split_lm/survival/dq_expectations/
+# crosssplit_decontamination/quality_survivor/token_budget; 5 rows-only:
+# fpgrowth/prefixspan/bpe_merges/bpe_tokenize/quality_classifier) — fold
+# these into the same round-5 rotation queue, again prioritizing entries
+# that have never had an independent driver row.
 _CONTRACT_PRIORITY = [
     # reference parity (every round)
     "ref_q1_avg_price_by_priority",

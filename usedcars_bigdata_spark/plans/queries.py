@@ -4508,7 +4508,7 @@ def rel_association(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT key FROM agg
     ), grid AS (
       SELECT k.key, a.bucket_start, g.fp,
-             CAST(epoch(a.bucket_start) AS BIGINT) // 3600 AS i
+             CAST(epoch(a.bucket_start) AS BIGINT) AS i
       FROM keys k CROSS JOIN axis a
       LEFT JOIN agg g ON g.key = k.key AND g.bucket_start = a.bucket_start
     ), nb AS (
