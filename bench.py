@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "ext_crosssplit_decontamination",
     "ext_dedup_quality_survivor",
     "ext_token_budget_sample",
+    "rel_scd2_pointlookup",
+    "rel_winsorized_stats",
+    "ext_corpus_card",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -622,3 +622,53 @@ def test_interpolate_linear_non_hour_step(spark):
         ).collect()
     }
     assert out == {(0, 0): 300, (0, 30): 400, (1, 0): 500, (1, 30): 600}
+
+
+# -------------------------------------------------- point-in-time lookup
+def test_scd2_pointlookup_attributes_history(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["rel_scd2_pointlookup"](spark, sf_dir).collect()
+    moved_years = sorted(r.order_year for r in rows if r.seg == "MOVED")
+    assert moved_years and min(moved_years) >= 1996
+    # pre-move orders of moved customers land under their ORIGINAL segs:
+    # original segments must still show pre-1996 years
+    other_years = [r.order_year for r in rows if r.seg != "MOVED"]
+    assert min(other_years) < 1996
+
+
+def test_scd2_pointlookup_no_nested_loop(spark, sf_dir):
+    from tests.test_plan_shapes import plan_of
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    plan = plan_of(QUERIES["rel_scd2_pointlookup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------------------------- winsorization
+def test_winsorized_mean_bounded_by_cuts(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    for r in QUERIES["rel_winsorized_stats"](spark, sf_dir).collect():
+        assert r.p01_cents <= r.winsor_mean_cents <= r.p99_cents
+        assert r.n > 0
+
+
+# ----------------------------------------------------------- corpus card
+def test_corpus_card_consistent_with_parts(spark, sf_dir):
+    from usedcars_bigdata_spark.ext.dedup import exact_dedup_stats
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+
+    card = QUERIES["ext_corpus_card"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r.n_docs for r in card) == docs.count()
+    # duplicate incidence cross-checked against the dedup tier:
+    # every content group of size c>=2 contributes c flagged docs
+    groups = exact_dedup_stats(docs, "doc_id", "text").collect()
+    expected_dups = sum(g.n_copies for g in groups if g.n_copies >= 2)
+    assert sum(r.n_exact_dup for r in card) == expected_dups
+    for r in card:
+        assert 0 <= r.mean_quality_fp <= 10000
+        assert r.mean_tokens == r.total_tokens // r.n_docs

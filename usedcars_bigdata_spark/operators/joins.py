@@ -325,3 +325,38 @@ def semi(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) ->
 def anti(left: DataFrame, right: DataFrame, on: str | Sequence[str] | Column) -> DataFrame:
     """NOT EXISTS: rows of left without a match."""
     return left.join(right, on=on, how="left_anti")
+
+
+def effective_dated_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (valid-time) join of facts against an SCD2-versioned
+    dimension: each fact row picks the dimension version whose
+    [valid_from, valid_to) interval contains the fact timestamp — the
+    as-it-was lookup that makes historical reports reproducible, where
+    joining the CURRENT version silently rewrites history (and a feature
+    store would leak the future into training rows).
+
+    Versioning guarantees at most one matching interval per key, so this
+    is an equi-join on the key with the interval predicate as a join-time
+    filter — Catalyst plans the hash join on the key and applies the
+    range condition on matches; never a nested loop. Open-ended current
+    rows (valid_to NULL) match everything from valid_from on. At 100 TB
+    the dimension broadcasts (SCD2 dims are key-cardinality-sized ×
+    version count); a huge dimension co-partitions on the key like
+    merge_upsert."""
+    key_list = list(keys)
+    cond = None
+    for k in key_list:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = cond & (dim[from_col] <= facts[ts_col]) & (
+        dim[to_col].isNull() | (facts[ts_col] < dim[to_col])
+    )
+    return facts.join(dim, cond, how)

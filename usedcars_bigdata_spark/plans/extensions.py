@@ -2298,3 +2298,78 @@ def ext_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 800)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "ext_corpus_card",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, md5(text) AS h,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CAST(round((len(list_filter(w, x -> x IN
+                     ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(w) * 0.5
+                   + least(len(w), 100) / 100.0 * 0.5) * 10000) AS BIGINT)
+               AS q_fp,
+             CAST(len(w) AS BIGINT) AS n_tokens
+      FROM t
+    ), dups AS (
+      SELECT h FROM t GROUP BY h HAVING count(*) >= 2
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(q.n_tokens) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS mean_tokens,
+           CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dup,
+           CAST(sum(q.q_fp) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS mean_quality_fp
+    FROM t
+    JOIN q ON q.doc_id = t.doc_id
+    LEFT JOIN dups d ON d.h = t.h
+    GROUP BY 1
+    """,
+)
+def ext_corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: the per-source datasheet row (docs, token totals,
+    exact-duplicate incidence, mean quality) a dataset release ships —
+    "datasheets for datasets" reduced to what the engine can attest
+    mechanically. One scan computes hash + tokens + quality per doc;
+    the corpus-wide duplicate set joins back on the 16-byte digest; all
+    means are truncating integer fixed-point, so the card replays
+    exactly. Composes the already-verified quality and exact-dedup
+    pieces into the release artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(w).cast("long").alias("n_tokens"),
+    )
+    q = TX.quality_score(docs, "doc_id", "text").select(
+        "doc_id",
+        F.round(F.col("quality_score") * 10000).cast("long").alias("q_fp"),
+    )
+    dups = (
+        t.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    return (
+        t.join(q, "doc_id")
+        .join(dups, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("sum(n_tokens) div count(*)").alias("mean_tokens"),
+            F.sum(F.when(F.col("__dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_exact_dup"
+            ),
+            F.expr("sum(q_fp) div count(*)").alias("mean_quality_fp"),
+        )
+    )

@@ -5130,3 +5130,150 @@ def rel_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rule("unique:o_orderkey", F.col("extra")))
         .unionByName(rule("fk:o_custkey->customer", F.col("n_orphans")))
     )
+
+
+@query(
+    "rel_scd2_pointlookup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             DATE '1990-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM customer WHERE c_custkey % 3 <> 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, DATE '1990-01-01', DATE '1996-06-01'
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, 'MOVED', DATE '1996-06-01', CAST(NULL AS DATE)
+      FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT d.seg, CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN dim d ON d.k = o.o_custkey
+              AND d.valid_from <= o.o_orderdate
+              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY 1, 2
+    """,
+)
+def rel_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against a versioned dimension
+    (operators.joins.effective_dated_join): revenue by segment AND
+    order year where each order sees the segment AS OF its order date —
+    every 3rd customer "moves" segment mid-1996, so pre-move orders
+    aggregate under the old segment and post-move orders under MOVED;
+    joining only the current version would rewrite history. Equi hash
+    join on the customer key with the interval predicate as a match
+    filter (plan-guarded: no nested loop); the versioned dim broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    moved = F.col("c_custkey") % 3 == 0
+    dim = (
+        cust.filter(~moved)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+        )
+        .unionByName(
+            cust.filter(moved).select(
+                F.col("c_custkey").alias("k"),
+                F.col("c_mktsegment").alias("seg"),
+                F.to_date(F.lit("1990-01-01")).alias("valid_from"),
+                F.to_date(F.lit("1996-06-01")).alias("valid_to"),
+            )
+        )
+        .unionByName(
+            cust.filter(moved).select(
+                F.col("c_custkey").alias("k"),
+                F.lit("MOVED").alias("seg"),
+                F.to_date(F.lit("1996-06-01")).alias("valid_from"),
+                F.lit(None).cast("date").alias("valid_to"),
+            )
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.to_date("o_orderdate").alias("od"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    joined = J.effective_dated_join(
+        orders, F.broadcast(dim), keys=["k"], ts_col="od"
+    )
+    return (
+        joined.groupBy(
+            "seg", F.year("od").cast("int").alias("order_year")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "rel_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), cuts AS (
+      SELECT o_orderpriority,
+             quantile_disc(cents, 0.01) AS p01,
+             quantile_disc(cents, 0.99) AS p99
+      FROM c GROUP BY 1
+    )
+    SELECT c.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           any_value(t.p01) AS p01_cents,
+           any_value(t.p99) AS p99_cents,
+           CAST(sum(least(greatest(c.cents, t.p01), t.p99)) AS BIGINT)
+             // CAST(count(*) AS BIGINT) AS winsor_mean_cents,
+           CAST(sum(c.cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+             AS raw_mean_cents
+    FROM c JOIN cuts t ON t.o_orderpriority = c.o_orderpriority
+    GROUP BY 1
+    """,
+)
+def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means per priority: clip prices to the group's exact
+    discrete [P1, P99] before averaging — the robust-mean treatment for
+    heavy tails (MAD flags outliers, winsorization BOUNDS their
+    influence while keeping the rows). Discrete percentiles via the
+    rank-selection rewrite (rel_percentile_disc idiom), clipping with
+    least/greatest, truncating integer means — exact on both engines.
+    The cut table is group-cardinality-sized and broadcasts back."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("cents").asc())
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select("o_orderpriority", cents.alias("cents")).select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("n")), F.col("cents"))
+    )
+    cuts = ranked.groupBy("o_orderpriority").agg(
+        pick(0.01).alias("p01"), pick(0.99).alias("p99")
+    )
+    clipped = F.least(F.greatest(F.col("cents"), F.col("p01")), F.col("p99"))
+    return (
+        orders.select("o_orderpriority", cents.alias("cents"))
+        .join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("p01").alias("p01_cents"),
+            F.first("p99").alias("p99_cents"),
+            F.expr(
+                "sum(least(greatest(cents, p01), p99)) div count(*)"
+            ).alias("winsor_mean_cents"),
+            F.expr("sum(cents) div count(*)").alias("raw_mean_cents"),
+        )
+    )
