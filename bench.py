@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "rel_tpch_q13_custdist",
     "rel_tpch_q18_large_orders",
     "rel_tpch_q19_disjunctive",
+    "rel_tpch_q9_profit",
+    "rel_tpch_q20_excess_suppliers",
     "ext_gopher_quality",
     "ext_c4_filters",
     "ext_domain_divergence",

@@ -196,6 +196,15 @@ _CONTRACT_PRIORITY = [
     "ts_stream_multibatch",
     "rows_als_recommendations",
     "ext_template_headers",
+    # round-4 continuation: TPC-H completion batch — the six remaining
+    # published shapes adapted to the harness schema (partsupp ≈ distinct
+    # lineitem pairs); with these all 22 TPC-H patterns are oracle-backed
+    "rel_tpch_q2_min_supplier",
+    "rel_tpch_q9_profit",
+    "rel_tpch_q11_value_parts",
+    "rel_tpch_q12_late_lines",
+    "rel_tpch_q16_supplier_cnt",
+    "rel_tpch_q20_excess_suppliers",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round
