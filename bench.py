@@ -157,10 +157,17 @@ def main() -> None:
     # (the reference similarly excludes cluster-start from its timings).
     time_query(spark, sf_dir, "ref_q1_avg_price_by_priority")
 
+    # ML fits run FIRST (right after warmup), not last: the iterative
+    # MLlib fits are the queries most sensitive to accumulated JVM heap /
+    # ContextCleaner churn, and with the bench now at 80+ entries the
+    # tail position inflated them ~4-6x over their isolated-JVM
+    # steady-state (r4: ml_linear 6.46s at position 83 vs 0.65s isolated;
+    # scripts/bench_isolated.py reproduces). Running them in a fresh heap
+    # keeps the recorded number close to what a dedicated job would see.
     timings: dict[str, float] = {}
+    timings.update(time_models(spark, sf_dir))
     for name in BENCH_QUERIES:
         timings[name] = round(time_query(spark, sf_dir, name), 3)
-    timings.update(time_models(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -34,6 +34,25 @@ def child(name: str, sf_dir: str, reps: int) -> None:
 
     spark = get_session(app_name=f"bench-isolated-{name}")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if name.startswith("ml_"):  # bench.py model fits (ml_linear, ...)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", os.path.join(HERE, "bench.py")
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        model = name[len("ml_"):]
+
+        def run_once() -> float:
+            return bench.time_models(spark, sf_dir)[f"ml_{model}"]
+
+        run_once()  # warmup, unrecorded
+        times = [run_once() for _ in range(reps)]
+        print(json.dumps({"query": name, "times": times}))
+        return
+
     QUERIES[name](spark, sf_dir).count()  # warmup, unrecorded
     times = []
     for _ in range(reps):

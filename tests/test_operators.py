@@ -568,6 +568,66 @@ def test_ewma_smooth_matches_recurrence(spark):
     assert out[99] == 3.0
 
 
+def test_ewma_smooth_carry_across_arrow_batches(spark):
+    """The sorted-partition mapInPandas form carries per-key state across
+    Arrow batch boundaries. Force 10-row batches over a 64-row series so a
+    single key's series straddles several batches, and pin the output to
+    the sequential recurrence — if the carry seeding were wrong, every
+    batch after the first would restart at y_0 = x_0."""
+    from usedcars_bigdata_spark.operators.timeseries import ewma_smooth
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        t0 = dt.datetime(2024, 3, 1)
+        vals = [float((i * 37) % 101) for i in range(64)]
+        rows = [
+            (i, 7, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).coalesce(1)
+        out = {
+            r["event_id"]: r["ewma"]
+            for r in ewma_smooth(
+                df, "user_id", "ts", "event_id", "value", alpha=0.3
+            ).collect()
+        }
+        y = vals[0]
+        for i, v in enumerate(vals):
+            if i:
+                y = 0.3 * v + 0.7 * y
+            assert abs(out[i] - round(y, 6)) < 1e-9, f"diverged at {i}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_holt_trend_matches_recurrence(spark):
+    from usedcars_bigdata_spark.operators.timeseries import holt_trend
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10.0, 20.0, 5.0, 40.0, 12.5]
+    rows = [(i, 7, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["level"], r["trend"], r["rn"])
+        for r in holt_trend(
+            df, "user_id", "ts", "event_id", "value", alpha=0.5, beta=0.5
+        ).collect()
+    }
+    lv, tr = vals[0], 0.0
+    assert got[0] == (lv, tr, 1)
+    for i, x in enumerate(vals[1:], start=1):
+        new_lv = 0.5 * x + 0.5 * (lv + tr)
+        tr = 0.5 * (new_lv - lv) + 0.5 * tr
+        lv = new_lv
+        assert got[i] == (lv, tr, i + 1), f"diverged at {i}"
+
+
 def test_scd2_merge_semantics(spark):
     from usedcars_bigdata_spark.operators.joins import scd2_merge
     import datetime as dt

@@ -10,6 +10,7 @@ else is key- or bucket-cardinality-sized and broadcasts.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -139,14 +140,27 @@ def ewma_smooth(
 
     The recurrence is inherently sequential PER KEY and has no fixed-frame
     window form (each output depends on the entire per-key prefix with
-    data-dependent weights), so this is the legitimate ``applyInPandas``
-    case: one shuffle partitions by key, each group is smoothed in a
-    single vectorized pandas ewm call. State is one group in memory at a
-    time — bounded by the largest per-key series, the same bound any
-    engine needs for this op. Rows-only in the contract (no closed-form
-    SQL); the recurrence is pytest-pinned against a manual replay.
+    data-dependent weights), so Python is the legitimate path — but NOT
+    one UDF call per key: the original per-group ``applyInPandas`` form
+    paid a pandas round-trip for each of the ~2k user groups and measured
+    4.0s isolated-JVM at sf0.1. This form repartitions by key, sorts each
+    partition by (key, ts, id), and streams it through ONE ``mapInPandas``
+    pass: within a partition the Arrow batches arrive in sorted order, so
+    a per-key carry dict seeds each batch's groupwise ewm with the
+    previous batch's last smoothed value (the adjust=False recurrence
+    depends only on the prior output, so prepending the carry as a
+    synthetic first observation continues the series exactly; the
+    synthetic row is dropped from the output). Measured 0.72s isolated-JVM
+    at sf0.1 vs 4.0s for the per-group form (5.5x), pytest-pinned equal
+    to the sequential recurrence including across batch boundaries.
+    State is one (float) per key seen in the partition — bounded by keys
+    per partition, not by series length. Rows-only in the contract (no
+    closed-form SQL); the recurrence is pytest-pinned against a manual
+    replay.
 
     Output: (id, key, ts, value, ewma)."""
+    import pandas as pd
+
     dtypes = dict(events.dtypes)
     schema = ", ".join(
         [
@@ -157,15 +171,113 @@ def ewma_smooth(
     )
     cols = [id_col, key_col, ts_col, value_col]
 
-    def smooth(pdf):
+    def smooth_stream(batches):
+        carry: dict = {}  # key -> last smoothed value
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            # Seed: one synthetic leading observation per key continuing
+            # from the previous batch (if any), then a single groupwise
+            # vectorized ewm over the whole batch.
+            seed_keys = [k for k in pd.unique(keys) if k in carry]
+            if seed_keys:
+                seed = pd.DataFrame(
+                    {
+                        key_col: seed_keys,
+                        value_col: [carry[k] for k in seed_keys],
+                        "__seed": True,
+                    }
+                )
+                body = pdf[[key_col, value_col]].copy()
+                body["__seed"] = False
+                allf = pd.concat([seed, body], ignore_index=True)
+            else:
+                allf = pdf[[key_col, value_col]].copy()
+                allf["__seed"] = False
+            sm = (
+                allf.groupby(key_col, sort=False)[value_col]
+                .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+                .to_numpy()
+            )
+            n_seed = len(seed_keys)
+            sm = sm[n_seed:]  # drop the synthetic carry rows
+            out = pdf[cols].copy()
+            out["ewma"] = np.round(sm, ndigits)
+            # Carry the UNROUNDED last smoothed value per key (rounding
+            # happens only on the output column) so the continuation is
+            # exact across batch boundaries.
+            carry.update(pd.Series(sm, index=keys).groupby(level=0).last().to_dict())
+            yield out
+
+    return (
+        events.select(*cols)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(smooth_stream, schema)
+    )
+
+
+def holt_trend(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    ndigits: int | None = None,
+) -> DataFrame:
+    """Per-key Holt double-exponential smoothing (level + linear trend):
+
+        l_i = α·x_i + (1-α)·(l_{i-1} + b_{i-1})
+        b_i = β·(l_i - l_{i-1}) + (1-β)·b_{i-1}
+        l_1 = x_1, b_1 = 0
+
+    Like ewma_smooth this is inherently sequential per key, but UNLIKE
+    ewma it is oracle-backed: the coupled recurrence replays exactly in a
+    DuckDB recursive CTE because both engines execute the identical IEEE
+    double expression in the identical (sequential, per-key) order —
+    the contract entry ts_holt_trend pins Spark against that replay.
+    Default α=β=0.5 keeps the multiplications exact (halving is lossless
+    in binary floating point). ndigits=None (the contract setting) emits
+    the raw doubles: rounding would HURT parity here, because numpy
+    rounds half-to-even while DuckDB rounds half-away, and the
+    half-scaled recursion lands on exact decimal halves often enough to
+    flip the last digit (observed: 4.6253125 → 4.625312 vs 4.625313).
+    One shuffle on the key; per-group state is the 2-scalar
+    (level, trend) carried through a single pass — the same bound a
+    purpose-built streaming engine needs for Holt state.
+
+    Output: (id, key, rn, value, level, trend) with rn the 1-based
+    event-order index used by the oracle's recursion join."""
+    dtypes = dict(events.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in (id_col, key_col)]
+        + ["rn bigint", f"{value_col} {dtypes[value_col]}"]
+        + ["level double", "trend double"]
+    )
+    cols = [id_col, key_col, ts_col, value_col]
+
+    def fit(pdf):
         pdf = pdf.sort_values([ts_col, id_col])
-        out = pdf[cols].copy()
-        out["ewma"] = (
-            pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(ndigits)
-        )
+        x = pdf[value_col].to_numpy(dtype="float64")
+        level = np.empty_like(x)
+        trend = np.empty_like(x)
+        lv, tr = x[0], 0.0
+        level[0], trend[0] = lv, tr
+        for i in range(1, len(x)):
+            new_lv = alpha * x[i] + (1 - alpha) * (lv + tr)
+            tr = beta * (new_lv - lv) + (1 - beta) * tr
+            lv = new_lv
+            level[i], trend[i] = lv, tr
+        out = pdf[[id_col, key_col]].copy()
+        out["rn"] = np.arange(1, len(x) + 1)
+        out[value_col] = pdf[value_col].to_numpy()
+        out["level"] = level if ndigits is None else np.round(level, ndigits)
+        out["trend"] = trend if ndigits is None else np.round(trend, ndigits)
         return out
 
-    return events.select(*cols).groupBy(key_col).applyInPandas(smooth, schema)
+    return events.select(*cols).groupBy(key_col).applyInPandas(fit, schema)
 
 
 def zscore_outliers(

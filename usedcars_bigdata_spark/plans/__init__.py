@@ -205,6 +205,9 @@ _CONTRACT_PRIORITY = [
     "rel_tpch_q12_late_lines",
     "rel_tpch_q16_supplier_cnt",
     "rel_tpch_q20_excess_suppliers",
+    # round-4 continuation: Holt level+trend smoothing — the sequential
+    # smoother class, oracle-backed via DuckDB recursive-CTE replay
+    "ts_holt_trend",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

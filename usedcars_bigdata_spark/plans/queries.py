@@ -1230,6 +1230,51 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_holt_trend",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ), holt AS (
+      SELECT user_id, event_id, rn, value,
+             value AS level, CAST(0.0 AS DOUBLE) AS trend
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.value,
+             0.5 * b.value + 0.5 * (h.level + h.trend),
+             0.5 * ((0.5 * b.value + 0.5 * (h.level + h.trend)) - h.level)
+               + 0.5 * h.trend
+      FROM base b
+      JOIN holt h ON b.user_id = h.user_id AND b.rn = h.rn + 1
+    )
+    SELECT event_id, user_id, rn, value, level, trend
+    FROM holt
+    """,
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt double-exponential smoothing over purchase values
+    (operators.timeseries.holt_trend) — the coupled level+trend recurrence
+    that upgrades the sequential-smoother class from rows-only (ewma) to
+    FULLY oracle-backed: DuckDB replays the recursion as a recursive CTE
+    and both engines execute the identical IEEE-double expression in the
+    identical per-key sequential order, so the outputs agree to the bit
+    (α=β=0.5 even keeps every multiplication exact) — compared UNROUNDED,
+    because rounding would break parity: numpy rounds half-to-even,
+    DuckDB half-away, and the half-scaled recursion hits exact decimal
+    halves. Engine side is the
+    declared applyInPandas path: one shuffle by user, one numpy pass per
+    group carrying 2 scalars of state."""
+    return TS.holt_trend(
+        load_table(spark, sf_dir, "events").filter(
+            F.col("event_type") == "purchase"
+        ),
+        "user_id", "ts", "event_id", "value",
+    )
+
+
+@query(
     "ts_funnel_stages",
     oracle="""
     WITH s0 AS (
