@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ext_remove_dup_spans",
     "ts_ohlc_hourly",
     "ts_ewma_smooth",
+    "ts_holt_trend",
     # round-4 late batch: TPC-H breadth + corpus rule sets + event-time
     "rel_tpch_q6_forecast",
     "rel_tpch_q8_market_share",

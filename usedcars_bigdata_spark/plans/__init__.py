@@ -208,6 +208,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: Holt level+trend smoothing — the sequential
     # smoother class, oracle-backed via DuckDB recursive-CTE replay
     "ts_holt_trend",
+    # round-4 continuation: foreachBatch exactly-once upsert sink made
+    # driver-visible (update-mode agg stream -> keyed parquet MERGE)
+    "ts_stream_upsert_sink",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4390,6 +4390,77 @@ def ts_stream_multibatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
+@query(
+    "ts_stream_upsert_sink",
+    oracle="""
+    SELECT user_id % 20 AS bucket,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch exactly-once upsert sink, end-to-end under the oracle:
+    an UPDATE-mode aggregated stream (per-bucket count + value sum) over
+    the 3-file range-split events source merges each micro-batch's changed
+    keys into a parquet target via streaming.sinks.upsert_to_parquet (the
+    anti-join + union + atomic-swap MERGE). Update mode emits cumulative
+    values for keys touched by each batch, so after the final batch the
+    LATEST row per key IS the total — the target must equal the batch
+    aggregation exactly. This makes the production sink path (idempotent
+    keyed merge, the Delta-MERGE shape without the jar) driver-visible;
+    the restart/replay exactly-once semantics are pinned separately in
+    tests/test_streaming_advanced.py. Rounding happens in the final read,
+    not in stream state, so float summation order matches the batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.sinks import upsert_to_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_upsert_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    src = os.path.join(base, "src")
+    target = os.path.join(base, "target")
+    ck = os.path.join(base, "ck")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    # Fresh target/checkpoint per run: the upsert is idempotent per batch,
+    # but a stale checkpoint would mark all input processed and leave the
+    # (possibly partially deleted) old target as the answer.
+    for d in (target, ck):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    sink = "ts_stream_upsert_sink_q"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    agg = (
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+        .groupBy((F.col("user_id") % 20).alias("bucket"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("__sum"))
+    )
+    q = upsert_to_parquet(
+        agg, target, key="bucket", checkpoint=ck, query_name=sink,
+        output_mode="update",
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.read.parquet(target).select(
+        "bucket", "n_events", F.round("__sum", 2).alias("sum_value")
+    )
+
+
 @query("rows_als_recommendations")
 def rows_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering end-to-end (ml.als): implicit strengths

@@ -43,10 +43,17 @@ def upsert_to_parquet(
     key: str,
     checkpoint: str,
     query_name: str = "upsert",
+    output_mode: str = "append",
 ) -> StreamingQuery:
     """foreachBatch upsert sink: each micro-batch merges by key into
     ``target_path``. With checkpointing, a replayed batch re-merges the
-    same rows → same target state (exactly-once effect)."""
+    same rows → same target state (exactly-once effect).
+
+    ``output_mode="update"`` is the aggregated-stream pairing: each batch
+    delivers the keys whose aggregate changed, carrying the CUMULATIVE
+    value, and the keyed merge makes the target converge to the batch
+    answer (contract entry ts_stream_upsert_sink checks exactly that
+    against the DuckDB batch aggregation)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -55,6 +62,7 @@ def upsert_to_parquet(
 
     return (
         stream_df.writeStream.foreachBatch(handle)
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
