@@ -672,3 +672,49 @@ def test_corpus_card_consistent_with_parts(spark, sf_dir):
     for r in card:
         assert 0 <= r.mean_quality_fp <= 10000
         assert r.mean_tokens == r.total_tokens // r.n_docs
+
+
+# ------------------------------------------------------ count-min sketch
+def test_cms_never_underestimates(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["rel_cms_sketch"](spark, sf_dir).collect()
+    assert rows, "no probe items"
+    for r in rows:
+        # CMS over-approximation guarantee: a cell count is the item's
+        # true count plus whatever shares the bucket — never less.
+        assert r.cms_estimate >= r.n_exact, r
+        # depth-3 width-256 over a 5-value domain: the min over rows
+        # should shed any single-row collision entirely.
+        assert r.cms_estimate <= 2 * r.n_exact, r
+
+
+def test_cms_mergeable_by_cell_sum(spark):
+    """Partial sketches over disjoint corpus halves add cell-wise into the
+    whole-corpus sketch — the property that lets executors build partial
+    sketches map-side and merge by sum (same contract as KMV's min-k)."""
+    from pyspark.sql import functions as F
+
+    data = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)], "id long, item string"
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.col("item"))), 1, 2
+    )
+    depth = F.array(F.lit(0), F.lit(1), F.lit(2))
+
+    def cells(df):
+        return (
+            df.select(F.explode(depth).alias("r"), "item")
+            .select("r", bucket.alias("bucket"))
+            .groupBy("r", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+
+    whole = {(r.r, r.bucket): r.c for r in cells(data).collect()}
+    lo = cells(data.filter("id < 200")).collect()
+    hi = cells(data.filter("id >= 200")).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        merged[(r.r, r.bucket)] = merged.get((r.r, r.bucket), 0) + r.c
+    assert merged == whole

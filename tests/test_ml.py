@@ -218,3 +218,35 @@ class TestALS:
         assert r.columns == ["user", "item", "strength"]
         row = r.agg(F.min("strength").alias("lo")).collect()[0]
         assert row["lo"] >= 1.0  # quantities are >= 1
+
+
+def test_word2vec_planted_cooccurrence(spark):
+    """A word that always co-occurs with its partner must embed closer to
+    it than to a word it never appears with — the recall-style quality
+    pin for the seeded Word2Vec fit."""
+    from usedcars_bigdata_spark.ml.textsim import fit_word2vec
+
+    pair_docs = [("alpha beta " * 12).strip()] * 30
+    other_docs = [("gamma delta " * 12).strip()] * 30
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pair_docs + other_docs)], "id long, text string"
+    )
+    model = fit_word2vec(docs, vector_size=16, min_count=2, seed=7)
+    syn = {r.word: r.similarity for r in model.findSynonyms("alpha", 3).collect()}
+    assert "beta" in syn, syn
+    # the co-occurring partner outranks the never-co-occurring words
+    assert syn["beta"] >= max(
+        (s for w, s in syn.items() if w in ("gamma", "delta")), default=-1.0
+    ), syn
+
+
+def test_word2vec_contract_entry_shape(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    out = QUERIES["rows_word2vec_synonyms"](spark, sf_dir)
+    rows = out.collect()
+    assert out.columns == ["probe", "rank", "word", "similarity"]
+    assert {r.probe for r in rows} == {"table", "query", "spark"}
+    for r in rows:
+        assert 1 <= r.rank <= 5
+        assert -1.0 <= r.similarity <= 1.0001

@@ -136,3 +136,58 @@ def recommend(
         .orderBy("rank")
         .drop(id_col)
     )
+
+
+def fit_word2vec(
+    docs: DataFrame,
+    text_col: str = "text",
+    vector_size: int = 32,
+    min_count: int = 5,
+    seed: int = 42,
+):
+    """Skip-gram Word2Vec over whitespace tokens (pyspark.ml.feature.
+    Word2Vec) — the learned-embedding complement of the count-based
+    TF-IDF stack above and of ext.text.pmi_cooccurrence (whose PMI
+    matrix is the classic factorization target of skip-gram per
+    Levy & Goldberg 2014). numPartitions=1 + fixed seed keeps the fit
+    deterministic for a given input (Word2Vec's async updates are
+    partition-ordered); at corpus scale you trade that determinism for
+    throughput by raising numPartitions — documented, not defaulted.
+
+    Returns the fitted Word2VecModel."""
+    from pyspark.ml.feature import Word2Vec
+
+    tokens = docs.select(F.split(F.col(text_col), r"\s+").alias("tokens"))
+    w2v = Word2Vec(
+        inputCol="tokens",
+        outputCol="vec",
+        vectorSize=vector_size,
+        minCount=min_count,
+        seed=seed,
+        numPartitions=1,
+    )
+    return w2v.fit(tokens)
+
+
+def word_synonyms(model, probe_words: list[str], k: int = 5) -> DataFrame:
+    """Top-k nearest vocabulary words per probe word by embedding cosine
+    (model.findSynonyms), stacked into one (probe, rank, word, similarity)
+    DataFrame. Rows-only in the contract: embedding VALUES are
+    float-reduction-order artifacts, so the driver checks shape while
+    tests/test_ml.py pins QUALITY (a planted co-occurrence pair must
+    rank above an unrelated word) — the ALS/LSH recall pattern."""
+    out = None
+    for w in probe_words:
+        syn = (
+            model.findSynonyms(w, k)
+            .withColumn("probe", F.lit(w))
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy(F.lit(1)).orderBy(F.col("similarity").desc())
+                ),
+            )
+            .select("probe", "rank", "word", F.round("similarity", 4).alias("similarity"))
+        )
+        out = syn if out is None else out.unionByName(syn)
+    return out

@@ -211,6 +211,11 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: foreachBatch exactly-once upsert sink made
     # driver-visible (update-mode agg stream -> keyed parquet MERGE)
     "ts_stream_upsert_sink",
+    # round-4 continuation: count-min sketch (md5-parity cells, exact
+    # oracle replay) — completes the sketch family with KMV + HLL
+    "rel_cms_sketch",
+    # round-4 continuation: learned word embeddings (rows-only by nature)
+    "rows_word2vec_synonyms",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4461,6 +4461,21 @@ def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rows_word2vec_synonyms")
+def rows_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec skip-gram embeddings trained on the documents corpus
+    (ml.textsim.fit_word2vec, seeded + single-partition for determinism),
+    probed for the top-5 nearest vocabulary words to three frequent
+    corpus terms. Rows-only by nature (embedding values are float
+    artifacts of the fit); the planted co-occurrence test in
+    tests/test_ml.py pins that the geometry is real."""
+    from ..ml.textsim import fit_word2vec, word_synonyms
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = fit_word2vec(docs)
+    return word_synonyms(model, ["table", "query", "spark"], k=5)
+
+
 @query("rows_als_recommendations")
 def rows_als(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS collaborative filtering end-to-end (ml.als): implicit strengths
@@ -5070,6 +5085,79 @@ def rel_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(ex), "o_orderpriority")
         .select("o_orderpriority", "sketch", "k_filled", "n_exact")
+    )
+
+
+@query(
+    "rel_cms_sketch",
+    oracle="""
+    WITH cells AS (
+      SELECT r, substr(md5(CAST(r AS VARCHAR) || event_type), 1, 2) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, (VALUES (0), (1), (2)) t(r)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT DISTINCT event_type, r,
+             substr(md5(CAST(r AS VARCHAR) || event_type), 1, 2) AS bucket
+      FROM events, (VALUES (0), (1), (2)) t(r)
+    ), ex AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           any_value(ex.n_exact) AS n_exact
+    FROM probes p
+    JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+    JOIN ex ON ex.event_type = p.event_type
+    GROUP BY 1
+    """,
+)
+def rel_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth 3 × width 256), built and probed entirely
+    in-engine and EXACTLY replayed by the oracle: bucket keys are
+    2-hex-char md5 prefixes of (row_seed || item), so DuckDB reproduces
+    the identical cells — the sketch's over-estimates (min over rows of
+    a shared-bucket count) are deterministic and hash-checked, not just
+    bounded. The KMV entry's md5-parity idiom extended from order
+    statistics to frequency estimation; together with HLL
+    (rel_approx_count_distinct, rows-only by JVM-internal hashing) and
+    KMV this completes the sketch family: distinct-count, order, and
+    frequency.
+
+    Scale shape: the depth-explode triples rows BEFORE a (r, bucket)
+    groupBy that map-side combines into ≤ depth × width = 768 cells —
+    the whole sketch is that fixed-size table, mergeable by cell-wise
+    sum (partial sketches add). Probes (distinct items) join the tiny
+    cell table broadcast. n_exact rides along for the ε-bound test; a
+    production sketch would drop it."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    depth = F.array(F.lit(0), F.lit(1), F.lit(2))
+    bucket = F.substring(
+        F.md5(F.concat(F.col("r").cast("string"), F.col("event_type"))), 1, 2
+    )
+    cells = (
+        ev.select(F.explode(depth).alias("r"), "event_type")
+        .select("r", bucket.alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = (
+        ev.distinct()
+        .select(F.explode(depth).alias("r"), "event_type")
+        .select("event_type", "r", bucket.alias("bucket"))
+    )
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("event_type")
+        .agg(F.min("c").alias("cms_estimate"))
+        .join(F.broadcast(ex), "event_type")
+        .select("event_type", "cms_estimate", "n_exact")
     )
 
 
