@@ -718,3 +718,22 @@ def test_cms_mergeable_by_cell_sum(spark):
     for r in [*lo, *hi]:
         merged[(r.r, r.bucket)] = merged.get((r.r, r.bucket), 0) + r.c
     assert merged == whole
+
+
+# ------------------------------------------------------------ attribution
+def test_attribution_models_conserve_value(spark, sf_dir):
+    """First- and last-touch both hand out each attributed purchase's full
+    value exactly once, so their totals are identical; linear's total is
+    the same up to < 1 microcent truncation loss per touch row."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["ts_attribution_models"](spark, sf_dir).collect()
+    by_model: dict = {}
+    touches: dict = {}
+    for r in rows:
+        by_model[r.model] = by_model.get(r.model, 0) + r.attributed_microcents
+        touches[r.model] = touches.get(r.model, 0) + r.n_attributions
+    assert by_model["first_touch"] == by_model["last_touch"]
+    assert touches["first_touch"] == touches["last_touch"]  # one per purchase
+    loss = by_model["first_touch"] - by_model["linear"]
+    assert 0 <= loss < touches["linear"], (loss, touches["linear"])

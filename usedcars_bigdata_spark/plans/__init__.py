@@ -216,6 +216,9 @@ _CONTRACT_PRIORITY = [
     "rel_cms_sketch",
     # round-4 continuation: learned word embeddings (rows-only by nature)
     "rows_word2vec_synonyms",
+    # round-4 continuation: multi-touch revenue attribution (first/last/
+    # linear models, integer micro-cents, one shared window partitioning)
+    "ts_attribution_models",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4092,6 +4092,112 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_attribution_models",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_id,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS channel
+      FROM events WHERE event_type = 'click'
+    ), t AS (
+      SELECT p.p_id, p.cents, c.c_ts, c.c_id, c.channel
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - INTERVAL 1 HOUR
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id)
+               AS rn_first,
+             row_number() OVER (PARTITION BY p_id ORDER BY c_ts DESC, c_id DESC)
+               AS rn_last,
+             CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n_t
+      FROM t
+    )
+    SELECT 'first_touch' AS model, channel,
+           CAST(sum(cents * 10000) AS BIGINT) AS attributed_microcents,
+           count(*) AS n_attributions
+    FROM r WHERE rn_first = 1 GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch', channel,
+           CAST(sum(cents * 10000) AS BIGINT), count(*)
+    FROM r WHERE rn_last = 1 GROUP BY 2
+    UNION ALL
+    SELECT 'linear', channel,
+           CAST(sum((cents * 10000) // n_t) AS BIGINT), count(*)
+    FROM r GROUP BY 2
+    """,
+)
+def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: every purchase's value is credited
+    to the click touchpoints of the SAME user within the preceding hour,
+    under three standard models — first-touch (earliest click takes all),
+    last-touch (latest takes all), linear (equal split across touches).
+    The channel is the click's props.k mod 5 (JVM-native get_json_object;
+    the harness's stand-in for a UTM source). All money is integer
+    micro-cents with truncating division, so the three models are
+    hash-exact across engines; (c_ts, c_id) tie-breaks make first/last
+    deterministic under simultaneous clicks.
+
+    Scale shape: the touch join is a per-user interval join — one shuffle
+    on user_id, with the 1-hour bound keeping per-purchase touch counts
+    small; the three window functions share ONE partitioning (p_id), so
+    Catalyst computes them in a single window stage; each model's
+    aggregate then shuffles only the touch rows that survive its filter.
+    At 100 TB the equivalent plan holds with event-time bucketing on the
+    join (operators.joins.interval_join precedent)."""
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        (F.get_json_object("props", "$.k").cast("int") % 5).alias("channel"),
+    )
+    touches = p.join(
+        c,
+        (p.user_id == c.user_id)
+        & (c.c_ts <= p.p_ts)
+        & (c.c_ts > p.p_ts - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_id", "cents", "c_ts", "c_id", "channel")
+    w = Window.partitionBy("p_id")
+    r = (
+        touches.withColumn(
+            "rn_first",
+            F.row_number().over(w.orderBy("c_ts", "c_id")),
+        )
+        .withColumn(
+            "rn_last",
+            F.row_number().over(
+                w.orderBy(F.col("c_ts").desc(), F.col("c_id").desc())
+            ),
+        )
+        .withColumn("n_t", F.count("*").over(w))
+    )
+    micro = F.col("cents") * 10000
+
+    def model(name: str, df: DataFrame, amount) -> DataFrame:
+        return df.groupBy("channel").agg(
+            F.sum(amount).alias("attributed_microcents"),
+            F.count("*").alias("n_attributions"),
+        ).select(F.lit(name).alias("model"), "channel",
+                 "attributed_microcents", "n_attributions")
+
+    first = model("first_touch", r.filter(F.col("rn_first") == 1), micro)
+    last = model("last_touch", r.filter(F.col("rn_last") == 1), micro)
+    linear = model(
+        "linear", r, F.expr("(cents * 10000) div n_t")
+    )
+    return first.unionByName(last).unionByName(linear)
+
+
+@query(
     "rel_try_ansi_safety",
     oracle="""
     SELECT o_orderpriority,
