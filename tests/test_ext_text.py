@@ -849,3 +849,63 @@ class TestTemplatePrefixes:
         assert share == round(8 / 9, 6)  # share is rounded to 6 in-query
         # s2 has no repeated header: top prefix share is 1/3
         assert out[("s2", 1)][1] == round(1 / 3, 6)
+
+
+def test_quantile_normalize_identity_on_single_source(spark):
+    """With ONE source, the within-source and global distributions
+    coincide, and mid-rank mapping must be the identity: q_norm == q_fp
+    for every document."""
+    from usedcars_bigdata_spark.ext.text import quantile_normalize_by_source
+
+    docs = spark.createDataFrame(
+        [(i, ("word " * (10 + i)).strip(), "only") for i in range(12)],
+        "doc_id long, text string, source string",
+    )
+    out = quantile_normalize_by_source(docs, "doc_id", "text", "source").collect()
+    assert len(out) == 12
+    for r in out:
+        assert r.q_norm == r.q_fp, r
+
+
+def test_quantile_normalize_is_monotone_within_source(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["ext_quantile_normalize"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append((r.q_fp, r.q_norm))
+    for src, pairs in by_src.items():
+        pairs.sort()
+        for (a_fp, a_n), (b_fp, b_n) in zip(pairs, pairs[1:]):
+            if a_fp < b_fp:
+                assert a_n <= b_n, (src, a_fp, a_n, b_fp, b_n)
+
+
+def test_quantile_normalize_calibrates_shifted_source(spark):
+    """A source whose scores are uniformly LOWER than the rest must map
+    its best docs onto the global upper range — the cross-source
+    calibration that motivates the op. Build a low-scoring source (no
+    stopwords) and a high-scoring source (stopword-rich): the low
+    source's top document lands above its raw score after normalization."""
+    from usedcars_bigdata_spark.ext.text import quantile_normalize_by_source
+
+    low = [
+        (i, ("xyz " * (20 + 10 * i)).strip(), "low") for i in range(5)
+    ]  # zero stopword hits, varying length
+    high = [
+        (100 + i, ("the of and " * (30 + 5 * i)).strip(), "high")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        low + high, "doc_id long, text string, source string"
+    )
+    out = {
+        r.doc_id: r
+        for r in quantile_normalize_by_source(
+            docs, "doc_id", "text", "source"
+        ).collect()
+    }
+    best_low = max((r for r in out.values() if r.source == "low"), key=lambda r: r.q_fp)
+    # its mid-rank within 'low' is 0.9 -> global idx in the top decile,
+    # which the stopword-rich source dominates
+    assert best_low.q_norm > best_low.q_fp, best_low

@@ -1633,3 +1633,107 @@ def split_lm_gate(
             F.round(F.exp(-F.col("__alp")), 2).alias("ppl"),
         )
     )
+
+
+def quantile_normalize_by_source(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """Per-source quantile normalization of an integer quality score — the
+    cross-source calibration step of corpus curation: a score of X from a
+    lenient source and a score of Y from a strict source are mapped onto
+    the GLOBAL score distribution at their within-source quantile, so one
+    threshold then means the same thing for every source (the
+    quantile-normalization standard from microarray statistics, applied
+    to corpus quality).
+
+    Semantics (all integer, hash-exact across engines):
+    - score: q_fp = (n_stop·10000)//n_tokens + min(n_tokens,100)·100 — a
+      pure-integer blend of the quality_score heuristic (no float round).
+    - ties take the MID-RANK: every doc sharing (source, q_fp) gets
+      p = (2·cum_below + cnt_at + 1) / (2·n_s), the standard statistical
+      treatment — which is also what makes the op SHUFFLE-LIGHT: no
+      per-doc tie-break window exists anywhere in the plan.
+    - q_norm = the smallest global score whose cumulative count reaches
+      idx = ceil(p·N), i.e. the global distribution's value at the same
+      quantile.
+
+    Scale shape: the corpus is touched exactly twice (once to score, once
+    for the final broadcast map-back join). Everything in between runs on
+    (source × distinct-score) COUNT tables — bounded by the score domain
+    (stopword grid × length grid) times the source vocabulary,
+    independent of corpus row count — so the within-source cumulative
+    windows and the idx→global-bucket lookup (a LINEAR marker-merge
+    window over the unioned count tables, not a range join, which would
+    be O(domain²) worst case) cost O(domain log domain), not O(rows).
+    No per-doc window, no per-doc sort, at any corpus size.
+
+    Output: (id, source, q_fp, q_norm)."""
+    w = _words(text_col)
+    n_tokens = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
+    # exact integer division: (a - a mod b) / b is exactly representable,
+    # so the double division cannot round (the ext_token_budget precedent)
+    num = n_stop * 10000
+    q_fp = (
+        (num - F.pmod(num, n_tokens)) / n_tokens
+        + F.least(n_tokens, F.lit(100)) * 100
+    ).cast("bigint")
+    scored = df.select(
+        F.col(id_col), F.col(source_col).alias("source"), q_fp.alias("q_fp")
+    )
+
+    counts = scored.groupBy("source", "q_fp").agg(F.count("*").alias("cnt"))
+    ws = Window.partitionBy("source").orderBy("q_fp")
+    per_source = (
+        counts.withColumn(
+            "cum_below",
+            F.coalesce(F.sum("cnt").over(ws.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)),
+        )
+        .withColumn("n_s", F.sum("cnt").over(Window.partitionBy("source")))
+    )
+    gcounts = scored.groupBy("q_fp").agg(F.count("*").alias("gcnt"))
+    wg = Window.orderBy("q_fp")
+    glob = gcounts.withColumn("gcum", F.sum("gcnt").over(wg)).withColumn(
+        "gcum_prev", F.col("gcum") - F.col("gcnt")
+    )
+    n_total = scored.agg(F.count("*").alias("N"))
+    with_idx = per_source.join(F.broadcast(n_total)).withColumn(
+        "idx",
+        F.floor(
+            ((2 * F.col("cum_below") + F.col("cnt") + 1) * F.col("N")
+             + 2 * F.col("n_s") - 1)
+            / (2 * F.col("n_s"))
+        ).cast("bigint"),
+    )
+    # "smallest global score whose cumulative reaches idx" as a LINEAR
+    # merge instead of a range join (which is O(domain²) worst case):
+    # union bucket-end markers (pos=gcum) with probes (pos=idx), sort by
+    # position, and each probe reads the first marker at-or-after it via
+    # a forward-looking window. Probes sort BEFORE a same-position marker
+    # (kind 1 < 2) so gcum == idx matches, mirroring gcum >= idx.
+    markers = glob.select(
+        F.col("gcum").alias("pos"),
+        F.lit(2).alias("kind"),
+        F.col("q_fp").alias("marker_q"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("bigint").alias("src_q"),
+    )
+    probes = with_idx.select(
+        F.col("idx").alias("pos"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("marker_q"),
+        "source",
+        F.col("q_fp").alias("src_q"),
+    )
+    wu = Window.orderBy("pos", "kind").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    mapping = (
+        markers.unionByName(probes)
+        .withColumn("q_norm", F.first("marker_q", ignorenulls=True).over(wu))
+        .filter(F.col("kind") == 1)
+        .select("source", F.col("src_q").alias("q_fp"), "q_norm")
+    )
+    return scored.join(F.broadcast(mapping), ["source", "q_fp"]).select(
+        F.col(id_col), "source", "q_fp", "q_norm"
+    )

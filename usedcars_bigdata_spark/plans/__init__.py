@@ -219,6 +219,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: multi-touch revenue attribution (first/last/
     # linear models, integer micro-cents, one shared window partitioning)
     "ts_attribution_models",
+    # round-4 continuation: cross-source quality calibration via
+    # mid-rank quantile normalization on domain-bounded count tables
+    "ext_quantile_normalize",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2373,3 +2373,61 @@ def ext_corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(q_fp) div count(*)").alias("mean_quality_fp"),
         )
     )
+
+
+@query(
+    "ext_quantile_normalize",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             CAST(
+               (len(list_filter(w, x -> x IN
+                  ('the','a','of','and','to','in','is'))) * 10000) // len(w)
+               + least(len(w), 100) * 100
+             AS BIGINT) AS q_fp
+      FROM t
+    ), counts AS (
+      SELECT source, q_fp, CAST(count(*) AS BIGINT) AS cnt
+      FROM scored GROUP BY 1, 2
+    ), per_source AS (
+      SELECT source, q_fp, cnt,
+             CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY q_fp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_below,
+             CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM counts
+    ), gdist AS (
+      SELECT q_fp,
+             CAST(sum(count(*)) OVER (ORDER BY q_fp) AS BIGINT) AS gcum
+      FROM scored GROUP BY q_fp
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM scored),
+    with_idx AS (
+      SELECT source, q_fp,
+             ((2 * cum_below + cnt + 1) * N + 2 * n_s - 1) // (2 * n_s) AS idx
+      FROM per_source CROSS JOIN n
+    ), mapping AS (
+      SELECT source, q_fp,
+             (SELECT min(g.q_fp) FROM gdist g WHERE g.gcum >= w.idx) AS q_norm
+      FROM with_idx w
+    )
+    SELECT s.doc_id, s.source, s.q_fp, m.q_norm
+    FROM scored s JOIN mapping m USING (source, q_fp)
+    """,
+)
+def ext_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the integer quality score
+    (ext.text.quantile_normalize_by_source): every document's score is
+    re-expressed as the global distribution's value at the document's
+    mid-rank within-source quantile — cross-source calibration so one
+    quality threshold means the same thing for every source. The engine
+    runs the count-table formulation (corpus touched twice, everything
+    else domain-bounded, idx→bucket lookup as a linear marker merge);
+    the oracle restates the same integer semantics with a correlated
+    min — two independent formulations agreeing is the check."""
+    return TX.quantile_normalize_by_source(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", "source"
+    )
