@@ -255,3 +255,75 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
         assert 3 in got and got[3] is None  # unmatched click emitted with NULLs
     finally:
         q.stop()
+
+
+def test_streaming_near_dup_equals_batch_lsh_rule(spark, sf_dir, tmp_path):
+    """Stream the documents corpus in doc_id-ordered micro-batches through
+    the LSH near-dup detector; the emitted flags must equal the batch rule
+    'doc shares a band bucket with any smaller doc_id' computed on the
+    full corpus in one pass."""
+    import os
+
+    from usedcars_bigdata_spark.ext.dedup import (
+        band_keys,
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+    from usedcars_bigdata_spark.sources import load_table
+    from usedcars_bigdata_spark.streaming.dedup import streaming_near_dup_flags
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    # Three id-ordered files written SEQUENTIALLY: the file source orders
+    # micro-batches by modification time, so simultaneous writes (one
+    # repartitionByRange save) would randomize arrival order and break
+    # the monotone-arrival premise of the batch-equality check.
+    import time as _time
+
+    n_docs = docs.count()
+    for lo, hi in [(0, n_docs // 3), (n_docs // 3, 2 * n_docs // 3),
+                   (2 * n_docs // 3, n_docs + 10**9)]:
+        (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+             .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = streaming_near_dup_flags(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "flags"),
+        checkpoint=str(tmp_path / "ck"),
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 3
+    finally:
+        q.stop()
+
+    got = {
+        r.doc_id: r.is_near_dup
+        for r in spark.read.parquet(str(tmp_path / "flags")).collect()
+    }
+    banded = band_keys(
+        minhash_signatures_from_arrays(
+            shingle_arrays(docs, "doc_id", "text"), "doc_id"
+        ),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "sig")
+    want = {
+        r.doc_id: r.is_near_dup
+        for r in banded.withColumn("min_id", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg((F.min("min_id") < F.col("doc_id")).alias("is_near_dup"))
+        .collect()
+    }
+    assert got == want
+    assert any(got.values()), "corpus has planted near-dups; none flagged"

@@ -298,6 +298,29 @@ def minhash_signatures_from_arrays(
     return hashed.select(F.col(id_col), *cols)
 
 
+def band_keys(
+    signatures: DataFrame, id_col: str, bands: int = 4
+) -> DataFrame:
+    """Band the k-wide MinHash signature into ``bands`` (band, sig) keys
+    per document — the LSH bucketing shared by the batch candidate
+    generator, the bucket auditor, and the streaming near-dup detector
+    (streaming/dedup.py). One narrow projection, no shuffle."""
+    k = len(_MINHASH_SEEDS)
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        cols = [
+            F.col(f"mh_{i}")
+            for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+        ]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -330,17 +353,7 @@ def lsh_candidate_pairs(
     before its stage runs — for a guaranteed audit of a zero-pair run,
     call ``lsh_bucket_stats`` on the same signatures (one small extra
     aggregate; see tests/test_ext_dedup.py)."""
-    k = len(_MINHASH_SEEDS)
-    rows_per_band = k // bands
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.xxhash64(*cols).alias("sig"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    banded = band_keys(signatures, id_col, bands)
     buckets = (
         banded.groupBy("band", "sig")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -382,17 +395,7 @@ def lsh_bucket_stats(
     available even when the candidate query itself returns nothing (the
     case where the in-plan ``lsh_bucket_audit`` observation can be lost to
     AQE empty-relation propagation)."""
-    k = len(_MINHASH_SEEDS)
-    rows_per_band = k // bands
-    band_cols = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{i}") for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
-        band_cols.append(
-            F.struct(F.lit(bi).alias("band"), F.xxhash64(*cols).alias("sig"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    banded = band_keys(signatures, id_col, bands)
     sizes = banded.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("n"))
     aggs = [
         F.count(F.lit(1)).alias("n_buckets"),

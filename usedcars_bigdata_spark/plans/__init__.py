@@ -222,6 +222,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: cross-source quality calibration via
     # mid-rank quantile normalization on domain-bounded count tables
     "ext_quantile_normalize",
+    # round-4 continuation: streaming MinHash/LSH near-dup detection
+    # (rows-only by nature; batch-equality pytest-pinned)
+    "rows_stream_near_dup",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

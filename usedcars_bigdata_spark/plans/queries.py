@@ -4567,6 +4567,70 @@ def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rows_stream_near_dup")
+def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash/LSH near-duplicate detection
+    (streaming.dedup.streaming_near_dup_flags): the documents corpus
+    arrives as three id-ordered micro-batches; each batch is signed,
+    banded, checked against the accumulated (band, sig) → min-id bucket
+    state, and the state is min-merged via the composite-key
+    merge_upsert. Rows-only by nature (the batch twin needs xxhash64,
+    which DuckDB cannot replay); the EQUALITY to the one-pass batch LSH
+    rule is pinned in tests/test_streaming_advanced.py. State is
+    bucket-vocabulary sized — the property that makes the pattern run
+    indefinitely at 100 TB."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.dedup import streaming_near_dup_flags
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_neardup_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    src = os.path.join(base, "src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(src):
+        # sequential writes: the file source orders batches by mtime
+        n_docs = docs.count()
+        cuts = [(0, n_docs // 3), (n_docs // 3, 2 * n_docs // 3),
+                (2 * n_docs // 3, n_docs + 10**9)]
+        for lo, hi in cuts:
+            (docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                 .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(1.1)
+    for d in ("state", "flags", "ck"):
+        p = os.path.join(base, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    sink = "rows_stream_near_dup_q"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    q = streaming_near_dup_flags(
+        stream,
+        state_dir=os.path.join(base, "state"),
+        out_dir=os.path.join(base, "flags"),
+        checkpoint=os.path.join(base, "ck"),
+        query_name=sink,
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.read.parquet(os.path.join(base, "flags"))
+
+
 @query("rows_word2vec_synonyms")
 def rows_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec skip-gram embeddings trained on the documents corpus

@@ -46,3 +46,96 @@ def hourly_user_action_keys(events: DataFrame) -> DataFrame:
         F.date_trunc("hour", F.col("ts")).alias("hour_start"),
         F.col("ts"),
     )
+
+
+def streaming_near_dup_flags(
+    docs_stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    query_name: str = "stream_near_dup",
+):
+    """Streaming NEAR-duplicate detection: each micro-batch's documents
+    are MinHash-signed, LSH-banded, and checked against the accumulated
+    bucket state — a document is flagged when any of its band buckets
+    already contains a LOWER doc id (seen in an earlier batch, or earlier
+    in this batch). The state parquet keeps ONE row per (band, sig): the
+    minimum doc id ever seen in that bucket, so state is bucket-vocabulary
+    sized, not corpus-sized, and each batch's state update is an
+    idempotent keyed min-merge (same exactly-once shape as
+    sinks.upsert_to_parquet, min instead of replace).
+
+    When arrival order is monotone in the id (the contract's range-split
+    source), the emitted flags equal the BATCH LSH rule "doc shares a
+    band bucket with any smaller doc id" — pinned in
+    tests/test_streaming_advanced.py against the batch computation on the
+    full corpus.
+
+    Returns the StreamingQuery; flags append to ``out_dir`` as parquet
+    (id, is_near_dup)."""
+    import os
+
+    from ..ext.dedup import (
+        band_keys,
+        minhash_signatures_from_arrays,
+        shingle_arrays,
+    )
+    from .sinks import merge_upsert
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        sigs = minhash_signatures_from_arrays(
+            shingle_arrays(batch_df, id_col, text_col), id_col
+        )
+        banded = band_keys(sigs, id_col, bands)
+        batch_min = banded.groupBy("band", "sig").agg(
+            F.min(id_col).alias("min_id")
+        )
+        if os.path.exists(state_dir):
+            state = spark.read.parquet(state_dir)
+            merged_min = (
+                batch_min.join(
+                    state.select(
+                        "band", "sig", F.col("min_id").alias("__prev")
+                    ),
+                    ["band", "sig"],
+                    "left",
+                )
+                .select(
+                    "band",
+                    "sig",
+                    F.least(
+                        "min_id", F.coalesce("__prev", F.col("min_id"))
+                    ).alias("min_id"),
+                )
+            )
+        else:
+            state = None
+            merged_min = batch_min
+        # Flag docs: any band bucket whose accumulated min id is smaller.
+        flags = (
+            banded.join(merged_min, ["band", "sig"])
+            .groupBy(id_col)
+            .agg((F.min("min_id") < F.col(id_col)).alias("is_near_dup"))
+            .select(F.col(id_col), "is_near_dup")
+        )
+        # Materialize flags BEFORE the state swap: the flags plan reads
+        # the state parquet, and merge_upsert atomically replaces it.
+        flags.write.mode("append").parquet(out_dir)
+        # Composite-key merge: only buckets touched by this batch are
+        # replaced (with their accumulated min), untouched buckets are
+        # carried over by merge_upsert's anti-join.
+        merge_upsert(spark, state_dir, merged_min, key=["band", "sig"])
+
+    return (
+        docs_stream.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )

@@ -18,16 +18,21 @@ from pyspark.sql.streaming import StreamingQuery
 
 
 def merge_upsert(
-    spark: SparkSession, target_path: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str | list[str],
 ) -> None:
-    """Batch MERGE-by-key into a parquet directory: rows in target whose key
-    appears in ``updates`` are replaced; new keys appended. Emulates
-    Delta/Iceberg MERGE INTO (neither jar ships in this image — SURVEY.md
-    guide note) with an atomic swap of the output directory."""
+    """Batch MERGE-by-key into a parquet directory: rows in target whose
+    key (single column or composite list) appears in ``updates`` are
+    replaced; new keys appended. Emulates Delta/Iceberg MERGE INTO
+    (neither jar ships in this image — SURVEY.md guide note) with an
+    atomic swap of the output directory."""
+    keys = [key] if isinstance(key, str) else list(key)
     tmp = target_path + "__tmp"
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
-        kept = current.join(updates.select(key), on=key, how="left_anti")
+        kept = current.join(updates.select(*keys), on=keys, how="left_anti")
         merged = kept.unionByName(updates)
     else:
         merged = updates
