@@ -232,3 +232,35 @@ def test_ivf_recall_survives_degenerate_head(spark):
     approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.8, f"IVF recall collapsed on tail clusters: {recall}"
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    from usedcars_bigdata_spark.ext.similarity import hard_negatives
+    from usedcars_bigdata_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.filter("vec_id < 5"), k=3).collect()
+    assert out
+    for r in out:
+        assert r.neighbor_label != r.query_label
+        assert 1 <= r.rank <= 3
+
+
+def test_hard_negatives_fills_k_when_same_label_dominates(spark):
+    """A query whose nearest neighbors are all SAME-label must still get k
+    negatives (filter-before-rank); a post-rank filter would return
+    fewer."""
+    import numpy as np
+    from usedcars_bigdata_spark.ext.similarity import hard_negatives
+
+    rows = [(0, [1.0, 0.0], 7)]
+    # five same-label vectors nearly identical to the query
+    rows += [(i, [1.0, 0.001 * i], 7) for i in range(1, 6)]
+    # three other-label vectors, less similar
+    rows += [(10 + j, [0.5, float(j + 1)], 9) for j in range(3)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = hard_negatives(df, df.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 3
+    assert all(r.neighbor_label == 9 for r in out)

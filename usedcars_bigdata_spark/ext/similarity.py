@@ -568,3 +568,61 @@ def pca_project(
         return pd.Series(list(z))
 
     return embeddings.select(F.col(id_col), project(F.col(vec_col)).alias("z"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: per query, the k most
+    cosine-similar corpus items whose LABEL DIFFERS — the items a
+    contrastive loss learns the most from (InfoNCE/DPR-style negatives
+    that are semantically close but class-distinct; random negatives are
+    trivially separable and carry little gradient).
+
+    Same plan as brute_force_topk (hoisted norms, broadcast queries, one
+    window) plus the label-mismatch filter applied BEFORE ranking, so the
+    top-k is over negatives only — a post-rank filter would under-fill k
+    whenever same-label items dominate the neighborhood. At corpus scale
+    the same bucketed variants (LSH/IVF) drop in as the candidate source,
+    mining then being candidates ∩ label-mismatch.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label, rank,
+    cosine)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn("cos", dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "rank",
+            F.round("cos", ndigits).alias("cosine"),
+        )
+    )

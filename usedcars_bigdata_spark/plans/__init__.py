@@ -225,6 +225,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: streaming MinHash/LSH near-dup detection
     # (rows-only by nature; batch-equality pytest-pinned)
     "rows_stream_near_dup",
+    # round-4 continuation: contrastive hard-negative mining (label-aware
+    # cosine top-k, oracle-backed like the brute ANN entry)
+    "ext_hard_negatives",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

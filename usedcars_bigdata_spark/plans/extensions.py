@@ -2431,3 +2431,38 @@ def ext_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quantile_normalize_by_source(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", "source"
     )
+
+
+@query(
+    "ext_hard_negatives",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ), q AS (
+      SELECT * FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             list_dot_product(q.emb, e.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+      FROM q JOIN e ON e.label <> q.label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+           round(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def ext_hard_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (ext.similarity.hard_negatives): per query vector, the 3 most
+    cosine-similar embeddings with a DIFFERENT label — close-but-wrong
+    items, the high-gradient negatives for InfoNCE/DPR-style losses.
+    Label-mismatch filters BEFORE ranking so k is always filled from
+    negatives; same hoisted-norm fold-exact scoring as the brute ANN
+    entry, so the oracle's sequential list_dot_product agrees bitwise."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
