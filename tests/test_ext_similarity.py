@@ -264,3 +264,37 @@ def test_hard_negatives_fills_k_when_same_label_dominates(spark):
     out = hard_negatives(df, df.filter("vec_id = 0"), k=3).collect()
     assert len(out) == 3
     assert all(r.neighbor_label == 9 for r in out)
+
+
+def test_mmr_first_pick_is_plain_top1_and_deterministic(spark, sf_dir):
+    from usedcars_bigdata_spark.ext.similarity import brute_force_topk, mmr_topk
+    from usedcars_bigdata_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter("vec_id != 0")
+    q = emb.filter("vec_id = 0")
+    out1 = mmr_topk(corpus, q, k=4).collect()
+    out2 = mmr_topk(corpus, q, k=4).collect()
+    assert [r.vec_id for r in out1] == [r.vec_id for r in out2]
+    top1 = brute_force_topk(emb, q, k=1).first()
+    assert out1[0].vec_id == top1.neighbor_id
+    # ranks contiguous, scores non-increasing in rank
+    assert [r.rank for r in out1] == [1, 2, 3, 4]
+
+
+def test_mmr_diversifies_planted_clump(spark):
+    """Corpus = a clump of near-copies of the query plus a few spread
+    vectors: plain top-3 picks the clump; MMR must escape it after the
+    first pick."""
+    from usedcars_bigdata_spark.ext.similarity import mmr_topk
+
+    rows = [(0, [1.0, 0.0, 0.0])]
+    rows += [(i, [1.0, 0.0001 * i, 0.0]) for i in range(1, 4)]  # clump
+    rows += [(10, [0.7, 0.7, 0.0]), (11, [0.7, 0.0, 0.7])]  # spread
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_topk(
+        df.filter("vec_id != 0"), df.filter("vec_id = 0"), k=3, lam=0.5
+    ).collect()
+    ids = [r.vec_id for r in out]
+    assert ids[0] in (1, 2, 3)  # most relevant first
+    assert set(ids) & {10, 11}, ids  # escaped the clump

@@ -250,3 +250,17 @@ def test_word2vec_contract_entry_shape(spark, sf_dir):
     for r in rows:
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.similarity <= 1.0001
+
+
+def test_isotonic_calibration_invariants(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["rows_quality_calibration"](spark, sf_dir).collect()
+    assert len(rows) >= 2
+    zs = [r.z_boundary for r in rows]
+    ps = [r.calibrated_p for r in rows]
+    assert zs == sorted(zs)
+    assert ps == sorted(ps)  # isotonic by construction
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    # the curve must actually discriminate on this corpus
+    assert ps[-1] > ps[0]

@@ -626,3 +626,94 @@ def hard_negatives(
             F.round("cos", ndigits).alias("cosine"),
         )
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedily select k items maximizing
+    ``λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s)`` — the
+    diversity-aware top-k that plain cosine ranking cannot express
+    (its result set is often k near-duplicates of each other; MMR's
+    second term penalizes redundancy against what is ALREADY chosen).
+    The training-data use: picking k exemplars per topic/cluster that
+    COVER it rather than repeat its centroid.
+
+    Execution: the greedy loop is inherently sequential in k (selection
+    i+1 depends on selection i), so the driver iterates k rounds; each
+    round is one distributed pass — relevance is precomputed ONCE, the
+    redundancy term only evaluates cosine against the newest selection
+    and folds into a running max column (not recomputed against the
+    whole selected set), and the argmax is a 1-row TakeOrderedAndProject.
+    Driver traffic is k single rows + k small vector broadcasts — never
+    the corpus. k is expected small (single digits to tens); ties break
+    on id for determinism. Rows-only in the contract (the greedy
+    trajectory is procedural; no SQL form) — invariants are pytest-pinned
+    (first pick = plain top-1, diversity no worse than plain top-k,
+    determinism).
+
+    Output: (rank, vec_id, relevance, redundancy, mmr_score)."""
+    import numpy as np  # local: driver-side vector math on single rows
+
+    qrow = query.select(F.col(vec_col).alias("v")).first()
+    if qrow is None:
+        raise ValueError("query DataFrame is empty")
+    qv = np.asarray(qrow["v"], dtype="float64")
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    rel = base.withColumn(
+        "relevance",
+        dot("__v", F.array(*[F.lit(float(x)) for x in qv]))
+        / (F.col("__n") * F.lit(qn)),
+    ).select(id_col, "__v", "__n", "relevance")
+    rel = rel.cache()
+    try:
+        remaining = rel.withColumn("redundancy", F.lit(0.0))
+        picks = []
+        for rank in range(1, k + 1):
+            score = lam * F.col("relevance") - (1 - lam) * F.col("redundancy")
+            top = (
+                remaining.withColumn("mmr_score", score)
+                .orderBy(F.col("mmr_score").desc(), F.col(id_col).asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            row = top[0]
+            picks.append(
+                (
+                    rank,
+                    row[id_col],
+                    round(float(row["relevance"]), ndigits),
+                    round(float(row["redundancy"]), ndigits),
+                    round(float(row["mmr_score"]), ndigits),
+                )
+            )
+            sv = np.asarray(row["__v"], dtype="float64")
+            sn = float(np.sqrt((sv * sv).sum()))
+            sim_to_new = dot("__v", F.array(*[F.lit(float(x)) for x in sv])) / (
+                F.col("__n") * F.lit(sn)
+            )
+            remaining = remaining.filter(F.col(id_col) != row[id_col]).withColumn(
+                "redundancy", F.greatest(F.col("redundancy"), sim_to_new)
+            )
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            picks,
+            f"rank int, {id_col} long, relevance double, "
+            "redundancy double, mmr_score double",
+        )
+    finally:
+        rel.unpersist()

@@ -228,6 +228,11 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: contrastive hard-negative mining (label-aware
     # cosine top-k, oracle-backed like the brute ANN entry)
     "ext_hard_negatives",
+    # round-4 continuation: MMR diversity-aware selection (rows-only,
+    # greedy trajectory pytest-pinned)
+    "rows_mmr_diverse_topk",
+    # round-4 continuation: isotonic calibration of the quality gate
+    "rows_quality_calibration",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2466,3 +2466,15 @@ def ext_hard_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry, so the oracle's sequential list_dot_product agrees bitwise."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+@query("rows_mmr_diverse_topk")
+def ext_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity-aware top-5 (ext.similarity.mmr_topk, λ=0.7) for one
+    query vector against the embeddings corpus. Rows-only by nature (the
+    greedy trajectory is procedural); invariants — first pick equals the
+    plain cosine top-1, the selected set is no less diverse than the
+    plain top-k, determinism — are pytest-pinned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.mmr_topk(emb.filter(F.col("vec_id") != 0),
+                        emb.filter(F.col("vec_id") == 0), k=5)

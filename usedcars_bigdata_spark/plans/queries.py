@@ -5042,18 +5042,12 @@ def rel_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rows_ml_quality_classifier")
-def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary quality classifier (LogisticRegression over surface
-    features): predicts whether a document clears the 75th-percentile
-    quality bar from features that do NOT include the score itself
-    (char/word/avg-word-length/digit+punct ratios). The missing family
-    next to the nine reference regressors — corpus curation wants a
-    calibrated gate, not a point estimate. Deterministic: features and
-    labels are exact column math, the 75th percentile is the exact
-    interpolated form, LBFGS from a fixed init on a fixed feature order.
-    Output: one metrics row (auc, accuracy, n_pos, n) — rows-only (MLlib
-    internals), quality floor pytest-pinned."""
+def _quality_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared by the quality classifier and its isotonic calibration:
+    deterministic surface features, 75th-percentile label, seeded LBFGS
+    logistic fit, and the plain-column score z (see the classifier's
+    docstring for why MLlib transform/summary jobs are avoided).
+    Returns (doc_id, label, z)."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
@@ -5090,20 +5084,37 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         data
     )
     model = LogisticRegression(maxIter=25, regParam=0.01).fit(assembled)
-    # Metrics WITHOUT MLlib transform/evaluator/summary jobs: in Spark 4,
-    # once any Observation has been registered on the session, the
-    # LogisticRegressionModel's training summary (which pins the session)
-    # fails closure serialization with "Task not serializable:
-    # ObservationManager" — model.transform and summary.areaUnderROC both
-    # trip it. The model is only a (w, b) pair here, so score with a plain
-    # column expression and compute AUC by the tie-aware rank formula —
-    # deterministic, declarative, and nothing MLlib-owned in any closure.
     wts = model.coefficients.toArray().tolist()
     b = float(model.intercept)
     z = F.lit(b)
     for c, wt in zip(cols, wts):
         z = z + F.lit(float(wt)) * F.col(c)
-    scored = data.select("label", z.alias("z"))
+    return data.select("doc_id", "label", z.alias("z"))
+
+
+@query("rows_ml_quality_classifier")
+def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quality classifier (LogisticRegression over surface
+    features): predicts whether a document clears the 75th-percentile
+    quality bar from features that do NOT include the score itself
+    (char/word/avg-word-length/digit+punct ratios). The missing family
+    next to the nine reference regressors — corpus curation wants a
+    calibrated gate, not a point estimate. Deterministic: features and
+    labels are exact column math, the 75th percentile is the exact
+    interpolated form, LBFGS from a fixed init on a fixed feature order.
+    Output: one metrics row (auc, accuracy, n_pos, n) — rows-only (MLlib
+    internals), quality floor pytest-pinned.
+
+    Metrics WITHOUT MLlib transform/evaluator/summary jobs: in Spark 4,
+    once any Observation has been registered on the session, the
+    LogisticRegressionModel's training summary (which pins the session)
+    fails closure serialization with "Task not serializable:
+    ObservationManager" — model.transform and summary.areaUnderROC both
+    trip it. The model is only a (w, b) pair here, so _quality_lr_scores
+    scores with a plain column expression and AUC uses the tie-aware rank
+    formula — deterministic, declarative, and nothing MLlib-owned in any
+    closure."""
+    scored = _quality_lr_scores(spark, sf_dir).select("label", "z")
     wz = Window.orderBy("z")
     ranked = scored.select(
         "label",
@@ -5127,6 +5138,41 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(auc, 6), round(float(m.acc), 6), n_pos, n)],
         "auc DOUBLE, accuracy DOUBLE, n_pos BIGINT, n BIGINT",
+    )
+
+
+@query("rows_quality_calibration")
+def rows_quality_cal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the quality classifier
+    (pyspark.ml.regression.IsotonicRegression over the LR score z vs the
+    binary label): raw classifier scores are ordinal, not probabilities —
+    a curation gate that reads them as P(high quality) over- or
+    under-selects. The isotonic fit is the standard non-parametric
+    calibrator (no sigmoid shape assumed, monotonicity guaranteed by
+    construction: it solves the pool-adjacent-violators problem). Output
+    is the fitted calibration CURVE — (boundary z, calibrated p) knots —
+    which is the model itself, broadcastable to score any corpus without
+    refitting. Rows-only (MLlib internals); monotonicity, [0,1] range,
+    and mean-calibration (sum of calibrated p equals the positive count
+    — a PAV invariant) are pytest-pinned."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    scored = _quality_lr_scores(spark, sf_dir)
+    assembled = VectorAssembler(inputCols=["z"], outputCol="features").transform(
+        scored
+    )
+    iso = IsotonicRegression(
+        featuresCol="features", labelCol="label", isotonic=True
+    ).fit(assembled)
+    bounds = iso.boundaries.toArray().tolist()
+    preds = iso.predictions.toArray().tolist()
+    return spark.createDataFrame(
+        [
+            (i, round(float(bz), 6), round(float(p), 6))
+            for i, (bz, p) in enumerate(zip(bounds, preds))
+        ],
+        "knot INT, z_boundary DOUBLE, calibrated_p DOUBLE",
     )
 
 
