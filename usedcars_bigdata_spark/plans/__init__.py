@@ -233,6 +233,8 @@ _CONTRACT_PRIORITY = [
     "rows_mmr_diverse_topk",
     # round-4 continuation: isotonic calibration of the quality gate
     "rows_quality_calibration",
+    # round-4 continuation: text-source round-trip + regex log parsing
+    "rel_textfile_logparse",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -3308,6 +3308,72 @@ def rel_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_textfile_logparse",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           max(user_id) AS max_user
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_textparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-source round-trip + log parsing (S5 family, the unstructured
+    leg next to CSV/JSONL/ORC/parquet/binaryFile): events are formatted
+    into syslog-shaped lines (``ts [TYPE] user=<id> value=<v>``), written
+    with the TEXT sink, read back with spark.read.text, and re-parsed
+    with one regexp_extract per field — the grep-to-schema pipeline every
+    log-ingest job runs. The aggregate over parsed fields must equal the
+    oracle's aggregate over the original table, certifying the format →
+    parse loop is lossless for these fields (value is carried as exact
+    integer cents through the text form — float repr round-trips are a
+    different, weaker guarantee). The parse predicates are plain column
+    regexes (JVM, codegen) — no Python in the row path; at 100 TB the
+    text scan parallelizes by line ranges like any file source."""
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_text_rt_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    events = load_table(spark, sf_dir, "events")
+    lines = events.select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+            F.lit(" ["),
+            F.upper("event_type"),
+            F.lit("] user="),
+            F.col("user_id").cast("string"),
+            F.lit(" cents="),
+            F.round(F.col("value") * 100).cast("bigint").cast("string"),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    raw = spark.read.text(out)
+    parsed = raw.select(
+        F.lower(F.regexp_extract("value", r"\[([A-Z]+)\]", 1)).alias(
+            "event_type"
+        ),
+        F.regexp_extract("value", r"user=(\d+)", 1).cast("bigint").alias(
+            "user_id"
+        ),
+        F.regexp_extract("value", r"cents=(-?\d+)", 1).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("total_cents"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@query(
     "rel_pagerank_copurchase",
     oracle="""
     WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
