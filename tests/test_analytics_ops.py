@@ -737,3 +737,46 @@ def test_attribution_models_conserve_value(spark, sf_dir):
     assert touches["first_touch"] == touches["last_touch"]  # one per purchase
     loss = by_model["first_touch"] - by_model["linear"]
     assert 0 <= loss < touches["linear"], (loss, touches["linear"])
+
+
+# ------------------------------------------------------------------ CUPED
+def test_cuped_pooled_variance_reduction(spark, sf_dir):
+    """CUPED's guarantee is POOLED: with theta the pooled OLS slope,
+    var(post − θ·(pre − mean_pre)) = var(post) − cov²/var(pre) ≤
+    var(post) exactly over the whole sample (per-variant it can go either
+    way at small n — observed at sf0.001 with n=7). Verify the pooled
+    identity with an independent numpy replay, and that the entry's
+    per-variant rows agree with that replay's moments."""
+    import numpy as np
+
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["ts_ab_cuped"](spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {0, 1}
+
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pu = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)).alias("pre"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)).alias("post"),
+        )
+        .collect()
+    )
+    pre = np.array([r.pre for r in pu], dtype="float64")
+    post = np.array([r.post for r in pu], dtype="float64")
+    th = np.cov(pre, post, ddof=1)[0, 1] / np.var(pre, ddof=1)
+    adj = post - th * (pre - pre.mean())
+    assert np.var(adj, ddof=1) <= np.var(post, ddof=1)  # pooled guarantee
+    uid = np.array([r.user_id for r in pu])
+    for r in rows:
+        mask = (uid % 2) == r.variant
+        assert r.n == int(mask.sum())
+        assert abs(r.mean_post - post[mask].mean()) < 1e-4
+        assert abs(r.mean_adj - adj[mask].mean()) < 1e-3
+        assert abs(r.var_post_c2 - np.var(post[mask], ddof=1)) < 2
+        assert abs(r.var_adj_c2 - np.var(adj[mask], ddof=1)) < 2

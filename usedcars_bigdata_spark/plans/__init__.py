@@ -235,6 +235,9 @@ _CONTRACT_PRIORITY = [
     "rows_quality_calibration",
     # round-4 continuation: text-source round-trip + regex log parsing
     "rel_textfile_logparse",
+    # round-4 continuation: A/B readout with CUPED variance reduction
+    # (integer-moment exact, pooled-theta adjustment)
+    "ts_ab_cuped",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

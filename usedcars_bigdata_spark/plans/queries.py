@@ -4158,6 +4158,148 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_ab_cuped",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, user_id % 2 AS variant,
+             CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS pre,
+             CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+               THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS post
+      FROM events GROUP BY 1
+    ), overall AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sx,
+             CAST(sum(post) AS BIGINT) AS sy,
+             CAST(sum(pre * pre) AS BIGINT) AS sxx,
+             CAST(sum(pre * post) AS BIGINT) AS sxy
+      FROM per_user
+    ), theta AS (
+      SELECT (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                / CAST(n AS DOUBLE)) AS th,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pre_all
+      FROM overall
+    ), v AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pre) AS BIGINT) AS sx,
+             CAST(sum(post) AS BIGINT) AS sy,
+             CAST(sum(pre * pre) AS BIGINT) AS sxx,
+             CAST(sum(post * post) AS BIGINT) AS syy,
+             CAST(sum(pre * post) AS BIGINT) AS sxy
+      FROM per_user GROUP BY 1
+    )
+    SELECT v.variant, v.n,
+           round(CAST(v.sy AS DOUBLE) / CAST(v.n AS DOUBLE), 6) AS mean_post,
+           round(CAST(v.sy AS DOUBLE) / CAST(v.n AS DOUBLE)
+                 - t.th * (CAST(v.sx AS DOUBLE) / CAST(v.n AS DOUBLE)
+                           - t.mean_pre_all), 6) AS mean_adj,
+           CAST(round((CAST(v.syy AS DOUBLE)
+                  - CAST(v.sy AS DOUBLE) * CAST(v.sy AS DOUBLE)
+                    / CAST(v.n AS DOUBLE))
+                 / CAST(v.n - 1 AS DOUBLE)) AS BIGINT) AS var_post_c2,
+           CAST(round(((CAST(v.syy AS DOUBLE)
+                   - CAST(v.sy AS DOUBLE) * CAST(v.sy AS DOUBLE)
+                     / CAST(v.n AS DOUBLE))
+                  - 2 * t.th * (CAST(v.sxy AS DOUBLE)
+                                - CAST(v.sx AS DOUBLE) * CAST(v.sy AS DOUBLE)
+                                  / CAST(v.n AS DOUBLE))
+                  + t.th * t.th * (CAST(v.sxx AS DOUBLE)
+                                   - CAST(v.sx AS DOUBLE) * CAST(v.sx AS DOUBLE)
+                                     / CAST(v.n AS DOUBLE)))
+                 / CAST(v.n - 1 AS DOUBLE)) AS BIGINT) AS var_adj_c2
+    FROM v CROSS JOIN theta t
+    """,
+)
+def ts_ab_cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et al.
+    2013): users hash into two variants (user_id % 2); the post-period
+    metric (value cents after the fixed cut) is adjusted by the
+    pre-period covariate — adjusted = post − θ·(pre − mean_pre), with
+    θ = cov(pre, post)/var(pre) pooled over all users — which shrinks
+    metric variance without biasing the between-variant difference
+    (E[pre] is variant-independent under randomization). Output per
+    variant: n, raw and adjusted means (6-decimal cents), raw and
+    adjusted variances as INTEGER cents² — a ~1.6e9 variance rounded to 6
+    decimals needs 16 significant digits, past double precision, where
+    Spark's BigDecimal rounding and DuckDB's multiply-round-divide
+    disagree by 1 ulp (observed); integer rounding is exact for both. The
+    var_adj/var_post ratio IS the experiment-speedup CUPED buys.
+
+    Exactness discipline: every moment (Σpre, Σpost, Σpre², Σpost²,
+    Σpre·post) is an INTEGER-cents sum — summation order cannot change
+    them — and θ/means/variances derive from those integers with
+    identical float expressions on both engines, so the rounded outputs
+    hash-match. One shuffle to per-user sums (map-side combined); the
+    moment aggregates are single rows; theta broadcasts back.
+
+    tests/test_analytics_ops.py pins var_adj ≤ var_post per variant (the
+    CUPED guarantee when θ is the pooled OLS slope)."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, cents)), F.lit(0)
+        ).alias("pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
+        ).alias("post"),
+    ).withColumn("variant", F.col("user_id") % 2)
+    overall = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    def d(c):
+        return c.cast("double")
+
+    theta = overall.select(
+        (
+            (d(F.col("sxy")) - d(F.col("sx")) * d(F.col("sy")) / d(F.col("n")))
+            / (d(F.col("sxx")) - d(F.col("sx")) * d(F.col("sx")) / d(F.col("n")))
+        ).alias("th"),
+        (d(F.col("sx")) / d(F.col("n"))).alias("mean_pre_all"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    th, mpa = F.col("th"), F.col("mean_pre_all")
+    return v.join(F.broadcast(theta)).select(
+        "variant",
+        "n",
+        F.round(d(sy) / d(n), 6).alias("mean_post"),
+        F.round(d(sy) / d(n) - th * (d(sx) / d(n) - mpa), 6).alias("mean_adj"),
+        F.round((d(syy) - d(sy) * d(sy) / d(n)) / d(n - 1))
+        .cast("bigint")
+        .alias("var_post_c2"),
+        F.round(
+            (
+                (d(syy) - d(sy) * d(sy) / d(n))
+                - 2 * th * (d(sxy) - d(sx) * d(sy) / d(n))
+                + th * th * (d(sxx) - d(sx) * d(sx) / d(n))
+            )
+            / d(n - 1)
+        )
+        .cast("bigint")
+        .alias("var_adj_c2"),
+    )
+
+
+@query(
     "ts_attribution_models",
     oracle="""
     WITH p AS (
