@@ -780,3 +780,32 @@ def test_cuped_pooled_variance_reduction(spark, sf_dir):
         assert abs(r.mean_adj - adj[mask].mean()) < 1e-3
         assert abs(r.var_post_c2 - np.var(post[mask], ddof=1)) < 2
         assert abs(r.var_adj_c2 - np.var(adj[mask], ddof=1)) < 2
+
+
+# ------------------------------------------------------------ DP mechanism
+def test_dp_noise_distribution_shape(spark):
+    """Over many planted categories the seeded Laplace draws must behave
+    like Laplace(b=1): |noise| mean near 1 and symmetric-ish sign split
+    (the md5 uniforms are fixed, so these are deterministic assertions on
+    a 400-draw sample, not flaky statistics)."""
+    from usedcars_bigdata_spark.plans import QUERIES  # noqa: F401 (registry import)
+    from pyspark.sql import functions as F
+
+    cats = spark.range(400).select(
+        F.concat(F.lit("cat_"), F.col("id")).alias("event_type")
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("dp-seed:"), F.col("event_type"))), 1, 8
+    )
+    unif = (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+    noise = (
+        F.when(unif < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(unif - 0.5))
+    )
+    vals = [r.x for r in cats.select(noise.alias("x")).collect()]
+    import statistics
+
+    mean_abs = statistics.mean(abs(v) for v in vals)
+    pos = sum(1 for v in vals if v > 0)
+    assert 0.8 < mean_abs < 1.25, mean_abs   # E|Laplace(1)| = 1
+    assert 150 < pos < 250, pos              # sign balance

@@ -238,6 +238,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: A/B readout with CUPED variance reduction
     # (integer-moment exact, pooled-theta adjustment)
     "ts_ab_cuped",
+    # round-4 continuation: DP-style Laplace noisy counts (md5-seeded
+    # inverse-CDF draw, mechanism replayed end-to-end by the oracle)
+    "rel_dp_noisy_counts",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4158,6 +4158,58 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rel_dp_noisy_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+    ), u AS (
+      SELECT event_type, n,
+             (CAST('0x' || substr(md5('dp-seed:' || event_type), 1, 8)
+                   AS BIGINT) + 0.5) / 4294967296.0 AS unif
+      FROM c
+    )
+    SELECT event_type, n,
+           round(n + (CASE WHEN unif < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(unif - 0.5)), 4) AS noisy_n
+    FROM u
+    """,
+)
+def rel_dp_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private-STYLE noisy histogram: per-event-type counts
+    plus Laplace(b=1/ε, ε=1) noise drawn by inverse CDF from an
+    md5-seeded uniform — the mechanism SHAPE of a DP release (ε=1,
+    event-level sensitivity; real deployments draw from a CSPRNG and
+    account user-level sensitivity — this entry's noise is deterministic
+    BY DESIGN so DuckDB replays the identical draw and the driver
+    hash-checks the mechanism end-to-end, the same honest trade the KMV/
+    CMS entries make for verifiability). Laplace inverse CDF:
+    x = −b·sign(u−½)·ln(1−2|u−½|). The 4-decimal round is safely inside
+    double precision at count magnitude (~8 significant digits), so the
+    1-ulp ln() divergence between libm implementations cannot flip it.
+    Complements k-anonymity (rel_k_anonymity) and pseudonymization
+    (rel_pseudonymize) in the privacy family."""
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("dp-seed:"), F.col("event_type"))), 1, 8
+    )
+    unif = (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+    centered = unif - 0.5
+    noise = (
+        F.when(unif < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    return counts.select(
+        "event_type",
+        "n",
+        F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )
+
+
+@query(
     "ts_ab_cuped",
     oracle="""
     WITH per_user AS (
