@@ -607,3 +607,31 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_attribution_single_window_exchange(spark, sf_dir):
+    """All three attribution models come out of one joined-touch subtree:
+    exactly ONE p_id hash exchange (the window stage), not one per model
+    — the union-of-branches form re-planned the join 3x."""
+    import re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    df = QUERIES["ts_attribution_models"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning\(p_id", plan))
+    assert n_exchanges == 1, f"{n_exchanges} p_id exchanges\n{plan[:1500]}"
+
+
+def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
+    """The count-table hub is materialized (localCheckpoint), so the
+    documents corpus appears in exactly two scans: scoring into the
+    counts, and the final map-back join."""
+    import re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    df = QUERIES["ext_quantile_normalize"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(re.findall(r"Scan parquet[^\n]*documents", plan))
+    assert n_scans <= 2, f"{n_scans} documents scans"

@@ -1682,7 +1682,19 @@ def quantile_normalize_by_source(
         F.col(id_col), F.col(source_col).alias("source"), q_fp.alias("q_fp")
     )
 
-    counts = scored.groupBy("source", "q_fp").agg(F.count("*").alias("cnt"))
+    # The (source, score) count table is the hub every downstream branch
+    # reads (per-source cumulatives, global CDF, N, the marker merge).
+    # Materialize it ONCE: without this, each of the four consumers
+    # re-plans the scoring subtree and the corpus is scanned four times
+    # (measured); with it, the corpus is scanned exactly twice — once
+    # into the counts, once in the final map-back join. localCheckpoint
+    # (the bounded-lineage CC precedent) keeps the materialized table
+    # executor-local and needs no checkpoint dir.
+    counts = (
+        scored.groupBy("source", "q_fp")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     ws = Window.partitionBy("source").orderBy("q_fp")
     per_source = (
         counts.withColumn(
@@ -1691,12 +1703,14 @@ def quantile_normalize_by_source(
         )
         .withColumn("n_s", F.sum("cnt").over(Window.partitionBy("source")))
     )
-    gcounts = scored.groupBy("q_fp").agg(F.count("*").alias("gcnt"))
+    # Global CDF and N derive from the materialized counts, not from
+    # scored — no additional corpus scans.
+    gcounts = counts.groupBy("q_fp").agg(F.sum("cnt").alias("gcnt"))
     wg = Window.orderBy("q_fp")
     glob = gcounts.withColumn("gcum", F.sum("gcnt").over(wg)).withColumn(
         "gcum_prev", F.col("gcum") - F.col("gcnt")
     )
-    n_total = scored.agg(F.count("*").alias("N"))
+    n_total = counts.agg(F.sum("cnt").alias("N"))
     with_idx = per_source.join(F.broadcast(n_total)).withColumn(
         "idx",
         F.floor(

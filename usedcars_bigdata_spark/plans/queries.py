@@ -4402,9 +4402,13 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the touch join is a per-user interval join — one shuffle
     on user_id, with the 1-hour bound keeping per-purchase touch counts
-    small; the three window functions share ONE partitioning (p_id), so
-    Catalyst computes them in a single window stage; each model's
-    aggregate then shuffles only the touch rows that survive its filter.
+    small; the three window functions share ONE p_id exchange (different
+    sort orders add sorts, not shuffles — plan-asserted in
+    test_plan_shapes), and all three models come out of ONE pass via an
+    exploded (model, amount) contribution column into a single aggregate.
+    The naive union-of-three-branches form re-planned the whole join
+    subtree per model (3 p_id exchanges, 3 event scans — measured before
+    the rewrite); explode-then-aggregate touches the joined rows once.
     At 100 TB the equivalent plan holds with event-time bucketing on the
     join (operators.joins.interval_join precedent)."""
     events = load_table(spark, sf_dir, "events")
@@ -4441,20 +4445,31 @@ def ts_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_t", F.count("*").over(w))
     )
     micro = F.col("cents") * 10000
-
-    def model(name: str, df: DataFrame, amount) -> DataFrame:
-        return df.groupBy("channel").agg(
-            F.sum(amount).alias("attributed_microcents"),
-            F.count("*").alias("n_attributions"),
-        ).select(F.lit(name).alias("model"), "channel",
-                 "attributed_microcents", "n_attributions")
-
-    first = model("first_touch", r.filter(F.col("rn_first") == 1), micro)
-    last = model("last_touch", r.filter(F.col("rn_last") == 1), micro)
-    linear = model(
-        "linear", r, F.expr("(cents * 10000) div n_t")
+    contributions = F.array(
+        F.struct(
+            F.lit("first_touch").alias("model"),
+            F.when(F.col("rn_first") == 1, micro).alias("amount"),
+        ),
+        F.struct(
+            F.lit("last_touch").alias("model"),
+            F.when(F.col("rn_last") == 1, micro).alias("amount"),
+        ),
+        F.struct(
+            F.lit("linear").alias("model"),
+            F.expr("(cents * 10000) div n_t").alias("amount"),
+        ),
     )
-    return first.unionByName(last).unionByName(linear)
+    return (
+        r.select("channel", F.explode(contributions).alias("c"))
+        .select("channel", "c.model", "c.amount")
+        .filter(F.col("amount").isNotNull())
+        .groupBy("model", "channel")
+        .agg(
+            F.sum("amount").alias("attributed_microcents"),
+            F.count("*").alias("n_attributions"),
+        )
+        .select("model", "channel", "attributed_microcents", "n_attributions")
+    )
 
 
 @query(
