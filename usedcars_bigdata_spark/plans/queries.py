@@ -4302,6 +4302,10 @@ def ts_ab_cuped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("ts") >= cut, cents)), F.lit(0)
         ).alias("post"),
     ).withColumn("variant", F.col("user_id") % 2)
+    # Materialize the per-user table once (localCheckpoint): overall and
+    # per-variant moment aggregates otherwise each re-scan events
+    # (measured two scans; one with).
+    per_user = per_user.localCheckpoint(eager=True)
     overall = per_user.agg(
         F.count("*").alias("n"),
         F.sum("pre").alias("sx"),
@@ -5616,32 +5620,37 @@ def rel_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     KMV this completes the sketch family: distinct-count, order, and
     frequency.
 
-    Scale shape: the depth-explode triples rows BEFORE a (r, bucket)
-    groupBy that map-side combines into ≤ depth × width = 768 cells —
-    the whole sketch is that fixed-size table, mergeable by cell-wise
-    sum (partial sketches add). Probes (distinct items) join the tiny
-    cell table broadcast. n_exact rides along for the ε-bound test; a
-    production sketch would drop it."""
-    ev = load_table(spark, sf_dir, "events").select("event_type")
+    Scale shape: ONE corpus scan into per-item counts (map-side
+    combined; with a high-cardinality item domain the same weighted
+    insert runs on (item, count) partials), then the depth-explode and
+    (r, bucket) roll-up operate on the item-vocabulary-sized table —
+    the sketch is a fixed ≤ depth × width = 768 cells, mergeable by
+    cell-wise sum (pinned by the split-corpus merge test). Probes join
+    the tiny cell table broadcast. n_exact rides along for the ε-bound
+    test; a production sketch would drop it."""
+    # One corpus scan: the exact per-item counts are the hub (tiny for a
+    # categorical item domain; for a high-cardinality domain you would
+    # combine to (item, count) partials the same way — weighted insert is
+    # the standard CMS build), and cells/probes derive from it. The
+    # original three-consumer form scanned events three times (measured).
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_exact"))
+        .localCheckpoint(eager=True)
+    )
     depth = F.array(F.lit(0), F.lit(1), F.lit(2))
     bucket = F.substring(
         F.md5(F.concat(F.col("r").cast("string"), F.col("event_type"))), 1, 2
     )
     cells = (
-        ev.select(F.explode(depth).alias("r"), "event_type")
-        .select("r", bucket.alias("bucket"))
+        ex.select(F.explode(depth).alias("r"), "event_type", "n_exact")
+        .select("r", bucket.alias("bucket"), "n_exact")
         .groupBy("r", "bucket")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("n_exact").alias("c"))
     )
-    probes = (
-        ev.distinct()
-        .select(F.explode(depth).alias("r"), "event_type")
-        .select("event_type", "r", bucket.alias("bucket"))
-    )
-    ex = (
-        load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_exact"))
+    probes = ex.select(F.explode(depth).alias("r"), "event_type").select(
+        "event_type", "r", bucket.alias("bucket")
     )
     return (
         probes.join(F.broadcast(cells), ["r", "bucket"])

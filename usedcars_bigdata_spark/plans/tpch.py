@@ -718,9 +718,10 @@ def rel_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold row set is order-of-summation-proof across engines — the
     float form could flip a boundary row between Spark's parallel and
     DuckDB's sequential sums. Spark-first: the per-part aggregate is
-    computed ONCE and reused for both sides (the one-row total is a
-    broadcast cross join back onto pv — Catalyst reuses the exchange
-    feeding both aggregates rather than rescanning lineitem)."""
+    MATERIALIZED once (localCheckpoint — Catalyst does NOT reuse the
+    exchange across the total/join consumers: measured two lineitem
+    scans without it, one with) and both the one-row total and the
+    join-back read the materialized table."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey"
@@ -739,6 +740,7 @@ def rel_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("l_extendedprice") * 100).cast("bigint")
             ).alias("value_cents")
         )
+        .localCheckpoint(eager=True)
     )
     total = pv.agg(
         F.sum("value_cents").alias("__total"),
