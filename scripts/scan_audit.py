@@ -1,0 +1,24 @@
+import sys, re
+sys.path.insert(0, "/root/repo")
+from usedcars_bigdata_spark.session import get_session
+spark = get_session(shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+from usedcars_bigdata_spark.plans import QUERIES
+sf = "/root/testdata/sf0.01"
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]
+skip_prefixes = ("ts_stream", "rows_stream", "rows_word2vec", "rows_als", "rows_ml", "rows_quality", "rows_mmr", "veh_", "rows_fpgrowth", "rows_prefixspan", "ext_bpe")
+for name, fn in QUERIES.items():
+    if name.startswith(skip_prefixes):
+        continue
+    try:
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    except Exception as e:
+        print(f"ERR {name}: {type(e).__name__}"); continue
+    counts = {t: len(re.findall(rf"Scan parquet[^\n]*/{t}\.parquet", plan)) for t in TABLES}
+    hot = {t: c for t, c in counts.items() if c >= 3}
+    big2 = {t: c for t, c in counts.items() if c == 2 and t in ("lineitem", "events", "documents", "orders", "embeddings")}
+    if hot:
+        print(f"HOT3+ {name}: {hot}")
+    elif big2:
+        print(f"two   {name}: {big2}")
+print("AUDIT DONE")

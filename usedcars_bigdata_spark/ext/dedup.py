@@ -116,7 +116,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Tier 2: exact n-gram Jaccard similarity via inverted-index self-join.
     Shuffles on the shingle; hot shingles fan out quadratically — AQE skew
-    handling applies, and MinHash/LSH (tier 3) is the scale path."""
+    handling applies, and MinHash/LSH (tier 3) is the scale path.
+
+    The shingle table is materialized here: it feeds both self-join legs
+    and the size aggregate, and the lazy form re-ran the tokenize-explode
+    per consumer (audit: 4 corpus scans; 1 after)."""
+    shingles = shingles.localCheckpoint(eager=True)
     a = shingles.alias("a")
     b = shingles.alias("b")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -151,7 +156,9 @@ def overlap_pairs(
     re-post scores |A|/|B| on Jaccard (small when lengths differ) but 1.0
     on containment — the republished-with-appended-boilerplate class every
     web corpus carries. Identical inverted-index self-join shape (and
-    cost) as ``jaccard_pairs``; only the denominator differs."""
+    cost) as ``jaccard_pairs``; only the denominator differs. The
+    shingle table is materialized for the same three-consumer reason."""
+    shingles = shingles.localCheckpoint(eager=True)
     a = shingles.alias("a")
     b = shingles.alias("b")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n_sh"))
@@ -230,7 +237,11 @@ def edit_distance_pairs(
         .filter(F.col("__n") <= max_bucket)
         .select("__fp")
     )
-    t = t.join(small, "__fp")
+    # Materialize the bucket-filtered probe table: it feeds BOTH legs of
+    # the self-join (and `small` already re-read the projection), so the
+    # lazy form scanned the corpus four times (audit); two after — the
+    # projection into `small` and this checkpoint.
+    t = t.join(small, "__fp").localCheckpoint(eager=True)
     # never REDUCE parallelism: a corpus already read as many partitions
     # keeps them; the floor only lifts the single-small-file case
     n_tasks = max(
@@ -501,7 +512,11 @@ def pair_graph_stats(pairs: DataFrame) -> DataFrame:
     duplication, and a hot center's wedges partial-aggregate.
 
     Output: one row (n_vertices, n_edges, max_degree, n_triangles)."""
-    e = pairs.select("id_a", "id_b").distinct()
+    # The edge set is read SEVEN times (vertices both sides, degrees both
+    # sides, three wedge/probe legs, the count) — and the upstream pair
+    # generation (LSH + verification) is expensive. Materialize it once;
+    # without this the entry's plan carried 20 corpus scans (audit).
+    e = pairs.select("id_a", "id_b").distinct().localCheckpoint(eager=True)
     verts = (
         e.select(F.col("id_a").alias("v"))
         .unionByName(e.select(F.col("id_b").alias("v")))
@@ -824,13 +839,21 @@ def _with_words(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def _merged_dup_spans(
-    df: DataFrame, id_col: str, text_col: str, n: int, min_docs: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    min_docs: int,
+    with_words: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of ``duplicated_spans`` / ``remove_duplicated_spans``:
     per document, the MERGED half-open token intervals [ms, me) covered by
     n-grams occurring in >= min_docs documents. Hashed gram keys; both
-    gaps-and-islands windows partition by the document."""
-    with_words = _with_words(df, id_col, text_col, n)
+    gaps-and-islands windows partition by the document. Callers that
+    reuse the tokenized corpus pass their (materialized) ``with_words``
+    so this core adds no extra corpus scan."""
+    if with_words is None:
+        with_words = _with_words(df, id_col, text_col, n)
     grams = F.expr(
         f"transform(sequence(1, size(__words) - {n - 1}), "
         f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n}))))"
@@ -903,7 +926,11 @@ def duplicated_spans(
     duplicated or the doc is shorter than n)."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
-    merged = _merged_dup_spans(df, id_col, text_col, n, min_docs)
+    # Tokenize once and materialize: the span core references the token
+    # table from several consumers, and without the checkpoint each one
+    # re-scanned the corpus (audit: 3 documents scans; 1+base after).
+    ww = _with_words(df, id_col, text_col, n).localCheckpoint(eager=True)
+    merged = _merged_dup_spans(df, id_col, text_col, n, min_docs, with_words=ww)
     per_doc = merged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.max(F.col("me") - F.col("ms")).alias("longest_span_tokens"),
@@ -956,8 +983,18 @@ def remove_duplicated_spans(
     document."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     base = df.select(F.col(id_col), F.size(words).alias("n_tokens"))
-    with_words = _with_words(df, id_col, text_col, n)
-    spans = _merged_dup_spans(df, id_col, text_col, n, min_docs)
+    # Materialize the two hubs every downstream consumer re-references:
+    # the tokenized corpus (fed to the span core, the survivor election,
+    # the content hash, and the token explode) and the merged span table
+    # (read by spans_txt twice via survivors/removed). The lazy form
+    # re-planned both per consumer — audit measured ELEVEN documents
+    # scans for this operator; 1 + base + the short-doc lookup after.
+    with_words = _with_words(df, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    spans = _merged_dup_spans(
+        df, id_col, text_col, n, min_docs, with_words=with_words
+    ).localCheckpoint(eager=True)
     spans_txt = spans.join(with_words, id_col).select(
         F.col(id_col),
         "ms",
@@ -1163,7 +1200,15 @@ def cross_split_contamination(
     split = hash_split(df.select(F.col(id_col)), id_col).select(
         F.col(id_col), "split"
     )
-    sh = word_shingles(df, id_col, text_col, n=n).join(split, id_col)
+    # The shingle+split table is the hub read by sizes/train/eval —
+    # materialized so the tokenize-explode pass runs once (audit: 8
+    # documents scans without; the staging table a production
+    # decontamination job would write anyway).
+    sh = (
+        word_shingles(df, id_col, text_col, n=n)
+        .join(split, id_col)
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy(id_col, "split").agg(F.count("*").alias("n_sh"))
     train = sh.filter(F.col("split") == "train").select(
         F.col(id_col).alias("train_match"), F.col("shingle")

@@ -673,10 +673,13 @@ def line_dedup(
 
     Output: (id, text_dedup, n_lines, n_kept)."""
     sep_rx = "\\Q" + sep + "\\E"  # literal separator, not a regex
+    # The exploded line table feeds four consumers (survivor election,
+    # survivor join, exempt lines, per-doc totals) — materialized so the
+    # explode runs once (audit: 4 documents scans without, 1 after).
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__line"),
-    )
+    ).localCheckpoint(eager=True)
     eligible = lines.filter(F.length("__line") >= min_line_chars)
     first = (
         eligible.select(
@@ -746,7 +749,14 @@ def tfidf_top_terms(
     toks = df.select(
         F.col(id_col), F.explode(_words(text_col)).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, token) counts feed both the df aggregate and the tf side of
+    # the join — materialized so the explode runs once (audit: 3 scans
+    # lazy, 2 after: this pass + the 1-row N count)
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = (
@@ -910,7 +920,14 @@ def unigram_logprob_score(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t")
     ).select(F.col(id_col), F.xxhash64("__t").alias("tok"))
-    counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    # vocab-sized hub read by the total and the probability table —
+    # materialized so pass (1) runs once (audit: 3 corpus scans lazy,
+    # the documented 2 after)
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+        .localCheckpoint(eager=True)
+    )
     total = counts.agg(F.sum("n_tok").alias("n_total"))
     probs = counts.crossJoin(F.broadcast(total)).select(
         "tok", F.log(F.col("n_tok") / F.col("n_total")).alias("logp")
@@ -1139,7 +1156,14 @@ def domain_divergence(
         F.col(group_col).alias("domain"),
         F.explode(_words(text_col)).alias("word"),
     ).filter(F.col("word") != "")
-    by_domain = words.groupBy("domain", "word").agg(F.count("*").alias("nw"))
+    # (domain, word) counts are the hub all four downstream aggregates
+    # read — materialized so the token explode runs once (audit: 4
+    # documents scans without, 1 after).
+    by_domain = (
+        words.groupBy("domain", "word")
+        .agg(F.count("*").alias("nw"))
+        .localCheckpoint(eager=True)
+    )
     domain_tot = by_domain.groupBy("domain").agg(F.sum("nw").alias("nd"))
     corpus = by_domain.groupBy("word").agg(F.sum("nw").alias("cw"))
     corpus_tot = corpus.agg(F.sum("cw").alias("nc"))
@@ -1196,7 +1220,13 @@ def bigram_logprob_score(
             F.xxhash64("__p.w1", "__p.w2").alias("k12"),
         )
     )
-    c12 = pairs.groupBy("k1", "k12").agg(F.count("*").alias("n12"))
+    # context-vocabulary hub read by the marginal and the logp table —
+    # materialized (same audit rationale as the unigram gate)
+    c12 = (
+        pairs.groupBy("k1", "k12")
+        .agg(F.count("*").alias("n12"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("k1").agg(F.sum("n12").alias("n1"))
     logp = c12.join(c1, "k1").select(
         "k12", F.log(F.col("n12") / F.col("n1")).alias("lp")
@@ -1536,15 +1566,25 @@ def pmi_cooccurrence(
     pairs = with_words.select(F.explode(pair_structs).alias("p")).filter(
         F.col("p").isNotNull()
     )
-    pair_counts = pairs.groupBy(
-        F.col("p.x").alias("word_a"), F.col("p.y").alias("word_b")
-    ).agg(F.count("*").alias("n_pair"))
-    total_pairs = pairs.agg(F.count("*").alias("P"))
+    # Materialize the two count hubs and derive the totals FROM them
+    # (P = Σ n_pair, T = Σ n): the lazy form re-ran the pair explode for
+    # the total and the token explode for the vocabulary's two join legs
+    # — audit measured 5 documents scans, 2 after (one per explode).
+    pair_counts = (
+        pairs.groupBy(F.col("p.x").alias("word_a"), F.col("p.y").alias("word_b"))
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=True)
+    )
+    total_pairs = pair_counts.agg(F.sum("n_pair").alias("P"))
     tokens = df.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-    uni = tokens.groupBy("w").agg(F.count("*").alias("n"))
-    total_tokens = tokens.agg(F.count("*").alias("T"))
+    uni = (
+        tokens.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    total_tokens = uni.agg(F.sum("n").alias("T"))
     na = uni.select(F.col("w").alias("word_a"), F.col("n").alias("n_a"))
     nb = uni.select(F.col("w").alias("word_b"), F.col("n").alias("n_b"))
     return (
@@ -1600,10 +1640,14 @@ def split_lm_gate(
         "split",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # The train vocabulary is vocab-sized and read twice (scalars + the
+    # val join); materialized so the train-side tokenize-explode runs
+    # once (audit: 6 documents scans without, 2 after — one per split).
     train_counts = (
         toks.filter(F.col("split") == "train")
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
+        .localCheckpoint(eager=True)
     )
     scal = train_counts.agg(
         F.sum("n_tok").alias("n_total"), F.count("*").alias("v")

@@ -29,11 +29,12 @@ def resample_gap_fill(
 
     1. bucket + aggregate: one partial-aggregated shuffle reduces the
        stream to O(|keys| x |buckets|) rows;
-    2. grid: the GLOBAL [min, max] bucket range (a 1-row aggregate) is
-       ``sequence()``-exploded into the dense bucket axis and
-       cross-joined with the distinct keys — both sides are tiny
-       (buckets: one row per step in the corpus time span; keys: the
-       dimension), so the grid never shuffles anything stream-sized;
+    2. grid: the GLOBAL [min, max] bucket range (a 1-row aggregate over
+       the MATERIALIZED bucket table) is ``sequence()``-exploded into the
+       dense bucket axis and cross-joined with the distinct keys — both
+       sides are tiny (buckets: one row per step in the corpus time span;
+       keys: the dimension), so the grid never shuffles anything
+       stream-sized;
     3. left join aggregates onto the grid and coalesce the fill values.
 
     The join keys on (key, bucket) against the already-aggregated table,
@@ -56,12 +57,17 @@ def resample_gap_fill(
     the span aggregate runs over the already-reduced |keys|×|buckets|
     rows, not the events."""
     bucket = F.window(ts_col, step)["start"]
+    # The reduced bucket table is the hub for the span, key set, and the
+    # final join. MATERIALIZED: the "AQE ReusedExchange collapses the
+    # three branches" assumption this module previously relied on does
+    # not hold in practice (plan audit: 3 events scans; 1 after).
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
         .agg(
             F.count("*").alias("__n"),
             F.round(F.sum(value_col), 2).alias("__sum"),
         )
+        .localCheckpoint(eager=True)
     )
     span = agg.agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
@@ -370,6 +376,10 @@ def funnel_stages(
         events.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("__t"))
+        # each stage table feeds BOTH the next stage's join and the final
+        # union — materialized, or every consumer re-scans the stream
+        # (audit: 6 events scans; 1 per stage after)
+        .localCheckpoint(eager=True)
     )
     levels.append(
         cur.select(
@@ -386,6 +396,7 @@ def funnel_stages(
             .filter(F.col(f"e.{ts_col}") >= F.col("p.__t"))
             .groupBy(user_col)
             .agg(F.min(f"e.{ts_col}").alias("__t"))
+            .localCheckpoint(eager=True)
         )
         cur = nxt
         levels.append(
@@ -704,6 +715,9 @@ def interpolate_linear(
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
         .agg(F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("__fp"))
+        # hub for span/keys/join — materialized per the resample_gap_fill
+        # audit (3 events scans lazy, 1 after)
+        .localCheckpoint(eager=True)
     )
     span = agg.agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")

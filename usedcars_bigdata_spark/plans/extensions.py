@@ -444,10 +444,20 @@ def ext_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, n_tokens_kept, quality_score, split)."""
     docs = load_table(spark, sf_dir, "documents")
-    survivors = X.exact_dedup(docs, "doc_id", "text")
-    cleaned = X.remove_duplicated_spans(
-        survivors, "doc_id", "text", n=5, min_docs=2
-    ).select("doc_id", F.col("text_clean").alias("text"), "n_tokens_kept")
+    # Stage boundaries are MATERIALIZED (localCheckpoint): composing the
+    # lazy stage plans multiplies re-planning — the audit measured 118
+    # documents scans for this entry (each stage re-references its
+    # predecessor several times, and the products compound); with the
+    # two checkpoints the corpus is scanned a handful of times, which is
+    # also how a production pipeline stages between passes.
+    survivors = X.exact_dedup(docs, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
+    cleaned = (
+        X.remove_duplicated_spans(survivors, "doc_id", "text", n=5, min_docs=2)
+        .select("doc_id", F.col("text_clean").alias("text"), "n_tokens_kept")
+        .localCheckpoint(eager=True)
+    )
     gated = TX.quality_percentile_gate(
         cleaned.filter(F.length("text") > 0), "doc_id", "text", pct=0.25,
         exact=True,
