@@ -635,3 +635,39 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     n_scans = len(re.findall(r"Scan parquet[^\n]*documents", plan))
     assert n_scans <= 2, f"{n_scans} documents scans"
+
+
+@pytest.mark.parametrize(
+    "name,table,budget",
+    [
+        ("ext_curation_v2", "documents", 6),
+        ("rel_pagerank_copurchase", "lineitem", 1),
+        ("ext_pair_graph_stats", "documents", 2),
+        ("ext_remove_dup_spans", "documents", 3),
+        ("ext_crosssplit_decontamination", "documents", 2),
+        ("ts_funnel_stages", "events", 3),
+        ("ext_split_lm_gate", "documents", 2),
+        ("rel_dq_expectations", "orders", 3),
+        ("rel_association_rules", "lineitem", 1),
+        ("ext_pmi_cooccurrence", "documents", 2),
+        ("ext_line_dedup", "documents", 2),
+        ("ext_domain_divergence", "documents", 1),
+        ("ts_mad_outliers", "events", 2),
+        ("rel_chi_square", "orders", 1),
+        ("ts_resample_gap_fill", "events", 1),
+        ("ts_attribution_models", "events", 2),
+        ("ext_quantile_normalize", "documents", 2),
+    ],
+)
+def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
+    """Regression guard for the round-4 multi-scan audit: each fixed
+    entry's executed plan must stay within its scan budget for the hot
+    table (materialized-hub scans execute at entry-build time and do not
+    appear in the returned plan — the budget counts what is left)."""
+    import re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    n = len(re.findall(rf"Scan parquet[^\n]*/{table}\.parquet", plan))
+    assert n <= budget, f"{name}: {n} {table} scans (budget {budget})"
