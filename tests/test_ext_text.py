@@ -909,3 +909,62 @@ def test_quantile_normalize_calibrates_shifted_source(spark):
     # its mid-rank within 'low' is 0.9 -> global idx in the top decile,
     # which the stopword-rich source dominates
     assert best_low.q_norm > best_low.q_fp, best_low
+
+
+def test_perceptual_ahash_radius_with_injected_decoder(spark):
+    """Inject a synthetic decoder with CONTROLLED pixels: two images one
+    flipped pixel apart must pair at hamming 1; an image with a different
+    half-bright pattern must not pair within radius 3; identical payloads
+    pair at hamming 0."""
+    from usedcars_bigdata_spark.ext.multimodal import image_near_dupes
+
+    base = [10] * 32 + [200] * 32           # half dark, half bright
+    near = list(base); near[0] = 200        # one bit flips
+    far = [200] * 32 + [10] * 32            # inverted -> hamming 64
+    pixels = {1: base, 2: near, 3: far, 4: base}
+
+    def decoder(payload):
+        return pixels[int.from_bytes(payload, "big")]
+
+    media = spark.createDataFrame(
+        [(i, i.to_bytes(2, "big")) for i in pixels],
+        "media_id long, payload binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dupes(media, max_hamming=3, decode_fn=decoder).collect()
+    }
+    assert pairs.get((1, 4)) == 0        # identical pixels
+    assert pairs.get((1, 2)) == 1        # one flipped pixel
+    assert pairs.get((2, 4)) == 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_image_near_dupes_matches_payload_ground_truth(spark, sf_dir):
+    """Every exact payload duplicate (identical text bytes) MUST pair at
+    hamming 0, and every reported pair respects the radius. Duplicate
+    presence varies by SF (sf0.001's 500 texts are all distinct), so the
+    check is ground-truth-driven, not presence-asserted."""
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in QUERIES["rows_image_near_dupes"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    groups = [
+        sorted(r.ids)
+        for r in docs.groupBy("text")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    ]
+    expected0 = {
+        (a, b) for ids in groups for a in ids for b in ids if a < b
+    }
+    for key in expected0:
+        assert pairs.get(key) == 0, key
+    for v in pairs.values():
+        assert 0 <= v <= 3

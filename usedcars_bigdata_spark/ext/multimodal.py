@@ -40,7 +40,7 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(payload: bytes):  # pragma: no cover - intentional stub
-    """Real decode (PIL.Image.open等) — unavailable in this container."""
+    """Real decode (PIL.Image.open etc.) — unavailable in this container."""
     raise NotImplementedError(
         "image codecs not installed; use fake_image_features for plumbing tests"
     )
@@ -185,4 +185,79 @@ def synthesize_media_from_docs(docs: DataFrame, media_type: str = "image") -> Da
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def fake_image_pixels(payload: bytes, grid: int = 8) -> list[int]:
+    """Deterministic stand-in grayscale decode: a sha256-extended byte
+    stream shaped to grid*grid pixels. Same payload -> same pixels,
+    everywhere — the decode contract pHash needs, minus the codec."""
+    need = grid * grid
+    out = b""
+    block = hashlib.sha256(payload or b"").digest()
+    while len(out) < need:
+        out += block
+        block = hashlib.sha256(block).digest()
+    return list(out[:need])
+
+
+def perceptual_ahash(
+    media: DataFrame,
+    grid: int = 8,
+    decode_fn=None,
+) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image payload:
+    decode to grayscale, resize to grid x grid, set bit i iff pixel_i is
+    above the image mean, pack to one 64-bit word (grid=8). Near-identical
+    IMAGES — recompressed, lightly edited — land within a few Hamming
+    bits, which is what makes this the image leg of the dedup stack.
+
+    ``decode_fn(payload) -> list[int]`` is injectable: the default is the
+    deterministic sha256 stand-in (codecs absent in this container — the
+    stub note on decode_image), and tests inject synthetic decoders with
+    CONTROLLED pixels to exercise the near-dup radius for real. The
+    hashing/packing/pairing pipeline is identical either way.
+
+    Output: (media_id, simhash) — named to drop straight into
+    ext.dedup.simhash_near_pairs' chunk-index pairing."""
+    if grid * grid != 64:
+        raise ValueError("aHash packs exactly 64 bits: grid must be 8")
+    fn = decode_fn or (lambda p: fake_image_pixels(p, grid))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                px = np.asarray(fn(payload), dtype="float64")
+                bits = px > px.mean()
+                word = np.uint64(0)
+                for i, b in enumerate(bits):
+                    if b:
+                        word |= np.uint64(1) << np.uint64(i)
+                hashes.append(np.int64(word.astype("uint64").view("int64")))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "simhash": hashes}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, simhash long"
+    )
+
+
+def image_near_dupes(
+    media: DataFrame, max_hamming: int = 3, decode_fn=None
+) -> DataFrame:
+    """Image near-duplicate pairs: perceptual aHash -> the SimHash
+    chunk-index pairing (complete for max_hamming < 4 by pigeonhole — see
+    ext.dedup.simhash_near_pairs). One fingerprint pass over payloads,
+    then all pairing work happens on 8-byte words — the cross-modality
+    payoff of sharing the Hamming machinery with the text tier."""
+    from .dedup import simhash_near_pairs
+
+    return simhash_near_pairs(
+        perceptual_ahash(media, decode_fn=decode_fn),
+        "media_id",
+        max_hamming=max_hamming,
     )

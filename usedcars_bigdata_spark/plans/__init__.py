@@ -36,6 +36,15 @@ from . import tpch as _tpch  # noqa: E402,F401
 # them all; everything stays under pytest + full-range dtype-checked
 # driver_sim + the verify drive regardless of window position.
 #
+# ROUND-4 CONTINUATION-2 SESSION added 14 more entries (10 oracle-backed:
+# the TPC-H completion batch rel_tpch_q{2,9,11,12,16,20}_*, ts_holt_trend,
+# ts_stream_upsert_sink, rel_cms_sketch, ts_attribution_models,
+# ext_quantile_normalize, rel_textfile_logparse, ts_ab_cuped,
+# rel_dp_noisy_counts, ext_hard_negatives; 4 rows-only by nature:
+# rows_stream_near_dup, rows_word2vec_synonyms, rows_mmr_diverse_topk,
+# rows_quality_calibration) — fold these into the round-5 rotation queue
+# with the same never-driver-verified-first priority.
+#
 # ROUND-4 CONTINUATION SESSION added 22 more entries (17 oracle-backed:
 # skyline/association/interpolate/seasonal/er_pairs/er_entities/k_anon/
 # max_by/pmi/cusum/kmv/split_lm/survival/dq_expectations/
@@ -241,6 +250,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: DP-style Laplace noisy counts (md5-seeded
     # inverse-CDF draw, mechanism replayed end-to-end by the oracle)
     "rel_dp_noisy_counts",
+    # round-4 continuation: perceptual-hash image near-dup (rows-only;
+    # injected-decoder radius tests + payload-duplicate ground truth)
+    "rows_image_near_dupes",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

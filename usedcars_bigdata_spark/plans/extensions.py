@@ -749,6 +749,24 @@ def ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rows_image_near_dupes")
+def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs (ext.multimodal.image_near_dupes):
+    perceptual aHash over the binary payload column, then the SimHash
+    chunk-index Hamming pairing shared with the text tier — the image leg
+    of cross-modality dedup. Media is the deterministic synthesized set:
+    duplicated document texts encode to identical payloads, so every
+    exact text duplicate must surface as a hamming-0 pair (ground-truth
+    checked in tests; duplicate presence varies by SF).
+    Rows-only (the sha256 stand-in decode has no SQL replay); radius
+    behavior is pinned in tests with an injected synthetic decoder."""
+    from ..ext import multimodal as MM
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.synthesize_media_from_docs(docs)
+    return MM.image_near_dupes(media, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Corpus preparation (round 2): normalization, packing, training-mix sampling
 # ---------------------------------------------------------------------------
