@@ -968,3 +968,22 @@ def test_image_near_dupes_matches_payload_ground_truth(spark, sf_dir):
         assert pairs.get(key) == 0, key
     for v in pairs.values():
         assert 0 <= v <= 3
+
+
+def test_stratified_split_exact_counts(spark, sf_dir):
+    """Every stratum's split sizes are exactly floor-quantized 80/10/10 —
+    the guarantee hash_split cannot make."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["ext_stratified_split"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.split] = r.n_docs
+    assert by_src
+    for src, parts in by_src.items():
+        n = sum(parts.values())
+        want_train = (8 * n) // 10
+        want_val = (9 * n) // 10 - want_train
+        assert parts.get("train", 0) == want_train, (src, parts)
+        assert parts.get("val", 0) == want_val, (src, parts)
+        assert parts.get("test", 0) == n - want_train - want_val, (src, parts)

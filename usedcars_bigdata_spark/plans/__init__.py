@@ -253,6 +253,9 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: perceptual-hash image near-dup (rows-only;
     # injected-decoder radius tests + payload-duplicate ground truth)
     "rows_image_near_dupes",
+    # round-4 continuation: exact stratified 80/10/10 split (guaranteed
+    # per-stratum counts vs hash_split's in-expectation proportions)
+    "ext_stratified_split",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -749,6 +749,62 @@ def ext_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ext_stratified_split",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN rn <= (8 * n_s) // 10 THEN 'train'
+                WHEN rn <= (9 * n_s) // 10 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           min(doc_id) AS min_doc_id
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ext_strat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified 80/10/10 split: within every source, documents
+    rank by a salted md5 (deterministic shuffle order) and the first
+    ⌊0.8·n_s⌋ go to train, the next ⌊0.9·n_s⌋−⌊0.8·n_s⌋ to val, the rest
+    to test — per-stratum counts are GUARANTEED (ext_hash_split's
+    per-doc hash gives proportions only in expectation; small or skewed
+    strata can miss an entire split there). Same md5 idiom both engines,
+    (hash, doc_id) tie-break so the assignment is total. The per-source
+    rank window is stratum-bounded; a corpus-scale stratum takes the
+    salted two-level rank (inverted_index precedent) — documented, not
+    needed at harness scale. Output is the (source, split) count table
+    with a min-id witness so the driver hashes the ASSIGNMENT, not just
+    the sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    ws = Window.partitionBy("source")
+    r = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(ws).alias("n_s"),
+    )
+    split = (
+        F.when(F.col("rn") <= F.expr("(8 * n_s) div 10"), "train")
+        .when(F.col("rn") <= F.expr("(9 * n_s) div 10"), "val")
+        .otherwise("test")
+    )
+    return (
+        r.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )
+
+
 @query("rows_image_near_dupes")
 def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs (ext.multimodal.image_near_dupes):
