@@ -108,6 +108,15 @@ BENCH_QUERIES = [
     "rel_scd2_pointlookup",
     "rel_winsorized_stats",
     "ext_corpus_card",
+    # round-4 continuation-2 additions
+    "rel_cms_sketch",
+    "ts_attribution_models",
+    "ext_quantile_normalize",
+    "ext_hard_negatives",
+    "ts_ab_cuped",
+    "ext_stratified_split",
+    "rel_dp_noisy_counts",
+    "rel_textfile_logparse",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
