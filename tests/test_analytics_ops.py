@@ -898,3 +898,61 @@ def test_hard_negatives_all_same_label_empty(spark):
     )
     out = hard_negatives(df, df.filter("vec_id = 0"), k=3)
     assert out.count() == 0  # no cross-label items exist
+
+
+# ------------------------------------------------------- clamped balance
+def test_clamped_balance_recurrence_and_carry(spark):
+    """Manual replay of bal_i = max(0, bal_{i-1} + delta_i), forced across
+    Arrow batch boundaries (5-row batches over a 24-row series) — the
+    clamp must bind mid-series and the carry must survive batch cuts."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        clamped_running_balance,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        t0 = dt.datetime(2024, 1, 1)
+        deltas = [5, -3, -10, 4, -1, 7, -20, 2] * 3
+        rows = [
+            (i, 1, t0 + dt.timedelta(minutes=i), d)
+            for i, d in enumerate(deltas)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, delta long"
+        ).coalesce(1)
+        got = {
+            r.event_id: (r.balance, r.rn)
+            for r in clamped_running_balance(
+                df, "user_id", "ts", "event_id", "delta"
+            ).collect()
+        }
+        bal = 0
+        for i, d in enumerate(deltas):
+            bal = max(0, bal + d)
+            assert got[i] == (bal, i + 1), (i, got[i], bal)
+        assert any(b == 0 for b, _ in got.values())  # the clamp actually bound
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_gone_silent_ground_truth(spark, sf_dir):
+    """Every reported user had >=1 prior-week event and zero recent-week
+    events; every prior-week-active user missing from the report has a
+    recent-week event."""
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    out = {r.user_id for r in QUERIES["ts_gone_silent"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("m")).first().m
+    import datetime as dt
+
+    cut, lo = mx - dt.timedelta(days=7), mx - dt.timedelta(days=14)
+    rows = ev.select("user_id", "ts").collect()
+    prior = {r.user_id for r in rows if lo <= r.ts < cut}
+    recent = {r.user_id for r in rows if r.ts >= cut}
+    assert out == prior - recent

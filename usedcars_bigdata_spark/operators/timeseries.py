@@ -309,6 +309,66 @@ def holt_trend(
     )
 
 
+def clamped_running_balance(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    delta_col: str,
+) -> DataFrame:
+    """Per-key running balance clamped at zero:
+
+        bal_i = max(0, bal_{i-1} + delta_i),  bal_0 = 0
+
+    — inventory on-hand, prepaid-credit, and rate-limit-token semantics.
+    The clamp makes this a NON-LINEAR recurrence: no window-function form
+    exists (a plain running sum has one; the max() couples every step),
+    so it joins ewma/holt in the sequential-per-key class, executed with
+    the same sorted-partition mapInPandas carry (one shuffle on the key,
+    one integer of state per key, batch-boundary-safe). All arithmetic is
+    int64, so the DuckDB recursive-CTE oracle replays it EXACTLY — no
+    float caveats at all.
+
+    Output: (id, key, rn, delta, balance)."""
+    dtypes = dict(events.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in (id_col, key_col)]
+        + ["rn bigint", f"{delta_col} {dtypes[delta_col]}", "balance bigint"]
+    )
+    cols = [id_col, key_col, ts_col, delta_col]
+
+    def run(batches):
+        carry: dict = {}  # key -> (balance, rn)
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            deltas = pdf[delta_col].to_numpy()
+            n = len(deltas)
+            bal = np.empty(n, dtype="int64")
+            rn = np.empty(n, dtype="int64")
+            for i in range(n):
+                k = keys[i]
+                b, r = carry.get(k, (0, 0))
+                b = b + int(deltas[i])
+                if b < 0:
+                    b = 0
+                r += 1
+                bal[i], rn[i] = b, r
+                carry[k] = (b, r)
+            out = pdf[[id_col, key_col]].copy()
+            out["rn"] = rn
+            out[delta_col] = pdf[delta_col].to_numpy()
+            out["balance"] = bal
+            yield out
+
+    return (
+        events.select(*cols)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(run, schema)
+    )
+
+
 def zscore_outliers(
     events: DataFrame,
     key_col: str,

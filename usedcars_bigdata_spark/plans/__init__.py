@@ -256,6 +256,11 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: exact stratified 80/10/10 split (guaranteed
     # per-stratum counts vs hash_split's in-expectation proportions)
     "ext_stratified_split",
+    # round-4 continuation: zero-clamped running balance (int64 stateful
+    # recurrence, exact recursive-CTE replay) + gone-silent churn
+    # detection (temporal anti-join)
+    "ts_clamped_balance",
+    "ts_gone_silent",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4173,6 +4173,50 @@ def ts_ttc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_clamped_balance",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS delta,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), bal AS (
+      SELECT user_id, event_id, rn, delta,
+             CAST(greatest(0, delta) AS BIGINT) AS balance
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.delta,
+             CAST(greatest(0, h.balance + b.delta) AS BIGINT)
+      FROM base b JOIN bal h
+        ON b.user_id = h.user_id AND b.rn = h.rn + 1
+    )
+    SELECT event_id, user_id, rn, delta, balance FROM bal
+    """,
+)
+def ts_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-clamped running balance per user
+    (operators.timeseries.clamped_running_balance): credits from
+    purchase/signup events, debits from the rest, floor at zero — the
+    inventory/prepaid-credit recurrence whose clamp has NO window form
+    (a plain running sum does; max() couples every step). Second member
+    of the sequential-per-key family after Holt, and the stronger oracle
+    case: all-int64 arithmetic, so the recursive-CTE replay is exact with
+    no float discussion at all. Engine side is the sorted-partition
+    mapInPandas carry — one shuffle, one integer of state per key."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents
+    ).otherwise(-cents)
+    return TS.clamped_running_balance(
+        events.withColumn("delta", delta), "user_id", "ts", "event_id", "delta"
+    )
+
+
+@query(
     "rel_dp_noisy_counts",
     oracle="""
     WITH c AS (
@@ -4221,6 +4265,64 @@ def rel_dp_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.round(F.col("n") + noise, 4).alias("noisy_n"),
+    )
+
+
+@query(
+    "ts_gone_silent",
+    oracle="""
+    WITH hz AS (
+      SELECT max(ts) - INTERVAL 7 DAY AS cut,
+             max(ts) - INTERVAL 14 DAY AS prior_lo
+      FROM events
+    ), prior AS (
+      SELECT e.user_id,
+             count(*) AS n_events_prior,
+             max(e.ts) AS last_seen
+      FROM events e CROSS JOIN hz
+      WHERE e.ts >= hz.prior_lo AND e.ts < hz.cut
+      GROUP BY 1
+    )
+    SELECT p.user_id, p.n_events_prior, p.last_seen
+    FROM prior p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e2 CROSS JOIN hz
+      WHERE e2.user_id = p.user_id AND e2.ts >= hz.cut
+    )
+    ORDER BY p.user_id
+    """,
+)
+def ts_gone_silent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gone-silent (churn-candidate) detection: users active in the
+    prior week but with NO event in the most recent week — the temporal
+    anti-join (EXISTS in window A AND NOT EXISTS in window B) that
+    retention dashboards alert on; the absence half is what plain
+    cohort/rolling metrics cannot express. Spark-first: the horizon is a
+    1-row aggregate broadcast onto both period scans; the prior-week
+    aggregate LEFT ANTI joins the recent-week key set — the absence
+    predicate becomes one pruned anti join, no correlated subquery at
+    runtime. One events shuffle per period, both keyed on the user."""
+    events = load_table(spark, sf_dir, "events")
+    hz = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cut"),
+        (F.max("ts") - F.expr("INTERVAL 14 DAY")).alias("prior_lo"),
+    )
+    with_hz = events.join(F.broadcast(hz))
+    prior = (
+        with_hz.filter(
+            (F.col("ts") >= F.col("prior_lo")) & (F.col("ts") < F.col("cut"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_prior"),
+            F.max("ts").alias("last_seen"),
+        )
+    )
+    recent = with_hz.filter(F.col("ts") >= F.col("cut")).select("user_id")
+    return (
+        prior.join(recent, "user_id", "left_anti")
+        .select("user_id", "n_events_prior", "last_seen")
+        .orderBy("user_id")
     )
 
 
