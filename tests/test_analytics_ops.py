@@ -956,3 +956,39 @@ def test_gone_silent_ground_truth(spark, sf_dir):
     prior = {r.user_id for r in rows if lo <= r.ts < cut}
     recent = {r.user_id for r in rows if r.ts >= cut}
     assert out == prior - recent
+
+
+# ------------------------------------------------- markov attribution
+def test_markov_attribution_invariants(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["rows_markov_attribution"](spark, sf_dir).collect()
+    assert rows
+    shares = [r.attribution_share for r in rows]
+    assert abs(sum(shares) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.removal_effect <= 1.0
+        assert r.channel.startswith("ch")
+
+
+def test_markov_attribution_single_channel_takes_all(spark):
+    """Journeys touching only one channel: removing it kills every
+    conversion, so it gets the whole credit."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(10):
+        rows.append((u, t0 + dt.timedelta(minutes=u), u * 10, "only", u % 2 == 0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, channel string, converted boolean"
+    )
+    out = markov_attribution(
+        df, "user_id", "ts", "event_id", "channel", "converted"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].channel == "only"
+    assert out[0].attribution_share == 1.0
+    assert out[0].removal_effect == 1.0

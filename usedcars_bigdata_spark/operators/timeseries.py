@@ -78,8 +78,7 @@ def resample_gap_fill(
         ).alias("bucket_start")
     )
     # keys also come from the aggregate (identical set — every key has at
-    # least one event), so all three branches read the SAME reduced
-    # subtree and AQE's ReusedExchange collapses them to one stream scan
+    # least one event), reading the materialized table above
     keys = agg.select("key").distinct()
     grid = keys.crossJoin(F.broadcast(axis))
     return (
@@ -888,4 +887,112 @@ def survival_km(
         F.when(died_out == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(logsum), 6))
         .alias("survival"),
+    )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    channel_col: str,
+    converted_col: str,
+    ndigits: int = 6,
+):
+    """Markov-chain multi-touch attribution (removal effects): build the
+    first-order transition matrix over journey states (start → channels →
+    conv/null), compute the absorbing-chain conversion probability, and
+    credit each channel by how much conversion drops when that channel is
+    removed (its transitions redirected to null) — the data-driven
+    attribution model that, unlike first/last/linear (ts_attribution_
+    models), lets the JOURNEYS decide the credit.
+
+    Split of labor: transition counting is fully distributed (one pass
+    per journey via a lag window partitioned by user); the chain solve is
+    driver-side numpy on a (2+|channels|)² matrix — channels are a
+    bounded vocabulary, so this is the PCA/IVF "tiny dense algebra on
+    aggregated counts" pattern, not a driver bottleneck. Removal shares
+    are normalized to sum to 1 over channels with positive effect.
+
+    Rows-only by nature (matrix inversion has no SQL form); invariants
+    (shares sum to 1, single-channel journeys give that channel
+    everything) are pytest-pinned.
+
+    Returns a DataFrame (channel, removal_effect, attribution_share)."""
+    import numpy as np
+
+    touches = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).alias("t"),
+        F.col(id_col).alias("i"),
+        F.col(channel_col).alias("ch"),
+        F.col(converted_col).alias("conv"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "i")
+    seq = touches.withColumn("prev", F.lag("ch").over(w)).withColumn(
+        "rn_desc", F.row_number().over(w.orderBy(F.col("t").desc(), F.col("i").desc()))
+    )
+    internal = (
+        seq.select(
+            F.coalesce(F.col("prev"), F.lit("__start")).alias("src"),
+            F.col("ch").alias("dst"),
+        )
+    )
+    terminal = seq.filter(F.col("rn_desc") == 1).select(
+        F.col("ch").alias("src"),
+        F.when(F.col("conv"), F.lit("__conv")).otherwise(F.lit("__null")).alias("dst"),
+    )
+    counts = (
+        internal.unionByName(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    channels = sorted(
+        {r.src for r in counts if not r.src.startswith("__")}
+        | {r.dst for r in counts if not r.dst.startswith("__")}
+    )
+    states = ["__start"] + channels + ["__conv", "__null"]
+    idx = {s: k for k, s in enumerate(states)}
+    n_states = len(states)
+    M = np.zeros((n_states, n_states))
+    for r in counts:
+        M[idx[r.src], idx[r.dst]] += r.n
+    # absorbing rows
+    M[idx["__conv"], idx["__conv"]] = 1.0
+    M[idx["__null"], idx["__null"]] = 1.0
+    row_sums = M.sum(axis=1, keepdims=True)
+    row_sums[row_sums == 0] = 1.0
+    P = M / row_sums
+
+    def conv_prob(P_):
+        t_idx = [idx["__start"]] + [idx[c] for c in channels]
+        a_idx = [idx["__conv"], idx["__null"]]
+        Q = P_[np.ix_(t_idx, t_idx)]
+        R = P_[np.ix_(t_idx, a_idx)]
+        N = np.linalg.inv(np.eye(len(t_idx)) - Q)
+        return (N @ R)[0, 0]  # start row, conv column
+
+    base = conv_prob(P)
+    effects = {}
+    for c in channels:
+        P_r = P.copy()
+        k = idx[c]
+        # transitions INTO the removed channel go to null instead
+        P_r[:, idx["__null"]] += P_r[:, k]
+        P_r[:, k] = 0.0
+        removed = conv_prob(P_r)
+        effects[c] = max(0.0, 1.0 - (removed / base if base > 0 else 0.0))
+    total = sum(effects.values()) or 1.0
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                round(float(effects[c]), ndigits),
+                round(float(effects[c]) / float(total), ndigits),
+            )
+            for c in channels
+        ],
+        "channel string, removal_effect double, attribution_share double",
     )

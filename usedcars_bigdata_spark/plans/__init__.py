@@ -261,6 +261,8 @@ _CONTRACT_PRIORITY = [
     # detection (temporal anti-join)
     "ts_clamped_balance",
     "ts_gone_silent",
+    # round-4 continuation: Markov removal-effect attribution (rows-only)
+    "rows_markov_attribution",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

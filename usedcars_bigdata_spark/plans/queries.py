@@ -4268,6 +4268,44 @@ def rel_dp_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("rows_markov_attribution")
+def rows_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over click journeys
+    (operators.timeseries.markov_attribution): channels from props.k mod
+    5 as in ts_attribution_models; a user converts if they have any
+    purchase event. Transition counting is distributed; the absorbing-
+    chain solve is driver-side numpy on the (channels+3)² matrix — the
+    tiny-dense-algebra-on-aggregated-counts pattern (PCA precedent).
+    Rows-only (matrix inversion has no SQL form); share-sum and planted
+    single-channel invariants are pytest-pinned."""
+    events = load_table(spark, sf_dir, "events")
+    conv_users = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("__conv", F.lit(True))
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.concat(
+                F.lit("ch"),
+                (F.get_json_object("props", "$.k").cast("int") % 5).cast(
+                    "string"
+                ),
+            ).alias("channel"),
+        )
+        .join(conv_users, "user_id", "left")
+        .withColumn("converted", F.coalesce("__conv", F.lit(False)))
+    )
+    return TS.markov_attribution(
+        clicks, "user_id", "ts", "event_id", "channel", "converted"
+    )
+
+
 @query(
     "ts_gone_silent",
     oracle="""
