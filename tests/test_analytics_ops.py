@@ -992,3 +992,34 @@ def test_markov_attribution_single_channel_takes_all(spark):
     assert out[0].channel == "only"
     assert out[0].attribution_share == 1.0
     assert out[0].removal_effect == 1.0
+
+
+# ----------------------------------------------------------- grouped OLS
+def test_builtin_regr_aggregates_match_moment_form(spark, sf_dir):
+    """Spark's SQL-standard regr_slope/regr_intercept must agree with the
+    exact-integer-moment form the contract entry computes — certifying
+    the built-in surface through the oracle-checked path."""
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    want = {
+        r.event_type: (r.slope_cents_per_hour, r.intercept_cents)
+        for r in QUERIES["rel_grouped_ols"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    y = (F.round(F.col("value") * 100)).cast("double")
+    got = {
+        r.event_type: (r.s, r.i)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.regr_slope(y, x).alias("s"),
+            F.regr_intercept(y, x).alias("i"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-6, k
+        assert abs(got[k][1] - want[k][1]) < 1e-3, k

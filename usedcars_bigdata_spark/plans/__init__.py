@@ -263,6 +263,9 @@ _CONTRACT_PRIORITY = [
     "ts_gone_silent",
     # round-4 continuation: Markov removal-effect attribution (rows-only)
     "rows_markov_attribution",
+    # round-4 continuation: grouped OLS via exact integer moments
+    # (REGR_SLOPE surface; built-ins certified against it in pytest)
+    "rel_grouped_ols",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4268,6 +4268,71 @@ def rel_dp_noisy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rel_grouped_ols",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(hour(ts) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(hour(ts) AS BIGINT) * CAST(hour(ts) AS BIGINT))
+                  AS BIGINT) AS sxx,
+             CAST(sum(CAST(hour(ts) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)), 6) AS slope_cents_per_hour,
+           round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                 - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                       / CAST(n AS DOUBLE))
+                    / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                       / CAST(n AS DOUBLE)))
+                   * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+             AS intercept_cents
+    FROM m
+    """,
+)
+def rel_grouped_ols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped simple linear regression (value-cents on hour-of-day, per
+    event type) — the SQL-standard REGR_SLOPE/REGR_INTERCEPT surface,
+    computed here from EXACT integer moments (n, Σx, Σy, Σx², Σxy in
+    int64) with explicit-double derivations, the CUPED discipline: the
+    engines' built-in regr_* aggregates use engine-specific streaming
+    accumulations whose float order differs, so the moment form is what
+    makes the driver hash exact. A pytest pins Spark's built-in
+    F.regr_slope/F.regr_intercept against this form within 1e-9 — the
+    built-ins are certified THROUGH the entry, not trusted blindly."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")
+    m = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (d(sxy) - d(sx) * d(sy) / d(n)) / (d(sxx) - d(sx) * d(sx) / d(n))
+    intercept = d(sy) / d(n) - slope * (d(sx) / d(n))
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round(intercept, 4).alias("intercept_cents"),
+    )
+
+
 @query("rows_markov_attribution")
 def rows_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain (removal-effect) attribution over click journeys
