@@ -671,3 +671,59 @@ def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(rf"Scan parquet[^\n]*/{table}\.parquet", plan))
     assert n <= budget, f"{name}: {n} {table} scans (budget {budget})"
+
+
+def test_cbo_join_reorder_with_table_statistics(spark, sf_dir, tmp_path):
+    """Cost-based optimization end-to-end: ANALYZE TABLE column statistics
+    + cbo.joinReorder let Catalyst join the selective nation-filtered
+    dimension BEFORE the big orders fact join, while the written order
+    (orders ⋈ customer first) is kept when CBO is off — the stats-driven
+    reorder a 100 TB warehouse relies on."""
+
+    def innermost_join_cond(plan: str) -> str:
+        # the LAST "Join Inner" line in the printed tree is the innermost
+        # (first-executed) join; its condition names the reordered pair
+        return plan[plan.rfind("Join Inner"):].splitlines()[0]
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS cbodb LOCATION '{tmp_path}/wh'")
+    spark.catalog.setCurrentDatabase("cbodb")
+    confs = {
+        "spark.sql.cbo.enabled": "true",
+        "spark.sql.cbo.joinReorder.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for t in ["customer", "orders", "nation"]:
+            load_table(spark, sf_dir, t).write.mode("overwrite").saveAsTable(t)
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        sql = """
+            SELECT n.n_name, count(*) AS n FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            WHERE n.n_name = 'NATION_5'
+            GROUP BY 1"""
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_cbo = innermost_join_cond(
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "n_nationkey" in with_cbo, with_cbo  # dim joined first
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        without = innermost_join_cond(
+            spark.sql(sql)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "o_custkey" in without, without  # written order kept
+        # and the answer is conf-independent
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        a = sorted(map(tuple, spark.sql(sql).collect()))
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        b = sorted(map(tuple, spark.sql(sql).collect()))
+        assert a == b and a
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.setCurrentDatabase("default")
