@@ -460,3 +460,39 @@ def test_pair_graph_stats_golden(spark):
     )
     r2 = X.pair_graph_stats(clique).first()
     assert r2["n_triangles"] == 4 and r2["n_edges"] == 6
+
+
+def test_sorted_neighborhood_catches_mid_string_edit(spark):
+    """A mid-string typo defeats prefix blocking but sorts adjacently —
+    the case sorted neighborhood exists for; and values far apart in sort
+    order with small edit distance are (honestly) missed when beyond the
+    window."""
+    from usedcars_bigdata_spark.ext.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "blue widget"),
+        (2, "blue wadget"),   # mid-string edit, sorts adjacent to 1
+        (3, "red gear"),
+        (4, "zed gear"),      # 1 edit from 3, but separated in sort order
+        (5, "blue wzdget"),
+        (6, "seven hammers"),  # sort between red... and zed..., lev > 4
+        (7, "turbo pump kit"),
+        (8, "ultra filter"),
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(
+            df, "pid", "name", window=1, max_dist=4
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 1
+    assert (3, 4) not in pairs  # sort-distance blind spot, by design
+    # widening the window past the separators closes the miss
+    wide = {
+        (r.id_a, r.id_b)
+        for r in sorted_neighborhood_pairs(
+            df, "pid", "name", window=4, max_dist=4
+        ).collect()
+    }
+    assert (3, 4) in wide

@@ -1244,3 +1244,63 @@ def cross_split_contamination(
             id_col, "split", "train_match", F.round("jaccard", 6).alias("jaccard")
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    compare_col: str,
+    window: int = 3,
+    max_dist: int = 4,
+) -> DataFrame:
+    """Entity-resolution candidates by SORTED NEIGHBORHOOD (Hernandez &
+    Stolfo 1995): sort the compare values, pair each with its ``window``
+    successors, verify with Levenshtein — the blocking alternative when
+    NO clean structured key exists (blocked_er_pairs needs one; typos in
+    the leading characters defeat prefix buckets; sorted neighbors catch
+    mid-string edits because near-identical strings sort adjacently).
+
+    Scale shape mirrors resolve_entities' representative collapse: the
+    sort/rank runs over DISTINCT values (value-vocabulary-sized, the
+    domain-bounded-window argument from quantile normalization), each
+    value represented by its min id; the successor join is an EQUI-join
+    on rank+k for k=1..window (offsets exploded — no range join), and
+    only |vocab|·window pairs ever reach the edit distance. The global
+    rank over the vocabulary is the documented bounded window; a corpus
+    whose VALUE VOCABULARY outgrows one partition takes the two-level
+    salted rank (inverted_index precedent).
+
+    Output: (id_a, id_b, dist) with id_a < id_b (min/max normalized —
+    representative ids follow value order, not id order)."""
+    from pyspark.sql import Window
+
+    reps = df.groupBy(F.col(compare_col).alias("v")).agg(
+        F.min(id_col).alias("rid")
+    )
+    ranked = reps.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "rid"))
+    ).localCheckpoint(eager=True)
+    offsets = F.explode(
+        F.array(*[F.lit(k) for k in range(1, window + 1)])
+    ).alias("k")
+    probes = ranked.select(
+        F.col("v").alias("va"), F.col("rid").alias("ida"), "rn", offsets
+    ).withColumn("rn_b", F.col("rn") + F.col("k"))
+    cand = probes.join(
+        ranked.select(
+            F.col("v").alias("vb"), F.col("rid").alias("idb"),
+            F.col("rn").alias("rn_b"),
+        ),
+        "rn_b",
+    )
+    dist = F.levenshtein("va", "vb", max_dist)
+    return (
+        cand.withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            F.col("dist").cast("long").alias("dist"),
+        )
+        .distinct()
+    )

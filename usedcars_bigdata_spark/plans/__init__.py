@@ -266,6 +266,8 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: grouped OLS via exact integer moments
     # (REGR_SLOPE surface; built-ins certified against it in pytest)
     "rel_grouped_ols",
+    # round-4 continuation: sorted-neighborhood ER (key-free blocking)
+    "ext_er_sorted_neighborhood",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -2562,3 +2562,32 @@ def ext_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.mmr_topk(emb.filter(F.col("vec_id") != 0),
                         emb.filter(F.col("vec_id") == 0), k=5)
+
+
+@query(
+    "ext_er_sorted_neighborhood",
+    oracle="""
+    WITH reps AS (
+      SELECT p_name AS v, min(p_partkey) AS rid FROM part GROUP BY 1
+    ), ranked AS (
+      SELECT v, rid, row_number() OVER (ORDER BY v, rid) AS rn FROM reps
+    )
+    SELECT DISTINCT least(a.rid, b.rid) AS id_a,
+           greatest(a.rid, b.rid) AS id_b,
+           CAST(levenshtein(a.v, b.v) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + 3
+    WHERE levenshtein(a.v, b.v) <= 4
+    """,
+)
+def ext_er_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates over part names
+    (ext.dedup.sorted_neighborhood_pairs, window 3, max_dist 4): the
+    key-free blocking complement to ext_er_blocking_pairs — candidates
+    come from sliding adjacency in the sorted DISTINCT-value vocabulary
+    (min-id representatives), verified with the same unit-cost edit
+    distance both engines share, so the pair set hashes exactly."""
+    return X.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "part"), "p_partkey", "p_name",
+        window=3, max_dist=4,
+    )
