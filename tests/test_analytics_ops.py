@@ -1023,3 +1023,64 @@ def test_builtin_regr_aggregates_match_moment_form(spark, sf_dir):
     for k in want:
         assert abs(got[k][0] - want[k][0]) < 1e-6, k
         assert abs(got[k][1] - want[k][1]) < 1e-3, k
+
+
+def test_markov_attribution_no_conversions(spark):
+    """Zero conversions: removal effects and shares degrade to 0 without
+    dividing by zero."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, t0, u, "chA", False) for u in range(5)],
+        "user_id long, ts timestamp, event_id long, channel string, converted boolean",
+    )
+    out = markov_attribution(
+        df, "user_id", "ts", "event_id", "channel", "converted"
+    ).collect()
+    assert len(out) == 1
+    assert out[0].removal_effect == 0.0
+
+
+def test_grouped_ols_constant_x_yields_nan_not_error(spark):
+    """A group whose regressor never varies has an undefined slope —
+    NaN, the same answer DuckDB's 0/0 gives, not an exception (ANSI mode
+    throws on integer division only)."""
+    import math
+
+    from usedcars_bigdata_spark.plans import QUERIES  # registry import
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (1.0, 7.0), (1.0, 9.0)], "x double, y double"
+    )
+    r = df.agg(F.regr_slope("y", "x").alias("s")).first()
+    assert r.s is None or math.isnan(r.s)
+
+
+def test_gone_silent_empty_when_everyone_recent(spark):
+    import datetime as dt
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    # all users active in the final week -> nobody has gone silent;
+    # exercised via the library shape on a synthetic frame
+    from usedcars_bigdata_spark.sources import load_table  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 20)
+    rows = [(i, 1 + i % 3, t0 + dt.timedelta(days=i % 14)) for i in range(40)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    hz = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cut"),
+        (F.max("ts") - F.expr("INTERVAL 14 DAY")).alias("prior_lo"),
+    )
+    with_hz = ev.join(F.broadcast(hz))
+    prior = with_hz.filter(
+        (F.col("ts") >= F.col("prior_lo")) & (F.col("ts") < F.col("cut"))
+    ).select("user_id").distinct()
+    recent = with_hz.filter(F.col("ts") >= F.col("cut")).select("user_id").distinct()
+    assert prior.join(recent, "user_id", "left_anti").count() == 0

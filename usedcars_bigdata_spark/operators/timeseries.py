@@ -976,13 +976,18 @@ def markov_attribution(
     base = conv_prob(P)
     effects = {}
     for c in channels:
+        if base <= 0:
+            # no conversions at all: nothing to attribute (the naive
+            # 1 - removed/base form would credit EVERY channel fully)
+            effects[c] = 0.0
+            continue
         P_r = P.copy()
         k = idx[c]
         # transitions INTO the removed channel go to null instead
         P_r[:, idx["__null"]] += P_r[:, k]
         P_r[:, k] = 0.0
         removed = conv_prob(P_r)
-        effects[c] = max(0.0, 1.0 - (removed / base if base > 0 else 0.0))
+        effects[c] = max(0.0, 1.0 - removed / base)
     total = sum(effects.values()) or 1.0
     spark = events.sparkSession
     return spark.createDataFrame(
