@@ -1040,3 +1040,40 @@ def test_holt_trend_carry_across_arrow_batches(spark):
             assert got[i] == (lv, tr, i + 1), f"diverged at {i}"
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_holt_winters_matches_recurrence_with_wraparound(spark):
+    """Manual replay with season m=2 over a 9-point series (the seasonal
+    state wraps four times), forced across 3-row Arrow batches."""
+    from usedcars_bigdata_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        xs = [10.0, 14.0, 9.0, 15.0, 11.0, 16.0, 8.0, 13.0, 12.0]
+        df = spark.createDataFrame(
+            [("k", i, x) for i, x in enumerate(xs)],
+            "key string, t int, x double",
+        ).coalesce(1)
+        got = {
+            r.rn: (r.level, r.trend, r.seasonal)
+            for r in holt_winters_additive(
+                df, "key", "t", "x", season=2
+            ).collect()
+        }
+        m, a = 2, 0.5
+        lv, tr = xs[0], 0.0
+        hist = []
+        for i, x in enumerate(xs, start=1):
+            s_used = hist[i - m - 1] if i > m else 0.0
+            if i > 1:
+                new_lv = a * (x - s_used) + (1 - a) * (lv + tr)
+                tr = a * (new_lv - lv) + (1 - a) * tr
+                lv = new_lv
+            s_new = a * (x - lv) + (1 - a) * s_used
+            hist.append(s_new)
+            assert got[i] == (lv, tr, s_new), (i, got[i], (lv, tr, s_new))
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)

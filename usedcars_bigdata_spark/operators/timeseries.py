@@ -1001,3 +1001,93 @@ def markov_attribution(
         ],
         "channel string, removal_effect double, attribution_share double",
     )
+
+
+def holt_winters_additive(
+    series: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    season: int = 24,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    gamma: float = 0.5,
+) -> DataFrame:
+    """Per-key ADDITIVE Holt-Winters (triple exponential smoothing) over a
+    pre-bucketed series — level + trend + season-length-m seasonal state:
+
+        s_used_i = s_{i-m}            (0.0 while i <= m — first season)
+        l_i = α·(x_i − s_used_i) + (1−α)·(l_{i−1} + b_{i−1})
+        b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}
+        s_i = γ·(x_i − l_i) + (1−γ)·s_used_i
+        l_1 = x_1, b_1 = 0
+
+    Completes the exponential family (ewma single, holt double, this
+    triple) under the SAME execution and verification discipline: the
+    sorted-partition mapInPandas carry — state here is (level, trend,
+    rn, last-m seasonal deque) per key, still O(m) scalars — and a
+    DuckDB recursive-CTE oracle that carries the seasonal history as a
+    LIST column and executes the identical IEEE-double expressions in
+    the identical per-key order, so outputs compare bitwise UNROUNDED
+    (the Holt lesson: rounding is what breaks parity).
+
+    The simple first-season convention (seasonal 0.0 until i > m) keeps
+    the recurrence well-defined from row 1 with no separate init pass —
+    a production fit would warm-start seasonals from the first season's
+    means; the engine/oracle pair verifies the recursion, not the
+    initialization folklore.
+
+    Output: (key, rn, value, level, trend, seasonal)."""
+    from collections import deque
+
+    dtypes = dict(series.dtypes)
+    schema = ", ".join(
+        [f"{key_col} {dtypes[key_col]}", "rn bigint",
+         f"{value_col} {dtypes[value_col]}",
+         "level double", "trend double", "seasonal double"]
+    )
+    cols = [key_col, order_col, value_col]
+
+    def fit_stream(batches):
+        carry: dict = {}  # key -> [level, trend, rn, deque(maxlen=season)]
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            x = pdf[value_col].to_numpy(dtype="float64")
+            n = len(x)
+            level = np.empty(n)
+            trend = np.empty(n)
+            seas = np.empty(n)
+            rn = np.empty(n, dtype="int64")
+            for i in range(n):
+                k = keys[i]
+                st = carry.get(k)
+                if st is None:
+                    lv, tr, r = x[i], 0.0, 1
+                    hist = deque(maxlen=season)
+                    s_used = 0.0
+                else:
+                    lv, tr, r, hist = st
+                    r += 1
+                    s_used = hist[0] if r > season else 0.0
+                    new_lv = alpha * (x[i] - s_used) + (1 - alpha) * (lv + tr)
+                    tr = beta * (new_lv - lv) + (1 - beta) * tr
+                    lv = new_lv
+                s_new = gamma * (x[i] - lv) + (1 - gamma) * s_used
+                hist.append(s_new)
+                level[i], trend[i], seas[i], rn[i] = lv, tr, s_new, r
+                carry[k] = [lv, tr, r, hist]
+            out = pdf[[key_col]].copy()
+            out["rn"] = rn
+            out[value_col] = pdf[value_col].to_numpy()
+            out["level"] = level
+            out["trend"] = trend
+            out["seasonal"] = seas
+            yield out
+
+    return (
+        series.select(*cols)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, order_col)
+        .mapInPandas(fit_stream, schema)
+    )

@@ -268,6 +268,9 @@ _CONTRACT_PRIORITY = [
     "rel_grouped_ols",
     # round-4 continuation: sorted-neighborhood ER (key-free blocking)
     "ext_er_sorted_neighborhood",
+    # round-4 continuation: Holt-Winters triple smoothing (seasonal list
+    # carried through the recursive-CTE oracle; bitwise unrounded parity)
+    "ts_holt_winters",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

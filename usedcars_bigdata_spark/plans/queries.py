@@ -4372,6 +4372,91 @@ def rows_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_holt_winters",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY b) AS rn
+      FROM hourly
+    ), hw AS (
+      SELECT k, rn, x,
+             CAST(x AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend,
+             CAST(0.0 AS DOUBLE) AS seasonal,
+             [CAST(0.0 AS DOUBLE)] AS s_hist
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.k, b.rn, b.x,
+             (CAST(b.x AS DOUBLE)
+                - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+               + (h.level + h.trend) * 0.5,
+             ((CAST(b.x AS DOUBLE)
+                 - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+                + (h.level + h.trend) * 0.5
+              - h.level) * 0.5 + h.trend * 0.5,
+             (CAST(b.x AS DOUBLE)
+                - ((CAST(b.x AS DOUBLE)
+                     - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+                   + (h.level + h.trend) * 0.5)) * 0.5
+               + (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END) * 0.5,
+             CASE WHEN len(list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)) > 24
+                  THEN list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)[2:]
+                  ELSE list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)
+             END
+      FROM base b JOIN hw h ON b.k = h.k AND b.rn = h.rn + 1
+    )
+    SELECT k AS event_type, rn, x, level, trend, seasonal FROM hw
+    """,
+)
+def ts_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (m=24 hourly seasonality) over per-type
+    hourly event counts (operators.timeseries.holt_winters_additive) —
+    the triple-smoothing completion of the exponential family, FULLY
+    oracle-backed: the DuckDB recursive CTE carries the rolling
+    last-24 seasonal history as a LIST column (deque ≙ list_append +
+    slice) and executes the identical α=β=γ=0.5 IEEE-double expressions
+    in the identical per-key order, compared bitwise UNROUNDED (the Holt
+    lesson). The oracle inlines the level expression wherever it is
+    referenced — repeated identical float expressions evaluate to the
+    identical double, so textual duplication is parity-safe."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    return TS.holt_winters_additive(
+        hourly, "event_type", "b", "x", season=24
+    )
+
+
+@query(
     "ts_gone_silent",
     oracle="""
     WITH hz AS (
