@@ -116,6 +116,12 @@ def test_partition_layout_independence(spark, sf_dir):
         "ts_event_transitions",
         "rel_pagerank_copurchase",
         "rel_rfm_segments",
+        # continuation-2 sequential-carry ops: the per-key recurrences
+        # must be invariant to how keys land on partitions
+        "ts_holt_trend",
+        "ts_holt_winters",
+        "ts_clamped_balance",
+        "ext_quantile_normalize",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     baseline = {}

@@ -727,3 +727,33 @@ def test_cbo_join_reorder_with_table_statistics(spark, sf_dir, tmp_path):
             else:
                 spark.conf.set(k, v)
         spark.catalog.setCurrentDatabase("default")
+
+
+def test_arrow_optimized_python_udf_parity_and_plan(spark, sf_dir):
+    """Spark 4's Arrow-optimized Python UDF (@udf(useArrow=True)): same
+    answers as the native column expression, and the plan carries
+    ArrowEvalPython (vectorized Arrow transfer) rather than the
+    row-at-a-time BatchEvalPython — the UDF tier between 'native
+    column' and 'pandas_udf' the engine's UDF guidance documents."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def discounted(price: float, disc: float) -> float:
+        return price * (1.0 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    with_udf = li.select(
+        "l_orderkey",
+        F.round(discounted("l_extendedprice", "l_discount"), 2).alias("v"),
+    )
+    plan = with_udf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan[:800]
+    native = li.select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 2).alias(
+            "v"
+        ),
+    )
+    a = sorted(map(tuple, with_udf.collect()))
+    b = sorted(map(tuple, native.collect()))
+    assert a == b
