@@ -270,7 +270,9 @@ _CONTRACT_PRIORITY = [
     "ext_er_sorted_neighborhood",
     # round-4 continuation: Holt-Winters triple smoothing (seasonal list
     # carried through the recursive-CTE oracle; bitwise unrounded parity)
+    # + h-step-ahead forecasts from the fitted state
     "ts_holt_winters",
+    "ts_hw_forecast",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

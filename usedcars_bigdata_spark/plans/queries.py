@@ -4457,6 +4457,124 @@ def ts_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_hw_forecast",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS b,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY b) AS rn
+      FROM hourly
+    ), hw AS (
+      SELECT k, rn, x,
+             CAST(x AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend,
+             CAST(0.0 AS DOUBLE) AS seasonal,
+             [CAST(0.0 AS DOUBLE)] AS s_hist
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.k, b.rn, b.x,
+             (CAST(b.x AS DOUBLE)
+                - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+               + (h.level + h.trend) * 0.5,
+             ((CAST(b.x AS DOUBLE)
+                 - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+                + (h.level + h.trend) * 0.5
+              - h.level) * 0.5 + h.trend * 0.5,
+             (CAST(b.x AS DOUBLE)
+                - ((CAST(b.x AS DOUBLE)
+                     - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
+                   + (h.level + h.trend) * 0.5)) * 0.5
+               + (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END) * 0.5,
+             CASE WHEN len(list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)) > 24
+                  THEN list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)[2:]
+                  ELSE list_append(h.s_hist,
+                    (CAST(b.x AS DOUBLE)
+                       - ((CAST(b.x AS DOUBLE)
+                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                               ELSE 0.0 END)) * 0.5
+                          + (h.level + h.trend) * 0.5)) * 0.5
+                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
+                         ELSE 0.0 END) * 0.5)
+             END
+      FROM base b JOIN hw h ON b.k = h.k AND b.rn = h.rn + 1
+    ), final AS (
+      SELECT k, rn AS n, level, trend, s_hist,
+             row_number() OVER (PARTITION BY k ORDER BY rn DESC) AS rd
+      FROM hw
+    )
+    SELECT f.k AS event_type, t.h,
+           f.level + t.h * f.trend
+             + (CASE WHEN f.n + t.h <= 24 THEN 0.0
+                     WHEN f.n >= 24 THEN f.s_hist[t.h]
+                     ELSE f.s_hist[f.n + t.h - 24] END) AS forecast
+    FROM final f
+    CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS h) t
+    WHERE f.rd = 1
+    """,
+)
+def ts_hw_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step-ahead Holt-Winters forecasts (h = 1..6 hours) from the
+    fitted final state: forecast_h = l_n + h·b_n + s_{n+h−m} — the
+    payoff step of the smoothing entry. The Spark side reads the HW
+    OUTPUT (final level/trend per key via max_by, the needed seasonal by
+    an equi-join on rn = n+h−24, coalesced to the first-season 0.0);
+    the oracle reads the SAME quantities from the recursion's list state
+    — two different access paths to identical doubles, compared bitwise
+    unrounded. h·trend is int×double in both engines."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    hw = TS.holt_winters_additive(
+        hourly, "event_type", "b", "x", season=24
+    ).localCheckpoint(eager=True)
+    last = hw.groupBy("event_type").agg(
+        F.max("rn").alias("n"),
+        F.max_by("level", "rn").alias("level"),
+        F.max_by("trend", "rn").alias("trend"),
+    )
+    hs = last.select(
+        "event_type", "n", "level", "trend",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("h"),
+    ).withColumn("rn_s", F.col("n") + F.col("h") - 24)
+    seas = hw.select(
+        "event_type", F.col("rn").alias("rn_s"), F.col("seasonal").alias("s")
+    )
+    return (
+        hs.join(seas, ["event_type", "rn_s"], "left")
+        .select(
+            "event_type",
+            "h",
+            (
+                F.col("level")
+                + F.col("h") * F.col("trend")
+                + F.coalesce("s", F.lit(0.0))
+            ).alias("forecast"),
+        )
+    )
+
+
+@query(
     "ts_gone_silent",
     oracle="""
     WITH hz AS (
