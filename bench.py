@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "ext_stratified_split",
     "rel_dp_noisy_counts",
     "rel_textfile_logparse",
+    "ts_holt_winters",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
