@@ -273,6 +273,7 @@ _CONTRACT_PRIORITY = [
     # + h-step-ahead forecasts from the fitted state
     "ts_holt_winters",
     "ts_hw_forecast",
+    "ts_hw_anomalies",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -4371,9 +4371,14 @@ def rows_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ts_holt_winters",
-    oracle="""
+# Shared DuckDB CTE for the Holt-Winters family (ts_holt_winters /
+# ts_hw_forecast / ts_hw_anomalies): hourly per-type counts -> the
+# recursive triple-smoothing with the rolling last-24 seasonal history
+# carried as a LIST column. The level expression is inlined wherever
+# referenced — repeated identical IEEE-double expressions evaluate to
+# the identical double, which is what makes the bitwise-unrounded
+# comparison against Spark's sorted-partition carry sound.
+_HW_CTE = """
     WITH RECURSIVE hourly AS (
       SELECT event_type AS k, date_trunc('hour', ts) AS b,
              CAST(count(*) AS BIGINT) AS x
@@ -4429,6 +4434,12 @@ def rows_markov_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
              END
       FROM base b JOIN hw h ON b.k = h.k AND b.rn = h.rn + 1
     )
+"""
+
+
+@query(
+    "ts_holt_winters",
+    oracle=_HW_CTE + """
     SELECT k AS event_type, rn, x, level, trend, seasonal FROM hw
     """,
 )
@@ -4458,62 +4469,8 @@ def ts_holt_winters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_hw_forecast",
-    oracle="""
-    WITH RECURSIVE hourly AS (
-      SELECT event_type AS k, date_trunc('hour', ts) AS b,
-             CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1, 2
-    ), base AS (
-      SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY b) AS rn
-      FROM hourly
-    ), hw AS (
-      SELECT k, rn, x,
-             CAST(x AS DOUBLE) AS level,
-             CAST(0.0 AS DOUBLE) AS trend,
-             CAST(0.0 AS DOUBLE) AS seasonal,
-             [CAST(0.0 AS DOUBLE)] AS s_hist
-      FROM base WHERE rn = 1
-      UNION ALL
-      SELECT b.k, b.rn, b.x,
-             (CAST(b.x AS DOUBLE)
-                - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
-               + (h.level + h.trend) * 0.5,
-             ((CAST(b.x AS DOUBLE)
-                 - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
-                + (h.level + h.trend) * 0.5
-              - h.level) * 0.5 + h.trend * 0.5,
-             (CAST(b.x AS DOUBLE)
-                - ((CAST(b.x AS DOUBLE)
-                     - (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END)) * 0.5
-                   + (h.level + h.trend) * 0.5)) * 0.5
-               + (CASE WHEN b.rn > 24 THEN h.s_hist[1] ELSE 0.0 END) * 0.5,
-             CASE WHEN len(list_append(h.s_hist,
-                    (CAST(b.x AS DOUBLE)
-                       - ((CAST(b.x AS DOUBLE)
-                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                               ELSE 0.0 END)) * 0.5
-                          + (h.level + h.trend) * 0.5)) * 0.5
-                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                         ELSE 0.0 END) * 0.5)) > 24
-                  THEN list_append(h.s_hist,
-                    (CAST(b.x AS DOUBLE)
-                       - ((CAST(b.x AS DOUBLE)
-                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                               ELSE 0.0 END)) * 0.5
-                          + (h.level + h.trend) * 0.5)) * 0.5
-                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                         ELSE 0.0 END) * 0.5)[2:]
-                  ELSE list_append(h.s_hist,
-                    (CAST(b.x AS DOUBLE)
-                       - ((CAST(b.x AS DOUBLE)
-                            - (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                               ELSE 0.0 END)) * 0.5
-                          + (h.level + h.trend) * 0.5)) * 0.5
-                      + (CASE WHEN b.rn > 24 THEN h.s_hist[1]
-                         ELSE 0.0 END) * 0.5)
-             END
-      FROM base b JOIN hw h ON b.k = h.k AND b.rn = h.rn + 1
-    ), final AS (
+    oracle=_HW_CTE + """
+    , final AS (
       SELECT k, rn AS n, level, trend, s_hist,
              row_number() OVER (PARTITION BY k ORDER BY rn DESC) AS rd
       FROM hw
@@ -4571,6 +4528,61 @@ def ts_hw_forecast_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.coalesce("s", F.lit(0.0))
             ).alias("forecast"),
         )
+    )
+
+
+@query(
+    "ts_hw_anomalies",
+    oracle=_HW_CTE + """
+    , pred AS (
+      SELECT k, rn, x,
+             lag(level) OVER w + lag(trend) OVER w
+               + coalesce(lag(seasonal, 24) OVER w, 0.0) AS yhat
+      FROM hw
+      WINDOW w AS (PARTITION BY k ORDER BY rn)
+    )
+    SELECT k AS event_type, rn, x, yhat,
+           CAST(x AS DOUBLE) - yhat AS resid
+    FROM pred
+    WHERE yhat IS NOT NULL
+      AND abs(CAST(x AS DOUBLE) - yhat) > 10.0
+    """,
+)
+def ts_hw_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based anomaly detection on Holt-Winters one-step-ahead
+    residuals: the forecast for bucket i made at i−1 is
+    ŷ_i = l_{i−1} + b_{i−1} + s_{i−24}, and buckets where |x − ŷ| exceeds
+    a fixed threshold (10 events) are flagged — the MODEL-AWARE
+    complement to ts_zscore_anomaly (global moments) and ts_mad_outliers
+    (robust moments): a value can be globally unremarkable yet wildly
+    off its seasonal trajectory, and vice versa. Both engines derive
+    ŷ with lag windows over the SAME smoothing states (Spark from the
+    operator's output, the oracle from the recursion), so the residuals
+    compare bitwise; the fixed threshold sidesteps the cross-engine
+    quantile-interpolation question a residual-MAD gate would raise —
+    that gate exists as ts_mad_outliers and composes."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+        )
+        .agg(F.count("*").alias("x"))
+    )
+    hw = TS.holt_winters_additive(hourly, "event_type", "b", "x", season=24)
+    w = Window.partitionBy("event_type").orderBy("rn")
+    yhat = (
+        F.lag("level").over(w)
+        + F.lag("trend").over(w)
+        + F.coalesce(F.lag("seasonal", 24).over(w), F.lit(0.0))
+    )
+    resid = F.col("x").cast("double") - F.col("yhat")
+    return (
+        hw.withColumn("yhat", yhat)
+        .filter(F.col("yhat").isNotNull())
+        .withColumn("resid", resid)
+        .filter(F.abs("resid") > 10.0)
+        .select("event_type", "rn", "x", "yhat", "resid")
     )
 
 
