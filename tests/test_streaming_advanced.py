@@ -327,3 +327,68 @@ def test_streaming_near_dup_equals_batch_lsh_rule(spark, sf_dir, tmp_path):
     }
     assert got == want
     assert any(got.values()), "corpus has planted near-dups; none flagged"
+
+
+def test_streaming_holt_winters_equals_batch(spark, sf_dir, tmp_path):
+    """Stream the hourly per-type series in three time-ordered
+    micro-batches through the stateful smoother; the emitted rows must
+    equal the batch operator on the full series — the recurrence's state
+    genuinely survives the batch boundaries and a restart-shaped state
+    round-trip through parquet."""
+    import time as _time
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        holt_winters_additive,
+    )
+    from usedcars_bigdata_spark.sources import load_table
+    from usedcars_bigdata_spark.streaming.dedup import streaming_holt_winters
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    src = str(tmp_path / "hw_src")
+    lo, hi = hourly.agg(F.min("b"), F.max("b")).first()
+    import datetime as dt
+
+    span = (hi - lo) / 3
+    cuts = [(lo + span * i, lo + span * (i + 1) + (dt.timedelta(days=999) if i == 2 else dt.timedelta(0))) for i in range(3)]
+    for a, b in cuts:
+        (hourly.filter((F.col("b") >= a) & (F.col("b") < b))
+               .coalesce(1).write.mode("append").parquet(src))
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_type string, b timestamp, x double")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = streaming_holt_winters(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+        key_col="event_type",
+        order_col="b",
+        value_col="x",
+    )
+    try:
+        q.processAllAvailable()
+        assert len(q.recentProgress) >= 3
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r.event_type, r.rn, r.x, r.level, r.trend, r.seasonal)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    want = sorted(
+        (r.event_type, r.rn, r.x, r.level, r.trend, r.seasonal)
+        for r in holt_winters_additive(
+            hourly, "event_type", "b", "x", season=24
+        ).collect()
+    )
+    assert got == want
+    assert len(got) > 50

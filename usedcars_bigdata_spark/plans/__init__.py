@@ -274,6 +274,9 @@ _CONTRACT_PRIORITY = [
     "ts_holt_winters",
     "ts_hw_forecast",
     "ts_hw_anomalies",
+    # + the streaming continuation of the same recurrence (rows-only;
+    # stream==batch equality pytest-pinned)
+    "rows_stream_holt_winters",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -5345,6 +5345,80 @@ def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, "flags"))
 
 
+@query("rows_stream_holt_winters")
+def rows_stream_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters (streaming.dedup.streaming_holt_winters):
+    the hourly per-type series arrives as three time-ordered micro-
+    batches; each continues the per-key (level, trend, rn, seasonal
+    history) state from the state parquet and emits the smoothed rows.
+    Rows-only (the equality claim is vs the BATCH operator, which the
+    oracle-backed ts_holt_winters already certifies against DuckDB);
+    stream==batch equality is pinned in test_streaming_advanced."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.dedup import streaming_holt_winters
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_hw_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    src = os.path.join(base, "src")
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("b"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    if not os.path.exists(src):
+        lo, hi = hourly.agg(F.min("b"), F.max("b")).first()
+        span = (hi - lo) / 3
+        import datetime as dt
+
+        cuts = [
+            (lo + span * i,
+             lo + span * (i + 1) + (dt.timedelta(days=999) if i == 2
+                                    else dt.timedelta(0)))
+            for i in range(3)
+        ]
+        for a, b in cuts:
+            (hourly.filter((F.col("b") >= a) & (F.col("b") < b))
+                   .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(1.1)
+    for d in ("state", "out", "ck"):
+        p = os.path.join(base, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    sink = "rows_stream_hw_q"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = (
+        spark.readStream.schema("event_type string, b timestamp, x double")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = streaming_holt_winters(
+        stream,
+        state_dir=os.path.join(base, "state"),
+        out_dir=os.path.join(base, "out"),
+        checkpoint=os.path.join(base, "ck"),
+        key_col="event_type",
+        order_col="b",
+        value_col="x",
+        query_name=sink,
+    )
+    q.processAllAvailable()
+    n_batches = len(q.recentProgress)
+    q.stop()
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.read.parquet(os.path.join(base, "out"))
+
+
 @query("rows_word2vec_synonyms")
 def rows_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word2Vec skip-gram embeddings trained on the documents corpus
