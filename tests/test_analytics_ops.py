@@ -1084,3 +1084,79 @@ def test_gone_silent_empty_when_everyone_recent(spark):
     ).select("user_id").distinct()
     recent = with_hz.filter(F.col("ts") >= F.col("cut")).select("user_id").distinct()
     assert prior.join(recent, "user_id", "left_anti").count() == 0
+
+
+# ------------------------------------------------------------- log-rank
+def test_logrank_null_when_groups_identical(spark, sf_dir):
+    """Sanity on the harness: hash-split groups share the lifetime
+    distribution, so chi2 should be modest (not a significance claim —
+    a bound loose enough to be stable across SFs), O1 ≈ E1 relative to
+    the death count, and V > 0."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    r = QUERIES["ts_logrank_test"](spark, sf_dir).first()
+    assert r.n_times > 0
+    assert r.o1 > 0 and r.e1 > 0
+    assert abs(r.o1 - r.e1) < 0.5 * (r.o1 + r.e1)
+    assert 0.0 <= r.chi2 < 50.0, r
+
+
+def test_logrank_detects_planted_separation(spark):
+    """Group 1 lives uniformly ~3x longer than group 0 with no censoring:
+    the statistic must exceed the identical-distribution case by a wide
+    margin (chi2 >> 3.84, the 5% critical value)."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.plans import QUERIES  # noqa: F401
+    from usedcars_bigdata_spark.operators import timeseries as TSx  # noqa: F401
+    # replicate the entry's math on a planted frame via the same SQL
+    import duckdb
+
+    con = duckdb.connect()
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(200):
+        grp = u % 2
+        hours = 10 + (u % 7) + (20 if grp == 1 else 0)
+        rows.append((u, t0, t0 + dt.timedelta(hours=hours)))
+    con.execute("CREATE TABLE per AS SELECT * FROM (VALUES " +
+                ",".join(f"({u}, TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01' + INTERVAL {10 + (u % 7) + (20 if u % 2 else 0)} HOUR)" for u in range(200)) +
+                ") t(user_id, f, l)")
+    chi2 = con.execute("""
+    WITH lives AS (
+      SELECT user_id % 2 AS grp,
+             (epoch_us(l) - epoch_us(f)) // 3600000000 AS t,
+             FALSE AS censored
+      FROM per
+    ), cell AS (
+      SELECT t, grp, CAST(count(*) AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS leave_here
+      FROM lives GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.t, g.grp, coalesce(c.d, 0) AS d,
+             coalesce(c.leave_here, 0) AS leave_here
+      FROM (SELECT DISTINCT t FROM cell) t
+      CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+      LEFT JOIN cell c ON c.t = t.t AND c.grp = g.grp
+    ), risk AS (
+      SELECT t, grp, d,
+             sum(leave_here) OVER (PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n
+      FROM grid
+    ), times AS (
+      SELECT t, sum(CASE WHEN grp=1 THEN d ELSE 0 END) AS d1,
+             sum(d) AS dt, sum(CASE WHEN grp=1 THEN n ELSE 0 END) AS n1,
+             sum(n) AS nt
+      FROM risk GROUP BY t
+    ), agg AS (
+      SELECT sum(d1) AS o1,
+             sum(CAST(dt AS DOUBLE)*n1/nt) AS e1,
+             sum(CASE WHEN nt > 1 THEN
+               CAST(dt AS DOUBLE)*(CAST(n1 AS DOUBLE)/nt)
+               *(1.0-CAST(n1 AS DOUBLE)/nt)*((nt-dt)*1.0/(nt-1))
+             ELSE 0 END) AS v
+      FROM times WHERE dt > 0
+    )
+    SELECT (o1-e1)*(o1-e1)/v FROM agg
+    """).fetchone()[0]
+    assert chi2 > 50, chi2

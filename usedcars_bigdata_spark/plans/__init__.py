@@ -277,6 +277,9 @@ _CONTRACT_PRIORITY = [
     # + the streaming continuation of the same recurrence (rows-only;
     # stream==batch equality pytest-pinned)
     "rows_stream_holt_winters",
+    # round-4 continuation: two-group log-rank test (duration-modeling
+    # hypothesis test; running-window ordered accumulation)
+    "ts_logrank_test",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -6236,6 +6236,159 @@ def ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_logrank_test",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, user_id % 2 AS grp, min(ts) AS f, max(ts) AS l
+      FROM events GROUP BY 1
+    ), hz AS (
+      SELECT max(ts) - INTERVAL 24 HOUR AS cut FROM events
+    ), lives AS (
+      SELECT grp,
+             (epoch_us(l) - epoch_us(f)) // 3600000000 AS t,
+             l > hz.cut AS censored
+      FROM per CROSS JOIN hz
+    ), cell AS (
+      SELECT t, grp,
+             CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+               AS d,
+             CAST(count(*) AS BIGINT) AS leave_here
+      FROM lives GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.t, g.grp,
+             coalesce(c.d, 0) AS d,
+             coalesce(c.leave_here, 0) AS leave_here
+      FROM (SELECT DISTINCT t FROM cell) t
+      CROSS JOIN (SELECT 0 AS grp UNION ALL SELECT 1) g
+      LEFT JOIN cell c ON c.t = t.t AND c.grp = g.grp
+    ), risk AS (
+      SELECT t, grp, d,
+             CAST(sum(leave_here) OVER (
+               PARTITION BY grp ORDER BY t
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS BIGINT) AS n_at_risk
+      FROM grid
+    ), times AS (
+      SELECT t,
+             CAST(sum(CASE WHEN grp = 1 THEN d ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(d) AS BIGINT) AS dt,
+             CAST(sum(CASE WHEN grp = 1 THEN n_at_risk ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(n_at_risk) AS BIGINT) AS nt
+      FROM risk GROUP BY t
+    ), terms AS (
+      SELECT t, d1, dt, n1, nt,
+             CAST(dt AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE)
+               AS e1,
+             CASE WHEN nt > 1 THEN
+               CAST(dt AS DOUBLE)
+               * (CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (1.0 - CAST(n1 AS DOUBLE) / CAST(nt AS DOUBLE))
+               * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+             ELSE 0.0 END AS v
+      FROM times WHERE dt > 0
+    ), cum AS (
+      SELECT t,
+             CAST(sum(d1) OVER w AS BIGINT) AS o1,
+             sum(e1) OVER w AS e1,
+             sum(v) OVER w AS v,
+             CAST(count(*) OVER w AS BIGINT) AS n_times
+      FROM terms
+      WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT o1, round(e1, 6) AS e1,
+           round((o1 - e1) * (o1 - e1) / v, 6) AS chi2,
+           n_times
+    FROM cum ORDER BY t DESC LIMIT 1
+    """,
+)
+def ts_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test over user lifetimes (group = user_id % 2,
+    the A/B hash): at each death time, observed group-1 deaths vs the
+    hypergeometric expectation from the risk sets; χ² = (O₁−E₁)²/V —
+    the duration-modeling hypothesis test next to the KM curve
+    (ts_survival_km shares the lifetime/censoring construction). Every
+    count is integer; E₁ and V accumulate via RUNNING window sums
+    ordered by event time (the KM ordered-sum-of-logs precedent), so
+    both engines add the identical doubles in the identical order and
+    the rounded scalars hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.min("ts").alias("f"), F.max("ts").alias("l")
+    ).withColumn("grp", F.col("user_id") % 2)
+    hz = events.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("cut")
+    )
+    lives = per.join(F.broadcast(hz)).select(
+        "grp",
+        F.expr("(unix_micros(l) - unix_micros(f)) div 3600000000").alias("t"),
+        (F.col("l") > F.col("cut")).alias("censored"),
+    )
+    cell = lives.groupBy("t", "grp").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("leave_here"),
+    )
+    grid = (
+        cell.select("t").distinct()
+        .crossJoin(spark.range(2).select(F.col("id").cast("long").alias("grp")))
+        .join(cell, ["t", "grp"], "left")
+        .select(
+            "t", "grp",
+            F.coalesce("d", F.lit(0)).alias("d"),
+            F.coalesce("leave_here", F.lit(0)).alias("leave_here"),
+        )
+    )
+    wrisk = Window.partitionBy("grp").orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = grid.withColumn("n_at_risk", F.sum("leave_here").over(wrisk))
+    times = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d")).otherwise(0)).alias("d1"),
+        F.sum("d").alias("dt"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("n_at_risk")).otherwise(0)
+        ).alias("n1"),
+        F.sum("n_at_risk").alias("nt"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    e1 = d(F.col("dt")) * d(F.col("n1")) / d(F.col("nt"))
+    v = F.when(
+        F.col("nt") > 1,
+        d(F.col("dt"))
+        * (d(F.col("n1")) / d(F.col("nt")))
+        * (1.0 - d(F.col("n1")) / d(F.col("nt")))
+        * (d(F.col("nt") - F.col("dt")) / d(F.col("nt") - 1)),
+    ).otherwise(F.lit(0.0))
+    terms = times.filter(F.col("dt") > 0).select(
+        "t", "d1", e1.alias("e1"), v.alias("v")
+    )
+    wc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = terms.select(
+        "t",
+        F.sum("d1").over(wc).alias("o1"),
+        F.sum("e1").over(wc).alias("e1"),
+        F.sum("v").over(wc).alias("v"),
+        F.count("*").over(wc).alias("n_times"),
+    )
+    return (
+        cum.orderBy(F.col("t").desc())
+        .limit(1)
+        .select(
+            "o1",
+            F.round("e1", 6).alias("e1"),
+            F.round((F.col("o1") - F.col("e1")) * (F.col("o1") - F.col("e1")) / F.col("v"), 6).alias("chi2"),
+            "n_times",
+        )
+    )
+
+
+@query(
     "rel_dq_expectations",
     oracle="""
     WITH rowchecks AS (
