@@ -1160,3 +1160,34 @@ def test_logrank_detects_planted_separation(spark):
     SELECT (o1-e1)*(o1-e1)/v FROM agg
     """).fetchone()[0]
     assert chi2 > 50, chi2
+
+
+# -------------------------------------------------------------- Wilson CI
+def test_wilson_interval_properties(spark, sf_dir):
+    """Bounds inside [0,1], containing the point rate, matching
+    statsmodels-style closed form recomputed in Python; degenerate
+    k=0 and k=n cases keep nonzero width (the Wald failure mode)."""
+    import math
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    rows = QUERIES["ts_conversion_wilson"](spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {0, 1}
+    z = 1.959963985
+    for r in rows:
+        assert 0.0 <= r.lo95 <= r.rate <= r.hi95 <= 1.0
+        p = r.k / r.n
+        center = p + z * z / (2 * r.n)
+        half = z * math.sqrt(p * (1 - p) / r.n + z * z / (4 * r.n * r.n))
+        denom = 1 + z * z / r.n
+        assert abs(r.lo95 - (center - half) / denom) < 1e-6
+        assert abs(r.hi95 - (center + half) / denom) < 1e-6
+    # degenerate-case width (pure formula check, no Spark needed)
+    for k, n in [(0, 50), (50, 50)]:
+        p = k / n
+        center = p + z * z / (2 * n)
+        half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        lo, hi = (center - half) / denom, (center + half) / denom
+        assert hi - lo > 0.01
+        assert 0.0 <= lo <= hi <= 1.0

@@ -280,6 +280,8 @@ _CONTRACT_PRIORITY = [
     # round-4 continuation: two-group log-rank test (duration-modeling
     # hypothesis test; running-window ordered accumulation)
     "ts_logrank_test",
+    # round-4 continuation: Wilson score intervals per variant
+    "ts_conversion_wilson",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

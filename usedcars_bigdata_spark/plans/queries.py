@@ -6236,6 +6236,84 @@ def ts_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_conversion_wilson",
+    oracle="""
+    WITH per AS (
+      SELECT user_id % 2 AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM per GROUP BY 1
+    )
+    SELECT variant, n, k,
+           round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.959963985 * 1.959963985 / (2.0 * CAST(n AS DOUBLE))
+                  - 1.959963985 * sqrt(
+                      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                      + 1.959963985 * 1.959963985
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)), 6)
+             AS lo95,
+           round((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.959963985 * 1.959963985 / (2.0 * CAST(n AS DOUBLE))
+                  + 1.959963985 * sqrt(
+                      (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                        / CAST(n AS DOUBLE)
+                      + 1.959963985 * 1.959963985
+                        / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                 / (1.0 + 1.959963985 * 1.959963985 / CAST(n AS DOUBLE)), 6)
+             AS hi95
+    FROM agg
+    """,
+)
+def ts_wilson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-variant conversion rate with the 95% WILSON interval — the
+    score interval that behaves at small n and extreme rates where the
+    Wald ±1.96·√(p(1−p)/n) collapses (Wald gives zero width at p∈{0,1}
+    and can exit [0,1]; Wilson cannot) — the reporting companion to
+    ts_ab_cuped's mean-metric readout. Counts are integers; the interval
+    arithmetic uses the identical explicit-double expression on both
+    engines (z = 1.959963985, sqrt of identical doubles → identical
+    doubles), so the rounded bounds hash-match."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    agg = per.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    z = 1.959963985
+    p = d(F.col("k")) / d(F.col("n"))
+    half = z * F.sqrt(
+        p * (1.0 - p) / d(F.col("n")) + z * z / (4.0 * d(F.col("n")) * d(F.col("n")))
+    )
+    center = p + z * z / (2.0 * d(F.col("n")))
+    denom = 1.0 + z * z / d(F.col("n"))
+    return agg.select(
+        "variant",
+        "n",
+        "k",
+        F.round(p, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("lo95"),
+        F.round((center + half) / denom, 6).alias("hi95"),
+    )
+
+
+@query(
     "ts_logrank_test",
     oracle="""
     WITH per AS (
