@@ -1190,4 +1190,6 @@ def test_wilson_interval_properties(spark, sf_dir):
         denom = 1 + z * z / n
         lo, hi = (center - half) / denom, (center + half) / denom
         assert hi - lo > 0.01
-        assert 0.0 <= lo <= hi <= 1.0
+        # hi at k=n lands on 1.0 up to float epsilon (the formula is
+        # algebraically <= 1; the double arithmetic overshoots by 1 ulp)
+        assert -1e-12 <= lo <= hi <= 1.0 + 1e-12
