@@ -4625,20 +4625,36 @@ def ts_gone_silent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("ts") - F.expr("INTERVAL 7 DAY")).alias("cut"),
         (F.max("ts") - F.expr("INTERVAL 14 DAY")).alias("prior_lo"),
     )
-    with_hz = events.join(F.broadcast(hz))
-    prior = (
-        with_hz.filter(
-            (F.col("ts") >= F.col("prior_lo")) & (F.col("ts") < F.col("cut"))
-        )
+    # ONE conditional aggregation computes both periods per user (the
+    # two-branch form scanned the stream once per period: 3 scans; 2
+    # after — horizon + this pass), then absence is a plain filter.
+    per_user = (
+        events.join(F.broadcast(hz))
         .groupBy("user_id")
         .agg(
-            F.count("*").alias("n_events_prior"),
-            F.max("ts").alias("last_seen"),
+            F.sum(
+                F.when(
+                    (F.col("ts") >= F.col("prior_lo"))
+                    & (F.col("ts") < F.col("cut")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_events_prior"),
+            F.max(
+                F.when(
+                    (F.col("ts") >= F.col("prior_lo"))
+                    & (F.col("ts") < F.col("cut")),
+                    F.col("ts"),
+                )
+            ).alias("last_seen"),
+            F.sum(
+                F.when(F.col("ts") >= F.col("cut"), 1).otherwise(0)
+            ).alias("__n_recent"),
         )
     )
-    recent = with_hz.filter(F.col("ts") >= F.col("cut")).select("user_id")
     return (
-        prior.join(recent, "user_id", "left_anti")
+        per_user.filter(
+            (F.col("n_events_prior") > 0) & (F.col("__n_recent") == 0)
+        )
         .select("user_id", "n_events_prior", "last_seen")
         .orderBy("user_id")
     )
@@ -6392,11 +6408,13 @@ def ts_logrank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines add the identical doubles in the identical order and
     the rounded scalars hash-match."""
     events = load_table(spark, sf_dir, "events")
+    # one stream scan: the censoring horizon derives from the per-user
+    # table (max over user maxima == global max)
     per = events.groupBy("user_id").agg(
         F.min("ts").alias("f"), F.max("ts").alias("l")
-    ).withColumn("grp", F.col("user_id") % 2)
-    hz = events.agg(
-        (F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("cut")
+    ).withColumn("grp", F.col("user_id") % 2).localCheckpoint(eager=True)
+    hz = per.agg(
+        (F.max("l") - F.expr("INTERVAL 24 HOUR")).alias("cut")
     )
     lives = per.join(F.broadcast(hz)).select(
         "grp",
