@@ -6330,6 +6330,86 @@ def ts_wilson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_two_proportion_test",
+    oracle="""
+    WITH per AS (
+      SELECT user_id % 2 AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+                  AS BIGINT) AS k0,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+                  AS BIGINT) AS k1
+      FROM per
+    )
+    SELECT n0, k0, n1, k1,
+           round(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS diff,
+           CASE WHEN (CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) > 0
+                  AND (CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)) < 1
+             THEN round((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))), 6)
+             ELSE NULL END AS z_pooled
+    FROM agg
+    """,
+)
+def ts_two_prop_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for the variant conversion rates (pooled
+    standard error) — the significance readout on top of the per-variant
+    Wilson intervals (ts_conversion_wilson): diff = p₁−p₀ and the pooled
+    z statistic, from the same one-pass per-user conversion table. All
+    counts integer; the z derivation is the identical explicit-double
+    expression on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).withColumn("variant", F.col("user_id") % 2)
+    agg = per.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(
+            F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+        ).alias("k0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+        ).alias("k1"),
+    )
+
+    def d(c):
+        return c.cast("double")
+
+    p0 = d(F.col("k0")) / d(F.col("n0"))
+    p1 = d(F.col("k1")) / d(F.col("n1"))
+    pp = d(F.col("k0") + F.col("k1")) / d(F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (1.0 - pp) * (1.0 / d(F.col("n0")) + 1.0 / d(F.col("n1")))
+    )
+    # degenerate pooled rates (all or none converted — sf0.001's 15
+    # users all purchase) zero the variance; ANSI 0/0 throws, DuckDB
+    # yields NaN — both sides emit NULL instead
+    return agg.select(
+        "n0", "k0", "n1", "k1",
+        F.round(p1 - p0, 6).alias("diff"),
+        F.when(
+            (pp > 0) & (pp < 1), F.round((p1 - p0) / se, 6)
+        ).alias("z_pooled"),
+    )
+
+
+@query(
     "ts_logrank_test",
     oracle="""
     WITH per AS (
