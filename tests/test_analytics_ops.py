@@ -1193,3 +1193,35 @@ def test_wilson_interval_properties(spark, sf_dir):
         # hi at k=n lands on 1.0 up to float epsilon (the formula is
         # algebraically <= 1; the double arithmetic overshoots by 1 ulp)
         assert -1e-12 <= lo <= hi <= 1.0 + 1e-12
+
+
+# ------------------------------------------------------------ cohort LTV
+def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
+    """Cumulative revenue is non-decreasing in cohort age, and the final
+    cumulative per cohort equals that cohort's total purchase cents."""
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["ts_cohort_ltv"](spark, sf_dir).collect()
+    assert rows
+    by_c: dict = {}
+    for r in rows:
+        by_c.setdefault(r.cohort_week, []).append((r.age_w, r.cum_revenue_cents))
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    totals = {
+        r.cw: r.t
+        for r in ev.filter("event_type = 'purchase'")
+        .join(cohort, "user_id")
+        .groupBy("cw")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("t"))
+        .collect()
+    }
+    for cw, pts in by_c.items():
+        pts.sort()
+        for (a1, c1), (a2, c2) in zip(pts, pts[1:]):
+            assert a1 < a2 and c1 <= c2
+        assert pts[-1][1] == totals[cw], cw

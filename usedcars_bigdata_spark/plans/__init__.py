@@ -284,6 +284,8 @@ _CONTRACT_PRIORITY = [
     "ts_conversion_wilson",
     # round-4 continuation: pooled two-proportion z-test
     "ts_two_proportion_test",
+    # round-4 continuation: cohort LTV curves (integer cents)
+    "ts_cohort_ltv",
     # rotated OUT this round, all green in CORRECTNESS_r03 (ext flagship
     # extras + r3 corpus-prep entries; pytest + full-range driver_sim
     # coverage retained; rotate back next round per the every-other-round

@@ -6330,6 +6330,75 @@ def ts_wilson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_cohort_ltv",
+    oracle="""
+    WITH cohort AS (
+      -- DuckDB's week-truncation yields DATE; Spark's yields TIMESTAMP
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cw
+      FROM events GROUP BY 1
+    ), rev AS (
+      SELECT c.cw,
+             CAST(date_diff('day', CAST(c.cw AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7
+                  AS BIGINT) AS age_w,
+             CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN cohort c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), sizes AS (
+      SELECT cw, CAST(count(*) AS BIGINT) AS n_users FROM cohort GROUP BY 1
+    )
+    SELECT r.cw AS cohort_week, r.age_w, s.n_users,
+           CAST(sum(r.cents) OVER (
+             PARTITION BY r.cw ORDER BY r.age_w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_revenue_cents
+    FROM rev r JOIN sizes s ON s.cw = r.cw
+    """,
+)
+def ts_cohort_ltv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per signup-week
+    cohort traced by cohort AGE in weeks — the lifetime-value companion
+    to ts_cohort_retention's activity counts (retention says who comes
+    back; LTV says what that is worth, the curve growth teams project
+    payback from). Integer cents end-to-end; the running sum partitions
+    by cohort over the |cohorts|×|ages| grid — output-shaped, never
+    stream-shaped — and the stream itself is touched twice (cohort
+    assignment, revenue cells), both map-side-combined shuffles on the
+    user/cohort keys."""
+    events = load_table(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    rev = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(cohort, "user_id")
+        .groupBy(
+            "cw",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cw")) / 7
+            ).alias("age_w"),
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("n_users"))
+    w = Window.partitionBy("cw").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.join(sizes, "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "age_w",
+            "n_users",
+            F.sum("cents").over(w).alias("cum_revenue_cents"),
+        )
+    )
+
+
+@query(
     "ts_two_proportion_test",
     oracle="""
     WITH per AS (
