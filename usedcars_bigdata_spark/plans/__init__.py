@@ -36,14 +36,22 @@ from . import tpch as _tpch  # noqa: E402,F401
 # them all; everything stays under pytest + full-range dtype-checked
 # driver_sim + the verify drive regardless of window position.
 #
-# ROUND-4 CONTINUATION-2 SESSION added 14 more entries (10 oracle-backed:
+# ROUND-4 CONTINUATION-2 SESSION added 22 entries (17 oracle-backed:
 # the TPC-H completion batch rel_tpch_q{2,9,11,12,16,20}_*, ts_holt_trend,
 # ts_stream_upsert_sink, rel_cms_sketch, ts_attribution_models,
 # ext_quantile_normalize, rel_textfile_logparse, ts_ab_cuped,
-# rel_dp_noisy_counts, ext_hard_negatives; 4 rows-only by nature:
-# rows_stream_near_dup, rows_word2vec_synonyms, rows_mmr_diverse_topk,
-# rows_quality_calibration) — fold these into the round-5 rotation queue
-# with the same never-driver-verified-first priority.
+# rel_dp_noisy_counts, ext_hard_negatives, ext_stratified_split,
+# ts_clamped_balance, ts_gone_silent, rel_grouped_ols,
+# ext_er_sorted_neighborhood, the Holt-Winters family (ts_holt_winters /
+# ts_hw_forecast / ts_hw_anomalies on a shared _HW_CTE), ts_logrank_test,
+# ts_conversion_wilson, ts_two_proportion_test, ts_cohort_ltv; 5
+# rows-only by nature: rows_stream_near_dup, rows_word2vec_synonyms,
+# rows_mmr_diverse_topk, rows_quality_calibration,
+# rows_markov_attribution, rows_image_near_dupes,
+# rows_stream_holt_winters) — fold these into the round-5 rotation queue
+# with the same never-driver-verified-first priority. The session also
+# ran the MULTI-SCAN AUDIT (scripts/scan_audit.py): 20+ pre-existing
+# entries materialized their hub subtrees, guarded by scan-budget tests.
 #
 # ROUND-4 CONTINUATION SESSION added 22 more entries (17 oracle-backed:
 # skyline/association/interpolate/seasonal/er_pairs/er_entities/k_anon/
