@@ -159,6 +159,23 @@ def time_models(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+# The driver captures only the TAIL of stdout (observed: ~2000 chars) when
+# recording BENCH_r{N}.json. Round 4's 91-entry single-line dump outgrew
+# that window and the official artifact landed truncated mid-JSON
+# (BENCH_r04.json parsed: null). Contract since round 5: the FINAL stdout
+# line is a compact JSON (total + sf + the headline queries below, well
+# under 1500 chars); the full per-query dict goes to BENCH_DETAIL.json at
+# the repo root and to stderr.
+HEADLINE = [
+    "ref_q1_avg_price_by_priority",
+    "ref_q2_median_value_by_type",
+    "ref_q3_pct_of_total",
+    "ml_linear",
+    "ml_decision_tree",
+    "ml_random_forest",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -181,17 +198,31 @@ def main() -> None:
         timings[name] = round(time_query(spark, sf_dir, name), 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps(detail), file=sys.stderr)
+
+    compact = {
+        "metric": "bench_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "queries": {k: timings[k] for k in HEADLINE if k in timings},
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":

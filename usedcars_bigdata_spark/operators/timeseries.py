@@ -253,11 +253,19 @@ def holt_trend(
     Execution is the ewma_smooth sorted-partition pattern, NOT per-group
     applyInPandas: at sf0.1 the ~20k small per-key groups cost 6.1s in
     per-group Arrow round-trips; one mapInPandas stream per partition
-    with a per-key (level, trend, rn) carry dict runs the identical
-    recurrence in 0.74s isolated (8.3x). The coupled recursion has no pandas
-    vectorized form (unlike ewm), so the pass is a single sequential
-    Python loop over each sorted batch — O(rows) with two float ops per
-    row, dwarfed by the Arrow transfer it replaces. State is 3 scalars
+    with a per-key (level, trend, rn) carry runs the identical
+    recurrence in 0.74s isolated (8.3x). The coupled recursion is
+    sequential in TIME but independent across KEYS, so the inner loop is
+    segment-vectorized: one numpy step per time index updating every
+    key's (level, trend) at once (r4 verdict task 4 — the earlier
+    per-row Python loop bounded throughput at ~1.5M rows/s/core; this
+    form is bounded by max series length, not row count: 17.0M
+    rows/s/core on a 20k-key x 50-step batch, 11.4x the per-row loop;
+    scripts/probe_smoother_throughput.py, docs/SCALING.md round-5
+    probe). Expressions are element-wise
+    identical IEEE doubles in identical per-key order, so outputs are
+    BITWISE unchanged — the DuckDB recursive-CTE parity and the
+    stream==batch pin survive the rewrite untouched. State is 3 scalars
     per key per partition, the same bound a purpose-built streaming
     engine needs for Holt.
 
@@ -272,27 +280,53 @@ def holt_trend(
     cols = [id_col, key_col, ts_col, value_col]
 
     def fit_stream(batches):
-        carry: dict = {}  # key -> (level, trend, rn)
+        carry: dict = {}  # key -> (level, trend, rows_seen)
 
         for pdf in batches:
             keys = pdf[key_col].to_numpy()
             x = pdf[value_col].to_numpy(dtype="float64")
             n = len(x)
+            if n == 0:
+                continue
+            # Sorted input => each key is one contiguous segment.
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = keys[1:] != keys[:-1]
+            first_idx = np.flatnonzero(change)
+            uk = keys[first_idx]
+            counts = np.diff(np.append(first_idx, n))
+            n_k = len(uk)
+            lv = np.zeros(n_k)  # zeros: fresh lanes' discarded where-branch stays finite
+            tr = np.zeros(n_k)
+            r0 = np.zeros(n_k, dtype="int64")
+            fresh = np.ones(n_k, dtype=bool)
+            for j, k in enumerate(uk):  # O(keys), not O(rows)
+                st = carry.get(k)
+                if st is not None:
+                    lv[j], tr[j], r0[j] = st
+                    fresh[j] = False
             level = np.empty(n)
             trend = np.empty(n)
-            rn = np.empty(n, dtype="int64")
-            for i in range(n):
-                k = keys[i]
-                st = carry.get(k)
-                if st is None:
-                    lv, tr, r = x[i], 0.0, 1
-                else:
-                    plv, tr, r = st
-                    lv = alpha * x[i] + (1 - alpha) * (plv + tr)
-                    tr = beta * (lv - plv) + (1 - beta) * tr
-                    r += 1
-                level[i], trend[i], rn[i] = lv, tr, r
-                carry[k] = (lv, tr, r)
+            # One vectorized step per time index across all active keys.
+            for t in range(int(counts.max())):
+                act = np.flatnonzero(counts > t)
+                ridx = first_idx[act] + t
+                xt = x[ridx]
+                lv_a = lv[act]
+                new_lv = alpha * xt + (1 - alpha) * (lv_a + tr[act])
+                new_tr = beta * (new_lv - lv_a) + (1 - beta) * tr[act]
+                if t == 0:
+                    f = fresh[act]
+                    new_lv = np.where(f, xt, new_lv)
+                    new_tr = np.where(f, 0.0, new_tr)
+                lv[act] = new_lv
+                tr[act] = new_tr
+                level[ridx] = new_lv
+                trend[ridx] = new_tr
+            seg_id = np.cumsum(change) - 1
+            rn = r0[seg_id] + (np.arange(n) - first_idx[seg_id]) + 1
+            for j, k in enumerate(uk):
+                carry[k] = (lv[j], tr[j], r0[j] + counts[j])
             out = pdf[[id_col, key_col]].copy()
             out["rn"] = rn
             out[value_col] = pdf[value_col].to_numpy()
@@ -1037,9 +1071,21 @@ def holt_winters_additive(
     means; the engine/oracle pair verifies the recursion, not the
     initialization folklore.
 
-    Output: (key, rn, value, level, trend, seasonal)."""
-    from collections import deque
+    Execution (r4 verdict task 4): the recurrence is sequential in TIME
+    but independent across KEYS, so like holt_trend the inner loop is
+    segment-vectorized — one numpy step per time index updating every
+    key's (level, trend) plus a (keys x season) seasonal RING BUFFER
+    (s_i at ring column (i-1) mod m replaces exactly the s_{i-m} it
+    just consumed; the old per-key deque, r4 per-row loop, read/append
+    the same slots in the same order). Element-wise IEEE expressions in
+    identical per-key order => outputs BITWISE unchanged vs the scalar
+    loop; throughput is bounded by max series length, not row count
+    (9.7M rows/s/core measured on a 20k-key x 50-step batch, vs 0.85M
+    for the per-row loop, 11.4x; scripts/probe_smoother_throughput.py,
+    docs/SCALING.md round-5 probe). State is
+    O(season) floats per key per partition.
 
+    Output: (key, rn, value, level, trend, seasonal)."""
     dtypes = dict(series.dtypes)
     schema = ", ".join(
         [f"{key_col} {dtypes[key_col]}", "rn bigint",
@@ -1049,34 +1095,62 @@ def holt_winters_additive(
     cols = [key_col, order_col, value_col]
 
     def fit_stream(batches):
-        carry: dict = {}  # key -> [level, trend, rn, deque(maxlen=season)]
+        carry: dict = {}  # key -> (level, trend, rows_seen, ring[season])
 
         for pdf in batches:
             keys = pdf[key_col].to_numpy()
             x = pdf[value_col].to_numpy(dtype="float64")
             n = len(x)
+            if n == 0:
+                continue
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = keys[1:] != keys[:-1]
+            first_idx = np.flatnonzero(change)
+            uk = keys[first_idx]
+            counts = np.diff(np.append(first_idx, n))
+            n_k = len(uk)
+            lv = np.zeros(n_k)  # zeros: fresh lanes' discarded where-branch stays finite
+            tr = np.zeros(n_k)
+            r0 = np.zeros(n_k, dtype="int64")
+            ring = np.zeros((n_k, season))
+            fresh = np.ones(n_k, dtype=bool)
+            for j, k in enumerate(uk):  # O(keys), not O(rows)
+                st = carry.get(k)
+                if st is not None:
+                    lv[j], tr[j], r0[j] = st[0], st[1], st[2]
+                    ring[j] = st[3]
+                    fresh[j] = False
             level = np.empty(n)
             trend = np.empty(n)
             seas = np.empty(n)
-            rn = np.empty(n, dtype="int64")
-            for i in range(n):
-                k = keys[i]
-                st = carry.get(k)
-                if st is None:
-                    lv, tr, r = x[i], 0.0, 1
-                    hist = deque(maxlen=season)
-                    s_used = 0.0
-                else:
-                    lv, tr, r, hist = st
-                    r += 1
-                    s_used = hist[0] if r > season else 0.0
-                    new_lv = alpha * (x[i] - s_used) + (1 - alpha) * (lv + tr)
-                    tr = beta * (new_lv - lv) + (1 - beta) * tr
-                    lv = new_lv
-                s_new = gamma * (x[i] - lv) + (1 - gamma) * s_used
-                hist.append(s_new)
-                level[i], trend[i], seas[i], rn[i] = lv, tr, s_new, r
-                carry[k] = [lv, tr, r, hist]
+            for t in range(int(counts.max())):
+                act = np.flatnonzero(counts > t)
+                ridx = first_idx[act] + t
+                xt = x[ridx]
+                r_now = r0[act] + t + 1
+                p = (r_now - 1) % season
+                # ring[j, p] holds s_{r-season} exactly when r > season;
+                # masked to the first-season 0.0 convention otherwise.
+                s_used = np.where(r_now > season, ring[act, p], 0.0)
+                lv_a = lv[act]
+                new_lv = alpha * (xt - s_used) + (1 - alpha) * (lv_a + tr[act])
+                new_tr = beta * (new_lv - lv_a) + (1 - beta) * tr[act]
+                if t == 0:
+                    f = fresh[act]
+                    new_lv = np.where(f, xt, new_lv)
+                    new_tr = np.where(f, 0.0, new_tr)
+                s_new = gamma * (xt - new_lv) + (1 - gamma) * s_used
+                lv[act] = new_lv
+                tr[act] = new_tr
+                ring[act, p] = s_new
+                level[ridx] = new_lv
+                trend[ridx] = new_tr
+                seas[ridx] = s_new
+            seg_id = np.cumsum(change) - 1
+            rn = r0[seg_id] + (np.arange(n) - first_idx[seg_id]) + 1
+            for j, k in enumerate(uk):
+                carry[k] = (lv[j], tr[j], r0[j] + counts[j], ring[j].copy())
             out = pdf[[key_col]].copy()
             out["rn"] = rn
             out[value_col] = pdf[value_col].to_numpy()
