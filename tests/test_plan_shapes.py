@@ -645,7 +645,8 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ext_pair_graph_stats", "documents", 2),
         ("ext_remove_dup_spans", "documents", 3),
         ("ext_crosssplit_decontamination", "documents", 2),
-        ("ts_funnel_stages", "events", 3),
+        # round-5 single-pass rewrite: the whole funnel is one scan
+        ("ts_funnel_stages", "events", 1),
         ("ext_split_lm_gate", "documents", 2),
         ("rel_dq_expectations", "orders", 3),
         ("rel_association_rules", "lineitem", 1),
@@ -654,7 +655,6 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ext_domain_divergence", "documents", 1),
         ("ts_mad_outliers", "events", 2),
         ("rel_chi_square", "orders", 1),
-        ("ts_resample_gap_fill", "events", 1),
         ("ts_attribution_models", "events", 2),
         ("ext_quantile_normalize", "documents", 2),
     ],
@@ -671,6 +671,34 @@ def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     n = len(re.findall(rf"Scan parquet[^\n]*/{table}\.parquet", plan))
     assert n <= budget, f"{name}: {n} {table} scans (budget {budget})"
+
+
+def test_resample_gap_fill_single_cached_scan(spark, sf_dir):
+    """ts_resample_gap_fill shares its reduced bucket table via persist()
+    (round-5: the eager-localCheckpoint hub cost a separate
+    materialization job — the r4 bench regression — and truncated
+    lineage). The printed plan shows the cached child once PER consumer
+    (the audit's documented InMemoryRelation phantom), so the honest
+    invariant is: every events scan sits under an InMemoryRelation
+    cache-build (which executes ONCE — the first consumer fills the
+    cache, the rest read it), and none outside."""
+    import re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    plan = (
+        QUERIES["ts_resample_gap_fill"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_scans = len(re.findall(r"Scan parquet[^\n]*/events\.parquet", plan))
+    n_cached = plan.count("InMemoryRelation")
+    assert n_cached >= 1, "bucket-table hub must be cache-shared"
+    assert n_scans == n_cached, (
+        f"{n_scans} events scans vs {n_cached} cache builds — "
+        "an events scan escaped the shared hub"
+    )
 
 
 def test_cbo_join_reorder_with_table_statistics(spark, sf_dir, tmp_path):

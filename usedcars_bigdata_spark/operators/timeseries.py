@@ -58,16 +58,24 @@ def resample_gap_fill(
     rows, not the events."""
     bucket = F.window(ts_col, step)["start"]
     # The reduced bucket table is the hub for the span, key set, and the
-    # final join. MATERIALIZED: the "AQE ReusedExchange collapses the
-    # three branches" assumption this module previously relied on does
-    # not hold in practice (plan audit: 3 events scans; 1 after).
+    # final join. Shared via persist(), not eager localCheckpoint: the
+    # "AQE ReusedExchange collapses the three branches" assumption this
+    # module once relied on does not hold in practice (plan audit: 3
+    # events scans; 1 after), but the audit's eager-checkpoint fix paid
+    # a separate materialization JOB before the main action (isolated:
+    # 0.43s -> 0.69s, the r4 bench regression). A lazy persist gives the
+    # same single scan — the first consumer fills the InMemoryRelation
+    # inside the one real job, the other branches read it — keeps full
+    # lineage (an executor loss recomputes instead of failing the
+    # query), and costs no extra job (0.47s isolated; docs/SCALING.md
+    # round-5 adjudication).
     agg = (
         events.groupBy(F.col(key_col).alias("key"), bucket.alias("bucket_start"))
         .agg(
             F.count("*").alias("__n"),
             F.round(F.sum(value_col), 2).alias("__sum"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     span = agg.agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
@@ -455,55 +463,67 @@ def funnel_stages(
     qualifying stage i-1 event (strict event-order funnel, not mere
     set membership).
 
-    Each level is a user-keyed aggregate of the filtered stream; level
-    i+1 joins the stream to level i on the user key and min-reduces. All
-    joins and aggregates share ONE key (the user), so a single
-    repartition of events by user co-locates every stage at scale; each
-    intermediate is user-cardinality-sized, never stream-sized. The k
-    per-stage counts collapse into one job via union + aggregate (no
-    per-stage driver actions).
+    SINGLE-PASS plan (round-5 rewrite): one groupBy(user) over the
+    stage-filtered stream collects each user's per-stage event
+    timestamps, then the stage fold runs as JVM-side array expressions —
+    t_0 = array_min(stage-0 times), t_i = array_min(filter(stage-i
+    times, t >= t_{i-1})) — so the whole funnel is ONE events scan and
+    ONE user-keyed shuffle (collect_list partially aggregates map-side),
+    with no joins and no materialization barriers. The previous shape
+    (k per-stage stream scans + k user joins, then an audit round that
+    localCheckpointed every level) paid either 2k scans or k eager
+    materialization jobs; this plan is what a funnel engine would do at
+    100 TB — the shuffle moves only stage-typed events, each user's
+    state is its own stage timestamps, and the k counts reduce in the
+    same single aggregation job (isolated-JVM: 1.13s -> 0.70s at sf0.1;
+    docs/SCALING.md round-5 adjudication). A null t_{i-1} propagates
+    through the >= comparison, so later stages of users who never
+    reached stage i-1 count nothing — identical semantics to the join
+    form, oracle-replayed.
+
+    Per-user memory is that user's stage-typed event count (the arrays
+    never hold untyped traffic); a pathological single user with
+    billions of funnel events would need the sketch/cap treatment, the
+    same caveat as any collect_list design.
 
     Output: (stage_idx, stage, n_users), one row per stage."""
-    levels = []
-    cur = (
-        events.filter(F.col(type_col) == stages[0])
+    per_user = (
+        events.filter(F.col(type_col).isin(list(stages)))
         .groupBy(user_col)
-        .agg(F.min(ts_col).alias("__t"))
-        # each stage table feeds BOTH the next stage's join and the final
-        # union — materialized, or every consumer re-scans the stream
-        # (audit: 6 events scans; 1 per stage after)
-        .localCheckpoint(eager=True)
-    )
-    levels.append(
-        cur.select(
-            F.lit(0).cast("long").alias("stage_idx"),
-            F.lit(stages[0]).alias("stage"),
-            F.col(user_col),
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col(type_col) == st, F.col(ts_col))
+                ).alias(f"__l{i}")
+                for i, st in enumerate(stages)
+            ]
         )
     )
-    for i, st in enumerate(stages[1:], start=1):
-        nxt = (
-            events.filter(F.col(type_col) == st)
-            .alias("e")
-            .join(cur.alias("p"), on=user_col)
-            .filter(F.col(f"e.{ts_col}") >= F.col("p.__t"))
-            .groupBy(user_col)
-            .agg(F.min(f"e.{ts_col}").alias("__t"))
-            .localCheckpoint(eager=True)
+    cum = per_user.withColumn("__t0", F.array_min("__l0"))
+    for i in range(1, len(stages)):
+        prev = F.col(f"__t{i - 1}")
+        cum = cum.withColumn(
+            f"__t{i}",
+            F.array_min(F.filter(F.col(f"__l{i}"), lambda x: x >= prev)),
         )
-        cur = nxt
-        levels.append(
-            cur.select(
-                F.lit(i).cast("long").alias("stage_idx"),
-                F.lit(st).alias("stage"),
-                F.col(user_col),
+    counts = cum.agg(
+        *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(stages))]
+    )
+    return counts.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(st).alias("stage"), F.col(f"__c{i}").alias("n_users")
+                    )
+                    for i, st in enumerate(stages)
+                ]
             )
-        )
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    return out.groupBy("stage_idx", "stage").agg(
-        F.count(F.lit(1)).alias("n_users")
+        ).alias("stage_idx", "s")
+    ).select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
     )
 
 
