@@ -1044,6 +1044,30 @@ def test_markov_attribution_no_conversions(spark):
     assert out[0].removal_effect == 0.0
 
 
+def test_markov_attribution_null_channel_excluded(spark):
+    """A touch with a NULL channel (e.g. a missing/non-numeric JSON
+    property after get_json_object/cast) must be dropped from the
+    journey, not crash the driver-side vocabulary split (round-5 advice:
+    'NoneType'.startswith) — and must carry no credit."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(6):
+        rows.append((u, t0 + dt.timedelta(minutes=1), u * 10, None, False))
+        rows.append((u, t0 + dt.timedelta(minutes=2), u * 10 + 1, "paid", u % 2 == 0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, channel string, converted boolean"
+    )
+    out = markov_attribution(
+        df, "user_id", "ts", "event_id", "channel", "converted"
+    ).collect()
+    assert [r.channel for r in out] == ["paid"]
+    assert out[0].attribution_share == 1.0
+
+
 def test_grouped_ols_constant_x_yields_nan_not_error(spark):
     """A group whose regressor never varies has an undefined slope —
     NaN, the same answer DuckDB's 0/0 gives, not an exception (ANSI mode

@@ -120,7 +120,18 @@ def jaccard_pairs(
 
     The shingle table is materialized here: it feeds both self-join legs
     and the size aggregate, and the lazy form re-ran the tokenize-explode
-    per consumer (audit: 4 corpus scans; 1 after)."""
+    per consumer (audit: 4 corpus scans; 1 after).
+
+    Fault-tolerance trade (stated explicitly, round-5 advice):
+    localCheckpoint stores the hub in executor-LOCAL, non-replicated
+    blocks and truncates lineage — on a real cluster an executor loss
+    makes the downstream query unrecoverable instead of recomputed, and
+    eager evaluation moves the work to plan-construction time. It is
+    kept here because the hub feeds a quadratic self-join whose
+    re-planning cost dwarfs a retried query, but the production story
+    for a 1000-executor run is persist(StorageLevel.DISK_ONLY_2) (2x
+    replicated) or an explicit staging write; see docs/SCALING.md
+    'localCheckpoint fault-tolerance note' for the repo-wide policy."""
     shingles = shingles.localCheckpoint(eager=True)
     a = shingles.alias("a")
     b = shingles.alias("b")

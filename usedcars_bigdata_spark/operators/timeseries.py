@@ -981,7 +981,13 @@ def markov_attribution(
         F.col(id_col).alias("i"),
         F.col(channel_col).alias("ch"),
         F.col(converted_col).alias("conv"),
-    )
+    ).filter(F.col("ch").isNotNull())
+    # NULL channels (e.g. a touch whose JSON property is missing or
+    # non-numeric, so get_json_object/cast yields NULL) are excluded from
+    # the journey BEFORE counting: an unattributable touch can't carry
+    # credit, and a None state would crash the startswith() vocabulary
+    # split below (round-5 advice fix). Callers who want them credited
+    # coalesce to a sentinel channel first.
     w = Window.partitionBy("u").orderBy("t", "i")
     seq = touches.withColumn("prev", F.lag("ch").over(w)).withColumn(
         "rn_desc", F.row_number().over(w.orderBy(F.col("t").desc(), F.col("i").desc()))

@@ -5231,7 +5231,7 @@ def ts_stream_multibatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id % 20 AS bucket,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -5247,8 +5247,12 @@ def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation exactly. This makes the production sink path (idempotent
     keyed merge, the Delta-MERGE shape without the jar) driver-visible;
     the restart/replay exactly-once semantics are pinned separately in
-    tests/test_streaming_advanced.py. Rounding happens in the final read,
-    not in stream state, so float summation order matches the batch twin."""
+    tests/test_streaming_advanced.py. Stream state accumulates integer
+    CENTS (the rel_textfile_logparse idiom, round-5 advice fix): a
+    double F.sum across micro-batch state is order-sensitive at the
+    half-cent boundary, so the state column is sum(bigint cents) —
+    exactly associative in any accumulation order — and the /100 + round
+    happen only in the final read."""
     import os
     import shutil
     import tempfile
@@ -5282,7 +5286,10 @@ def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
         .groupBy((F.col("user_id") % 20).alias("bucket"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("__sum"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("__cents"),
+        )
     )
     q = upsert_to_parquet(
         agg, target, key="bucket", checkpoint=ck, query_name=sink,
@@ -5293,7 +5300,9 @@ def ts_stream_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
     return spark.read.parquet(target).select(
-        "bucket", "n_events", F.round("__sum", 2).alias("sum_value")
+        "bucket",
+        "n_events",
+        F.round(F.col("__cents") / 100.0, 2).alias("sum_value"),
     )
 
 

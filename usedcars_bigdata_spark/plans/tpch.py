@@ -714,7 +714,9 @@ def rel_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     share at any corpus size.
     Adaptation: value ≈ sum of lineitem extendedprice from NATION_5
     suppliers (no ps_supplycost×availqty). All arithmetic is integer cents
-    with an integer-scaled strict comparison (value·1000 > total), so the
+    with an integer-scaled strict comparison of the mean multiple —
+    value_cents · n_parts > 2 · total_cents, i.e. value > 2×mean without
+    ever forming the fractional mean — so the
     threshold row set is order-of-summation-proof across engines — the
     float form could flip a boundary row between Spark's parallel and
     DuckDB's sequential sums. Spark-first: the per-part aggregate is
