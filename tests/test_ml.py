@@ -264,3 +264,21 @@ def test_isotonic_calibration_invariants(spark, sf_dir):
     assert all(0.0 <= p <= 1.0 for p in ps)
     # the curve must actually discriminate on this corpus
     assert ps[-1] > ps[0]
+
+
+def test_string_indexer_frequency_desc_tie_semantics(spark):
+    """Pin the exact semantics the ml_indexed_feature_hist oracle
+    replays: most-frequent label -> index 0; frequency ties break
+    alphabetically ASCENDING (Spark's frequencyDesc contract)."""
+    from usedcars_bigdata_spark.ml.features import index_categoricals
+
+    df = spark.createDataFrame(
+        [("b",)] * 3 + [("c",)] * 2 + [("a",)] * 2 + [("d",)], ["v"]
+    )
+    indexed, _ = index_categoricals(df, ["v"], keep_original=True)
+    mapping = {
+        r.v: r.idx
+        for r in indexed.select("v", indexed["v__idx"].alias("idx")).distinct().collect()
+    }
+    # b most frequent -> 0; a and c tie at 2 -> alphabetical: a=1, c=2; d last
+    assert mapping == {"b": 0.0, "a": 1.0, "c": 2.0, "d": 3.0}

@@ -1086,6 +1086,7 @@ def blocked_er_pairs(
     block_cols: Sequence[str],
     max_dist: int = 4,
     max_block: int = 10_000,
+    audit=None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: records that share ALL
     ``block_cols`` values (the blocking key) and whose ``compare_col``
@@ -1102,11 +1103,37 @@ def blocked_er_pairs(
     on the block columns, never a cartesian. Blocks above ``max_block``
     are dropped loudly (an unbounded block means the blocking key is
     non-selective — pick a better key) rather than silently exploding
-    the pair space.
+    the pair space — and the drop is NEVER silent: a CollectMetrics
+    node (``df.observe``, the lsh_bucket_audit idiom) on the block-size
+    table records ``n_blocks`` / ``n_dropped_blocks`` /
+    ``n_dropped_rows`` / ``max_block_size`` / ``n_candidate_pairs``
+    (the Σ C(|block|,2) budget over KEPT blocks — the exact upper bound
+    on emitted pairs) under the name ``er_block_audit``; pass a
+    ``pyspark.sql.Observation`` as ``audit`` to read them after an
+    action, or call ``er_block_stats`` for a guaranteed standalone
+    audit of an empty-result run.
 
     Output: (id_a, id_b, dist) with id_a < id_b."""
     b = [F.col(c) for c in block_cols]
     sized = df.groupBy(*b).agg(F.count("*").alias("__bn"))
+    sized = sized.observe(
+        audit if audit is not None else "er_block_audit",
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("__bn") > max_block).cast("long")).alias("n_dropped_blocks"),
+        F.coalesce(
+            F.sum(F.when(F.col("__bn") > max_block, F.col("__bn"))), F.lit(0)
+        ).alias("n_dropped_rows"),
+        F.max("__bn").alias("max_block_size"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("__bn") <= max_block,
+                    (F.col("__bn") * (F.col("__bn") - 1) / 2).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("n_candidate_pairs"),
+    )
     left = (
         df.select(*b, F.col(id_col).alias("id_a"), F.col(compare_col).alias("__ta"))
         .join(sized.filter(F.col("__bn") <= max_block).drop("__bn"), list(block_cols))
@@ -1125,6 +1152,41 @@ def blocked_er_pairs(
         .withColumn("dist", F.levenshtein("__ta", "__tb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def er_block_stats(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Standalone ER blocking audit (the lsh_bucket_stats counterpart):
+    one row with the block count, the largest block, how many blocks /
+    rows the ``max_block`` circuit breaker drops, and the Σ C(|block|,2)
+    candidate-pair budget of the KEPT blocks — the exact upper bound on
+    what blocked_er_pairs can emit. Runs as its own small job
+    (block-cardinality-sized), so it is available even when the pair
+    query itself returns nothing and AQE empty-relation propagation
+    could lose the in-plan ``er_block_audit`` observation."""
+    sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("n") > max_block).cast("long")).alias("n_dropped_blocks"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > max_block, F.col("n"))), F.lit(0)
+        ).alias("n_dropped_rows"),
+        F.max("n").alias("max_block_size"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("n") <= max_block,
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+                )
+            ),
+            F.lit(0),
+        ).alias("n_candidate_pairs"),
     )
 
 

@@ -2708,6 +2708,63 @@ def rows_ml_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_model_suite(data, ["linear", "decision_tree"])
 
 
+@query(
+    "ml_indexed_feature_hist",
+    oracle="""
+    WITH pr AS (
+      SELECT o_orderpriority AS v, count(*) AS c FROM orders GROUP BY 1
+    ), pri AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) - 1 AS idx FROM pr
+    ), st AS (
+      SELECT o_orderstatus AS v, count(*) AS c FROM orders GROUP BY 1
+    ), sti AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY c DESC, v ASC) - 1 AS idx FROM st
+    )
+    SELECT CAST(pri.idx AS DOUBLE) AS priority_idx,
+           CAST(sti.idx AS DOUBLE) AS status_idx,
+           count(*) AS n
+    FROM orders o
+    JOIN pri ON o.o_orderpriority = pri.v
+    JOIN sti ON o.o_orderstatus = sti.v
+    GROUP BY 1, 2
+    """,
+)
+def ml_indexed_feature_hist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible ML featurization (r4 verdict task 7): the
+    DETERMINISTIC half of the M1-M2 surface under the hash oracle. The
+    one-pass multi-column StringIndexer (frequencyDesc — most frequent
+    label gets index 0, frequency ties break alphabetically ascending)
+    and the VectorAssembler are replayed exactly in SQL: each index is
+    ROW_NUMBER() over (count DESC, value ASC) minus 1, and the
+    histogram keys are read BACK OUT of the assembled vector
+    (vector_to_array element positions), so the entry certifies the
+    indexer's mapping AND the assembler's column order — the parts of
+    the ML pipeline that are hash-comparable, complementing the
+    rows-only iterative fits. Fit+transform is two jobs over a 2-column
+    projection; the histogram is one map-side-combinable aggregate."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml.features import assemble_features, index_categoricals
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    indexed, _ = index_categoricals(
+        orders, ["o_orderpriority", "o_orderstatus"], keep_original=True
+    )
+    assembled = assemble_features(
+        indexed, ["o_orderpriority__idx", "o_orderstatus__idx"]
+    )
+    arr = vector_to_array(F.col("features"))
+    return (
+        assembled.select(
+            arr[0].alias("priority_idx"), arr[1].alias("status_idx")
+        )
+        .groupBy("priority_idx", "status_idx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 @query("rows_ml_kmeans_clusters")
 def rows_ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's dead-import estimators end-to-end (SURVEY F12 via
