@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "rel_dp_noisy_counts",
     "rel_textfile_logparse",
     "ts_holt_winters",
+    # round-5 additions: DSIR data selection, BM25 sparse retrieval
+    "ext_dsir_weights",
+    "ext_bm25_topk",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

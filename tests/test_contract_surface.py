@@ -6,7 +6,7 @@ Round-3 post-mortem: the driver canonicalizes query outputs with a pandas
 went red while the repo's own driver_sim reported it green, because the
 sim pre-normalized arrays before sorting. These tests pin (a) that
 driver_sim's canonicalizer now reproduces the driver's failure mode, and
-(b) the round-4 rotation actually placed the never-driver-checked entries
+(b) the round-5 rotation actually placed the never-driver-checked entries
 inside the 50-entry sweep window.
 """
 
@@ -20,34 +20,26 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# VERDICT.md round-3 task 3, verbatim: the oracle-backed round-3 additions
-# that had no independent driver row and must be in-window in round 4.
-ROUND4_ROTATED_IN = [
-    "ts_stream_dedup",
-    "rel_exists_lineitem",
-    "rel_scalar_correlated",
-    "rel_partitioned_prune",
-    "rel_jsonl_roundtrip",
-    "rel_range_join",
-    "rel_merge_upsert",
-    "rel_pandas_udaf_geomean",
-    "ext_inverted_index",
-    "ext_tfidf_top_terms",
-    "ext_group_cap_sample",
-    "ts_resample_gap_fill",
-    "ext_doc_chunks",
-    "ext_quality_percentile",
-    "ts_zscore_anomaly",
-    "ts_funnel_stages",
-    "ts_cohort_retention",
-    "ext_weighted_sample",
-    "rel_schema_evolution",
-    "ts_sessionize",
-    "ext_char_entropy",
-    "rel_group_correlation",
-    "ts_stream_static_join",
-    "rel_outer_join_coalesce",
-    "rel_sql_interface",
+# VERDICT.md round-4 task 2, executed in round 5: pin ONLY the 12 ref_*
+# parity rows; every other window slot goes to an entry with no prior
+# independent driver row (TPC-H breadth, corpus rule sets, the three real
+# streaming runs, the event-time batch).
+ROUND5_ROTATED_IN = [
+    "rel_tpch_q2_min_supplier", "rel_tpch_q6_forecast", "rel_tpch_q7_volume",
+    "rel_tpch_q8_market_share", "rel_tpch_q9_profit", "rel_tpch_q10_returned",
+    "rel_tpch_q11_value_parts", "rel_tpch_q12_late_lines",
+    "rel_tpch_q13_custdist", "rel_tpch_q14_promo", "rel_tpch_q15_top_supplier",
+    "rel_tpch_q16_supplier_cnt", "rel_tpch_q18_large_orders",
+    "rel_tpch_q19_disjunctive", "rel_tpch_q20_excess_suppliers",
+    "rel_tpch_q21_waiting", "rel_tpch_q22_idle_customers",
+    "ext_gopher_quality", "ext_c4_filters", "ext_domain_divergence",
+    "ext_bigram_logprob", "ext_zipf_fit", "ext_source_overlap",
+    "ext_langid_confusion", "ext_template_headers", "ext_source_quality_rank",
+    "ts_stream_stream_join", "ts_stream_stateful_anomaly",
+    "ts_stream_multibatch",
+    "ts_cumulative_distinct", "ts_event_transitions", "ts_max_concurrency",
+    "ts_gaps_islands", "ts_time_weighted_avg", "ts_rolling_active_users",
+    "ts_interarrival_burstiness", "ts_mad_outliers", "ts_mom_growth",
 ]
 
 DRIVER_WINDOW = 50
@@ -80,12 +72,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round4_rotation_window_membership():
+def test_round5_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
-    missing = [n for n in ROUND4_ROTATED_IN if n not in window]
+    refs = [n for n in window if n.startswith("ref_")]
+    assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
+    missing = [n for n in ROUND5_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    # the fixed r3 red row needs a fresh driver verdict
-    assert "ext_embedding_quantize" in window
+    assert len(ROUND5_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():

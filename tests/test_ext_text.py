@@ -987,3 +987,77 @@ def test_stratified_split_exact_counts(spark, sf_dir):
         assert parts.get("train", 0) == want_train, (src, parts)
         assert parts.get("val", 0) == want_val, (src, parts)
         assert parts.get("test", 0) == n - want_train - want_val, (src, parts)
+
+
+# ------------------------------------------------------------------ DSIR
+def test_dsir_target_docs_score_higher_on_average(spark, sf_dir):
+    """The importance weight must discriminate: documents FROM the target
+    domain average a higher log-weight than the rest (they are, by
+    construction, target-like), and weights are finite for every doc."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.ext.text import dsir_importance_weights
+    from usedcars_bigdata_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(
+        docs, "doc_id", "text", F.col("source") == "src0", n_buckets=512
+    )
+    joined = w.join(docs.select("doc_id", "source"), "doc_id")
+    rows = joined.collect()
+    assert all(math.isfinite(r.dsir_logw) for r in rows)
+    tgt = [r.dsir_logw for r in rows if r.source == "src0"]
+    rest = [r.dsir_logw for r in rows if r.source != "src0"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_degenerate_target_equals_raw_gives_zero_weights(spark):
+    """If the target IS the whole corpus, p_target == p_raw bucket for
+    bucket, so every document's log-ratio sum is exactly 0."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.ext.text import dsir_importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d"), (3, "a a d")], ["id", "txt"]
+    )
+    out = dsir_importance_weights(
+        df, "id", "txt", F.lit(True), n_buckets=64
+    ).collect()
+    assert len(out) == 3
+    assert all(r.dsir_logw == 0.0 for r in out)
+
+
+# ------------------------------------------------------------------ BM25
+def test_bm25_rank_ordering_and_monotonicity(spark):
+    """Within a term: ranks are 1..k in rounded-score order; with equal
+    document length, higher tf scores strictly higher (tf saturation is
+    monotone); a term absent from a doc contributes no row."""
+    from usedcars_bigdata_spark.ext.text import bm25_scores
+
+    docs = [
+        (1, "x x x y y z"),
+        (2, "x y y y z z"),
+        (3, "y y y z z z"),
+        (4, "q q q q q q"),
+    ]
+    df = spark.createDataFrame(docs, ["id", "txt"])
+    out = bm25_scores(df, "id", "txt", ["x", "y"], top_k=10).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r.term, []).append(r)
+    # doc 4 never matches; term x absent from docs 3/4
+    assert {r.id for r in by_term["x"]} == {1, 2}
+    assert {r.id for r in by_term["y"]} == {1, 2, 3}
+    for term, rows in by_term.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.bm25 for r in rows]
+        assert scores == sorted(scores, reverse=True)
+    # equal dl (all 6 tokens): tf 3 > tf 1 for x
+    x = {r.id: r for r in by_term["x"]}
+    assert x[1].tf == 3 and x[2].tf == 1
+    assert x[1].bm25 > x[2].bm25

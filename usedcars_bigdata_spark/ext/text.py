@@ -1795,3 +1795,160 @@ def quantile_normalize_by_source(
     return scored.join(F.broadcast(mapping), ["source", "q_fp"]).select(
         F.col(id_col), "source", "q_fp", "q_norm"
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_pred: Column,
+    n_buckets: int = 512,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the log importance
+    ratio of its hashed-unigram feature counts under the TARGET
+    distribution vs the RAW distribution — the standard cheap proxy for
+    "select web data that looks like the high-quality target domain"
+    ahead of LLM pretraining. Documents with high log-weight are the
+    resampling candidates; the smoothing keeps unseen buckets finite.
+
+    Mechanics (one token pass, everything else bucket-sized):
+    tokens hash into ``n_buckets`` feature buckets via the md5 idiom
+    (DuckDB-replayable, unlike xxhash64 — rel_dp_noisy_counts
+    precedent); one partial-aggregated pass produces per-bucket raw and
+    target counts TOGETHER (target counts are a conditional sum, not a
+    second scan); Laplace(+1) smoothing over the bucket vocabulary;
+    lr[b] = ln p_target[b] − ln p_raw[b]; each document's weight is
+    Σ_b n_{doc,b}·lr[b], computed by joining the doc's bucket counts to
+    the broadcast B-row ratio table. At 100 TB: the only stream-sized
+    stages are the token explode and one (doc, bucket) aggregate —
+    bucket tables are O(n_buckets) and broadcast; no shuffle ever
+    carries raw text.
+
+    ``target_pred`` is a boolean Column over ``df``'s columns selecting
+    the target-domain rows (e.g. ``F.col('source') == 'src0'``); the
+    target stays part of ONE pass rather than a separate corpus.
+
+    Output: (id, n_tokens, dsir_logw) — higher = more target-like.
+    Float-parity note: the 6-digit round sits ~7 orders above the 1-ulp
+    ln()/summation divergence at these magnitudes (|logw| < 1e3), the
+    same argument as rel_dp_noisy_counts."""
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__is_tgt"),
+        F.explode(_words(text_col)).alias("__t"),
+    ).filter(F.col("__t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    doc_buckets = toks.groupBy(F.col(id_col), bucket.alias("__b")).agg(
+        F.count("*").alias("__n"),
+        F.max("__is_tgt").alias("__is_tgt"),
+    )
+    # bucket-level raw/target counts in the same aggregate: re-aggregate
+    # the (doc, bucket) table — already reduced — instead of re-scanning
+    bucket_counts = doc_buckets.groupBy("__b").agg(
+        F.sum("__n").alias("__n_raw"),
+        F.sum(F.when(F.col("__is_tgt"), F.col("__n")).otherwise(F.lit(0))).alias(
+            "__n_tgt"
+        ),
+    )
+    totals = bucket_counts.agg(
+        F.sum("__n_raw").alias("__t_raw"), F.sum("__n_tgt").alias("__t_tgt")
+    )
+    lr = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        (
+            F.log((F.col("__n_tgt") + 1) / (F.col("__t_tgt") + n_buckets))
+            - F.log((F.col("__n_raw") + 1) / (F.col("__t_raw") + n_buckets))
+        ).alias("__lr"),
+    )
+    return (
+        doc_buckets.join(F.broadcast(lr), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").alias("n_tokens"),
+            F.round(F.sum(F.col("__n") * F.col("__lr")), ndigits).alias(
+                "dsir_logw"
+            ),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set over the corpus — the
+    classic sparse-retrieval scorer (Robertson-Walker-Jones; the Lucene
+    +1 idf variant, so idf stays positive even for terms in more than
+    half the corpus):
+
+        idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score(d,t) = idf(t) · tf / (tf + k1·(1 - b + b·dl/avgdl))
+
+    Completes the retrieval family: inverted_index gives the postings,
+    tfidf_top_terms the per-doc salience, ANN the dense side — this is
+    the sparse ranking head a RAG data pipeline runs next to them.
+
+    Plan: one token pass filtered to the query terms (predicate pushed
+    into the explode via isin — the stream never materializes non-query
+    tokens past the filter), one (doc, term) count, document lengths
+    from token_stats' cheap size() expression (no second explode), and
+    三 scalar broadcasts (N, avgdl, per-term df — the term table is
+    |terms| rows). Per-term top-k by (score desc, id asc) via one
+    window over the |terms| × |matching docs| table.
+
+    Output: (term, rank, id, tf, round(bm25, ndigits))."""
+    dl = df.select(
+        F.col(id_col),
+        F.size(F.filter(_words(text_col), lambda x: x != "")).alias("__dl"),
+    )
+    stats = dl.agg(
+        F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("__t"))
+        .filter(F.col("__t").isin(terms))
+        .groupBy(F.col(id_col), F.col("__t").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "__n_docs",
+        "__avgdl",
+        F.log(
+            1.0
+            + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ).alias("__idf"),
+    )
+    score = F.col("__idf") * F.col("tf") / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .select(
+            "term",
+            F.col(id_col),
+            "tf",
+            F.round(score, ndigits).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("term", "rank", id_col, "tf", "bm25")
+    )

@@ -2591,3 +2591,101 @@ def ext_er_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part"), "p_partkey", "p_name",
         window=3, max_dist=4,
     )
+
+
+@query(
+    "ext_dsir_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, is_tgt,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 512 AS b
+      FROM (SELECT doc_id, source = 'src0' AS is_tgt,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    db AS (
+      SELECT doc_id, b, count(*) AS n, max(is_tgt) AS is_tgt
+      FROM toks GROUP BY 1, 2
+    ),
+    bc AS (
+      SELECT b, sum(n) AS n_raw,
+             sum(CASE WHEN is_tgt THEN n ELSE 0 END) AS n_tgt
+      FROM db GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM bc),
+    lr AS (
+      SELECT b, ln((n_tgt + 1) * 1.0 / (t_tgt + 512))
+               - ln((n_raw + 1) * 1.0 / (t_raw + 512)) AS lr
+      FROM bc CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+           round(sum(n * lr), 6) AS dsir_logw
+    FROM db JOIN lr USING (b)
+    GROUP BY doc_id
+    """,
+)
+def ext_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (ext.text.dsir_importance_weights) with
+    source 'src0' as the target domain: hashed-unigram importance
+    ratios, the data-selection scorer from Xie et al. 2023. The oracle
+    replays the md5 bucketing, the Laplace-smoothed bucket
+    distributions, and the per-document Σ n·lr exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.dsir_importance_weights(
+        docs, "doc_id", "text", F.col("source") == "src0", n_buckets=512
+    )
+
+
+@query(
+    "ext_bm25_topk",
+    oracle="""
+    WITH dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE w IN ('spark', 'table', 'query')
+      GROUP BY 1, 2
+    ),
+    df_ AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+    idf AS (
+      SELECT term, ln(1.0 + (n_docs - dfreq + 0.5) / (dfreq + 0.5)) AS idf
+      FROM df_ CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT term, tf.doc_id, tf,
+             round(idf * tf / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                   6) AS bm25
+      FROM tf
+      JOIN idf USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT term,
+             CAST(row_number() OVER (PARTITION BY term
+                                     ORDER BY bm25 DESC, doc_id ASC)
+                  AS INTEGER) AS rank,
+             doc_id, tf, bm25
+      FROM scored
+    )
+    SELECT term, rank, doc_id, tf, bm25 FROM ranked WHERE rank <= 10
+    """,
+)
+def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 per query term (ext.text.bm25_scores) for a fixed
+    3-term query set — the sparse-retrieval head next to the dense ANN
+    entries. Ranking happens on the ROUNDED score (both engines), so
+    the rank column is order-of-evaluation-proof; ties break on
+    doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_scores(
+        docs, "doc_id", "text", ["spark", "table", "query"], top_k=10
+    )
