@@ -118,9 +118,13 @@ BENCH_QUERIES = [
     "rel_dp_noisy_counts",
     "rel_textfile_logparse",
     "ts_holt_winters",
-    # round-5 additions: DSIR data selection, BM25 sparse retrieval
+    # round-5 additions: DSIR data selection, BM25 sparse retrieval,
+    # session paths, skew diagnostics, VARIANT JSON
     "ext_dsir_weights",
     "ext_bm25_topk",
+    "ts_top_paths",
+    "rel_key_skew_profile",
+    "rel_variant_json",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1291,3 +1291,71 @@ def test_cohort_ltv_monotone_and_consistent(spark, sf_dir):
         for (a1, c1), (a2, c2) in zip(pts, pts[1:]):
             assert a1 < a2 and c1 <= c2
         assert pts[-1][1] == totals[cw], cw
+
+
+# ----------------------------------------------------- session paths
+def test_top_session_paths_gap_split_and_ranking(spark):
+    """Two sessions for u1 (gap > 30min splits), path truncated at
+    path_len, ranking by (count desc, path asc)."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import top_session_paths
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1 session 1: view > click > purchase > view (4th drops)
+        (1, t0, 1, "view"), (1, t0 + m, 2, "click"),
+        (1, t0 + 2 * m, 3, "purchase"), (1, t0 + 3 * m, 4, "view"),
+        # u1 session 2 after 2h: view > click > purchase again
+        (1, t0 + dt.timedelta(hours=2), 5, "view"),
+        (1, t0 + dt.timedelta(hours=2) + m, 6, "click"),
+        (1, t0 + dt.timedelta(hours=2) + 2 * m, 7, "purchase"),
+        # u2: a single short session
+        (2, t0, 8, "error"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = top_session_paths(
+        df, "user_id", "ts", "event_id", "event_type", path_len=3, top_k=10
+    ).collect()
+    assert [(r.rank, r.path, r.n_sessions) for r in out] == [
+        (1, "view>click>purchase", 2),
+        (2, "error", 1),
+    ]
+
+
+def test_key_skew_profile_matches_manual(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+
+    r = QUERIES["rel_key_skew_profile"](spark, sf_dir).collect()[0]
+    import collections
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    cnt = collections.Counter(x.l_orderkey for x in li)
+    ns = sorted(cnt.values())
+    assert r.n_keys == len(ns)
+    assert r.max_cnt == ns[-1]
+    import math
+
+    assert r.p50_cnt == ns[math.ceil(0.5 * len(ns)) - 1]
+    assert r.p99_cnt == ns[math.ceil(0.99 * len(ns)) - 1]
+    hot = min(k for k, v in cnt.items() if v == ns[-1])
+    assert r.hot_key == hot
+
+
+def test_variant_try_get_nulls_malformed_rows(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", '{"k": 3}'), ("a", "not json"), ("b", '{"x": 1}')],
+        ["t", "props"],
+    )
+    out = df.select(
+        "t",
+        F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint").alias("k"),
+    ).collect()
+    got = {(r.t, r.k) for r in out}
+    assert got == {("a", 3), ("a", None), ("b", None)}

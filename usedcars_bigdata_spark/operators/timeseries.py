@@ -1191,3 +1191,71 @@ def holt_winters_additive(
         .sortWithinPartitions(key_col, order_col)
         .mapInPandas(fit_stream, schema)
     )
+
+
+def top_session_paths(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    gap_minutes: int = 30,
+    path_len: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k session-OPENING paths: sessionize (gap rule), take each
+    session's first ``path_len`` event types in event order, and rank
+    the resulting path strings by session count — the "what do users do
+    first" product-analytics readout on top of sessionization.
+
+    One shuffle on the user key serves the gap flags, the session
+    running sum, AND the within-session ranks (three window passes over
+    the same partitioning — Catalyst keeps one exchange). Sessions then
+    reduce to ONE row each before any path aggregation (collect_list of
+    at most ``path_len`` (rn, type) structs, sorted in-array — array_sort
+    on structs orders by rn first, so the path string is deterministic
+    without an ORDER BY inside the aggregate). The path table is
+    path-vocabulary-sized; top-k picks by (count DESC, path ASC) through
+    one final row_number.
+
+    Output: (rank, path, n_sessions) — path like 'view>click>purchase'."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    flagged = events.select(
+        F.col(user_col), F.col(ts_col), F.col(id_col), F.col(type_col)
+    ).withColumn(
+        "__new_s",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    sess = flagged.withColumn(
+        "__sess",
+        F.sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy(user_col, "__sess").orderBy(ts_col, id_col)
+        ),
+    )
+    paths = (
+        sess.filter(F.col("__rn") <= path_len)
+        .groupBy(user_col, "__sess")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__rn"), F.col(type_col).alias("et")))
+            ).alias("__steps")
+        )
+        .select(
+            F.concat_ws(
+                ">", F.transform(F.col("__steps"), lambda s: s["et"])
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    rk = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "path", "n_sessions")
+    )

@@ -6964,3 +6964,155 @@ def rel_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(cents) div count(*)").alias("raw_mean_cents"),
         )
     )
+
+
+@query(
+    "ts_top_paths",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                   ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sess, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY 1, 2
+    ),
+    c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+    SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+                AS INTEGER) AS rank,
+           path, n_sessions
+    FROM c
+    QUALIFY rank <= 20
+    """,
+)
+def ts_top_paths_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening paths (operators.timeseries.
+    top_session_paths, 30-min gap, first 3 event types): the 'what do
+    users do first' readout — sessionization's window passes share one
+    user-key exchange, sessions collapse to single path rows before any
+    counting, and the final ranking runs over the path vocabulary. The
+    oracle replays the gap rule, the ordered string_agg, and the
+    (count DESC, path ASC) ranking."""
+    return TS.top_session_paths(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "ts", "event_id", "event_type",
+        gap_minutes=30, path_len=3, top_k=20,
+    )
+
+
+@query(
+    "rel_key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    s AS (
+      SELECT n, row_number() OVER (ORDER BY n ASC) AS rn,
+             count(*) OVER () AS nk
+      FROM c
+    )
+    SELECT CAST(max(nk) AS BIGINT) AS n_keys,
+           max(n) AS max_cnt,
+           max(CASE WHEN rn = CAST(ceil(0.50 * nk) AS BIGINT) THEN n END) AS p50_cnt,
+           max(CASE WHEN rn = CAST(ceil(0.90 * nk) AS BIGINT) THEN n END) AS p90_cnt,
+           max(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT) THEN n END) AS p99_cnt,
+           round(max(n) * 1.0
+                 / max(CASE WHEN rn = CAST(ceil(0.50 * nk) AS BIGINT) THEN n END),
+                 4) AS skew_ratio,
+           (SELECT min(l_orderkey) FROM c
+            WHERE n = (SELECT max(n) FROM c)) AS hot_key
+    FROM s
+    """,
+)
+def rel_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key SKEW diagnostics — the pre-flight a 100 TB join
+    runs before choosing salting vs AQE skew handling: per-key count
+    distribution (discrete p50/p90/p99 via the rank-selection idiom —
+    value-deterministic under ties), the max, the max/median skew
+    ratio, and the hottest key's identity (min key among ties). One
+    map-side-combinable count per key, then everything is
+    key-cardinality-sized; the percentile pass is one global sort of
+    the COUNT table, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    wr = Window.orderBy(F.col("n").asc())
+    ranked = counts.select(
+        "l_orderkey",
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nk"),
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("nk")), F.col("n"))
+    )
+    hot = counts.orderBy(F.col("n").desc(), F.col("l_orderkey").asc()).limit(1)
+    stats = ranked.agg(
+        F.max("nk").alias("n_keys"),
+        F.max("n").alias("max_cnt"),
+        pick(0.50).alias("p50_cnt"),
+        pick(0.90).alias("p90_cnt"),
+        pick(0.99).alias("p99_cnt"),
+    )
+    return (
+        stats.crossJoin(
+            F.broadcast(hot.select(F.col("l_orderkey").alias("hot_key")))
+        )
+        .select(
+            "n_keys",
+            "max_cnt",
+            "p50_cnt",
+            "p90_cnt",
+            "p99_cnt",
+            F.round(F.col("max_cnt") / F.col("p50_cnt"), 4).alias("skew_ratio"),
+            "hot_key",
+        )
+    )
+
+
+@query(
+    "rel_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def rel_variant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: semi-structured props parsed ONCE into
+    the binary variant encoding (parse_json), fields extracted with
+    typed try_variant_get — the modern engine path for JSON columns
+    (O(1) repeated field access vs re-parsing per get_json_object
+    call; Parquet variant shredding at rest). try_ keeps malformed
+    rows NULL instead of failing the 100 TB job; aggregation is one
+    map-side-combinable pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
