@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "ts_top_paths",
     "rel_key_skew_profile",
     "rel_variant_json",
+    "ts_stream_sessionize",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -392,3 +392,71 @@ def test_streaming_holt_winters_equals_batch(spark, sf_dir, tmp_path):
     )
     assert got == want
     assert len(got) > 50
+
+
+def test_streaming_sessionize_equals_batch_closed_sessions(spark, tmp_path):
+    """streaming_sessionize == batch twin (gap sessions minus each user's
+    open last session) across genuinely separate micro-batches, with a
+    session spanning the batch boundary. Files are written sequentially
+    (distinct mtimes) because the file source orders same-mtime files
+    nondeterministically — the round-5 lesson behind the entry's
+    sequential source prep."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.streaming.stateful import (
+        streaming_sessionize,
+        streaming_sessionize_batch_twin,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "user_id long, ts timestamp, event_id long"
+    # file 1: u1 session A (2 events) + session B first event
+    f1 = [(1, t0, 1), (1, t0 + 5 * m, 2), (1, t0 + 60 * m, 3)]
+    # file 2: session B SECOND event (spans the boundary, 10 min later),
+    # then session C (closes B); u2 single session
+    f2 = [(1, t0 + 70 * m, 4), (1, t0 + 150 * m, 5), (2, t0 + 150 * m, 6)]
+    # file 3: session D (closes C); u2 session 2 (closes u2's first)
+    f3 = [(1, t0 + 300 * m, 7), (2, t0 + 300 * m, 8)]
+    src = str(tmp_path / "src")
+    batch_rows = []
+    for rows in (f1, f2, f3):
+        batch_rows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+
+    stream = streaming_sessionize(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_eq_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3
+    got = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sess_eq_test").collect()
+    )
+    twin = streaming_sessionize_batch_twin(
+        spark.createDataFrame(batch_rows, schema)
+    )
+    want = sorted(
+        (r.user_id, r.session_seq, r.session_start, r.session_end, r.n_events)
+        for r in twin.collect()
+    )
+    assert got == want
+    # the boundary-spanning session B must be one session of 2 events
+    b = [r for r in got if r[0] == 1 and r[1] == 2]
+    assert len(b) == 1 and b[0][4] == 2
+    assert b[0][2] == t0 + 60 * m and b[0][3] == t0 + 70 * m

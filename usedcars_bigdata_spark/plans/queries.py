@@ -7116,3 +7116,106 @@ def rel_variant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("sum_k"),
         F.round(F.avg("k"), 4).alias("avg_k"),
     )
+
+
+@query(
+    "ts_stream_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    agg AS (
+      SELECT user_id, CAST(sess AS BIGINT) AS session_seq,
+             min(ts) AS session_start, max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, session_seq, session_start, session_end, n_events
+    FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS mx
+          FROM agg)
+    WHERE session_seq < mx
+    """,
+)
+def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization under the hash oracle
+    (streaming.stateful.streaming_sessionize, applyInPandasWithState):
+    the events table streams as three time-range micro-batches
+    (maxFilesPerTrigger=1, the multibatch harness), per-user session
+    state (4 scalars) folds across batches, and a session row is
+    emitted only when a later event CLOSES it — so the final table is
+    exactly the batch gap-rule sessions minus each user's last
+    still-open one, whatever the batch boundaries, which is what the
+    oracle replays. Sessions genuinely span micro-batches here (the
+    range split cuts mid-session); the >=3-batch assertion keeps the
+    entry honest about exercising cross-batch state.
+
+    Source-ordering lesson (round 5): the other multibatch entries
+    write their 3 range files in ONE job, which gives all parts the
+    same mtime — and the file source then orders same-mtime files
+    NONDETERMINISTICALLY (observed: the middle time-range arriving
+    first). Their aggregations are arrival-order-insensitive, so they
+    never noticed; a session FOLD is not. This entry therefore writes
+    the three time-tercile files SEQUENTIALLY with distinct mtimes —
+    the same contract a Kafka source gives per partition (in-order
+    delivery), replayed faithfully by the file source's mtime sort."""
+    import os
+    import tempfile
+    import time
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.stateful import streaming_sessionize
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_sess_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    done = os.path.join(src, "_ALL_RANGES_DONE")
+    if not os.path.exists(done):
+        events = load_table(spark, sf_dir, "events")
+        lo, hi = events.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        span = (hi - lo) / 3
+        cuts = [lo + span, lo + 2 * span]
+        ranges = [
+            F.col("ts") < cuts[0],
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
+            F.col("ts") >= cuts[1],
+        ]
+        for pred in ranges:
+            events.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.05)  # distinct mtimes => deterministic arrival order
+        with open(done, "w") as fh:
+            fh.write("ok")
+    sink = "ts_stream_sessionize_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    sessions = streaming_sessionize(
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
+    return spark.table(sink)

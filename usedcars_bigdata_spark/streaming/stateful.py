@@ -35,8 +35,14 @@ def _track(
     (user_id,) = key
     n, total = state.get if state.exists else (0, 0.0)
     out_rows = []
-    for pdf in batches:
-        pdf = pdf.sort_values("event_id")
+    # A key's rows within one micro-batch may arrive as SEVERAL pandas
+    # chunks in arbitrary relative order — sort the concatenation, not
+    # each chunk (the round-5 streaming_sessionize lesson: per-chunk
+    # sorting folded out-of-order under chunk splits and dropped
+    # cross-batch session closures nondeterministically).
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
         for ev_id, value in zip(pdf["event_id"], pdf["value"]):
             mean = total / n if n else None
             flagged = mean is not None and value > 3.0 * mean
@@ -88,4 +94,128 @@ def running_anomaly_flags_batch(events: DataFrame) -> DataFrame:
         F.coalesce(
             F.col("value") > 3.0 * F.avg("value").over(w), F.lit(False)
         ).alias("flagged"),
+    )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_seq long, session_start timestamp, "
+    "session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "seq long, start_us long, last_us long, n long"
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    seq, start_us, last_us, n = (
+        state.get if state.exists else (0, None, None, 0)
+    )
+    closed = []
+    # Concat-then-sort: a key's rows can span several chunks whose
+    # relative order is arbitrary; sorting per chunk folds out of order
+    # (observed: nondeterministically merged sessions at sf0.01).
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        unit = "us" if pdf["ts"].dtype == "datetime64[us]" else "ns"
+        div = 1 if unit == "us" else 1000
+        for ts in pdf["ts"].astype("int64") // div:
+            ts = int(ts)
+            if start_us is None:
+                seq, start_us, last_us, n = 1, ts, ts, 1
+            elif ts - last_us > _GAP_US:
+                closed.append((user_id, seq, start_us, last_us, n))
+                seq, start_us, last_us, n = seq + 1, ts, ts, 1
+            else:
+                last_us, n = ts, n + 1
+    state.update((seq, start_us, last_us, n))
+    yield pd.DataFrame(
+        [
+            (
+                u,
+                s,
+                pd.Timestamp(a, unit="us"),
+                pd.Timestamp(b, unit="us"),
+                m,
+            )
+            for u, s, a, b, m in closed
+        ],
+        columns=[
+            "user_id",
+            "session_seq",
+            "session_start",
+            "session_end",
+            "n_events",
+        ],
+    )
+
+
+def streaming_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming sessionization with user-managed per-key state
+    (applyInPandasWithState): events fold into the user's CURRENT
+    session (seq, start, last-seen, count — four scalars per user);
+    a gap > 30 min CLOSES the session and emits one summary row. A
+    session only closes when later evidence arrives, so emission is
+    purely DATA-DRIVEN — deterministic regardless of micro-batch
+    boundaries (a batch twin = batch sessions minus each user's last,
+    still-open session; pinned in tests and replayed by the
+    ts_stream_sessionize oracle). The state is O(1) per user and
+    shards with the user_id shuffle.
+
+    Production note: gone-silent users hold their last session open
+    forever under NoTimeout; a deployment sets
+    GroupStateTimeout.EventTimeTimeout + a watermark to flush idle
+    sessions — kept off here because timeout-emitted rows depend on
+    watermark advancement (i.e. on batch boundaries), which would
+    break the determinism the contract certifies."""
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_sessionize_batch_twin(events: DataFrame) -> DataFrame:
+    """Batch equivalent of the CLOSED-session stream output: gap-rule
+    sessions minus each user's last (still-open) session."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    sess = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn(
+            "__new_s",
+            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__sess",
+            F.sum("__new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    agg = sess.groupBy("user_id", F.col("__sess").alias("session_seq")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    mx = Window.partitionBy("user_id")
+    return (
+        agg.withColumn("__mx", F.max("session_seq").over(mx))
+        .filter(F.col("session_seq") < F.col("__mx"))
+        .select(
+            "user_id", "session_seq", "session_start", "session_end", "n_events"
+        )
     )
