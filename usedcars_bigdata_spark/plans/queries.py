@@ -7165,10 +7165,17 @@ def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     same mtime — and the file source then orders same-mtime files
     NONDETERMINISTICALLY (observed: the middle time-range arriving
     first). Their aggregations are arrival-order-insensitive, so they
-    never noticed; a session FOLD is not. This entry therefore writes
-    the three time-tercile files SEQUENTIALLY with distinct mtimes —
-    the same contract a Kafka source gives per partition (in-order
-    delivery), replayed faithfully by the file source's mtime sort."""
+    never noticed; a session FOLD is not. This entry therefore gives
+    the three time-range files STRICTLY ASCENDING mtimes — one
+    range-partitioned write job, then os.utime stamps each part file
+    2 s apart in path order (part-0000k is the k-th ascending ts
+    range), which is the same contract a Kafka source gives per
+    partition (in-order delivery), replayed faithfully by the file
+    source's mtime sort. (The first cut wrote three sequential filtered
+    jobs with real sleeps between them — 3 extra scans + 2.1 s of wall
+    clock per cold run; stamping mtimes after one job is equivalent
+    and free.)"""
+    import glob as _glob
     import os
     import tempfile
     import time
@@ -7186,19 +7193,10 @@ def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     done = os.path.join(src, "_ALL_RANGES_DONE")
     if not os.path.exists(done):
         events = load_table(spark, sf_dir, "events")
-        lo, hi = events.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).first()
-        span = (hi - lo) / 3
-        cuts = [lo + span, lo + 2 * span]
-        ranges = [
-            F.col("ts") < cuts[0],
-            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),
-            F.col("ts") >= cuts[1],
-        ]
-        for pred in ranges:
-            events.filter(pred).coalesce(1).write.mode("append").parquet(src)
-            time.sleep(1.05)  # distinct mtimes => deterministic arrival order
+        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+        now = time.time()
+        for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*.parquet")))):
+            os.utime(p, (now + 2.0 * i, now + 2.0 * i))
         with open(done, "w") as fh:
             fh.write("ok")
     sink = "ts_stream_sessionize_sink"
