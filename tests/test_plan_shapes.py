@@ -673,31 +673,40 @@ def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
     assert n <= budget, f"{name}: {n} {table} scans (budget {budget})"
 
 
-def test_resample_gap_fill_single_cached_scan(spark, sf_dir):
-    """ts_resample_gap_fill shares its reduced bucket table via persist()
-    (round-5: the eager-localCheckpoint hub cost a separate
-    materialization job — the r4 bench regression — and truncated
-    lineage). The printed plan shows the cached child once PER consumer
-    (the audit's documented InMemoryRelation phantom), so the honest
-    invariant is: every events scan sits under an InMemoryRelation
-    cache-build (which executes ONCE — the first consumer fills the
-    cache, the rest read it), and none outside."""
+@pytest.mark.parametrize(
+    "name,table",
+    [
+        ("ts_resample_gap_fill", "events"),
+        ("ext_dsir_weights", "documents"),
+        ("ext_bm25_topk", "documents"),
+        ("rel_key_skew_profile", "lineitem"),
+    ],
+)
+def test_persist_hub_entries_scan_once(spark, sf_dir, name, table):
+    """Round-5 hub policy: these entries share their reduced hub table
+    via lazy persist() (lineage kept, no eager materialization job —
+    the r4 bench-regression lesson). The printed plan shows the cached
+    child once PER consumer (the audit's documented InMemoryRelation
+    phantom), so the honest invariant is: every hot-table scan sits
+    under an InMemoryRelation cache-build (which executes ONCE — the
+    first consumer fills the cache, the rest read it), and none
+    outside."""
     import re
 
     from usedcars_bigdata_spark.plans import QUERIES
 
     plan = (
-        QUERIES["ts_resample_gap_fill"](spark, sf_dir)
+        QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    n_scans = len(re.findall(r"Scan parquet[^\n]*/events\.parquet", plan))
+    n_scans = len(re.findall(rf"Scan parquet[^\n]*/{table}\.parquet", plan))
     n_cached = plan.count("InMemoryRelation")
-    assert n_cached >= 1, "bucket-table hub must be cache-shared"
+    assert n_cached >= 1, f"{name}: hub must be cache-shared"
     assert n_scans == n_cached, (
-        f"{n_scans} events scans vs {n_cached} cache builds — "
-        "an events scan escaped the shared hub"
+        f"{name}: {n_scans} {table} scans vs {n_cached} cache builds — "
+        "a scan escaped the shared hub"
     )
 
 

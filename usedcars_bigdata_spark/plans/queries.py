@@ -7049,7 +7049,9 @@ def rel_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     key-cardinality-sized; the percentile pass is one global sort of
     the COUNT table, not the fact table."""
     li = load_table(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    # key-cardinality hub read by the rank pass AND the hot-key probe —
+    # persist() so the fact table scans once (round-5 hub policy)
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n")).persist()
     wr = Window.orderBy(F.col("n").asc())
     ranked = counts.select(
         "l_orderkey",
