@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "rel_key_skew_profile",
     "rel_variant_json",
     "ts_stream_sessionize",
+    "rel_geo_grid_density",
+    "rel_geo_radius_join",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

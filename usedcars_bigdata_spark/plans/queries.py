@@ -7219,3 +7219,96 @@ def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_batches = len(q.recentProgress)
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
     return spark.table(sink)
+
+
+_GEO_COORDS_CTE = """
+    coords AS (
+      SELECT c_custkey,
+             -60.0 + 120.0 * ((CAST('0x' || substr(md5('geo-lat:' ||
+                CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0) AS lat,
+             -180.0 + 360.0 * ((CAST('0x' || substr(md5('geo-lon:' ||
+                CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0) AS lon
+      FROM customer
+    )
+"""
+
+
+@query(
+    "rel_geo_grid_density",
+    oracle=f"""
+    WITH {_GEO_COORDS_CTE},
+    cells AS (
+      SELECT CAST(floor(lat / 1.0) AS BIGINT) * 721
+             + CAST(floor(lon / 1.0) AS BIGINT) AS cell,
+             count(*) AS n_points
+      FROM coords GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_points DESC, cell ASC)
+                AS INTEGER) AS rank,
+           cell, n_points
+    FROM cells
+    QUALIFY rank <= 20
+    """,
+)
+def rel_geo_density_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 densest 1-degree grid cells over md5-synthesized customer
+    coordinates (operators.geo.grid_density; the md5-uniform source is
+    the rel_dp_noisy_counts determinism idiom — the entry certifies the
+    GRID machinery, not a data source). One map-side-combinable count;
+    nothing point-sized survives the first aggregate."""
+    from ..operators.geo import grid_density, synth_coords
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return grid_density(synth_coords(cust, "c_custkey"), deg=1.0, top_k=20)
+
+
+_GEO_QUERIES = [
+    (1, 40.7, -74.0),
+    (2, 51.5, -0.1),
+    (3, -33.9, 151.2),
+    (4, 35.7, 139.7),
+    (5, 0.0, 0.0),
+]
+
+
+@query(
+    "rel_geo_radius_join",
+    oracle=f"""
+    WITH {_GEO_COORDS_CTE},
+    q(query_id, qlat, qlon) AS (VALUES
+      (1, 40.7, -74.0), (2, 51.5, -0.1), (3, -33.9, 151.2),
+      (4, 35.7, 139.7), (5, 0.0, 0.0)
+    ),
+    d AS (
+      SELECT query_id,
+             2 * 6371.0 * asin(sqrt(
+               sin(radians(lat - qlat) / 2) * sin(radians(lat - qlat) / 2)
+               + cos(radians(qlat)) * cos(radians(lat))
+                 * sin(radians(lon - qlon) / 2) * sin(radians(lon - qlon) / 2)
+             )) AS km
+      FROM coords CROSS JOIN q
+    )
+    SELECT query_id, CAST(count(*) AS BIGINT) AS n_within,
+           round(avg(km), 4) AS avg_km
+    FROM d WHERE km <= 500.0
+    GROUP BY 1
+    """,
+)
+def rel_geo_radius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-pruned radius join (operators.geo.radius_join): customers
+    within 500 km of five reference points — candidate cells expand
+    driver-side and BROADCAST (a few hundred rows per query, widened by
+    1/cos(lat) in longitude), the point side joins on its single grid
+    cell and only candidates pay the exact haversine. The oracle is the
+    BRUTE-FORCE cross join with the identical IEEE distance expression
+    — certifying that the grid prune loses nothing (cell coverage is
+    complete) while the engine's plan never shuffles the point table.
+    The prune-then-verify shape of the LSH/IVF tiers, on geography."""
+    from ..operators.geo import radius_join, synth_coords
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return radius_join(
+        synth_coords(cust, "c_custkey"), _GEO_QUERIES, radius_km=500.0
+    )
