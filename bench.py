@@ -128,6 +128,8 @@ BENCH_QUERIES = [
     "ts_stream_sessionize",
     "rel_geo_grid_density",
     "rel_geo_radius_join",
+    "ts_bootstrap_ci",
+    "ts_sprt_decision",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1359,3 +1359,75 @@ def test_variant_try_get_nulls_malformed_rows(spark):
     ).collect()
     got = {(r.t, r.k) for r in out}
     assert got == {("a", 3), ("a", None), ("b", None)}
+
+
+# ------------------------------------------------- bootstrap / SPRT
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    a = {r.event_type: (r.n, r.mean_value, r.ci_lo, r.ci_hi)
+         for r in QUERIES["ts_bootstrap_ci"](spark, sf_dir).collect()}
+    b = {r.event_type: (r.n, r.mean_value, r.ci_lo, r.ci_hi)
+         for r in QUERIES["ts_bootstrap_ci"](spark, sf_dir).collect()}
+    assert a == b  # md5-seeded: no RNG state anywhere
+    for k, (n, mean, lo, hi) in a.items():
+        assert n > 0 and lo < hi, k
+        assert lo <= mean <= hi, k
+        # CI of the mean shrinks like 1/sqrt(n): sanity-bound the width
+        assert (hi - lo) < mean, k
+
+
+def test_sprt_accepts_h1_on_planted_high_rate(spark):
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import sprt_first_decision
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # variant 0: 40% success rate (>> p1=0.22) -> accept_h1 quickly
+    # variant 1: 2% success rate (<< p0=0.18) -> accept_h0 quickly
+    for i in range(2000):
+        rows.append((0, t0 + dt.timedelta(seconds=i), i,
+                     "purchase" if i % 5 in (0, 1) else "view"))
+        rows.append((1, t0 + dt.timedelta(seconds=i), 10_000 + i,
+                     "purchase" if i % 50 == 0 else "view"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {r.variant: r for r in sprt_first_decision(
+        df, F.col("user_id"), F.col("event_type") == "purchase",
+        "ts", "event_id").collect()}
+    assert out[0].decision == "accept_h1"
+    assert out[1].decision == "accept_h0"
+    # sequential tests decide long before the fixed horizon
+    assert out[0].n_at_decision < 2000
+    assert out[1].n_at_decision < 2000
+
+
+def test_sprt_crossing_index_matches_manual_replay(spark):
+    import datetime as dt
+    import math
+
+    from usedcars_bigdata_spark.operators.timeseries import sprt_first_decision
+
+    t0 = dt.datetime(2024, 1, 1)
+    pattern = [1, 1, 0, 1, 1, 1, 0, 1, 1, 1] * 30
+    rows = [(7, t0 + dt.timedelta(seconds=i), i,
+             "purchase" if x else "view") for i, x in enumerate(pattern)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = sprt_first_decision(
+        df, F.col("user_id"), F.col("event_type") == "purchase",
+        "ts", "event_id").collect()[0]
+    l1, l0 = math.log(0.22 / 0.18), math.log(0.78 / 0.82)
+    upper, lower = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    s = llr = 0
+    for i, x in enumerate(pattern, start=1):
+        s += x
+        llr = s * l1 + (i - s) * l0
+        if llr >= upper or llr <= lower:
+            break
+    assert out.decision == ("accept_h1" if llr >= upper else "accept_h0")
+    assert out.n_at_decision == i
+    assert abs(out.llr - round(llr, 6)) < 1e-9

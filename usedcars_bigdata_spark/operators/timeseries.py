@@ -1259,3 +1259,196 @@ def top_session_paths(
         .filter(F.col("rank") <= top_k)
         .select("rank", "path", "n_sessions")
     )
+
+
+def bootstrap_ci_cents(
+    events: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    lo_p: float = 0.025,
+    hi_p: float = 0.975,
+) -> DataFrame:
+    """Per-key bootstrap confidence interval of the mean, EXACTLY
+    deterministic: resample indices come from md5-uniforms (the
+    rel_dp_noisy_counts idiom), values ride integer cents, so every
+    replicate statistic is an exact bigint SUM — the percentile
+    selection over replicates is rank-based on integers and the only
+    float ops are the final /m/100 divisions. No RNG state, no
+    accumulation-order drift; a SQL engine replays the whole mechanism
+    bit-for-bit, which is what upgrades bootstrap from "rows-only by
+    nature" to hash-oracle-checkable.
+
+    Plan: one pass indexes each key's values 1..m (row_number over the
+    key window); the (key, replicate, draw) axis EXPANDS from the tiny
+    per-key size table via two sequence() explodes (|keys| x B x m
+    rows — repartitioned after the explode so the expansion
+    parallelizes instead of living on |keys| tasks) and equi-joins the
+    indexed values on (key, idx). Replicate sums partial-aggregate
+    map-side; the rank-selection percentile runs over |keys| x B rows.
+    At 100 TB the bootstrap axis dominates (B x n draws) — that is the
+    algorithm's honest cost; cap B or bootstrap a hash-sampled subset.
+
+    Output: (key, n, mean_value, ci_lo, ci_hi)."""
+    vals = events.select(
+        F.col(key_col).alias("key"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("cents"),
+        F.row_number()
+        .over(Window.partitionBy(key_col).orderBy(id_col))
+        .alias("rn"),
+    ).persist()
+    sizes = vals.groupBy("key").agg(
+        F.count(F.lit(1)).alias("m"), F.sum("cents").alias("total_cents")
+    )
+    draws = (
+        sizes.select(
+            "key",
+            "m",
+            F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b"),
+        )
+        .select(
+            "key",
+            "m",
+            "b",
+            F.explode(F.sequence(F.lit(1), F.col("m"))).alias("i"),
+        )
+        .repartition("key", "b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("bs"), F.col("key"), F.col("b"), F.col("i")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    picked = draws.select(
+        "key", "b", (1 + F.floor(u * F.col("m"))).cast("int").alias("rn")
+    )
+    rep = (
+        picked.join(vals, ["key", "rn"])
+        .groupBy("key", "b")
+        .agg(F.sum("cents").alias("rep_cents"))
+    )
+    wr = Window.partitionBy("key").orderBy(F.col("rep_cents").asc())
+    ranked = rep.select(
+        "key",
+        "rep_cents",
+        F.row_number().over(wr).alias("rk"),
+    )
+    import math
+
+    lo_rk = math.ceil(lo_p * n_replicates)
+    hi_rk = math.ceil(hi_p * n_replicates)
+    picks = ranked.groupBy("key").agg(
+        F.max(F.when(F.col("rk") == lo_rk, F.col("rep_cents"))).alias("__lo"),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("rep_cents"))).alias("__hi"),
+    )
+    return (
+        sizes.join(picks, "key")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("m").alias("n"),
+            F.round(F.col("total_cents") / F.col("m") / 100.0, 4).alias(
+                "mean_value"
+            ),
+            F.round(F.col("__lo") / F.col("m") / 100.0, 4).alias("ci_lo"),
+            F.round(F.col("__hi") / F.col("m") / 100.0, 4).alias("ci_hi"),
+        )
+    )
+
+
+def sprt_first_decision(
+    events: DataFrame,
+    variant_col,
+    success_pred,
+    ts_col: str,
+    id_col: str,
+    p0: float = 0.18,
+    p1: float = 0.22,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per variant: walk the
+    event stream in time order accumulating the Bernoulli log-likelihood
+    ratio and report the FIRST boundary crossing — the
+    peeking-is-allowed sequential alternative to the fixed-horizon
+    tests (ts_two_proportion_test). Boundaries: ln((1-β)/α) accepts H1
+    (rate >= p1), ln(β/(1-α)) accepts H0.
+
+    Determinism: the LLR at row i is computed FROM INTEGER PREFIX
+    COUNTS (successes s_i and failures f_i via one ordered window
+    count) as s_i·ln(p1/p0) + f_i·ln((1-p1)/(1-p0)) — each row's value
+    is two integer-scaled multiplications, not a float accumulation,
+    so both engines evaluate the identical expression and the crossing
+    row cannot drift. One user-key... variant-key window pass; output
+    is variant-cardinality-sized.
+
+    Output: (variant, decision, n_at_decision, llr) — decision
+    'accept_h1' | 'accept_h0' | 'continue' (no crossing), with the
+    boundary-crossing row's 1-based index and rounded LLR (total
+    stream length when no crossing)."""
+    import math
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1 - p1) / (1 - p0))
+    upper = math.log((1 - beta) / alpha)
+    lower = math.log(beta / (1 - alpha))
+    w = Window.partitionBy("variant").orderBy(ts_col, id_col)
+    base = events.select(
+        variant_col.alias("variant"),
+        F.col(ts_col),
+        F.col(id_col),
+        success_pred.cast("long").alias("x"),
+    )
+    walked = base.select(
+        "variant",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    ).select(
+        "variant",
+        "rn",
+        (F.col("s") * l1 + (F.col("rn") - F.col("s")) * l0).alias("llr"),
+    )
+    crossings = walked.groupBy("variant").agg(
+        F.min(F.when(F.col("llr") >= upper, F.col("rn"))).alias("up_rn"),
+        F.min(F.when(F.col("llr") <= lower, F.col("rn"))).alias("dn_rn"),
+        F.max("rn").alias("n_total"),
+    )
+    first = F.least(
+        F.coalesce("up_rn", F.col("n_total") + 1),
+        F.coalesce("dn_rn", F.col("n_total") + 1),
+    )
+    decided = crossings.select(
+        "variant",
+        F.when(first > F.col("n_total"), F.lit("continue"))
+        .when(
+            F.coalesce("up_rn", F.col("n_total") + 1)
+            <= F.coalesce("dn_rn", F.col("n_total") + 1),
+            F.lit("accept_h1"),
+        )
+        .otherwise(F.lit("accept_h0"))
+        .alias("decision"),
+        F.least(first, F.col("n_total")).alias("n_at_decision"),
+    )
+    return (
+        decided.join(
+            walked.select("variant", F.col("rn").alias("n_at_decision"), "llr"),
+            ["variant", "n_at_decision"],
+        )
+        .select(
+            "variant",
+            "decision",
+            "n_at_decision",
+            F.round("llr", 6).alias("llr"),
+        )
+    )

@@ -7312,3 +7312,132 @@ def rel_geo_radius_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_join(
         synth_coords(cust, "c_custkey"), _GEO_QUERIES, radius_km=500.0
     )
+
+
+@query(
+    "ts_bootstrap_ci",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type AS key,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id)
+               AS rn
+      FROM events
+    ),
+    sizes AS (
+      SELECT key, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM vals GROUP BY 1
+    ),
+    bs AS (SELECT unnest(generate_series(0, 49)) AS b),
+    draws AS (
+      SELECT key, m, b, unnest(generate_series(1, m)) AS i
+      FROM sizes CROSS JOIN bs
+    ),
+    picked AS (
+      SELECT key, b,
+             1 + CAST(floor(
+               ((CAST('0x' || substr(md5('bs:' || key || ':'
+                  || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)
+                  AS BIGINT) + 0.5) / 4294967296.0) * m) AS BIGINT) AS rn
+      FROM draws
+    ),
+    rep AS (
+      SELECT p.key, p.b, CAST(sum(v.cents) AS BIGINT) AS rep_cents
+      FROM picked p JOIN vals v ON v.key = p.key AND v.rn = p.rn
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT key, rep_cents,
+             row_number() OVER (PARTITION BY key ORDER BY rep_cents ASC)
+               AS rk
+      FROM rep
+    ),
+    picks AS (
+      SELECT key,
+             max(CASE WHEN rk = 2 THEN rep_cents END) AS lo,
+             max(CASE WHEN rk = 49 THEN rep_cents END) AS hi
+      FROM ranked GROUP BY 1
+    )
+    SELECT s.key AS event_type, s.m AS n,
+           round(s.total_cents / s.m / 100.0, 4) AS mean_value,
+           round(p.lo / s.m / 100.0, 4) AS ci_lo,
+           round(p.hi / s.m / 100.0, 4) AS ci_hi
+    FROM sizes s JOIN picks p ON p.key = s.key
+    """,
+)
+def ts_bootstrap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap 95% CI of the mean value per event type
+    (operators.timeseries.bootstrap_ci_cents, B=50): md5-seeded
+    resample indices + integer-cents replicate sums make the whole
+    resampling mechanism bit-exact, so the oracle replays bootstrap
+    END-TO-END — rank-selected percentile bounds included — rather
+    than settling for a rows-only check. The rank selection is
+    value-deterministic under replicate-sum ties (the percentile_disc
+    argument)."""
+    return TS.bootstrap_ci_cents(
+        load_table(spark, sf_dir, "events"),
+        "event_type", "event_id", "value", n_replicates=50,
+    )
+
+
+@query(
+    "ts_sprt_decision",
+    oracle="""
+    WITH base AS (
+      SELECT user_id % 2 AS variant, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events
+    ),
+    walked AS (
+      SELECT variant,
+             row_number() OVER w AS rn,
+             sum(x) OVER (PARTITION BY variant ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s
+      FROM base
+      WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id)
+    ),
+    llr AS (
+      SELECT variant, rn,
+             s * ln(0.22 / 0.18) + (rn - s) * ln(0.78 / 0.82) AS llr
+      FROM walked
+    ),
+    crossings AS (
+      SELECT variant,
+             min(CASE WHEN llr >= ln(0.95 / 0.05) THEN rn END) AS up_rn,
+             min(CASE WHEN llr <= ln(0.05 / 0.95) THEN rn END) AS dn_rn,
+             max(rn) AS n_total
+      FROM llr GROUP BY 1
+    ),
+    decided AS (
+      SELECT variant,
+             CASE WHEN least(coalesce(up_rn, n_total + 1),
+                             coalesce(dn_rn, n_total + 1)) > n_total
+                  THEN 'continue'
+                  WHEN coalesce(up_rn, n_total + 1)
+                       <= coalesce(dn_rn, n_total + 1)
+                  THEN 'accept_h1'
+                  ELSE 'accept_h0' END AS decision,
+             least(coalesce(up_rn, n_total + 1),
+                   coalesce(dn_rn, n_total + 1), n_total) AS n_at_decision
+      FROM crossings
+    )
+    SELECT d.variant, d.decision, d.n_at_decision, round(l.llr, 6) AS llr
+    FROM decided d
+    JOIN llr l ON l.variant = d.variant AND l.rn = d.n_at_decision
+    """,
+)
+def ts_sprt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT over the purchase-rate stream per variant (user_id
+    parity split; H0 p=0.18 vs H1 p=0.22, alpha=beta=0.05): the
+    sequential-testing complement to the fixed-horizon readouts
+    (ts_two_proportion_test, ts_ab_cuped). Each row's LLR comes from
+    integer prefix counts in ONE expression — no float accumulation —
+    so the first boundary-crossing row is drift-proof; the oracle
+    replays the walk, both boundaries, and the decision rule."""
+    return TS.sprt_first_decision(
+        load_table(spark, sf_dir, "events"),
+        (F.col("user_id") % 2),
+        F.col("event_type") == "purchase",
+        "ts", "event_id",
+    )
