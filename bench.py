@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "rel_geo_radius_join",
     "ts_bootstrap_ci",
     "ts_sprt_decision",
+    "rel_label_propagation",
+    "ext_ann_pq_topk",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

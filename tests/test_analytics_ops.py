@@ -1431,3 +1431,25 @@ def test_sprt_crossing_index_matches_manual_replay(spark):
     assert out.decision == ("accept_h1" if llr >= upper else "accept_h0")
     assert out.n_at_decision == i
     assert abs(out.llr - round(llr, 6)) < 1e-9
+
+
+def test_label_propagation_separates_planted_communities(spark):
+    from usedcars_bigdata_spark.operators.graph import label_propagation_unrolled
+
+    # two 5-cliques bridged by one edge: LPA must give each clique one
+    # label and keep the cliques distinct
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    edges = clique([1, 2, 3, 4, 5]) + clique([10, 11, 12, 13, 14]) + [(5, 10)]
+    df = spark.createDataFrame(edges, ["s", "d"])
+    out = {r.node: r.label for r in
+           label_propagation_unrolled(df, "s", "d", iterations=3).collect()}
+    c1 = {out[i] for i in (1, 2, 3, 4)}
+    c2 = {out[i] for i in (11, 12, 13, 14)}
+    assert len(c1) == 1 and len(c2) == 1
+    assert c1 != c2
+    # determinism: a second run is identical
+    out2 = {r.node: r.label for r in
+            label_propagation_unrolled(df, "s", "d", iterations=3).collect()}
+    assert out == out2

@@ -717,3 +717,161 @@ def mmr_topk(
         )
     finally:
         rel.unpersist()
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 4,
+    n_codes: int = 16,
+    refine: int = 4,
+    seed: int = 42,
+    train_cap: int = 2048,
+    max_iter: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN (ADC + exact rerank) — the memory-bound
+    scale tier of the vector stack (brute -> LSH -> IVF -> PQ): each
+    L2-NORMALIZED vector compresses to ``m_subspaces`` one-byte codes
+    (its nearest codebook centroid per dimension slice), so a 128-dim
+    float corpus shrinks ~128x and the candidate scan touches codes,
+    not floats. Query time builds a per-(query, subspace, code)
+    lookup table of squared subdistances (Q x m x n_codes floats —
+    broadcast by value into one Arrow-batched scan), ranks candidates
+    by the LUT sum (asymmetric distance), keeps ``refine``·k per query,
+    and reranks those EXACTLY with cosine over the original vectors —
+    the standard FAISS IVFPQ+refine recipe, minus the IVF coarse stage
+    (compose with ivf_topk's cells for both). Normalizing before
+    training/encoding makes the L2 ADC ordering equivalent to cosine
+    ordering, so the refine stage sees the right candidates.
+
+    Codebooks train driver-side on a hash-gated representative sample
+    (_representative_sample — the ivf_topk argument); encoding covers
+    the corpus in one vectorized pass. Rows-only by nature (k-means
+    codebooks have no SQL form); recall vs brute_force_topk is
+    pytest-pinned.
+
+    Output: (query_id, neighbor_id, rank, cosine) — brute/IVF schema."""
+    sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    dim = sample.shape[1]
+    splits = np.array_split(np.arange(dim), m_subspaces)
+    codebooks = [
+        _fit_kmeans(sample[:, idx], n_codes, max_iter, seed + 7 * s)
+        for s, idx in enumerate(splits)
+    ]
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _encode_udf():
+        cbs = codebooks
+        sps = [np.asarray(idx) for idx in splits]
+
+        @pandas_udf("array<int>")
+        def encode(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+            )
+            out = np.empty((len(mat), len(sps)), dtype=np.int32)
+            for s, idx in enumerate(sps):
+                sub = mat[:, idx]
+                cb = cbs[s]
+                d = (
+                    (sub**2).sum(1)[:, None]
+                    - 2 * sub @ cb.T
+                    + (cb**2).sum(1)[None, :]
+                )
+                out[:, s] = d.argmin(axis=1)
+            return pd.Series(list(out))
+
+        return encode
+
+    encode = _encode_udf()
+    encoded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("__cn"),
+        encode(F.col(vec_col)).alias("__codes"),
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    qids = np.array([r.query_id for r in qrows])
+    qmat = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # LUT[q, s, c] = ||q_s - codebook[s][c]||^2
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    ((qmat[:, idx] - codebooks[s][c][None, :]) ** 2).sum(1)
+                    for c in range(len(codebooks[s]))
+                ],
+                axis=1,
+            )
+            for s, idx in enumerate(splits)
+        ],
+        axis=1,
+    )  # shape (Q, m, n_codes)
+
+    @pandas_udf("array<double>")
+    def adc(codes: pd.Series) -> pd.Series:
+        cm = np.stack(codes.to_numpy())  # (B, m)
+        b = len(cm)
+        dist = np.zeros((b, len(qids)))
+        for s in range(cm.shape[1]):
+            dist += lut[:, s, :][:, cm[:, s]].T  # (B, Q)
+        return pd.Series(list(dist))
+
+    q_axis = F.array(*[F.lit(int(q)) for q in qids])
+    cand = (
+        encoded.withColumn("__ad", adc(F.col("__codes")))
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "__cn",
+            F.explode(F.arrays_zip(q_axis.alias("query_id"), F.col("__ad").alias("ad"))).alias("z"),
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "__cn",
+            F.col("z.query_id").alias("query_id"),
+            F.col("z.ad").alias("__adist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("__r", F.row_number().over(wa)).filter(
+        F.col("__r") <= refine * k
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    reranked = shortlist.drop("__adist", "__r").join(
+        F.broadcast(qdf), "query_id"
+    ).withColumn("cos", dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", ndigits).alias("cosine"),
+        )
+    )

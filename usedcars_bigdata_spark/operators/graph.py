@@ -64,3 +64,50 @@ def pagerank_unrolled(
             ((1.0 - damping) / F.col("n") + damping * F.col("mass")).alias("pr"),
         )
     return ranks.select("node", F.round("pr", ndigits).alias("pr"))
+
+
+def label_propagation_unrolled(
+    edges: DataFrame, src: str, dst: str, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (community detection) with a FIXED
+    number of unrolled iterations and a deterministic update rule: each
+    node adopts the most frequent label among its neighbors, frequency
+    ties broken by the SMALLEST label. Classic async LPA is
+    famously nondeterministic (update order changes communities); the
+    synchronous min-tie-break form is a pure function of the edge set,
+    which is what makes it hash-oracle-checkable — and is the variant a
+    reproducible pipeline wants anyway.
+
+    Plan shape mirrors pagerank_unrolled: edges symmetrized and
+    MATERIALIZED once (localCheckpoint — Catalyst re-derives
+    un-exchanged subtrees per unrolled iteration), then each iteration
+    is one join (labels onto edge endpoints, shuffle on the node key)
+    + one (node, label) count + one max_by pick per node; every
+    intermediate is node- or edge-cardinality-sized. Iterate-to-
+    convergence needs per-round checkpointing (the near_dup_clusters
+    pattern) and is the named upgrade path; fixed k is the production
+    norm for bounded-latency community refreshes.
+
+    Output: (node, label) — label = min node id of the community seed
+    each node converged toward after k rounds."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(iterations):
+        nbr = sym.join(
+            labels.withColumnRenamed("node", "b"), "b"
+        ).select(F.col("a").alias("node"), "lbl")
+        cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # lexicographic max of (count, -label) = max count, min label
+        labels = cnt.groupBy("node").agg(
+            F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias("lbl")
+        )
+    return labels.select("node", F.col("lbl").alias("label"))

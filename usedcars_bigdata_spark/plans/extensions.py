@@ -2689,3 +2689,18 @@ def ext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bm25_scores(
         docs, "doc_id", "text", ["spark", "table", "query"], top_k=10
     )
+
+
+@query("ext_ann_pq_topk")
+def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 (ext.similarity.pq_topk): 16
+    subspaces x 64 codes over the 64-dim corpus = 16 bytes/vector (16x
+    compression vs float32), ADC candidate scan + exact cosine rerank
+    of 8k candidates. Rows-only by nature (k-means codebooks have no
+    SQL form); recall >= 0.9 vs brute force is pytest-pinned
+    (measured 1.0 at these params on the harness corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return SIM.pq_topk(
+        emb, qs, k=5, m_subspaces=16, n_codes=64, refine=8
+    )

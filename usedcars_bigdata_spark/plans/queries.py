@@ -7441,3 +7441,68 @@ def ts_sprt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "purchase",
         "ts", "event_id",
     )
+
+
+@query(
+    "rel_label_propagation",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+      SELECT pa AS a, pb AS b FROM pairs
+      UNION SELECT pb AS a, pa AS b FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym),
+    n1 AS (SELECT s.a AS node, l.lbl, count(*) AS c
+           FROM sym s JOIN l0 l ON l.node = s.b GROUP BY 1, 2),
+    l1 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl ASC) AS rk
+             FROM n1) WHERE rk = 1),
+    n2 AS (SELECT s.a AS node, l.lbl, count(*) AS c
+           FROM sym s JOIN l1 l ON l.node = s.b GROUP BY 1, 2),
+    l2 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl ASC) AS rk
+             FROM n2) WHERE rk = 1),
+    n3 AS (SELECT s.a AS node, l.lbl, count(*) AS c
+           FROM sym s JOIN l2 l ON l.node = s.b GROUP BY 1, 2),
+    l3 AS (SELECT node, lbl FROM (
+             SELECT node, lbl,
+                    row_number() OVER (PARTITION BY node
+                                       ORDER BY c DESC, lbl ASC) AS rk
+             FROM n3) WHERE rk = 1)
+    SELECT node, lbl AS label FROM l3
+    """,
+)
+def rel_lpa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph
+    (operators.graph.label_propagation_unrolled, 3 synchronous rounds,
+    min-label tie-break): the deterministic LPA variant — a pure
+    function of the edge set, so the oracle replays all three rounds
+    (count-mode + tie-break per node) exactly. Completes the graph
+    family: connected components (dedup clusters), PageRank
+    (influence), LPA (communities), triangle stats (density)."""
+    from ..operators.graph import label_propagation_unrolled
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, (a.l_orderkey == b.__ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return label_propagation_unrolled(edges, "pa", "pb", iterations=3)
