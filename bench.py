@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "ts_sprt_decision",
     "rel_label_propagation",
     "ext_ann_pq_topk",
+    "ts_funnel_windowed",
+    "rel_fifo_cost_basis",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1453,3 +1453,41 @@ def test_label_propagation_separates_planted_communities(spark):
     out2 = {r.node: r.label for r in
             label_propagation_unrolled(df, "s", "d", iterations=3).collect()}
     assert out == out2
+
+
+def test_fifo_match_hand_walked(spark):
+    """FIFO via cumulative intervals == the sequential walk: sells
+    consume the oldest open buy lots, splitting across lots exactly."""
+    from usedcars_bigdata_spark.operators.joins import fifo_match
+
+    buys = spark.createDataFrame(
+        # key, seq, qty, unit
+        [("p", 1, 10, 100), ("p", 2, 5, 200), ("p", 3, 8, 300)],
+        ["k", "seq", "qty", "unit"],
+    )
+    sells = spark.createDataFrame(
+        [("p", 1, 12, 999), ("p", 2, 6, 888)],
+        ["k", "seq", "qty", "unit"],
+    )
+    rows = fifo_match(buys, sells, "k", "qty", ["seq"]).collect()
+    got = sorted((r.b_pos, r.s_pos, r.matched_qty) for r in rows)
+    # sell 1 (12): 10 from lot 1 + 2 from lot 2
+    # sell 2 (6): 3 from lot 2 + 3 from lot 3
+    assert got == [(1, 1, 10), (2, 1, 2), (2, 2, 3), (3, 2, 3)]
+    # cost basis: FIFO consumed quantities times unit prices
+    cost = sum(r.matched_qty * r.b_unit for r in rows)
+    assert cost == 10 * 100 + 2 * 200 + 3 * 200 + 3 * 300
+
+
+def test_funnel_windowed_tighter_than_unbounded(spark, sf_dir):
+    """The 24h-bounded funnel can never count MORE users per stage than
+    the order-only funnel; stage 0 counts match exactly."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    plain = {r.stage_idx: r.n_users
+             for r in QUERIES["ts_funnel_stages"](spark, sf_dir).collect()}
+    bound = {r.stage_idx: r.n_users
+             for r in QUERIES["ts_funnel_windowed"](spark, sf_dir).collect()}
+    assert bound[0] == plain[0]
+    for i in (1, 2):
+        assert bound[i] <= plain[i]

@@ -695,6 +695,10 @@ def test_persist_hub_entries_scan_once(spark, sf_dir, name, table):
 
     from usedcars_bigdata_spark.plans import QUERIES
 
+    # Hermetic: earlier tests' persisted frames would otherwise be
+    # substituted into matching subtrees by the CacheManager and skew
+    # the scan/build counts (full-suite-only failure, round 5).
+    spark.catalog.clearCache()
     plan = (
         QUERIES[name](spark, sf_dir)
         ._jdf.queryExecution()

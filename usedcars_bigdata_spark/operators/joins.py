@@ -360,3 +360,65 @@ def effective_dated_join(
         dim[to_col].isNull() | (facts[ts_col] < dim[to_col])
     )
     return facts.join(dim, cond, how)
+
+
+def fifo_match(
+    buys: DataFrame,
+    sells: DataFrame,
+    key_col: str,
+    qty_col: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """FIFO lot matching via CUMULATIVE-INTERVAL overlap join — the
+    inventory/cost-basis primitive (match each outflow against the
+    oldest unconsumed inflows). The procedural formulation is a
+    per-key sequential walk; the declarative insight is that FIFO is
+    pure arithmetic on cumulative quantities: buy lot i occupies the
+    interval [cum_i - qty_i, cum_i) on its key's inflow axis, sell j
+    occupies [scum_j - sqty_j, scum_j) on the same axis, and FIFO
+    matches exactly their overlap — matched(i,j) = max(0,
+    min(ends) - max(starts)). Two window cumsums (one exchange per
+    side, same key) + one per-key interval join whose fanout is
+    bounded by lots-per-key; integer quantities make every matched
+    amount exact.
+
+    Inputs must carry integer-valued ``qty_col``; ``order_cols`` fixes
+    the FIFO arrival order deterministically. Output: one row per
+    (key, buy lot, sell lot) overlap with matched_qty > 0 and both
+    sides' ordering positions: (key, buy_pos, sell_pos, matched_qty,
+    buy row payload columns prefixed b_, sell payload s_)."""
+    from pyspark.sql import Window
+
+    kb = F.col(key_col)
+
+    def cumulate(df: DataFrame, side: str) -> DataFrame:
+        w = Window.partitionBy(key_col).orderBy(*order_cols)
+        qty = F.col(qty_col).cast("bigint")
+        return df.select(
+            kb.alias("__k"),
+            F.row_number().over(w).alias(f"{side}_pos"),
+            qty.alias(f"{side}_qty"),
+            F.sum(qty).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+                f"{side}_end"
+            ),
+            *[F.col(c).alias(f"{side}_{c}") for c in df.columns
+              if c not in (key_col, qty_col, *order_cols)],
+        ).withColumn(f"{side}_start", F.col(f"{side}_end") - F.col(f"{side}_qty"))
+
+    b = cumulate(buys, "b")
+    s = cumulate(sells, "s").withColumnRenamed("__k", "__sk")
+    matched = F.least(F.col("b_end"), F.col("s_end")) - F.greatest(
+        F.col("b_start"), F.col("s_start")
+    )
+    return (
+        b.join(
+            s,
+            (F.col("__k") == F.col("__sk"))
+            & (F.col("b_start") < F.col("s_end"))
+            & (F.col("s_start") < F.col("b_end")),
+        )
+        .withColumn("matched_qty", matched)
+        .filter(F.col("matched_qty") > 0)
+        .drop("__sk")
+        .withColumnRenamed("__k", key_col)
+    )

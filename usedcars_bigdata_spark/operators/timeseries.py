@@ -1452,3 +1452,65 @@ def sprt_first_decision(
             F.round("llr", 6).alias("llr"),
         )
     )
+
+
+def funnel_stages_windowed(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: list[str],
+    within: str = "24 hours",
+) -> DataFrame:
+    """Time-BOUNDED ordered funnel: stage i counts only if its event
+    lands within ``within`` of the user's qualifying stage i-1 event —
+    the realistic conversion metric (an order-only funnel credits a
+    purchase months after the first view). Same single-pass plan as
+    funnel_stages: one groupBy(user) collecting per-stage timestamp
+    arrays, the fold as array_min(filter(times, prev <= t <= prev +
+    within)) JVM expressions — one scan, one shuffle, k counts in one
+    aggregation job.
+
+    Output: (stage_idx, stage, n_users)."""
+    interval = F.expr(f"INTERVAL {within}")
+    per_user = (
+        events.filter(F.col(type_col).isin(list(stages)))
+        .groupBy(user_col)
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col(type_col) == st, F.col(ts_col))
+                ).alias(f"__l{i}")
+                for i, st in enumerate(stages)
+            ]
+        )
+    )
+    cum = per_user.withColumn("__t0", F.array_min("__l0"))
+    for i in range(1, len(stages)):
+        prev = F.col(f"__t{i - 1}")
+        hi = prev + interval
+        cum = cum.withColumn(
+            f"__t{i}",
+            F.array_min(
+                F.filter(F.col(f"__l{i}"), lambda x: (x >= prev) & (x <= hi))
+            ),
+        )
+    counts = cum.agg(
+        *[F.count(f"__t{i}").alias(f"__c{i}") for i in range(len(stages))]
+    )
+    return counts.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(st).alias("stage"), F.col(f"__c{i}").alias("n_users")
+                    )
+                    for i, st in enumerate(stages)
+                ]
+            )
+        ).alias("stage_idx", "s")
+    ).select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_users").alias("n_users"),
+    )

@@ -7506,3 +7506,125 @@ def rel_lpa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= 2)
     )
     return label_propagation_unrolled(edges, "pa", "pb", iterations=3)
+
+
+@query(
+    "ts_funnel_windowed",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+      FROM events GROUP BY 1
+    ),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN u ON u.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= u.t0
+        AND e.ts <= u.t0 + INTERVAL 24 HOUR
+      GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 24 HOUR
+      GROUP BY 1
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+             (SELECT CAST(count(t0) AS BIGINT) FROM u) AS n_users
+      UNION ALL
+      SELECT 1, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s1)
+      UNION ALL
+      SELECT 2, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s2)
+    )
+    """,
+)
+def ts_funnel_windowed_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded view->click->purchase funnel (24h per hop;
+    operators.timeseries.funnel_stages_windowed): each stage must land
+    within a day of the previous qualifying event — the conversion-
+    window semantics product analytics actually reports. Same one-scan
+    one-shuffle plan as the order-only funnel."""
+    return TS.funnel_stages_windowed(
+        load_table(spark, sf_dir, "events"),
+        "user_id", "event_type", "ts", ["view", "click", "purchase"],
+        within="24 hours",
+    )
+
+
+@query(
+    "rel_fifo_cost_basis",
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey AS k,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100
+                        / CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS unit,
+             sum(CAST(round(l_quantity) AS BIGINT))
+               OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS e
+      FROM lineitem WHERE l_returnflag = 'N'
+    ),
+    b2 AS (SELECT k, q, unit, e, e - q AS s FROM b),
+    r AS (
+      SELECT l_partkey AS k,
+             CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100
+                        / CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS unit,
+             sum(CAST(round(l_quantity) AS BIGINT))
+               OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS e
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    r2 AS (SELECT k, q, unit, e, e - q AS s FROM r),
+    m AS (
+      SELECT b2.k,
+             least(b2.e, r2.e) - greatest(b2.s, r2.s) AS mq,
+             b2.unit AS bu, r2.unit AS su
+      FROM b2 JOIN r2 ON r2.k = b2.k AND b2.s < r2.e AND r2.s < b2.e
+      WHERE least(b2.e, r2.e) - greatest(b2.s, r2.s) > 0
+    )
+    SELECT k AS l_partkey,
+           CAST(sum(mq) AS BIGINT) AS matched_qty,
+           CAST(sum(mq * bu) AS BIGINT) AS cost_cents,
+           CAST(sum(mq * su) AS BIGINT) AS proceeds_cents
+    FROM m GROUP BY 1
+    """,
+)
+def rel_fifo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching per part (operators.joins.fifo_match): returned
+    units ('R' lines) consume the oldest kept inflows ('N' lines) in
+    ship order — realized cost basis and proceeds in exact integer
+    cents. The procedural per-key walk becomes a cumulative-interval
+    overlap join: two window cumsums + one per-key range join whose
+    fanout is lots-per-key; everything integer, hash-exact. The
+    inventory/cost-basis pattern warehouses usually punt to UDFs."""
+    from ..operators.joins import fifo_match
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    unit = F.round(
+        F.col("l_extendedprice") * 100 / F.round(F.col("l_quantity")).cast("bigint")
+    ).cast("bigint")
+    base = li.select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        "l_returnflag", qty.alias("qty"), unit.alias("unit_cents"),
+    )
+    buys = base.filter(F.col("l_returnflag") == "N").drop("l_returnflag")
+    sells = base.filter(F.col("l_returnflag") == "R").drop("l_returnflag")
+    m = fifo_match(
+        buys, sells, "l_partkey", "qty",
+        ["l_shipdate", "l_orderkey", "l_linenumber"],
+    )
+    return m.groupBy("l_partkey").agg(
+        F.sum("matched_qty").alias("matched_qty"),
+        F.sum(F.col("matched_qty") * F.col("b_unit_cents")).alias("cost_cents"),
+        F.sum(F.col("matched_qty") * F.col("s_unit_cents")).alias(
+            "proceeds_cents"
+        ),
+    )
