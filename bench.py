@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "ext_ann_pq_topk",
     "ts_funnel_windowed",
     "rel_fifo_cost_basis",
+    "rel_histogram_quantiles",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

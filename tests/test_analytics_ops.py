@@ -1491,3 +1491,44 @@ def test_funnel_windowed_tighter_than_unbounded(spark, sf_dir):
     assert bound[0] == plain[0]
     for i in (1, 2):
         assert bound[i] <= plain[i]
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The sketch's upper-edge estimate overestimates the exact discrete
+    percentile by at most one bin width ($100)."""
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.sources import load_table
+
+    est = {r.p: r.est_upper_cents
+           for r in QUERIES["rel_histogram_quantiles"](spark, sf_dir).collect()}
+    cents = sorted(
+        int(round(r.o_totalprice * 100))
+        for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    import math
+
+    for p, got in est.items():
+        exact = cents[math.ceil(p * len(cents)) - 1]
+        assert exact <= got <= exact + 10000, (p, exact, got)
+
+
+def test_histogram_sketch_merges_by_addition(spark, sf_dir):
+    """Mergeability: bin counts from two disjoint halves sum to the full
+    corpus histogram (the property KMV/HLL/CMS share)."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    binned = orders.select(
+        (F.floor(cents / 10000)).alias("bin"), "o_orderkey"
+    )
+    full = {r.bin: r.n for r in
+            binned.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    h1 = {r.bin: r.n for r in binned.filter("o_orderkey % 2 = 0")
+          .groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    h2 = {r.bin: r.n for r in binned.filter("o_orderkey % 2 = 1")
+          .groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
+    assert merged == full

@@ -7628,3 +7628,66 @@ def rel_fifo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "proceeds_cents"
         ),
     )
+
+
+@query(
+    "rel_histogram_quantiles",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bin
+      FROM orders
+    ),
+    h AS (SELECT bin, count(*) AS n FROM c GROUP BY 1),
+    cum AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(n) OVER () AS total
+      FROM h
+    )
+    SELECT p,
+           CAST(min(CASE WHEN cn >= ceil(p * total) THEN (bin + 1) * 10000 END)
+                AS BIGINT) AS est_upper_cents,
+           CAST(max(total) AS BIGINT) AS n
+    FROM cum CROSS JOIN (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS p)
+    GROUP BY p
+    """,
+)
+def rel_hist_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE equi-width histogram quantile sketch — the fourth
+    sketch tier next to KMV (distinct), HLL (distinct rollup), and CMS
+    (frequency): fixed $100 bins over order totals, one combinable
+    count per bin; any two shards' sketches merge by adding bin counts,
+    and quantile estimates read off the cumulative histogram with error
+    bounded by ONE BIN WIDTH (pytest-pinned vs the exact percentile).
+    Unlike percentile_approx's opaque internal buffer this sketch is a
+    plain table — persistable, mergeable across days, oracle-exact.
+    Estimates are the bin's UPPER edge: a deterministic integer, and a
+    guaranteed overestimate within +width."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    width = 10000
+    hist = (
+        load_table(spark, sf_dir, "orders")
+        .select((F.floor(cents / width)).cast("bigint").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    ps = F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    return (
+        cum.crossJoin(spark.range(1).select(ps).select("p"))
+        .groupBy("p")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cn") >= F.ceil(F.col("p") * F.col("total")),
+                    (F.col("bin") + 1) * width,
+                )
+            ).alias("est_upper_cents"),
+            F.max("total").alias("n"),
+        )
+    )
