@@ -35,7 +35,9 @@ def child(name: str, sf_dir: str, reps: int) -> None:
     spark = get_session(app_name=f"bench-isolated-{name}")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if name.startswith("ml_"):  # bench.py model fits (ml_linear, ...)
+    # only the three bench.py MODEL FITS — registry entries may also be
+    # ml_-prefixed (ml_indexed_feature_hist) and run through QUERIES
+    if name in ("ml_linear", "ml_decision_tree", "ml_random_forest"):
         import importlib.util
 
         spec = importlib.util.spec_from_file_location(
