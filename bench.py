@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "ts_funnel_windowed",
     "rel_fifo_cost_basis",
     "rel_histogram_quantiles",
+    "ext_incremental_dedup",
+    "ext_embedding_outliers",
+    "rel_asof_nearest",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -496,3 +496,26 @@ def test_sorted_neighborhood_catches_mid_string_edit(spark):
         ).collect()
     }
     assert (3, 4) in wide
+
+
+def test_incremental_dedup_three_way_verdicts(spark):
+    from usedcars_bigdata_spark.ext.dedup import incremental_exact_dedup
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], ["id", "txt"]
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"),   # dup of old (canonical = old min id 1)
+         (11, "gamma"),   # unique
+         (12, "gamma"),   # dup of new (canonical = 11)
+         (13, "delta")],  # unique
+        ["id", "txt"],
+    )
+    out = {r.id: (r.status, r.canonical_id)
+           for r in incremental_exact_dedup(old, new, "id", "txt").collect()}
+    assert out == {
+        10: ("dup_of_old", 1),
+        11: ("unique", 11),
+        12: ("dup_of_new", 11),
+        13: ("unique", 13),
+    }

@@ -1077,3 +1077,45 @@ def test_holt_winters_matches_recurrence_with_wraparound(spark):
             assert got[i] == (lv, tr, s_new), (i, got[i], (lv, tr, s_new))
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_nearest_asof_join_directions_and_ties(spark):
+    """Nearest as-of: picks the closer of backward/forward, backward on
+    exact ties; equality matches backward; keys without right rows get
+    NULL direction."""
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.joins import nearest_asof_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+    m = dt.timedelta(minutes=1)
+    left = spark.createDataFrame(
+        [
+            (1, 100, t0),            # purchase 2min before and 1min after -> forward
+            (1, 101, t0 + 10 * m),   # nearest is backward (t0+1) vs none after until +30
+            (1, 102, t0 + 20 * m),   # equidistant 19 back (t0+1) vs 10 fwd (t0+30) -> forward
+            (2, 200, t0),            # no purchases for user 2 -> NULL
+            (3, 300, t0),            # purchase exactly AT t0 -> backward, delta 0
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t0 - 2 * m),
+            (1, t0 + 1 * m),
+            (1, t0 + 30 * m),
+            (3, t0),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        r.event_id: (r.ts_near, r.direction)
+        for r in nearest_asof_join(
+            left, right, ["user_id"], "ts", "ts", [], suffix="_near"
+        ).collect()
+    }
+    assert out[100] == (t0 + 1 * m, "forward")
+    assert out[101] == (t0 + 1 * m, "backward")
+    assert out[102] == (t0 + 30 * m, "forward")
+    assert out[200] == (None, None)
+    assert out[300] == (t0, "backward")

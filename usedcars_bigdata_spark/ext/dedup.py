@@ -1390,3 +1390,49 @@ def sorted_neighborhood_pairs(
         )
         .distinct()
     )
+
+
+def incremental_exact_dedup(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """INCREMENTAL exact dedup — the production pattern for a corpus that
+    grows in snapshots: the old corpus reduces once to its digest index
+    (the reusable artifact a pipeline persists between runs), and only
+    the DELTA is hashed and joined against it, so ingest cost tracks
+    the delta, never the accumulated corpus. Each new document gets a
+    three-way verdict:
+
+      - ``dup_of_old``: digest already in the old index (canonical = the
+        old corpus's min id for that digest);
+      - ``dup_of_new``: first seen within this delta (canonical = the
+        delta's min id — first-occurrence-wins, same survivor rule as
+        exact_dedup);
+      - ``unique``: genuinely new content.
+
+    Two digest-keyed aggregates + one join on the digest — all
+    map-side combinable, and the old index side is the one a real
+    deployment reads back from storage rather than recomputing (here it
+    derives from ``old`` directly; swap in a saved index table for the
+    steady state).
+
+    Output: (id, status, canonical_id)."""
+    oh = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
+    ).groupBy("__h").agg(F.min(id_col).alias("__old_id"))
+    nh = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    nmin = nh.groupBy("__h").agg(F.min(id_col).alias("__first_new"))
+    return (
+        nh.join(nmin, "__h")
+        .join(oh, "__h", "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__old_id").isNotNull(), F.lit("dup_of_old"))
+            .when(F.col(id_col) > F.col("__first_new"), F.lit("dup_of_new"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+            F.when(F.col("__old_id").isNotNull(), F.col("__old_id"))
+            .when(F.col(id_col) > F.col("__first_new"), F.col("__first_new"))
+            .otherwise(F.col(id_col))
+            .alias("canonical_id"),
+        )
+    )

@@ -422,3 +422,93 @@ def fifo_match(
         .drop("__sk")
         .withColumnRenamed("__k", key_col)
     )
+
+
+def nearest_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    suffix: str = "_near",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """NEAREST as-of join: for each left row, the right row minimizing
+    |right_ts − left_ts| within the key group — ties between the
+    backward and forward candidate go BACKWARD (the merge_asof
+    'nearest' direction semantics). Same union-and-carry idiom as
+    asof_join, but BOTH directions come out of the one shuffle and one
+    sort: the backward candidate is last(payload, ignorenulls) over the
+    preceding frame, the forward candidate first(...) over the
+    following frame, and a single projection picks the nearer. A right
+    row at exactly left_ts sorts before the left row (side ordering),
+    lands in the backward frame, and wins any tie — equality matches,
+    like asof_join.
+
+    Output: left columns + value_cols suffixed + (__matched_ts as
+    ``right_ts + suffix``, direction 'backward'|'forward'|NULL)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    lpay = list(left.columns)
+    rtypes = dict(right.dtypes)
+    pay_fields = [right.schema[c] for c in value_cols] + [
+        T.StructField("__rts", right.schema[right_ts].dataType)
+    ]
+    payload_type = T.StructType(pay_fields)
+    l_side = left.select(
+        *lpay,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__r_pay"),
+        (
+            F.lit(None).cast(rtypes[tiebreak]) if tiebreak is not None else F.lit(0)
+        ).alias("__tb"),
+    )
+    r_side = right.select(
+        *[
+            F.col(c) if c in keys else F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in lpay
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            *[F.col(c) for c in value_cols], F.col(right_ts).alias("__rts")
+        ).alias("__r_pay"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(0)).alias("__tb"),
+    )
+    u = l_side.unionByName(r_side)
+    order = [F.col("__ts"), F.col("__side"), F.col("__tb")]
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        *lpay,
+        "__side",
+        "__ts",
+        F.last("__r_pay", ignorenulls=True).over(wb).alias("__bk"),
+        F.first("__r_pay", ignorenulls=True).over(wf).alias("__fw"),
+    ).filter(F.col("__side") == 1)
+    bdelta = F.col("__ts").cast("double") - F.col("__bk.__rts").cast("double")
+    fdelta = F.col("__fw.__rts").cast("double") - F.col("__ts").cast("double")
+    pick_back = F.col("__fw").isNull() | (
+        F.col("__bk").isNotNull() & (bdelta <= fdelta)
+    )
+    chosen = F.when(pick_back, F.col("__bk")).otherwise(F.col("__fw"))
+    direction = F.when(
+        F.col("__bk").isNull() & F.col("__fw").isNull(), F.lit(None).cast("string")
+    ).when(pick_back, F.lit("backward")).otherwise(F.lit("forward"))
+    return carried.select(
+        *lpay,
+        *[chosen[c].alias(f"{c}{suffix}") for c in value_cols],
+        chosen["__rts"].alias(f"{right_ts}{suffix}"),
+        direction.alias("direction"),
+    )

@@ -2704,3 +2704,96 @@ def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(
         emb, qs, k=5, m_subspaces=16, n_codes=64, refine=8
     )
+
+
+@query(
+    "ext_incremental_dedup",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 250
+    ),
+    new AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ),
+    old_min AS (SELECT h, min(doc_id) AS old_id FROM old GROUP BY 1),
+    new_min AS (SELECT h, min(doc_id) AS first_new FROM new GROUP BY 1)
+    SELECT n.doc_id,
+           CASE WHEN o.old_id IS NOT NULL THEN 'dup_of_old'
+                WHEN n.doc_id > m.first_new THEN 'dup_of_new'
+                ELSE 'unique' END AS status,
+           CASE WHEN o.old_id IS NOT NULL THEN o.old_id
+                WHEN n.doc_id > m.first_new THEN m.first_new
+                ELSE n.doc_id END AS canonical_id
+    FROM new n
+    JOIN new_min m ON m.h = n.h
+    LEFT JOIN old_min o ON o.h = n.h
+    """,
+)
+def ext_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (ext.dedup.incremental_exact_dedup): the
+    first half of the corpus plays the accumulated snapshot, the second
+    half the newly-ingested delta — each delta doc verdicts dup_of_old /
+    dup_of_new / unique against the reusable digest index. The
+    steady-state pattern where dedup cost tracks the DELTA."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return X.incremental_exact_dedup(old, new, "doc_id", "text")
+
+
+@query(
+    "ext_embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    nn AS (
+      SELECT a.vec_id,
+             max(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb)))) AS max_cos
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY max_cos ASC, vec_id ASC)
+                AS INTEGER) AS rank,
+           vec_id,
+           round(1.0 - max_cos, 6) AS outlier_score
+    FROM nn
+    QUALIFY rank <= 20
+    """,
+)
+def ext_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection: the 20 vectors FARTHEST from
+    their nearest neighbor (1 − max cosine) — the standard embedding-
+    level data-cleaning cut (mislabeled/garbage points sit far from
+    every cluster). Exact all-pairs at harness scale (the hash-
+    checkable tier, like ext_ann_cosine_topk); at 100 TB the candidate
+    kNN comes from the IVF/PQ tiers and only candidates pay the exact
+    cosine — same prune-then-verify composition as every ANN entry.
+    One shuffle on the pair block; norms hoisted once per side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").alias("va"),
+        SIM.l2_norm("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vb_id"),
+        F.col("embedding").alias("vb"),
+        SIM.l2_norm("embedding").alias("nb"),
+    )
+    cos = SIM.dot("va", "vb") / (F.col("na") * F.col("nb"))
+    nn = (
+        a.join(b, F.col("vb_id") != F.col("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_cos"))
+    )
+    w = Window.orderBy(F.col("max_cos").asc(), F.col("vec_id").asc())
+    return (
+        nn.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank", "vec_id", F.round(1.0 - F.col("max_cos"), 6).alias("outlier_score")
+        )
+    )

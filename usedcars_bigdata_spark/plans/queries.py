@@ -7691,3 +7691,81 @@ def rel_hist_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total").alias("n"),
         )
     )
+
+
+@query(
+    "rel_asof_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+    ),
+    bk AS (
+      SELECT c.event_id, max(p.pts) AS bts
+      FROM c JOIN p ON p.user_id = c.user_id AND p.pts <= c.ts
+      GROUP BY 1
+    ),
+    fw AS (
+      SELECT c.event_id, min(p.pts) AS fts
+      FROM c JOIN p ON p.user_id = c.user_id AND p.pts > c.ts
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT c.user_id, c.event_id, c.ts, bk.bts, fw.fts
+      FROM c LEFT JOIN bk ON bk.event_id = c.event_id
+             LEFT JOIN fw ON fw.event_id = c.event_id
+    )
+    SELECT user_id, event_id, ts,
+           CASE WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN epoch_us(ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(ts) THEN bts
+                ELSE fts END AS ts_near,
+           CASE WHEN bts IS NULL AND fts IS NULL THEN NULL
+                WHEN fts IS NULL THEN 'backward'
+                WHEN bts IS NULL THEN 'forward'
+                WHEN epoch_us(ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(ts) THEN 'backward'
+                ELSE 'forward' END AS direction,
+           abs(epoch_us(CASE WHEN fts IS NULL THEN bts
+                WHEN bts IS NULL THEN fts
+                WHEN epoch_us(ts) - epoch_us(bts)
+                     <= epoch_us(fts) - epoch_us(ts) THEN bts
+                ELSE fts END) - epoch_us(ts)) AS delta_us
+    FROM m
+    """,
+)
+def rel_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (operators.joins.nearest_asof_join): each
+    click matched to its temporally closest purchase by the same user,
+    either direction, backward on ties — pandas merge_asof
+    direction='nearest' semantics, which the backward-only rel_asof_join
+    can't express. Both directional candidates come out of ONE shuffle
+    and one sort (backward = last-ignorenulls over the preceding frame,
+    forward = first-ignorenulls over the following frame in the same
+    window ordering); the oracle replays both candidates and the
+    tie rule."""
+    from ..operators.joins import nearest_asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    out = nearest_asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", [], suffix="_near"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_near",
+        "direction",
+        F.abs(
+            F.unix_micros("ts_near") - F.unix_micros("ts")
+        ).alias("delta_us"),
+    )
