@@ -460,3 +460,19 @@ def test_streaming_sessionize_equals_batch_closed_sessions(spark, tmp_path):
     b = [r for r in got if r[0] == 1 and r[1] == 2]
     assert len(b) == 1 and b[0][4] == 2
     assert b[0][2] == t0 + 60 * m and b[0][3] == t0 + 70 * m
+
+
+def test_late_data_contract_pinned(spark, sf_dir):
+    """Pin the MEASURED Spark 4.1 late-data contract: rows arriving far
+    behind the watermark are NOT dropped when their windows were never
+    finalized — the drop metric stays 0 and the late-range windows are
+    emitted. If a Spark upgrade changes admission semantics, this fails
+    loudly and the audit entry's documentation must be revisited."""
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    r = QUERIES["rows_stream_late_drops"](spark, sf_dir).collect()[0]
+    assert r.n_batches >= 3
+    assert r.planted_late_rows > 0
+    assert r.dropped_by_watermark_metric == 0
+    assert r.late_range_windows_emitted > 0
+    assert r.total_emitted >= r.late_range_windows_emitted

@@ -7769,3 +7769,100 @@ def rel_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts_near") - F.unix_micros("ts")
         ).alias("delta_us"),
     )
+
+
+@query("rows_stream_late_drops")
+def rows_stream_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA contract audit, driver-visible: the events
+    table replays as three micro-batches arranged so batch 3 is
+    entirely late — batch 1 is the first half by time, batch 2 jumps to
+    the final quarter (advancing the watermark ~a week past batch 3's
+    range), batch 3 delivers the skipped quarter, far older than
+    watermark − delay.
+
+    MEASURED Spark 4.1 contract (this entry pins it): those late rows
+    are NOT dropped — numRowsDroppedByWatermark stays 0 and the
+    late-range windows are aggregated and emitted when they arrive
+    (their state was never created, so nothing contradicts append
+    mode's emit-once rule). The watermark bounds STATE EVICTION, not
+    input admission: a window finalized and evicted earlier would
+    reject updates, but a never-seen old window is accepted late. The
+    practical consequence for a 100 TB pipeline is the point of the
+    audit: do not treat the watermark as a correctness filter on
+    late data — a downstream consumer can still receive very old
+    windows, and exactly-late-row accounting needs an explicit
+    ts-vs-watermark filter if the pipeline requires it. Rows-only by
+    nature (runtime metrics); the contract is pytest-pinned so a Spark
+    upgrade that changes admission semantics fails loudly here.
+
+    Output: one row (n_batches, planted_late_rows,
+    dropped_by_watermark_metric, late_range_windows_emitted,
+    total_emitted)."""
+    import glob as _glob
+    import json
+    import os
+    import tempfile
+    import time
+
+    from ..streaming.events import read_event_stream, windowed_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_late_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    done = os.path.join(src, "_ALL_RANGES_DONE")
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = (hi - lo) / 4
+    cuts = [lo + 2 * span, lo + 3 * span]
+    if not os.path.exists(done):
+        order = [
+            F.col("ts") < cuts[0],                              # batch 1
+            F.col("ts") >= cuts[1],                             # batch 2
+            (F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1]),  # batch 3: LATE
+        ]
+        for pred in order:
+            events.filter(pred).coalesce(1).write.mode("append").parquet(src)
+            time.sleep(1.05)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    parts = sorted(
+        _glob.glob(os.path.join(src, "part-*.parquet")), key=os.path.getmtime
+    )
+    planted = spark.read.parquet(parts[2]).count()
+    sink = "rows_stream_late_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = windowed_counts(
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1),
+        watermark="1 hour",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        for op in d.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    out = spark.table(sink)
+    late_emitted = out.filter(
+        (F.col("window_start") >= cuts[0]) & (F.col("window_start") < cuts[1])
+    ).count()
+    return spark.createDataFrame(
+        [(len(q.recentProgress), planted, dropped, late_emitted, out.count())],
+        "n_batches long, planted_late_rows long, "
+        "dropped_by_watermark_metric long, late_range_windows_emitted long, "
+        "total_emitted long",
+    )
