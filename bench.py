@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "ext_incremental_dedup",
     "ext_embedding_outliers",
     "rel_asof_nearest",
+    "ext_ann_ivfpq_topk",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

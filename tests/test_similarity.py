@@ -39,3 +39,31 @@ def test_pq_ranks_are_exact_cosine_order(spark, sf_dir):
         lst.sort()
         cosines = [c for _, c in lst]
         assert cosines == sorted(cosines, reverse=True), q
+
+
+def test_ivfpq_recall_at_ivf_parity(spark, sf_dir):
+    """IVFPQ's recall at a given probe budget must track plain IVF's at
+    the same budget (PQ compression is free once the shortlist is
+    exactly reranked) — and clear an absolute floor at the entry's
+    n_probe=8 setting."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.ext.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from usedcars_bigdata_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, qs, k=5).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, qs, k=5, n_probe=8).collect()}
+    ivfpq = {(r.query_id, r.neighbor_id)
+             for r in ivfpq_topk(emb, qs, k=5, n_probe=8, refine=8).collect()}
+    r_ivf = len(ivf & bf) / len(bf)
+    r_ivfpq = len(ivfpq & bf) / len(bf)
+    assert r_ivfpq >= 0.7
+    assert r_ivfpq >= r_ivf - 0.1, (r_ivfpq, r_ivf)

@@ -875,3 +875,152 @@ def pq_topk(
             F.round("cos", ndigits).alias("cosine"),
         )
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 16,
+    n_codes: int = 64,
+    refine: int = 4,
+    seed: int = 42,
+    train_cap: int = 2048,
+    max_iter: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF + PQ composed — the full FAISS IVFPQ recipe and the tier this
+    stack runs at 100 TB: the coarse quantizer (IVF cells) prunes the
+    candidate set to ~N·n_probe/n_centroids, PQ codes make each
+    candidate a ``m_subspaces``-byte row instead of a float vector, the
+    ADC lookup-table sum ranks candidates, and ``refine``·k per query
+    pay the exact cosine. Index build is one corpus pass emitting
+    (id, cell, codes, norm); both quantizers train driver-side on the
+    same hash-gated sample. Candidate generation joins the encoded
+    corpus against the BROADCAST probed (query, cell) table, so the
+    corpus shuffles zero times end-to-end.
+
+    Rows-only by nature; recall vs brute force pytest-pinned alongside
+    the single-tier entries (brute / LSH / IVF / PQ).
+
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    from pyspark.sql.functions import pandas_udf
+
+    sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
+    cents = _fit_kmeans(sample, n_centroids, max_iter, seed)
+    norm_sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    dim = sample.shape[1]
+    splits = np.array_split(np.arange(dim), m_subspaces)
+    codebooks = [
+        _fit_kmeans(norm_sample[:, idx], n_codes, max_iter, seed + 7 * s)
+        for s, idx in enumerate(splits)
+    ]
+    assign_fn = _assign_cells_udf(cents)
+
+    cbs = codebooks
+    sps = [np.asarray(idx) for idx in splits]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        out = np.empty((len(mat), len(sps)), dtype=np.int32)
+        for s, idx in enumerate(sps):
+            sub = mat[:, idx]
+            cb = cbs[s]
+            d = (
+                (sub**2).sum(1)[:, None]
+                - 2 * sub @ cb.T
+                + (cb**2).sum(1)[None, :]
+            )
+            out[:, s] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    index = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("__cn"),
+        assign_fn(F.col(vec_col)).alias("__cell"),
+        encode(F.col(vec_col)).alias("__codes"),
+    )
+
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    qids = [int(r.query_id) for r in qrows]
+    qmat = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    # probed cells per query: n_probe nearest centroids by cosine of the
+    # NORMALIZED query (centroids trained on raw vectors — same space as
+    # _assign_cells_udf's Euclidean assignment)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cell_cos = qn @ cn.T
+    probe_rows = []
+    for qi, qid in enumerate(qids):
+        for cell in np.argsort(-cell_cos[qi])[:n_probe]:
+            probe_rows.append((qid, int(qi), int(cell)))
+    probes = corpus.sparkSession.createDataFrame(
+        probe_rows, "query_id long, q_idx int, __cell int"
+    )
+    # LUT[q, s, c]
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    ((qn[:, idx] - codebooks[s][c][None, :]) ** 2).sum(1)
+                    for c in range(len(codebooks[s]))
+                ],
+                axis=1,
+            )
+            for s, idx in enumerate(splits)
+        ],
+        axis=1,
+    )
+
+    @pandas_udf("double")
+    def adc_one(codes: pd.Series, q_idx: pd.Series) -> pd.Series:
+        cm = np.stack(codes.to_numpy())
+        qi = q_idx.to_numpy()
+        dist = np.zeros(len(cm))
+        for s in range(cm.shape[1]):
+            dist += lut[qi, s, cm[:, s]]
+        return pd.Series(dist)
+
+    cand = (
+        index.join(F.broadcast(probes), "__cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__adist", adc_one(F.col("__codes"), F.col("q_idx")))
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = cand.withColumn("__r", F.row_number().over(wa)).filter(
+        F.col("__r") <= refine * k
+    )
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("__qn"),
+    )
+    reranked = shortlist.join(F.broadcast(qdf), "query_id").withColumn(
+        "cos", dot("q_vec", "c_vec") / (F.col("__qn") * F.col("__cn"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos", ndigits).alias("cosine"),
+        )
+    )

@@ -2797,3 +2797,15 @@ def ext_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank", "vec_id", F.round(1.0 - F.col("max_cos"), 6).alias("outlier_score")
         )
     )
+
+
+@query("ext_ann_ivfpq_topk")
+def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed top-5 (ext.similarity.ivfpq_topk) — the full
+    FAISS-style 100 TB tier: coarse cells prune candidates
+    (n_probe=8/16), 16-byte PQ codes + ADC rank them, exact cosine
+    reranks 8k per query. Rows-only; recall pinned at IVF-parity (the
+    compression is free once the rerank is exact)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivfpq_topk(emb, qs, k=5, n_probe=8, refine=8)
