@@ -110,6 +110,22 @@ SHOWCASE = [
      "Sliding COUNT(DISTINCT) as contribution explode: distinct "
      "(user, hour) collapses first, each survivor fans out to 24 "
      "bucket-ends, one count-distinct aggregate — no per-frame state."),
+    ("ts_funnel_stages",
+     "Round-5 single-pass funnel: ONE events scan, ONE user-key exchange; "
+     "the stage fold is array_min/filter JVM expressions inside the "
+     "aggregate — no joins, no materialization barriers."),
+    ("rel_fifo_cost_basis",
+     "FIFO as cumulative-interval arithmetic: two window cumsums (one "
+     "exchange per side on the same key) + a per-key range join; no "
+     "per-key UDF walk, everything integer-exact."),
+    ("ext_bm25_topk",
+     "Zero-shuffle retrieval: per-term tf computed as array expressions "
+     "inside whole-stage codegen over ONE scan; only doc-cardinality "
+     "rows reach the stack/unpivot and the per-term top-k window."),
+    ("rel_geo_radius_join",
+     "Grid-pruned spatial join: the point side joins a BROADCAST candidate "
+     "cell table on its single integer cell key and never shuffles; exact "
+     "haversine only on candidates."),
 ]
 
 
