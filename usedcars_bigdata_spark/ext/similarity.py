@@ -1024,3 +1024,46 @@ def ivfpq_topk(
             F.round("cos", ndigits).alias("cosine"),
         )
     )
+
+
+def dot_pandas(va: str, vb: str):
+    """Arrow-vectorized pair dot product (pandas UDF, one einsum per
+    batch) — the fast path for PAIR-SCAN scoring where the interpreted
+    zip_with/aggregate fold costs ~80us per pair (measured on the
+    embedding-outlier 262k-pair scan: 22s HOF vs <1s vectorized).
+    Summation order differs from the sequential fold at the ~1-ulp
+    level; callers that hash-compare against an oracle keep a rounding
+    margin (the entries round to 6 digits on ~0.1-magnitude cosines,
+    ~9 orders above the drift) and break ranking ties by id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.stack(a.to_numpy()).astype(np.float64)
+        mb = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return pair_dot(F.col(va), F.col(vb))
+
+
+def max_cosine_vs_matrix(ref_ids: np.ndarray, ref_mat: np.ndarray):
+    """Arrow-batched UDF factory: per-row max cosine against a captured
+    reference matrix (self-matches masked by id) — one matmul per batch,
+    the broadcast-matrix scoring tier for capped strata (the reference
+    side must fit in executor memory; beyond that, IVF/PQ candidates)."""
+    from pyspark.sql.functions import pandas_udf
+
+    ref_norm = np.linalg.norm(ref_mat, axis=1)
+
+    @pandas_udf("double")
+    def max_cos(vec_id: pd.Series, embedding: pd.Series) -> pd.Series:
+        m = np.stack(embedding.to_numpy()).astype(np.float64)
+        scores = (m @ ref_mat.T) / (
+            np.linalg.norm(m, axis=1)[:, None] * ref_norm[None, :]
+        )
+        ids = vec_id.to_numpy()
+        for i in range(len(ids)):
+            scores[i, ref_ids == ids[i]] = -np.inf
+        return pd.Series(scores.max(axis=1))
+
+    return max_cos
