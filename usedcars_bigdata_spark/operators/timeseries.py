@@ -1334,8 +1334,17 @@ def bootstrap_ci_cents(
     picked = draws.select(
         "key", "b", (1 + F.floor(u * F.col("m"))).cast("int").alias("rn")
     )
+    # The indexed value table is keys x values rows — orders of magnitude
+    # smaller than the B x n draw axis — so BROADCAST it: the draw side
+    # (the big side, 50x the data) never shuffles, and the replicate sums
+    # partial-aggregate on top of the broadcast hash join. (Measured at
+    # sf0.1: the shuffle-join form moved 5M draw rows per run and was the
+    # single biggest long-JVM bench line at 30s; broadcast removes that
+    # exchange.) Above the broadcast threshold (~a few GB of values) drop
+    # the hint and let AQE pick the shuffle join back — the draw axis
+    # still dominates either way.
     rep = (
-        picked.join(vals, ["key", "rn"])
+        picked.join(F.broadcast(vals.select("key", "rn", "cents")), ["key", "rn"])
         .groupBy("key", "b")
         .agg(F.sum("cents").alias("rep_cents"))
     )
