@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "ext_embedding_outliers",
     "rel_asof_nearest",
     "ext_ann_ivfpq_topk",
+    "ts_power_sample_size",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

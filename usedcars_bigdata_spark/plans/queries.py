@@ -7866,3 +7866,81 @@ def rows_stream_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dropped_by_watermark_metric long, late_range_windows_emitted long, "
         "total_emitted long",
     )
+
+
+@query(
+    "ts_power_sample_size",
+    oracle="""
+    WITH v AS (
+      SELECT user_id % 2 AS variant,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT) AS conv,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT max(CASE WHEN variant = 0 THEN conv * 1.0 / n END) AS pa,
+             max(CASE WHEN variant = 0 THEN n END) AS na,
+             max(CASE WHEN variant = 1 THEN conv * 1.0 / n END) AS pb,
+             max(CASE WHEN variant = 1 THEN n END) AS nb
+      FROM v
+    )
+    SELECT round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+           round(pb - pa, 6) AS delta,
+           CAST(CASE WHEN pb = pa THEN NULL ELSE
+             ceil(power(1.959963985 + 0.8416212336, 2)
+                  * (pa * (1 - pa) + pb * (1 - pb))
+                  / power(pb - pa, 2)) END AS BIGINT) AS n_required_per_arm,
+           least(na, nb) AS n_available_per_arm,
+           CASE WHEN pb = pa THEN FALSE ELSE
+             least(na, nb) >= ceil(power(1.959963985 + 0.8416212336, 2)
+                  * (pa * (1 - pa) + pb * (1 - pb))
+                  / power(pb - pa, 2)) END AS adequately_powered
+    FROM w
+    """,
+)
+def ts_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size / power check: given the observed per-variant
+    user-level conversion rates, the two-proportion formula
+    n = (z_{alpha/2} + z_beta)^2 (p_a q_a + p_b q_b) / (p_b - p_a)^2
+    (alpha=0.05 two-sided, power=0.80; z constants as literals so both
+    engines evaluate the identical expression) says how many users per
+    arm a FUTURE test needs to detect the observed delta — and whether
+    the current sample already clears it. Completes the experiment-
+    design family (Wilson intervals, z-test, CUPED, SPRT): this is the
+    pre-registration readout. One distinct-user aggregate per variant;
+    everything downstream is a 1-row projection. NULL-safe on a zero
+    delta (infinite n has no finite answer — NULL, not overflow)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("conv"),
+        F.countDistinct("user_id").alias("n"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("conv") / F.col("n"))).alias("pa"),
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv") / F.col("n"))).alias("pb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("nb"),
+    )
+    z = 1.959963985 + 0.8416212336
+    n_req = F.ceil(
+        F.pow(F.lit(z), 2)
+        * (F.col("pa") * (1 - F.col("pa")) + F.col("pb") * (1 - F.col("pb")))
+        / F.pow(F.col("pb") - F.col("pa"), 2)
+    )
+    avail = F.least("na", "nb")
+    return w.select(
+        F.round("pa", 6).alias("p_a"),
+        F.round("pb", 6).alias("p_b"),
+        F.round(F.col("pb") - F.col("pa"), 6).alias("delta"),
+        F.when(F.col("pb") == F.col("pa"), F.lit(None))
+        .otherwise(n_req)
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+        avail.alias("n_available_per_arm"),
+        F.when(F.col("pb") == F.col("pa"), F.lit(False))
+        .otherwise(avail >= n_req)
+        .alias("adequately_powered"),
+    )
