@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "rel_asof_nearest",
     "ext_ann_ivfpq_topk",
     "ts_power_sample_size",
+    "ts_seasonal_anomalies",
+    "ext_dedup_threshold_curve",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

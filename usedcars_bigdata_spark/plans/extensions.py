@@ -2945,3 +2945,84 @@ def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 10)
     return SIM.ivfpq_topk(emb, qs, k=5, n_probe=8, refine=8)
+
+
+@query(
+    "ext_dedup_threshold_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b, inter * 1.0 / (na.n_sh + nb.n_sh - inter) AS j
+      FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    ), th AS (SELECT unnest(CAST([0.2, 0.4, 0.6, 0.8] AS DOUBLE[])) AS threshold)
+    SELECT th.threshold,
+           CAST(count(*) FILTER (WHERE p.j >= th.threshold) AS BIGINT)
+             AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.j >= th.threshold THEN p.id_a END)
+                + count(DISTINCT CASE WHEN p.j >= th.threshold THEN p.id_b END)
+                - count(DISTINCT CASE WHEN p.j >= th.threshold
+                                      AND p.id_b IN (
+                                        SELECT id_a FROM pairs p2
+                                        WHERE p2.j >= th.threshold)
+                                      THEN p.id_b END) AS BIGINT)
+             AS n_docs_flagged
+    FROM th CROSS JOIN pairs p
+    GROUP BY 1
+    """,
+)
+def ext_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup YIELD CURVE: how many near-dup pairs — and how many
+    distinct documents — a Jaccard threshold sweep would flag, from ONE
+    exact pair computation (τ floor 0.2): the tuning artifact a corpus
+    owner reads before committing to a dedup threshold (too low eats
+    real data, too high leaves boilerplate). Pairs compute once; the
+    4-point curve is conditional aggregation over a broadcast threshold
+    axis. n_docs_flagged counts docs on EITHER side of a surviving
+    pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    pairs = X.jaccard_pairs(sh, "doc_id", threshold=0.2).select(
+        "id_a", "id_b", F.col("jaccard").alias("j")
+    ).persist()
+    th = F.explode(
+        F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
+    ).alias("threshold")
+    axis = pairs.sparkSession.range(1).select(th)
+    surviving = pairs.crossJoin(F.broadcast(axis)).filter(
+        F.col("j") >= F.col("threshold")
+    )
+    n_pairs = surviving.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    n_docs = (
+        surviving.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("d")
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_flagged"))
+    )
+    # left join from the axis so an empty threshold bucket reports 0s
+    return (
+        axis.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
+        )
+    )

@@ -7944,3 +7944,102 @@ def ts_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(avail >= n_req)
         .alias("adequately_powered"),
     )
+
+
+@query(
+    "ts_seasonal_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS actual_fp
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, CAST(hour(bucket_start) AS INTEGER) AS hod,
+             CAST(SUM(actual_fp) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM hourly GROUP BY 1, 2
+    ), resid AS (
+      SELECT h.event_type, h.bucket_start,
+             h.actual_fp - b.tot // b.n AS resid_fp
+      FROM hourly h
+      JOIN base b ON b.event_type = h.event_type
+                 AND b.hod = CAST(hour(h.bucket_start) AS INTEGER)
+    ), med AS (
+      SELECT event_type, quantile_disc(resid_fp, 0.5) AS med_fp
+      FROM resid GROUP BY 1
+    ), mad AS (
+      SELECT r.event_type,
+             quantile_disc(abs(r.resid_fp - m.med_fp), 0.5) AS mad_fp
+      FROM resid r JOIN med m ON m.event_type = r.event_type
+      GROUP BY 1
+    )
+    SELECT r.event_type, r.bucket_start, r.resid_fp, m.med_fp, d.mad_fp
+    FROM resid r
+    JOIN med m ON m.event_type = r.event_type
+    JOIN mad d ON d.event_type = r.event_type
+    WHERE d.mad_fp > 0
+      AND abs(r.resid_fp - m.med_fp) > 3 * d.mad_fp
+    """,
+)
+def ts_seasonal_anom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized robust anomaly gate — the composition the seasonal
+    baseline exists for: hour-of-day-adjusted residuals (integer fixed-
+    point, ts_seasonal_baseline's exact form) gated by a per-type
+    median ± 3×MAD rule (rank-selection discrete medians — value-
+    deterministic under ties, the percentile_disc idiom). A raw z-score
+    flags every midnight; a MAD on raw values flags every peak hour;
+    this flags hours that are anomalous FOR their hour-of-day, robustly.
+    Residual/median/MAD tables are all type- or type×24-cardinality;
+    the stream shuffles once into the hourly aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("actual_fp"))
+    base = hourly.groupBy(
+        "event_type", F.hour("bucket_start").alias("hod")
+    ).agg(F.expr("sum(actual_fp) div count(*)").alias("baseline_fp"))
+    resid = hourly.join(
+        F.broadcast(
+            base.select(
+                F.col("event_type").alias("__et"), "hod", "baseline_fp"
+            )
+        ),
+        (F.col("event_type") == F.col("__et"))
+        & (F.hour("bucket_start") == F.col("hod")),
+    ).select(
+        "event_type",
+        "bucket_start",
+        (F.col("actual_fp") - F.col("baseline_fp")).alias("resid_fp"),
+    )
+
+    def disc_median(df, col, out):
+        w = Window.partitionBy("event_type").orderBy(F.col(col).asc())
+        wp = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wp).alias("n"),
+        )
+        return ranked.groupBy("event_type").agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(0.5 * F.col("n")), F.col(col)
+                )
+            ).alias(out)
+        )
+
+    med = disc_median(resid, "resid_fp", "med_fp")
+    absdev = resid.join(med, "event_type").select(
+        "event_type", F.abs(F.col("resid_fp") - F.col("med_fp")).alias("ad")
+    )
+    mad = disc_median(absdev, "ad", "mad_fp")
+    return (
+        resid.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad_fp") > 0)
+            & (F.abs(F.col("resid_fp") - F.col("med_fp")) > 3 * F.col("mad_fp"))
+        )
+        .select("event_type", "bucket_start", "resid_fp", "med_fp", "mad_fp")
+    )
