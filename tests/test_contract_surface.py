@@ -20,26 +20,49 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# VERDICT.md round-4 task 2, executed in round 5: pin ONLY the 12 ref_*
-# parity rows; every other window slot goes to an entry with no prior
-# independent driver row (TPC-H breadth, corpus rule sets, the three real
-# streaming runs, the event-time batch).
-ROUND5_ROTATED_IN = [
-    "rel_tpch_q2_min_supplier", "rel_tpch_q6_forecast", "rel_tpch_q7_volume",
-    "rel_tpch_q8_market_share", "rel_tpch_q9_profit", "rel_tpch_q10_returned",
-    "rel_tpch_q11_value_parts", "rel_tpch_q12_late_lines",
-    "rel_tpch_q13_custdist", "rel_tpch_q14_promo", "rel_tpch_q15_top_supplier",
-    "rel_tpch_q16_supplier_cnt", "rel_tpch_q18_large_orders",
-    "rel_tpch_q19_disjunctive", "rel_tpch_q20_excess_suppliers",
-    "rel_tpch_q21_waiting", "rel_tpch_q22_idle_customers",
-    "ext_gopher_quality", "ext_c4_filters", "ext_domain_divergence",
-    "ext_bigram_logprob", "ext_zipf_fit", "ext_source_overlap",
-    "ext_langid_confusion", "ext_template_headers", "ext_source_quality_rank",
-    "ts_stream_stream_join", "ts_stream_stateful_anomaly",
-    "ts_stream_multibatch",
-    "ts_cumulative_distinct", "ts_event_transitions", "ts_max_concurrency",
-    "ts_gaps_islands", "ts_time_weighted_avg", "ts_rolling_active_users",
-    "ts_interarrival_burstiness", "ts_mad_outliers", "ts_mom_growth",
+# Round-6 rotation (queued at round-5 close, executed this round): pin ONLY
+# the 12 ref_* parity rows; every other window slot goes to an entry with no
+# prior independent driver row — the round-5 additions first (newest code,
+# never swept by definition), then the carried round-3/4 backlog.
+ROUND6_ROTATED_IN = [
+    "ml_indexed_feature_hist",
+    "ext_dsir_weights",
+    "ext_bm25_topk",
+    "ts_top_paths",
+    "rel_key_skew_profile",
+    "rel_variant_json",
+    "ts_stream_sessionize",
+    "rel_geo_grid_density",
+    "rel_geo_radius_join",
+    "ts_bootstrap_ci",
+    "ts_sprt_decision",
+    "rel_label_propagation",
+    "ts_funnel_windowed",
+    "rel_fifo_cost_basis",
+    "rel_histogram_quantiles",
+    "ext_incremental_dedup",
+    "ext_embedding_outliers",
+    "rel_asof_nearest",
+    "ts_power_sample_size",
+    "ts_seasonal_anomalies",
+    "ext_dedup_threshold_curve",
+    "ext_edit_distance_pairs",
+    "ext_overlap_containment",
+    "ts_ohlc_hourly",
+    "rel_recursive_cte",
+    "rel_lateral_topk",
+    "rel_python_udtf",
+    "ext_video_frame_sample",
+    "rel_scd2_merge",
+    "rel_profile_table",
+    "ext_line_dedup",
+    "rel_pseudonymize",
+    "ts_stream_ohlc",
+    "ext_dup_spans",
+    "ext_remove_dup_spans",
+    "rel_snapshot_diff",
+    "ext_pair_graph_stats",
+    "rel_group_mode",
 ]
 
 DRIVER_WINDOW = 50
@@ -72,13 +95,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round5_rotation_window_membership():
+def test_round6_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND5_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND6_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND5_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND6_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():

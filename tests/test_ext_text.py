@@ -1061,3 +1061,23 @@ def test_bm25_rank_ordering_and_monotonicity(spark):
     x = {r.id: r for r in by_term["x"]}
     assert x[1].tf == 3 and x[2].tf == 1
     assert x[1].bm25 > x[2].bm25
+
+
+def test_bm25_terms_are_bound_literals_not_sql(spark):
+    """Terms containing quotes/backslashes are matched verbatim, never
+    interpolated into SQL (the stack() F.expr form was injectable; the
+    inline(array(struct)) unpivot binds terms as literals)."""
+    from usedcars_bigdata_spark.ext.text import bm25_scores
+
+    hostile = ["it's", "a\\b", "x', id) as (t, v) --"]
+    df = spark.createDataFrame(
+        [(1, "it's a\\b plain"), (2, "plain only here")], ["id", "txt"]
+    )
+    out = bm25_scores(df, "id", "txt", hostile, top_k=10).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r.term, set()).add(r.id)
+    assert by_term.get("it's") == {1}
+    assert by_term.get("a\\b") == {1}
+    # the injection-shaped term matches nothing and emits no rows
+    assert "x', id) as (t, v) --" not in by_term

@@ -67,6 +67,48 @@ def test_radius_join_matches_bruteforce_including_cell_boundaries(spark):
         assert abs(got[qid][1] - want[qid][1]) < 1e-3, qid
 
 
+def test_radius_join_wraps_antimeridian(spark):
+    """A query at lon +179.8 must count points on the far side expressed
+    as NEGATIVE longitude (-179.9 is ~33 km away): the candidate column
+    wraps modulo 360/deg, matching grid_cell's pmod encoding. Before the
+    wrap fix these points were silently dropped (candidate cols ran past
+    +180 while the point landed at col -180)."""
+    pts = [
+        (0, 0.0, -179.9),   # ~11 km west of the antimeridian
+        (1, 0.0, 179.9),    # ~11 km east
+        (2, 0.0, -179.0),   # ~111+89 km... within 500 km
+        (3, 0.0, 170.0),    # ~1,090 km: outside
+        (4, 0.0, -170.0),   # ~1,130 km: outside
+    ]
+    df = spark.createDataFrame(pts, ["id", "lat", "lon"])
+    qs = [(1, 0.0, 179.8)]
+    out = radius_join(df, qs, radius_km=500.0).collect()
+    assert len(out) == 1
+    want = [
+        _brute_haversine(0.0, 179.8, lat, lon)
+        for _, lat, lon in pts
+        if _brute_haversine(0.0, 179.8, lat, lon) <= 500.0
+    ]
+    assert out[0].n_within == len(want) == 3
+    assert abs(out[0].avg_km - round(sum(want) / len(want), 4)) < 1e-3
+
+
+def test_haversine_antipodal_not_nan(spark):
+    """Near-antipodal pairs: floating rounding can push the haversine `a`
+    term above 1, where asin(sqrt(a)) is NaN; the clamp returns the
+    ~half-circumference distance instead."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 180.0), (45.0, 10.0, -45.0, -170.0)],
+        ["a", "b", "c", "d"],
+    )
+    got = df.select(
+        haversine_km(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("km")
+    ).collect()
+    for r in got:
+        assert not math.isnan(r.km)
+        assert abs(r.km - math.pi * 6371.0) < 1.0
+
+
 def test_grid_density_rank_deterministic(spark, sf_dir):
     from usedcars_bigdata_spark.sources import load_table
 

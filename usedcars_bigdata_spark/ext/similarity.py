@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, l2_norm
+from ..functions.vector import dot, l2_norm, sq_dist
 
 
 def brute_force_topk(
@@ -384,13 +384,18 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("__qn"),
     )
-    # rank centroids per query, keep n_probe nearest (by cosine)
+    # rank centroids per query by RAW-SPACE Euclidean distance — the same
+    # geometry _assign_cells_udf placed corpus rows with, so probe and
+    # assignment cannot diverge when corpus norms vary (round-5 advice:
+    # a cosine probe against Euclidean-assigned cells loses recall)
     qc = (
         q.withColumn("c", F.explode(cent_arr))
-        .withColumn("cell_cos", cosine("q_vec", F.col("c.cvec")))
-        .select("query_id", "q_vec", "__qn", F.col("c.cell").alias("__cell"), "cell_cos")
+        .withColumn("cell_d2", sq_dist("q_vec", F.col("c.cvec")))
+        .select("query_id", "q_vec", "__qn", F.col("c.cell").alias("__cell"), "cell_d2")
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("cell_cos").desc())
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cell_d2").asc(), F.col("__cell").asc()
+    )
     probed = qc.withColumn("__pr", F.row_number().over(wq)).filter(
         F.col("__pr") <= n_probe
     ).select("query_id", "q_vec", "__qn", "__cell")
@@ -956,14 +961,18 @@ def ivfpq_topk(
     qids = [int(r.query_id) for r in qrows]
     qmat = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
-    # probed cells per query: n_probe nearest centroids by cosine of the
-    # NORMALIZED query (centroids trained on raw vectors — same space as
-    # _assign_cells_udf's Euclidean assignment)
-    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    cell_cos = qn @ cn.T
+    # probed cells per query: n_probe nearest centroids by RAW-SPACE
+    # Euclidean distance — the SAME geometry _assign_cells_udf used to
+    # place corpus rows into cells. (An earlier cut probed by cosine of
+    # the normalized query; when corpus norms vary, that ranking diverges
+    # from the assignment geometry and can miss the cells holding true
+    # neighbors — recall loss flagged in round-5 advice.)
+    cell_d2 = (
+        (qmat**2).sum(1)[:, None] - 2.0 * qmat @ cents.T + (cents**2).sum(1)[None, :]
+    )
     probe_rows = []
     for qi, qid in enumerate(qids):
-        for cell in np.argsort(-cell_cos[qi])[:n_probe]:
+        for cell in np.argsort(cell_d2[qi], kind="stable")[:n_probe]:
             probe_rows.append((qid, int(qi), int(cell)))
     probes = corpus.sparkSession.createDataFrame(
         probe_rows, "query_id long, q_idx int, __cell int"

@@ -1919,7 +1919,6 @@ def bm25_scores(
     a large query set switches to the inverted-index path.
 
     Output: (term, rank, id, tf, round(bm25, ndigits))."""
-    assert all("'" not in t for t in terms), "query terms must not contain quotes"
     words = F.filter(_words(text_col), lambda x: x != "")
 
     def _term_count(term: str):
@@ -1936,13 +1935,23 @@ def bm25_scores(
     stats = per_doc.agg(
         F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
     )
-    stack_args = ", ".join(
-        f"'{t}', __tf{i}" for i, t in enumerate(terms)
-    )
+    # Unpivot via inline(array(struct(...))) with terms BOUND as F.lit —
+    # no SQL-string interpolation, so terms containing quotes/backslashes
+    # cannot corrupt the plan (round-5 advice: the stack() F.expr form
+    # was injectable past its single-quote assert).
     tf = per_doc.select(
         F.col(id_col),
         "__dl",
-        F.expr(f"stack({len(terms)}, {stack_args}) AS (term, tf)"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"), F.col(f"__tf{i}").alias("tf")
+                    )
+                    for i, t in enumerate(terms)
+                ]
+            )
+        ),
     ).filter(F.col("tf") > 0).select(
         id_col, "__dl", "term", F.col("tf").cast("long").alias("tf")
     )

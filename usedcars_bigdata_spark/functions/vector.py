@@ -31,6 +31,22 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def sq_dist(a: str | Column, b: str | Column) -> Column:
+    """Ordered-fold squared Euclidean distance in double precision —
+    the raw-space geometry the IVF coarse quantizer assigns cells in,
+    so probe ranking can use the identical metric."""
+    return F.aggregate(
+        F.zip_with(
+            _c(a),
+            _c(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def l2_normalize(a: str | Column) -> Column:
     """Scale an array column to unit L2 norm (Normalizer(p=2) equivalent,
     recomendation-system.py:161-164, without the ML vector detour)."""

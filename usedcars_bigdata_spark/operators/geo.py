@@ -21,19 +21,32 @@ from pyspark.sql import functions as F
 EARTH_RADIUS_KM = 6371.0
 
 
+def _ncols(deg: float) -> int:
+    """Number of longitude columns at ``deg`` resolution (360/deg)."""
+    return int(round(360.0 / deg))
+
+
 def grid_cell(lat: Column, lon: Column, deg: float = 1.0) -> Column:
     """Integer grid cell id for a (lat, lon) pair at ``deg`` resolution:
-    cell = floor(lat/deg) * 360/deg-ish row stride + floor(lon/deg),
-    encoded as a single long (row * 721 + col keeps cells unique for
-    deg >= 0.5). Pure arithmetic — stays in whole-stage codegen."""
+    cell = floor(lat/deg) * 721 + pmod(floor(lon/deg), 360/deg). The
+    longitude column WRAPS modulo 360/deg so cells are antimeridian-
+    consistent (a candidate neighborhood crossing lon ±180 lands on the
+    same ids as the points there), and the wrapped col < 720 < 721
+    keeps cells unique for deg >= 0.5. Pure arithmetic — stays in
+    whole-stage codegen."""
     row = F.floor(lat / deg)
-    col = F.floor(lon / deg)
-    return (row.cast("long") * 721 + col.cast("long")).alias("cell")
+    col = F.pmod(F.floor(lon / deg).cast("long"), F.lit(_ncols(deg)))
+    return (row.cast("long") * 721 + col).alias("cell")
 
 
 def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
     """Great-circle distance in km (haversine; identical IEEE expression
-    replays in DuckDB for the oracle)."""
+    replays in DuckDB for the oracle). ``a`` is clamped to 1.0: for
+    near-antipodal pairs floating rounding can push it a hair above 1,
+    where asin(sqrt(a)) would return NaN and silently fail any
+    ``<= radius`` filter instead of returning ~half-circumference. The
+    clamp only fires at ~20,015 km, far beyond any radius filter, so
+    unclamped oracles stay value-identical on filtered outputs."""
     rl1 = F.radians(lat1)
     rl2 = F.radians(lat2)
     dlat = F.radians(lat2 - lat1) / 2
@@ -42,7 +55,7 @@ def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colu
         F.sin(dlat) * F.sin(dlat)
         + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
     )
-    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def synth_coords(df: DataFrame, key_col: str, lat_span=(-60.0, 60.0)) -> DataFrame:
@@ -107,19 +120,27 @@ def radius_join(
 
     Output: (query_id, n_within, avg_km)."""
     spark = points.sparkSession
-    cell_rows = []
+    ncols = _ncols(deg)
+    cell_set: set[tuple[int, float, float, int]] = set()
     for qid, qlat, qlon in queries:
         span = int(math.ceil(radius_km / 111.0 / deg))
         lon_stretch = max(
             1, int(math.ceil(span / max(0.1, math.cos(math.radians(qlat)))))
         )
+        # Near the poles 1/cos(lat) explodes past the full circle; cap at
+        # half the columns (the wrap below makes a wider sweep redundant).
+        lon_stretch = min(lon_stretch, ncols // 2)
         for dr in range(-span - 1, span + 2):
             for dc in range(-lon_stretch - 1, lon_stretch + 2):
                 row = math.floor(qlat / deg) + dr
-                col = math.floor(qlon / deg) + dc
-                cell_rows.append((qid, float(qlat), float(qlon), row * 721 + col))
+                # Wrap modulo 360/deg so neighborhoods crossing lon ±180
+                # land on the far side's cells; the set dedupes collisions
+                # (a full-circle sweep, or wrap hitting the same cell twice)
+                # so no candidate cell double-counts a point.
+                col = (math.floor(qlon / deg) + dc) % ncols
+                cell_set.add((qid, float(qlat), float(qlon), row * 721 + col))
     cand = spark.createDataFrame(
-        cell_rows, "query_id long, qlat double, qlon double, cell long"
+        sorted(cell_set), "query_id long, qlat double, qlon double, cell long"
     )
     pts = points.select(
         F.col(lat_col).alias("plat"),

@@ -2828,112 +2828,6 @@ def ext_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_ann_pq_topk")
-def ext_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN top-5 (ext.similarity.pq_topk): 16
-    subspaces x 64 codes over the 64-dim corpus = 16 bytes/vector (16x
-    compression vs float32), ADC candidate scan + exact cosine rerank
-    of 8k candidates. Rows-only by nature (k-means codebooks have no
-    SQL form); recall >= 0.9 vs brute force is pytest-pinned
-    (measured 1.0 at these params on the harness corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") < 10)
-    return SIM.pq_topk(
-        emb, qs, k=5, m_subspaces=16, n_codes=64, refine=8
-    )
-
-
-@query(
-    "ext_incremental_dedup",
-    oracle="""
-    WITH old AS (
-      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 250
-    ),
-    new AS (
-      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
-    ),
-    old_min AS (SELECT h, min(doc_id) AS old_id FROM old GROUP BY 1),
-    new_min AS (SELECT h, min(doc_id) AS first_new FROM new GROUP BY 1)
-    SELECT n.doc_id,
-           CASE WHEN o.old_id IS NOT NULL THEN 'dup_of_old'
-                WHEN n.doc_id > m.first_new THEN 'dup_of_new'
-                ELSE 'unique' END AS status,
-           CASE WHEN o.old_id IS NOT NULL THEN o.old_id
-                WHEN n.doc_id > m.first_new THEN m.first_new
-                ELSE n.doc_id END AS canonical_id
-    FROM new n
-    JOIN new_min m ON m.h = n.h
-    LEFT JOIN old_min o ON o.h = n.h
-    """,
-)
-def ext_incr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup (ext.dedup.incremental_exact_dedup): the
-    first half of the corpus plays the accumulated snapshot, the second
-    half the newly-ingested delta — each delta doc verdicts dup_of_old /
-    dup_of_new / unique against the reusable digest index. The
-    steady-state pattern where dedup cost tracks the DELTA."""
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") < 250)
-    new = docs.filter(F.col("doc_id") >= 250)
-    return X.incremental_exact_dedup(old, new, "doc_id", "text")
-
-
-@query(
-    "ext_embedding_outliers",
-    oracle="""
-    WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-    ),
-    nn AS (
-      SELECT a.vec_id,
-             max(list_dot_product(a.emb, b.emb)
-                 / (sqrt(list_dot_product(a.emb, a.emb))
-                    * sqrt(list_dot_product(b.emb, b.emb)))) AS max_cos
-      FROM e a JOIN e b ON b.vec_id <> a.vec_id
-      GROUP BY 1
-    )
-    SELECT CAST(row_number() OVER (ORDER BY max_cos ASC, vec_id ASC)
-                AS INTEGER) AS rank,
-           vec_id,
-           round(1.0 - max_cos, 6) AS outlier_score
-    FROM nn
-    QUALIFY rank <= 20
-    """,
-)
-def ext_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space outlier detection: the 20 vectors FARTHEST from
-    their nearest neighbor (1 − max cosine) — the standard embedding-
-    level data-cleaning cut (mislabeled/garbage points sit far from
-    every cluster). Exact all-pairs at harness scale (the hash-
-    checkable tier, like ext_ann_cosine_topk); at 100 TB the candidate
-    kNN comes from the IVF/PQ tiers and only candidates pay the exact
-    cosine — same prune-then-verify composition as every ANN entry.
-    One shuffle on the pair block; norms hoisted once per side."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    import numpy as np
-
-    # Broadcast-matrix scoring: the capped stratum (~500 x 64 floats)
-    # ships ONCE by value into an Arrow-batched UDF; each batch is one
-    # matmul against it and a self-masked row max. The join-based pair
-    # scan materialized ~262k (va, vb) array pairs through Arrow
-    # (~10s at sf0.1); this form is one pass over the stratum (<1s).
-    ref = emb.select("vec_id", "embedding").collect()
-    ref_ids = np.array([r.vec_id for r in ref])
-    ref_mat = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in ref])
-    max_cos_udf = SIM.max_cosine_vs_matrix(ref_ids, ref_mat)
-
-    nn = emb.select(
-        "vec_id", max_cos_udf(F.col("vec_id"), F.col("embedding")).alias("max_cos")
-    )
-    w = Window.orderBy(F.col("max_cos").asc(), F.col("vec_id").asc())
-    return (
-        nn.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .select(
-            "rank", "vec_id", F.round(1.0 - F.col("max_cos"), 6).alias("outlier_score")
-        )
-    )
-
 
 @query("ext_ann_ivfpq_topk")
 def ext_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

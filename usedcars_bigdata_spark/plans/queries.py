@@ -7240,8 +7240,10 @@ _GEO_COORDS_CTE = """
     oracle=f"""
     WITH {_GEO_COORDS_CTE},
     cells AS (
+      -- longitude column wraps modulo 360 (antimeridian-consistent ids,
+      -- matching operators.geo.grid_cell's pmod)
       SELECT CAST(floor(lat / 1.0) AS BIGINT) * 721
-             + CAST(floor(lon / 1.0) AS BIGINT) AS cell,
+             + ((CAST(floor(lon / 1.0) AS BIGINT) % 360) + 360) % 360 AS cell,
              count(*) AS n_points
       FROM coords GROUP BY 1
     )

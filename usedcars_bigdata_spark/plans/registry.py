@@ -29,6 +29,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a named query; ``oracle=None`` → driver does rows-only check."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            # A silent overwrite once shadowed a gated query with a stale
+            # duplicate (round-5 append of ext_embedding_outliers); fail loud.
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
