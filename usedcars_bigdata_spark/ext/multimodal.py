@@ -222,7 +222,23 @@ def perceptual_ahash(
     ext.dedup.simhash_near_pairs' chunk-index pairing."""
     if grid * grid != 64:
         raise ValueError("aHash packs exactly 64 bits: grid must be 8")
-    fn = decode_fn or (lambda p: fake_image_pixels(p, grid))
+
+    def _default_decode(payload, _grid=grid):
+        # Self-contained twin of fake_image_pixels: referencing the
+        # module-level helper from the worker closure would pickle BY
+        # REFERENCE and require the package on the workers' path
+        # (capture-by-value convention; see streaming.stateful._make_track).
+        import hashlib as _hashlib
+
+        need = _grid * _grid
+        out = b""
+        block = _hashlib.sha256(payload or b"").digest()
+        while len(out) < need:
+            out += block
+            block = _hashlib.sha256(block).digest()
+        return list(out[:need])
+
+    fn = decode_fn or _default_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -27,34 +27,47 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n long, total double"
 
 
-def _track(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    out_rows = []
-    # A key's rows within one micro-batch may arrive as SEVERAL pandas
-    # chunks in arbitrary relative order — sort the concatenation, not
-    # each chunk (the round-5 streaming_sessionize lesson: per-chunk
-    # sorting folded out-of-order under chunk splits and dropped
-    # cross-batch session closures nondeterministically).
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("event_id")
-        for ev_id, value in zip(pdf["event_id"], pdf["value"]):
-            mean = total / n if n else None
-            flagged = mean is not None and value > 3.0 * mean
-            out_rows.append((user_id, int(ev_id), float(value),
-                             float(mean) if mean is not None else None, bool(flagged)))
-            n += 1
-            total += float(value)
-    state.update((n, total))
-    yield pd.DataFrame(
-        out_rows,
-        columns=["user_id", "event_id", "value", "running_mean", "flagged"],
-    )
+def _make_track():
+    """Build the state-fold function as a NESTED closure so cloudpickle
+    serializes it BY VALUE: a module-level def is pickled by reference
+    (module + qualname) and the Python worker would then have to import
+    ``usedcars_bigdata_spark`` — which only works when the repo happens to
+    be on the workers' path. The repo-wide UDF convention is
+    capture-by-value (see ext.similarity._assign_cells_udf); this entry
+    violated it and failed under a driver run with cwd outside the repo."""
+
+    def _track(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        out_rows = []
+        # A key's rows within one micro-batch may arrive as SEVERAL pandas
+        # chunks in arbitrary relative order — sort the concatenation, not
+        # each chunk (the round-5 streaming_sessionize lesson: per-chunk
+        # sorting folded out-of-order under chunk splits and dropped
+        # cross-batch session closures nondeterministically).
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = _pd.concat(chunks, ignore_index=True).sort_values("event_id")
+            for ev_id, value in zip(pdf["event_id"], pdf["value"]):
+                mean = total / n if n else None
+                flagged = mean is not None and value > 3.0 * mean
+                out_rows.append((user_id, int(ev_id), float(value),
+                                 float(mean) if mean is not None else None, bool(flagged)))
+                n += 1
+                total += float(value)
+        state.update((n, total))
+        yield _pd.DataFrame(
+            out_rows,
+            columns=["user_id", "event_id", "value", "running_mean", "flagged"],
+        )
+
+    return _track
 
 
 def running_anomaly_flags(events: DataFrame) -> DataFrame:
@@ -65,7 +78,7 @@ def running_anomaly_flags(events: DataFrame) -> DataFrame:
         events.select("user_id", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _track,
+            _make_track(),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
@@ -105,55 +118,63 @@ SESSION_STATE_SCHEMA = "seq long, start_us long, last_us long, n long"
 _GAP_US = 30 * 60 * 1_000_000
 
 
-def _sessionize(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    seq, start_us, last_us, n = (
-        state.get if state.exists else (0, None, None, 0)
-    )
-    closed = []
-    # Concat-then-sort: a key's rows can span several chunks whose
-    # relative order is arbitrary; sorting per chunk folds out of order
-    # (observed: nondeterministically merged sessions at sf0.01).
-    chunks = [pdf for pdf in batches if len(pdf)]
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values(
-            ["ts", "event_id"]
+def _make_sessionize(gap_us: int):
+    """Nested-closure factory (capture-by-value; see _make_track): the
+    session fold ships to workers self-contained, no package import."""
+
+    def _sessionize(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        (user_id,) = key
+        seq, start_us, last_us, n = (
+            state.get if state.exists else (0, None, None, 0)
         )
-        unit = "us" if pdf["ts"].dtype == "datetime64[us]" else "ns"
-        div = 1 if unit == "us" else 1000
-        for ts in pdf["ts"].astype("int64") // div:
-            ts = int(ts)
-            if start_us is None:
-                seq, start_us, last_us, n = 1, ts, ts, 1
-            elif ts - last_us > _GAP_US:
-                closed.append((user_id, seq, start_us, last_us, n))
-                seq, start_us, last_us, n = seq + 1, ts, ts, 1
-            else:
-                last_us, n = ts, n + 1
-    state.update((seq, start_us, last_us, n))
-    yield pd.DataFrame(
-        [
-            (
-                u,
-                s,
-                pd.Timestamp(a, unit="us"),
-                pd.Timestamp(b, unit="us"),
-                m,
+        closed = []
+        # Concat-then-sort: a key's rows can span several chunks whose
+        # relative order is arbitrary; sorting per chunk folds out of order
+        # (observed: nondeterministically merged sessions at sf0.01).
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = _pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
             )
-            for u, s, a, b, m in closed
-        ],
-        columns=[
-            "user_id",
-            "session_seq",
-            "session_start",
-            "session_end",
-            "n_events",
-        ],
-    )
+            unit = "us" if pdf["ts"].dtype == "datetime64[us]" else "ns"
+            div = 1 if unit == "us" else 1000
+            for ts in pdf["ts"].astype("int64") // div:
+                ts = int(ts)
+                if start_us is None:
+                    seq, start_us, last_us, n = 1, ts, ts, 1
+                elif ts - last_us > gap_us:
+                    closed.append((user_id, seq, start_us, last_us, n))
+                    seq, start_us, last_us, n = seq + 1, ts, ts, 1
+                else:
+                    last_us, n = ts, n + 1
+        state.update((seq, start_us, last_us, n))
+        yield _pd.DataFrame(
+            [
+                (
+                    u,
+                    s,
+                    _pd.Timestamp(a, unit="us"),
+                    _pd.Timestamp(b, unit="us"),
+                    m,
+                )
+                for u, s, a, b, m in closed
+            ],
+            columns=[
+                "user_id",
+                "session_seq",
+                "session_start",
+                "session_end",
+                "n_events",
+            ],
+        )
+
+    return _sessionize
 
 
 def streaming_sessionize(events: DataFrame) -> DataFrame:
@@ -178,7 +199,7 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
         events.select("user_id", "ts", "event_id")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize,
+            _make_sessionize(_GAP_US),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
