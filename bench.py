@@ -142,6 +142,13 @@ BENCH_QUERIES = [
     "ts_power_sample_size",
     "ts_seasonal_anomalies",
     "ext_dedup_threshold_curve",
+    "ml_roc_auc",
+    "ml_ks_statistic",
+    "ml_lift_deciles",
+    "ml_target_encoding",
+    "ml_categorical_assoc",
+    "rel_triangle_stats",
+    "rel_common_neighbors",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -6,7 +6,7 @@ unrolled declarative plans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -64,6 +64,110 @@ def pagerank_unrolled(
             ((1.0 - damping) / F.col("n") + damping * F.col("mass")).alias("pr"),
         )
     return ranks.select("node", F.round("pr", ndigits).alias("pr"))
+
+
+def triangle_stats(edges: DataFrame, src: str, dst: str, ndigits: int = 6) -> DataFrame:
+    """Global triangle count + clustering coefficient for an undirected
+    edge set. The classic two-join form on the CANONICAL orientation
+    (a < b): paths a<b<c come from joining (a,b) with (b,c) on the shared
+    middle vertex, then an equi-join back against the edge set closes the
+    triangle — each triangle counted exactly once because its vertices
+    appear in sorted order. Wedge volume is
+    Σ_v out-deg(v)·in-deg(v) on the oriented graph, the standard bound;
+    production graphs pre-orient by DEGREE (low→high) to cap it at
+    O(m^1.5), noted as the upgrade path (the harness's co-purchase graph
+    is near-regular, where id- and degree-orientation coincide in cost).
+    Global clustering = 3·triangles / wedges, with wedges counted on the
+    UNDIRECTED graph: Σ_v deg(v)·(deg(v)−1)/2.
+
+    Output: one row (n_nodes, n_edges, n_triangles, clustering)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # read by 4 consumers below
+    )
+    x = e.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+    y = e.select(F.col("a").alias("ya"), F.col("b").alias("yb"))
+    z = e.select(F.col("a").alias("za"), F.col("b").alias("zb"))
+    tri = (
+        # wedge a<b<c: (a,b) ⋈ (b,c) on the shared middle vertex — the
+        # canonical orientation makes b<c implicit (every edge has a<b)
+        x.join(y, F.col("ya") == F.col("xb"))
+        .join(z, (F.col("za") == F.col("xa")) & (F.col("zb") == F.col("yb")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("__w"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        wedges.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("__w") > 0, 3.0 * F.col("n_triangles") / F.col("__w"))
+                .otherwise(F.lit(0.0)),
+                ndigits,
+            ).alias("clustering"),
+        )
+    )
+
+
+def common_neighbors_topk(
+    edges: DataFrame, src: str, dst: str, k: int = 20
+) -> DataFrame:
+    """Common-neighbors link prediction: for node pairs NOT already
+    adjacent, score = |N(u) ∩ N(v)|; return the top-k candidate links by
+    (score DESC, a ASC, b ASC). Wedge generation is one self-join of the
+    symmetrized adjacency on the CENTER node (each wedge a–c–b emits the
+    unordered endpoint pair once via a < b), aggregated before the
+    adjacency anti-join — so the pair table entering the anti-join is
+    already collapsed to distinct candidate pairs. Wedge volume is
+    Σ_v deg(v)², the irreducible cost of exact common-neighbor counting;
+    at skewed-degree scale the standard cut is a per-node degree cap
+    (drop hub centers, which predict poorly anyway) — the same
+    loud-circuit-breaker pattern as ext.dedup's max_block.
+
+    Output: (rank, node_a, node_b, n_common)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    left = sym.select(F.col("b").alias("c"), F.col("a").alias("u"))
+    right = sym.select(F.col("b").alias("c"), F.col("a").alias("v"))
+    wedges = (
+        left.join(right, "c")
+        .where(F.col("u") < F.col("v"))
+        .groupBy(F.col("u").alias("node_a"), F.col("v").alias("node_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedges.join(
+        sym.select(F.col("a").alias("node_a"), F.col("b").alias("node_b")),
+        ["node_a", "node_b"],
+        "left_anti",
+    )
+    w = Window.orderBy(
+        F.col("n_common").desc(), F.col("node_a").asc(), F.col("node_b").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "node_a", "node_b", "n_common")
+    )
 
 
 def label_propagation_unrolled(

@@ -1,0 +1,375 @@
+"""Model-evaluation / feature-engineering contract entries (ml.eval) and
+graph-analytics extensions (operators.graph triangle/link-prediction).
+
+Label/score synthesis for the classification-metric entries follows the
+md5-uniform determinism idiom (rel_dp_noisy_counts precedent): label is a
+real column predicate (o_orderstatus = 'F'), the score is a deterministic
+uniform SHIFTED by the label (0.7·u + 0.3·label) so the two class
+distributions overlap — AUC/KS/lift land strictly between coin-flip and
+perfect, exercising the tie/CDF machinery for real. Both engines replay
+the identical expression, so the entries certify the METRIC plans, not a
+data source. Money sums ride integer cents (ts_bootstrap_ci precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml import eval as ME
+from ..operators import graph as G
+from ..sources import load_table
+from .registry import query
+
+# Shared synthesis: one row per order with (label, score, price_cents, fold).
+_SCORED_CTE = """
+    scored AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_orderstatus = 'F' AS INTEGER) AS label,
+             round(0.7 * ((CAST('0x' || substr(md5('mlscore:' ||
+                   CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0)
+                   + 0.3 * CAST(o_orderstatus = 'F' AS INTEGER), 9) AS score,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(CAST('0x' || substr(md5('fold:' ||
+                  CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 5
+                  AS INTEGER) AS fold
+      FROM orders
+    )
+"""
+
+
+def _scored_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def unif(salt: str):
+        h = F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        )
+        return (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+
+    y = (F.col("o_orderstatus") == "F").cast("int")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        y.alias("label"),
+        F.round(0.7 * unif("mlscore:") + 0.3 * y, 9).alias("score"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(5),
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+
+
+@query(
+    "ml_roc_auc",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    r AS (
+      SELECT o_orderpriority, label,
+             rank() OVER (PARTITION BY o_orderpriority ORDER BY score)
+             + (count(*) OVER (PARTITION BY o_orderpriority, score) - 1) / 2.0
+               AS ar
+      FROM scored
+    )
+    SELECT o_orderpriority,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+           round((sum(ar * label) - sum(label) * (sum(label) + 1) / 2.0)
+                 / (sum(label) * (count(*) - sum(label))), 6) AS auc
+    FROM r GROUP BY 1
+    """,
+)
+def ml_roc_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority ROC AUC (ml.eval.roc_auc): Mann-Whitney rank form
+    with average-rank tie correction — one window sort per group, rank
+    sums exact to 2^53, no per-threshold scan. The label-shifted
+    synthetic score puts every group strictly between 0.5 and 1.0, so
+    the entry certifies real discrimination arithmetic, not a degenerate
+    all-ties case."""
+    return ME.roc_auc(
+        _scored_orders(spark, sf_dir), "label", "score", "o_orderpriority"
+    )
+
+
+@query(
+    "ml_ks_statistic",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    ps AS (
+      SELECT o_orderpriority AS g, score,
+             sum(label) AS p, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g,
+             sum(p) OVER (PARTITION BY g ORDER BY score
+                          ROWS UNBOUNDED PRECEDING) AS cp,
+             sum(n - p) OVER (PARTITION BY g ORDER BY score
+                              ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(p) OVER (PARTITION BY g) AS n_pos,
+             sum(n - p) OVER (PARTITION BY g) AS n_neg
+      FROM ps
+    )
+    SELECT g AS o_orderpriority,
+           CAST(max(n_pos) AS BIGINT) AS n_pos,
+           CAST(max(n_neg) AS BIGINT) AS n_neg,
+           round(max(abs(cp * 1.0 / n_pos - cn * 1.0 / n_neg)), 6) AS ks
+    FROM cum GROUP BY 1
+    """,
+)
+def ml_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority KS separation (ml.eval.ks_statistic): the fact table
+    collapses to one row per (group, score) BEFORE the CDF window, so the
+    running sums ride distinct-score cardinality; the step-function
+    supremum is exact at the steps."""
+    return ME.ks_statistic(
+        _scored_orders(spark, sf_dir), "label", "score", "o_orderpriority"
+    )
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH {_SCORED_CTE}
+    SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS INTEGER)
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(score), 6) AS avg_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS frac_pos
+    FROM scored GROUP BY 1
+    """,
+)
+def ml_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (ml.eval.calibration_bins): one
+    map-side-combinable aggregate; also the bounded-sketch downgrade path
+    for AUC/KS at extreme scale."""
+    return ME.calibration_bins(_scored_orders(spark, sf_dir), "label", "score")
+
+
+@query(
+    "ml_lift_deciles",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    t AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY score DESC, o_orderkey ASC)
+                  AS INTEGER) AS tile,
+             label
+      FROM scored
+    ),
+    per AS (
+      SELECT tile, count(*) AS n, sum(label) AS n_pos FROM t GROUP BY 1
+    )
+    SELECT tile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+           round((n_pos * 1.0 / n)
+                 / (sum(n_pos) OVER () * 1.0 / sum(n) OVER ()), 6) AS lift,
+           round(sum(n_pos) OVER (ORDER BY tile ROWS UNBOUNDED PRECEDING)
+                 * 1.0 / sum(n_pos) OVER (), 6) AS cum_capture
+    FROM per
+    """,
+)
+def ml_lift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift deciles (ml.eval.lift_deciles): ntile over
+    the TOTAL order (score DESC, orderkey ASC) so tile membership is
+    deterministic and identical across engines; cumulative windows run on
+    the 10-row tile table."""
+    return ME.lift_deciles(
+        _scored_orders(spark, sf_dir), "label", "score", "o_orderkey"
+    )
+
+
+@query(
+    "ml_target_encoding",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    cf AS (
+      SELECT o_orderpriority, fold, count(*) AS n_fold,
+             sum(price_cents) AS s_fold
+      FROM scored GROUP BY 1, 2
+    ),
+    ct AS (
+      SELECT o_orderpriority, sum(n_fold) AS n_tot, sum(s_fold) AS s_tot
+      FROM cf GROUP BY 1
+    ),
+    pr AS (SELECT sum(price_cents) * 1.0 / count(*) AS prior FROM scored)
+    SELECT cf.o_orderpriority, cf.fold,
+           CAST(cf.n_fold AS BIGINT) AS n_fold,
+           round((ct.s_tot - cf.s_fold + 20.0 * pr.prior)
+                 / (ct.n_tot - cf.n_fold + 20.0), 6) AS encoding
+    FROM cf JOIN ct USING (o_orderpriority) CROSS JOIN pr
+    """,
+)
+def ml_target_enc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free 5-fold target encoding of order priority against the
+    order value (ml.eval.target_encode_kfold): the subtraction trick —
+    out-of-fold mean from per-(cat, fold) partials + per-cat totals, two
+    combinable aggregates and one broadcast join, never K anti-joins.
+    Fold assignment is the md5-uniform hash mod 5 (replayed in SQL);
+    sums ride integer cents, so both engines divide identical exact
+    operands."""
+    return ME.target_encode_kfold(
+        _scored_orders(spark, sf_dir), "o_orderpriority", "price_cents", "fold"
+    )
+
+
+@query(
+    "ml_categorical_assoc",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y, count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rx AS (SELECT x, sum(n) AS nx FROM c GROUP BY 1),
+    ry AS (SELECT y, sum(n) AS ny FROM c GROUP BY 1),
+    t AS (
+      SELECT sum(n) AS N, count(DISTINCT x) AS n_x, count(DISTINCT y) AS n_y
+      FROM c
+    ),
+    -- complete the grid: zero cells still contribute e to chi-square
+    grid AS (
+      SELECT rx.x, ry.y, rx.nx, ry.ny, coalesce(c.n, 0) AS n
+      FROM rx CROSS JOIN ry
+      LEFT JOIN c ON c.x = rx.x AND c.y = ry.y
+    )
+    SELECT CAST(t.N AS BIGINT) AS n,
+           CAST(t.n_x AS BIGINT) AS n_x,
+           CAST(t.n_y AS BIGINT) AS n_y,
+           round(sum(pow(g.n - g.nx * 1.0 * g.ny / t.N, 2)
+                     / (g.nx * 1.0 * g.ny / t.N)), 6) AS chi2,
+           round(sqrt(sum(pow(g.n - g.nx * 1.0 * g.ny / t.N, 2)
+                          / (g.nx * 1.0 * g.ny / t.N))
+                      / (t.N * least(t.n_x - 1, t.n_y - 1))), 6) AS cramers_v,
+           round(sum(CASE WHEN g.n > 0
+                          THEN (g.n * 1.0 / t.N)
+                               * ln(g.n * 1.0 * t.N / (g.nx * 1.0 * g.ny))
+                          ELSE 0.0 END), 6) AS mi_nats
+    FROM grid g CROSS JOIN t
+    GROUP BY t.N, t.n_x, t.n_y
+    """,
+)
+def ml_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association screen for priority × status
+    (ml.eval.categorical_association): chi-square, Cramér's V, and mutual
+    information from ONE contingency pass — the feature-selection triple
+    next to rel_chi_square's per-cell decomposition. Every double derives
+    from exact integer counts; products go through 1.0 before any
+    long×long multiply (ANSI overflow headroom)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return ME.categorical_association(orders, "o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics on the co-purchase graph (≥2 co-occurrences — the same
+# edge derivation as rel_copurchase_pairs)
+# ---------------------------------------------------------------------------
+
+_EDGES_CTE = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(b, (a.l_orderkey == b.__ok) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("pa", "pb")
+    )
+
+
+@query(
+    "rel_triangle_stats",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    tri AS (
+      SELECT count(*) AS nt
+      FROM e x
+      JOIN e y ON y.a = x.b
+      JOIN e z ON z.a = x.a AND z.b = y.b
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+    w AS (
+      SELECT count(*) AS n_nodes, sum(d * (d - 1) / 2) AS wedges FROM deg
+    ),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(w.n_nodes AS BIGINT) AS n_nodes,
+           CAST(ne.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.nt AS BIGINT) AS n_triangles,
+           round(CASE WHEN w.wedges > 0
+                      THEN 3.0 * tri.nt / w.wedges ELSE 0.0 END, 6)
+             AS clustering
+    FROM w CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def rel_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the repeat
+    co-purchase graph (operators.graph.triangle_stats): canonical-
+    orientation two-join triangle count (each triangle once, vertices in
+    sorted order), wedge denominator from the symmetrized degree table.
+    61 triangles at sf0.01 — non-degenerate for the hash check."""
+    return G.triangle_stats(_copurchase_edges(spark, sf_dir), "pa", "pb")
+
+
+@query(
+    "rel_common_neighbors",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    w AS (
+      SELECT l.a AS node_a, r.a AS node_b, count(*) AS n_common
+      FROM sym l JOIN sym r ON l.b = r.b AND l.a < r.a
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT * FROM w
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sym s WHERE s.a = w.node_a AND s.b = w.node_b
+      )
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_common DESC,
+                                   node_a ASC, node_b ASC) AS INTEGER)
+             AS rank,
+           node_a, node_b, CAST(n_common AS BIGINT) AS n_common
+    FROM cand
+    QUALIFY rank <= 20
+    """,
+)
+def rel_common_nbrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbors link prediction on the repeat co-purchase graph
+    (operators.graph.common_neighbors_topk): wedge self-join on the
+    center node, collapsed to distinct candidate pairs BEFORE the
+    adjacency anti-join; top-20 by (score DESC, a, b)."""
+    return G.common_neighbors_topk(_copurchase_edges(spark, sf_dir), "pa", "pb")
