@@ -149,6 +149,11 @@ BENCH_QUERIES = [
     "ml_categorical_assoc",
     "rel_triangle_stats",
     "rel_common_neighbors",
+    "ts_lead_lag_xcorr",
+    "ts_seasonality_anova",
+    "rel_feature_drift_ks",
+    "ext_vocab_saturation",
+    "ext_fs_match_scores",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

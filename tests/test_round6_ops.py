@@ -1,0 +1,113 @@
+"""Round-6 continuation operators: lead-lag cross-correlation, hour-of-day
+seasonality ANOVA, vocabulary saturation, Fellegi–Sunter linkage scores —
+hand-computed ground truth on adversarial fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from usedcars_bigdata_spark.ext.dedup import fs_match_scores
+from usedcars_bigdata_spark.ext.text import vocab_saturation
+from usedcars_bigdata_spark.operators.timeseries import (
+    lead_lag_xcorr,
+    seasonality_anova,
+)
+
+
+def _ts(day, hour):
+    return dt.datetime(2024, 1, day, hour, 0, 0)
+
+
+def test_lead_lag_xcorr_detects_exact_shift(spark):
+    # clicks fluctuate over hours; purchases are EXACTLY the click series
+    # shifted +2h -> r(2) = 1.0 and r(0) well below it
+    rows = []
+    counts = [1, 5, 2, 7, 3, 9, 4, 8, 2, 6, 1, 7]
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, _ts(1, h), 1, "click", 1.0, "{}"))
+            eid += 1
+        for _ in range(c):  # same count, two hours later
+            rows.append((eid, _ts(1, h) + dt.timedelta(hours=2), 1,
+                         "purchase", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.lag: r for r in lead_lag_xcorr(df, "ts", "event_type",
+                                            "click", "purchase",
+                                            max_lag=3).collect()}
+    assert out[2].r == 1.0
+    assert out[0].r < 0.9
+    # lag-2 join has n = hours where both click(t) and purchase(t+2) exist
+    assert out[2].n_buckets >= 10
+
+
+def test_seasonality_anova_extremes(spark):
+    # type "seasonal": value is a pure function of hour-of-day -> eta2 = 1
+    # type "flat": value varies within each hour identically -> eta2 = 0
+    rows = []
+    eid = 0
+    for day in range(1, 4):
+        for h in range(4):
+            rows.append((eid, _ts(day, h), 1, "seasonal", float(10 + h), "{}")); eid += 1
+            rows.append((eid, _ts(day, h), 2, "seasonal", float(10 + h), "{}")); eid += 1
+            # flat: same two values in EVERY hour -> hour means all equal
+            rows.append((eid, _ts(day, h), 1, "flat", 5.0, "{}")); eid += 1
+            rows.append((eid, _ts(day, h), 2, "flat", 15.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.key: r for r in seasonality_anova(df, "ts", "event_type", "value").collect()}
+    assert out["seasonal"].eta2 == 1.0
+    assert abs(out["flat"].eta2) < 1e-9
+    assert out["seasonal"].n == 24
+
+
+def test_vocab_saturation_repeated_corpus(spark):
+    # 10 identical docs: every 3-gram first appears in batch 1; batches
+    # 2..10 introduce nothing (and emit no row)
+    docs = [(i, "a b c d e f") for i in range(10)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = vocab_saturation(df, "doc_id", "text", n=3, n_batches=10).collect()
+    assert len(out) == 1
+    assert out[0].batch == 1 and out[0].new_grams == 4 and out[0].cum_vocab == 4
+
+
+def test_vocab_saturation_cumulative(spark):
+    # doc 0 (batch 1): grams {a b c}; doc 1 (batch 2): {a b c, b c d};
+    # doc 2 (batch 3): {x y z}
+    docs = [(0, "a b c"), (1, "a b c d"), (2, "x y z")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.batch: r for r in vocab_saturation(df, "doc_id", "text",
+                                                n=3, n_batches=3).collect()}
+    assert out[1].new_grams == 1 and out[1].cum_vocab == 1
+    assert out[2].new_grams == 1 and out[2].cum_vocab == 2
+    assert out[3].new_grams == 1 and out[3].cum_vocab == 3
+
+
+def test_fs_match_scores_hand_weights(spark):
+    # block (blk): two records agreeing on everything, one disagreeing
+    # on both fields; one record in a different block never pairs
+    rows = [
+        (1, "b1", "widget", "t1"),
+        (2, "b1", "widgex", "t1"),   # name within 1 edit, type agrees
+        (3, "b1", "completely-other", "t2"),
+        (4, "b2", "widget", "t1"),   # different block
+    ]
+    df = spark.createDataFrame(rows, ["id", "blk", "name", "typ"])
+    fields = [("name", 2, 0.9, 0.1), ("typ", "exact", 0.8, 0.2)]
+    out = fs_match_scores(df, "id", ["blk"], fields, top_k=10)
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    # pairs only within block b1: (1,2), (1,3), (2,3)
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    wa_name, wd_name = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    wa_typ, wd_typ = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert got[(1, 2)].n_agree == 2
+    assert abs(got[(1, 2)].weight - round(wa_name + wa_typ, 6)) < 1e-9
+    assert got[(1, 3)].n_agree == 0
+    assert abs(got[(1, 3)].weight - round(wd_name + wd_typ, 6)) < 1e-9
+    # full agreement ranks first
+    assert got[(1, 2)].rank == 1

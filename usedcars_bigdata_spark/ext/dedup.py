@@ -1436,3 +1436,89 @@ def incremental_exact_dedup(
             .alias("canonical_id"),
         )
     )
+
+
+def fs_match_scores(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[tuple],
+    top_k: int = 50,
+    max_block: int = 10_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring over blocked
+    candidate pairs: each comparison field carries fixed (m, u)
+    probabilities — P(agree | match) and P(agree | non-match) — and a
+    pair's weight is the sum of per-field log2 likelihood ratios,
+    log2(m/u) on agreement and log2((1−m)/(1−u)) on disagreement. The
+    classical linkage score (Fellegi & Sunter 1969) the ER stack
+    thresholds BEFORE transitive closure; the EM-fitted m/u estimation
+    loop is the named upgrade (fixed expert weights are standard
+    practice for first deployments and are what keeps this op a pure
+    function of its inputs).
+
+    ``fields``: sequence of (col, kind, m, u) with kind either
+    ``"exact"`` or an int k meaning agreement = levenshtein ≤ k (banded,
+    the blocked_er_pairs discipline). Per-field log weights are
+    PRE-COMPUTED in Python and enter both engines as double literals,
+    so the score is a deterministic sum of constants — hash-exact.
+
+    Plan: one self-join per blocking key (a<b, sort-merge on the block
+    columns, never cartesian) with oversize blocks dropped via the same
+    max_block circuit breaker as blocked_er_pairs; agreement predicates
+    and the weight sum evaluate inside whole-stage codegen; a single
+    top-k window on (weight DESC, id_a, id_b) returns the review queue.
+
+    Output: (rank, id_a, id_b, n_agree, weight)."""
+    import math
+
+    from pyspark.sql import Window
+
+    b = [F.col(c) for c in block_cols]
+    sized = df.groupBy(*b).agg(F.count("*").alias("__bn"))
+    fcols = [c for c, _, _, _ in fields]
+    left = df.select(
+        *b,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in fcols],
+    ).join(
+        sized.filter(F.col("__bn") <= max_block).drop("__bn"), list(block_cols)
+    )
+    right = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in fcols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    pairs = left.join(right, cond)
+
+    weight = F.lit(0.0)
+    agree_cnt = F.lit(0)
+    for c, kind, m, u in fields:
+        wa = float(math.log2(m / u))          # agreement weight
+        wd = float(math.log2((1 - m) / (1 - u)))  # disagreement weight
+        a, bb = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        if kind == "exact":
+            agree = a == bb
+        else:
+            k = int(kind)
+            agree = (F.abs(F.length(a) - F.length(bb)) <= k) & (
+                F.levenshtein(a, bb, k) >= 0
+            )
+        weight = weight + F.when(agree, F.lit(wa)).otherwise(F.lit(wd))
+        agree_cnt = agree_cnt + agree.cast("int")
+    scored = pairs.select(
+        "id_a", "id_b", agree_cnt.alias("n_agree"),
+        F.round(weight, ndigits).alias("weight"),
+    )
+    w = Window.orderBy(
+        F.col("weight").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "id_a", "id_b", "n_agree", "weight")
+    )

@@ -1981,3 +1981,48 @@ def bm25_scores(
         .filter(F.col("rank") <= top_k)
         .select("term", "rank", id_col, "tf", "bm25")
     )
+
+
+def vocab_saturation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_batches: int = 10,
+) -> DataFrame:
+    """Vocabulary rarefaction curve: split the corpus into ``n_batches``
+    equal-population batches by ingestion order (id), and count how many
+    word n-grams appear for the FIRST time in each batch — the saturation
+    readout behind "is more data still buying new vocabulary?" (new-gram
+    counts that stop decaying mean the corpus is far from exhausting its
+    domain; a sharp decay justifies dedup/subsampling).
+
+    Plan: first-seen is min(batch) per gram — O(total grams) with
+    map-side combines, ONE shuffle on the hashed gram, never a
+    batch-by-batch rescan (the naive cumulative-distinct form scans the
+    corpus n_batches times). The batch split is ntile over the id — a
+    single-partition sort of a 2-column id projection (doc-table
+    cardinality, the W1-parity shape); at extreme scale the ingestion
+    batch is a real partition column and the ntile disappears.
+
+    Output: (batch, new_grams, cum_vocab)."""
+    w = Window.orderBy(F.col(id_col))
+    batched = df.select(
+        F.ntile(n_batches).over(w).alias("__b"), F.col(id_col), F.col(text_col)
+    )
+    grams = _with_grams(batched, "__b", text_col, n)
+    first_seen = (
+        grams.select("__b", F.explode("__grams").alias("g"))
+        .groupBy("g")
+        .agg(F.min("__b").alias("first_b"))
+        .groupBy(F.col("first_b").alias("batch"))
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    w_cum = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return first_seen.select(
+        "batch",
+        "new_grams",
+        F.sum("new_grams").over(w_cum).alias("cum_vocab"),
+    )

@@ -1523,3 +1523,119 @@ def funnel_stages_windowed(
         F.col("s.stage").alias("stage"),
         F.col("s.n_users").alias("n_users"),
     )
+
+
+def lead_lag_xcorr(
+    events: DataFrame,
+    ts_col: str,
+    type_col: str,
+    x_type: str,
+    y_type: str,
+    max_lag: int = 3,
+    bucket: str = "hour",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cross-correlation between two event-count series at lags
+    0..``max_lag`` buckets: r(k) = Pearson corr of (x(t), y(t+k)) — the
+    lead-lag screen behind "do clicks predict purchases an hour later".
+
+    Plan: ONE bucket aggregate collapses the raw stream to the hourly
+    count table (both series as conditional sums, zero-filled wherever
+    either type fired); the lag axis is a broadcast literal explode and
+    the shifted join runs on the bucket-cardinality table, so the fact
+    table crosses the wire once regardless of max_lag. Hours with no
+    events of either type are ABSENT (not zero) — a missing bucket drops
+    that (t, t+k) pair on both engines identically. Pearson r is
+    assembled from exact integer moments (n, Σx, Σy, Σxy, Σx², Σy²), so
+    the only doubles are the final products and divide — deterministic
+    across engines; products route through 1.0 before any long×long
+    multiply (ANSI overflow headroom at fleet scale).
+
+    Output: (lag, n_buckets, r)."""
+    h = (
+        events.filter(F.col(type_col).isin([x_type, y_type]))
+        .groupBy(F.date_trunc(bucket, F.col(ts_col)).alias("h"))
+        .agg(
+            F.sum((F.col(type_col) == x_type).cast("long")).alias("x"),
+            F.sum((F.col(type_col) == y_type).cast("long")).alias("y"),
+        )
+        .localCheckpoint(eager=True)  # read on both sides of the lag join
+    )
+    lags = F.explode(
+        F.array(*[F.lit(k) for k in range(max_lag + 1)])
+    ).alias("lag")
+    left = h.select(lags, F.col("h").alias("t"), F.col("x").alias("xv"))
+    right = h.select(F.col("h").alias("t2"), F.col("y").alias("yv"))
+    # shifted-join key in epoch seconds: date_trunc'ed buckets are whole
+    # seconds, so t2 == t + lag·bucket_seconds is exact and stays in codegen
+    step = {"minute": 60, "hour": 3600, "day": 86400}[bucket]
+    pairs = left.join(
+        right,
+        F.col("t2").cast("long")
+        == F.col("t").cast("long") + F.col("lag") * step,
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("xv").alias("sx"),
+        F.sum("yv").alias("sy"),
+        F.sum(F.col("xv") * F.col("yv")).alias("sxy"),
+        F.sum(F.col("xv") * F.col("xv")).alias("sxx"),
+        F.sum(F.col("yv") * F.col("yv")).alias("syy"),
+    )
+    n = F.col("n_buckets")
+    num = n * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
+    den = F.sqrt(
+        (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
+        * (n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    )
+    return m.select(
+        "lag", "n_buckets", F.round(num / den, ndigits).alias("r")
+    ).orderBy("lag")
+
+
+def seasonality_anova(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hour-of-day seasonality strength per key: eta² — the share of the
+    value's variance explained by the hour-of-day factor (one-way ANOVA
+    between-group sum of squares over total) —
+
+        eta² = (Σ_h s_h²/n_h − S²/N) / (Σ v² − S²/N)
+
+    computed entirely from per-(key, hour-of-day) integer-cent moments
+    (n_h, Σv, Σv²): the raw stream collapses in ONE map-side-combinable
+    aggregate to ≤ 24 rows per key, and everything after is arithmetic on
+    that bounded table. The complement of ts_seasonal_baseline (which
+    SUBTRACTS the hourly profile; this MEASURES how much the profile
+    explains — the screen run before bothering to deseasonalize).
+
+    Output: (key, n, eta2)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    per_h = (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.hour(F.col(ts_col)).alias("hod"),
+            cents.alias("c"),
+        )
+        .groupBy("key", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_h"),
+            F.sum("c").alias("s_h"),
+            F.sum(F.col("c") * F.col("c")).alias("ss_h"),
+        )
+    )
+    per_key = per_h.groupBy("key").agg(
+        F.sum("n_h").alias("n"),
+        F.sum("s_h").alias("s"),
+        F.sum("ss_h").alias("ss"),
+        F.sum(F.col("s_h") * 1.0 * F.col("s_h") / F.col("n_h")).alias("sb"),
+    )
+    grand = F.col("s") * 1.0 * F.col("s") / F.col("n")
+    eta2 = (F.col("sb") - grand) / (F.col("ss") - grand)
+    return per_key.select(
+        F.col("key"), F.col("n"), F.round(eta2, ndigits).alias("eta2")
+    )

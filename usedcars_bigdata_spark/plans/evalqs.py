@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ext import dedup as X
+from ..ext import text as TX
 from ..ml import eval as ME
 from ..operators import graph as G
 from ..sources import load_table
@@ -373,3 +375,226 @@ def rel_common_nbrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     center node, collapsed to distinct candidate pairs BEFORE the
     adjacency anti-join; top-20 by (score DESC, a, b)."""
     return G.common_neighbors_topk(_copurchase_edges(spark, sf_dir), "pa", "pb")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: lead-lag screening, drift, corpus saturation,
+# probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+@query(
+    "ts_lead_lag_xcorr",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY 1
+    ),
+    l AS (SELECT unnest(range(0, 4)) AS lag),
+    p AS (
+      SELECT l.lag, a.x AS xv, b.y AS yv
+      FROM l
+      JOIN h a ON true
+      JOIN h b ON b.h = a.h + l.lag * INTERVAL 1 HOUR
+    ),
+    m AS (
+      SELECT lag, count(*) AS n_buckets, sum(xv) AS sx, sum(yv) AS sy,
+             sum(xv * yv) AS sxy, sum(xv * xv) AS sxx, sum(yv * yv) AS syy
+      FROM p GROUP BY 1
+    )
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           round((n_buckets * 1.0 * sxy - sx * 1.0 * sy)
+                 / sqrt((n_buckets * 1.0 * sxx - sx * 1.0 * sx)
+                        * (n_buckets * 1.0 * syy - sy * 1.0 * sy)), 6) AS r
+    FROM m
+    """,
+)
+def ts_xcorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase lead-lag cross-correlation at 0-3 hour lags
+    (operators.timeseries.lead_lag_xcorr): the fact table collapses to
+    the hourly count table in one aggregate; the lag axis explodes from
+    a literal array and joins bucket-cardinality rows only. Pearson r
+    from exact integer moments."""
+    from ..operators.timeseries import lead_lag_xcorr
+
+    ev = load_table(spark, sf_dir, "events")
+    return lead_lag_xcorr(ev, "ts", "event_type", "click", "purchase", max_lag=3)
+
+
+@query(
+    "ts_seasonality_anova",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS key, EXTRACT(hour FROM ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    ph AS (
+      SELECT key, hod, count(*) AS n_h, sum(c) AS s_h, sum(c * c) AS ss_h
+      FROM c GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT key, sum(n_h) AS n, sum(s_h) AS s, sum(ss_h) AS ss,
+             sum(s_h * 1.0 * s_h / n_h) AS sb
+      FROM ph GROUP BY 1
+    )
+    SELECT key, CAST(n AS BIGINT) AS n,
+           round((sb - s * 1.0 * s / n) / (ss - s * 1.0 * s / n), 6) AS eta2
+    FROM pk
+    """,
+)
+def ts_season_anova_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type
+    (operators.timeseries.seasonality_anova): one-way-ANOVA eta² from
+    per-(key, hour-of-day) integer-cent moments — ≤24 rows per key after
+    the single combinable aggregate. The measure-before-deseasonalize
+    screen next to ts_seasonal_baseline."""
+    from ..operators.timeseries import seasonality_anova
+
+    ev = load_table(spark, sf_dir, "events")
+    return seasonality_anova(ev, "ts", "event_type", "value")
+
+
+@query(
+    "rel_feature_drift_ks",
+    oracle="""
+    WITH scored AS (
+      SELECT o_orderpriority,
+             CAST(o_orderdate >= DATE '1998-06-01' AS INTEGER) AS label,
+             o_totalprice AS score
+      FROM orders
+    ),
+    ps AS (
+      SELECT o_orderpriority AS g, score, sum(label) AS p, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g,
+             sum(p) OVER (PARTITION BY g ORDER BY score
+                          ROWS UNBOUNDED PRECEDING) AS cp,
+             sum(n - p) OVER (PARTITION BY g ORDER BY score
+                              ROWS UNBOUNDED PRECEDING) AS cn,
+             sum(p) OVER (PARTITION BY g) AS n_pos,
+             sum(n - p) OVER (PARTITION BY g) AS n_neg
+      FROM ps
+    )
+    SELECT g AS o_orderpriority,
+           CAST(max(n_pos) AS BIGINT) AS n_recent,
+           CAST(max(n_neg) AS BIGINT) AS n_past,
+           round(max(abs(cp * 1.0 / n_pos - cn * 1.0 / n_neg)), 6) AS ks_drift
+    FROM cum GROUP BY 1
+    """,
+)
+def rel_drift_ks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-drift KS per priority: the two-sample KS distance between
+    the order-value distributions BEFORE and SINCE 1998-06-01 — the
+    period indicator IS a binary label, so this is ml.eval.ks_statistic
+    reused verbatim (operator composability: one metric kernel serves
+    both model-score power and feature drift). Complements
+    rel_psi_drift's binned form with the exact-CDF form."""
+    from ..ml.eval import ks_statistic
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (F.col("o_orderdate") >= F.lit("1998-06-01").cast("date"))
+        .cast("int")
+        .alias("label"),
+        F.col("o_totalprice").alias("score"),
+    )
+    return ks_statistic(o, "label", "score", "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("n_pos").alias("n_recent"),
+        F.col("n_neg").alias("n_past"),
+        F.col("ks").alias("ks_drift"),
+    )
+
+
+@query(
+    "ext_vocab_saturation",
+    oracle="""
+    WITH b AS (
+      SELECT ntile(10) OVER (ORDER BY doc_id) AS bb, text FROM documents
+    ),
+    t AS (SELECT bb, string_split_regex(trim(text), '\\s+') AS w FROM b),
+    g AS (
+      SELECT bb, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM (SELECT bb, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    fs AS (SELECT gram, min(bb) AS batch FROM g GROUP BY 1),
+    nb AS (SELECT batch, count(*) AS new_grams FROM fs GROUP BY 1)
+    SELECT CAST(batch AS INTEGER) AS batch,
+           CAST(new_grams AS BIGINT) AS new_grams,
+           CAST(sum(new_grams) OVER (ORDER BY batch
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_vocab
+    FROM nb
+    """,
+)
+def ext_vocab_sat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary rarefaction over 10 ingestion-order batches
+    (ext.text.vocab_saturation): first-seen = min(batch) per word 3-gram,
+    O(total grams) with one shuffle on the hashed gram — never a
+    batch-by-batch rescan. The is-more-data-still-new readout next to
+    dup_gram_fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.vocab_saturation(docs, "doc_id", "text", n=3, n_batches=10)
+
+
+@query(
+    "ext_fs_match_scores",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_size, p_name, p_type,
+             CAST(round(p_retailprice) AS BIGINT) AS pr
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                  THEN 1 ELSE 0 END AS ag1,
+             CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS ag2,
+             CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS ag3
+      FROM p a
+      JOIN p b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+              AND a.p_partkey < b.p_partkey
+    ),
+    s AS (
+      SELECT id_a, id_b,
+             CAST(ag1 + ag2 + ag3 AS INTEGER) AS n_agree,
+             round(0.0 + CASE WHEN ag1 = 1 THEN CAST(4.169925001442312 AS DOUBLE) ELSE CAST(-3.2479275134435857 AS DOUBLE) END
+                 + CASE WHEN ag2 = 1 THEN CAST(2.0874628412503395 AS DOUBLE) ELSE CAST(-2.4150374992788435 AS DOUBLE) END
+                 + CASE WHEN ag3 = 1 THEN CAST(1.222392421336448 AS DOUBLE) ELSE CAST(-1.2223924213364477 AS DOUBLE) END, 6)
+               AS weight
+      FROM pairs
+    )
+    SELECT CAST(row_number() OVER (ORDER BY weight DESC, id_a ASC, id_b ASC)
+                AS INTEGER) AS rank,
+           id_a, id_b, n_agree, weight
+    FROM s
+    QUALIFY rank <= 50
+    """,
+)
+def ext_fs_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage scores
+    (ext.dedup.fs_match_scores): parts blocked on (brand, size); three
+    comparison fields — name within 4 edits (m=0.9, u=0.05), exact type
+    (0.85, 0.2), exact rounded price (0.7, 0.3) — sum their log2
+    likelihood-ratio weights, PRE-COMPUTED as double literals so both
+    engines add identical constants. Top-50 review queue by
+    (weight DESC, id_a, id_b). The scoring stage the ER stack thresholds
+    BEFORE transitive closure; EM-fitted m/u is the named upgrade."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "pr", F.round("p_retailprice").cast("long")
+    )
+    return X.fs_match_scores(
+        p,
+        "p_partkey",
+        ["p_brand", "p_size"],
+        [("p_name", 4, 0.9, 0.05), ("p_type", "exact", 0.85, 0.2),
+         ("pr", "exact", 0.7, 0.3)],
+        top_k=50,
+    )
