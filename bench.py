@@ -154,6 +154,10 @@ BENCH_QUERIES = [
     "rel_feature_drift_ks",
     "ext_vocab_saturation",
     "ext_fs_match_scores",
+    "ext_prefix_filter_jaccard",
+    "ext_matryoshka_recall",
+    "rel_neyman_allocation",
+    "rel_golden_record",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -111,3 +111,87 @@ def test_fs_match_scores_hand_weights(spark):
     assert abs(got[(1, 3)].weight - round(wd_name + wd_typ, 6)) < 1e-9
     # full agreement ranks first
     assert got[(1, 2)].rank == 1
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """Prefix filtering must lose NO pair above the threshold — compare
+    against the full-index jaccard_pairs on an adversarial fixture with
+    shared rare and common shingles."""
+    from usedcars_bigdata_spark.ext.dedup import (
+        jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        word_shingles,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),   # high overlap with 1
+        (3, "alpha beta gamma theta iota kappa"),    # medium overlap
+        (4, "completely different words entirely here now"),
+        (5, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    sh = word_shingles(df, "doc_id", "text", n=3, hashed=True)
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(sh, "doc_id", threshold=0.3).collect()
+    }
+    assert got == want and (1, 5) in got and got[(1, 5)] == 1.0
+
+
+def test_neyman_allocation_proportional_to_n_times_std(spark):
+    from usedcars_bigdata_spark.operators.sample import neyman_allocation
+
+    # stratum a: constant values (std 0) -> alloc 0;
+    # stratum b: spread; stratum c: same spread, double the rows -> 2x weight
+    rows = (
+        [("a", 10)] * 50
+        + [("b", 0), ("b", 20)] * 25
+        + [("c", 0), ("c", 20)] * 50
+    )
+    df = spark.createDataFrame(rows, ["s", "v"])
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "v", 300).collect()}
+    assert out["a"].alloc == 0 and out["a"].std == 0.0
+    assert out["b"].std == out["c"].std == 10.0
+    # weights b:c = (50*10):(100*10) = 1:2 -> allocs 100 and 200
+    assert out["b"].alloc == 100 and out["c"].alloc == 200
+    assert abs(out["b"].weight - round(1 / 3, 6)) < 1e-9
+
+
+def test_golden_record_latest_nonnull(spark):
+    from usedcars_bigdata_spark.ext.dedup import golden_record
+
+    rows = [
+        (1, 1, "a", None),
+        (1, 2, None, "x"),
+        (1, 3, "c", None),   # latest non-null name = c, latest addr = x
+        (2, 1, None, None),  # all-null entity -> nulls survive
+    ]
+    df = spark.createDataFrame(rows, ["eid", "ver", "name", "addr"])
+    out = {r.entity: r for r in golden_record(df, "eid", "ver", ["name", "addr"]).collect()}
+    assert out[1].name == "c" and out[1].addr == "x"
+    assert out[2].name is None and out[2].addr is None
+    assert len(out) == 2
+
+
+def test_matryoshka_recall_full_prefix_is_perfect(spark):
+    """If the trailing dims are ZERO, truncating to the non-zero prefix
+    cannot change any cosine -> recall 1.0 at that dim."""
+    import random
+
+    from usedcars_bigdata_spark.ext.similarity import matryoshka_recall
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)] + [0.0] * 48)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qs = df.filter("vec_id < 5")
+    out = {r.dim: r.recall for r in matryoshka_recall(df, qs, dims=(8, 16, 32), k=5).collect()}
+    assert out[16] == 1.0 and out[32] == 1.0
+    assert 0.0 <= out[8] <= 1.0

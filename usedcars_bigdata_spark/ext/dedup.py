@@ -1522,3 +1522,133 @@ def fs_match_scores(
         .filter(F.col("rank") <= top_k)
         .select("rank", "id_a", "id_b", "n_agree", "weight")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    shingle_col: str = "shingle",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (Chaudhuri/Ganti/Kaushik
+    2006; distributed form: Vernica, Carey & Li, SIGMOD 2010): for
+    Jaccard ≥ t, two sets must share at least one element among each
+    set's first ``|s| − ⌈t·|s|⌉ + 1`` elements under any GLOBAL total
+    order — so only the prefix is indexed, shrinking both the inverted
+    index and the candidate pair space vs the full-index self-join
+    (``jaccard_pairs``). This is the named scale upgrade for the exact
+    verification tier: at corpus scale the full index pairs every
+    co-occurring shingle, while the prefix index pairs only the rare
+    ones.
+
+    The global order is (document frequency ASC, shingle ASC) — rarest
+    first, the canonical choice: prefixes land on low-df shingles, so
+    candidate lists stay short. The order is realized WITHOUT a global
+    rank: each document sorts its own (df, shingle) pairs locally
+    (array_sort on a doc-bounded list) and slices its prefix.
+
+    Plan: one groupBy for df, one shuffle back onto shingles, a per-doc
+    sort of doc-length-bounded arrays, candidate generation on the
+    exploded prefix (self-join a<b, distinct), then verification joins
+    the two FULL sets (array_intersect on broadcast-friendly sorted
+    arrays) — emitted pairs carry exact Jaccard, provably identical to
+    the brute-force join (the oracle IS the brute force).
+
+    Output: (id_a, id_b, jaccard) — pairs with jaccard ≥ threshold."""
+    sh = shingles.select(F.col(id_col).alias("__id"), F.col(shingle_col).alias("__s"))
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    sets = (
+        sh.join(dfreq, "__s")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+            ).alias("__arr")
+        )
+        .select(
+            "__id",
+            F.expr("transform(__arr, e -> e.__s)").alias("__set"),
+            F.size("__arr").alias("__n"),
+        )
+        .localCheckpoint(eager=True)  # read by candidates AND both verify sides
+    )
+    # prefix length: n - ceil(t*n) + 1
+    plen = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    prefixes = sets.select(
+        "__id", F.explode(F.slice("__set", F.lit(1), plen)).alias("__p")
+    )
+    cands = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.__p") == F.col("b.__p"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    left = sets.select(
+        F.col("__id").alias("id_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("__na"),
+    )
+    right = sets.select(
+        F.col("__id").alias("id_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    jac = inter * 1.0 / (F.col("__na") + F.col("__nb") - inter)
+    return (
+        cands.join(left, "id_a")
+        .join(right, "id_b")
+        .select("id_a", "id_b", F.round(jac, ndigits).alias("jaccard"), jac.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .drop("__j")
+    )
+
+
+def golden_record(
+    df: DataFrame,
+    entity_col: str,
+    order_col: str,
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Survivorship / golden-record construction: one row per entity
+    where each attribute carries its LATEST NON-NULL value across the
+    entity's versions (ordered by ``order_col``) — the canonical
+    most-recent-wins merge policy an MDM/ER pipeline applies after
+    matching, tolerant of sparse updates that only touch some fields.
+
+    Plan: last(attr, ignorenulls=True) over the entity window bounded
+    UNBOUNDED..UNBOUNDED, then one row kept per entity — a single
+    shuffle on the entity key, every attribute resolved in the same
+    window pass (no per-attribute join or self-union). Per-field
+    policies (max-by-quality, source priority) swap the window function,
+    not the plan shape.
+
+    Output: (entity, <attr_cols...>) — one row per entity."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    picked = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(order_col).alias("__o"),
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in attr_cols
+        ],
+    )
+    wr = Window.partitionBy("entity").orderBy(F.col("__o").desc())
+    return (
+        picked.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select("entity", *attr_cols)
+    )

@@ -1076,3 +1076,99 @@ def max_cosine_vs_matrix(ref_ids: np.ndarray, ref_mat: np.ndarray):
         return pd.Series(scores.max(axis=1))
 
     return max_cos
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: tuple = (8, 16, 32),
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 4,
+) -> DataFrame:
+    """Matryoshka truncation sweep: recall@k of TRUNCATED-dimension
+    cosine top-k against the full-dimension exact top-k, per prefix
+    width — the readout behind "how many leading dims does this
+    embedding family need for retrieval" (Kusupati et al. 2022; MRL
+    embeddings are trained so prefixes remain usable — this measures
+    whether a given corpus actually delivers that).
+
+    ONE Arrow pass over the corpus scores every (query, dim) pair: the
+    query block ships by value (capture-by-value convention), each batch
+    is a prefix-sliced matmul per dim — the corpus is read once and no
+    pair row materializes outside the batch. Ranking uses the ROUNDED
+    cosine (6 digits) with id tie-break, so FP summation-order drift
+    (~1e-16) cannot flip the selected set vs a fold-based oracle.
+
+    Output: (dim, recall) — recall = |top-k(dim) ∩ top-k(full)| /
+    (n_queries · k), rounded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([int(r[0]) for r in qrows])
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    full_dim = qmat.shape[1]
+    all_dims = sorted(set(list(dims) + [full_dim]))
+    n_q = len(qids)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            out_id, out_q, out_d, out_c = [], [], [], []
+            for d in all_dims:
+                qd = qmat[:, :d]
+                md = mat[:, :d]
+                qn = qd / np.maximum(
+                    np.linalg.norm(qd, axis=1, keepdims=True), 1e-12
+                )
+                mn = md / np.maximum(
+                    np.linalg.norm(md, axis=1, keepdims=True), 1e-12
+                )
+                cos = mn @ qn.T  # (batch, n_q)
+                for qi in range(len(qids)):
+                    out_id.append(ids)
+                    out_q.append(np.full(len(ids), qids[qi]))
+                    out_d.append(np.full(len(ids), d))
+                    out_c.append(cos[:, qi])
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": np.concatenate(out_id),
+                    "query_id": np.concatenate(out_q),
+                    "dim": np.concatenate(out_d).astype("int32"),
+                    "cos": np.concatenate(out_c),
+                }
+            )
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .mapInPandas(
+            score, "neighbor_id long, query_id long, dim int, cos double"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.round("cos", 6).desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("query_id", "dim", "neighbor_id")
+        .localCheckpoint(eager=True)  # read as both the probe and reference side
+    )
+    full = top.filter(F.col("dim") == full_dim).select(
+        "query_id", "neighbor_id"
+    )
+    matched = (
+        top.filter(F.col("dim") != full_dim)
+        .join(full, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    return matched.select(
+        "dim",
+        F.round(F.col("__m") * 1.0 / (n_q * k), ndigits).alias("recall"),
+    )

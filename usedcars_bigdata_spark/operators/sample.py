@@ -48,3 +48,50 @@ def stratified_sample(
     ``fractions`` are dropped (fraction 0.0). Always seeded: reruns and
     retried tasks must sample identically."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a total budget,
+    each stratum gets n_h ∝ N_h·S_h (population size × within-stratum
+    standard deviation) — the allocation minimizing the variance of the
+    stratified mean estimator (Neyman 1934). The design step a sampling
+    pipeline runs BEFORE drawing: proportional allocation oversamples
+    homogeneous strata; this spends budget where the variance is.
+
+    One map-side-combinable aggregate collapses the table to per-stratum
+    integer moments (n, Σv, Σv²); S_h, weights, and the rounded
+    allocation are arithmetic on the strata-cardinality table (population
+    SD from exact moments — the only doubles are final divisions).
+
+    Output: (stratum, n_stratum, std, weight, alloc)."""
+    from pyspark.sql import functions as F
+
+    m = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_stratum"),
+        F.sum(F.col(value_col)).alias("__s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"),
+    )
+    var = (F.col("__ss") - F.col("__s") * 1.0 * F.col("__s") / F.col("n_stratum")) / F.col(
+        "n_stratum"
+    )
+    m = m.withColumn("__sd", F.sqrt(F.greatest(var, F.lit(0.0))))
+    m = m.withColumn("__w", F.col("n_stratum") * F.col("__sd"))
+    tot = m.agg(F.sum("__w").alias("__wt"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_stratum",
+            F.round("__sd", ndigits).alias("std"),
+            F.round(F.col("__w") / F.col("__wt"), ndigits).alias("weight"),
+            F.round(F.lit(total_n) * F.col("__w") / F.col("__wt"), 0)
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

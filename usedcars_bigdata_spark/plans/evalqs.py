@@ -598,3 +598,221 @@ def ext_fs_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("pr", "exact", 0.7, 0.3)],
         top_k=50,
     )
+
+
+@query(
+    "ext_prefix_filter_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter * 1.0 / (na.n_sh + nb.n_sh - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    """,
+)
+def ext_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join
+    (ext.dedup.prefix_filter_jaccard_pairs, Vernica/Carey/Li SIGMOD'10):
+    only each document's df-ascending PREFIX is indexed, so the candidate
+    space shrinks to pairs sharing a RARE shingle; verification joins the
+    full sets. The oracle is deliberately the SAME brute-force full-index
+    join that backs ext_dedup_ngram_jaccard — a green row certifies the
+    prefix filter loses NO pair above the threshold (the pigeonhole
+    completeness guarantee), while the engine's plan indexes a fraction
+    of the shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    return X.prefix_filter_jaccard_pairs(sh, "doc_id", threshold=0.2)
+
+
+@query(
+    "ext_matryoshka_recall",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    d AS (SELECT unnest([8, 16, 32, 64]) AS dim),
+    scored AS (
+      SELECT d.dim, q.qid, c.nid,
+             round(list_dot_product(list_slice(q.qv, 1, d.dim),
+                                    list_slice(c.cv, 1, d.dim))
+                   / (sqrt(list_dot_product(list_slice(q.qv, 1, d.dim),
+                                            list_slice(q.qv, 1, d.dim)))
+                      * sqrt(list_dot_product(list_slice(c.cv, 1, d.dim),
+                                              list_slice(c.cv, 1, d.dim)))),
+                   6) AS cos
+      FROM d CROSS JOIN q JOIN c ON c.nid <> q.qid
+    ),
+    top AS (
+      SELECT dim, qid, nid,
+             row_number() OVER (PARTITION BY dim, qid
+                                ORDER BY cos DESC, nid ASC) AS rn
+      FROM scored
+    ),
+    t5 AS (SELECT dim, qid, nid FROM top WHERE rn <= 5),
+    full5 AS (SELECT qid, nid FROM t5 WHERE dim = 64),
+    m AS (
+      SELECT t.dim, count(*) AS matched
+      FROM t5 t JOIN full5 f ON f.qid = t.qid AND f.nid = t.nid
+      WHERE t.dim <> 64
+      GROUP BY 1
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(matched / (10 * 5.0), 4) AS recall
+    FROM m
+    """,
+)
+def ext_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall sweep
+    (ext.similarity.matryoshka_recall): recall@5 of prefix-dimension
+    cosine retrieval (dims 8/16/32) against the full 64-dim exact top-5,
+    over the first 10 vectors as queries. One Arrow matmul pass scores
+    every (query, dim); ranking on the ROUNDED cosine with id tie-break
+    keeps numpy-vs-fold summation drift out of the selected sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    from ..ext import similarity as SIM
+
+    return SIM.matryoshka_recall(emb, qs, dims=(8, 16, 32), k=5)
+
+
+@query(
+    "rel_neyman_allocation",
+    oracle="""
+    WITH m AS (
+      SELECT source AS stratum, count(*) AS n_stratum,
+             sum(n_chars) AS s, sum(n_chars * n_chars) AS ss
+      FROM documents GROUP BY 1
+    ),
+    v AS (
+      SELECT stratum, n_stratum,
+             sqrt(greatest((ss - s * 1.0 * s / n_stratum) / n_stratum, 0.0))
+               AS sd
+      FROM m
+    ),
+    w AS (SELECT *, n_stratum * sd AS wgt FROM v),
+    t AS (SELECT sum(wgt) AS wt FROM w)
+    SELECT stratum,
+           CAST(n_stratum AS BIGINT) AS n_stratum,
+           round(sd, 6) AS std,
+           round(wgt / t.wt, 6) AS weight,
+           CAST(round(200.0 * wgt / t.wt, 0) AS BIGINT) AS alloc
+    FROM w CROSS JOIN t
+    """,
+)
+def rel_neyman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified allocation of a 200-doc sample budget
+    across document sources (operators.sample.neyman_allocation):
+    n_h ∝ N_h·S_h from exact per-stratum integer moments — the variance-
+    minimizing design step ahead of the stratified/weighted samplers
+    already in the registry."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.sample import neyman_allocation
+
+    return neyman_allocation(docs, "source", "n_chars", total_n=200)
+
+
+@query(
+    "rel_golden_record",
+    oracle="""
+    WITH f AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+             l_quantity,
+             md5('v:' || CAST(l_orderkey AS VARCHAR) || ':'
+                 || CAST(l_linenumber AS VARCHAR) || ':'
+                 || l_returnflag || ':' || l_linestatus || ':'
+                 || CAST(round(l_quantity) AS VARCHAR)) AS fp
+      FROM lineitem
+    ),
+    v AS (
+      SELECT l_orderkey,
+             lpad(CAST(l_linenumber AS VARCHAR), 2, '0') || ':' || fp AS ver,
+             CASE WHEN CAST('0x' || substr(md5('m1:' || fp), 1, 8)
+                       AS BIGINT) % 10 < 3
+                  THEN NULL ELSE l_returnflag END AS flag,
+             CASE WHEN CAST('0x' || substr(md5('m2:' || fp), 1, 8)
+                       AS BIGINT) % 10 < 4
+                  THEN NULL ELSE l_linestatus END AS stat,
+             CASE WHEN CAST('0x' || substr(md5('m3:' || fp), 1, 8)
+                       AS BIGINT) % 10 < 5
+                  THEN NULL
+                  ELSE CAST(round(l_quantity) AS BIGINT) END AS qty
+      FROM f
+    ),
+    g AS (
+      SELECT l_orderkey AS entity, ver,
+             last_value(flag IGNORE NULLS) OVER w AS flag,
+             last_value(stat IGNORE NULLS) OVER w AS stat,
+             last_value(qty IGNORE NULLS) OVER w AS qty
+      FROM v
+      WINDOW w AS (PARTITION BY l_orderkey ORDER BY ver
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT entity, flag, stat, qty
+    FROM g
+    QUALIFY row_number() OVER (PARTITION BY entity ORDER BY ver DESC) = 1
+    """,
+)
+def rel_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (ext.dedup.golden_record): per order,
+    each attribute's latest non-null value across its line versions —
+    attributes are deterministically MASKED to null at 30/40/50% rates
+    (md5 gate on a per-row fingerprint, replayed by the oracle) so the
+    ignore-nulls window machinery is exercised for real. The version
+    order is (linenumber, row fingerprint): the harness lineitem has
+    DUPLICATE linenumbers per order, so a bare linenumber sort is not a
+    total order and the surviving value would be engine-dependent —
+    exactly the nondeterminism a survivorship policy must engineer out
+    (full-duplicate rows may still tie, but ties then carry identical
+    values). One shuffle on the entity key resolves every attribute."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fp = F.md5(
+        F.concat_ws(
+            ":",
+            F.lit("v"),
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.round("l_quantity").cast("string"),
+        )
+    )
+
+    def gate(salt: str, pct: int):
+        h = F.substring(F.md5(F.concat(F.lit(salt), F.col("__fp"))), 1, 8)
+        return F.pmod(F.conv(h, 16, 10).cast("long"), F.lit(10)) < pct
+
+    v = li.withColumn("__fp", fp).select(
+        "l_orderkey",
+        F.concat(
+            F.lpad(F.col("l_linenumber").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.col("__fp"),
+        ).alias("ver"),
+        F.when(gate("m1:", 3), F.lit(None)).otherwise(F.col("l_returnflag")).alias("flag"),
+        F.when(gate("m2:", 4), F.lit(None)).otherwise(F.col("l_linestatus")).alias("stat"),
+        F.when(gate("m3:", 5), F.lit(None))
+        .otherwise(F.round("l_quantity").cast("long"))
+        .alias("qty"),
+    )
+    return X.golden_record(v, "l_orderkey", "ver", ["flag", "stat", "qty"])
