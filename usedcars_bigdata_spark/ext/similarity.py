@@ -1168,7 +1168,15 @@ def matryoshka_recall(
         .groupBy("dim")
         .agg(F.count(F.lit(1)).alias("__m"))
     )
-    return matched.select(
+    # left-join the dim axis so a dimension with ZERO overlap still emits
+    # an explicit recall-0 row (at harder corpus scales dim 8 really does
+    # miss every true neighbor — a silently absent row reads as untested)
+    axis = corpus.sparkSession.createDataFrame(
+        [(int(d),) for d in all_dims if d != full_dim], "dim int"
+    )
+    return axis.join(matched, "dim", "left").select(
         "dim",
-        F.round(F.col("__m") * 1.0 / (n_q * k), ndigits).alias("recall"),
+        F.round(
+            F.coalesce(F.col("__m"), F.lit(0)) * 1.0 / (n_q * k), ndigits
+        ).alias("recall"),
     )

@@ -676,9 +676,11 @@ def ext_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE t.dim <> 64
       GROUP BY 1
     )
-    SELECT CAST(dim AS INTEGER) AS dim,
-           round(matched / (10 * 5.0), 4) AS recall
-    FROM m
+    -- left-join the dim axis: zero-overlap dims emit an explicit 0.0 row
+    SELECT CAST(d.dim AS INTEGER) AS dim,
+           round(coalesce(m.matched, 0) / (10 * 5.0), 4) AS recall
+    FROM (SELECT unnest([8, 16, 32]) AS dim) d
+    LEFT JOIN m ON m.dim = d.dim
     """,
 )
 def ext_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
