@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "ext_matryoshka_recall",
     "rel_neyman_allocation",
     "rel_golden_record",
+    "ext_doremi_reweight",
+    "rel_median_ci",
+    "ts_stream_left_outer",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

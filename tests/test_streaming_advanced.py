@@ -476,3 +476,78 @@ def test_late_data_contract_pinned(spark, sf_dir):
     assert r.dropped_by_watermark_metric == 0
     assert r.late_range_windows_emitted > 0
     assert r.total_emitted >= r.late_range_windows_emitted
+
+
+def test_stream_left_outer_join_matched_and_null_rows(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows equal the
+    batch inner join; null rows appear ONLY for clicks with no purchase
+    within the gap AND only once the watermark has provably passed
+    click_ts + gap; no click emits both a match and a null row."""
+    import datetime as dt
+    import time
+
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.streaming.joins import (
+        clicks_left_outer_purchases,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    # file 1: u1 click matched 30min later; u2 click NEVER matched
+    f1 = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + 30 * m, 1, "purchase", 9.5),
+        (3, t0, 2, "click", 0.0),
+    ]
+    # file 2: u3 click matched; late event advances watermark far past
+    # u2's click+1h so its null row must flush
+    f2 = [
+        (4, t0 + 60 * m, 3, "click", 0.0),
+        (5, t0 + 90 * m, 3, "purchase", 4.0),
+        (6, t0 + 600 * m, 9, "view", 0.0),
+    ]
+    # file 3: LATE events on BOTH sides, far ahead. Two requirements the
+    # first cut of this test missed: (a) the watermark columns live AFTER
+    # the event_type filters, so a "view" row advances nothing; (b) the
+    # GLOBAL watermark is the MIN across both branch watermarks — a late
+    # click alone leaves the purchases branch (and thus the global
+    # watermark) stuck at its last purchase, and no state ever expires.
+    # Different users so the two late events don't match each other.
+    f3 = [(7, t0 + 1200 * m, 9, "click", 0.0),
+          (8, t0 + 1200 * m, 8, "purchase", 1.0)]
+    src = str(tmp_path / "ev")
+    rows_all = []
+    for rows in (f1, f2, f3):
+        rows_all += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    joined = clicks_left_outer_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lo_join_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("lo_join_test").collect()
+    matched = {(r.click_id, r.purchase_id) for r in out if r.purchase_id is not None}
+    nulls = {r.click_id for r in out if r.purchase_id is None}
+    assert matched == {(1, 2), (4, 5)}
+    # u2's click (id 3) expired far behind the final watermark -> null row
+    assert 3 in nulls
+    # no click both matched and null
+    assert not nulls & {c for c, _ in matched}

@@ -2026,3 +2026,67 @@ def vocab_saturation(
         "new_grams",
         F.sum("new_grams").over(w_cum).alias("cum_vocab"),
     )
+
+
+def doremi_reweight(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    eta: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023, the
+    practical shape): sources whose documents score WORSE under the
+    reference model get their mixture weight multiplied by
+    exp(eta · excess_loss) and the weights renormalize —
+
+        w_h ∝ prior_h · exp(η · (loss_h − loss_overall))
+
+    with the corpus-unigram LM standing in for the reference model (the
+    ``unigram_logprob_score`` machinery, already hash-certified) and the
+    document-count share as the prior. The full DoReMi loop alternates
+    proxy-model training with this update; ONE step over fixed scores is
+    the deterministic, hash-checkable core a data pipeline actually
+    executes per iteration.
+
+    Plan: per-doc scores (two partial-aggregated corpus passes) → one
+    source-cardinality aggregate → broadcast scalar baseline → arithmetic.
+    Per-doc avg_logp enters ROUNDED (4 digits, the score contract), so
+    both engines average identical inputs and the only drift is ~1 ulp
+    on a |sources|-sized softmax — 9 orders under the rounding grid.
+
+    Output: (source, n_docs, mean_loss, excess, weight)."""
+    scores = unigram_logprob_score(df, id_col, text_col)
+    with_src = scores.join(
+        df.select(F.col(id_col), F.col(source_col).alias("source")), id_col
+    )
+    per_src = with_src.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(-F.col("avg_logp")).alias("__loss"),
+    )
+    overall = with_src.agg(
+        F.avg(-F.col("avg_logp")).alias("__base"),
+        F.count(F.lit(1)).alias("__n_all"),
+    )
+    raw = per_src.crossJoin(F.broadcast(overall)).select(
+        "source",
+        "n_docs",
+        "__loss",
+        (F.col("__loss") - F.col("__base")).alias("__excess"),
+        (
+            (F.col("n_docs") * 1.0 / F.col("__n_all"))
+            * F.exp(F.lit(eta) * (F.col("__loss") - F.col("__base")))
+        ).alias("__w"),
+    )
+    z = raw.agg(F.sum("__w").alias("__z"))
+    return (
+        raw.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("__loss", ndigits).alias("mean_loss"),
+            F.round("__excess", ndigits).alias("excess"),
+            F.round(F.col("__w") / F.col("__z"), ndigits).alias("weight"),
+        )
+    )

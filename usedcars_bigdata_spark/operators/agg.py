@@ -189,3 +189,66 @@ def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Data
 
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> DataFrame:
     return df.rollup(*keys).agg(*aggs)
+
+
+def median_ci(
+    df,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    z: float = 1.96,
+    ndigits: int = 4,
+):
+    """Distribution-free confidence interval for the median via ORDER
+    STATISTICS (the binomial/sign-test bound): with n observations, the
+    95% CI for the median is [x_(k_lo), x_(k_hi)] where
+
+        k_lo = ⌊(n − z·√n) / 2⌋,  k_hi = ⌈1 + (n + z·√n) / 2⌉
+
+    — no distributional assumption, no bootstrap replicates; the interval
+    comes straight from two ranks. The cheap companion to
+    ts_bootstrap_ci: one sort per group and three conditional picks.
+
+    Plan: rank over (group → value, tiebreak) + a frameless count window
+    share one exchange; the k-th values come out of a single conditional
+    aggregate (max(when(rn = k, v))) — no self-join, no collect. Exact
+    order statistics; the only float is z·√n, whose floor/ceil could flip
+    only at measure-zero boundaries.
+
+    Output: (group, n, median, ci_lo, ci_hi)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(tiebreak_col).asc()
+    )
+    wn = Window.partitionBy(group_col)
+    ranked = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    half = F.lit(z) * F.sqrt(F.col("n") * 1.0)
+    # explicit floor, NOT a bare cast: Spark's double→long cast truncates
+    # while DuckDB's CAST rounds-to-nearest — at even n the lower median
+    # rank (n+1)/2 = k.5 landed one rank apart (caught by the hash check)
+    k_med = F.floor((F.col("n") + 1) / 2).cast("long")  # lower median
+    k_lo = F.greatest(
+        F.floor((F.col("n") - half) / 2).cast("long"), F.lit(1)
+    )
+    k_hi = F.least(
+        F.ceil(1.0 + (F.col("n") + half) / 2).cast("long"), F.col("n")
+    )
+    picked = ranked.select(
+        "grp",
+        "n",
+        F.when(F.col("rn") == k_med, F.col("v")).alias("__m"),
+        F.when(F.col("rn") == k_lo, F.col("v")).alias("__l"),
+        F.when(F.col("rn") == k_hi, F.col("v")).alias("__h"),
+    )
+    return picked.groupBy("grp", "n").agg(
+        F.round(F.max("__m"), ndigits).alias("median"),
+        F.round(F.max("__l"), ndigits).alias("ci_lo"),
+        F.round(F.max("__h"), ndigits).alias("ci_hi"),
+    )

@@ -818,3 +818,120 @@ def rel_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty"),
     )
     return X.golden_record(v, "l_orderkey", "ver", ["flag", "stat", "qty"])
+
+
+@query(
+    "ext_doremi_reweight",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, count(*) AS n_tok FROM t GROUP BY tok
+    ), tot AS (
+      SELECT sum(n_tok) AS n_total FROM c
+    ), p AS (
+      SELECT tok, ln(n_tok * 1.0 / n_total) AS logp FROM c, tot
+    ), pd AS (
+      SELECT t.doc_id, round(avg(p.logp), 4) AS avg_logp
+      FROM t JOIN p USING (tok) GROUP BY t.doc_id
+    ), ws AS (
+      SELECT d.source, pd.avg_logp
+      FROM pd JOIN documents d USING (doc_id)
+    ), ps AS (
+      SELECT source, count(*) AS n_docs, avg(-avg_logp) AS loss
+      FROM ws GROUP BY 1
+    ), o AS (
+      SELECT avg(-avg_logp) AS base, count(*) AS n_all FROM ws
+    ), raw AS (
+      SELECT source, n_docs, loss, loss - base AS excess,
+             (n_docs * 1.0 / n_all) * exp(1.0 * (loss - base)) AS w
+      FROM ps CROSS JOIN o
+    ), z AS (SELECT sum(w) AS zz FROM raw)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(loss, 6) AS mean_loss,
+           round(excess, 6) AS excess,
+           round(w / z.zz, 6) AS weight
+    FROM raw CROSS JOIN z
+    """,
+)
+def ext_doremi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (ext.text.doremi_reweight,
+    Xie et al. 2023): sources scoring worse under the corpus-unigram
+    reference LM get weight × exp(η·excess_loss), renormalized — the
+    mixture update an LLM data pipeline runs per proxy iteration. Builds
+    on the hash-certified unigram scorer; per-doc scores enter ROUNDED so
+    both engines average identical inputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.doremi_reweight(docs, "doc_id", "text", "source", eta=1.0)
+
+
+@query(
+    "rel_median_ci",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           round(max(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                          THEN v END), 4) AS median,
+           round(max(CASE WHEN rn = greatest(
+                       CAST(floor((n - 1.96 * sqrt(n)) / 2) AS BIGINT), 1)
+                          THEN v END), 4) AS ci_lo,
+           round(max(CASE WHEN rn = least(
+                       CAST(ceil(1.0 + (n + 1.96 * sqrt(n)) / 2) AS BIGINT),
+                       n)
+                          THEN v END), 4) AS ci_hi
+    FROM r GROUP BY grp, n
+    """,
+)
+def rel_median_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free median CI per priority (operators.agg.median_ci):
+    the binomial/sign-test order-statistic bound — the interval comes from
+    two ranks, no bootstrap replicates (ts_bootstrap_ci costs B×n draws;
+    this is one sort and three conditional picks). Rank and count windows
+    share one exchange."""
+    from ..operators.agg import median_ci
+
+    o = load_table(spark, sf_dir, "orders")
+    return median_ci(o, "o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+@query("ts_stream_left_outer")
+def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join, contract-visible
+    (streaming.joins.clicks_left_outer_purchases): clicks with their
+    attributed purchases PLUS a null-purchase row for clicks proven
+    unmatched (watermark passed click_ts + 1h). Rows-only by nature:
+    null-row emission depends on watermark advancement across micro-batch
+    boundaries, and clicks inside the final horizon never emit — the
+    batch-twin subset/superset properties are pytest-pinned instead
+    (tests/test_streaming_advanced.py)."""
+    from ..streaming.events import read_event_stream
+    from ..streaming.joins import clicks_left_outer_purchases
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_left_outer_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = read_event_stream(spark, sf_dir)
+    joined = clicks_left_outer_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+        watermark="2 hours",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -90,3 +90,54 @@ def enrich_with_tiers(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def clicks_left_outer_purchases(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER event-time interval join: every click emits — matched
+    rows as they join, UNMATCHED clicks with null purchase columns once
+    the watermark passes click_ts + max_gap (only then can Spark prove no
+    matching purchase can still arrive). The conversion-attribution shape
+    where non-converting impressions matter as much as conversions.
+
+    Streaming caveats the inner-join entry doesn't have: null-emission
+    TIMING depends on watermark advancement, i.e. on micro-batch
+    boundaries — and clicks still inside the final watermark horizon at
+    end-of-stream never emit their null row (availableNow does not flush
+    unexpired state). The GLOBAL watermark is the MIN across both branch
+    watermarks (and the watermark columns sit after the event-type
+    filters), so a quiet purchase side pins the global watermark and
+    defers every null row — the stalled-side hazard to monitor in a real
+    deployment (measured in the property test: a click-only late batch
+    evicted nothing). The emitted SET is still a deterministic function
+    of the data given deterministic batch boundaries (the mtime-stamped
+    single-file source), which is what the rows-only contract entry and
+    the batch-twin property test pin."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (c.user_id == p.p_user_id)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return c.join(p, cond, "leftOuter").select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
