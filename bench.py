@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "ext_doremi_reweight",
     "rel_median_ci",
     "ts_stream_left_outer",
+    "ts_rate_limit_tokens",
+    "rel_correlation_matrix",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

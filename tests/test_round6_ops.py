@@ -195,3 +195,49 @@ def test_matryoshka_recall_full_prefix_is_perfect(spark):
     out = {r.dim: r.recall for r in matryoshka_recall(df, qs, dims=(8, 16, 32), k=5).collect()}
     assert out[16] == 1.0 and out[32] == 1.0
     assert 0.0 <= out[8] <= 1.0
+
+
+def test_token_bucket_hand_computed(spark):
+    """Capacity 2, refill 1 token/hour: burst drains the bucket, the
+    limiter rejects until refill accrues, idle time re-fills to cap."""
+    from usedcars_bigdata_spark.operators.timeseries import (
+        token_bucket_admission,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 7),               # full (2) -> admit, 1 left
+        (2, t0 + 1 * m, 7),       # ~1 token -> admit, ~0 left
+        (3, t0 + 2 * m, 7),       # empty -> reject
+        (4, t0 + 65 * m, 7),      # >1h refill -> admit
+        (5, t0 + 300 * m, 7),     # idle 4h -> back at cap -> admit
+        (6, t0, 9),               # second key independent
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {
+        r.event_id: r
+        for r in token_bucket_admission(
+            df, "user_id", "ts", "event_id", rate_per_hour=1, capacity=2
+        ).collect()
+    }
+    assert [out[i].admitted for i in (1, 2, 3, 4, 5)] == [
+        True, True, False, True, True
+    ]
+    assert out[6].admitted is True
+    scale = 3_600_000_000
+    # after event 5 (4h idle, capped at 2, spend 1): exactly 1 token
+    assert out[5].tokens == 1 * scale
+    assert [out[i].rn for i in (1, 2, 3, 4, 5)] == [1, 2, 3, 4, 5]
+
+
+def test_correlation_matrix_known_values(spark):
+    from usedcars_bigdata_spark.operators.agg import correlation_matrix
+
+    rows = [(float(i), 2.0 * i + 1.0, float(-i), float(i % 2)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "w"])
+    out = {(r.col_a, r.col_b): r for r in correlation_matrix(df, ["x", "y", "z", "w"]).collect()}
+    assert len(out) == 6 and all(r.n == 100 for r in out.values())
+    assert out[("x", "y")].r == 1.0     # exact linear
+    assert out[("x", "z")].r == -1.0    # exact anti-linear
+    assert abs(out[("x", "w")].r) < 0.05  # near-independent parity bit

@@ -252,3 +252,56 @@ def median_ci(
         F.round(F.max("__l"), ndigits).alias("ci_lo"),
         F.round(F.max("__h"), ndigits).alias("ci_hi"),
     )
+
+
+def correlation_matrix(
+    df,
+    value_cols,
+    ndigits: int = 6,
+):
+    """Pairwise Pearson correlation matrix in long form (col_a < col_b),
+    assembled from RAW MOMENTS computed in one map-side-combinable
+    aggregate pass — n, Σx per column, Σx² per column, Σxy per pair —
+    rather than k² calls to the corr() aggregate (which would scan once
+    per pair and whose Welford-style internals differ across engines).
+    One scan, one reduce, k(k+1)/2 + k + 1 running sums; the matrix
+    itself is k²-sized driver output.
+
+    Cross-engine note: the moment sums are double accumulations whose
+    order differs between engines (~1e-13 relative at fact-table scale);
+    the final r is a ratio of those sums, rounded well above the drift.
+
+    Output: (col_a, col_b, n, r)."""
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in value_cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    pairs = [
+        (a, b)
+        for i, a in enumerate(value_cols)
+        for b in value_cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = df.agg(*aggs)
+    rows = []
+    for a, b in pairs:
+        num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        )
+        rows.append(
+            m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("n"),
+                F.round(num / den, ndigits).alias("r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1639,3 +1639,78 @@ def seasonality_anova(
     return per_key.select(
         F.col("key"), F.col("n"), F.round(eta2, ndigits).alias("eta2")
     )
+
+
+def token_bucket_admission(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    rate_per_hour: int = 6,
+    capacity: int = 3,
+) -> DataFrame:
+    """Per-key token-bucket rate limiting over event time:
+
+        tokens_i = min(CAP, tokens_{i-1} + rate·Δt),  start full;
+        admit iff tokens_i ≥ 1, and an admit spends one token
+
+    — the API-throttling / notification-frequency-capping semantics, and
+    the third member of the sequential-per-key family (after EWMA/Holt
+    and the clamped balance): the min() + conditional spend make the
+    recurrence non-linear, so no window form exists and it runs as the
+    sorted-partition mapInPandas carry (one shuffle on the key; carry =
+    three int64 per key, batch-boundary-safe).
+
+    ALL arithmetic is int64 — tokens are scaled by 3,600,000,000 (µs per
+    hour·token), timestamps enter as epoch MICROS, refill = rate·Δt_µs —
+    so the DuckDB recursive-CTE oracle replays it exactly, no float
+    caveats (the clamped-balance discipline).
+
+    Output: (id, key, rn, admitted, tokens) — tokens = post-decision
+    scaled balance."""
+    scale = 3_600_000_000  # µs per hour = one token at rate 1/h
+    cap_s = capacity * scale
+    dtypes = dict(events.dtypes)
+    schema = ", ".join(
+        [f"{c} {dtypes[c]}" for c in (id_col, key_col)]
+        + ["rn bigint", "admitted boolean", "tokens bigint"]
+    )
+
+    def run(batches):
+        carry: dict = {}  # key -> (tokens, last_ts_us, rn)
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            unit = "us" if pdf[ts_col].dtype == "datetime64[us]" else "ns"
+            div = 1 if unit == "us" else 1000
+            tss = pdf[ts_col].astype("int64").to_numpy() // div
+            n = len(keys)
+            tok = np.empty(n, dtype="int64")
+            adm = np.empty(n, dtype="bool")
+            rn = np.empty(n, dtype="int64")
+            for i in range(n):
+                k = keys[i]
+                t_us = int(tss[i])
+                if k in carry:
+                    tokens, last, r = carry[k]
+                    tokens = min(cap_s, tokens + rate_per_hour * (t_us - last))
+                else:
+                    tokens, r = cap_s, 0
+                admitted = tokens >= scale
+                if admitted:
+                    tokens -= scale
+                r += 1
+                tok[i], adm[i], rn[i] = tokens, admitted, r
+                carry[k] = (tokens, t_us, r)
+            out = pdf[[id_col, key_col]].copy()
+            out["rn"] = rn
+            out["admitted"] = adm
+            out["tokens"] = tok
+            yield out
+
+    return (
+        events.select(id_col, key_col, ts_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, id_col)
+        .mapInPandas(run, schema)
+    )

@@ -935,3 +935,97 @@ def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "ts_rate_limit_tokens",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), tb AS (
+      SELECT user_id, event_id, rn, ts_us,
+             CAST(3 * 3600000000 - 3600000000 AS BIGINT) AS tokens,
+             TRUE AS admitted
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.ts_us,
+             CAST(CASE WHEN least(3 * 3600000000,
+                               h.tokens + 6 * (b.ts_us - h.ts_us))
+                            >= 3600000000
+                       THEN least(3 * 3600000000,
+                                  h.tokens + 6 * (b.ts_us - h.ts_us))
+                            - 3600000000
+                       ELSE least(3 * 3600000000,
+                                  h.tokens + 6 * (b.ts_us - h.ts_us))
+                  END AS BIGINT) AS tokens,
+             least(3 * 3600000000, h.tokens + 6 * (b.ts_us - h.ts_us))
+               >= 3600000000 AS admitted
+      FROM base b JOIN tb h ON b.user_id = h.user_id AND b.rn = h.rn + 1
+    )
+    SELECT event_id, user_id, rn, admitted, tokens FROM tb
+    """,
+)
+def ts_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting per user (capacity 3, refill 6/hour;
+    operators.timeseries.token_bucket_admission): the API-throttling
+    recurrence — min() + conditional spend, so no window form exists and
+    it runs as the sorted-partition mapInPandas carry (the clamped-
+    balance family). All arithmetic int64 on µs-scaled tokens; the
+    recursive-CTE oracle replays it exactly."""
+    from ..operators.timeseries import token_bucket_admission
+
+    ev = load_table(spark, sf_dir, "events")
+    return token_bucket_admission(
+        ev, "user_id", "ts", "event_id", rate_per_hour=6, capacity=3
+    )
+
+
+@query(
+    "rel_correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             sum(l_quantity) AS s_q,
+             sum(l_quantity * l_quantity) AS ss_q,
+             sum(l_extendedprice) AS s_e,
+             sum(l_extendedprice * l_extendedprice) AS ss_e,
+             sum(l_discount) AS s_d,
+             sum(l_discount * l_discount) AS ss_d,
+             sum(l_quantity * l_extendedprice) AS sp_qe,
+             sum(l_quantity * l_discount) AS sp_qd,
+             sum(l_extendedprice * l_discount) AS sp_ed
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           CAST(n AS BIGINT) AS n,
+           round((n * sp_qe - s_q * s_e)
+                 / sqrt((n * ss_q - s_q * s_q) * (n * ss_e - s_e * s_e)), 6)
+             AS r
+    FROM m
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount', CAST(n AS BIGINT),
+           round((n * sp_qd - s_q * s_d)
+                 / sqrt((n * ss_q - s_q * s_q) * (n * ss_d - s_d * s_d)), 6)
+    FROM m
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount', CAST(n AS BIGINT),
+           round((n * sp_ed - s_e * s_d)
+                 / sqrt((n * ss_e - s_e * s_e) * (n * ss_d - s_d * s_d)), 6)
+    FROM m
+    """,
+)
+def rel_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem measures
+    (operators.agg.correlation_matrix): all raw moments in ONE
+    map-side-combinable pass (k² corr() calls would scan per pair, and
+    engines' Welford internals differ — the moment form is the
+    cross-engine-stable one). Long format (col_a < col_b)."""
+    from ..operators.agg import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
