@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "ts_stream_left_outer",
     "ts_rate_limit_tokens",
     "rel_correlation_matrix",
+    "ml_conformal_intervals",
+    "ml_learning_curve",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

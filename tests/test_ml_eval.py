@@ -176,3 +176,44 @@ def test_common_neighbors_excludes_existing_edges(spark):
     out = common_neighbors_topk(df, "u", "v", k=10).collect()
     got = {(r.node_a, r.node_b) for r in out}
     assert got == {(1, 4), (2, 4)}
+
+
+def test_conformal_coverage_and_exactness(spark):
+    """On y = 3x + deterministic bounded noise, the split-conformal
+    interval must cover ~90% of test points (exchangeability) and q_hat
+    must equal an actual calibration residual (order statistic, not an
+    interpolation)."""
+    from usedcars_bigdata_spark.ml.eval import conformal_intervals
+
+    rows = []
+    for i in range(900):
+        role = "train" if i % 3 == 0 else ("calib" if i % 3 == 1 else "test")
+        noise = ((i * 37) % 21) - 10  # deterministic in [-10, 10]
+        rows.append((i, float(i % 50), 3.0 * (i % 50) + noise, role))
+    df = spark.createDataFrame(rows, ["id", "x", "y", "role"])
+    out = conformal_intervals(df, "role", "x", "y", "id", alpha=0.1).collect()[0]
+    assert out.n_train == 300 and out.n_calib == 300 and out.n_test == 300
+    assert abs(out.slope - 3.0) < 0.1
+    # noise bounded by ~10 -> q_hat below 11; coverage near 0.9
+    assert 0 < out.q_hat <= 11.5
+    assert 0.82 <= out.coverage <= 1.0
+
+
+def test_learning_curve_monotone_on_clean_signal(spark):
+    """With pure linear signal plus noise, more training data cannot hurt
+    the closed-form fit much: R2 at fraction 1.0 >= R2 at 0.1 - eps, and
+    n_train is monotone in the fraction (nested subsets)."""
+    from usedcars_bigdata_spark.ml.eval import learning_curve_ols
+
+    rows = []
+    for i in range(2000):
+        gate = ((i * 2654435761) % 1000) / 1000.0
+        hold = ((i * 40503) % 5) == 0
+        noise = ((i * 97) % 41) - 20
+        rows.append((float(i % 100), 5.0 * (i % 100) + noise, gate, hold))
+    df = spark.createDataFrame(rows, ["x", "y", "gate", "holdout"])
+    out = {r.fraction: r for r in learning_curve_ols(df, "gate", "holdout", "x", "y").collect()}
+    ns = [out[f].n_train for f in (0.1, 0.25, 0.5, 1.0)]
+    assert ns == sorted(ns) and ns[-1] > ns[0]
+    assert out[1.0].r2 > 0.9
+    assert out[1.0].r2 >= out[0.1].r2 - 0.05

@@ -335,3 +335,174 @@ def categorical_association(
         F.round(v, ndigits).alias("cramers_v"),
         F.round("__minats", ndigits).alias("mi_nats"),
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    role_col: str,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Split conformal prediction for a 1-feature OLS regressor
+    (Vovk et al.; the Lei et al. 2018 split recipe): fit on the train
+    role, take the ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on the
+    calibration role as the interval half-width q̂, and report the
+    realized coverage of ŷ ± q̂ on the test role — the
+    distribution-free uncertainty wrapper a model-serving pipeline
+    certifies before shipping intervals.
+
+    Everything is closed-form and exact: slope/intercept from integer-
+    cent train moments (the grouped-OLS discipline), q̂ from an ORDER
+    STATISTIC (row_number with id tie-break, the median_ci discipline —
+    no approx-percentile), coverage from a count. One pass per role,
+    scalars broadcast; no iterative fit anywhere.
+
+    Output: one row (n_train, n_calib, n_test, slope, intercept, q_hat,
+    coverage)."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(role_col).alias("role"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+        F.col(id_col).alias("id"),
+    )
+    tm = base.filter(F.col("role") == "train").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fit = tm.select(
+        "n_train",
+        (
+            (F.col("n_train") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n_train") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("b"),
+        "sx",
+        "sy",
+    ).select(
+        "n_train",
+        "b",
+        ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n_train")).alias("a"),
+    )
+    resid = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
+    cal = (
+        base.filter(F.col("role") == "calib")
+        .crossJoin(F.broadcast(fit))
+        .select("id", resid.alias("r"))
+    )
+    w = Window.orderBy(F.col("r").asc(), F.col("id").asc())
+    wn = Window.partitionBy()
+    k = F.ceil((F.count(F.lit(1)).over(wn) + 1) * F.lit(1.0 - alpha)).cast(
+        "long"
+    )
+    qhat = (
+        cal.select(
+            "r",
+            F.row_number().over(w).alias("rn"),
+            k.alias("k"),
+            F.count(F.lit(1)).over(wn).alias("n_calib"),
+        )
+        .filter(F.col("rn") == F.least(F.col("k"), F.col("n_calib")))
+        .select("n_calib", F.col("r").alias("q_hat"))
+    )
+    test = (
+        base.filter(F.col("role") == "test")
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(qhat))
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_calib").alias("n_calib"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.max("b"), 6).alias("slope"),
+            F.round(F.max("a"), 2).alias("intercept"),
+            F.round(F.max("q_hat"), ndigits).alias("q_hat"),
+            F.round(
+                F.avg((resid <= F.col("q_hat")).cast("double")), ndigits
+            ).alias("coverage"),
+        )
+    )
+    return test
+
+
+def learning_curve_ols(
+    df: DataFrame,
+    gate_col: str,
+    holdout_col: str,
+    x_col: str,
+    y_col: str,
+    fractions: tuple = (0.1, 0.25, 0.5, 1.0),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sample-efficiency curve for the closed-form 1-feature OLS: fit on
+    NESTED train subsets (rows where ``gate_col`` < fraction — a shared
+    uniform gate makes each subset contain the previous one, the
+    variance-minimizing design for curve comparisons) and score R² on
+    the FIXED holdout (``holdout_col`` true). Answers "is more data
+    still buying accuracy" for the cheapest possible probe model —
+    the data-budget twin of ext_vocab_saturation's token-level curve.
+
+    ONE pass computes every subset's moments as conditional sums
+    (sum(CASE WHEN gate < f ...)), one pass scores all fits on the
+    holdout — 2 scans total regardless of curve resolution, no loop
+    over fits.
+
+    Output: (fraction, n_train, r2)."""
+    aggs = []
+    for i, f in enumerate(fractions):
+        g = F.col(gate_col) < f
+        aggs += [
+            F.sum(g.cast("long")).alias(f"n_{i}"),
+            F.sum(F.when(g, F.col(x_col))).alias(f"sx_{i}"),
+            F.sum(F.when(g, F.col(y_col))).alias(f"sy_{i}"),
+            F.sum(F.when(g, F.col(x_col) * F.col(y_col))).alias(f"sxy_{i}"),
+            F.sum(F.when(g, F.col(x_col) * F.col(x_col))).alias(f"sxx_{i}"),
+        ]
+    train_m = df.filter(~F.col(holdout_col)).agg(*aggs)
+    hold_m = df.filter(F.col(holdout_col)).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col(y_col)).alias("hsy"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("hsyy"),
+        F.sum(F.col(x_col)).alias("hsx"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("hsxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("hsxy"),
+    )
+    m = train_m.crossJoin(F.broadcast(hold_m))
+    rows = []
+    for i, f in enumerate(fractions):
+        n, sx, sy, sxy, sxx = (
+            F.col(f"n_{i}"),
+            F.col(f"sx_{i}"),
+            F.col(f"sy_{i}"),
+            F.col(f"sxy_{i}"),
+            F.col(f"sxx_{i}"),
+        )
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        # SSE on holdout expands to moments: Σ(y − a − bx)² =
+        # Σy² + n·a² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx
+        sse = (
+            F.col("hsyy")
+            + F.col("nh") * a * a
+            + b * b * F.col("hsxx")
+            - 2.0 * a * F.col("hsy")
+            - 2.0 * b * F.col("hsxy")
+            + 2.0 * a * b * F.col("hsx")
+        )
+        sst = F.col("hsyy") - F.col("hsy") * F.col("hsy") / F.col("nh")
+        rows.append(
+            m.select(
+                F.lit(float(f)).alias("fraction"),
+                n.alias("n_train"),
+                F.round(1.0 - sse / sst, ndigits).alias("r2"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -1029,3 +1029,209 @@ def rel_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return correlation_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount"]
     )
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             year(o_orderdate) * 1.0 AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 AS y,
+             (CAST('0x' || substr(md5('lc:' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS gate,
+             (CAST('0x' || substr(md5('hold:' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS hu
+      FROM orders
+    ),
+    tm AS (
+      SELECT sum(CASE WHEN gate < 0.1 THEN 1 END) AS n_0,
+             sum(CASE WHEN gate < 0.1 THEN x END) AS sx_0,
+             sum(CASE WHEN gate < 0.1 THEN y END) AS sy_0,
+             sum(CASE WHEN gate < 0.1 THEN x * y END) AS sxy_0,
+             sum(CASE WHEN gate < 0.1 THEN x * x END) AS sxx_0,
+             sum(CASE WHEN gate < 0.25 THEN 1 END) AS n_1,
+             sum(CASE WHEN gate < 0.25 THEN x END) AS sx_1,
+             sum(CASE WHEN gate < 0.25 THEN y END) AS sy_1,
+             sum(CASE WHEN gate < 0.25 THEN x * y END) AS sxy_1,
+             sum(CASE WHEN gate < 0.25 THEN x * x END) AS sxx_1,
+             sum(CASE WHEN gate < 0.5 THEN 1 END) AS n_2,
+             sum(CASE WHEN gate < 0.5 THEN x END) AS sx_2,
+             sum(CASE WHEN gate < 0.5 THEN y END) AS sy_2,
+             sum(CASE WHEN gate < 0.5 THEN x * y END) AS sxy_2,
+             sum(CASE WHEN gate < 0.5 THEN x * x END) AS sxx_2,
+             sum(CASE WHEN gate < 1.0 THEN 1 END) AS n_3,
+             sum(CASE WHEN gate < 1.0 THEN x END) AS sx_3,
+             sum(CASE WHEN gate < 1.0 THEN y END) AS sy_3,
+             sum(CASE WHEN gate < 1.0 THEN x * y END) AS sxy_3,
+             sum(CASE WHEN gate < 1.0 THEN x * x END) AS sxx_3
+      FROM u WHERE hu >= 0.2
+    ),
+    hm AS (
+      SELECT count(*) AS nh, sum(y) AS hsy, sum(y * y) AS hsyy,
+             sum(x) AS hsx, sum(x * x) AS hsxx, sum(x * y) AS hsxy
+      FROM u WHERE hu < 0.2
+    ),
+    fits AS (
+      SELECT tm.*, hm.*,
+           (n_0 * sxy_0 - sx_0 * sy_0) / (n_0 * sxx_0 - sx_0 * sx_0) AS b_0,
+           (n_1 * sxy_1 - sx_1 * sy_1) / (n_1 * sxx_1 - sx_1 * sx_1) AS b_1,
+           (n_2 * sxy_2 - sx_2 * sy_2) / (n_2 * sxx_2 - sx_2 * sx_2) AS b_2,
+           (n_3 * sxy_3 - sx_3 * sy_3) / (n_3 * sxx_3 - sx_3 * sx_3) AS b_3,
+           (sy_0 - ((n_0 * sxy_0 - sx_0 * sy_0) / (n_0 * sxx_0 - sx_0 * sx_0)) * sx_0) / n_0 AS a_0,
+           (sy_1 - ((n_1 * sxy_1 - sx_1 * sy_1) / (n_1 * sxx_1 - sx_1 * sx_1)) * sx_1) / n_1 AS a_1,
+           (sy_2 - ((n_2 * sxy_2 - sx_2 * sy_2) / (n_2 * sxx_2 - sx_2 * sx_2)) * sx_2) / n_2 AS a_2,
+           (sy_3 - ((n_3 * sxy_3 - sx_3 * sy_3) / (n_3 * sxx_3 - sx_3 * sx_3)) * sx_3) / n_3 AS a_3
+      FROM tm CROSS JOIN hm
+    )
+    SELECT CAST(0.1 AS DOUBLE) AS fraction, CAST(n_0 AS BIGINT) AS n_train,
+           round(1.0 - (hsyy + nh * a_0 * a_0 + b_0 * b_0 * hsxx
+                        - 2.0 * a_0 * hsy - 2.0 * b_0 * hsxy
+                        + 2.0 * a_0 * b_0 * hsx)
+                 / (hsyy - hsy * hsy / nh), 6) AS r2
+    FROM fits
+    UNION ALL
+    SELECT CAST(0.25 AS DOUBLE) AS fraction, CAST(n_1 AS BIGINT) AS n_train,
+           round(1.0 - (hsyy + nh * a_1 * a_1 + b_1 * b_1 * hsxx
+                        - 2.0 * a_1 * hsy - 2.0 * b_1 * hsxy
+                        + 2.0 * a_1 * b_1 * hsx)
+                 / (hsyy - hsy * hsy / nh), 6) AS r2
+    FROM fits
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE) AS fraction, CAST(n_2 AS BIGINT) AS n_train,
+           round(1.0 - (hsyy + nh * a_2 * a_2 + b_2 * b_2 * hsxx
+                        - 2.0 * a_2 * hsy - 2.0 * b_2 * hsxy
+                        + 2.0 * a_2 * b_2 * hsx)
+                 / (hsyy - hsy * hsy / nh), 6) AS r2
+    FROM fits
+    UNION ALL
+    SELECT CAST(1.0 AS DOUBLE) AS fraction, CAST(n_3 AS BIGINT) AS n_train,
+           round(1.0 - (hsyy + nh * a_3 * a_3 + b_3 * b_3 * hsxx
+                        - 2.0 * a_3 * hsy - 2.0 * b_3 * hsxy
+                        + 2.0 * a_3 * b_3 * hsx)
+                 / (hsyy - hsy * hsy / nh), 6) AS r2
+    FROM fits
+    """,
+)
+def ml_learning_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS sample-efficiency curve (ml.eval.learning_curve_ols): R² on a
+    fixed md5-gated holdout for NESTED train subsets at 10/25/50/100%% of
+    the train pool (shared uniform gate — each subset contains the
+    previous). Two scans total: every subset's moments are conditional
+    sums in one aggregate, all fits score in one holdout pass. Exact
+    arithmetic end-to-end: x (order year) and y (integer cents) are
+    integer-valued doubles, so every moment sums exactly below 2^53 and
+    both engines divide identical operands."""
+    from ..ml.eval import learning_curve_ols
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def unif(salt):
+        h = F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        )
+        return (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+
+    base = o.select(
+        F.year("o_orderdate").cast("double").alias("x"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 1.0).alias("y"),
+        unif("lc:").alias("gate"),
+        (unif("hold:") < 0.2).alias("holdout"),
+    )
+    return learning_curve_ols(
+        base, "gate", "holdout", "x", "y", fractions=(0.1, 0.25, 0.5, 1.0)
+    )
+
+
+@query(
+    "ml_conformal_intervals",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey,
+             year(o_orderdate) * 1.0 AS x,
+             CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 AS y,
+             (CAST('0x' || substr(md5('conf:' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS uu
+      FROM orders
+    ),
+    roles AS (
+      SELECT o_orderkey AS id, x, y,
+             CASE WHEN uu < 0.6 THEN 'train'
+                  WHEN uu < 0.8 THEN 'calib'
+                  ELSE 'test' END AS role
+      FROM u
+    ),
+    tm AS (
+      SELECT count(*) AS n_train, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM roles WHERE role = 'train'
+    ),
+    fit AS (
+      SELECT n_train,
+             (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS b,
+             sx, sy
+      FROM tm
+    ),
+    fit2 AS (SELECT n_train, b, (sy - b * sx) / n_train AS a FROM fit),
+    cal AS (
+      SELECT r.id, abs(r.y - (f.a + f.b * r.x)) AS res
+      FROM roles r CROSS JOIN fit2 f WHERE r.role = 'calib'
+    ),
+    calr AS (
+      SELECT res,
+             row_number() OVER (ORDER BY res ASC, id ASC) AS rn,
+             count(*) OVER () AS n_calib
+      FROM cal
+    ),
+    q AS (
+      SELECT n_calib, res AS q_hat FROM calr
+      WHERE rn = least(CAST(ceil((n_calib + 1) * 0.9) AS BIGINT), n_calib)
+    )
+    SELECT f.n_train AS n_train,
+           CAST(q.n_calib AS BIGINT) AS n_calib,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(max(f.b), 6) AS slope,
+           round(max(f.a), 2) AS intercept,
+           round(max(q.q_hat), 4) AS q_hat,
+           round(avg(CAST(abs(r.y - (f.a + f.b * r.x)) <= q.q_hat
+                          AS DOUBLE)), 4) AS coverage
+    FROM roles r CROSS JOIN fit2 f CROSS JOIN q
+    WHERE r.role = 'test'
+    GROUP BY f.n_train, q.n_calib
+    """,
+)
+def ml_conformal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals (ml.eval.conformal_intervals,
+    Lei et al. 2018): closed-form OLS on the md5 train split, interval
+    half-width = the ceil((n+1)·0.9)-th smallest absolute calibration
+    residual (order statistic, not approx-percentile), realized coverage
+    reported on the test split — by exchangeability it lands near 0.9,
+    which the entry certifies with exact arithmetic end-to-end (integer-
+    valued doubles sum exactly below 2^53)."""
+    from ..ml.eval import conformal_intervals
+
+    o = load_table(spark, sf_dir, "orders")
+
+    def unif(salt):
+        h = F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("o_orderkey").cast("string"))),
+            1,
+            8,
+        )
+        return (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+
+    base = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.year("o_orderdate").cast("double").alias("x"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 1.0).alias("y"),
+        F.when(unif("conf:") < 0.6, "train")
+        .when(unif("conf:") < 0.8, "calib")
+        .otherwise("test")
+        .alias("role"),
+    )
+    return conformal_intervals(base, "role", "x", "y", "id", alpha=0.1)
