@@ -165,6 +165,9 @@ BENCH_QUERIES = [
     "rel_correlation_matrix",
     "ml_conformal_intervals",
     "ml_learning_curve",
+    "ts_shapley_attribution",
+    "ts_theil_sen_trend",
+    "ml_loso_influence",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

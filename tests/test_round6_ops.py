@@ -241,3 +241,76 @@ def test_correlation_matrix_known_values(spark):
     assert out[("x", "y")].r == 1.0     # exact linear
     assert out[("x", "z")].r == -1.0    # exact anti-linear
     assert abs(out[("x", "w")].r) < 0.05  # near-independent parity bit
+
+
+def test_shapley_symmetric_channels_equal_credit(spark):
+    """Two channels that appear in identical coalitions with identical
+    conversion rates must receive EQUAL Shapley credit (the symmetry
+    axiom); a channel never touched gets 0."""
+    from usedcars_bigdata_spark.operators.timeseries import (
+        shapley_attribution,
+    )
+
+    rows = []
+    eid = 0
+    # 10 users touch {click, view} and convert; 10 touch {click, view}
+    # and don't; error/signup never touched
+    for u in range(10):
+        rows += [(eid := eid + 1, _ts(1, 0), u, "click", 0.0, ""),
+                 (eid := eid + 1, _ts(1, 1), u, "view", 0.0, ""),
+                 (eid := eid + 1, _ts(1, 2), u, "purchase", 1.0, "")]
+    for u in range(10, 20):
+        rows += [(eid := eid + 1, _ts(1, 0), u, "click", 0.0, ""),
+                 (eid := eid + 1, _ts(1, 1), u, "view", 0.0, "")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.channel: r.shapley for r in shapley_attribution(df, "user_id", "event_type").collect()}
+    assert out["click"] == out["view"] > 0
+    assert out["error"] == 0.0 and out["signup"] == 0.0
+    # efficiency: credits sum to v(C) = 10 attributed conversions
+    assert abs(out["click"] + out["view"] - 10.0) < 1e-6
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """9 points on value = 100 + 2t (cents/hour slope 200) plus one wild
+    outlier: the pairwise-median slope stays near 200 where OLS would
+    blow up; a user with a constant series gets slope 0."""
+    from usedcars_bigdata_spark.operators.timeseries import theil_sen_trend
+
+    rows = []
+    for i in range(9):
+        rows.append((i, _ts(1, i), 7, 1.0 + 0.02 * i))  # +2 cents/hour
+    rows.append((9, _ts(1, 9), 7, 500.0))               # outlier
+    for i in range(5):
+        rows.append((20 + i, _ts(1, i), 8, 3.0))
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value"])
+    out = {r.user_id: r for r in theil_sen_trend(df, "user_id", "ts", "event_id", "value").collect()}
+    assert out[7].n_pairs == 45
+    assert abs(out[7].slope_cents_per_hour - 2.0) < 0.5
+    assert out[8].slope_cents_per_hour == 0.0
+
+
+def test_loso_influence_flags_corrupting_group(spark):
+    """Groups a/b follow y = 10x exactly; group c is anti-correlated
+    noise. Removing c must IMPROVE holdout R2 (positive delta), removing
+    a or b must not improve it by more."""
+    from usedcars_bigdata_spark.ml.eval import loso_influence
+
+    rows = []
+    for i in range(300):
+        x = float(i % 20)
+        hold = (i % 10) == 0
+        if i % 3 == 2:
+            rows.append(("c", x, 1000.0 - 50.0 * x, hold and False))  # train only
+        else:
+            rows.append(("a" if i % 3 == 0 else "b", x, 10.0 * x, hold))
+    df = spark.createDataFrame(rows, ["g", "x", "y", "holdout"])
+    out = {r.excluded: r for r in loso_influence(df, "g", "holdout", "x", "y").collect()}
+    assert set(out) == {"a", "b", "c", "(none)"}
+    assert out["(none)"].r2_delta == 0.0
+    assert out["c"].r2_delta > 0.1
+    assert out["c"].r2_delta > out["a"].r2_delta
+    assert out["c"].r2_delta > out["b"].r2_delta
+    # n_train accounting: excluding a group removes exactly its rows
+    assert out["(none)"].n_train - out["c"].n_train == 100

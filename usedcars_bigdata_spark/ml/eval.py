@@ -506,3 +506,102 @@ def learning_curve_ols(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def loso_influence(
+    df: DataFrame,
+    group_col: str,
+    holdout_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Leave-one-source-out data valuation for the closed-form OLS: for
+    each group g, fit on the train pool WITHOUT g's rows and report the
+    holdout R² delta vs the all-data fit — positive delta means the
+    group's data HURTS generalization (the group-level cousin of
+    influence functions, and the cheap screen behind "which source should
+    the mixture down-weight", complementing ext_doremi_reweight's
+    loss-based step with a held-out-utility-based one).
+
+    ONE pass computes per-group train moments; each leave-one-out fit is
+    total-minus-group arithmetic (never a re-scan per group — the
+    target-encoding subtraction trick applied to regression moments), and
+    every fit scores on the holdout via the SSE moment expansion. Exact:
+    integer-valued doubles sum exactly below 2^53.
+
+    Output: (excluded, n_train, r2, r2_delta) plus an '(none)' row for
+    the full fit."""
+    pool = df.filter(~F.col(holdout_col))
+    per_g = pool.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(F.col(x_col)).alias("sx_g"),
+        F.sum(F.col(y_col)).alias("sy_g"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy_g"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx_g"),
+    )
+    tot = per_g.agg(
+        F.sum("n_g").alias("n_t"),
+        F.sum("sx_g").alias("sx_t"),
+        F.sum("sy_g").alias("sy_t"),
+        F.sum("sxy_g").alias("sxy_t"),
+        F.sum("sxx_g").alias("sxx_t"),
+    )
+    hold = df.filter(F.col(holdout_col)).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col(y_col)).alias("hsy"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("hsyy"),
+        F.sum(F.col(x_col)).alias("hsx"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("hsxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("hsxy"),
+    )
+    # '(none)' row (exclude nothing) = zero group moments to subtract
+    rows = per_g.select(
+        F.col("g").cast("string").alias("excluded"),
+        "n_g", "sx_g", "sy_g", "sxy_g", "sxx_g",
+    ).unionByName(
+        tot.select(
+            F.lit("(none)").alias("excluded"),
+            F.lit(0).cast("long").alias("n_g"),
+            F.lit(0.0).alias("sx_g"),
+            F.lit(0.0).alias("sy_g"),
+            F.lit(0.0).alias("sxy_g"),
+            F.lit(0.0).alias("sxx_g"),
+        )
+    )
+    m = rows.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(hold))
+    n = F.col("n_t") - F.col("n_g")
+    sx = F.col("sx_t") - F.col("sx_g")
+    sy = F.col("sy_t") - F.col("sy_g")
+    sxy = F.col("sxy_t") - F.col("sxy_g")
+    sxx = F.col("sxx_t") - F.col("sxx_g")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    sse = (
+        F.col("hsyy")
+        + F.col("nh") * a * a
+        + b * b * F.col("hsxx")
+        - 2.0 * a * F.col("hsy")
+        - 2.0 * b * F.col("hsxy")
+        + 2.0 * a * b * F.col("hsx")
+    )
+    sst = F.col("hsyy") - F.col("hsy") * F.col("hsy") / F.col("nh")
+    scored = m.select(
+        "excluded",
+        n.alias("n_train"),
+        (1.0 - sse / sst).alias("__r2"),
+    )
+    full = scored.filter(F.col("excluded") == "(none)").select(
+        F.col("__r2").alias("__full_r2")
+    )
+    return (
+        scored.crossJoin(F.broadcast(full))
+        .select(
+            "excluded",
+            "n_train",
+            F.round("__r2", ndigits).alias("r2"),
+            F.round(F.col("__r2") - F.col("__full_r2"), ndigits).alias(
+                "r2_delta"
+            ),
+        )
+    )

@@ -1714,3 +1714,212 @@ def token_bucket_admission(
         .sortWithinPartitions(key_col, ts_col, id_col)
         .mapInPandas(run, schema)
     )
+
+
+# Shapley channel-attribution support: the (channel, with-mask,
+# without-mask, weight) axis for the 4-channel universe {click, error,
+# signup, view} (bit = 2^alphabetical-index). Weights s!(n-1-s)!/n! are
+# PRE-COMPUTED as double literals so both engines add identical
+# constants (the fs_match_scores discipline).
+SHAPLEY_AXIS = [
+        ("click", 1, 0, 0.25),
+        ("click", 3, 2, 0.08333333333333333),
+        ("click", 5, 4, 0.08333333333333333),
+        ("click", 9, 8, 0.08333333333333333),
+        ("click", 7, 6, 0.08333333333333333),
+        ("click", 11, 10, 0.08333333333333333),
+        ("click", 13, 12, 0.08333333333333333),
+        ("click", 15, 14, 0.25),
+        ("error", 2, 0, 0.25),
+        ("error", 3, 1, 0.08333333333333333),
+        ("error", 6, 4, 0.08333333333333333),
+        ("error", 10, 8, 0.08333333333333333),
+        ("error", 7, 5, 0.08333333333333333),
+        ("error", 11, 9, 0.08333333333333333),
+        ("error", 14, 12, 0.08333333333333333),
+        ("error", 15, 13, 0.25),
+        ("signup", 4, 0, 0.25),
+        ("signup", 5, 1, 0.08333333333333333),
+        ("signup", 6, 2, 0.08333333333333333),
+        ("signup", 12, 8, 0.08333333333333333),
+        ("signup", 7, 3, 0.08333333333333333),
+        ("signup", 13, 9, 0.08333333333333333),
+        ("signup", 14, 10, 0.08333333333333333),
+        ("signup", 15, 11, 0.25),
+        ("view", 8, 0, 0.25),
+        ("view", 9, 1, 0.08333333333333333),
+        ("view", 10, 2, 0.08333333333333333),
+        ("view", 12, 4, 0.08333333333333333),
+        ("view", 11, 3, 0.08333333333333333),
+        ("view", 13, 5, 0.08333333333333333),
+        ("view", 14, 6, 0.08333333333333333),
+        ("view", 15, 7, 0.25)
+]
+
+
+def shapley_attribution(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    channels: tuple = ("click", "error", "signup", "view"),
+    conversion_type: str = "purchase",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (Shapley 1953; the
+    marketing form of Zhao & al. 2018): each user's journey is the SET
+    of channels touched, the coalition value is MONOTONE —
+
+        v(S) = # conversions from users whose touched set ⊆ S
+
+    (the subset-sum / zeta-transform convention), and channel i's credit
+    is φ_i = Σ_{S ⊆ C∖{i}} |S|!·(n−1−|S|)!/n! · (v(S∪{i}) − v(S)).
+    Monotone v is what makes the axioms hold on observed data: a never-
+    touched channel adds no subset, so φ = 0 (null player — the first
+    cut used exact-set rates with unseen = 0 and handed untouched
+    channels NEGATIVE credit, caught by the symmetry test), and
+    Σφ = v(C) = total conversions from channel-touched users
+    (efficiency), so the outputs read directly as attributed
+    conversions.
+
+    The exact computation is affordable because it is exponential in the
+    CHANNEL COUNT, not the data: the fact table collapses in one pass to
+    a ≤2^|C|-row exact-coalition table (bitmask per user via distinct +
+    bit-sum), v comes from a 16×16 bitwise subset join, and the Shapley
+    sum joins a STATIC 32-row (channel, with, without, weight) axis —
+    complementing rows_markov_attribution's removal-effect model with
+    the axiomatically-fair one, under a hash oracle (integer conversion
+    counts, literal weights).
+
+    Output: (channel, shapley) — attributed conversions."""
+    flags = {c: 1 << i for i, c in enumerate(channels)}
+    # distinct (user, type) first so repeated touches don't double-set bits
+    touched = (
+        events.filter(F.col(type_col).isin(list(channels)))
+        .select(F.col(user_col).alias("u"), F.col(type_col).alias("t"))
+        .distinct()
+    )
+    mask_expr = F.lit(0)
+    for c, b in flags.items():
+        mask_expr = mask_expr + F.when(F.col("t") == c, b).otherwise(0)
+    masks = touched.select("u", mask_expr.alias("b")).groupBy("u").agg(
+        F.sum("b").alias("mask")
+    )
+    converted = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(F.col(user_col).alias("u"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    exact = (
+        masks.join(converted, "u", "left")
+        .groupBy("mask")
+        .agg(F.sum(F.coalesce(F.col("conv"), F.lit(0))).alias("n_conv"))
+    )
+    spark = events.sparkSession
+    n_masks = 1 << len(channels)
+    all_masks = spark.createDataFrame([(m,) for m in range(n_masks)], "m int")
+    # zeta transform: v(S) = Σ n_conv(T) over observed T ⊆ S — a 16×16
+    # bitwise subset join on the tiny coalition table
+    coalitions = (
+        all_masks.join(
+            exact, (F.col("mask").bitwiseAND(F.col("m")) == F.col("mask")), "left"
+        )
+        .groupBy("m")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("double").alias("v"))
+    )
+    axis = spark.createDataFrame(
+        SHAPLEY_AXIS, "channel string, m_with int, m_without int, w double"
+    )
+    vw = coalitions.select(F.col("m").alias("m_with"), F.col("v").alias("v_with"))
+    vo = coalitions.select(
+        F.col("m").alias("m_without"), F.col("v").alias("v_without")
+    )
+    return (
+        axis.join(vw, "m_with", "left")
+        .join(vo, "m_without", "left")
+        .groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("w")
+                    * (
+                        F.coalesce(F.col("v_with"), F.lit(0.0))
+                        - F.coalesce(F.col("v_without"), F.lit(0.0))
+                    )
+                ),
+                ndigits,
+            ).alias("shapley")
+        )
+    )
+
+
+def theil_sen_trend(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend: the MEDIAN of all pairwise slopes
+    (Δvalue/Δtime over every ordered event pair) — the classic
+    outlier-resistant alternative to the OLS slope (breakdown point
+    ~29%), the right spend/usage-trend estimator when single spikes
+    shouldn't flip a key's direction.
+
+    The O(n²)-per-key pair space is affordable exactly BECAUSE it is
+    per-key: pair volume is Σ_k n_k², bounded by the per-key event count
+    (the rel_copurchase_pairs basket argument), and the self-join is an
+    equi-join on the key — one shuffle, never cartesian. Keys with a
+    pathological event count would salt or sample pairs; the harness
+    per-user counts are ~10. The median is the LOWER order statistic
+    (explicit floor — the median_ci cast lesson) with (id_a, id_b)
+    tie-break, so the picked slope is engine-deterministic. Slopes are
+    cents per hour from µs timestamps; same-timestamp pairs are excluded
+    (no Δt=0 division) and keys with no valid pair drop out.
+
+    Output: (key, n_pairs, slope_cents_per_hour)."""
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("t_us"),
+        F.col(id_col).alias("i"),
+        F.round(F.col(value_col) * 100).cast("long").alias("c"),
+    )
+    a = base.select("k", F.col("t_us").alias("t1"), F.col("i").alias("i1"), F.col("c").alias("c1"))
+    b = base.select(
+        F.col("k").alias("k2"),
+        F.col("t_us").alias("t2"),
+        F.col("i").alias("i2"),
+        F.col("c").alias("c2"),
+    )
+    pairs = a.join(
+        b, (F.col("k") == F.col("k2")) & (F.col("t2") > F.col("t1"))
+    ).select(
+        "k",
+        "i1",
+        "i2",
+        (
+            (F.col("c2") - F.col("c1"))
+            * 3600000000.0
+            / (F.col("t2") - F.col("t1"))
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("k").orderBy(
+        F.col("slope").asc(), F.col("i1").asc(), F.col("i2").asc()
+    )
+    wn = Window.partitionBy("k")
+    ranked = pairs.select(
+        "k",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pairs"),
+    )
+    k_med = F.floor((F.col("n_pairs") + 1) / 2).cast("long")
+    return (
+        ranked.filter(F.col("rn") == k_med)
+        .select(
+            F.col("k").alias(key_col),
+            "n_pairs",
+            F.round("slope", ndigits).alias("slope_cents_per_hour"),
+        )
+    )

@@ -1235,3 +1235,221 @@ def ml_conformal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("role"),
     )
     return conformal_intervals(base, "role", "x", "y", "id", alpha=0.1)
+
+
+@query(
+    "ts_shapley_attribution",
+    oracle="""
+    WITH touched AS (
+      SELECT DISTINCT user_id AS u, event_type AS t FROM events
+      WHERE event_type IN ('click', 'error', 'signup', 'view')
+    ),
+    masks AS (
+      SELECT u, sum(CASE t WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+                           ELSE 0 END) AS mask
+      FROM touched GROUP BY u
+    ),
+    conv AS (
+      SELECT DISTINCT user_id AS u FROM events
+      WHERE event_type = 'purchase'
+    ),
+    exact AS (
+      SELECT m.mask,
+             sum(CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+      FROM masks m LEFT JOIN conv c ON c.u = m.u
+      GROUP BY 1
+    ),
+    allm AS (SELECT unnest(range(0, 16)) AS m),
+    -- zeta transform: v(S) = conversions from users whose set is a SUBSET
+    v AS (
+      SELECT a.m, CAST(coalesce(sum(e.n_conv), 0) AS DOUBLE) AS v
+      FROM allm a LEFT JOIN exact e ON (e.mask & a.m) = e.mask
+      GROUP BY 1
+    ),
+    axis(channel, m_with, m_without, w) AS (VALUES
+      ('click', 1, 0, CAST(0.25 AS DOUBLE)),
+      ('click', 3, 2, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 5, 4, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 9, 8, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 7, 6, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 11, 10, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 13, 12, CAST(0.08333333333333333 AS DOUBLE)),
+      ('click', 15, 14, CAST(0.25 AS DOUBLE)),
+      ('error', 2, 0, CAST(0.25 AS DOUBLE)),
+      ('error', 3, 1, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 6, 4, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 10, 8, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 7, 5, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 11, 9, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 14, 12, CAST(0.08333333333333333 AS DOUBLE)),
+      ('error', 15, 13, CAST(0.25 AS DOUBLE)),
+      ('signup', 4, 0, CAST(0.25 AS DOUBLE)),
+      ('signup', 5, 1, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 6, 2, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 12, 8, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 7, 3, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 13, 9, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 14, 10, CAST(0.08333333333333333 AS DOUBLE)),
+      ('signup', 15, 11, CAST(0.25 AS DOUBLE)),
+      ('view', 8, 0, CAST(0.25 AS DOUBLE)),
+      ('view', 9, 1, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 10, 2, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 12, 4, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 11, 3, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 13, 5, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 14, 6, CAST(0.08333333333333333 AS DOUBLE)),
+      ('view', 15, 7, CAST(0.25 AS DOUBLE))
+    )
+    SELECT a.channel,
+           round(sum(a.w * (coalesce(vw.v, 0.0) - coalesce(vo.v, 0.0))), 6)
+             AS shapley
+    FROM axis a
+    LEFT JOIN v vw ON vw.m = a.m_with
+    LEFT JOIN v vo ON vo.m = a.m_without
+    GROUP BY 1
+    """,
+)
+def ts_shapley_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley channel attribution
+    (operators.timeseries.shapley_attribution): MONOTONE coalition
+    value v(S) = conversions from users whose touched set is a SUBSET of
+    S (zeta transform — the convention under which null-player and
+    efficiency axioms hold on observed data), credits from the 32-row static (channel, with,
+    without, weight) axis with factorial weights pre-computed as double
+    literals. Exponential in CHANNELS (4), one pass over the data —
+    the axiomatically-fair counterpart to rows_markov_attribution."""
+    from ..operators.timeseries import shapley_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return shapley_attribution(ev, "user_id", "event_type")
+
+
+@query(
+    "ts_theil_sen_trend",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS k, epoch_us(ts) AS t_us, event_id AS i,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    pairs AS (
+      SELECT a.k, a.i AS i1, b.i AS i2,
+             (b.c - a.c) * 3600000000.0 / (b.t_us - a.t_us) AS slope
+      FROM base a JOIN base b ON b.k = a.k AND b.t_us > a.t_us
+    ),
+    r AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY slope, i1, i2) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_pairs
+      FROM pairs
+    )
+    SELECT k AS user_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(slope, 6) AS slope_cents_per_hour
+    FROM r WHERE rn = CAST(floor((n_pairs + 1) / 2) AS BIGINT)
+    """,
+)
+def ts_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust spend trend
+    (operators.timeseries.theil_sen_trend): median of all pairwise
+    slopes, outlier-resistant where the OLS slope is not. Pair volume is
+    Σ_k n_k² — per-key-bounded, equi-joined on the key, never cartesian;
+    the median is a lower order statistic with (i1, i2) tie-break."""
+    from ..operators.timeseries import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events")
+    return theil_sen_trend(ev, "user_id", "ts", "event_id", "value")
+
+
+@query(
+    "ml_loso_influence",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag AS g, l_quantity AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 1.0 AS y,
+             (CAST('0x' || substr(md5('ls:' ||
+                CAST(l_orderkey AS VARCHAR) || ':' ||
+                CAST(l_linenumber AS VARCHAR) || ':' ||
+                CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS hu
+      FROM lineitem
+    ),
+    pg AS (
+      SELECT g, count(*) AS n_g, sum(x) AS sx_g, sum(y) AS sy_g,
+             sum(x * y) AS sxy_g, sum(x * x) AS sxx_g
+      FROM u WHERE hu >= 0.2 GROUP BY 1
+    ),
+    tt AS (
+      SELECT sum(n_g) AS n_t, sum(sx_g) AS sx_t, sum(sy_g) AS sy_t,
+             sum(sxy_g) AS sxy_t, sum(sxx_g) AS sxx_t
+      FROM pg
+    ),
+    hm AS (
+      SELECT count(*) AS nh, sum(y) AS hsy, sum(y * y) AS hsyy,
+             sum(x) AS hsx, sum(x * x) AS hsxx, sum(x * y) AS hsxy
+      FROM u WHERE hu < 0.2
+    ),
+    rows_ AS (
+      SELECT CAST(g AS VARCHAR) AS excluded,
+             n_g, sx_g, sy_g, sxy_g, sxx_g
+      FROM pg
+      UNION ALL
+      SELECT '(none)', 0, 0.0, 0.0, 0.0, 0.0
+    ),
+    fits AS (
+      SELECT excluded,
+             (n_t - n_g) AS n_train,
+             nh, hsy, hsyy, hsx, hsxx, hsxy,
+             ((n_t - n_g) * (sxy_t - sxy_g) - (sx_t - sx_g) * (sy_t - sy_g))
+               / ((n_t - n_g) * (sxx_t - sxx_g)
+                  - (sx_t - sx_g) * (sx_t - sx_g)) AS b,
+             (sx_t - sx_g) AS sxd,
+             (sy_t - sy_g) AS syd
+      FROM rows_ CROSS JOIN tt CROSS JOIN hm
+    ),
+    fits2 AS (SELECT *, (syd - b * sxd) / n_train AS a FROM fits),
+    sc AS (
+      SELECT excluded, n_train,
+             1.0 - (hsyy + nh * a * a + b * b * hsxx
+                    - 2.0 * a * hsy - 2.0 * b * hsxy + 2.0 * a * b * hsx)
+                   / (hsyy - hsy * hsy / nh) AS r2
+      FROM fits2
+    )
+    SELECT s.excluded, CAST(s.n_train AS BIGINT) AS n_train,
+           round(s.r2, 6) AS r2,
+           round(s.r2 - f.r2, 6) AS r2_delta
+    FROM sc s CROSS JOIN (SELECT r2 FROM sc WHERE excluded = '(none)') f
+    """,
+)
+def ml_loso_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence (ml.eval.loso_influence): holdout
+    R² delta of the price~quantity OLS when each returnflag segment's
+    rows are removed from training — total-minus-group moment arithmetic,
+    never a re-scan per group. The held-out-utility counterpart to
+    ext_doremi_reweight's loss-based mixture step."""
+    from ..ml.eval import loso_influence
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("ls"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    base = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_quantity").alias("x"),
+        (F.round(F.col("l_extendedprice") * 100).cast("long") * 1.0).alias("y"),
+        (
+            (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0) < 0.2
+        ).alias("holdout"),
+    )
+    return loso_influence(base, "g", "holdout", "x", "y")
