@@ -168,6 +168,9 @@ BENCH_QUERIES = [
     "ts_shapley_attribution",
     "ts_theil_sen_trend",
     "ml_loso_influence",
+    "ts_decayed_topk",
+    "rel_l_diversity",
+    "ext_source_centroid_sim",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -314,3 +314,60 @@ def test_loso_influence_flags_corrupting_group(spark):
     assert out["c"].r2_delta > out["b"].r2_delta
     # n_train accounting: excluding a group removes exactly its rows
     assert out["(none)"].n_train - out["c"].n_train == 100
+
+
+def test_decayed_topk_freshness_beats_volume(spark):
+    """User A: 5 events worth 1.0 each at the anchor hour (no decay);
+    user B: 20 events worth 1.0 each two half-lives earlier (x0.25) ->
+    A's decayed score (5.0) beats B's (5.0... make it 3 half-lives: 2.5)."""
+    from usedcars_bigdata_spark.operators.timeseries import decayed_topk
+
+    t0 = dt.datetime(2024, 1, 4, 0, 0)
+    rows = []
+    for i in range(5):
+        rows.append((i, t0, 1, "x", 1.0, ""))
+    for i in range(20):
+        rows.append((100 + i, t0 - dt.timedelta(hours=72), 2, "x", 1.0, ""))
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.key: r for r in decayed_topk(df, "user_id", "ts", "value",
+                                          half_life_hours=24.0).collect()}
+    assert out[1].decayed_score == 5.0          # at the anchor: no decay
+    assert abs(out[2].decayed_score - 20 * 0.125) < 1e-6  # 3 half-lives
+    assert out[1].rank == 1 and out[2].rank == 2
+    assert out[2].n_events == 20
+
+
+def test_l_diversity_flags_single_status_classes(spark):
+    from usedcars_bigdata_spark.operators.agg import l_diversity_audit
+
+    rows = [
+        (1, "F"), (1, "F"), (1, "F"),   # big class, single status: VIOLATES
+        (2, "F"), (2, "O"),             # diverse: ok
+        (3, "P"),                       # singleton: violates
+    ]
+    df = spark.createDataFrame(rows, ["cust", "status"])
+    out = {r.cust: r for r in l_diversity_audit(df, ["cust"], "status").collect()}
+    assert out[1].violates and out[1].class_size == 3 and out[1].l_distinct == 1
+    assert not out[2].violates and out[2].l_distinct == 2
+    assert out[3].violates
+
+
+def test_source_centroid_similarity_geometry(spark):
+    """Sources with identical centroids -> cosine 1; orthogonal
+    centroids -> cosine 0."""
+    from usedcars_bigdata_spark.ext.similarity import (
+        source_centroid_similarity,
+    )
+
+    rows = (
+        [("a", [1.0, 0.0, 1.0]), ("a", [3.0, 0.0, 3.0])]      # centroid (2,0,2)
+        + [("b", [4.0, 0.0, 4.0])]                             # parallel to a
+        + [("c", [0.0, 5.0, 0.0]), ("c", [0.0, 1.0, 0.0])]     # orthogonal
+    )
+    df = spark.createDataFrame(rows, ["source", "embedding"])
+    out = {(r.source_a, r.source_b): r.cosine
+           for r in source_centroid_similarity(df, "source", "embedding").collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0

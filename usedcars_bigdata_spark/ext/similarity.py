@@ -1180,3 +1180,55 @@ def matryoshka_recall(
             F.coalesce(F.col("__m"), F.lit(0)) * 1.0 / (n_q * k), ndigits
         ).alias("recall"),
     )
+
+
+def source_centroid_similarity(
+    df: DataFrame,
+    source_col: str,
+    vec_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Inter-source embedding geometry: the pairwise cosine between each
+    source's MEAN vector — the corpus-map readout behind "are these two
+    crawls semantically redundant" (near-1 centroids → candidates for
+    dedup/mixture-merging; complements ext_domain_divergence's token-
+    level KL with the dense-space view).
+
+    Plan: component-wise centroid via posexplode + one combinable
+    (source, dim) aggregate — the raw table collapses to
+    |sources|·dim rows in one pass, and ordered collect_list rebuilds
+    each centroid (dim-bounded). The pairwise stage is a
+    |sources|²-row self-join on a broadcast-sized table. Centroid
+    components are double means (~1-ulp engine drift), cosines rounded
+    well above it.
+
+    Output: (source_a, source_b, cosine) for source_a < source_b."""
+    cent = (
+        df.select(
+            F.col(source_col).alias("src"),
+            F.posexplode(F.col(vec_col)).alias("pos", "x"),
+        )
+        .groupBy("src", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("src")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("__a")
+        )
+        .select(
+            "src", F.expr("transform(__a, e -> e.m)").alias("c")
+        )
+    )
+    a = cent.select(F.col("src").alias("source_a"), F.col("c").alias("ca"))
+    b = cent.select(F.col("src").alias("source_b"), F.col("c").alias("cb"))
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                dot("ca", "cb") / (l2_norm("ca") * l2_norm("cb")), ndigits
+            ).alias("cosine"),
+        )
+    )

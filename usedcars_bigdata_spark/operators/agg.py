@@ -305,3 +305,31 @@ def correlation_matrix(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def l_diversity_audit(
+    df,
+    quasi_cols,
+    sensitive_col: str,
+    l_threshold: int = 2,
+):
+    """l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    check to k-anonymity: a quasi-identifier group can be large (k-safe)
+    yet expose everyone in it if the SENSITIVE attribute takes a single
+    value there. Reports each equivalence class's size and distinct
+    sensitive count, flagging classes below ``l_threshold``.
+
+    One group-by with an exact distinct (swap approx_count_distinct at
+    interactive scale); output is equivalence-class-cardinality-sized.
+
+    Output: (<quasi_cols...>, class_size, l_distinct, violates)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive_col).alias("l_distinct"),
+        )
+        .withColumn("violates", F.col("l_distinct") < l_threshold)
+    )

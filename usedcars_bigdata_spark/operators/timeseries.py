@@ -1923,3 +1923,55 @@ def theil_sen_trend(
             F.round("slope", ndigits).alias("slope_cents_per_hour"),
         )
     )
+
+
+def decayed_topk(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    half_life_hours: float = 24.0,
+    top_k: int = 20,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exponentially-decayed heavy hitters: each key's score is
+    Σ value·2^(−age/half_life) with age measured back from the CORPUS
+    max timestamp — the freshness-weighted leaderboard ("top spenders,
+    recent activity counting double") that a plain sum can't express and
+    a windowed sum overweights arbitrarily at the window edge.
+
+    Fully combinable despite the time dependence: the decay factor is a
+    per-row multiplier once the anchor T is fixed, so the plan is one
+    1-row max(ts) broadcast + one map-side-combinable weighted sum per
+    key + a top-k window on the key-cardinality table. (The streaming
+    form keeps Σ value·2^(t/h) per key and rescales on read — same
+    algebra, no anchor recompute.) Ages ride integer µs; the only
+    doubles are pow(2, −age/h) and the weighted sum, rounded well above
+    engine pow/summation drift.
+
+    Output: (rank, key, n_events, decayed_score)."""
+    anchor = events.agg(F.max(F.unix_micros(F.col(ts_col))).alias("__T"))
+    weighted = events.crossJoin(F.broadcast(anchor)).select(
+        F.col(key_col).alias("key"),
+        (
+            F.col(value_col)
+            * F.pow(
+                F.lit(2.0),
+                -(F.col("__T") - F.unix_micros(F.col(ts_col)))
+                / F.lit(half_life_hours * 3_600_000_000.0),
+            )
+        ).alias("__w"),
+    )
+    per_key = weighted.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__w").alias("__s"),
+    )
+    w = Window.orderBy(F.round("__s", ndigits).desc(), F.col("key").asc())
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "rank", "key", "n_events",
+            F.round("__s", ndigits).alias("decayed_score"),
+        )
+    )

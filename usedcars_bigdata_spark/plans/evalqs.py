@@ -1453,3 +1453,95 @@ def ml_loso_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("holdout"),
     )
     return loso_influence(base, "g", "holdout", "x", "y")
+
+
+@query(
+    "ts_decayed_topk",
+    oracle="""
+    WITH anchor AS (SELECT max(epoch_us(ts)) AS T FROM events),
+    w AS (
+      SELECT user_id AS key,
+             value * pow(2.0, -(a.T - epoch_us(ts)) / 86400000000.0) AS wv
+      FROM events CROSS JOIN anchor a
+    ),
+    per AS (
+      SELECT key, count(*) AS n_events, sum(wv) AS s FROM w GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY round(s, 6) DESC, key ASC)
+                AS INTEGER) AS rank,
+           key, CAST(n_events AS BIGINT) AS n_events,
+           round(s, 6) AS decayed_score
+    FROM per
+    QUALIFY rank <= 20
+    """,
+)
+def ts_decayed_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed top spenders (24h half-life;
+    operators.timeseries.decayed_topk): freshness-weighted leaderboard —
+    one 1-row anchor broadcast, one combinable weighted sum per key, a
+    top-k window on the key table; ranking on the ROUNDED score with key
+    tie-break keeps pow/summation drift out of the selected set."""
+    from ..operators.timeseries import decayed_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return decayed_topk(ev, "user_id", "ts", "value", half_life_hours=24.0)
+
+
+@query(
+    "rel_l_diversity",
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS class_size,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS l_distinct,
+           count(DISTINCT o_orderstatus) < 2 AS violates
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def rel_l_diversity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (operators.agg.l_diversity_audit, Machanavajjhala
+    et al. 2007): per customer equivalence class, the distinct count of
+    the sensitive order-status attribute — a k-safe class with one status
+    still leaks it. The companion to rel_k_anonymity; one group-by,
+    class-cardinality output."""
+    from ..operators.agg import l_diversity_audit
+
+    o = load_table(spark, sf_dir, "orders")
+    return l_diversity_audit(o, ["o_custkey"], "o_orderstatus", l_threshold=2)
+
+
+@query(
+    "ext_source_centroid_sim",
+    oracle="""
+    WITH e AS (
+      SELECT d.source AS src, CAST(em.embedding AS DOUBLE[]) AS v
+      FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+    ),
+    comp AS (
+      SELECT src, i AS pos, avg(v[i]) AS m
+      FROM e, unnest(generate_series(1, len(v))) AS t(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (SELECT src, list(m ORDER BY pos) AS c FROM comp GROUP BY 1)
+    SELECT a.src AS source_a, b.src AS source_b,
+           round(list_dot_product(a.c, b.c)
+                 / (sqrt(list_dot_product(a.c, a.c))
+                    * sqrt(list_dot_product(b.c, b.c))), 6) AS cosine
+    FROM cent a JOIN cent b ON a.src < b.src
+    """,
+)
+def ext_src_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source embedding geometry
+    (ext.similarity.source_centroid_similarity): pairwise cosine between
+    per-source mean vectors (embeddings joined to documents on id) —
+    near-1 centroids flag semantically redundant crawls; the dense-space
+    complement of ext_domain_divergence's token KL. One combinable
+    (source, dim) aggregate; the pair stage is |sources|²."""
+    from ..ext.similarity import source_centroid_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "embedding"
+    )
+    return source_centroid_similarity(joined, "source", "embedding")
