@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "ts_decayed_topk",
     "rel_l_diversity",
     "ext_source_centroid_sim",
+    "ts_stream_rate_limit",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -551,3 +551,63 @@ def test_stream_left_outer_join_matched_and_null_rows(spark, tmp_path):
     assert 3 in nulls
     # no click both matched and null
     assert not nulls & {c for c, _ in matched}
+
+
+def test_streaming_token_bucket_equals_batch_across_boundaries(spark, tmp_path):
+    """Streaming token bucket == batch operator even when a user's events
+    span micro-batches (state carries tokens + last-seen across the
+    boundary) — including a refill accrued ACROSS the boundary."""
+    import datetime as dt
+    import time
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        token_bucket_admission,
+    )
+    from usedcars_bigdata_spark.streaming.stateful import (
+        streaming_token_bucket,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = "user_id long, ts timestamp, event_id long"
+    # capacity 2, rate 1/h: u1 drains in batch 1, gets rejected at the
+    # start of batch 2, then admitted after cross-boundary refill
+    f1 = [(1, t0, 1), (1, t0 + 1 * m, 2), (1, t0 + 2 * m, 3)]
+    f2 = [(1, t0 + 3 * m, 4), (1, t0 + 70 * m, 5), (2, t0 + 70 * m, 6)]
+    src = str(tmp_path / "tb")
+    rows_all = []
+    for rows in (f1, f2):
+        rows_all += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.05)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        streaming_token_bucket(stream, rate_per_hour=1, capacity=2)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tb_eq_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2
+    got = sorted(
+        (r.user_id, r.event_id, r.rn, r.admitted, r.tokens)
+        for r in spark.table("tb_eq_test").collect()
+    )
+    want = sorted(
+        (r.user_id, r.event_id, r.rn, r.admitted, r.tokens)
+        for r in token_bucket_admission(
+            spark.createDataFrame(rows_all, schema),
+            "user_id", "ts", "event_id", rate_per_hour=1, capacity=2,
+        ).collect()
+    )
+    assert got == want
+    by_id = {e: a for _, e, _, a, _ in got}
+    assert by_id[1] and by_id[2] and not by_id[3]  # burst drains, reject
+    assert not by_id[4]                            # still empty in batch 2
+    assert by_id[5]                                # cross-boundary refill

@@ -1545,3 +1545,64 @@ def ext_src_centroid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "embedding"
     )
     return source_centroid_similarity(joined, "source", "embedding")
+
+
+@query(
+    "ts_stream_rate_limit",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), tb AS (
+      SELECT user_id, event_id, rn, ts_us,
+             CAST(3 * 3600000000 - 3600000000 AS BIGINT) AS tokens,
+             TRUE AS admitted
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.rn, b.ts_us,
+             CAST(CASE WHEN least(3 * 3600000000,
+                               h.tokens + 6 * (b.ts_us - h.ts_us))
+                            >= 3600000000
+                       THEN least(3 * 3600000000,
+                                  h.tokens + 6 * (b.ts_us - h.ts_us))
+                            - 3600000000
+                       ELSE least(3 * 3600000000,
+                                  h.tokens + 6 * (b.ts_us - h.ts_us))
+                  END AS BIGINT) AS tokens,
+             least(3 * 3600000000, h.tokens + 6 * (b.ts_us - h.ts_us))
+               >= 3600000000 AS admitted
+      FROM base b JOIN tb h ON b.user_id = h.user_id AND b.rn = h.rn + 1
+    )
+    SELECT event_id, user_id, rn, admitted, tokens FROM tb
+    """,
+)
+def ts_stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING token-bucket rate limiter, contract-visible
+    (streaming.stateful.streaming_token_bucket): per-user (tokens,
+    last-seen, count) state across micro-batches via
+    applyInPandasWithState. Emission is purely data-driven, so this
+    entry shares ts_rate_limit_tokens' recursive-CTE oracle VERBATIM —
+    one SQL recurrence certifying that the batch mapInPandas carry and
+    the streaming state fold implement identical semantics (the
+    strongest batch/stream parity statement the harness can make)."""
+    from ..streaming.events import read_event_stream
+    from ..streaming.stateful import streaming_token_bucket
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink = "ts_stream_rate_limit_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    stream = read_event_stream(spark, sf_dir)
+    out = streaming_token_bucket(stream, rate_per_hour=6, capacity=3)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

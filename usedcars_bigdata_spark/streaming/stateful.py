@@ -240,3 +240,75 @@ def streaming_sessionize_batch_twin(events: DataFrame) -> DataFrame:
             "user_id", "session_seq", "session_start", "session_end", "n_events"
         )
     )
+
+
+TOKEN_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, rn long, admitted boolean, tokens long"
+)
+TOKEN_STATE_SCHEMA = "tokens long, last_us long, rn long"
+
+
+def _make_token_bucket(rate_per_hour: int, capacity: int):
+    """Nested-closure factory (capture-by-value; see _make_track): the
+    token-bucket fold ships to workers self-contained."""
+    scale = 3_600_000_000
+    cap_s = capacity * scale
+
+    def _bucket(key, batches, state):
+        import pandas as _pd
+
+        (user_id,) = key
+        tokens, last_us, rn = (
+            state.get if state.exists else (cap_s, None, 0)
+        )
+        out = []
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = _pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            unit = "us" if pdf["ts"].dtype == "datetime64[us]" else "ns"
+            div = 1 if unit == "us" else 1000
+            tss = pdf["ts"].astype("int64") // div
+            for ev_id, t_us in zip(pdf["event_id"], tss):
+                t_us = int(t_us)
+                if last_us is not None:
+                    tokens = min(
+                        cap_s, tokens + rate_per_hour * (t_us - last_us)
+                    )
+                admitted = tokens >= scale
+                if admitted:
+                    tokens -= scale
+                rn += 1
+                out.append((user_id, int(ev_id), rn, admitted, tokens))
+                last_us = t_us
+        state.update((tokens, last_us, rn))
+        yield _pd.DataFrame(
+            out, columns=["user_id", "event_id", "rn", "admitted", "tokens"]
+        )
+
+    return _bucket
+
+
+def streaming_token_bucket(
+    events: DataFrame, rate_per_hour: int = 6, capacity: int = 3
+) -> DataFrame:
+    """STREAMING token-bucket rate limiter (applyInPandasWithState): the
+    per-user (tokens, last-seen, count) triple persists across
+    micro-batches, so admission decisions are identical to the batch
+    operator's regardless of where batch boundaries fall — emission here
+    is purely data-driven (each event's verdict depends only on earlier
+    events of the same user), which is why the contract entry can share
+    the batch recurrence's EXACT recursive-CTE oracle: the same SQL
+    certifies both engines' batch/stream parity."""
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_token_bucket(rate_per_hour, capacity),
+            outputStructType=TOKEN_OUTPUT_SCHEMA,
+            stateStructType=TOKEN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
