@@ -172,6 +172,9 @@ BENCH_QUERIES = [
     "rel_l_diversity",
     "ext_source_centroid_sim",
     "ts_stream_rate_limit",
+    "rel_salted_agg",
+    "ts_interval_union_time",
+    "ts_backtest_snaive",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

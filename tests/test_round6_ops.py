@@ -371,3 +371,66 @@ def test_source_centroid_similarity_geometry(spark):
            for r in source_centroid_similarity(df, "source", "embedding").collect()}
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] == 0.0 and out[("b", "c")] == 0.0
+
+
+def test_salted_agg_equals_plain_and_spreads_hot_key(spark):
+    from pyspark.sql import functions as F2
+
+    from usedcars_bigdata_spark.operators.agg import salted_grouped_sum
+
+    rows = [(1, i, 10) for i in range(1000)] + [(2, 10_000 + i, 5) for i in range(10)]
+    df = spark.createDataFrame(rows, ["key", "src", "v"])
+    out = {r.key: r for r in salted_grouped_sum(df, "key", "v", "src").collect()}
+    assert out[1].total == 10_000 and out[1].n_rows == 1000
+    assert out[2].total == 50 and out[2].n_rows == 10
+    # phase-1 really spreads the hot key over multiple salts
+    salts = (
+        df.filter("key = 1")
+        .select(F2.pmod(F2.xxhash64("src"), F2.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert salts == 8
+
+
+def test_interval_union_merges_overlaps(spark):
+    from usedcars_bigdata_spark.operators.timeseries import (
+        interval_union_time,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0), (1, t0 + 10 * m),          # overlap into one 40-min island
+        (1, t0 + 120 * m),                  # separate 30-min island
+        (2, t0), (2, t0),                   # exact duplicates: one island
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.user_id: r for r in interval_union_time(df, "user_id", "ts",
+                                                     duration_secs=1800).collect()}
+    assert out[1].n_islands == 2 and out[1].covered_secs == 40 * 60 + 1800
+    assert out[2].n_islands == 1 and out[2].covered_secs == 1800
+
+
+def test_backtest_snaive_perfect_on_exact_weekly_pattern(spark):
+    """Counts that repeat exactly week-over-week -> MAE 0 at every cutoff
+    inside the pattern."""
+    from usedcars_bigdata_spark.operators.timeseries import (
+        backtest_seasonal_naive,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 29):
+        for h in (3, 9):
+            # 2 events at hour 3, 1 at hour 9, every single day
+            for _ in range(2 if h == 3 else 1):
+                rows.append((eid, dt.datetime(2024, 1, day, h), 1, "view", 1.0, ""))
+                eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = backtest_seasonal_naive(df, "ts", "event_type").collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.mae == 0.0 and r.n_hours == 24

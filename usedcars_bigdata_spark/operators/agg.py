@@ -333,3 +333,42 @@ def l_diversity_audit(
         )
         .withColumn("violates", F.col("l_distinct") < l_threshold)
     )
+
+
+def salted_grouped_sum(
+    df,
+    key_col: str,
+    value_col: str,
+    salt_src_col: str,
+    n_salts: int = 8,
+):
+    """Two-phase SALTED aggregation — the hot-key treatment for skewed
+    group-bys: phase 1 aggregates on (key, salt) so a pathological key's
+    rows spread over ``n_salts`` reducers, phase 2 merges the per-salt
+    partials on the key alone (a table bounded by keys × salts). For a
+    SUM the rewrite is semantically transparent — which is exactly what
+    the contract entry certifies by hashing against the PLAIN one-phase
+    oracle (integer sums are associative, so the result is bit-equal).
+    AQE's skew handling covers joins; skewed aggregation still wants the
+    explicit salt when a single key overwhelms one reducer's memory.
+
+    The salt derives from a deterministic hash of ``salt_src_col`` (any
+    high-cardinality column), never from rand() — retried tasks must
+    salt identically.
+
+    Output: (key, total, n_rows)."""
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64(F.col(salt_src_col)), F.lit(n_salts))
+    phase1 = (
+        df.select(
+            F.col(key_col).alias("key"),
+            salt.alias("__salt"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy("key", "__salt")
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    return phase1.groupBy("key").agg(
+        F.sum("__s").alias("total"), F.sum("__n").alias("n_rows")
+    )

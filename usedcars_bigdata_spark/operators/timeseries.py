@@ -1975,3 +1975,142 @@ def decayed_topk(
             F.round("__s", ndigits).alias("decayed_score"),
         )
     )
+
+
+def interval_union_time(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    duration_secs: int = 1800,
+    ndigits: int = 0,
+) -> DataFrame:
+    """Per-key UNION length of event intervals [t, t + duration): total
+    wall-clock covered with overlaps merged — "minutes of activity" where
+    back-to-back events must not double-count (the continuous-time
+    complement of gaps_islands' day grain, and the sweep-line problem
+    behind ad-viewability and machine-uptime metrics).
+
+    Window form, no sweep loop: a row starts a NEW island iff its start
+    exceeds the running max of previous interval ENDS (one ordered window
+    per key); islands get ids from a running sum of those starts; one
+    aggregate per island then one per key. All epoch-second integers —
+    exact.
+
+    Output: (key, n_islands, covered_secs)."""
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).cast("long").alias("s"),
+        (F.col(ts_col).cast("long") + duration_secs).alias("e"),
+    )
+    w = Window.partitionBy("k").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = base.select(
+        "k",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+        .otherwise(0)
+        .alias("__new"),
+    )
+    islands = marked.select(
+        "k",
+        "s",
+        "e",
+        F.sum("__new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("__isl"),
+    )
+    per_island = islands.groupBy("k", "__isl").agg(
+        F.min("s").alias("__a"), F.max("e").alias("__b")
+    )
+    return (
+        per_island.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("__b") - F.col("__a")).alias("covered_secs"),
+        )
+        .withColumnRenamed("k", key_col)
+    )
+
+
+def backtest_seasonal_naive(
+    events: DataFrame,
+    ts_col: str,
+    type_col: str,
+    cutoff_days: tuple = (20, 23, 26),
+    horizon_hours: int = 24,
+    season_hours: int = 168,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Rolling-origin backtest of the seasonal-naive forecaster (ŷ_t =
+    y_{t−season}) on hourly event counts: for each cutoff, score the next
+    ``horizon_hours`` with MAE — the evaluation harness that justifies
+    (or retires) the forecasting family's baseline, and the honest
+    default every fancier model must beat.
+
+    One hourly aggregate serves every cutoff (the count table is the
+    hub); each cutoff scores over the FULL type × horizon-hour spine
+    (a generated sequence — an hour with zero actuals still pays
+    |0 − forecast|, and a missing season-lagged hour forecasts 0: both
+    cold-start conventions explicit, not data-dependent). |err| averages
+    over exact integer counts. Cutoff days index into the data's own
+    min-date anchor so the same definition replays at any SF.
+
+    Output: (cutoff_day, event_type, n_hours, mae)."""
+    hourly = (
+        events.groupBy(
+            F.col(type_col).alias("t"),
+            F.date_trunc("hour", F.col(ts_col)).cast("long").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # hub: spine types, actuals, lag side
+    )
+    anchor = events.agg(
+        F.date_trunc("day", F.min(F.col(ts_col))).cast("long").alias("t0")
+    )
+    types = hourly.select(F.col("t").alias("ty")).distinct()
+    lag = hourly.select(
+        F.col("t").alias("t2"),
+        (F.col("h") + season_hours * 3600).alias("h2"),
+        F.col("n").alias("n_lag"),
+    )
+    out = None
+    for cd in cutoff_days:
+        spine = types.crossJoin(F.broadcast(anchor)).select(
+            "ty",
+            F.explode(
+                F.sequence(
+                    F.col("t0") + cd * 86400,
+                    F.col("t0") + cd * 86400 + (horizon_hours - 1) * 3600,
+                    F.lit(3600),
+                )
+            ).alias("hh"),
+        )
+        horizon = (
+            spine.join(
+                hourly,
+                (F.col("t") == F.col("ty")) & (F.col("h") == F.col("hh")),
+                "left",
+            )
+            .join(
+                lag,
+                (F.col("t2") == F.col("ty")) & (F.col("h2") == F.col("hh")),
+                "left",
+            )
+            .groupBy(F.col("ty").alias("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_hours"),
+                F.round(
+                    F.avg(
+                        F.abs(
+                            F.coalesce(F.col("n"), F.lit(0))
+                            - F.coalesce(F.col("n_lag"), F.lit(0))
+                        )
+                    ),
+                    ndigits,
+                ).alias("mae"),
+            )
+            .select(F.lit(cd).alias("cutoff_day"), "event_type", "n_hours", "mae")
+        )
+        out = horizon if out is None else out.unionByName(horizon)
+    return out

@@ -1606,3 +1606,126 @@ def ts_stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+@query(
+    "rel_salted_agg",
+    oracle="""
+    SELECT l_suppkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS total,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def rel_salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.agg.salted_grouped_sum):
+    supplier revenue summed first on (key, salt-of-orderkey), then merged
+    on the key — the skewed-group-by treatment. The oracle is the PLAIN
+    one-phase GROUP BY: integer-cent sums are associative, so hash
+    equality certifies the rewrite is semantically transparent, which is
+    the whole point of a salting layer."""
+    from ..operators.agg import salted_grouped_sum
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "rev_cents",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long"),
+    )
+    return salted_grouped_sum(
+        li, "l_suppkey", "rev_cents", "l_orderkey", n_salts=8
+    ).withColumnRenamed("key", "l_suppkey")
+
+
+@query(
+    "ts_interval_union_time",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS k,
+             epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + 1800 AS e
+      FROM events
+    ),
+    m AS (
+      SELECT k, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) IS NULL
+                       OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nw
+      FROM base
+    ),
+    isl AS (
+      SELECT k, s, e,
+             sum(nw) OVER (PARTITION BY k ORDER BY s, e
+                           ROWS UNBOUNDED PRECEDING) AS g
+      FROM m
+    ),
+    pi AS (SELECT k, g, min(s) AS a, max(e) AS b FROM isl GROUP BY 1, 2)
+    SELECT k AS user_id, CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(b - a) AS BIGINT) AS covered_secs
+    FROM pi GROUP BY 1
+    """,
+)
+def ts_interval_union_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union of 30-minute activity intervals
+    (operators.timeseries.interval_union_time): overlap-merged covered
+    time via the running-max-of-ends window — the continuous-time
+    complement of ts_gaps_islands' day grain. Integer epoch seconds;
+    duplicate rows collapse into the same island whichever way the
+    window breaks their tie."""
+    from ..operators.timeseries import interval_union_time
+
+    ev = load_table(spark, sf_dir, "events")
+    return interval_union_time(ev, "user_id", "ts", duration_secs=1800)
+
+
+@query(
+    "ts_backtest_snaive",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS t,
+             epoch_us(date_trunc('hour', ts)) // 1000000 AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    anchor AS (
+      SELECT epoch_us(date_trunc('day', min(ts))) // 1000000 AS t0
+      FROM events
+    ),
+    types AS (SELECT DISTINCT t AS ty FROM hourly),
+    cutoffs AS (SELECT unnest([20, 23, 26]) AS cd),
+    spine AS (
+      SELECT c.cd, ty, t0 + c.cd * 86400 + 3600 * s.i AS hh
+      FROM cutoffs c
+      CROSS JOIN types
+      CROSS JOIN anchor,
+           unnest(generate_series(0, 23)) AS s(i)
+    ),
+    j AS (
+      SELECT sp.cd, sp.ty,
+             coalesce(a.n, 0) AS n, coalesce(l.n, 0) AS nl
+      FROM spine sp
+      LEFT JOIN hourly a ON a.t = sp.ty AND a.h = sp.hh
+      LEFT JOIN hourly l ON l.t = sp.ty AND l.h + 604800 = sp.hh
+    )
+    SELECT CAST(cd AS INTEGER) AS cutoff_day, ty AS event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           round(avg(abs(n - nl)), 4) AS mae
+    FROM j GROUP BY 1, 2
+    """,
+)
+def ts_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the weekly seasonal-naive hourly
+    forecaster (operators.timeseries.backtest_seasonal_naive): MAE over
+    the FULL type × 24h spine at three cutoffs — zero-actual hours pay
+    |0 − forecast| and missing lags forecast 0 (explicit cold-start
+    conventions). The evaluation harness the forecasting family's
+    baseline answers to."""
+    from ..operators.timeseries import backtest_seasonal_naive
+
+    ev = load_table(spark, sf_dir, "events")
+    return backtest_seasonal_naive(ev, "ts", "event_type")
