@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "rel_salted_agg",
     "ts_interval_union_time",
     "ts_backtest_snaive",
+    "rel_share_of_parent",
+    "rel_tail_contribution",
+    "rel_graph_period_diff",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -13,7 +13,7 @@ data source. Money sums ride integer cents (ts_bootstrap_ci precedent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..ext import dedup as X
@@ -1729,3 +1729,236 @@ def ts_backtest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return backtest_seasonal_naive(ev, "ts", "event_type")
+
+
+@query(
+    "rel_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, CAST(cents AS BIGINT) AS revenue_cents,
+           round(cents * 100.0 / sum(cents) OVER (PARTITION BY region), 4)
+             AS pct_of_region,
+           round(cents * 100.0 / sum(cents) OVER (), 4) AS pct_of_total
+    FROM rev
+    """,
+)
+def rel_share_of_parent_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: nation revenue as a percent of its
+    region AND of the grand total — the drill-down readout cube/rollup
+    don't directly give (their subtotals are rows, not ratios). One
+    aggregate to the nation grain (integer cents), then two frameless
+    windows on the 25-row table; dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    w_r = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents") * 100.0 / F.sum("revenue_cents").over(w_r), 4
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("revenue_cents") * 100.0 / F.sum("revenue_cents").over(w_all),
+            4,
+        ).alias("pct_of_total"),
+    )
+
+
+@query(
+    "rel_tail_contribution",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             event_id
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, c,
+             row_number() OVER (ORDER BY c ASC, event_id ASC) AS rn,
+             count(*) OVER () AS n
+      FROM v
+    ),
+    thr AS (
+      SELECT c AS p99 FROM r
+      WHERE rn = CAST(ceil(0.99 * n) AS BIGINT)
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN v.c >= t.p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tail,
+           round(sum(CASE WHEN v.c >= t.p99 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS tail_rate,
+           round(sum(CASE WHEN v.c >= t.p99 THEN v.c ELSE 0 END) * 1.0
+                 / sum(v.c), 6) AS tail_mass_share
+    FROM v CROSS JOIN thr t
+    GROUP BY 1
+    """,
+)
+def rel_tail_contribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail attribution: which event types drive the global p99 of value
+    — per type, the share of its events above the corpus-wide p99 cut
+    (an ORDER STATISTIC: rank ceil(0.99·n), not approx-percentile) and
+    the share of its own value mass sitting in the tail. The latency/
+    spend investigation readout: a type with 1% volume but 10% tail rate
+    is the one to page on. One global sort for the threshold (broadcast
+    scalar), one combinable per-type aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.orderBy(F.col("c").asc(), F.col("event_id").asc())
+    wn = Window.partitionBy()
+    thr = (
+        v.select(
+            "c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"))
+        .select(F.col("c").alias("p99"))
+    )
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("c") >= F.col("p99")).cast("long")).alias("n_tail"),
+            F.round(
+                F.sum((F.col("c") >= F.col("p99")).cast("long")) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("tail_rate"),
+            F.round(
+                F.sum(
+                    F.when(F.col("c") >= F.col("p99"), F.col("c")).otherwise(0)
+                )
+                * 1.0
+                / F.sum("c"),
+                6,
+            ).alias("tail_mass_share"),
+        )
+    )
+
+
+@query(
+    "rel_graph_period_diff",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey,
+             CAST(o.o_orderdate >= DATE '1998-06-01' AS INTEGER) AS p
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, a.p
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey AND a.p = b.p
+      GROUP BY 1, 2, 3
+      HAVING count(*) >= 2
+    ),
+    agg AS (
+      SELECT coalesce(e0.u, e1.u) AS u, coalesce(e0.v, e1.v) AS v,
+             e0.u IS NOT NULL AS in_old, e1.u IS NOT NULL AS in_new
+      FROM (SELECT u, v FROM e WHERE p = 0) e0
+      FULL OUTER JOIN (SELECT u, v FROM e WHERE p = 1) e1
+        ON e0.u = e1.u AND e0.v = e1.v
+    )
+    SELECT CAST(sum(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stable,
+           CAST(sum(CASE WHEN in_old AND NOT in_new THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lost,
+           CAST(sum(CASE WHEN in_new AND NOT in_old THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gained,
+           round(sum(CASE WHEN in_old AND in_new THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN in_old OR in_new THEN 1 ELSE 0 END), 6)
+             AS jaccard_stability
+    FROM agg
+    """,
+)
+def rel_graph_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn: the repeat co-purchase edge sets built from
+    orders BEFORE and SINCE 1998-06-01, full-outer-joined into
+    stable/lost/gained counts + edge-set Jaccard stability — the drift
+    monitor for any relationship graph a recommender retrains on. Edge
+    derivation per period shares one basket-bounded self-join (the period
+    flag rides the distinct items projection)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    items = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("o_orderdate") >= F.lit("1998-06-01").cast("date"))
+            .cast("int")
+            .alias("p"),
+        )
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"), "p")
+    b = items.select(
+        F.col("l_orderkey").alias("__ok"),
+        F.col("l_partkey").alias("v"),
+        F.col("p").alias("__p2"),
+    )
+    e = (
+        a.join(
+            b,
+            (a.l_orderkey == b.__ok)
+            & (F.col("u") < F.col("v"))
+            & (F.col("p") == F.col("__p2")),
+        )
+        .groupBy("u", "v", "p")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v", "p")
+    )
+    e0 = e.filter(F.col("p") == 0).select("u", "v").withColumn("in_old", F.lit(True))
+    e1 = e.filter(F.col("p") == 1).select(
+        F.col("u").alias("u1"), F.col("v").alias("v1")
+    ).withColumn("in_new", F.lit(True))
+    agg = e0.join(
+        e1, (F.col("u") == F.col("u1")) & (F.col("v") == F.col("v1")), "full_outer"
+    ).select(
+        F.coalesce(F.col("in_old"), F.lit(False)).alias("in_old"),
+        F.coalesce(F.col("in_new"), F.lit(False)).alias("in_new"),
+    )
+    both = (F.col("in_old") & F.col("in_new")).cast("long")
+    either = (F.col("in_old") | F.col("in_new")).cast("long")
+    return agg.agg(
+        F.sum(both).alias("n_stable"),
+        F.sum((F.col("in_old") & ~F.col("in_new")).cast("long")).alias("n_lost"),
+        F.sum((F.col("in_new") & ~F.col("in_old")).cast("long")).alias("n_gained"),
+        F.round(F.sum(both) * 1.0 / F.sum(either), 6).alias("jaccard_stability"),
+    )
