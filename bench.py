@@ -178,6 +178,9 @@ BENCH_QUERIES = [
     "rel_share_of_parent",
     "rel_tail_contribution",
     "rel_graph_period_diff",
+    "ts_local_peaks",
+    "ts_hourly_percentile_bands",
+    "ts_semi_additive_monthly",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1962,3 +1962,200 @@ def rel_graph_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("in_new") & ~F.col("in_old")).cast("long")).alias("n_gained"),
         F.round(F.sum(both) * 1.0 / F.sum(either), 6).alias("jaccard_stability"),
     )
+
+
+@query(
+    "ts_local_peaks",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS t,
+             epoch_us(date_trunc('hour', ts)) // 1000000 AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT t, h, n,
+             lag(n) OVER (PARTITION BY t ORDER BY h) AS prev_n,
+             lead(n) OVER (PARTITION BY t ORDER BY h) AS next_n,
+             lag(h) OVER (PARTITION BY t ORDER BY h) AS prev_h,
+             lead(h) OVER (PARTITION BY t ORDER BY h) AS next_h
+      FROM hourly
+    )
+    SELECT t AS event_type, CAST(h AS BIGINT) AS hour_epoch,
+           CAST(n AS BIGINT) AS n
+    FROM w
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND prev_h = h - 3600 AND next_h = h + 3600
+      AND n > prev_n AND n > next_n AND n >= 10
+    """,
+)
+def ts_local_peaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local peak detection on hourly event counts: hours strictly above
+    BOTH calendar-adjacent neighbours (gap-aware — a missing neighbour
+    hour disqualifies, lag/lead alone would compare across the gap) with
+    a min-height floor. The alert-candidate primitive under the anomaly
+    family; one bucket aggregate + one ordered window per type."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("t").orderBy("h")
+    x = hourly.select(
+        "t",
+        "h",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+        F.lag("h").over(w).alias("prev_h"),
+        F.lead("h").over(w).alias("next_h"),
+    )
+    return x.filter(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("prev_h") == F.col("h") - 3600)
+        & (F.col("next_h") == F.col("h") + 3600)
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+        & (F.col("n") >= 10)
+    ).select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour_epoch"),
+        F.col("n"),
+    )
+
+
+@query(
+    "ts_hourly_percentile_bands",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS t, EXTRACT(hour FROM ts) AS hod,
+             CAST(round(value * 100) AS BIGINT) AS c, event_id
+      FROM events
+    ),
+    r AS (
+      SELECT t, hod, c,
+             row_number() OVER (PARTITION BY t, hod
+                                ORDER BY c ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY t, hod) AS n
+      FROM c
+    )
+    SELECT t AS event_type, CAST(hod AS BIGINT) AS hod,
+           CAST(max(n) AS BIGINT) AS n,
+           round(max(CASE WHEN rn = greatest(
+                   CAST(ceil(0.10 * n) AS BIGINT), 1) THEN c END) / 100.0, 2)
+             AS p10,
+           round(max(CASE WHEN rn = greatest(
+                   CAST(ceil(0.50 * n) AS BIGINT), 1) THEN c END) / 100.0, 2)
+             AS p50,
+           round(max(CASE WHEN rn = greatest(
+                   CAST(ceil(0.90 * n) AS BIGINT), 1) THEN c END) / 100.0, 2)
+             AS p90
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ts_percentile_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day percentile envelope per event type: p10/p50/p90 of
+    value by (type, hour-of-day) as EXACT order statistics
+    (ceil(q·n)-th rank, event_id tie-break — the discrete-percentile
+    discipline, no interpolation ambiguity across engines). The
+    expected-band chart behind 'is tonight's spend normal for 9pm';
+    anomaly gates compare against these bands. One sort per (type, hod)
+    partition; output is 24×|types| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+        "event_id",
+    )
+    w = Window.partitionBy("t", "hod").orderBy(
+        F.col("c").asc(), F.col("event_id").asc()
+    )
+    wn = Window.partitionBy("t", "hod")
+    r = c.select(
+        "t",
+        "hod",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q):
+        k = F.greatest(F.ceil(F.lit(q) * F.col("n")).cast("long"), F.lit(1))
+        return F.round(
+            F.max(F.when(F.col("rn") == k, F.col("c"))) / 100.0, 2
+        )
+
+    return r.groupBy(
+        F.col("t").alias("event_type"), F.col("hod")
+    ).agg(
+        F.max("n").alias("n"),
+        pick(0.10).alias("p10"),
+        pick(0.50).alias("p50"),
+        pick(0.90).alias("p90"),
+    )
+
+
+@query(
+    "ts_semi_additive_monthly",
+    oracle="""
+    WITH bal AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(round(value * 100) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS running_cents
+      FROM events
+    ),
+    mo AS (
+      SELECT user_id,
+             CAST(date_trunc('month', ts) AS DATE) AS month,
+             running_cents,
+             row_number() OVER (PARTITION BY user_id,
+                                             date_trunc('month', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM bal
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(running_cents) AS BIGINT) AS total_balance_cents
+    FROM mo WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def ts_semi_additive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-additive measure aggregation — the BI balance semantics:
+    cumulative per-user spend is summable ACROSS users but takes the
+    LAST value across time, so each month reports Σ_users
+    (user's closing running total). One user-key window pass builds the
+    running totals (integer cents), a per-(user, month) last-row pick,
+    then a month-grain sum — the pattern plain GROUP BY can't express
+    and naive SUM over months double-counts."""
+    ev = load_table(spark, sf_dir, "events")
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bal = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(wb)
+        .alias("running_cents"),
+    )
+    wm = Window.partitionBy(
+        "user_id", F.date_trunc("month", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    mo = bal.select(
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "running_cents",
+        F.row_number().over(wm).alias("rn"),
+    )
+    return (
+        mo.filter(F.col("rn") == 1)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("running_cents").alias("total_balance_cents"),
+        )
+    )
