@@ -181,6 +181,8 @@ BENCH_QUERIES = [
     "ts_local_peaks",
     "ts_hourly_percentile_bands",
     "ts_semi_additive_monthly",
+    "ts_growth_accounting",
+    "ext_dupgraph_transitivity",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

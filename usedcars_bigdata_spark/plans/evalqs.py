@@ -2159,3 +2159,149 @@ def ts_semi_additive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("running_cents").alias("total_balance_cents"),
         )
     )
+
+
+@query(
+    "ts_growth_accounting",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY 1),
+    lagged AS (
+      SELECT u.user_id, u.wk, f.first_wk,
+             lag(u.wk) OVER (PARTITION BY u.user_id ORDER BY u.wk) AS prev_wk
+      FROM uw u JOIN firsts f USING (user_id)
+    ),
+    states AS (
+      SELECT wk,
+             CASE WHEN wk = first_wk THEN 'new'
+                  WHEN prev_wk = wk - INTERVAL 7 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM lagged
+    ),
+    churn AS (
+      SELECT CAST(wk + INTERVAL 7 DAY AS DATE) AS wk, 'churned' AS state
+      FROM lagged l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM uw n
+        WHERE n.user_id = l.user_id AND n.wk = l.wk + INTERVAL 7 DAY
+      )
+      AND l.wk + INTERVAL 7 DAY <= (SELECT max(wk) FROM uw)
+    ),
+    allrows AS (
+      SELECT wk, state FROM states UNION ALL SELECT wk, state FROM churn
+    )
+    SELECT wk AS week, state, CAST(count(*) AS BIGINT) AS n_users
+    FROM allrows GROUP BY 1, 2
+    """,
+)
+def ts_growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (the new/retained/resurrected/churned
+    ledger every growth team reads): states derive from each user's
+    distinct-week activity via one lag window — new (first week),
+    retained (active previous week), resurrected (returning after a
+    gap), churned (active week w, silent week w+1 — attributed to w+1,
+    capped at the observed horizon). The fact table collapses to
+    (user, week) first, so every window rides distinct-activity
+    cardinality.
+
+    Output: (week, state, n_users)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    w = Window.partitionBy("user_id").orderBy("wk")
+    lagged = uw.join(firsts, "user_id").select(
+        "user_id", "wk", "first_wk", F.lag("wk").over(w).alias("prev_wk")
+    )
+    states = lagged.select(
+        "wk",
+        F.when(F.col("wk") == F.col("first_wk"), "new")
+        .when(F.col("prev_wk") == F.date_sub(F.col("wk"), 7), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    max_wk = uw.agg(F.max("wk").alias("mx"))
+    nxt = uw.select(
+        F.col("user_id").alias("u2"), F.col("wk").alias("wk2")
+    )
+    churn = (
+        lagged.join(
+            nxt,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("wk2") == F.date_add(F.col("wk"), 7)),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_wk))
+        .filter(F.date_add(F.col("wk"), 7) <= F.col("mx"))
+        .select(
+            F.date_add(F.col("wk"), 7).alias("wk"), F.lit("churned").alias("state")
+        )
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy(F.col("wk").alias("week"), "state")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@query(
+    "ext_dupgraph_transitivity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT id_a AS a, id_b AS b FROM inter
+      JOIN sizes na ON na.doc_id = id_a
+      JOIN sizes nb ON nb.doc_id = id_b
+      WHERE inter * 1.0 / (na.n_sh + nb.n_sh - inter) >= 0.2
+    ),
+    tri AS (
+      SELECT count(*) AS nt
+      FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b
+    ),
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+    wdg AS (SELECT sum(d * (d - 1) / 2) AS nw FROM deg),
+    ne AS (SELECT count(*) AS n_edges FROM e)
+    SELECT CAST(ne.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.nt AS BIGINT) AS n_triangles,
+           round(CASE WHEN wdg.nw > 0
+                      THEN 3.0 * tri.nt / wdg.nw ELSE 0.0 END, 6)
+             AS transitivity
+    FROM ne CROSS JOIN tri CROSS JOIN wdg
+    """,
+)
+def ext_dupgraph_trans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph transitivity: the clustering coefficient of the
+    Jaccard≥0.2 similarity graph — a threshold producing a near-
+    transitive graph (coefficient → 1) validates single-linkage
+    clustering (near_dup_clusters); a low coefficient warns that
+    connected components will chain unrelated documents. Composes the
+    jaccard pair machinery with operators.graph.triangle_stats — the
+    graph ops working on DERIVED similarity edges, not just the
+    co-purchase fixture."""
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    pairs = X.jaccard_pairs(sh, "doc_id", threshold=0.2)
+    return triangle_stats(pairs, "id_a", "id_b").select(
+        "n_edges",
+        "n_triangles",
+        F.col("clustering").alias("transitivity"),
+    )
