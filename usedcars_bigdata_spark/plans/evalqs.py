@@ -1036,8 +1036,8 @@ def rel_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT o_orderkey,
-             year(o_orderdate) * 1.0 AS x,
-             CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 AS y,
+             CAST(year(o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y,
              (CAST('0x' || substr(md5('lc:' ||
                 CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                / 4294967296.0 AS gate,
@@ -1152,8 +1152,8 @@ def ml_learning_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT o_orderkey,
-             year(o_orderdate) * 1.0 AS x,
-             CAST(round(o_totalprice * 100) AS BIGINT) * 1.0 AS y,
+             CAST(year(o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y,
              (CAST('0x' || substr(md5('conf:' ||
                 CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                / 4294967296.0 AS uu
@@ -1367,7 +1367,7 @@ def ts_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT l_returnflag AS g, l_quantity AS x,
-             CAST(round(l_extendedprice * 100) AS BIGINT) * 1.0 AS y,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) AS y,
              (CAST('0x' || substr(md5('ls:' ||
                 CAST(l_orderkey AS VARCHAR) || ':' ||
                 CAST(l_linenumber AS VARCHAR) || ':' ||
