@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "ts_semi_additive_monthly",
     "ts_growth_accounting",
     "ext_dupgraph_transitivity",
+    "rel_fulfillment_latency",
+    "ext_doc_novelty",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

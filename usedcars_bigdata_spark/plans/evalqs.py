@@ -2305,3 +2305,129 @@ def ext_dupgraph_trans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_triangles",
         F.col("clustering").alias("transitivity"),
     )
+
+
+@query(
+    "rel_fulfillment_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority AS pr,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS d,
+             l.l_orderkey, l.l_linenumber, l.l_partkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT pr, d,
+             row_number() OVER (PARTITION BY pr
+                                ORDER BY d ASC, l_orderkey ASC,
+                                         l_linenumber ASC, l_partkey ASC)
+               AS rn,
+             count(*) OVER (PARTITION BY pr) AS n
+      FROM lat
+    )
+    SELECT pr AS o_orderpriority, CAST(max(n) AS BIGINT) AS n_lines,
+           CAST(max(CASE WHEN rn = greatest(
+                  CAST(ceil(0.50 * n) AS BIGINT), 1) THEN d END)
+                AS BIGINT) AS p50_days,
+           CAST(max(CASE WHEN rn = greatest(
+                  CAST(ceil(0.90 * n) AS BIGINT), 1) THEN d END)
+                AS BIGINT) AS p90_days,
+           CAST(max(CASE WHEN rn = greatest(
+                  CAST(ceil(0.99 * n) AS BIGINT), 1) THEN d END)
+                AS BIGINT) AS p99_days
+    FROM r GROUP BY pr
+    """,
+)
+def rel_fulfillment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority (p50/p90/p99 of
+    shipdate − orderdate in days) — the operational SLA readout, computed
+    as EXACT order statistics (ceil(q·n) rank with a composite line-key
+    tie-break; the discrete-percentile discipline, no interpolation).
+    One fact join broadcast on nothing (orders co-keyed), one sort per
+    priority partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pr"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("long").alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+    )
+    w = Window.partitionBy("pr").orderBy(
+        F.col("d").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+        F.col("l_partkey").asc(),
+    )
+    wn = Window.partitionBy("pr")
+    r = lat.select(
+        "pr",
+        "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(q):
+        k = F.greatest(F.ceil(F.lit(q) * F.col("n")).cast("long"), F.lit(1))
+        return F.max(F.when(F.col("rn") == k, F.col("d")))
+
+    return r.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.max("n").alias("n_lines"),
+        pick(0.50).alias("p50_days"),
+        pick(0.90).alias("p90_days"),
+        pick(0.99).alias("p99_days"),
+    )
+
+
+@query(
+    "ext_doc_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    firsts AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS novelty
+    FROM g JOIN firsts f USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def ext_doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty under ingestion order: the fraction of a
+    doc's distinct 3-grams whose FIRST corpus appearance is this doc —
+    the doc-grain companion to ext_vocab_saturation's batch curve (a
+    low-novelty late document is a near-dup or boilerplate candidate
+    BEFORE any pairwise comparison runs). First-occurrence is min(doc_id)
+    per gram: O(total grams), one shuffle on the hashed gram, no
+    pairwise stage. The string-keyed oracle certifies the hashed-gram
+    engine path."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
+    firsts = g.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+            F.round(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("novelty"),
+        )
+    )
