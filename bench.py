@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "ext_dupgraph_transitivity",
     "rel_fulfillment_latency",
     "ext_doc_novelty",
+    "ts_retention_halflife",
+    "rel_rank_movers",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -2431,3 +2431,180 @@ def ext_doc_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "ts_retention_halflife",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY 1),
+    sizes AS (SELECT cohort, count(*) AS n0 FROM firsts GROUP BY 1),
+    act AS (
+      SELECT f.cohort,
+             date_diff('week', f.cohort, u.wk) AS age,
+             count(DISTINCT u.user_id) AS n_active
+      FROM uw u JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT a.cohort, CAST(a.age AS DOUBLE) AS x,
+             ln(a.n_active * 1.0 / s.n0) AS y
+      FROM act a JOIN sizes s USING (cohort)
+      WHERE a.age >= 1 AND a.n_active > 0
+    ),
+    m AS (
+      SELECT cohort, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY 1
+    )
+    SELECT cohort, CAST(n AS BIGINT) AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round(CASE WHEN (n * sxy - sx * sy) < 0
+                      THEN -0.6931471805599453
+                           / ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      ELSE NULL END, 4) AS halflife_weeks
+    FROM m WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+    """,
+)
+def ts_retention_halflife_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life per weekly cohort: fit ln(retention) ~ age by
+    closed-form OLS over the cohort's weekly retention points (age ≥ 1),
+    half-life = −ln2/slope when decaying — the one-number summary product
+    teams quote from a retention matrix. ln of exact integer ratios;
+    ln(2) embedded as the same double literal in both engines; cohorts
+    without a well-defined fit drop out explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    firsts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
+    act = (
+        uw.join(firsts, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("age"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    pts = (
+        act.join(sizes, "cohort")
+        .filter((F.col("age") >= 1) & (F.col("n_active") > 0))
+        .select(
+            "cohort",
+            F.col("age").cast("double").alias("x"),
+            F.log(F.col("n_active") * 1.0 / F.col("n0")).alias("y"),
+        )
+    )
+    m = pts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return (
+        m.filter((F.col("n") >= 2) & (den != 0))
+        .select(
+            "cohort",
+            F.col("n").alias("n_points"),
+            F.round(slope, 6).alias("slope"),
+            F.round(
+                F.when(num < 0, -F.lit(0.6931471805599453) / slope).otherwise(
+                    F.lit(None)
+                ),
+                4,
+            ).alias("halflife_weeks"),
+        )
+    )
+
+
+@query(
+    "rel_rank_movers",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_partkey AS part,
+             CAST(o.o_orderdate >= DATE '1998-06-01' AS INTEGER) AS p,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT part, p, cents,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY cents DESC, part ASC) AS rnk
+      FROM rev
+    )
+    SELECT CAST(row_number() OVER (
+             ORDER BY abs(a.rnk - b.rnk) DESC, a.part ASC)
+             AS INTEGER) AS rank,
+           a.part AS l_partkey,
+           CAST(a.rnk AS BIGINT) AS rank_old,
+           CAST(b.rnk AS BIGINT) AS rank_new,
+           CAST(b.rnk - a.rnk AS BIGINT) AS delta
+    FROM (SELECT * FROM r WHERE p = 0) a
+    JOIN (SELECT * FROM r WHERE p = 1) b USING (part)
+    QUALIFY rank <= 20
+    """,
+)
+def rel_rank_movers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top rank movers: parts whose revenue RANK shifted most between the
+    pre- and post-1998-06 periods (both periods ranked in one window pass
+    over the per-(part, period) revenue table; movers = inner join on
+    parts present in both). The leaderboard-churn readout behind
+    'what changed this quarter' — rank deltas, not raw deltas, so a
+    mid-tail part moving 500 places outranks a #1 staying #1."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            (F.col("o_orderdate") >= F.lit("1998-06-01").cast("date"))
+            .cast("int")
+            .alias("p"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("p").orderBy(
+        F.col("cents").desc(), F.col("part").asc()
+    )
+    r = rev.select("part", "p", F.row_number().over(w).alias("rnk"))
+    a = r.filter(F.col("p") == 0).select("part", F.col("rnk").alias("rank_old"))
+    b = r.filter(F.col("p") == 1).select(
+        F.col("part").alias("p2"), F.col("rnk").alias("rank_new")
+    )
+    j = a.join(b, F.col("part") == F.col("p2")).select(
+        "part", "rank_old", "rank_new"
+    )
+    wtop = Window.orderBy(
+        F.abs(F.col("rank_old") - F.col("rank_new")).desc(),
+        F.col("part").asc(),
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            F.col("part").alias("l_partkey"),
+            "rank_old",
+            "rank_new",
+            (F.col("rank_new") - F.col("rank_old")).alias("delta"),
+        )
+    )
