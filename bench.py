@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "ext_doc_novelty",
     "ts_retention_halflife",
     "rel_rank_movers",
+    "ml_loco_importance",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -217,3 +217,24 @@ def test_learning_curve_monotone_on_clean_signal(spark):
     assert ns == sorted(ns) and ns[-1] > ns[0]
     assert out[1.0].r2 > 0.9
     assert out[1.0].r2 >= out[0.1].r2 - 0.05
+
+
+def test_loco_importance_ranks_real_signal(spark):
+    """y = 7*x1 + noise with x2 pure noise: dropping x1 collapses R2
+    (big importance), dropping x2 barely moves it."""
+    from usedcars_bigdata_spark.ml.eval import loco_importance
+
+    rows = []
+    for i in range(2000):
+        x1 = float(i % 40)
+        x2 = float((i * 13) % 17)           # unrelated
+        noise = ((i * 97) % 21) - 10
+        hold = (i % 5) == 0
+        rows.append((x1, x2, 7.0 * x1 + noise, hold))
+    df = spark.createDataFrame(rows, ["x1", "x2", "y", "holdout"])
+    out = {r.model: r for r in loco_importance(df, "holdout", "x1", "x2", "y").collect()}
+    assert set(out) == {"full", "drop_x1", "drop_x2"}
+    assert out["full"].r2 > 0.95
+    assert out["full"].importance == 0.0
+    assert out["drop_x1"].importance > 0.9
+    assert abs(out["drop_x2"].importance) < 0.01

@@ -605,3 +605,104 @@ def loso_influence(
             ),
         )
     )
+
+
+def loco_importance(
+    df: DataFrame,
+    holdout_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Leave-one-covariate-out (LOCO) feature importance for the
+    closed-form two-feature OLS (Lei et al. 2018's LOCO measure with
+    exact refits — affordable because the refit is ALGEBRA, not
+    training): fit y ~ x1 + x2 on the train pool via the centered normal
+    equations, refit each single-feature model, and report holdout R²
+    with the drop vs the full model. Unlike permutation importance this
+    needs no pairing construction, and unlike split-half heuristics the
+    refit is exact.
+
+    One aggregate computes every raw train moment (incl. the x1·x2
+    cross), one the holdout moments; all three fits and their holdout
+    SSEs are arithmetic over those scalars (the learning-curve moment-
+    expansion discipline). Exact when features/targets are
+    integer-valued doubles.
+
+    Output: (model, r2, importance) where model ∈ {full, drop_<x1>,
+    drop_<x2>} and importance = r2_full − r2 (0 for full)."""
+    pool = df.filter(~F.col(holdout_col))
+    tm = pool.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x1_col)).alias("s1"),
+        F.sum(F.col(x2_col)).alias("s2"),
+        F.sum(F.col(y_col)).alias("sy"),
+        F.sum(F.col(x1_col) * F.col(x1_col)).alias("s11"),
+        F.sum(F.col(x2_col) * F.col(x2_col)).alias("s22"),
+        F.sum(F.col(x1_col) * F.col(x2_col)).alias("s12"),
+        F.sum(F.col(x1_col) * F.col(y_col)).alias("s1y"),
+        F.sum(F.col(x2_col) * F.col(y_col)).alias("s2y"),
+    )
+    hm = df.filter(F.col(holdout_col)).agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum(F.col(x1_col)).alias("h1"),
+        F.sum(F.col(x2_col)).alias("h2"),
+        F.sum(F.col(y_col)).alias("hy"),
+        F.sum(F.col(x1_col) * F.col(x1_col)).alias("h11"),
+        F.sum(F.col(x2_col) * F.col(x2_col)).alias("h22"),
+        F.sum(F.col(x1_col) * F.col(x2_col)).alias("h12"),
+        F.sum(F.col(x1_col) * F.col(y_col)).alias("h1y"),
+        F.sum(F.col(x2_col) * F.col(y_col)).alias("h2y"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("hyy"),
+    )
+    m = tm.crossJoin(F.broadcast(hm))
+    # centered train moments
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / F.col("n")
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / F.col("n")
+    det = c11 * c22 - c12 * c12
+    # full model
+    b1_f = (c1y * c22 - c2y * c12) / det
+    b2_f = (c2y * c11 - c1y * c12) / det
+    a_f = (F.col("sy") - b1_f * F.col("s1") - b2_f * F.col("s2")) / F.col("n")
+    # single-feature models (slope over its own centered variance)
+    b1_d2 = c1y / c11  # drop x2
+    a_d2 = (F.col("sy") - b1_d2 * F.col("s1")) / F.col("n")
+    b2_d1 = c2y / c22  # drop x1
+    a_d1 = (F.col("sy") - b2_d1 * F.col("s2")) / F.col("n")
+
+    def sse2(a, b1, b2):
+        return (
+            F.col("hyy")
+            + F.col("nh") * a * a
+            + b1 * b1 * F.col("h11")
+            + b2 * b2 * F.col("h22")
+            + 2.0 * a * b1 * F.col("h1")
+            + 2.0 * a * b2 * F.col("h2")
+            + 2.0 * b1 * b2 * F.col("h12")
+            - 2.0 * a * F.col("hy")
+            - 2.0 * b1 * F.col("h1y")
+            - 2.0 * b2 * F.col("h2y")
+        )
+
+    sst = F.col("hyy") - F.col("hy") * F.col("hy") / F.col("nh")
+    r2_full = 1.0 - sse2(a_f, b1_f, b2_f) / sst
+    r2_d2 = 1.0 - sse2(a_d2, b1_d2, F.lit(0.0)) / sst
+    r2_d1 = 1.0 - sse2(a_d1, F.lit(0.0), b2_d1) / sst
+    rows = [
+        ("full", r2_full, F.lit(0.0)),
+        (f"drop_{x1_col}", r2_d1, r2_full - r2_d1),
+        (f"drop_{x2_col}", r2_d2, r2_full - r2_d2),
+    ]
+    out = None
+    for name, r2, imp in rows:
+        row = m.select(
+            F.lit(name).alias("model"),
+            F.round(r2, ndigits).alias("r2"),
+            F.round(imp, ndigits).alias("importance"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2608,3 +2608,119 @@ def rel_rank_movers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rank_new") - F.col("rank_old")).alias("delta"),
         )
     )
+
+
+@query(
+    "ml_loco_importance",
+    oracle="""
+    WITH u AS (
+      SELECT l_quantity AS x1,
+             CAST(CAST(round(l_discount * 100) AS BIGINT) AS DOUBLE) AS x2,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               AS y,
+             (CAST('0x' || substr(md5('loco:' ||
+                CAST(l_orderkey AS VARCHAR) || ':' ||
+                CAST(l_linenumber AS VARCHAR) || ':' ||
+                CAST(l_partkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS hu
+      FROM lineitem
+    ),
+    tm AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM u WHERE hu >= 0.2
+    ),
+    hm AS (
+      SELECT count(*) AS nh, sum(x1) AS h1, sum(x2) AS h2, sum(y) AS hy,
+             sum(x1 * x1) AS h11, sum(x2 * x2) AS h22,
+             sum(x1 * x2) AS h12, sum(x1 * y) AS h1y, sum(x2 * y) AS h2y,
+             sum(y * y) AS hyy
+      FROM u WHERE hu < 0.2
+    ),
+    c AS (
+      SELECT *,
+             s11 - s1 * s1 / n AS c11, s22 - s2 * s2 / n AS c22,
+             s12 - s1 * s2 / n AS c12, s1y - s1 * sy / n AS c1y,
+             s2y - s2 * sy / n AS c2y
+      FROM tm CROSS JOIN hm
+    ),
+    f AS (SELECT *, c11 * c22 - c12 * c12 AS det FROM c),
+    fits AS (
+      SELECT *,
+             (c1y * c22 - c2y * c12) / det AS b1f,
+             (c2y * c11 - c1y * c12) / det AS b2f,
+             c1y / c11 AS b1d2,
+             c2y / c22 AS b2d1
+      FROM f
+    ),
+    fits2 AS (
+      SELECT *,
+             (sy - b1f * s1 - b2f * s2) / n AS af,
+             (sy - b1d2 * s1) / n AS ad2,
+             (sy - b2d1 * s2) / n AS ad1
+      FROM fits
+    ),
+    r AS (
+      SELECT *,
+             hyy - hy * hy / nh AS sst,
+             hyy + nh * af * af + b1f * b1f * h11 + b2f * b2f * h22
+               + 2.0 * af * b1f * h1 + 2.0 * af * b2f * h2
+               + 2.0 * b1f * b2f * h12 - 2.0 * af * hy
+               - 2.0 * b1f * h1y - 2.0 * b2f * h2y AS ssef,
+             hyy + nh * ad2 * ad2 + b1d2 * b1d2 * h11 + 0.0 * 0.0 * h22
+               + 2.0 * ad2 * b1d2 * h1 + 2.0 * ad2 * 0.0 * h2
+               + 2.0 * b1d2 * 0.0 * h12 - 2.0 * ad2 * hy
+               - 2.0 * b1d2 * h1y - 2.0 * 0.0 * h2y AS ssed2,
+             hyy + nh * ad1 * ad1 + 0.0 * 0.0 * h11 + b2d1 * b2d1 * h22
+               + 2.0 * ad1 * 0.0 * h1 + 2.0 * ad1 * b2d1 * h2
+               + 2.0 * 0.0 * b2d1 * h12 - 2.0 * ad1 * hy
+               - 2.0 * 0.0 * h1y - 2.0 * b2d1 * h2y AS ssed1
+      FROM fits2
+    ),
+    rr AS (
+      SELECT 1.0 - ssef / sst AS r2f,
+             1.0 - ssed1 / sst AS r2d1,
+             1.0 - ssed2 / sst AS r2d2
+      FROM r
+    )
+    SELECT 'full' AS model, round(r2f, 6) AS r2,
+           CAST(0.0 AS DOUBLE) AS importance FROM rr
+    UNION ALL
+    SELECT 'drop_x1', round(r2d1, 6), round(r2f - r2d1, 6) FROM rr
+    UNION ALL
+    SELECT 'drop_x2', round(r2d2, 6), round(r2f - r2d2, 6) FROM rr
+    """,
+)
+def ml_loco_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-covariate-out importance for price ~ quantity + discount
+    (ml.eval.loco_importance): exact closed-form refits via centered
+    normal equations — no permutation pairing, no iterative training;
+    two moment aggregates and pure arithmetic. Quantity, discount points,
+    and price cents are integer-valued doubles, so every moment sums
+    exactly and both engines run the identical floating-point path."""
+    from ..ml.eval import loco_importance
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit("loco"),
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            )
+        ),
+        1,
+        8,
+    )
+    base = li.select(
+        F.col("l_quantity").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").cast("double").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("double").alias("y"),
+        (
+            (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0) < 0.2
+        ).alias("holdout"),
+    )
+    return loco_importance(base, "holdout", "x1", "x2", "y")
