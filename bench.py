@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "ts_retention_halflife",
     "rel_rank_movers",
     "ml_loco_importance",
+    "ml_pr_auc",
+    "ml_best_f1_threshold",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -238,3 +238,29 @@ def test_loco_importance_ranks_real_signal(spark):
     assert out["full"].importance == 0.0
     assert out["drop_x1"].importance > 0.9
     assert abs(out["drop_x2"].importance) < 0.01
+
+
+def test_pr_auc_extremes_and_imbalance_honesty(spark):
+    from usedcars_bigdata_spark.ml.eval import pr_auc
+
+    perfect = _scores(spark, [("a", 1, 0.9), ("a", 1, 0.8), ("a", 0, 0.2), ("a", 0, 0.1)])
+    assert pr_auc(perfect, "y", "s", "g").collect()[0].pr_auc == 1.0
+    # 1 positive in 100, scored randomly-low: AP near base rate, not 0.5
+    rows = [("a", 1 if i == 50 else 0, (i * 37 % 100) / 100.0) for i in range(100)]
+    r = pr_auc(_scores(spark, rows), "y", "s", "g").collect()[0]
+    assert r.n_pos == 1 and r.pr_auc < 0.2
+
+
+def test_best_f1_threshold_hand_computed(spark):
+    from usedcars_bigdata_spark.ml.eval import best_f1_threshold
+
+    # pos at {0.9, 0.8, 0.4}, neg at {0.7, 0.3}: t=0.8 -> tp2 fp0 fn1
+    # f1 = 4/5 = 0.8; t=0.4 -> tp3 fp1 fn0 f1 = 6/7 ~ 0.857 -> best t=0.4
+    df = _scores(
+        spark,
+        [("a", 1, 0.9), ("a", 1, 0.8), ("a", 1, 0.4), ("a", 0, 0.7), ("a", 0, 0.3)],
+    )
+    r = best_f1_threshold(df, "y", "s").collect()[0]
+    assert r.threshold == 0.4 and r.tp == 3 and r.fp == 1 and r.fn == 0
+    assert abs(r.f1 - round(6 / 7, 6)) < 1e-9
+    assert r.recall == 1.0

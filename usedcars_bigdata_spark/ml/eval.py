@@ -706,3 +706,114 @@ def loco_importance(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def pr_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    by: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Average precision (the step-function PR AUC) per group:
+
+        AP = Σ_k (R_k − R_{k−1}) · P_k
+
+    over DISTINCT scores in descending order (tie-safe: a tie block
+    moves recall and precision together — the per-sample form would make
+    AP depend on arbitrary intra-tie order). The class-imbalance-honest
+    companion to ROC AUC: with 1% positives a useless model scores
+    AP ≈ 0.01 while ROC AUC still reads 0.5.
+
+    Plan: one row per (group, score) with tp/fp counts, one descending
+    cumulative window, then a sum of exact-integer-ratio step areas —
+    distinct-score cardinality end-to-end after the first aggregate.
+
+    Output: (by, n_pos, n_neg, pr_auc)."""
+    per_score = df.groupBy(by, F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("int")).alias("__p"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_cum = (
+        Window.partitionBy(by)
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(by)
+    cum = per_score.select(
+        by,
+        F.sum("__p").over(w_cum).alias("__tp"),
+        F.sum("__n").over(w_cum).alias("__pred"),
+        F.sum("__p").over(w_all).alias("n_pos"),
+        F.sum(F.col("__n") - F.col("__p")).over(w_all).alias("n_neg"),
+        F.lag(F.sum("__p").over(w_cum))
+        .over(Window.partitionBy(by).orderBy(F.col("__s").desc()))
+        .alias("__tp_prev"),
+    )
+    step = (
+        (F.col("__tp") - F.coalesce(F.col("__tp_prev"), F.lit(0)))
+        * 1.0
+        / F.col("n_pos")
+    ) * (F.col("__tp") * 1.0 / F.col("__pred"))
+    return cum.groupBy(by).agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.round(F.sum(step), ndigits).alias("pr_auc"),
+    )
+
+
+def best_f1_threshold(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Operating-point selection: sweep every DISTINCT score as the
+    decision threshold (predict positive iff score ≥ t) and return the
+    threshold maximizing F1, with its precision/recall — the
+    deployment-time knob the offline metrics feed. Ties on F1 break
+    toward the HIGHEST threshold (fewest flagged — the conservative
+    pick), deterministically.
+
+    Same cumulative machinery as pr_auc: distinct-score cardinality
+    after one aggregate; F1 = 2TP/(2TP+FP+FN) from exact integers.
+
+    Output: one row (threshold, tp, fp, fn, precision, recall, f1)."""
+    per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(F.col(label_col).cast("int")).alias("__p"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    cum = per_score.select(
+        F.col("__s").alias("threshold"),
+        F.sum("__p").over(w_cum).alias("tp"),
+        (F.sum("__n").over(w_cum) - F.sum("__p").over(w_cum)).alias("fp"),
+        (F.sum("__p").over(w_all) - F.sum("__p").over(w_cum)).alias("fn"),
+    )
+    f1 = 2.0 * F.col("tp") / (
+        2.0 * F.col("tp") + F.col("fp") + F.col("fn")
+    )
+    w_pick = Window.orderBy(
+        F.round(f1, ndigits).desc(), F.col("threshold").desc()
+    )
+    return (
+        cum.withColumn("__r", F.row_number().over(w_pick))
+        .filter(F.col("__r") == 1)
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            "fn",
+            F.round(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), ndigits
+            ).alias("precision"),
+            F.round(
+                F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), ndigits
+            ).alias("recall"),
+            F.round(f1, ndigits).alias("f1"),
+        )
+    )

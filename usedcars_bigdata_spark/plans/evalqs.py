@@ -2724,3 +2724,90 @@ def ml_loco_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("holdout"),
     )
     return loco_importance(base, "holdout", "x1", "x2", "y")
+
+
+@query(
+    "ml_pr_auc",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    ps AS (
+      SELECT o_orderpriority AS g, score,
+             sum(label) AS p, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    cum0 AS (
+      SELECT g, score,
+             sum(p) OVER (PARTITION BY g ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n) OVER (PARTITION BY g ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS pred,
+             sum(p) OVER (PARTITION BY g) AS n_pos,
+             sum(n - p) OVER (PARTITION BY g) AS n_neg
+      FROM ps
+    ),
+    cum AS (
+      SELECT g, tp, pred, n_pos, n_neg,
+             lag(tp) OVER (PARTITION BY g ORDER BY score DESC) AS tp_prev
+      FROM cum0
+    )
+    SELECT g AS o_orderpriority,
+           CAST(max(n_pos) AS BIGINT) AS n_pos,
+           CAST(max(n_neg) AS BIGINT) AS n_neg,
+           round(sum(((tp - coalesce(tp_prev, 0)) * 1.0 / n_pos)
+                     * (tp * 1.0 / pred)), 6) AS pr_auc
+    FROM cum GROUP BY 1
+    """,
+)
+def ml_pr_auc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per priority (ml.eval.pr_auc): tie-safe
+    step-function PR AUC over distinct descending scores — the
+    class-imbalance-honest companion to ml_roc_auc, on the same
+    synthetic label-shifted score."""
+    return ME.pr_auc(
+        _scored_orders(spark, sf_dir), "label", "score", "o_orderpriority"
+    )
+
+
+@query(
+    "ml_best_f1_threshold",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    ps AS (
+      SELECT score, sum(label) AS p, count(*) AS n
+      FROM scored GROUP BY 1
+    ),
+    cum AS (
+      SELECT score AS threshold,
+             sum(p) OVER (ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING) AS tp,
+             sum(n) OVER (ORDER BY score DESC
+                          ROWS UNBOUNDED PRECEDING)
+               - sum(p) OVER (ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS fp,
+             sum(p) OVER ()
+               - sum(p) OVER (ORDER BY score DESC
+                              ROWS UNBOUNDED PRECEDING) AS fn
+      FROM ps
+    ),
+    pick AS (
+      SELECT *,
+             row_number() OVER (
+               ORDER BY round(2.0 * tp / (2.0 * tp + fp + fn), 6) DESC,
+                        threshold DESC) AS r
+      FROM cum
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(tp * 1.0 / (tp + fp), 6) AS precision,
+           round(tp * 1.0 / (tp + fn), 6) AS recall,
+           round(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1
+    FROM pick WHERE r = 1
+    """,
+)
+def ml_best_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection (ml.eval.best_f1_threshold): the
+    distinct-score threshold maximizing F1 (ties break to the highest
+    threshold — the conservative fewest-flagged pick), with its
+    precision/recall. The deployment knob the offline metric family
+    feeds; same cumulative machinery as pr_auc."""
+    return ME.best_f1_threshold(_scored_orders(spark, sf_dir), "label", "score")
