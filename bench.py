@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "ml_loco_importance",
     "ml_pr_auc",
     "ml_best_f1_threshold",
+    "ts_velocity_features",
+    "ml_ece",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -2811,3 +2811,121 @@ def ml_best_f1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision/recall. The deployment knob the offline metric family
     feeds; same cumulative machinery as pr_auc."""
     return ME.best_f1_threshold(_scored_orders(spark, sf_dir), "label", "score")
+
+
+@query(
+    "ts_velocity_features",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) // 1000000 AS s
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, event_id, event_type, s,
+             count(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS n_1h,
+             count(*) OVER (PARTITION BY user_id ORDER BY s
+                            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+               AS n_24h
+      FROM e
+    )
+    SELECT user_id, event_id,
+           CAST(n_1h AS BIGINT) AS n_1h,
+           CAST(n_24h AS BIGINT) AS n_24h
+    FROM v WHERE event_type = 'purchase'
+    """,
+)
+def ts_velocity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window velocity features at each purchase: the user's
+    event counts in the prior 1h and 24h INCLUDING the purchase — the
+    fraud/abuse feature primitive ('5th transaction this hour?'). RANGE
+    frames over epoch seconds, so same-second bursts count fully on both
+    engines regardless of intra-second order (a ROWS frame would be
+    tie-order-dependent — the reason this uses RANGE). One user-key sort
+    serves both widths; the purchase filter prunes output AFTER features
+    (each purchase needs its full history)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("s"),
+    )
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-3600, 0)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-86400, 0)
+    )
+    v = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w1).alias("n_1h"),
+        F.count(F.lit(1)).over(w24).alias("n_24h"),
+    )
+    return v.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "n_1h", "n_24h"
+    )
+
+
+@query(
+    "ml_ece",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    b AS (
+      SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS INTEGER)
+               AS bin,
+             count(*) AS n,
+             avg(score) AS conf,
+             avg(CAST(label AS DOUBLE)) AS acc
+      FROM scored GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS nt FROM b)
+    SELECT CAST(t.nt AS BIGINT) AS n,
+           round(sum((b.n * 1.0 / t.nt) * abs(b.acc - b.conf)), 6) AS ece,
+           round(max(abs(b.acc - b.conf)), 6) AS mce
+    FROM b CROSS JOIN t
+    GROUP BY t.nt
+    """,
+)
+def ml_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected + maximum calibration error (the scalar summary of
+    ml_calibration_bins' reliability table): ECE = Σ (n_b/N)·|acc_b −
+    conf_b| over 10 equal-width bins, MCE = the worst bin — the numbers
+    a model card quotes. Bin means divide exact integer sums of rounded
+    scores; the bin table is 10 rows."""
+    scored = _scored_orders(spark, sf_dir)
+    b = scored.groupBy(
+        F.least(
+            F.floor(F.col("score") * 10).cast("long"), F.lit(9)
+        ).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("conf"),
+        F.avg(F.col("label").cast("double")).alias("acc"),
+    )
+    t = b.agg(F.sum("n").alias("nt"))
+    return (
+        b.crossJoin(F.broadcast(t))
+        .groupBy("nt")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") * 1.0 / F.col("nt"))
+                    * F.abs(F.col("acc") - F.col("conf"))
+                ),
+                6,
+            ).alias("ece"),
+            F.round(F.max(F.abs(F.col("acc") - F.col("conf"))), 6).alias(
+                "mce"
+            ),
+        )
+        .select(F.col("nt").alias("n"), "ece", "mce")
+    )
