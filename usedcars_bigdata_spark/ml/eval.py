@@ -235,12 +235,15 @@ def target_encode_kfold(
     ).agg(
         F.count(F.lit(1)).alias("n_fold"),
         F.sum(label_cents_col).alias("__s_fold"),
-    )
+    ).localCheckpoint(eager=True)  # category×fold hub read by the output
+    # row, the per-cat totals, AND the prior (audit: 3 fact scans; 1)
     per_c = per_cf.groupBy(cat_col).agg(
         F.sum("n_fold").alias("__n_tot"), F.sum("__s_fold").alias("__s_tot")
     )
-    prior = df.agg(
-        (F.sum(label_cents_col) / F.count(F.lit(1))).alias("__prior")
+    # global prior from the (cat, fold) partials — a third fact scan
+    # computed the identical Σ/N before (scan audit)
+    prior = per_cf.agg(
+        (F.sum("__s_fold") / F.sum("n_fold")).alias("__prior")
     )
     enc = (
         F.col("__s_tot") - F.col("__s_fold") + smoothing * F.col("__prior")
@@ -389,7 +392,9 @@ def conformal_intervals(
         "n_train",
         "b",
         ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n_train")).alias("a"),
-    )
+    ).localCheckpoint(eager=True)  # 1-row fit: calib AND test branches
+    # re-derived the train aggregate without it (audit: 4 scans; 3 — one
+    # per role — after)
     resid = F.abs(F.col("y") - (F.col("a") + F.col("b") * F.col("x")))
     cal = (
         base.filter(F.col("role") == "calib")
@@ -472,7 +477,10 @@ def learning_curve_ols(
         F.sum(F.col(x_col) * F.col(x_col)).alias("hsxx"),
         F.sum(F.col(x_col) * F.col(y_col)).alias("hsxy"),
     )
-    m = train_m.crossJoin(F.broadcast(hold_m))
+    # ONE row of scalars feeding one union branch per fraction: without
+    # materialization Catalyst re-derives BOTH aggregates per branch
+    # (scan audit: 8 orders scans; 2 after)
+    m = train_m.crossJoin(F.broadcast(hold_m)).localCheckpoint(eager=True)
     rows = []
     for i, f in enumerate(fractions):
         n, sx, sy, sxy, sxx = (
@@ -539,7 +547,8 @@ def loso_influence(
         F.sum(F.col(y_col)).alias("sy_g"),
         F.sum(F.col(x_col) * F.col(y_col)).alias("sxy_g"),
         F.sum(F.col(x_col) * F.col(x_col)).alias("sxx_g"),
-    )
+    ).localCheckpoint(eager=True)  # group-cardinality hub: tot + every
+    # leave-one-out branch re-derived the pool scan without it (audit: 8)
     tot = per_g.agg(
         F.sum("n_g").alias("n_t"),
         F.sum("sx_g").alias("sx_t"),
@@ -554,7 +563,7 @@ def loso_influence(
         F.sum(F.col(x_col)).alias("hsx"),
         F.sum(F.col(x_col) * F.col(x_col)).alias("hsxx"),
         F.sum(F.col(x_col) * F.col(y_col)).alias("hsxy"),
-    )
+    ).localCheckpoint(eager=True)
     # '(none)' row (exclude nothing) = zero group moments to subtract
     rows = per_g.select(
         F.col("g").cast("string").alias("excluded"),
@@ -656,7 +665,9 @@ def loco_importance(
         F.sum(F.col(x2_col) * F.col(y_col)).alias("h2y"),
         F.sum(F.col(y_col) * F.col(y_col)).alias("hyy"),
     )
-    m = tm.crossJoin(F.broadcast(hm))
+    # 1-row scalar table; three union branches below would re-derive both
+    # fact aggregates without the materialization (audit: 6 scans; 2 after)
+    m = tm.crossJoin(F.broadcast(hm)).localCheckpoint(eager=True)
     # centered train moments
     c11 = F.col("s11") - F.col("s1") * F.col("s1") / F.col("n")
     c22 = F.col("s22") - F.col("s2") * F.col("s2") / F.col("n")

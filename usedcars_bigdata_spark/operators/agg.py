@@ -285,7 +285,9 @@ def correlation_matrix(
     ]
     for a, b in pairs:
         aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
-    m = df.agg(*aggs)
+    # 1-row moment table; each pair's union branch re-derived the fact
+    # scan without materialization (audit: k(k-1)/2 scans; 1 after)
+    m = df.agg(*aggs).localCheckpoint(eager=True)
     rows = []
     for a, b in pairs:
         num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")

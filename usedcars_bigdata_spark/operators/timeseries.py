@@ -1826,6 +1826,9 @@ def shapley_attribution(
         )
         .groupBy("m")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("double").alias("v"))
+        .localCheckpoint(eager=True)  # ≤2^|C| rows read as BOTH v-lookups;
+        # lazy form re-derived the fact scans per side (audit: 4 events
+        # scans; 2 after)
     )
     axis = spark.createDataFrame(
         SHAPLEY_AXIS, "channel string, m_with int, m_without int, w double"
@@ -2065,8 +2068,12 @@ def backtest_seasonal_naive(
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)  # hub: spine types, actuals, lag side
     )
-    anchor = events.agg(
-        F.date_trunc("day", F.min(F.col(ts_col))).cast("long").alias("t0")
+    # day anchor from the HUB, not the raw stream: hour buckets are
+    # day-aligned, so floor(min(h)/86400)·86400 equals
+    # date_trunc(day, min(ts)) — and each cutoff branch re-derived a raw
+    # events scan for the old form (audit: 3 scans; 1 after)
+    anchor = hourly.agg(
+        (F.floor(F.min("h") / 86400) * 86400).cast("long").alias("t0")
     )
     types = hourly.select(F.col("t").alias("ty")).distinct()
     lag = hourly.select(

@@ -1925,6 +1925,8 @@ def rel_graph_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
         .distinct()
+        .localCheckpoint(eager=True)  # both self-join sides read this;
+        # lazy form re-ran orders⋈lineitem per side (audit: 4+4 scans)
     )
     a = items.select("l_orderkey", F.col("l_partkey").alias("u"), "p")
     b = items.select(
@@ -2212,7 +2214,9 @@ def ts_growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     uw = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # activity hub: firsts,
+    # lag window, anti-join side, and horizon max all read this (audit: 6
+    # events scans; 1 after)
     firsts = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
     w = Window.partitionBy("user_id").orderBy("wk")
     lagged = uw.join(firsts, "user_id").select(
@@ -2480,7 +2484,7 @@ def ts_retention_halflife_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     uw = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # hub: cohorts, sizes, act
     firsts = uw.groupBy("user_id").agg(F.min("wk").alias("cohort"))
     sizes = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("n0"))
     act = (
@@ -2585,7 +2589,9 @@ def rel_rank_movers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p").orderBy(
         F.col("cents").desc(), F.col("part").asc()
     )
-    r = rev.select("part", "p", F.row_number().over(w).alias("rnk"))
+    r = rev.select(
+        "part", "p", F.row_number().over(w).alias("rnk")
+    ).localCheckpoint(eager=True)  # both period branches read the ranks
     a = r.filter(F.col("p") == 0).select("part", F.col("rnk").alias("rank_old"))
     b = r.filter(F.col("p") == 1).select(
         F.col("part").alias("p2"), F.col("rnk").alias("rank_new")
