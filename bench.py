@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "ml_best_f1_threshold",
     "ts_velocity_features",
     "ml_ece",
+    "ml_kfold_cv",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

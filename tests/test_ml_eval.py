@@ -264,3 +264,26 @@ def test_best_f1_threshold_hand_computed(spark):
     assert r.threshold == 0.4 and r.tp == 3 and r.fp == 1 and r.fn == 0
     assert abs(r.f1 - round(6 / 7, 6)) < 1e-9
     assert r.recall == 1.0
+
+
+def test_kfold_cv_exact_leave_out(spark):
+    """Two folds with different linear signals: each fold's model trains
+    ONLY on the other fold, so fold A is scored by fold B's line (and
+    scores poorly), proving the subtraction really leaves the fold out."""
+    from usedcars_bigdata_spark.ml.eval import kfold_cv_ols
+
+    rows = []
+    for i in range(200):
+        x = float(i % 20)
+        rows.append((0, x, 5.0 * x))            # fold 0: slope 5
+        rows.append((1, x, -5.0 * x + 100.0))   # fold 1: slope -5
+    df = spark.createDataFrame(rows, ["fold", "x", "y"])
+    out = {r.fold: r for r in kfold_cv_ols(df, "fold", "x", "y").collect()}
+    assert out[0].n_test == 200 and out[1].n_test == 200
+    # cross-fold fits are anti-correlated with the test fold -> r2 << 0
+    assert out[0].r2 < 0 and out[1].r2 < 0
+    # homogeneous folds: same signal everywhere -> r2 ~ 1 per fold
+    rows2 = [(i % 4, float(i % 30), 3.0 * (i % 30) + ((i * 7) % 5)) for i in range(400)]
+    df2 = spark.createDataFrame(rows2, ["fold", "x", "y"])
+    for r in kfold_cv_ols(df2, "fold", "x", "y").collect():
+        assert r.r2 > 0.95

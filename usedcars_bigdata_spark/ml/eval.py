@@ -828,3 +828,63 @@ def best_f1_threshold(
             F.round(f1, ndigits).alias("f1"),
         )
     )
+
+
+def kfold_cv_ols(
+    df: DataFrame,
+    fold_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact K-fold cross-validation of the closed-form 1-feature OLS:
+    each fold's model trains on the OTHER folds via total-minus-fold
+    moment subtraction (one aggregate computes every fold's moments —
+    including Σy², which doubles as the test-side SSE input — so the
+    whole CV is ONE fact scan plus arithmetic; MLlib's CrossValidator
+    would launch K fits × P params jobs for the same answer on a linear
+    probe). Per-fold R² is scored on the held-out fold itself.
+
+    The CV dispersion across folds is the variance estimate a model
+    selection step actually needs; rows are per fold so the caller sees
+    the spread, not just the mean.
+
+    Output: (fold, n_test, r2)."""
+    per_f = df.groupBy(F.col(fold_col).alias("fold")).agg(
+        F.count(F.lit(1)).alias("nf"),
+        F.sum(F.col(x_col)).alias("fx"),
+        F.sum(F.col(y_col)).alias("fy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("fxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("fxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("fyy"),
+    ).localCheckpoint(eager=True)  # fold-cardinality hub: totals + every
+    # fold row read it (the round-6 multi-branch scan lesson)
+    tot = per_f.agg(
+        F.sum("nf").alias("n_t"),
+        F.sum("fx").alias("sx_t"),
+        F.sum("fy").alias("sy_t"),
+        F.sum("fxy").alias("sxy_t"),
+        F.sum("fxx").alias("sxx_t"),
+    )
+    m = per_f.crossJoin(F.broadcast(tot))
+    n = F.col("n_t") - F.col("nf")
+    sx = F.col("sx_t") - F.col("fx")
+    sy = F.col("sy_t") - F.col("fy")
+    sxy = F.col("sxy_t") - F.col("fxy")
+    sxx = F.col("sxx_t") - F.col("fxx")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    sse = (
+        F.col("fyy")
+        + F.col("nf") * a * a
+        + b * b * F.col("fxx")
+        - 2.0 * a * F.col("fy")
+        - 2.0 * b * F.col("fxy")
+        + 2.0 * a * b * F.col("fx")
+    )
+    sst = F.col("fyy") - F.col("fy") * F.col("fy") / F.col("nf")
+    return m.select(
+        "fold",
+        F.col("nf").alias("n_test"),
+        F.round(1.0 - sse / sst, ndigits).alias("r2"),
+    )

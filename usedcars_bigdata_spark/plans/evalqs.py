@@ -2935,3 +2935,77 @@ def ml_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("nt").alias("n"), "ece", "mce")
     )
+
+
+@query(
+    "ml_kfold_cv",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(year(o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y,
+             CAST(CAST('0x' || substr(md5('fold:' ||
+                  CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 5
+                  AS INTEGER) AS fold
+      FROM orders
+    ),
+    pf AS (
+      SELECT fold, count(*) AS nf, sum(x) AS fx, sum(y) AS fy,
+             sum(x * y) AS fxy, sum(x * x) AS fxx, sum(y * y) AS fyy
+      FROM u GROUP BY 1
+    ),
+    tt AS (
+      SELECT sum(nf) AS n_t, sum(fx) AS sx_t, sum(fy) AS sy_t,
+             sum(fxy) AS sxy_t, sum(fxx) AS sxx_t
+      FROM pf
+    ),
+    fits AS (
+      SELECT fold, nf, fx, fy, fxy, fxx, fyy,
+             ((n_t - nf) * (sxy_t - fxy) - (sx_t - fx) * (sy_t - fy))
+               / ((n_t - nf) * (sxx_t - fxx) - (sx_t - fx) * (sx_t - fx))
+               AS b,
+             (sx_t - fx) AS sxd, (sy_t - fy) AS syd,
+             (n_t - nf) AS nd
+      FROM pf CROSS JOIN tt
+    ),
+    fits2 AS (SELECT *, (syd - b * sxd) / nd AS a FROM fits)
+    SELECT fold, CAST(nf AS BIGINT) AS n_test,
+           round(1.0 - (fyy + nf * a * a + b * b * fxx
+                        - 2.0 * a * fy - 2.0 * b * fxy
+                        + 2.0 * a * b * fx)
+                 / (fyy - fy * fy / nf), 6) AS r2
+    FROM fits2
+    """,
+)
+def ml_kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-fold CV of the order-value OLS (ml.eval.kfold_cv_ols):
+    every fold's leave-out fit is total-minus-fold moment subtraction —
+    ONE fact scan for the entire cross-validation, where a generic
+    CrossValidator launches K training jobs. Folds come from the same
+    md5 hash as ml_target_encoding (shared split infrastructure);
+    per-fold rows expose the CV dispersion, not just the mean."""
+    from ..ml.eval import kfold_cv_ols
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.year("o_orderdate").cast("double").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("double").alias("y"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("fold:"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(5),
+        )
+        .cast("int")
+        .alias("fold"),
+    )
+    return kfold_cv_ols(base, "fold", "x", "y")
