@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "ts_velocity_features",
     "ml_ece",
     "ml_kfold_cv",
+    "ts_stl_strength",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -3009,3 +3009,122 @@ def ml_kfold_cv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("fold"),
     )
     return kfold_cv_ols(base, "fold", "x", "y")
+
+
+@query(
+    "ts_stl_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS t,
+             epoch_us(date_trunc('hour', ts)) // 1000000 AS h,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT t, h, n,
+             avg(n) OVER (PARTITION BY t ORDER BY h
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS trend,
+             count(*) OVER (PARTITION BY t ORDER BY h
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS wn
+      FROM hourly
+    ),
+    det AS (
+      SELECT t, h, n, trend, n - trend AS dt,
+             (epoch_us(make_timestamp(h * 1000000)) // 1000000 % 86400)
+               // 3600 AS hod
+      FROM tr WHERE wn = 25
+    ),
+    seas AS (
+      SELECT t, hod, avg(dt) AS s FROM det GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT d.t, d.n, d.trend, d.dt, se.s, d.dt - se.s AS r
+      FROM det d JOIN seas se ON se.t = d.t AND se.hod = d.hod
+    ),
+    v AS (
+      SELECT t, count(*) AS n_hours,
+             sum(r * r) - sum(r) * sum(r) / count(*) AS vr,
+             sum((trend + r) * (trend + r))
+               - sum(trend + r) * sum(trend + r) / count(*) AS vtr,
+             sum((s + r) * (s + r))
+               - sum(s + r) * sum(s + r) / count(*) AS vsr
+      FROM parts GROUP BY 1
+    )
+    SELECT t AS event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           round(greatest(0.0, 1.0 - vr / vtr), 4) AS trend_strength,
+           round(greatest(0.0, 1.0 - vr / vsr), 4) AS seasonal_strength
+    FROM v
+    """,
+)
+def ts_stl_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition strength (Hyndman's F_T / F_S): hourly
+    counts decompose into a centered 25h moving-average trend, an
+    hour-of-day seasonal mean of the detrended series, and a remainder;
+    strengths are 1 − var(R)/var(T+R) and 1 − var(R)/var(S+R), clamped
+    at 0 — the is-this-series-worth-deseasonalizing scalar pair next to
+    ts_seasonality_anova's value-based η². Edge hours without the full
+    25-row window drop explicitly (wn = 25) so both engines decompose
+    the identical interior; variances from moment sums over that
+    bounded series."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = (
+        Window.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    tr = hourly.select(
+        "t",
+        "h",
+        "n",
+        F.avg("n").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = tr.filter(F.col("wn") == 25).select(
+        "t",
+        "n",
+        "trend",
+        (F.col("n") - F.col("trend")).alias("dt"),
+        (F.pmod(F.col("h"), F.lit(86400)) / 3600).cast("long").alias("hod"),
+    )
+    seas = det.groupBy("t", "hod").agg(F.avg("dt").alias("s"))
+    parts = det.join(seas, ["t", "hod"]).select(
+        "t",
+        "trend",
+        "s",
+        (F.col("dt") - F.col("s")).alias("r"),
+    )
+    v = parts.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (
+            F.sum(F.col("r") * F.col("r"))
+            - F.sum("r") * F.sum("r") / F.count(F.lit(1))
+        ).alias("vr"),
+        (
+            F.sum((F.col("trend") + F.col("r")) * (F.col("trend") + F.col("r")))
+            - F.sum(F.col("trend") + F.col("r"))
+            * F.sum(F.col("trend") + F.col("r"))
+            / F.count(F.lit(1))
+        ).alias("vtr"),
+        (
+            F.sum((F.col("s") + F.col("r")) * (F.col("s") + F.col("r")))
+            - F.sum(F.col("s") + F.col("r"))
+            * F.sum(F.col("s") + F.col("r"))
+            / F.count(F.lit(1))
+        ).alias("vsr"),
+    )
+    return v.select(
+        F.col("t").alias("event_type"),
+        F.col("n_hours"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vtr")), 4).alias(
+            "trend_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1.0 - F.col("vr") / F.col("vsr")), 4).alias(
+            "seasonal_strength"
+        ),
+    )
