@@ -609,9 +609,10 @@ def loso_influence(
             "excluded",
             "n_train",
             F.round("__r2", ndigits).alias("r2"),
-            F.round(F.col("__r2") - F.col("__full_r2"), ndigits).alias(
-                "r2_delta"
-            ),
+            (
+                F.round(F.col("__r2") - F.col("__full_r2"), ndigits)
+                + F.lit(0.0)  # canonicalize -0.0 (see loco_importance)
+            ).alias("r2_delta"),
         )
     )
 
@@ -713,7 +714,10 @@ def loco_importance(
         row = m.select(
             F.lit(name).alias("model"),
             F.round(r2, ndigits).alias("r2"),
-            F.round(imp, ndigits).alias("importance"),
+            # + 0.0 canonicalizes IEEE negative zero: a ~−1e-9 delta
+            # rounds to -0.0 in one engine and 0.0 in the other, and the
+            # driver's repr-based hash treats them as different values
+            (F.round(imp, ndigits) + F.lit(0.0)).alias("importance"),
         )
         out = row if out is None else out.unionByName(row)
     return out

@@ -1418,7 +1418,7 @@ def ts_theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s.excluded, CAST(s.n_train AS BIGINT) AS n_train,
            round(s.r2, 6) AS r2,
-           round(s.r2 - f.r2, 6) AS r2_delta
+           round(s.r2 - f.r2, 6) + 0.0 AS r2_delta
     FROM sc s CROSS JOIN (SELECT r2 FROM sc WHERE excluded = '(none)') f
     """,
 )
@@ -2693,9 +2693,9 @@ def rel_rank_movers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'full' AS model, round(r2f, 6) AS r2,
            CAST(0.0 AS DOUBLE) AS importance FROM rr
     UNION ALL
-    SELECT 'drop_x1', round(r2d1, 6), round(r2f - r2d1, 6) FROM rr
+    SELECT 'drop_x1', round(r2d1, 6), round(r2f - r2d1, 6) + 0.0 FROM rr
     UNION ALL
-    SELECT 'drop_x2', round(r2d2, 6), round(r2f - r2d2, 6) FROM rr
+    SELECT 'drop_x2', round(r2d2, 6), round(r2f - r2d2, 6) + 0.0 FROM rr
     """,
 )
 def ml_loco_q(spark: SparkSession, sf_dir: str) -> DataFrame:
