@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "ml_ece",
     "ml_kfold_cv",
     "ts_stl_strength",
+    "ts_ab_srm",
+    "ts_resample_locf",
+    "rel_compaction_plan",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -3128,3 +3128,190 @@ def ts_stl_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+@query(
+    "ts_ab_srm",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(CAST('0x' || substr(md5('ab:' ||
+                  CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                  AS INTEGER) AS variant
+      FROM events
+    ),
+    c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(variant) AS BIGINT) AS n_b
+      FROM a
+    )
+    SELECT n, n - n_b AS n_a, n_b,
+           round((n_b - n / 2.0) / sqrt(n / 4.0), 6) AS z,
+           abs((n_b - n / 2.0) / sqrt(n / 4.0)) > 3.0 AS srm_flag
+    FROM c
+    """,
+)
+def ts_ab_srm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a 50/50 md5 assignment: the z-test
+    of observed variant counts against the design split — the FIRST check
+    an experimentation platform runs, because a skewed split invalidates
+    every downstream readout (CUPED, SPRT, Wilson — all already in the
+    registry assume it passed). |z| > 3 flags; with an honest hash the
+    flag stays false, which the entry certifies. One distinct + one
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(2),
+        )
+        .cast("int")
+        .alias("variant"),
+    ).distinct()
+    c = a.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("variant").alias("n_b")
+    )
+    z = (F.col("n_b") - F.col("n") / 2.0) / F.sqrt(F.col("n") / 4.0)
+    return c.select(
+        "n",
+        (F.col("n") - F.col("n_b")).alias("n_a"),
+        "n_b",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) > 3.0).alias("srm_flag"),
+    )
+
+
+@query(
+    "ts_resample_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS t,
+             epoch_us(date_trunc('hour', ts)) // 1000000 AS h,
+             CAST(round(sum(value) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+    types AS (SELECT DISTINCT t FROM hourly),
+    spine AS (
+      SELECT ty.t, b.h0 + 3600 * s.i AS h
+      FROM types ty CROSS JOIN bounds b,
+           unnest(generate_series(0, CAST((b.h1 - b.h0) / 3600 AS BIGINT)))
+             AS s(i)
+    ),
+    j AS (
+      SELECT sp.t, sp.h, hr.cents
+      FROM spine sp LEFT JOIN hourly hr ON hr.t = sp.t AND hr.h = sp.h
+    ),
+    ff AS (
+      SELECT t, h, cents,
+             last_value(cents IGNORE NULLS)
+               OVER (PARTITION BY t ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_cents
+      FROM j
+    )
+    SELECT t AS event_type, CAST(h AS BIGINT) AS hour_epoch,
+           cents IS NULL AS was_gap,
+           coalesce(locf_cents, 0) AS locf_cents
+    FROM ff
+    """,
+)
+def ts_resample_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with last-observation-carried-forward: the
+    step-function semantics (sensor readings, account balances, prices)
+    complementing ts_interpolate_linear's sloped fill and
+    ts_resample_gap_fill's zero fill — three explicit gap policies, each
+    hash-certified. Spine generated from the corpus bounds; leading gaps
+    before the first observation fill 0 explicitly. One ignore-nulls
+    window per type over the spine join."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.date_trunc("hour", F.col("ts")).cast("long").alias("h"),
+    ).agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    types = hourly.select("t").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "t",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))
+        ).alias("h"),
+    )
+    j = spine.join(hourly, ["t", "h"], "left")
+    w = (
+        Window.partitionBy("t")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("t").alias("event_type"),
+        F.col("h").alias("hour_epoch"),
+        F.col("cents").isNull().alias("was_gap"),
+        F.coalesce(
+            F.last("cents", ignorenulls=True).over(w), F.lit(0)
+        ).alias("locf_cents"),
+    )
+
+
+@query(
+    "rel_compaction_plan",
+    oracle="""
+    WITH f AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_chars,
+             CAST((cum - n_chars) // 20000 AS BIGINT) AS bin
+      FROM f
+    )
+    SELECT source, bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_chars) AS BIGINT) AS bytes
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def rel_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack each source's documents (stand-in
+    for data files, sized by n_chars) into ~20 KB target bins by
+    CUMULATIVE-SUM assignment — bin = floor((cumsum − size)/target), the
+    deterministic one-window-pass packing a table-maintenance job uses
+    (first-fit-decreasing is sequential and order-fragile; cumsum
+    packing overshoots a bin by at most one file, which is the accepted
+    lakehouse trade). Output is the bin manifest a rewrite job consumes."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    return (
+        f.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.floor((F.col("cum") - F.col("n_chars")) / 20000).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bytes"),
+        )
+    )
