@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "ts_ab_srm",
     "ts_resample_locf",
     "rel_compaction_plan",
+    "ext_audio_frame_features",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -434,3 +434,22 @@ def test_backtest_snaive_perfect_on_exact_weekly_pattern(spark):
     assert len(out) == 3
     for r in out:
         assert r.mae == 0.0 and r.n_hours == 24
+
+
+def test_audio_frame_features_shape_and_determinism(spark):
+    from usedcars_bigdata_spark.ext.multimodal import audio_frame_features
+
+    rows = [(1, bytearray(b"hello")), (2, bytearray(b"")), (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    a = audio_frame_features(df, frame_len=64, n_frames=4).collect()
+    b = audio_frame_features(df, frame_len=64, n_frames=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    per = {}
+    for r in a:
+        per.setdefault(r.media_id, []).append(r)
+    for mid, frames in per.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 1, 2, 3]
+        for f in frames:
+            assert f.rms >= 0.0 and 0.0 <= f.zcr <= 1.0
+    # int16 stand-in PCM has substantial energy for any payload (incl. empty)
+    assert all(f.rms > 0 for f in per[2])

@@ -277,3 +277,77 @@ def image_near_dupes(
         "media_id",
         max_hamming=max_hamming,
     )
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - intentional stub
+    """Real decode (soundfile/librosa/ffmpeg) — unavailable in this
+    container; the plumbing below runs on the deterministic stand-in."""
+    raise NotImplementedError(
+        "audio codecs not installed; audio_frame_features uses the "
+        "deterministic PCM stand-in"
+    )
+
+
+def audio_frame_features(
+    media: DataFrame,
+    frame_len: int = 256,
+    n_frames: int = 8,
+    decode_fn=None,
+) -> DataFrame:
+    """Per-frame audio features over binary payloads: RMS energy and
+    zero-crossing rate for ``n_frames`` fixed-length frames — the
+    VAD/segmentation primitives an audio-curation pipeline computes
+    before any model touches the waveform (silence trimming, music/speech
+    routing, clipping detection). Completes the modality matrix
+    next to the image (aHash/features) and video (frame sampling) legs.
+
+    ``decode_fn(payload) -> int16 array`` is injectable; the default is
+    a SELF-CONTAINED sha256-extended PCM stand-in (capture-by-value —
+    the worker needs no package import), so the Spark plumbing — schema,
+    mapInPandas batching, per-frame explode shape — is real and tested
+    while the codec is the only stub. One Arrow pass; output is
+    media × n_frames rows.
+
+    Output: (media_id, frame_idx, rms, zcr)."""
+
+    def _default_decode(payload, _need=frame_len * n_frames):
+        import hashlib as _hashlib
+
+        out = b""
+        block = _hashlib.sha256(payload or b"").digest()
+        while len(out) < _need * 2:
+            out += block
+            block = _hashlib.sha256(block).digest()
+        import numpy as _np
+
+        return _np.frombuffer(out[: _need * 2], dtype="<i2")
+
+    fn = decode_fn or _default_decode
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fidx, rms, zcr = [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                pcm = np.asarray(fn(payload), dtype=np.float64)
+                need = frame_len * n_frames
+                if len(pcm) < need:
+                    pcm = np.pad(pcm, (0, need - len(pcm)))
+                frames = pcm[:need].reshape(n_frames, frame_len)
+                fr_rms = np.sqrt((frames**2).mean(axis=1))
+                signs = np.sign(frames)
+                crossings = (np.abs(np.diff(signs, axis=1)) > 1).sum(axis=1)
+                for i in range(n_frames):
+                    ids.append(media_id)
+                    fidx.append(i)
+                    rms.append(round(float(fr_rms[i]), 4))
+                    zcr.append(round(float(crossings[i]) / (frame_len - 1), 4))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": fidx, "rms": rms, "zcr": zcr}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, frame_idx int, rms double, zcr double"
+    )

@@ -3315,3 +3315,18 @@ def rel_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("bytes"),
         )
     )
+
+
+@query("ext_audio_frame_features")
+def ext_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frame features (ext.multimodal.audio_frame_features): RMS
+    energy + zero-crossing rate for 8 fixed frames per payload — the
+    VAD/segmentation primitives, completing the modality matrix next to
+    the image and video legs. Rows-only by nature (the deterministic PCM
+    stand-in's iterated-sha256 + int16 arithmetic has no SQL form);
+    determinism and frame-shape invariants are pytest-pinned."""
+    from ..ext.multimodal import audio_frame_features, synthesize_media_from_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_docs(docs, media_type="audio")
+    return audio_frame_features(media, frame_len=256, n_frames=8)
