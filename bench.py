@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "ts_resample_locf",
     "rel_compaction_plan",
     "ext_audio_frame_features",
+    "ext_vocab_coverage_curve",
+    "ts_max_drawdown",
+    "ml_residual_diagnostics",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -3330,3 +3330,223 @@ def ext_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = synthesize_media_from_docs(docs, media_type="audio")
     return audio_frame_features(media, frame_len=256, n_frames=8)
+
+
+@query(
+    "ext_vocab_coverage_curve",
+    oracle="""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM t WHERE tok <> '' GROUP BY 1),
+    r AS (
+      SELECT n,
+             row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk,
+             sum(n) OVER () AS total
+      FROM c
+    ),
+    cum AS (
+      SELECT rnk, total,
+             sum(n) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cum_n
+      FROM r
+    ),
+    ks AS (SELECT unnest([10, 100, 1000]) AS k)
+    SELECT CAST(ks.k AS INTEGER) AS vocab_size,
+           round(max(CASE WHEN cum.rnk <= ks.k THEN cum.cum_n END)
+                 * 1.0 / max(cum.total), 6) AS coverage
+    FROM ks CROSS JOIN cum
+    GROUP BY ks.k
+    """,
+)
+def ext_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of token OCCURRENCES covered
+    by the top-10/100/1000 types — the number that sizes a tokenizer
+    vocabulary (coverage flattening ⇒ bigger vocab buys only tail
+    handling; the occurrence-weighted companion to ext_zipf_fit's
+    rank-frequency slope). One count aggregate, one vocab-cardinality
+    rank window, three threshold reads off the same cumulative."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    w_all = Window.partitionBy()
+    r = c.select(
+        "n",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    w_cum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = r.select(
+        "rnk", "total", F.sum("n").over(w_cum).alias("cum_n")
+    ).localCheckpoint(eager=True)  # vocab-cardinality; read per threshold
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        ks.crossJoin(cum)
+        .groupBy("k")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cum_n")))
+                * 1.0
+                / F.max("total"),
+                6,
+            ).alias("coverage")
+        )
+        .select(F.col("k").alias("vocab_size"), "coverage")
+    )
+
+
+@query(
+    "ts_max_drawdown",
+    oracle="""
+    WITH bal AS (
+      SELECT user_id, ts, event_id,
+             sum(CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE -CAST(round(value * 100) AS BIGINT) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS bal
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, bal,
+             max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS peak
+      FROM bal
+    )
+    SELECT user_id,
+           CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+           CAST(max(peak) AS BIGINT) AS peak_cents
+    FROM dd GROUP BY 1
+    """,
+)
+def ts_max_drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over the credit/debit running balance:
+    max(running-peak − balance) — the classic peak-to-trough risk metric
+    (finance drawdown, battery depth-of-discharge, inventory dip), which
+    needs TWO stacked running windows and no recurrence: unlike the
+    zero-clamped balance this composes from plain cumulative max/sum, so
+    it stays a pure window plan. Integer cents, one user-key sort serves
+    both windows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents
+    ).otherwise(-cents)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = ev.select(
+        "user_id", "ts", "event_id", F.sum(delta).over(w).alias("bal")
+    ).select("user_id", "bal", F.max("bal").over(w).alias("peak"))
+    return bal.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("bal")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+    )
+
+
+@query(
+    "ml_residual_diagnostics",
+    oracle="""
+    WITH u AS (
+      SELECT l_quantity AS x,
+             CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+               AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM u
+    ),
+    fit AS (
+      SELECT n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b, sx, sy
+      FROM m
+    ),
+    fit2 AS (SELECT n, b, (sy - b * sx) / n AS a FROM fit),
+    res AS (
+      SELECT u.x, u.y - (f.a + f.b * u.x) AS r
+      FROM u CROSS JOIN fit2 f
+    ),
+    mm AS (
+      SELECT count(*) AS n, sum(r) AS s1, sum(r * r) AS s2,
+             sum(r * r * r) AS s3,
+             sum(x) AS sx, sum(x * x) AS sxx2,
+             sum(abs(r)) AS sa, sum(x * abs(r)) AS sxa,
+             sum(abs(r) * abs(r)) AS saa
+      FROM res
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((s3 / n - 3 * (s2 / n) * (s1 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6)
+             AS resid_skew,
+           round((n * sxa - sx * sa)
+                 / sqrt((n * sxx2 - sx * sx) * (n * saa - sa * sa)), 6)
+             AS het_corr
+    FROM mm
+    """,
+)
+def ml_residual_diag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression residual diagnostics for price ~ quantity: residual
+    SKEWNESS (asymmetric errors break symmetric prediction intervals)
+    and the heteroscedasticity screen corr(x, |resid|) — a strong
+    positive value says error scale grows with the feature, the
+    Breusch-Pagan-flavored one-number check. Closed-form fit + two
+    moment passes (fit moments, then residual moments in one aggregate);
+    every input is an integer-valued double, divisions last."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").cast("double").alias("y"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    fit = m.select(
+        "n",
+        ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))).alias("b"),
+        "sx",
+        "sy",
+    ).select(
+        "n", "b", ((F.col("sy") - F.col("b") * F.col("sx")) / F.col("n")).alias("a")
+    ).localCheckpoint(eager=True)  # 1-row fit feeding the residual pass
+    res = u.crossJoin(F.broadcast(fit)).select(
+        "x", (F.col("y") - (F.col("a") + F.col("b") * F.col("x"))).alias("r")
+    )
+    mm = res.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r")).alias("s3"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx2"),
+        F.sum(F.abs(F.col("r"))).alias("sa"),
+        F.sum(F.col("x") * F.abs(F.col("r"))).alias("sxa"),
+        F.sum(F.abs(F.col("r")) * F.abs(F.col("r"))).alias("saa"),
+    )
+    n, s1, s2, s3 = F.col("n"), F.col("s1"), F.col("s2"), F.col("s3")
+    skew = (
+        s3 / n - 3 * (s2 / n) * (s1 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+    ) / F.pow(s2 / n - (s1 / n) * (s1 / n), 1.5)
+    het = (n * F.col("sxa") - F.col("sx") * F.col("sa")) / F.sqrt(
+        (n * F.col("sxx2") - F.col("sx") * F.col("sx"))
+        * (n * F.col("saa") - F.col("sa") * F.col("sa"))
+    )
+    return mm.select(
+        "n",
+        F.round(skew, 6).alias("resid_skew"),
+        F.round(het, 6).alias("het_corr"),
+    )
