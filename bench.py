@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "ext_vocab_coverage_curve",
     "ts_max_drawdown",
     "ml_residual_diagnostics",
+    "ts_current_streaks",
+    "rel_weighted_median",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -3550,3 +3550,127 @@ def ml_residual_diag_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("resid_skew"),
         F.round(het, 6).alias("het_corr"),
     )
+
+
+@query(
+    "ts_current_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    mx AS (SELECT max(d) AS dmax FROM days),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS g
+      FROM days
+    ),
+    isl AS (
+      SELECT user_id, g, count(*) AS len, max(d) AS last_d
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT i.user_id,
+           CAST(i.len AS BIGINT) AS current_streak_days,
+           i.last_d = m.dmax AS active_today
+    FROM isl i CROSS JOIN mx m
+    WHERE i.last_d >= m.dmax - INTERVAL 1 DAY
+    QUALIFY row_number() OVER (PARTITION BY i.user_id
+                               ORDER BY i.last_d DESC) = 1
+    """,
+)
+def ts_current_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRENT consecutive-day activity streak per user, as of the corpus
+    max date — the gamified-retention counter (ts_gaps_islands reports
+    the historical longest; products display the live one). A user
+    qualifies if their latest island touches the last or second-to-last
+    day (the grace-day convention: a streak isn't broken until a full
+    day is missed); the date-minus-row_number island trick, evaluated on
+    distinct (user, day) rows only."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    mx = days.agg(F.max("d").alias("dmax"))
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("g"),
+    )
+    isl = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"), F.max("d").alias("last_d")
+    )
+    wpick = Window.partitionBy("user_id").orderBy(F.col("last_d").desc())
+    return (
+        isl.crossJoin(F.broadcast(mx))
+        .filter(F.col("last_d") >= F.date_sub(F.col("dmax"), 1))
+        .withColumn("__rn", F.row_number().over(wpick))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("current_streak_days"),
+            (F.col("last_d") == F.col("dmax")).alias("active_today"),
+        )
+    )
+
+
+@query(
+    "rel_weighted_median",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pr,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS wgt,
+             l_orderkey, l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    r AS (
+      SELECT pr, price_cents, wgt,
+             sum(wgt) OVER (PARTITION BY pr
+                            ORDER BY price_cents, l_orderkey, l_linenumber
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wgt) OVER (PARTITION BY pr) AS tw
+      FROM v
+    )
+    SELECT pr AS o_orderpriority,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN cw * 2 >= tw THEN price_cents END)
+                AS BIGINT) AS weighted_median_cents
+    FROM r GROUP BY pr
+    """,
+)
+def rel_weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per priority: the value where
+    CUMULATIVE weight first reaches half the total — the unit-economics
+    median ('half the UNITS ship at or below this price'), which the
+    row-median entries can't express. All-integer weights, so the
+    crossing rank is exact; the cumulative rides the same ordered window
+    discipline as median_ci with a composite tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    v = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("wgt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        Window.partitionBy("pr")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("pr")
+    r = v.select(
+        "pr",
+        "price_cents",
+        F.sum("wgt").over(w_cum).alias("cw"),
+        F.sum("wgt").over(w_all).alias("tw"),
+    )
+    return r.groupBy(F.col("pr").alias("o_orderpriority")).agg(
+        F.max("tw").alias("total_weight"),
+        F.min(
+            F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_cents"))
+        ).alias("weighted_median_cents"),
+    )
