@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "ml_residual_diagnostics",
     "ts_current_streaks",
     "rel_weighted_median",
+    "rel_hhi_concentration",
+    "ts_atypical_users",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

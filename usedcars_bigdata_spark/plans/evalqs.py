@@ -3674,3 +3674,123 @@ def rel_weighted_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cw") * 2 >= F.col("tw"), F.col("price_cents"))
         ).alias("weighted_median_cents"),
     )
+
+
+@query(
+    "rel_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, s.s_suppkey AS supp,
+             sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(cents) AS t FROM rev GROUP BY 1)
+    SELECT r.nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((r.cents * 1.0 / t.t) * (r.cents * 1.0 / t.t)), 6)
+             AS hhi,
+           round(max(r.cents * 1.0 / t.t), 6) AS top_share
+    FROM rev r JOIN tot t USING (nation)
+    GROUP BY r.nation
+    """,
+)
+def rel_hhi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: the Herfindahl–
+    Hirschman index (Σ share²) plus the single largest share — the
+    market-concentration / vendor-risk metric next to rel_gini_revenue's
+    inequality curve (HHI weights the head, Gini the whole
+    distribution). Supplier-grain integer-cent aggregate, nation totals
+    joined back, shares squared in-plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey").alias("supp"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("cents").alias("t"))
+    share = F.col("cents") * 1.0 / F.col("t")
+    return (
+        rev.join(tot, "nation")
+        .groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )
+
+
+@query(
+    "ts_atypical_users",
+    oracle="""
+    WITH uh AS (
+      SELECT user_id, EXTRACT(hour FROM ts) AS hod, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    gh AS (SELECT hod, sum(n) AS gn FROM uh GROUP BY 1),
+    dots AS (
+      SELECT u.user_id,
+             sum(u.n * g.gn) AS dp,
+             sum(u.n * u.n) AS uu
+      FROM uh u JOIN gh g USING (hod)
+      GROUP BY 1
+    ),
+    gg AS (SELECT sum(gn * gn) AS ggn FROM gh),
+    tot AS (SELECT user_id, sum(n) AS n_events FROM uh GROUP BY 1)
+    SELECT CAST(row_number() OVER (
+             ORDER BY round(d.dp / (sqrt(d.uu) * sqrt(g.ggn)), 6) ASC,
+                      d.user_id ASC) AS INTEGER) AS rank,
+           d.user_id,
+           CAST(t.n_events AS BIGINT) AS n_events,
+           round(d.dp / (sqrt(d.uu) * sqrt(g.ggn)), 6) AS profile_cosine
+    FROM dots d CROSS JOIN gg g JOIN tot t USING (user_id)
+    QUALIFY rank <= 20
+    """,
+)
+def ts_atypical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 20 users whose hour-of-day activity profile is LEAST aligned
+    with the global profile (cosine between 24-dim count vectors) — the
+    bot/timezone-anomaly segmentation primitive: scripted accounts and
+    far-shifted users sit at the bottom of this ranking. Profiles never
+    materialize as arrays: the cosine assembles from (user, hod) × (hod)
+    joint sums — one hod-keyed join of a user×24-bounded table, integer
+    products, ranking on the ROUNDED cosine with user tie-break."""
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.groupBy(
+        "user_id", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    gh = uh.groupBy("hod").agg(F.sum("n").alias("gn"))
+    dots = (
+        uh.join(F.broadcast(gh), "hod")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("n") * F.col("gn")).alias("dp"),
+            F.sum(F.col("n") * F.col("n")).alias("uu"),
+        )
+    )
+    gg = gh.agg(F.sum(F.col("gn") * F.col("gn")).alias("ggn"))
+    tot = uh.groupBy("user_id").agg(F.sum("n").alias("n_events"))
+    cosine = F.col("dp") / (F.sqrt(F.col("uu")) * F.sqrt(F.col("ggn")))
+    w = Window.orderBy(F.round(cosine, 6).asc(), F.col("user_id").asc())
+    return (
+        dots.crossJoin(F.broadcast(gg))
+        .join(tot, "user_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "rank",
+            "user_id",
+            "n_events",
+            F.round(cosine, 6).alias("profile_cosine"),
+        )
+    )
