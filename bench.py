@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "rel_weighted_median",
     "rel_hhi_concentration",
     "ts_atypical_users",
+    "rel_group_mean_impute",
+    "ts_mix_shift_tv",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -3794,3 +3794,157 @@ def ts_atypical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine, 6).alias("profile_cosine"),
         )
     )
+
+
+@query(
+    "rel_group_mean_impute",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN CAST('0x' || substr(md5('imp:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 2
+                  THEN NULL
+                  ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+               AS cents
+      FROM orders
+    ),
+    gm AS (
+      SELECT o_orderpriority,
+             CAST(round(avg(cents)) AS BIGINT) AS g_mean
+      FROM base WHERE cents IS NOT NULL GROUP BY 1
+    )
+    SELECT b.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN b.cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_imputed,
+           CAST(max(g.g_mean) AS BIGINT) AS impute_value_cents,
+           CAST(sum(coalesce(b.cents, g.g_mean)) AS BIGINT)
+             AS total_after_impute_cents
+    FROM base b JOIN gm g USING (o_orderpriority)
+    GROUP BY b.o_orderpriority
+    """,
+)
+def rel_group_impute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation under the hash oracle: order values are
+    deterministically MASKED null at 20% (md5 gate), imputed with the
+    priority's mean of the SURVIVING values (rounded to integer cents so
+    the fill value itself hashes exactly), and the entry reports the
+    imputed count plus the post-imputation total — certifying the fill
+    arithmetic end-to-end, not just that nulls went away (the
+    ML-pipeline Imputer's contract, driver-visible). One aggregate for
+    the means, one broadcast join back."""
+    o = load_table(spark, sf_dir, "orders")
+    gate = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("imp:"), F.col("o_orderkey").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(10),
+        )
+        < 2
+    )
+    base = o.select(
+        "o_orderpriority",
+        F.when(gate, F.lit(None))
+        .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents"),
+    )
+    gm = (
+        base.filter(F.col("cents").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.avg("cents")).cast("long").alias("g_mean"))
+    )
+    return (
+        base.join(F.broadcast(gm), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").isNull().cast("long")).alias("n_imputed"),
+            F.max("g_mean").alias("impute_value_cents"),
+            F.sum(F.coalesce(F.col("cents"), F.col("g_mean"))).alias(
+                "total_after_impute_cents"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_mix_shift_tv",
+    oracle="""
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS w, event_type AS t,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT w, sum(n) AS tn FROM wk GROUP BY 1),
+    p AS (
+      SELECT wk.w, wk.t, wk.n * 1.0 / tot.tn AS p
+      FROM wk JOIN tot USING (w)
+    ),
+    weeks AS (
+      SELECT w, lag(w) OVER (ORDER BY w) AS prev_w
+      FROM (SELECT DISTINCT w FROM p)
+    ),
+    pairs AS (
+      SELECT wp.w, cur.t,
+             cur.p AS p_cur, coalesce(prev.p, 0.0) AS p_prev
+      FROM weeks wp
+      JOIN p cur ON cur.w = wp.w
+      LEFT JOIN p prev ON prev.w = wp.prev_w AND prev.t = cur.t
+      WHERE wp.prev_w IS NOT NULL
+    )
+    SELECT w AS week,
+           round(sum(abs(p_cur - p_prev)) / 2.0, 6) AS tv_distance
+    FROM pairs GROUP BY 1
+    """,
+)
+def ts_mix_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week total-variation distance of the event-type mix:
+    TV = ½·Σ|p_t − p_{t,prev}| — the categorical drift metric next to
+    rel_psi_drift's binned-numeric PSI and rel_feature_drift_ks's
+    continuous KS (the drift family now covers all three variable
+    kinds). Types absent from the previous week contribute their full
+    share (coalesce 0); the symmetric missing-type case is bounded by
+    the current week's own mass. Week×type-cardinality tables
+    throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = wk.groupBy("w").agg(F.sum("n").alias("tn"))
+    p = wk.join(tot, "w").select(
+        "w", "t", (F.col("n") * 1.0 / F.col("tn")).alias("p")
+    ).localCheckpoint(eager=True)  # read as current AND previous side
+    wlag = Window.orderBy("w")
+    weeks = p.select("w").distinct().select(
+        "w", F.lag("w").over(wlag).alias("prev_w")
+    )
+    cur = p.select(F.col("w").alias("cw"), "t", F.col("p").alias("p_cur"))
+    prev = p.select(
+        F.col("w").alias("pw"), F.col("t").alias("pt"), F.col("p").alias("p_prev")
+    )
+    pairs = (
+        weeks.filter(F.col("prev_w").isNotNull())
+        .join(cur, F.col("cw") == F.col("w"))
+        .join(
+            prev,
+            (F.col("pw") == F.col("prev_w")) & (F.col("pt") == F.col("t")),
+            "left",
+        )
+    )
+    return pairs.groupBy(F.col("w").alias("week")).agg(
+        F.round(
+            F.sum(F.abs(F.col("p_cur") - F.coalesce(F.col("p_prev"), F.lit(0.0))))
+            / 2.0,
+            6,
+        ).alias("tv_distance")
+    )
