@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "ts_atypical_users",
     "rel_group_mean_impute",
     "ts_mix_shift_tv",
+    "ml_brier_decomposition",
+    "ts_ingestion_order_audit",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

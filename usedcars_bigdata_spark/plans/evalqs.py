@@ -3948,3 +3948,141 @@ def ts_mix_shift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tv_distance")
     )
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle=f"""
+    WITH {_SCORED_CTE},
+    b AS (
+      SELECT CAST(least(CAST(floor(score * 10) AS BIGINT), 9) AS INTEGER)
+               AS bin,
+             count(*) AS n, avg(score) AS conf,
+             avg(CAST(label AS DOUBLE)) AS acc
+      FROM scored GROUP BY 1
+    ),
+    t AS (
+      SELECT sum(n) AS nt, sum(n * acc) / sum(n) AS base FROM b
+    ),
+    ex AS (
+      SELECT avg((score - label) * (score - label)) AS brier FROM scored
+    )
+    SELECT CAST(t.nt AS BIGINT) AS n,
+           round(ex.brier, 6) AS brier,
+           round(sum((b.n * 1.0 / t.nt)
+                     * (b.conf - b.acc) * (b.conf - b.acc)), 6)
+             AS reliability,
+           round(sum((b.n * 1.0 / t.nt)
+                     * (b.acc - t.base) * (b.acc - t.base)), 6)
+             AS resolution,
+           round(max(t.base * (1.0 - t.base)), 6) AS uncertainty
+    FROM b CROSS JOIN t CROSS JOIN ex
+    GROUP BY t.nt, ex.brier
+    """,
+)
+def ml_brier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (reliability −
+    resolution + uncertainty over 10 bins): the proper-scoring-rule
+    companion to ml_ece — ECE says HOW FAR the bins sit from the
+    diagonal, the decomposition says whether the model's problem is
+    miscalibration (reliability) or indiscrimination (low resolution).
+    Exact Brier from one pass; decomposition from the shared bin
+    table."""
+    scored = _scored_orders(spark, sf_dir)
+    b = scored.groupBy(
+        F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+        .cast("int")
+        .alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("score").alias("conf"),
+        F.avg(F.col("label").cast("double")).alias("acc"),
+    ).localCheckpoint(eager=True)  # bin hub: totals + decomposition terms
+    t = b.agg(
+        F.sum("n").alias("nt"),
+        (F.sum(F.col("n") * F.col("acc")) / F.sum("n")).alias("base"),
+    )
+    ex = scored.agg(
+        F.avg(
+            (F.col("score") - F.col("label"))
+            * (F.col("score") - F.col("label"))
+        ).alias("brier")
+    )
+    return (
+        b.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ex))
+        .groupBy("nt", "brier")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("n") * 1.0 / F.col("nt"))
+                    * (F.col("conf") - F.col("acc"))
+                    * (F.col("conf") - F.col("acc"))
+                ),
+                6,
+            ).alias("reliability"),
+            F.round(
+                F.sum(
+                    (F.col("n") * 1.0 / F.col("nt"))
+                    * (F.col("acc") - F.col("base"))
+                    * (F.col("acc") - F.col("base"))
+                ),
+                6,
+            ).alias("resolution"),
+            F.round(F.max(F.col("base") * (1.0 - F.col("base"))), 6).alias(
+                "uncertainty"
+            ),
+        )
+        .select(
+            F.col("nt").alias("n"),
+            F.round("brier", 6).alias("brier"),
+            "reliability",
+            "resolution",
+            "uncertainty",
+        )
+    )
+
+
+@query(
+    "ts_ingestion_order_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS t_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                     ORDER BY event_id) AS prev_t
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_t IS NOT NULL AND t_us < prev_t
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+           sum(CASE WHEN prev_t IS NOT NULL AND t_us < prev_t
+                    THEN 1 ELSE 0 END) = 0 AS is_ordered
+    FROM seq GROUP BY 1
+    """,
+)
+def ts_order_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order audit per event type: counts of adjacent pairs
+    (by ingestion id) whose event time runs BACKWARD, with the
+    is-ordered verdict — the data-quality invariant the streaming
+    entries' watermark assumptions rest on, asserted as a positive
+    check (the dq_expectations discipline: certify the invariant HOLDS
+    with real counts, rather than emitting an empty violation set that
+    hashes trivially). On the harness stream every type is fully
+    ordered, and the entry proves it; disorder appearing upstream flips
+    is_ordered without schema change. One lag window per type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    seq = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        F.lag(F.unix_micros(F.col("ts"))).over(w).alias("prev_t"),
+    )
+    ooo = (F.col("prev_t").isNotNull() & (F.col("t_us") < F.col("prev_t"))).cast(
+        "long"
+    )
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(ooo).alias("n_ooo"),
+        (F.sum(ooo) == 0).alias("is_ordered"),
+    )
