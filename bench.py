@@ -209,6 +209,16 @@ BENCH_QUERIES = [
     "ts_mix_shift_tv",
     "ml_brier_decomposition",
     "ts_ingestion_order_audit",
+    "rel_spearman_corr",
+    "ts_mann_whitney",
+    "ts_kendall_tau",
+    "ts_acf_lags",
+    "ml_ndcg_mrr",
+    "rel_ddsketch_quantiles",
+    "rel_graph_kcore",
+    "ts_hits_scores",
+    "ext_rouge_recall",
+    "ts_permutation_test",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

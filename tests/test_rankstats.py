@@ -1,0 +1,283 @@
+"""Rank statistics, mergeable quantile sketch, k-core/HITS, retrieval
+metrics, ROUGE — hand-computed ground truth on small adversarial fixtures
+(ties, alternating series, pendant chains, perfect/inverted rankings)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.ext.text import rouge_n_recall_pairs
+from usedcars_bigdata_spark.ml.eval import ranking_metrics
+from usedcars_bigdata_spark.operators.agg import log_bucket_quantiles
+from usedcars_bigdata_spark.operators.graph import (
+    hits_unrolled,
+    kcore_peel_trajectory,
+)
+from usedcars_bigdata_spark.operators.rankstats import (
+    kendall_tau_b,
+    mann_whitney_u,
+    permutation_test_means,
+    spearman_corr,
+)
+from usedcars_bigdata_spark.operators.timeseries import acf_lags
+
+
+# ---------------------------------------------------------------- spearman
+
+
+def test_spearman_perfect_monotone_and_inverse(spark):
+    rows = [("up", x, x * x) for x in range(1, 8)] + [
+        ("down", x, -3 * x) for x in range(1, 8)
+    ]
+    df = spark.createDataFrame(rows, ["g", "x", "y"])
+    out = {r.g: r for r in spearman_corr(df, "g", "x", "y").collect()}
+    assert out["up"].rho == 1.0  # any monotone map preserves ranks
+    assert out["down"].rho == -1.0
+    assert out["up"].n == 7
+
+
+def test_spearman_midrank_ties_hand_computed(spark):
+    # x = [1,2,2,3], y = [10,20,30,40]
+    # rank_x (midranks) = [1, 2.5, 2.5, 4]; rank_y = [1,2,3,4]
+    # Pearson of those: cov terms -> rho = 0.9486832980505138 -> round 6
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 2, 30), ("a", 3, 40)],
+        ["g", "x", "y"],
+    )
+    rho = spearman_corr(df, "g", "x", "y").collect()[0].rho
+    rx = [1.0, 2.5, 2.5, 4.0]
+    ry = [1.0, 2.0, 3.0, 4.0]
+    n = 4
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert rho == round(want, 6)
+
+
+# ------------------------------------------------------------ mann-whitney
+
+
+def test_mann_whitney_hand_computed_no_ties(spark):
+    # A = {1,2}, B = {3,4}: ranks 1..4, R_a = 3, U_a = 3 - 3 = 0
+    # z = (0 - 2) / sqrt(4/12 * 5) = -2/sqrt(5/3)
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("B", 4)], ["s", "v"]
+    )
+    row = mann_whitney_u(df, "s", "v", "A", "B").collect()[0]
+    assert (row.n_a, row.n_b) == (2, 2)
+    assert row.u_a == 0.0
+    assert row.z == round(-2.0 / math.sqrt(5.0 / 3.0), 6)
+
+
+def test_mann_whitney_tie_correction(spark):
+    # A = {1,2}, B = {2,3}: sorted [1,2,2,3] -> midranks [1,2.5,2.5,4]
+    # R_a = 3.5, U_a = 3.5 - 3 = 0.5; ties: one group t=2 -> tie3 = 6
+    # var = (4/12) * (5 - 6/(4*3)) = (1/3) * 4.5 = 1.5
+    # z = (0.5 - 2)/sqrt(1.5)
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 2), ("B", 3)], ["s", "v"]
+    )
+    row = mann_whitney_u(df, "s", "v", "A", "B").collect()[0]
+    assert row.u_a == 0.5
+    assert row.z == round(-1.5 / math.sqrt(1.5), 6)
+
+
+def test_mann_whitney_symmetric_samples_z_zero(spark):
+    df = spark.createDataFrame(
+        [("A", v) for v in (1, 5, 9)] + [("B", v) for v in (1, 5, 9)],
+        ["s", "v"],
+    )
+    row = mann_whitney_u(df, "s", "v", "A", "B").collect()[0]
+    assert row.z == 0.0  # identical samples -> U_a = n_a*n_b/2 exactly
+
+
+# ------------------------------------------------------------- kendall tau
+
+
+def test_kendall_perfect_and_tied(spark):
+    # key "c": y strictly increases with x -> all 10 pairs concordant
+    rows = [("c", t, t, 2 * t) for t in range(5)]
+    # key "t": x increases, y has ties: y = [1,1,2,2]
+    rows += [("t", 0, 0, 1), ("t", 1, 1, 1), ("t", 2, 2, 2), ("t", 3, 3, 2)]
+    df = spark.createDataFrame(rows, ["k", "t", "x", "y"])
+    out = {r.key: r for r in kendall_tau_b(df, "k", "t", "x", "y").collect()}
+    assert out["c"].concordant == 10 and out["c"].discordant == 0
+    assert out["c"].tau_b == 1.0
+    # "t": n0 = 6 pairs, C = 4 (cross-tie-group pairs), D = 0, ty = 2
+    # tau_b = 4 / sqrt(6 * (6-2)) = 4/sqrt(24)
+    assert (out["t"].concordant, out["t"].discordant) == (4, 0)
+    assert out["t"].tau_b == round(4.0 / math.sqrt(24.0), 6)
+
+
+# -------------------------------------------------------------------- acf
+
+
+def test_acf_alternating_series(spark):
+    # x = [0,1]*4 (n=8, mean .5): r(1) = -7/8 biased, r(2) = +6/8
+    rows = [("k", t, t % 2) for t in range(8)]
+    df = spark.createDataFrame(rows, ["key", "t", "x"])
+    out = {r.lag: r for r in acf_lags(df, "key", "t", "x", (1, 2)).collect()}
+    assert out[1].n == 8
+    assert out[1].r == round(-7.0 / 8.0, 6)
+    assert out[2].r == round(6.0 / 8.0, 6)
+
+
+def test_acf_lag_beyond_series_yields_no_row(spark):
+    rows = [("k", t, t) for t in range(4)]
+    df = spark.createDataFrame(rows, ["key", "t", "x"])
+    lags = [r.lag for r in acf_lags(df, "key", "t", "x", (1, 10)).collect()]
+    assert 1 in lags and 10 not in lags  # no (t, t+10) pairs exist
+
+
+# ------------------------------------------------------------- permutation
+
+
+def test_permutation_test_constant_values_p_one(spark):
+    # every unit has the same value -> every replicate and the observed
+    # statistic are exactly 0 -> p = (B+1)/(B+1) = 1
+    rows = [(i, 700, i % 2) for i in range(20)]
+    df = spark.createDataFrame(rows, ["u", "v", "g"])
+    row = permutation_test_means(
+        df, "u", "v", "g", n_permutations=50, scale=100.0
+    ).collect()[0]
+    assert row.n_units == 20
+    assert row.t_obs == 0.0
+    assert row.p_value == 1.0
+
+
+def test_permutation_test_deterministic_and_detects_shift(spark):
+    # variant 1 values are 10x variant 0 -> tiny p, and exact re-run parity
+    rows = [(i, 100, 0) for i in range(12)] + [
+        (100 + i, 1000, 1) for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, ["u", "v", "g"])
+    r1 = permutation_test_means(df, "u", "v", "g", n_permutations=100).collect()[0]
+    r2 = permutation_test_means(df, "u", "v", "g", n_permutations=100).collect()[0]
+    assert (r1.t_obs, r1.p_value) == (r2.t_obs, r2.p_value)
+    assert r1.t_obs == 900.0
+    assert r1.p_value < 0.1
+
+
+# ---------------------------------------------------------------- ddsketch
+
+
+def test_log_bucket_quantiles_relative_error_bound(spark):
+    # sub_buckets=4 -> relative error of the midpoint estimate <= ~9.05%
+    vals = [137, 1250, 4099, 88, 65536, 999, 23, 511, 512, 513, 70000, 3]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "cents"])
+    out = log_bucket_quantiles(
+        df, "grp", F.col("cents"), (0.5, 0.9), sub_buckets=4
+    ).collect()
+    assert {r.q for r in out} == {0.5, 0.9}
+    sv = sorted(vals)
+    for r in out:
+        exact = sv[math.ceil(r.q * len(vals)) - 1] / 100.0
+        assert abs(r.est_value - exact) / exact <= 0.125  # 2^(1/4)-1 + slack
+        assert r.n == len(vals)
+
+
+def test_log_bucket_sketch_is_mergeable(spark):
+    # quantile over the union == quantile over per-half bucket counts
+    # merged by addition: splitting the input cannot change the answer
+    a = [2 ** i + 3 for i in range(1, 12)]
+    b = [5 * i + 7 for i in range(1, 40)]
+    whole = spark.createDataFrame([("g", v) for v in a + b], ["grp", "c"])
+    q_whole = {
+        (r.q): r.est_value
+        for r in log_bucket_quantiles(whole, "grp", F.col("c"), (0.5,)).collect()
+    }
+    # shuffle input order: bucket counts are order-free
+    rev = spark.createDataFrame([("g", v) for v in (b + a)[::-1]], ["grp", "c"])
+    q_rev = {
+        (r.q): r.est_value
+        for r in log_bucket_quantiles(rev, "grp", F.col("c"), (0.5,)).collect()
+    }
+    assert q_whole == q_rev
+
+
+# ------------------------------------------------------------ kcore / hits
+
+
+def test_kcore_peels_chain_keeps_triangle(spark):
+    # triangle {1,2,3} + pendant chain 3-4, 4-5: k=2 peel removes 5 then 4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], ["a", "b"]
+    )
+    out = {r.round: r for r in
+           kcore_peel_trajectory(edges, "a", "b", k=2, rounds=4).collect()}
+    # round 1 drops node 5 (degree 1) and its edge; round 2 drops node 4
+    assert (out[1].n_nodes, out[1].n_edges) == (4, 4)
+    assert (out[2].n_nodes, out[2].n_edges) == (3, 3)
+    # converged: the triangle IS the 2-core
+    assert (out[3].n_nodes, out[3].n_edges) == (3, 3)
+    assert (out[4].n_nodes, out[4].n_edges) == (3, 3)
+
+
+def test_hits_star_authority(spark):
+    # hubs 1..4 all point at node 99 (plus a stray 1->50 edge):
+    # authority mass concentrates on 99
+    edges = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99), (4, 99), (1, 50)], ["s", "d"]
+    )
+    out = hits_unrolled(edges, "s", "d", iterations=2, top_k=5).collect()
+    assert out[0].rank == 1 and out[0].node == 99
+    # iter2: a(99) = 1/(1 + 1/3.4) = 0.772727...
+    assert out[0].authority == round(1.0 / (1.0 + 1.0 / 3.4), 8)
+    total = sum(r.authority for r in out)
+    assert abs(total - 1.0) < 1e-6  # L1-normalized
+
+
+# ------------------------------------------------------------ ndcg / rouge
+
+
+def test_ranking_metrics_perfect_and_inverted(spark):
+    # q "good": scores agree with relevance -> ndcg = 1, first rel>=2 at
+    # rank 1 -> mrr = 1. q "bad": scores exactly inverted.
+    rows = [("good", i, rel, float(rel)) for i, rel in enumerate([3, 2, 1, 0])]
+    rows += [("bad", i, rel, float(3 - rel)) for i, rel in enumerate([3, 2, 1, 0])]
+    df = spark.createDataFrame(rows, ["q", "id", "rel", "score"])
+    out = {r.query: r for r in
+           ranking_metrics(df, "q", "id", "rel", "score", k=10).collect()}
+    assert out["good"].ndcg_at_k == 1.0
+    assert out["good"].mrr == 1.0
+    # bad: ranked rels are [0,1,2,3]; DCG = 0/1 + 1/log2(3) + 3/2 + 7/log2(5)
+    dcg = (
+        0.0
+        + 1.0 / math.log2(3.0)
+        + 3.0 / math.log2(4.0)
+        + 7.0 / math.log2(5.0)
+    )
+    idcg = 7.0 + 3.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    assert out["bad"].ndcg_at_k == round(dcg / idcg, 6)
+    # first rel>=2 in score order sits at rank 3 (rel=2 item)
+    assert out["bad"].mrr == round(1.0 / 3.0, 6)
+
+
+def test_rouge_recall_identity_partial_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", 2),
+            (2, "the cat sat on the mat", None),  # identical to ref 1
+            (3, "the cat ate fish today ok", 4),
+            (4, "a dog ran far away now", None),  # disjoint from ref 3
+            (5, "the cat sat on the mat", 6),
+            (6, "the cat sat somewhere else entirely", None),
+        ],
+        ["doc_id", "text", "pair"],
+    )
+    out = {r.ref_id: r for r in
+           rouge_n_recall_pairs(df, "doc_id", "text", "pair", n=2).collect()}
+    assert out[1].rouge_recall == 1.0  # identical docs
+    assert out[3].rouge_recall == 0.0 and out[3].n_overlap == 0
+    # ref 5 grams: {the cat, cat sat, sat on, on the, the mat} (5 distinct)
+    # cand 6 shares exactly {the cat, cat sat} -> 2/5
+    assert out[5].n_ref_grams == 5
+    assert out[5].n_overlap == 2
+    assert out[5].rouge_recall == 0.4
+    assert set(out) == {1, 3, 5}  # NULL-pair rows dropped

@@ -2102,3 +2102,72 @@ def doremi_reweight(
             F.round(F.col("__w") / F.col("__z"), ndigits).alias("weight"),
         )
     )
+
+
+def rouge_n_recall_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pair_col: str,
+    n: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ROUGE-N recall between candidate/reference doc pairs, on DISTINCT
+    n-grams (the set-overlap variant — multiset clipping is the named
+    refinement; for near-dup-style screening the set form is standard,
+    cf. the jaccard/containment tier in ext.dedup):
+
+        recall = |grams(ref) ∩ grams(cand)| / |grams(ref)|
+
+    Input: ``pair_col`` holds the candidate doc's id (NULL rows are
+    dropped — e.g. the last doc of a chain). Grams explode once per doc
+    (O(total grams)), the intersection is one equi-join on
+    (doc, gram-hash) — xxhash64 of the gram keeps the shuffle key 8
+    bytes, the dup-gram precedent; hash collisions (~2^-64 per pair)
+    are accepted and documented. Counts exact; recall's division is the
+    only float.
+
+    Output: (ref_id, cand_id, n_ref_grams, n_overlap, rouge_recall)."""
+    words = F.filter(_words(text_col), lambda x: x != "")
+    # Guarded: Spark's sequence(0, stop) REVERSES direction when stop < 0
+    # (it does not return empty), so short docs need the explicit branch.
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(grams).alias("gram"),
+        )
+        .select("doc", F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    pairs = df.select(
+        F.col(id_col).alias("ref_id"), F.col(pair_col).alias("cand_id")
+    ).filter(F.col("cand_id").isNotNull())
+    ref_g = pairs.join(g.withColumnRenamed("doc", "ref_id"), "ref_id")
+    cand_g = g.select(F.col("doc").alias("cand_id"), "gh")
+    marked = (
+        ref_g.join(cand_g, ["cand_id", "gh"], "left_semi")
+        .groupBy("ref_id", "cand_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    totals = ref_g.groupBy("ref_id", "cand_id").agg(
+        F.count(F.lit(1)).alias("n_ref_grams")
+    )
+    out = totals.join(marked, ["ref_id", "cand_id"], "left").fillna(
+        0, subset=["n_overlap"]
+    )
+    return out.select(
+        "ref_id",
+        "cand_id",
+        "n_ref_grams",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.col("n_ref_grams"), ndigits
+        ).alias("rouge_recall"),
+    )

@@ -892,3 +892,64 @@ def kfold_cv_ols(
         F.col("nf").alias("n_test"),
         F.round(1.0 - sse / sst, ndigits).alias("r2"),
     )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-query graded ranking metrics — NDCG@k and MRR — the retrieval
+    evaluation head for the BM25/ANN stack (a RAG pipeline's offline
+    quality gate):
+
+        DCG@k  = Σ_{r≤k} (2^rel − 1) / log2(r + 1)   over score order
+        IDCG@k = the same sum over relevance order (the ideal ranking)
+        MRR    = 1 / rank of the first result with rel ≥ 2
+
+    ONE pass builds both rankings as two row_number windows over the
+    same scored table (score DESC vs rel DESC, both tie-broken by id so
+    the ranked SET is deterministic); gains 2^rel - 1 are integer-valued
+    doubles, the discount sum is ≤ k doubles per query — rounded
+    well above the summation-order spread. Work is one sort per window
+    on the query key; the output is |queries| rows.
+
+    Output: (query, n_results, ndcg_at_k, mrr)."""
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("id"),
+        F.col(rel_col).cast("int").alias("rel"),
+        F.col(score_col).alias("score"),
+    )
+    ws = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    wi = Window.partitionBy("query").orderBy(
+        F.col("rel").desc(), F.col("id").asc()
+    )
+    # 2^rel − 1 via pow (exact doubles for small graded rels; the PySpark
+    # shiftleft wrapper only takes a literal bit count, not a Column).
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - 1.0
+    ranked = base.select(
+        "query",
+        "rel",
+        gain.alias("g"),
+        F.row_number().over(ws).alias("rs"),
+        F.row_number().over(wi).alias("ri"),
+    )
+    disc = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    return ranked.groupBy("query").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.round(
+            F.sum(F.when(F.col("rs") <= k, F.col("g") / disc(F.col("rs"))).otherwise(0.0))
+            / F.sum(F.when(F.col("ri") <= k, F.col("g") / disc(F.col("ri"))).otherwise(0.0)),
+            ndigits,
+        ).alias("ndcg_at_k"),
+        F.round(
+            1.0 / F.min(F.when(F.col("rel") >= 2, F.col("rs"))), ndigits
+        ).alias("mrr"),
+    )

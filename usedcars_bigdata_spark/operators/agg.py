@@ -374,3 +374,77 @@ def salted_grouped_sum(
     return phase1.groupBy("key").agg(
         F.sum("__s").alias("total"), F.sum("__n").alias("n_rows")
     )
+
+
+def log_bucket_quantiles(
+    df: DataFrame,
+    group_col: str,
+    cents_col: Column,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+    sub_buckets: int = 4,
+    ndigits: int = 4,
+) -> DataFrame:
+    """DDSketch-style relative-error quantile sketch over positive
+    integer cents, in EXACT integer arithmetic (beyond-reference
+    extension — the mergeable-quantile companion to the KMV/CMS/HLL
+    sketch family).
+
+    Bucketing: k = floor(log2(v)) computed as ``length(bin(v)) − 1`` —
+    a string-length bit trick, NOT floating log(), so bucket boundaries
+    cannot drift by an engine's 1-ulp log difference — refined into
+    ``sub_buckets`` linear sub-cells: ``bucket = k·s + (v − 2^k)·s / 2^k``
+    (integer division). With s=4 the relative error is ≤ 2^(1/4)−1 ≈ 9%.
+    The sketch is the per-group bucket-count table — tiny (≤ s·64 rows
+    per group), MERGEABLE by addition (the 100 TB story: map-side
+    partial counts collapse everything before any shuffle), and the
+    quantile readout is the first bucket whose cumulative count reaches
+    ceil(q·n), estimated at the sub-cell midpoint. Every step through
+    the bucket id is exact bigint; only the final midpoint estimate is
+    floating.
+
+    Output: (group, q, n, bucket, est_value)."""
+    s = int(sub_buckets)
+    v = cents_col.cast("bigint")
+    k = (F.length(F.bin(v)) - 1).cast("bigint")
+    p2 = F.pow(F.lit(2.0), k.cast("double")).cast("bigint")
+    # floor() of an exact-integer double ratio, NOT cast(): Spark cast
+    # truncates while DuckDB CAST rounds-to-nearest (memory'd trap); an
+    # explicit floor is identical in both engines, and correctly-rounded
+    # division of exact ints < 2^28 cannot land 1 ulp above an integer.
+    bucket = k * s + F.floor((v - p2) * s / p2).cast("bigint")
+    counts = (
+        df.select(F.col(group_col).alias("group"), bucket.alias("bucket"))
+        .groupBy("group", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = (
+        Window.partitionBy("group")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.select(
+        "group",
+        "bucket",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(Window.partitionBy("group")).alias("n"),
+    )
+    qax = df.sparkSession.createDataFrame(
+        [(float(q),) for q in quantiles], "q double"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(qax))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("group", "q")
+        .agg(F.min("bucket").alias("bucket"), F.max("n").alias("n"))
+    )
+    kk = F.floor(F.col("bucket") / s).cast("bigint")
+    sub = F.col("bucket") - kk * s
+    p2d = F.pow(F.lit(2.0), kk.cast("double"))
+    est = p2d * (1.0 + (sub.cast("double") + 0.5) / s) / 100.0
+    return hits.select(
+        "group",
+        "q",
+        "n",
+        "bucket",
+        F.round(est, ndigits).alias("est_value"),
+    )

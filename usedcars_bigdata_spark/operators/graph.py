@@ -215,3 +215,111 @@ def label_propagation_unrolled(
             F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias("lbl")
         )
     return labels.select("node", F.col("lbl").alias("label"))
+
+
+def kcore_peel_trajectory(
+    edges: DataFrame, src: str, dst: str, k: int = 3, rounds: int = 6
+) -> DataFrame:
+    """K-core peeling trajectory: ``rounds`` unrolled peel steps, each
+    dropping nodes whose degree in the SURVIVING subgraph is < k, then
+    the edges touching them. The output is the per-round (nodes, edges)
+    census — a deterministic integer answer whether or not the peel has
+    converged by the last round (when two consecutive rounds agree, the
+    survivor set IS the k-core; the trajectory makes convergence itself
+    visible instead of asserting it). Same unrolled-declarative shape as
+    pagerank_unrolled: the symmetric edge set is materialized once
+    (localCheckpoint — Catalyst re-derives un-exchanged subtrees per
+    unrolled round otherwise), then each round is one degree aggregate +
+    one semi-join per endpoint, all edge-cardinality-sized. Peeling is
+    O(rounds · m) — the textbook distributed k-core; iterate-to-
+    convergence adds the near_dup_clusters checkpoint-per-round loop and
+    is the named upgrade.
+
+    Output: (round, n_nodes, n_edges) — undirected counts, exact ints."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats = []
+    cur = sym
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        cur = (
+            cur.join(keep, "a")
+            .join(keep.withColumnRenamed("a", "b"), "b")
+            .select("a", "b")
+        )
+        stats.append(
+            cur.agg(
+                F.lit(r).alias("round"),
+                F.count_distinct("a").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def hits_unrolled(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 2,
+    top_k: int = 20,
+    ndigits: int = 8,
+) -> DataFrame:
+    """HITS hubs-and-authorities on a directed edge set, ``iterations``
+    unrolled rounds with L1 normalization each half-step:
+
+        a(v) = Σ_{u→v} h(u) / Σ a        h(u) = Σ_{u→v} a(v) / Σ h
+
+    One declarative plan per round — each half-step is edges ⋈ scores
+    (shuffle on one endpoint) → groupBy the other endpoint, the same
+    sparse matrix-vector product as pagerank_unrolled; the L1 mass is a
+    1-row broadcast. The distinct edge set is materialized once. Scores
+    are rounded: per-node contribution sums accumulate in engine-
+    specific order with ~1e-15 relative spread, far below the rounding
+    grid (pagerank precedent). Top-k authorities rank by (rounded score
+    DESC, node ASC) — a deterministic set under the unique tie-break.
+
+    Output: (rank, node, authority)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hubs = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.lit(1.0).alias("h")
+    )
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hubs.withColumnRenamed("node", "u"), "u")
+            .groupBy("v")
+            .agg(F.sum("h").alias("a"))
+        )
+        a_mass = a_raw.agg(F.sum("a").alias("m"))
+        auth = a_raw.crossJoin(F.broadcast(a_mass)).select(
+            F.col("v").alias("node"), (F.col("a") / F.col("m")).alias("a")
+        )
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.sum("a").alias("h"))
+        )
+        h_mass = h_raw.agg(F.sum("h").alias("m"))
+        hubs = h_raw.crossJoin(F.broadcast(h_mass)).select(
+            F.col("u").alias("node"), (F.col("h") / F.col("m")).alias("h")
+        )
+    scored = auth.select("node", F.round("a", ndigits).alias("authority"))
+    w = Window.orderBy(F.col("authority").desc(), F.col("node").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "node", "authority")
+    )

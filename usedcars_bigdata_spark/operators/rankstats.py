@@ -1,0 +1,274 @@
+"""Rank-based statistics: Spearman rank correlation, the Mann-Whitney U
+test, Kendall's tau-b, and a cluster-level permutation test (beyond-
+reference extension; SURVEY.md §2.13 — the reference's stats surface stops
+at Pearson/skewness, `3-EDA.ipynb`-style moments).
+
+Design rules shared by every operator here (the ts_bootstrap_ci /
+ml_roc_auc precedents):
+
+- All rank sums, tie counts, and pair counts ride EXACT integer
+  arithmetic (doubled average ranks ``2·r = 2·rank() + ties − 1`` stay
+  integral), so the only floating-point work is the final closed-form
+  statistic — both engines evaluate the same scalar expression on
+  bit-identical inputs, which is what makes the entries hash-oracle
+  checkable rather than rows-only.
+- Overflow discipline (ANSI mode THROWS on int64 overflow): products of
+  two rank-scale bigints stay < 2^63 for any per-group n ≤ ~2^20; the
+  n·S cross terms in the closed forms go DOUBLE before multiplying.
+- Ranks need a per-group sort (one shuffle on the group key). At 100 TB
+  the upgrade path is the classic two-pass distributed rank (per-partition
+  histograms → prefix offsets) — the closed forms are unchanged since
+  they only consume the moment table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def _doubled_avg_rank(part_cols: list[str], order_col: str) -> Column:
+    """2× the average (midrank) of ``order_col`` within ``part_cols``:
+    ``2·rank() + count(ties) − 1`` — integral, so tie-averaged ranks stay
+    in exact bigint arithmetic (avg rank itself is a *.5 fraction)."""
+    wr = Window.partitionBy(*part_cols).orderBy(F.col(order_col).asc())
+    wt = Window.partitionBy(*part_cols, order_col)
+    return (
+        2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - F.lit(1)
+    ).cast("bigint")
+
+
+def spearman_corr(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with midrank tie handling:
+    Pearson over the doubled average ranks (the factor 2 cancels in the
+    correlation). Moments ``Σr, Σr², Σr_x·r_y`` are exact bigints
+    (r ≤ 2n ⇒ the product sum is < 4n³ < 2^63 for n ≤ 10^6 per group);
+    the closed form runs in doubles AFTER casting, so ``n·S_xy`` cannot
+    overflow. Two rank windows + one moment aggregate — the group sort
+    is the only data-sized shuffle.
+
+    Output: (group, n, rho) with rho rounded."""
+    g = "group"
+    ranked = df.select(
+        F.col(group_col).alias(g),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    ranked = ranked.select(
+        g,
+        _doubled_avg_rank([g], "x").alias("rx"),
+        _doubled_avg_rank([g], "y").alias("ry"),
+    )
+    m = ranked.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").cast("double").alias("sx"),
+        F.sum("ry").cast("double").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("double").alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("double").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("double").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col(g).alias(group_col),
+        "n",
+        (F.round(num / den, ndigits) + 0.0).alias("rho"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    sample_col: str,
+    value_col: str,
+    sample_a: str,
+    sample_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test comparing ``value_col``
+    between two samples, with midranks and the full tie-corrected normal
+    approximation:
+
+        U_a = R_a − n_a(n_a+1)/2
+        σ² = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1)))
+        z  = (U_a − n_a·n_b/2) / σ
+
+    The doubled rank sum 2·R_a, the tie moment Σ(t³−t), and all counts
+    are exact bigints; t³ goes double-safe because the per-value tie
+    group t ≤ N ≤ 2^20 here (t³ < 2^60). One global sort (no group key:
+    a single combined ranking by construction) + one aggregate.
+
+    Output: one row (n_a, n_b, u_a, z)."""
+    both = df.filter(F.col(sample_col).isin([sample_a, sample_b])).select(
+        (F.col(sample_col) == sample_a).cast("int").alias("is_a"),
+        F.col(value_col).alias("v"),
+    )
+    ranked = both.select(
+        "is_a", _doubled_avg_rank([], "v").alias("r2"), "v"
+    )
+    ties = ranked.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    tie_m = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    m = ranked.agg(
+        F.sum("is_a").alias("n_a"),
+        F.sum(1 - F.col("is_a")).alias("n_b"),
+        F.sum(F.col("is_a") * F.col("r2")).alias("r2_a"),
+    )
+    j = m.crossJoin(F.broadcast(tie_m))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    # U_a from the doubled rank sum: U_a = R_a − n_a(n_a+1)/2 = (2R_a −
+    # n_a(n_a+1)) / 2 — numerator even by construction, exact in doubles
+    # (rank sums < n² ≤ 2^40 at harness scale).
+    u_a = (F.col("r2_a").cast("double") - na * (na + 1)) / 2.0
+    var = na * nb / 12.0 * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
+    z = (u_a - na * nb / 2.0) / F.sqrt(var)
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u_a, 1).alias("u_a"),
+        (F.round(z, ndigits) + 0.0).alias("z"),
+    )
+
+
+def kendall_tau_b(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key Kendall tau-b between two aligned series columns, by
+    explicit pair enumeration:
+
+        τ_b = (C − D) / sqrt((n0 − n1)(n0 − n2)),
+        n0 = n(n−1)/2,  n1/n2 = Σ t(t−1)/2 over x/y tie groups.
+
+    The self-join on the key with ``t1 < t2`` emits exactly the n0 pairs
+    per key — Σ_k n_k² total work, the honest O(n²)-per-group cost of
+    exact Kendall (the theil_sen_trend precedent). Intended for
+    POST-AGGREGATION series (keys × buckets), where n_k is hundreds to
+    thousands, never raw events; the O(n log n) merge-sort-inversion
+    form is the named upgrade for long series. C, D, and tie counts are
+    exact bigints; only τ's final quotient is floating.
+
+    Output: (key, n, concordant, discordant, tau_b)."""
+    s = series.select(
+        F.col(key_col).alias("k"),
+        F.col(t_col).alias("t"),
+        F.col(x_col).alias("x"),
+        F.col(y_col).alias("y"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.t") < F.col("b.t")))
+    sx = F.signum((F.col("b.x") - F.col("a.x")).cast("double"))
+    sy = F.signum((F.col("b.y") - F.col("a.y")).cast("double"))
+    pm = pairs.groupBy(F.col("a.k").alias("key")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((sx * sy > 0).cast("bigint")).alias("c"),
+        F.sum((sx * sy < 0).cast("bigint")).alias("d"),
+        F.sum((sx == 0).cast("bigint")).alias("tx"),
+        F.sum((sy == 0).cast("bigint")).alias("ty"),
+    )
+    nn = s.groupBy("k").agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("k", "key")
+    out = pm.join(nn, "key")
+    n0 = F.col("n0").cast("double")
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    )
+    return out.select(
+        "key",
+        "n",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        (F.round(tau, ndigits) + 0.0).alias("tau_b"),
+    )
+
+
+def permutation_test_means(
+    units: DataFrame,
+    unit_col: str,
+    value_col: str,
+    variant_col: str,
+    n_permutations: int = 200,
+    scale: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cluster-level (unit-level) permutation test for a difference in
+    mean ``value_col`` between variant 1 and variant 0, EXACTLY
+    deterministic: permuted assignments come from md5-uniforms keyed by
+    (permutation, unit) — the bootstrap_ci_cents idiom — so both engines
+    replay the identical B reassignments. Input is the PER-UNIT
+    aggregate table (one row per user/cluster), which is the
+    statistically sound unit of reassignment under within-unit
+    correlation AND what bounds the replicate axis at B × |units| rows,
+    not B × |events|. The observed statistic and every replicate
+    statistic derive from exact integer value sums; the two-sided
+    p-value counts |T_b| ≥ |T_obs| on doubles computed by the same
+    expression in both engines (bit-identical inputs ⇒ a safe
+    comparison).
+
+    Output: one row (n_units, t_obs, p_value)."""
+    u = units.select(
+        F.col(unit_col).cast("string").alias("unit"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(variant_col).cast("int").alias("g"),
+    ).localCheckpoint(eager=True)
+
+    def diff_of_means(df: DataFrame, group_cols: list[str]) -> DataFrame:
+        agg = df.groupBy(*group_cols).agg(
+            F.sum(F.col("g") * F.col("v")).cast("double").alias("s1"),
+            F.sum(F.col("g")).cast("double").alias("n1"),
+            F.sum((1 - F.col("g")) * F.col("v")).cast("double").alias("s0"),
+            F.sum(1 - F.col("g")).cast("double").alias("n0"),
+        )
+        return agg.withColumn(
+            "t", F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+        )
+
+    obs = diff_of_means(u, []).select(
+        F.col("t").alias("t_obs"),
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_units"),
+    )
+    b_axis = u.sparkSession.range(n_permutations).select(
+        F.col("id").cast("int").alias("b")
+    )
+    # |units| × B expansion via broadcast of the B axis; the md5 uniform
+    # reassigns each unit per replicate.
+    h = F.substring(
+        F.md5(F.concat_ws(":", F.lit("perm"), F.col("b"), F.col("unit"))), 1, 8
+    )
+    uni = (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+    reps = (
+        u.crossJoin(F.broadcast(b_axis))
+        .withColumn("g", (uni < 0.5).cast("int"))
+        .transform(lambda d: diff_of_means(d, ["b"]))
+    )
+    cnt = reps.crossJoin(F.broadcast(obs)).agg(
+        F.sum((F.abs(F.col("t")) >= F.abs(F.col("t_obs"))).cast("int")).alias(
+            "n_extreme"
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(cnt))
+        .select(
+            "n_units",
+            (F.round(F.col("t_obs") / F.lit(scale), ndigits) + 0.0).alias("t_obs"),
+            F.round(
+                (F.col("n_extreme") + 1.0) / (n_permutations + 1.0), ndigits
+            ).alias("p_value"),
+        )
+    )

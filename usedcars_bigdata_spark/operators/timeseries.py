@@ -2121,3 +2121,73 @@ def backtest_seasonal_naive(
         )
         out = horizon if out is None else out.unionByName(horizon)
     return out
+
+
+def acf_lags(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    lags: list[int] | tuple[int, ...] = (1, 2, 3, 24),
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-key autocorrelation function at the given lags over a DENSE
+    integer-indexed series (t = 0..n−1 contiguous per key; densify with
+    a generated axis upstream — resample_gap_fill's contract), using the
+    standard biased estimator
+
+        r_l = Σ_{t<n−l} (x_t − x̄)(x_{t+l} − x̄) / Σ_t (x_t − x̄)²
+
+    with the GLOBAL per-key mean x̄. Everything reduces to exact integer
+    moments: n, S = Σx, Q = Σx², and per lag the cross moment
+    C_l = Σ x_t·x_{t+l} plus the boundary sums Σ_{t<n−l} x_t and
+    Σ_{t≥l} x_t (emitted by the same equi-join that builds C_l, so one
+    shuffle per lag batch, not three). The numerator expands to
+    C_l − x̄·(head + tail) + (n−l)·x̄² — doubles only from exact bigints,
+    identical scalar algebra in both engines. Intended for
+    POST-AGGREGATION series (keys × buckets); the lag join is on
+    (key, t+l), broadcast of the tiny lag axis, no window sort at all.
+
+    Output: (key, lag, n, r) — r rounded."""
+    s = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    lag_axis = series.sparkSession.createDataFrame(
+        [(int(l),) for l in lags], "lag bigint"
+    )
+    glob = s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"),
+    )
+    a = s.crossJoin(F.broadcast(lag_axis)).withColumn(
+        "t2", F.col("t") + F.col("lag")
+    )
+    b = s.select(
+        F.col("key"), F.col("t").alias("t2"), F.col("x").alias("x2")
+    )
+    pairs = a.join(b, ["key", "t2"]).groupBy("key", "lag").agg(
+        F.sum(F.col("x") * F.col("x2")).alias("cl"),
+        F.sum("x").alias("head"),
+        F.sum("x2").alias("tail"),
+        F.count(F.lit(1)).alias("npairs"),
+    )
+    j = pairs.join(glob, "key")
+    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    num = (
+        F.col("cl").cast("double")
+        - mean * (F.col("head") + F.col("tail")).cast("double")
+        + F.col("npairs").cast("double") * mean * mean
+    )
+    den = F.col("qx").cast("double") - F.col("n").cast("double") * mean * mean
+    return j.select(
+        F.col("key").alias(key_col),
+        "lag",
+        "n",
+        # + 0.0 canonicalizes IEEE −0.0: near-zero autocorrelations round
+        # to the zero grid point from either side, and the repr-based
+        # oracle hash distinguishes signed zeros (ml_loco precedent).
+        (F.round(num / den, ndigits) + 0.0).alias("r"),
+    )

@@ -1,0 +1,575 @@
+"""Rank-statistics / sketch / graph / retrieval-evaluation contract
+entries (operators.rankstats, operators.agg.log_bucket_quantiles,
+operators.graph k-core + HITS, ml.eval.ranking_metrics,
+ext.text.rouge_n_recall_pairs, operators.timeseries.acf_lags).
+
+Beyond-reference extensions (SURVEY.md §2.13): the reference's statistics
+stop at Pearson/skewness moments (`3-EDA.ipynb`), its graph surface at
+nothing — this module adds the nonparametric-test family (Spearman,
+Mann-Whitney, Kendall, permutation), the mergeable-quantile sketch, the
+HITS/k-core graph tier, and the NDCG/MRR retrieval gate, each hash-oracle
+checkable because every mechanism reduces to exact integer moments with
+doubles only in the final closed form (design rules in
+operators/rankstats.py's module docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..ext import text as TX
+from ..ml import eval as ME
+from ..operators import agg as AG
+from ..operators import graph as G
+from ..operators import rankstats as RS
+from ..operators import timeseries as TS
+from ..sources import load_table
+from .evalqs import _EDGES_CTE, _copurchase_edges
+from .registry import query
+
+
+@query(
+    "rel_spearman_corr",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    r AS (
+      SELECT g,
+             2 * rank() OVER (PARTITION BY g ORDER BY x)
+               + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY g ORDER BY y)
+               + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+      FROM base
+    ),
+    m AS (
+      SELECT g, count(*) AS n,
+             CAST(sum(rx) AS DOUBLE) AS sx, CAST(sum(ry) AS DOUBLE) AS sy,
+             CAST(sum(rx * ry) AS DOUBLE) AS sxy,
+             CAST(sum(rx * rx) AS DOUBLE) AS sxx,
+             CAST(sum(ry * ry) AS DOUBLE) AS syy
+      FROM r GROUP BY 1
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0
+             AS rho
+    FROM m
+    """,
+)
+def rel_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs price per returnflag
+    (operators.rankstats.spearman_corr): midrank ties via the doubled-
+    average-rank trick keep every moment in exact bigints; the reference
+    only ships Pearson (3-EDA.ipynb correlation cell), and rank
+    correlation is the robust companion a skewed-price table needs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    return RS.spearman_corr(li, "l_returnflag", "x", "y")
+
+
+@query(
+    "ts_mann_whitney",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(event_type = 'purchase' AS INTEGER) AS ia,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    r AS (
+      SELECT ia,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM b
+    ),
+    tm AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT count(*) AS t FROM b GROUP BY v)
+    ),
+    m AS (
+      SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+             CAST(sum(1 - ia) AS BIGINT) AS n_b,
+             CAST(sum(ia * r2) AS BIGINT) AS r2a
+      FROM r
+    )
+    SELECT n_a, n_b,
+           round((CAST(r2a AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0,
+                 1) AS u_a,
+           round(((CAST(r2a AS DOUBLE)
+                   - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                        * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                           - CAST(tie3 AS DOUBLE)
+                             / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                                * (CAST(n_a AS DOUBLE)
+                                   + CAST(n_b AS DOUBLE) - 1)))),
+                 6) + 0.0 AS z
+    FROM m CROSS JOIN tm
+    """,
+)
+def ts_mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U comparing purchase vs click value distributions
+    (operators.rankstats.mann_whitney_u): the nonparametric two-sample
+    test with full midrank tie correction, end-to-end exact through the
+    doubled rank sum and Σ(t³−t) tie moment — the oracle replays the
+    test statistic bit-for-bit, not just the rank table."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return RS.mann_whitney_u(ev, "event_type", "cents", "purchase", "click")
+
+
+@query(
+    "ts_kendall_tau",
+    oracle="""
+    WITH h AS (
+      SELECT event_type AS k,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.k,
+             count(*) AS n0,
+             sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0
+                 THEN 1 ELSE 0 END) AS c,
+             sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0
+                 THEN 1 ELSE 0 END) AS d,
+             sum(CASE WHEN b.x = a.x THEN 1 ELSE 0 END) AS tx,
+             sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) AS ty
+      FROM h a JOIN h b ON a.k = b.k AND a.t < b.t
+      GROUP BY 1
+    ),
+    nn AS (SELECT k, count(*) AS n FROM h GROUP BY 1)
+    SELECT p.k AS event_type, CAST(nn.n AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+           round(CAST(c - d AS DOUBLE)
+                 / sqrt((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE))
+                        * (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))), 6)
+             + 0.0 AS tau_b
+    FROM p JOIN nn ON nn.k = p.k
+    """,
+)
+def ts_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hourly event volume and hourly value per
+    event type (operators.rankstats.kendall_tau_b): explicit pair
+    enumeration over the POST-AGGREGATION hourly series (keys × hours,
+    never raw events — the theil_sen precedent), concordant/discordant/
+    tie counts all exact bigints."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"),
+    )
+    return RS.kendall_tau_b(hourly, "event_type", "h", "x", "y").select(
+        F.col("key").alias("event_type"), "n", "concordant", "discordant",
+        "tau_b",
+    )
+
+
+@query(
+    "ts_acf_lags",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    cnt AS (SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    dense AS (
+      SELECT k.event_type, a.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM keys k CROSS JOIN axis a
+      LEFT JOIN cnt c ON c.event_type = k.event_type AND c.h = a.h
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS qx
+      FROM dense GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest([1, 2, 3, 24]) AS BIGINT) AS lag),
+    pr AS (
+      SELECT d.event_type, l.lag,
+             CAST(sum(d.x * d2.x) AS BIGINT) AS cl,
+             CAST(sum(d.x) AS BIGINT) AS head,
+             CAST(sum(d2.x) AS BIGINT) AS tail,
+             count(*) AS npairs
+      FROM dense d
+      CROSS JOIN lags l
+      JOIN dense d2 ON d2.event_type = d.event_type AND d2.h = d.h + l.lag
+      GROUP BY 1, 2
+    )
+    SELECT p.event_type, p.lag, CAST(g.n AS BIGINT) AS n,
+           round((CAST(cl AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(head + tail AS DOUBLE)
+                  + CAST(npairs AS DOUBLE)
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                 / (CAST(qx AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+             + 0.0 AS r
+    FROM pr p JOIN g ON g.event_type = p.event_type
+    """,
+)
+def ts_acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series per type at lags
+    1/2/3/24 (operators.timeseries.acf_lags) over the ZERO-FILLED dense
+    hour axis — exact integer moments, one equi-join on (key, t+lag),
+    no window sort. The lag-24 row reads the daily seasonality the
+    seasonal_baseline/stl entries model from the other direction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    axis = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    keys = ev.select("event_type").distinct()
+    dense = (
+        keys.crossJoin(F.broadcast(axis))
+        .join(cnt, ["event_type", "h"], "left")
+        .fillna(0, subset=["x"])
+    )
+    return TS.acf_lags(dense, "event_type", "h", "x", (1, 2, 3, 24))
+
+
+@query(
+    "ml_ndcg_mrr",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS q, o_orderkey AS id,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 4 AS INTEGER)
+               AS rel,
+             round((CAST('0x' || substr(md5('ndcg:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0, 9) AS score
+      FROM orders
+    ),
+    r AS (
+      SELECT q, rel, power(2.0, CAST(rel AS DOUBLE)) - 1.0 AS g,
+             row_number() OVER (PARTITION BY q ORDER BY score DESC, id ASC)
+               AS rs,
+             row_number() OVER (PARTITION BY q ORDER BY rel DESC, id ASC)
+               AS ri
+      FROM s
+    )
+    SELECT q AS query_group, CAST(count(*) AS BIGINT) AS n_results,
+           round(sum(CASE WHEN rs <= 10
+                          THEN g / log2(CAST(rs AS DOUBLE) + 1.0)
+                          ELSE 0.0 END)
+                 / sum(CASE WHEN ri <= 10
+                            THEN g / log2(CAST(ri AS DOUBLE) + 1.0)
+                            ELSE 0.0 END), 6) AS ndcg_at_k,
+           round(1.0 / min(CASE WHEN rel >= 2 THEN rs END), 6) AS mrr
+    FROM r GROUP BY 1
+    """,
+)
+def ml_ndcg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 + MRR per priority "query" (ml.eval.ranking_metrics) over
+    a graded-relevance synthesis (rel = price cents mod 4, score = the
+    md5-uniform idiom — a random ranking, so NDCG lands strictly inside
+    (0,1) and exercises the ideal-ranking normalization for real). The
+    retrieval-evaluation gate for the BM25/ANN stack."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.substring(
+        F.md5(F.concat(F.lit("ndcg:"), F.col("o_orderkey").cast("string"))),
+        1, 8,
+    )
+    unif = (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+    scored = o.select(
+        F.col("o_orderpriority").alias("qg"),
+        F.col("o_orderkey").alias("id"),
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 4)
+        .cast("int")
+        .alias("rel"),
+        F.round(unif, 9).alias("score"),
+    )
+    return ME.ranking_metrics(scored, "qg", "id", "rel", "score", k=10).select(
+        F.col("query").alias("query_group"), "n_results", "ndcg_at_k", "mrr"
+    )
+
+
+@query(
+    "rel_ddsketch_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    kb AS (
+      SELECT grp, v,
+             CAST(length(printf('%b', v)) - 1 AS BIGINT) AS k
+      FROM v
+    ),
+    kb2 AS (
+      SELECT grp,
+             k * 4 + CAST(floor(((v - p2) * 4) / p2) AS BIGINT) AS bucket
+      FROM (SELECT grp, v, k,
+                   CAST(power(2.0, CAST(k AS DOUBLE)) AS BIGINT) AS p2
+            FROM kb)
+    ),
+    cnts AS (SELECT grp, bucket, count(*) AS c FROM kb2 GROUP BY 1, 2),
+    cum AS (
+      SELECT grp, bucket,
+             sum(c) OVER (PARTITION BY grp ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY grp) AS n
+      FROM cnts
+    ),
+    qax AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                           CAST(0.99 AS DOUBLE)]) AS q),
+    hits AS (
+      SELECT grp, q, min(bucket) AS bucket, max(n) AS n
+      FROM cum CROSS JOIN qax
+      WHERE cum >= ceil(q * CAST(n AS DOUBLE))
+      GROUP BY 1, 2
+    )
+    SELECT grp AS priority, q, CAST(n AS BIGINT) AS n,
+           CAST(bucket AS BIGINT) AS bucket,
+           round(power(2.0, CAST(bucket // 4 AS DOUBLE))
+                 * (1.0 + (CAST(bucket % 4 AS DOUBLE) + 0.5) / 4.0)
+                 / 100.0, 4) AS est_value
+    FROM hits
+    """,
+)
+def rel_ddsketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style mergeable quantiles of order value per priority
+    (operators.agg.log_bucket_quantiles): log2 buckets from the
+    bit-length string trick (no floating log, so bucket edges cannot
+    drift by an engine ulp) with 4 linear sub-cells (~9% relative
+    error); the per-group bucket table is the whole sketch — map-side
+    combinable and mergeable by addition, the quantile answer a
+    cumulative-count readout. Completes the sketch family next to
+    KMV/CMS/HLL."""
+    o = load_table(spark, sf_dir, "orders")
+    out = AG.log_bucket_quantiles(
+        o,
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint"),
+        (0.5, 0.9, 0.99),
+    )
+    return out.select(
+        F.col("group").alias("priority"), "q", "n", "bucket", "est_value"
+    )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generate the unrolled peel SQL so the oracle is structurally
+    guaranteed to run the same fixed rounds as the Spark plan."""
+    parts = [f"WITH {_EDGES_CTE},"]
+    parts.append(
+        "sym0 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"
+    )
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", keep{r} AS (SELECT a FROM sym{r-1} GROUP BY a"
+            f" HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f", sym{r} AS (SELECT s.a, s.b FROM sym{r-1} s"
+            f" JOIN keep{r} ka ON ka.a = s.a"
+            f" JOIN keep{r} kb ON kb.a = s.b)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round,"
+        f" CAST(count(DISTINCT a) AS BIGINT) AS n_nodes,"
+        f" CAST(count(*) // 2 AS BIGINT) AS n_edges FROM sym{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("rel_graph_kcore", oracle=_kcore_oracle(k=2, rounds=5))
+def rel_kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core (k=2) peeling trajectory of the repeat co-purchase graph
+    (operators.graph.kcore_peel_trajectory): 5 unrolled peel rounds,
+    per-round (nodes, edges) census in exact ints — convergence is
+    VISIBLE in the output (two equal consecutive rows = the 2-core)
+    rather than asserted. The oracle SQL is generated by the same
+    round-count parameter, so the two engines cannot silently disagree
+    on depth."""
+    return G.kcore_peel_trajectory(
+        _copurchase_edges(spark, sf_dir), "pa", "pb", k=2, rounds=5
+    )
+
+
+@query(
+    "ts_hits_scores",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem
+    ),
+    a1r AS (SELECT v, CAST(count(*) AS DOUBLE) AS a FROM e GROUP BY v),
+    a1m AS (SELECT sum(a) AS m FROM a1r),
+    a1 AS (SELECT v AS node, a / m AS a FROM a1r CROSS JOIN a1m),
+    h1r AS (
+      SELECT e.u, sum(a1.a) AS h FROM e JOIN a1 ON a1.node = e.v GROUP BY e.u
+    ),
+    h1m AS (SELECT sum(h) AS m FROM h1r),
+    h1 AS (SELECT u AS node, h / m AS h FROM h1r CROSS JOIN h1m),
+    a2r AS (
+      SELECT e.v, sum(h1.h) AS a FROM e JOIN h1 ON h1.node = e.u GROUP BY e.v
+    ),
+    a2m AS (SELECT sum(a) AS m FROM a2r),
+    a2 AS (SELECT v AS node, a / m AS a FROM a2r CROSS JOIN a2m)
+    SELECT CAST(row_number() OVER (ORDER BY authority DESC, node ASC)
+                AS INTEGER) AS rank,
+           node, authority
+    FROM (SELECT node, round(a, 8) AS authority FROM a2)
+    QUALIFY rank <= 20
+    """,
+)
+def ts_hits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS authorities on the part→supplier bipartite graph
+    (operators.graph.hits_unrolled, 2 iterations): suppliers score by
+    the hub mass of the parts they serve — the link-analysis companion
+    to pagerank on a graph where direction matters. Top-20 by (rounded
+    authority DESC, node ASC)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    return G.hits_unrolled(edges, "l_partkey", "l_suppkey", iterations=2)
+
+
+@query(
+    "ext_rouge_recall",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS ref_id,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cand_id
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id AS doc, p[1] || ' ' || p[2] AS gram
+      FROM (SELECT doc_id,
+                   unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS p
+            FROM w)
+    ),
+    pg AS (
+      SELECT p.ref_id, p.cand_id, g.gram
+      FROM pairs p JOIN g ON g.doc = p.ref_id
+      WHERE p.cand_id IS NOT NULL
+    ),
+    tot AS (
+      SELECT ref_id, cand_id, count(*) AS n_ref_grams FROM pg GROUP BY 1, 2
+    ),
+    hit AS (
+      SELECT pg.ref_id, pg.cand_id, count(*) AS n_overlap
+      FROM pg
+      WHERE EXISTS (SELECT 1 FROM g g2
+                    WHERE g2.doc = pg.cand_id AND g2.gram = pg.gram)
+      GROUP BY 1, 2
+    )
+    SELECT t.ref_id, t.cand_id,
+           CAST(t.n_ref_grams AS BIGINT) AS n_ref_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(CAST(COALESCE(h.n_overlap, 0) AS DOUBLE)
+                 / CAST(t.n_ref_grams AS DOUBLE), 6) AS rouge_recall
+    FROM tot t
+    LEFT JOIN hit h ON h.ref_id = t.ref_id AND h.cand_id = t.cand_id
+    """,
+)
+def ext_rouge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall between each document and its successor within the
+    same source (ext.text.rouge_n_recall_pairs): distinct-bigram overlap
+    over hashed gram keys — the summarization-evaluation head reusing
+    the dedup stack's gram machinery. The oracle intersects raw gram
+    strings; the Spark side's xxhash64 keys change only the shuffle
+    width, not the count (collisions ~2^-64, documented)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = docs.withColumn("cand_id", F.lead("doc_id").over(w))
+    return TX.rouge_n_recall_pairs(paired, "doc_id", "text", "cand_id", n=2)
+
+
+@query(
+    "ts_permutation_test",
+    oracle="""
+    WITH u AS (
+      SELECT CAST(user_id AS VARCHAR) AS unit,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+             CAST(user_id % 2 AS INTEGER) AS g
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    obs AS (
+      SELECT CAST(sum(g * v) AS DOUBLE) / CAST(sum(g) AS DOUBLE)
+             - CAST(sum((1 - g) * v) AS DOUBLE)
+               / CAST(sum(1 - g) AS DOUBLE) AS t_obs,
+             CAST(count(*) AS BIGINT) AS n_units
+      FROM u
+    ),
+    b AS (SELECT unnest(generate_series(0, 199)) AS b),
+    reps AS (
+      SELECT b,
+             CAST(sum(CASE WHEN pu < 0.5 THEN v ELSE 0 END) AS DOUBLE)
+               / CAST(sum(CASE WHEN pu < 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+             - CAST(sum(CASE WHEN pu < 0.5 THEN 0 ELSE v END) AS DOUBLE)
+               / CAST(sum(CASE WHEN pu < 0.5 THEN 0 ELSE 1 END) AS DOUBLE)
+               AS t
+      FROM (SELECT u.v, b.b,
+                   (CAST('0x' || substr(md5('perm:' || CAST(b.b AS VARCHAR)
+                      || ':' || u.unit), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0 AS pu
+            FROM u CROSS JOIN b) s
+      GROUP BY b
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN abs(r.t) >= abs(o.t_obs)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM reps r CROSS JOIN obs o
+    )
+    SELECT o.n_units,
+           round(o.t_obs / CAST(100.0 AS DOUBLE), 6) + 0.0 AS t_obs,
+           round((CAST(c.n_extreme AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / CAST(201.0 AS DOUBLE), 6) AS p_value
+    FROM obs o CROSS JOIN cnt c
+    """,
+)
+def ts_permutation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level permutation test of mean purchase spend between the
+    user_id-parity variants (operators.rankstats.permutation_test_means,
+    B=200 md5-seeded reassignments): the exact-replay alternative to the
+    normal-approximation tests (two_proportion/ab_cuped) — both engines
+    rebuild all 200 permuted statistics bit-for-bit from integer cents.
+    The per-UNIT input table is what keeps the replicate axis at
+    B × |users|, not B × |events|."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    units = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    ).select(
+        "user_id",
+        "cents",
+        (F.col("user_id") % 2).cast("int").alias("g"),
+    )
+    return RS.permutation_test_means(
+        units, "user_id", "cents", "g", n_permutations=200, scale=100.0
+    )
