@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "ts_hits_scores",
     "ext_rouge_recall",
     "ts_permutation_test",
+    "rel_kruskal_wallis",
+    "ts_jarque_bera",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

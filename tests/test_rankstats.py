@@ -16,7 +16,9 @@ from usedcars_bigdata_spark.operators.graph import (
     kcore_peel_trajectory,
 )
 from usedcars_bigdata_spark.operators.rankstats import (
+    jarque_bera,
     kendall_tau_b,
+    kruskal_wallis,
     mann_whitney_u,
     permutation_test_means,
     spearman_corr,
@@ -281,3 +283,74 @@ def test_rouge_recall_identity_partial_disjoint(spark):
     assert out[5].n_overlap == 2
     assert out[5].rouge_recall == 0.4
     assert set(out) == {1, 3, 5}  # NULL-pair rows dropped
+
+
+# ---------------------------------------------------------- kruskal-wallis
+
+
+def test_kruskal_wallis_no_ties_hand_computed(spark):
+    # a=[1,2,3] b=[4,5,6] c=[7,8,9]: ranks 1..9, R=(6,15,24)
+    # H = 12/90 * (36/3 + 225/3 + 576/3) - 30 = 7.2 exactly; no ties.
+    rows = (
+        [("a", v) for v in (1, 2, 3)]
+        + [("b", v) for v in (4, 5, 6)]
+        + [("c", v) for v in (7, 8, 9)]
+    )
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (9, 3)
+    assert r.h == 7.2
+    assert r.h_tie_corrected == 7.2  # tie3 = 0
+    assert r.epsilon_sq == round((7.2 - 3 + 1) / (9 - 3), 6)
+
+
+def test_kruskal_wallis_tie_correction(spark):
+    # a=[1,1] b=[2,2]: midranks 1.5,1.5,3.5,3.5 -> R_a=3, R_b=7
+    # H = 12/20*(4.5+24.5) - 15 = 2.4; tie3 = 6+6 = 12
+    # H' = 2.4 / (1 - 12/60) = 3.0; eps2 = (3-2+1)/(4-2) = 1.0
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2), ("b", 2)], ["g", "v"]
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r.h == 2.4
+    assert r.h_tie_corrected == 3.0
+    assert r.epsilon_sq == 1.0
+
+
+# ------------------------------------------------------------- jarque-bera
+
+
+def test_jarque_bera_hand_computed(spark):
+    vals = [1, 2, 3, 4, 10]
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    r = jarque_bera(df, "g", "v").collect()[0]
+    n = len(vals)
+    s1 = sum(vals)
+    s2 = sum(v * v for v in vals)
+    s3 = sum(v**3 for v in vals)
+    s4 = sum(v**4 for v in vals)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean**3
+    m4 = (
+        s4 / n
+        - 4.0 * mean * (s3 / n)
+        + 6.0 * mean * mean * (s2 / n)
+        - 3.0 * mean**4
+    )
+    g1 = m3 / math.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    assert r.n == n
+    assert r.skewness == round(g1, 6)
+    assert r.kurtosis_excess == round(g2, 6)
+    assert r.jb == round(jb, 6)
+
+
+def test_jarque_bera_symmetric_zero_skew(spark):
+    # symmetric sample -> m3 = 0 exactly -> skewness 0
+    df = spark.createDataFrame(
+        [("g", v) for v in (-2, -1, 0, 1, 2)], ["g", "v"]
+    )
+    r = jarque_bera(df, "g", "v").collect()[0]
+    assert r.skewness == 0.0

@@ -272,3 +272,118 @@ def permutation_test_means(
             ).alias("p_value"),
         )
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test across k groups with the midrank tie
+    correction:
+
+        H  = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1)
+        H' = H / (1 − Σ(t³−t)/(N³−N))
+
+    plus the epsilon-squared effect size ε² = (H' − k + 1)/(N − k).
+    The doubled per-group rank sums 2·R_j, the tie moment Σ(t³−t), and
+    all counts are exact bigints (one global midrank over N values —
+    the rank window is unpartitioned by construction, like
+    ``mann_whitney_u``); R_j²/n_j runs in doubles, so the only shuffle
+    that scales with data is the global sort. At 100 TB the two-pass
+    histogram rank replaces the window; the closed form is unchanged.
+
+    Output: one row (n, k, h, h_tie_corrected, epsilon_sq)."""
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("v")
+    )
+    ranked = vals.select("g", "v", _doubled_avg_rank([], "v").alias("r2"))
+    per_g = ranked.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_j"), F.sum("r2").alias("r2_j")
+    )
+    ties = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    tie_m = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    # R_j = r2_j / 2 exactly; R_j²/n_j in doubles (R_j < N² ≤ 2^53-safe
+    # only as double after the /2 — the square is done in doubles).
+    m = per_g.agg(
+        F.sum("n_j").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            (F.col("r2_j").cast("double") / 2.0)
+            * (F.col("r2_j").cast("double") / 2.0)
+            / F.col("n_j").cast("double")
+        ).alias("sum_rsq_over_n"),
+    ).crossJoin(F.broadcast(tie_m))
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("sum_rsq_over_n") - 3.0 * (nd + 1.0)
+    corr = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    hc = h / corr
+    kd = F.col("k").cast("double")
+    eps2 = (hc - kd + 1.0) / (nd - kd)
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("k"),
+        (F.round(h, ndigits) + 0.0).alias("h"),
+        (F.round(hc, ndigits) + 0.0).alias("h_tie_corrected"),
+        (F.round(eps2, ndigits) + 0.0).alias("epsilon_sq"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    group_col: str,
+    int_value_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group Jarque-Bera normality test from EXACT integer raw
+    moments: Σv, Σv², Σv³, Σv⁴ ride bigints (caller guarantees |v| small
+    enough that v⁴·n < 2^63 — e.g. whole dollars ≤ ~5·10³ at any harness
+    SF), then skewness g₁ = m₃/m₂^{3/2}, excess kurtosis g₂ = m₄/m₂² − 3
+    and JB = n/6·(g₁² + g₂²/4) are evaluated in ONE fixed double
+    expression shape from those exact inputs — both engines see
+    bit-identical moment tables, so the statistic hash-matches without
+    any tolerance. Single map-side-combinable aggregate; no window.
+
+    Output: (group, n, skewness, kurtosis_excess, jb)."""
+    v = F.col("v")
+    m = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(int_value_col).cast("bigint").alias("v"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+            F.sum(v * v * v).alias("s3"),
+            F.sum(v * v * v * v).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - 3.0 * mean * (s2 / nd) + 2.0 * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - 4.0 * mean * (s3 / nd)
+        + 6.0 * mean * mean * (s2 / nd)
+        - 3.0 * mean * mean * mean * mean
+    )
+    g1 = m3 / F.sqrt(m2 * m2 * m2)
+    g2 = m4 / (m2 * m2) - 3.0
+    jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(g1, ndigits) + 0.0).alias("skewness"),
+        (F.round(g2, ndigits) + 0.0).alias("kurtosis_excess"),
+        (F.round(jb, ndigits) + 0.0).alias("jb"),
+    )

@@ -573,3 +573,121 @@ def ts_permutation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RS.permutation_test_means(
         units, "user_id", "cents", "g", n_permutations=200, scale=100.0
     )
+
+
+@query(
+    "rel_kruskal_wallis",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    r AS (
+      SELECT g,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM b
+    ),
+    pg AS (
+      SELECT g, count(*) AS n_j, CAST(sum(r2) AS BIGINT) AS r2_j
+      FROM r GROUP BY g
+    ),
+    tm AS (
+      SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+      FROM (SELECT count(*) AS t FROM b GROUP BY v)
+    ),
+    m AS (
+      SELECT CAST(sum(n_j) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             sum((CAST(r2_j AS DOUBLE) / 2.0) * (CAST(r2_j AS DOUBLE) / 2.0)
+                 / CAST(n_j AS DOUBLE)) AS srq
+      FROM pg
+    )
+    SELECT n, k,
+           round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * srq
+                 - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) + 0.0 AS h,
+           round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * srq
+                  - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / (1.0 - CAST(tie3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))),
+                 6) + 0.0 AS h_tie_corrected,
+           round(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * srq
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                  / (1.0 - CAST(tie3 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                  - CAST(k AS DOUBLE) + 1.0)
+                 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)), 6) + 0.0
+             AS epsilon_sq
+    FROM m CROSS JOIN tm
+    """,
+)
+def rel_kruskal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five order priorities on total-price
+    cents (operators.rankstats.kruskal_wallis): the k-sample extension of
+    ts_mann_whitney — one global midrank, per-group bigint rank sums, tie
+    moment, then the tie-corrected H and epsilon-squared effect size in
+    one fixed double closed form. The reference's EDA has no
+    nonparametric location test at all (3-EDA.ipynb stops at Pearson)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+    )
+    return RS.kruskal_wallis(o, "g", "v")
+
+
+@query(
+    "ts_jarque_bera",
+    oracle="""
+    WITH m AS (
+      SELECT event_type AS g, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2,
+             CAST(sum(v * v * v) AS BIGINT) AS s3,
+             CAST(sum(v * v * v * v) AS BIGINT) AS s4
+      FROM (SELECT event_type, CAST(round(value) AS BIGINT) AS v
+            FROM events)
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT g, CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+      FROM m
+    ),
+    c AS (
+      SELECT g, n, nd,
+             s2 / nd - (s1 / nd) * (s1 / nd) AS m2,
+             s3 / nd - 3.0 * (s1 / nd) * (s2 / nd)
+               + 2.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m3,
+             s4 / nd - 4.0 * (s1 / nd) * (s3 / nd)
+               + 6.0 * (s1 / nd) * (s1 / nd) * (s2 / nd)
+               - 3.0 * (s1 / nd) * (s1 / nd) * (s1 / nd) * (s1 / nd) AS m4
+      FROM d
+    )
+    SELECT g AS event_type, n,
+           round(m3 / sqrt(m2 * m2 * m2), 6) + 0.0 AS skewness,
+           round(m4 / (m2 * m2) - 3.0, 6) + 0.0 AS kurtosis_excess,
+           round(nd / 6.0 * ((m3 / sqrt(m2 * m2 * m2))
+                             * (m3 / sqrt(m2 * m2 * m2))
+                             + (m4 / (m2 * m2) - 3.0)
+                               * (m4 / (m2 * m2) - 3.0) / 4.0),
+                 6) + 0.0 AS jb
+    FROM c
+    """,
+)
+def ts_jarque_bera_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality per event type on whole-dollar values
+    (operators.rankstats.jarque_bera): raw moments Σv..Σv⁴ stay exact
+    bigints (dollars ≤ ~500 ⇒ v⁴·n < 2^57 even at sf10), central moments
+    and the JB statistic are ONE fixed double expression over them —
+    the same exact-moments-then-closed-form discipline as ml_roc_auc.
+    Complements ref_skewness_transforms (which ships Spark's built-in
+    skewness on raw doubles, rows-only comparable) with a
+    hash-certifiable skew/kurtosis/normality gate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value")).cast("bigint").alias("v")
+    )
+    return RS.jarque_bera(ev, "event_type", "v")
