@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "ts_permutation_test",
     "rel_kruskal_wallis",
     "ts_jarque_bera",
+    "rel_link_prediction_ra",
+    "rel_graph_assortativity",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -354,3 +354,34 @@ def test_jarque_bera_symmetric_zero_skew(spark):
     )
     r = jarque_bera(df, "g", "v").collect()[0]
     assert r.skewness == 0.0
+
+
+# ------------------------------------------------- link prediction / mixing
+
+
+def test_resource_allocation_excludes_edges_and_scores(spark):
+    # 1-2, 1-3, 2-3 triangle plus pendant 3-4. Non-edge pairs with
+    # common neighbors: (1,4) and (2,4), each via z=3 (deg 3) -> RA=1/3.
+    from usedcars_bigdata_spark.operators.graph import (
+        resource_allocation_topk,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["a", "b"]
+    )
+    out = resource_allocation_topk(e, "a", "b", k=10).collect()
+    got = {(r.node_a, r.node_b): (r.n_common, r.ra_score) for r in out}
+    assert got == {(1, 4): (1, 0.333333), (2, 4): (1, 0.333333)}
+
+
+def test_degree_assortativity_hand_computed(spark):
+    # Same graph: directed endpoint-degree pairs give
+    # num = 8*38 - 18*18 = -20, den = 8*44 - 324 = 28 -> r = -5/7.
+    from usedcars_bigdata_spark.operators.graph import degree_assortativity
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["a", "b"]
+    )
+    r = degree_assortativity(e, "a", "b").collect()[0]
+    assert r.n_edges == 4
+    assert r.r == round(-20 / 28, 6)

@@ -323,3 +323,112 @@ def hits_unrolled(
         .filter(F.col("rank") <= top_k)
         .select("rank", "node", "authority")
     )
+
+
+def resource_allocation_topk(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int = 20,
+    scale: float = 1e12,
+) -> DataFrame:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang 2009): for each NON-edge pair (a, b) sharing neighbors,
+    RA(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z). Chosen over Adamic-Adar's
+    1/ln(deg) because 1/deg needs no libm call — each term is the IEEE
+    double division ``scale/deg`` rounded to a bigint, so the per-pair
+    SUM is exact integer arithmetic and the result hash-matches across
+    engines regardless of summation order (ln() differs by 1 ulp between
+    DuckDB and the JVM, which a Σ-then-round cannot hide).
+
+    Plan: symmetrize → degree table → wedge self-join on the shared
+    neighbor (the same bounded join as common_neighbors_topk: cost is
+    Σ_z deg(z)², the graph's wedge count — hub caps are the 100 TB lever,
+    not pair enumeration) → anti-join out existing edges → top-k by the
+    exact integer score with (a, b) tie-break.
+
+    Output: (node_a, node_b, n_common, ra_score) — ra_score = the
+    integer sum / scale, rounded to 6."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    # term_z = round(scale / deg(z)) as bigint: bit-identical per z in
+    # both engines, so order-free exact summation.
+    term = deg.select(
+        F.col("a").alias("z"),
+        F.round(F.lit(scale) / F.col("d").cast("double")).cast("bigint").alias("t"),
+    )
+    l = sym.select(F.col("a").alias("na"), F.col("b").alias("z"))
+    r = sym.select(F.col("a").alias("nb"), F.col("b").alias("z"))
+    pairs = (
+        l.join(r, "z")
+        .filter(F.col("na") < F.col("nb"))
+        .join(term, "z")
+        .groupBy("na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.sum("t").alias("s"))
+    )
+    non_edges = pairs.join(
+        e.select(F.col("a").alias("na"), F.col("b").alias("nb")),
+        ["na", "nb"],
+        "left_anti",
+    )
+    w = Window.orderBy(
+        F.col("s").desc(), F.col("na").asc(), F.col("nb").asc()
+    )
+    return (
+        non_edges.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("na").alias("node_a"),
+            F.col("nb").alias("node_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(F.col("s").cast("double") / F.lit(scale), 6).alias(
+                "ra_score"
+            ),
+        )
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str, dst: str, ndigits: int = 6
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the DIRECTED edge list formed
+    by symmetrizing each undirected edge (each edge contributes (d_a,
+    d_b) and (d_b, d_a) — which is what makes the correlation symmetric).
+    All moments Σx, Σx², Σxy ride exact bigints (degrees ≤ n, products
+    < 2^63 for any realistic co-purchase graph); only the final closed
+    form is double. Two shuffles: the degree aggregate and the
+    edge-degree join (broadcastable when the degree table is small).
+
+    Output: one row (n_edges, r)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("a").alias("__na"), F.col("d").alias("dx"))
+    db = deg.select(F.col("a").alias("__nb"), F.col("d").alias("dy"))
+    ed = (
+        sym.join(da, sym.a == da.__na)
+        .join(db, sym.b == db.__nb)
+        .select("dx", "dy")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = md * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (md * F.col("sxx").cast("double") - sx * sx)
+        * (md * F.col("syy").cast("double") - sy * sy)
+    )
+    return m.select(
+        (F.col("m") / 2).cast("bigint").alias("n_edges"),
+        (F.round(num / den, ndigits) + 0.0).alias("r"),
+    )

@@ -4086,3 +4086,89 @@ def ts_order_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ooo).alias("n_ooo"),
         (F.sum(ooo) == 0).alias("is_ordered"),
     )
+
+
+@query(
+    "rel_link_prediction_ra",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS z, count(*) AS d FROM sym GROUP BY 1),
+    term AS (
+      SELECT z,
+             CAST(round(1000000000000.0 / CAST(d AS DOUBLE)) AS BIGINT) AS t
+      FROM deg
+    ),
+    p AS (
+      SELECT l.a AS na, r.a AS nb,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(t.t) AS BIGINT) AS s
+      FROM sym l
+      JOIN sym r ON l.b = r.b AND l.a < r.a
+      JOIN term t ON t.z = l.b
+      GROUP BY 1, 2
+    ),
+    ne AS (
+      SELECT p.na, p.nb, p.n_common, p.s
+      FROM p LEFT JOIN e ON e.a = p.na AND e.b = p.nb
+      WHERE e.a IS NULL
+    )
+    SELECT na AS node_a, nb AS node_b, n_common,
+           round(CAST(s AS DOUBLE) / 1000000000000.0, 6) AS ra_score
+    FROM ne
+    ORDER BY s DESC, na ASC, nb ASC
+    LIMIT 20
+    """,
+)
+def rel_link_pred_ra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 predicted links in the repeat co-purchase graph by the
+    resource-allocation index (operators.graph.resource_allocation_topk):
+    Σ 1/deg(z) over shared neighbors z, with each term integer-scaled
+    (round(1e12/deg) as bigint) so the pair score is EXACT integer
+    summation — the design note in the operator docstring explains why
+    RA hash-certifies where Adamic-Adar's 1/ln(deg) cannot. Existing
+    edges are anti-joined out (it predicts absent links)."""
+    return G.resource_allocation_topk(
+        _copurchase_edges(spark, sf_dir), "pa", "pb", k=20
+    )
+
+
+@query(
+    "rel_graph_assortativity",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+    ed AS (
+      SELECT da.d AS dx, db.d AS dy
+      FROM sym
+      JOIN deg da ON da.a = sym.a
+      JOIN deg db ON db.a = sym.b
+    ),
+    m AS (
+      SELECT count(*) AS m,
+             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM ed
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) + 0.0 AS r
+    FROM m
+    """,
+)
+def rel_graph_assort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the repeat co-purchase
+    graph (operators.graph.degree_assortativity): Pearson of endpoint
+    degrees over the symmetrized edge list — are hub parts co-purchased
+    with other hubs? Moments exact bigint; one degree aggregate + one
+    (broadcastable) degree join; complements rel_triangle_stats /
+    rel_graph_kcore with the mixing-structure scalar."""
+    return G.degree_assortativity(_copurchase_edges(spark, sf_dir), "pa", "pb")
