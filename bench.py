@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "ts_jarque_bera",
     "rel_link_prediction_ra",
     "rel_graph_assortativity",
+    "rel_bloom_join_prune",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1119,3 +1119,34 @@ def test_nearest_asof_join_directions_and_ties(spark):
     assert out[102] == (t0 + 30 * m, "forward")
     assert out[200] == (None, None)
     assert out[300] == (t0, "backward")
+
+
+# ------------------------------------------------------- bloom join pruning
+
+
+def test_bloom_members_always_pass_and_huge_filter_exact(spark):
+    from usedcars_bigdata_spark.operators.joins import bloom_filter_audit
+
+    build = spark.createDataFrame([(i,) for i in range(20)], ["key"])
+    probe = spark.createDataFrame([(i,) for i in range(200)], ["key"])
+    r = bloom_filter_audit(build, probe, "key", m_bits=1 << 20, k_hashes=4)
+    row = r.collect()[0]
+    # 2^20 bits for 20 keys: astronomically unlikely any of the 180
+    # non-members collides on all 4 positions -> exact semi-join.
+    assert row.n_build_keys == 20
+    assert row.n_probe_keys == 200
+    assert row.n_pass == 20
+    assert row.n_false_pos == 0
+    assert row.fp_rate == 0.0
+
+
+def test_bloom_tiny_filter_saturates_all_pass(spark):
+    from usedcars_bigdata_spark.operators.joins import bloom_filter_audit
+
+    build = spark.createDataFrame([(i,) for i in range(500)], ["key"])
+    probe = spark.createDataFrame([(i,) for i in range(600)], ["key"])
+    # m=8 bits with 500 keys: every bit set -> every probe passes.
+    row = bloom_filter_audit(build, probe, "key", m_bits=8, k_hashes=2).collect()[0]
+    assert row.n_pass == 600
+    assert row.n_false_pos == 100
+    assert row.fp_rate == 1.0

@@ -512,3 +512,85 @@ def nearest_asof_join(
         chosen["__rts"].alias(f"{right_ts}{suffix}"),
         direction.alias("direction"),
     )
+
+
+def bloom_filter_audit(
+    build: DataFrame,
+    probe: DataFrame,
+    key_col: str,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter join pruning with an exact false-positive audit —
+    the runtime-filter technique a 100 TB join actually uses (build a
+    compact membership sketch on the small side, broadcast it, and prune
+    probe-side rows before the shuffle). The filter here is fully
+    declarative and engine-portable: position ``i`` of key ``x`` is
+    ``md5('bloom:' || i || ':' || x)[:8] as bigint mod m_bits``, the
+    "bit set" is the DISTINCT position table of the build keys (≤ m_bits
+    rows — always broadcastable), and a probe key passes iff ALL of its
+    distinct positions hit the set. Everything is integer/count
+    arithmetic, so the audit hash-certifies.
+
+    Returns one row: (m_bits, k_hashes, n_build_keys, n_probe_keys,
+    n_pass, n_false_pos, fp_rate) — n_false_pos = passes that are not
+    true members (true members always pass, by construction), fp_rate
+    over the non-member probes."""
+    hash_axis = F.array(*[F.lit(i) for i in range(k_hashes)])
+
+    def positions(df: DataFrame) -> DataFrame:
+        d = df.select(F.col(key_col).cast("string").alias("k")).distinct()
+        d = d.select("k", F.explode(hash_axis).alias("i"))
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("bloom"), F.col("i"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return d.select("k", (h % m_bits).cast("long").alias("pos")).distinct()
+
+    bits = positions(build).select("pos").distinct()
+    build_keys = build.select(
+        F.col(key_col).cast("string").alias("k")
+    ).distinct()
+    ppos = positions(probe)
+    hits = ppos.join(
+        F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left"
+    )
+    per_key = hits.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+    )
+    flagged = per_key.join(
+        F.broadcast(build_keys.withColumn("__member", F.lit(1))), "k", "left"
+    ).select(
+        (F.col("n_pos") == F.col("n_hit")).cast("int").alias("passes"),
+        F.coalesce(F.col("__member"), F.lit(0)).alias("member"),
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum("member").alias("n_build_keys"),
+        F.sum("passes").alias("n_pass"),
+        F.sum(
+            (F.col("passes") == 1).cast("int") * (1 - F.col("member"))
+        ).alias("n_false_pos"),
+    )
+    return agg.select(
+        F.lit(m_bits).cast("bigint").alias("m_bits"),
+        F.lit(k_hashes).cast("bigint").alias("k_hashes"),
+        F.col("n_build_keys").cast("bigint").alias("n_build_keys"),
+        F.col("n_probe_keys").cast("bigint").alias("n_probe_keys"),
+        F.col("n_pass").cast("bigint").alias("n_pass"),
+        F.col("n_false_pos").cast("bigint").alias("n_false_pos"),
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / F.greatest(
+                (F.col("n_probe_keys") - F.col("n_build_keys")).cast("double"),
+                F.lit(1.0),
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

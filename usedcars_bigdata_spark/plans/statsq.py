@@ -22,6 +22,7 @@ from ..ext import text as TX
 from ..ml import eval as ME
 from ..operators import agg as AG
 from ..operators import graph as G
+from ..operators import joins as J
 from ..operators import rankstats as RS
 from ..operators import timeseries as TS
 from ..sources import load_table
@@ -691,3 +692,67 @@ def ts_jarque_bera_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.round(F.col("value")).cast("bigint").alias("v")
     )
     return RS.jarque_bera(ev, "event_type", "v")
+
+
+@query(
+    "rel_bloom_join_prune",
+    oracle="""
+    WITH bk AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+    hx AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    bpos AS (
+      SELECT DISTINCT
+             (CAST('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR)
+                                      || ':' || k), 1, 8) AS BIGINT)
+              % 8192) AS pos
+      FROM bk CROSS JOIN hx
+    ),
+    ppos AS (
+      SELECT DISTINCT k,
+             (CAST('0x' || substr(md5('bloom:' || CAST(i AS VARCHAR)
+                                      || ':' || k), 1, 8) AS BIGINT)
+              % 8192) AS pos
+      FROM pk CROSS JOIN hx
+    ),
+    per AS (
+      SELECT p.k, count(*) AS n_pos,
+             sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM ppos p LEFT JOIN bpos b ON b.pos = p.pos
+      GROUP BY 1
+    ),
+    fl AS (
+      SELECT CASE WHEN n_pos = n_hit THEN 1 ELSE 0 END AS passes,
+             CASE WHEN bk.k IS NOT NULL THEN 1 ELSE 0 END AS member
+      FROM per LEFT JOIN bk ON bk.k = per.k
+    )
+    SELECT CAST(8192 AS BIGINT) AS m_bits,
+           CAST(4 AS BIGINT) AS k_hashes,
+           CAST(sum(member) AS BIGINT) AS n_build_keys,
+           CAST(count(*) AS BIGINT) AS n_probe_keys,
+           CAST(sum(passes) AS BIGINT) AS n_pass,
+           CAST(sum(passes * (1 - member)) AS BIGINT) AS n_false_pos,
+           round(CAST(sum(passes * (1 - member)) AS DOUBLE)
+                 / greatest(CAST(count(*) - sum(member) AS DOUBLE), 1.0),
+                 6) AS fp_rate
+    FROM fl
+    """,
+)
+def rel_bloom_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning audit (operators.joins.bloom_filter_audit):
+    build an 8192-bit / 4-hash md5 Bloom set over urgent-order customer
+    keys, probe the full customer dimension, and report exact pass /
+    false-positive counts — the declarative model of Spark's own runtime
+    bloom filter pushdown (spark.sql.optimizer.runtime.bloomFilter), made
+    hash-certifiable because positions are md5-derived in both engines.
+    The bit table is ≤ m_bits rows and broadcast; at 100 TB this is the
+    shape that prunes a fact-scan shuffle before it happens."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_custkey").alias("key"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    return J.bloom_filter_audit(orders, cust, "key", m_bits=8192, k_hashes=4)
