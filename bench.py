@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "rel_link_prediction_ra",
     "rel_graph_assortativity",
     "rel_bloom_join_prune",
+    "ml_naive_bayes",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

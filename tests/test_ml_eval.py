@@ -287,3 +287,66 @@ def test_kfold_cv_exact_leave_out(spark):
     df2 = spark.createDataFrame(rows2, ["fold", "x", "y"])
     for r in kfold_cv_ols(df2, "fold", "x", "y").collect():
         assert r.r2 > 0.95
+
+
+# -------------------------------------------------------------- naive bayes
+
+
+def test_naive_bayes_separable_feature_perfect(spark):
+    from usedcars_bigdata_spark.ml.nb import naive_bayes_confusion
+
+    # f perfectly determines y in train; test repeats the mapping.
+    train = spark.createDataFrame(
+        [(1, "a")] * 6 + [(0, "b")] * 6, ["y", "f"]
+    )
+    test = spark.createDataFrame(
+        [(1, "a")] * 3 + [(0, "b")] * 3, ["y", "f"]
+    )
+    out = {
+        (r.actual, r.predicted): r.n
+        for r in naive_bayes_confusion(train, test, "y", ["f"]).collect()
+    }
+    assert out == {(1, 1): 3, (0, 0): 3}
+
+
+def test_naive_bayes_unseen_value_falls_back_to_prior(spark):
+    from usedcars_bigdata_spark.ml.nb import naive_bayes_confusion
+
+    # Train prior is 2:1 toward y=0; test feature value never seen ->
+    # Laplace terms equalize (alpha/(n_c+alpha*V)) differ only via n_c,
+    # and the prior dominates -> predicts 0.
+    train = spark.createDataFrame(
+        [(0, "a")] * 8 + [(1, "b")] * 4, ["y", "f"]
+    )
+    test = spark.createDataFrame([(1, "zzz")], ["y", "f"])
+    out = naive_bayes_confusion(train, test, "y", ["f"]).collect()
+    assert len(out) == 1 and out[0].predicted == 0 and out[0].n == 1
+
+
+def test_naive_bayes_hand_computed_two_features(spark):
+    from usedcars_bigdata_spark.ml.nb import naive_bayes_confusion
+
+    train = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (1, "a", "y"),
+            (1, "b", "x"),
+            (0, "b", "y"),
+            (0, "b", "y"),
+            (0, "a", "y"),
+        ],
+        ["y", "f1", "f2"],
+    )
+    test = spark.createDataFrame([(1, "a", "x"), (0, "b", "y")], ["y", "f1", "f2"])
+    # n1=n0=3, V1=V2=2, alpha=1.
+    # (a,x)|1: prior .5 * (2+1)/(3+2) * (2+1)/(3+2) = .5*.6*.6 = .18
+    # (a,x)|0: .5 * (1+1)/5 * (0+1)/5 = .5*.4*.2 = .04 -> pred 1
+    # (b,y)|1: .5 * (1+1)/5 * (1+1)/5 = .08
+    # (b,y)|0: .5 * (2+1)/5 * (3+1)/5 = .5*.6*.8 = .24 -> pred 0
+    out = {
+        (r.actual, r.predicted): r.n
+        for r in naive_bayes_confusion(
+            train, test, "y", ["f1", "f2"]
+        ).collect()
+    }
+    assert out == {(1, 1): 1, (0, 0): 1}

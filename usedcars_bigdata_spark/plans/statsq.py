@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..ext import text as TX
 from ..ml import eval as ME
+from ..ml import nb as NB
 from ..operators import agg as AG
 from ..operators import graph as G
 from ..operators import joins as J
@@ -756,3 +757,142 @@ def rel_bloom_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("key")
     )
     return J.bloom_filter_audit(orders, cust, "key", m_bits=8192, k_hashes=4)
+
+
+_NB_TERM = """((coalesce(CAST({t}.c1 AS DOUBLE), 0.0) + 1.0)
+                  / (CAST(cls.n1 AS DOUBLE) + 1.0 * CAST({v}.v AS DOUBLE)))"""
+_NB_TERM0 = """((coalesce(CAST({t}.c0 AS DOUBLE), 0.0) + 1.0)
+                  / (CAST(cls.n0 AS DOUBLE) + 1.0 * CAST({v}.v AS DOUBLE)))"""
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST((CAST('0x' || substr(md5('nblabel:'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0
+              < CASE substr(o_orderpriority, 1, 1)
+                  WHEN '1' THEN 0.85 WHEN '2' THEN 0.65 WHEN '3' THEN 0.5
+                  WHEN '4' THEN 0.35 ELSE 0.15 END AS INTEGER) AS y,
+             o_orderpriority AS f1,
+             CAST(month(o_orderdate) AS VARCHAR) AS f2,
+             CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS VARCHAR)
+               AS f3,
+             (CAST('0x' || substr(md5('nbsplit:'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM orders
+    ),
+    tr AS (SELECT y, f1, f2, f3 FROM base WHERE u < 0.8),
+    te AS (SELECT y, f1, f2, f3 FROM base WHERE NOT (u < 0.8)),
+    cls AS (
+      SELECT count(*) AS n_all, CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0
+      FROM tr
+    ),
+    t1 AS (SELECT f1, CAST(sum(y) AS BIGINT) AS c1,
+                  CAST(sum(1 - y) AS BIGINT) AS c0 FROM tr GROUP BY 1),
+    v1 AS (SELECT count(*) AS v FROM t1),
+    t2 AS (SELECT f2, CAST(sum(y) AS BIGINT) AS c1,
+                  CAST(sum(1 - y) AS BIGINT) AS c0 FROM tr GROUP BY 1),
+    v2 AS (SELECT count(*) AS v FROM t2),
+    t3 AS (SELECT f3, CAST(sum(y) AS BIGINT) AS c1,
+                  CAST(sum(1 - y) AS BIGINT) AS c0 FROM tr GROUP BY 1),
+    v3 AS (SELECT count(*) AS v FROM t3),
+    scored AS (
+      SELECT te.y,
+             CASE WHEN
+               (CAST(cls.n1 AS DOUBLE) / CAST(cls.n_all AS DOUBLE))
+               * {_NB_TERM.format(t='t1', v='v1')}
+               * {_NB_TERM.format(t='t2', v='v2')}
+               * {_NB_TERM.format(t='t3', v='v3')}
+               >
+               (CAST(cls.n0 AS DOUBLE) / CAST(cls.n_all AS DOUBLE))
+               * {_NB_TERM0.format(t='t1', v='v1')}
+               * {_NB_TERM0.format(t='t2', v='v2')}
+               * {_NB_TERM0.format(t='t3', v='v3')}
+             THEN 1 ELSE 0 END AS predicted
+      FROM te
+      CROSS JOIN cls
+      LEFT JOIN t1 ON t1.f1 = te.f1
+      CROSS JOIN v1
+      LEFT JOIN t2 ON t2.f2 = te.f2
+      CROSS JOIN v2
+      LEFT JOIN t3 ON t3.f3 = te.f3
+      CROSS JOIN v3
+    )
+    SELECT y AS actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes on a PLANTED signal — the label is an
+    md5-uniform draw whose rate depends on order priority (0.85 urgent →
+    0.15 low, the evalqs label-synthesis idiom) so the classifier has a
+    real learnable feature and the confusion matrix populates all four
+    cells — with order month and price bucket as the uninformative
+    companions; md5-deterministic 80/20 split, confusion-matrix output
+    (ml.nb.naive_bayes_confusion). Every
+    prediction hash-certifies because the class scores are fixed-order
+    IEEE products of count ratios — no logarithm, no MLlib RNG — the
+    module docstring explains why that beats log-space for cross-engine
+    parity. The reference's classification story is regressors-only
+    (4-ML.ipynb); this is the count-based classifier a data-quality
+    triage pipeline can run inside the warehouse."""
+    u_lbl = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("nblabel"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    rate = (
+        F.when(F.substring("o_orderpriority", 1, 1) == "1", F.lit(0.85))
+        .when(F.substring("o_orderpriority", 1, 1) == "2", F.lit(0.65))
+        .when(F.substring("o_orderpriority", 1, 1) == "3", F.lit(0.5))
+        .when(F.substring("o_orderpriority", 1, 1) == "4", F.lit(0.35))
+        .otherwise(F.lit(0.15))
+    )
+    base = load_table(spark, sf_dir, "orders").select(
+        (u_lbl < rate).cast("int").alias("y"),
+        F.col("o_orderpriority").alias("f1"),
+        F.month("o_orderdate").cast("string").alias("f2"),
+        F.floor(F.col("o_totalprice") / 50000.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("f3"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("nbsplit"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 0.5
+            )
+            / 4294967296.0
+        ).alias("u"),
+    )
+    train = base.filter(F.col("u") < 0.8)
+    test = base.filter(~(F.col("u") < 0.8))
+    return NB.naive_bayes_confusion(train, test, "y", ["f1", "f2", "f3"])
