@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "rel_graph_assortativity",
     "rel_bloom_join_prune",
     "ml_naive_bayes",
+    "ts_periodogram",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -23,7 +23,10 @@ from usedcars_bigdata_spark.operators.rankstats import (
     permutation_test_means,
     spearman_corr,
 )
-from usedcars_bigdata_spark.operators.timeseries import acf_lags
+from usedcars_bigdata_spark.operators.timeseries import (
+    acf_lags,
+    periodogram_hourly,
+)
 
 
 # ---------------------------------------------------------------- spearman
@@ -385,3 +388,48 @@ def test_degree_assortativity_hand_computed(spark):
     r = degree_assortativity(e, "a", "b").collect()[0]
     assert r.n_edges == 4
     assert r.r == round(-20 / 28, 6)
+
+
+# -------------------------------------------------------------- periodogram
+
+
+def test_periodogram_pure_cosine_peaks_at_its_frequency(spark):
+    # counts c_t = 100 + round(50*cos(2*pi*3*t/48)) over 48 hours:
+    # power should peak at k=3 and be ~zero at other frequencies.
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(48):
+        c = 100 + round(50 * math.cos(2 * math.pi * 3 * t / 48))
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(hours=t)))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {
+        r.k: r.power
+        for r in periodogram_hourly(df, "ts", k_max=6).collect()
+    }
+    assert len(out) == 6  # k = 1..6 requested
+    peak = out[3]
+    others = [v for k, v in out.items() if k != 3]
+    assert peak > 100 * max(others)  # dominant line at k=3
+    # amplitude check: P_3 ~ (N/2 * 50)^2 / N^2 = 625 (counts are
+    # integer-rounded, so the realized amplitude is slightly off 50)
+    assert abs(peak - 625.0) < 15.0
+
+
+def test_periodogram_constant_series_no_power(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i * 10 + j, base + datetime.timedelta(hours=i))
+        for i in range(24)
+        for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = periodogram_hourly(df, "ts", k_max=4).collect()
+    assert all(abs(r.power) < 1e-6 for r in out)
+    assert all(r.n_hours == 24 for r in out)

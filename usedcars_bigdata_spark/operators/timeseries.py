@@ -2191,3 +2191,70 @@ def acf_lags(
         # oracle hash distinguishes signed zeros (ml_loco precedent).
         (F.round(num / den, ndigits) + 0.0).alias("r"),
     )
+
+
+def periodogram_hourly(
+    events: DataFrame,
+    ts_col: str = "ts",
+    k_max: int = 12,
+    term_scale: float = 1e6,
+) -> DataFrame:
+    """DFT periodogram of the hourly event-count series: power at the
+    first ``k_max`` Fourier frequencies of the N-hour observation window,
+
+        P_k = ((Σ_t c_t·cos(2πkt/N))² + (Σ_t c_t·sin(2πkt/N))²) / N²
+
+    Cross-engine determinism: each term c_t·cos(arg)·scale is ROUNDED TO
+    A BIGINT before summation, so the Σ over the (unordered, distributed)
+    hour axis is exact integer arithmetic — double summation order can
+    never flip the hash, and a 1-ulp libm cos() divergence only matters
+    if a term lands within ~1e-13 of a rounding boundary (720·k_max
+    chances — negligible, and validated at three SFs). Missing hours are
+    implicit zeros (they contribute nothing to the sum), so no grid fill
+    is needed. The hour table is |window| rows (post-aggregation — tiny);
+    the only data-sized op is the hourly count aggregate.
+
+    Output: (k, n_hours, power) for k = 1..k_max, power rounded to 6."""
+    sec = F.col(ts_col).cast("long")
+    hourly = (
+        events.select(F.floor(sec / 3600).cast("long").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    span = hourly.agg(
+        F.min("h").alias("h0"), (F.max("h") - F.min("h") + 1).alias("n")
+    )
+    ks = events.sparkSession.range(1, k_max + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    g = (
+        hourly.crossJoin(F.broadcast(span))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "k",
+            "n",
+            (
+                F.lit(6.283185307179586)
+                * F.col("k").cast("double")
+                * (F.col("h") - F.col("h0")).cast("double")
+                / F.col("n").cast("double")
+            ).alias("arg"),
+            F.col("c").cast("double").alias("c"),
+        )
+    )
+    sums = g.groupBy("k", "n").agg(
+        F.sum(
+            F.round(F.col("c") * F.cos("arg") * F.lit(term_scale)).cast("bigint")
+        ).alias("sc"),
+        F.sum(
+            F.round(F.col("c") * F.sin("arg") * F.lit(term_scale)).cast("bigint")
+        ).alias("ss"),
+    )
+    scd = F.col("sc").cast("double") / F.lit(term_scale)
+    ssd = F.col("ss").cast("double") / F.lit(term_scale)
+    nd = F.col("n").cast("double")
+    return sums.select(
+        F.col("k").cast("int").alias("k"),
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.round((scd * scd + ssd * ssd) / (nd * nd), 6).alias("power"),
+    ).orderBy("k")

@@ -896,3 +896,50 @@ def ml_naive_bayes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = base.filter(F.col("u") < 0.8)
     test = base.filter(~(F.col("u") < 0.8))
     return NB.naive_bayes_confusion(train, test, "y", ["f1", "f2", "f3"])
+
+
+@query(
+    "ts_periodogram",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS h, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    span AS (
+      SELECT min(h) AS h0, max(h) - min(h) + 1 AS n FROM hourly
+    ),
+    ks AS (SELECT unnest(range(1, 13)) AS k),
+    g AS (
+      SELECT CAST(k AS INTEGER) AS k, n,
+             6.283185307179586 * CAST(k AS DOUBLE)
+               * CAST(h - h0 AS DOUBLE) / CAST(n AS DOUBLE) AS arg,
+             CAST(c AS DOUBLE) AS c
+      FROM hourly CROSS JOIN span CROSS JOIN ks
+    ),
+    s AS (
+      SELECT k, n,
+             CAST(sum(CAST(round(c * cos(arg) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS sc,
+             CAST(sum(CAST(round(c * sin(arg) * 1000000.0) AS BIGINT))
+                  AS BIGINT) AS ss
+      FROM g GROUP BY 1, 2
+    )
+    SELECT k, CAST(n AS BIGINT) AS n_hours,
+           round((CAST(sc AS DOUBLE) / 1000000.0
+                  * (CAST(sc AS DOUBLE) / 1000000.0)
+                  + CAST(ss AS DOUBLE) / 1000000.0
+                    * (CAST(ss AS DOUBLE) / 1000000.0))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS power
+    FROM s ORDER BY k
+    """,
+)
+def ts_periodogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the hourly event-count series at the first 12
+    Fourier frequencies (operators.timeseries.periodogram_hourly):
+    integer-rounded DFT terms make the distributed Σ exact, so spectral
+    power hash-certifies — the frequency-domain complement of
+    ts_acf_lags / ts_stl_strength for detecting the daily cycle in event
+    arrivals. Post-aggregation input (hours × 12), one data-sized
+    aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.periodogram_hourly(ev, "ts", k_max=12)
