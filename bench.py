@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "rel_bloom_join_prune",
     "ml_naive_bayes",
     "ts_periodogram",
+    "ts_rolling_corr",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

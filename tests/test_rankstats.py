@@ -433,3 +433,85 @@ def test_periodogram_constant_series_no_power(spark):
     out = periodogram_hourly(df, "ts", k_max=4).collect()
     assert all(abs(r.power) < 1e-6 for r in out)
     assert all(r.n_hours == 24 for r in out)
+
+
+# ------------------------------------------------------ rolling correlation
+
+
+def test_rolling_corr_perfect_and_inverse(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        rolling_corr_hourly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0..5: a = t+1 purchases, b = 2(t+1) clicks -> r = 1 exactly
+    for t in range(6):
+        for _ in range(t + 1):
+            rows.append((eid, base + datetime.timedelta(hours=t), "purchase"))
+            eid += 1
+        for _ in range(2 * (t + 1)):
+            rows.append((eid, base + datetime.timedelta(hours=t), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = rolling_corr_hourly(
+        df, "ts", "event_type", "purchase", "click", window_hours=3
+    ).collect()
+    # full windows start at the 3rd hour; all perfectly correlated
+    assert len(out) == 4
+    assert all(r.r == 1.0 and r.n == 3 for r in out)
+
+
+def test_rolling_corr_constant_series_is_null(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        rolling_corr_hourly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t in range(4):
+        rows.append((eid, base + datetime.timedelta(hours=t), "purchase"))
+        eid += 1
+        for _ in range(t + 1):  # clicks vary, purchases constant
+            rows.append((eid, base + datetime.timedelta(hours=t), "click"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = rolling_corr_hourly(
+        df, "ts", "event_type", "purchase", "click", window_hours=2
+    ).collect()
+    assert len(out) == 3
+    assert all(r.r is None for r in out)
+
+
+def test_rolling_corr_gap_narrows_window(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        rolling_corr_hourly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0,1 then a gap, then 10,11: range frame must NOT bridge it
+    for t in (0, 1, 10, 11):
+        for _ in (0, 1):
+            rows.append((eid, base + datetime.timedelta(hours=t), "purchase"))
+            eid += 1
+        rows.append((eid, base + datetime.timedelta(hours=t), "click"))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = rolling_corr_hourly(
+        df, "ts", "event_type", "purchase", "click", window_hours=2
+    ).collect()
+    # full 2-hour windows only at h=1 and h=11 (not across the gap)
+    assert sorted(r.h for r in out) == [
+        int(base.timestamp()) // 3600 + 1,
+        int(base.timestamp()) // 3600 + 11,
+    ]

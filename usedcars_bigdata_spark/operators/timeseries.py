@@ -2258,3 +2258,64 @@ def periodogram_hourly(
         F.col("n").cast("bigint").alias("n_hours"),
         F.round((scd * scd + ssd * ssd) / (nd * nd), 6).alias("power"),
     ).orderBy("k")
+
+
+def rolling_corr_hourly(
+    events: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    window_hours: int = 24,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two per-hour event
+    counts (does the click rate track the purchase rate?): one hourly
+    conditional-count aggregate, then RANGE-frame window sums over the
+    hour index — Σa, Σb, Σa², Σb², Σab all exact bigints, the closed
+    form double, NULL where either series is constant in the window
+    (den = 0). The range frame keys on the hour VALUE, so a data gap
+    narrows the window instead of silently stretching it across the gap;
+    only full windows (n = window_hours) are emitted. Post-aggregation
+    input: |hours| rows regardless of event volume.
+
+    Output: (h, n, r) — h = epoch-hour index, r rounded."""
+    sec = F.col(ts_col).cast("long")
+    hourly = (
+        events.select(
+            F.floor(sec / 3600).cast("long").alias("h"),
+            F.col(type_col).alias("et"),
+        )
+        .groupBy("h")
+        .agg(
+            F.sum((F.col("et") == type_a).cast("int")).alias("a"),
+            F.sum((F.col("et") == type_b).cast("int")).alias("b"),
+        )
+    )
+    w = (
+        Window.orderBy("h")
+        .rangeBetween(-(window_hours - 1), 0)
+    )
+    s = hourly.select(
+        "h",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("a").over(w).alias("sa"),
+        F.sum("b").over(w).alias("sb"),
+        F.sum(F.col("a") * F.col("b")).over(w).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).over(w).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).over(w).alias("sbb"),
+    ).filter(F.col("n") == window_hours)
+    nd = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    num = nd * F.col("sab").cast("double") - sa * sb
+    den2 = (nd * F.col("saa").cast("double") - sa * sa) * (
+        nd * F.col("sbb").cast("double") - sb * sb
+    )
+    return s.select(
+        F.col("h").cast("bigint").alias("h"),
+        F.col("n").cast("bigint").alias("n"),
+        F.when(den2 <= 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num / F.sqrt(den2), ndigits) + 0.0)
+        .alias("r"),
+    )

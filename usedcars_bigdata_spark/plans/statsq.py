@@ -943,3 +943,50 @@ def ts_periodogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate."""
     ev = load_table(spark, sf_dir, "events")
     return TS.periodogram_hourly(ev, "ts", k_max=12)
+
+
+_RCORR_DEN = """((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                   - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                  * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                     - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))"""
+
+
+@query(
+    "ts_rolling_corr",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT h,
+             count(*) OVER w AS n,
+             CAST(sum(a) OVER w AS BIGINT) AS sa,
+             CAST(sum(b) OVER w AS BIGINT) AS sb,
+             CAST(sum(a * b) OVER w AS BIGINT) AS sab,
+             CAST(sum(a * a) OVER w AS BIGINT) AS saa,
+             CAST(sum(b * b) OVER w AS BIGINT) AS sbb
+      FROM hourly
+      WINDOW w AS (ORDER BY h RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT h, CAST(n AS BIGINT) AS n,
+           CASE WHEN {_RCORR_DEN} <= 0 THEN NULL
+                ELSE round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                           / sqrt({_RCORR_DEN}), 6) + 0.0
+           END AS r
+    FROM s WHERE n = 24
+    """,
+)
+def ts_rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-hour trailing Pearson correlation between the hourly purchase
+    and click count series (operators.timeseries.rolling_corr_hourly):
+    RANGE-frame window sums over exact bigint moments, NULL on constant
+    windows — the pairwise-series companion to ts_lead_lag_xcorr (which
+    scans fixed lags at full length) for drift monitoring."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.rolling_corr_hourly(ev, "ts", "event_type", "purchase", "click")
