@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "ml_naive_bayes",
     "ts_periodogram",
     "ts_rolling_corr",
+    "ml_map_at_k",
+    "ext_flesch_readability",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1081,3 +1081,37 @@ def test_bm25_terms_are_bound_literals_not_sql(spark):
     assert by_term.get("a\\b") == {1}
     # the injection-shaped term matches nothing and emits no rows
     assert "x', id) as (t, v) --" not in by_term
+
+
+# ----------------------------------------------------------------- flesch
+
+
+def test_flesch_hand_computed_single_doc(spark):
+    from usedcars_bigdata_spark.ext.text import flesch_reading_ease
+
+    # "The cat sat. It ran!" -> words=6? no: The,cat,sat,It,ran = 5
+    # sentences = 2 ([.] and [!]); syllables (vowel groups incl y):
+    # e,a,a,I,a = 5
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It ran!", "s1")], ["doc_id", "text", "source"]
+    )
+    r = flesch_reading_ease(df, "text", "source").collect()[0]
+    assert (r.words, r.sentences, r.syllables) == (5, 2, 5)
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    assert r.flesch_corpus == round(want, 6)
+    assert r.n_easy == (1 if want >= 60 else 0)
+
+
+def test_flesch_empty_and_no_punct_docs(spark):
+    from usedcars_bigdata_spark.ext.text import flesch_reading_ease
+
+    df = spark.createDataFrame(
+        [
+            (1, "no punctuation here", "s"),
+            (2, "12345 !!!", "s"),  # zero words -> filtered out
+        ],
+        ["doc_id", "text", "source"],
+    )
+    r = flesch_reading_ease(df, "text", "source").collect()[0]
+    assert r.n_docs == 1  # the zero-word doc is dropped
+    assert r.sentences == 1  # greatest(count, 1)

@@ -350,3 +350,47 @@ def test_naive_bayes_hand_computed_two_features(spark):
         ).collect()
     }
     assert out == {(1, 1): 1, (0, 0): 1}
+
+
+# ---------------------------------------------------------------- map@k
+
+
+def test_average_precision_perfect_and_inverted(spark):
+    from usedcars_bigdata_spark.ml.eval import average_precision_at_k
+
+    # q1: all relevant ranked on top -> AP = 1, P@3 = 2/3 (2 rel, k=3)
+    rows = [
+        ("q1", 1, 1, 0.9),
+        ("q1", 2, 1, 0.8),
+        ("q1", 3, 0, 0.7),
+        ("q1", 4, 0, 0.6),
+        # q2: relevant ranked last: prec at hit = 1/3 -> AP = 1/3
+        ("q2", 1, 0, 0.9),
+        ("q2", 2, 0, 0.8),
+        ("q2", 3, 1, 0.7),
+    ]
+    df = spark.createDataFrame(rows, ["q", "id", "rel", "score"])
+    out = {
+        r.query: r
+        for r in average_precision_at_k(
+            df, "q", "id", "rel", "score", k=3
+        ).collect()
+    }
+    assert out["q1"].ap_at_k == 1.0
+    assert out["q1"].precision_at_k == round(2 / 3, 6)
+    assert out["q2"].ap_at_k == round(1 / 3, 6)
+    assert out["q2"].n_rel == 1
+
+
+def test_average_precision_partial_hand_computed(spark):
+    from usedcars_bigdata_spark.ml.eval import average_precision_at_k
+
+    # ranking: rel pattern [1, 0, 1, 0, 1], k=5, R=3
+    # AP = (1/1 + 2/3 + 3/5) / 3
+    rows = [
+        ("q", i + 1, rel, 1.0 - i * 0.1)
+        for i, rel in enumerate([1, 0, 1, 0, 1])
+    ]
+    df = spark.createDataFrame(rows, ["q", "id", "rel", "score"])
+    r = average_precision_at_k(df, "q", "id", "rel", "score", k=5).collect()[0]
+    assert r.ap_at_k == round((1 + 2 / 3 + 3 / 5) / 3, 6)

@@ -2171,3 +2171,68 @@ def rouge_n_recall_pairs(
             F.col("n_overlap").cast("double") / F.col("n_ref_grams"), ndigits
         ).alias("rouge_recall"),
     )
+
+
+def flesch_reading_ease(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    easy_threshold: float = 60.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Flesch reading-ease readability per source group — a corpus
+    quality signal (training-data curation pipelines gate on
+    readability bands the same way they gate on Gopher rules):
+
+        FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Heuristics are the standard regex approximations — words = latin
+    letter runs, sentences = [.!?] runs (min 1), syllables = vowel
+    groups incl. y — all via regexp_count, so the per-doc counts are
+    exact integers in both engines. The group-level FRE is computed
+    from SUMMED counts (one fixed double expression — no averaging of
+    per-doc doubles, whose summation order could drift); the per-doc
+    FRE only feeds a threshold count. One map-side-combinable aggregate.
+
+    Output: (group, n_docs, words, sentences, syllables,
+    flesch_corpus, n_easy)."""
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    sents = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syll = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    base = docs.select(
+        F.col(group_col).alias("g"),
+        words.cast("bigint").alias("w"),
+        sents.cast("bigint").alias("s"),
+        syll.cast("bigint").alias("y"),
+    ).filter(F.col("w") > 0)
+    doc_fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s").cast("double"))
+        - F.lit(84.6) * (F.col("y").cast("double") / F.col("w").cast("double"))
+    )
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").alias("words"),
+        F.sum("s").alias("sentences"),
+        F.sum("y").alias("syllables"),
+        F.sum((doc_fre >= F.lit(easy_threshold)).cast("int"))
+        .cast("bigint")
+        .alias("n_easy"),
+    )
+    corpus_fre = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        (F.round(corpus_fre, ndigits) + 0.0).alias("flesch_corpus"),
+        "n_easy",
+    )

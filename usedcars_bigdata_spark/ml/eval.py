@@ -953,3 +953,63 @@ def ranking_metrics(
             1.0 / F.min(F.when(F.col("rel") >= 2, F.col("rs"))), ndigits
         ).alias("mrr"),
     )
+
+
+def average_precision_at_k(
+    df: DataFrame,
+    query_col: str,
+    id_col: str,
+    rel_col: str,
+    score_col: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Binary-relevance Precision@k and Average Precision@k per query —
+    the MAP companion to ranking_metrics' graded NDCG/MRR:
+
+        P@k  = |relevant in top k| / k
+        AP@k = Σ_{r≤k, rel_r=1} (cum_rel_r / r) / min(R, k)
+
+    cum_rel is one cumulative-sum window over the SAME deterministic
+    score ranking (score DESC, id ASC tie-break); every count is exact,
+    the per-query Σ is ≤ k doubles (rounded far above summation spread).
+    One sort per query key; |queries| output rows.
+
+    Output: (query, n_rel, precision_at_k, ap_at_k)."""
+    base = df.select(
+        F.col(query_col).alias("query"),
+        F.col(id_col).alias("id"),
+        (F.col(rel_col).cast("int") >= 1).cast("int").alias("rel"),
+        F.col(score_col).alias("score"),
+    )
+    ws = Window.partitionBy("query").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    ranked = base.select(
+        "query",
+        "rel",
+        F.row_number().over(ws).alias("rs"),
+        F.sum("rel").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+    )
+    return ranked.groupBy("query").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.round(
+            F.sum(
+                F.when((F.col("rs") <= k) & (F.col("rel") == 1), 1).otherwise(0)
+            ).cast("double")
+            / F.lit(float(k)),
+            ndigits,
+        ).alias("precision_at_k"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("rs") <= k) & (F.col("rel") == 1),
+                    F.col("cum").cast("double") / F.col("rs").cast("double"),
+                ).otherwise(0.0)
+            )
+            / F.least(F.sum("rel"), F.lit(k)).cast("double"),
+            ndigits,
+        ).alias("ap_at_k"),
+    )

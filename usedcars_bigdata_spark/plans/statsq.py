@@ -990,3 +990,109 @@ def ts_rolling_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans fixed lags at full length) for drift monitoring."""
     ev = load_table(spark, sf_dir, "events")
     return TS.rolling_corr_hourly(ev, "ts", "event_type", "purchase", "click")
+
+
+@query(
+    "ml_map_at_k",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS q, o_orderkey AS id,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 4 >= 2
+                  AS INTEGER) AS rel,
+             round((CAST('0x' || substr(md5('ndcg:' ||
+                    CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                   / 4294967296.0, 9) AS score
+      FROM orders
+    ),
+    r AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY score DESC, id ASC)
+               AS rs,
+             sum(rel) OVER (PARTITION BY q ORDER BY score DESC, id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT q AS query_group,
+           CAST(sum(rel) AS BIGINT) AS n_rel,
+           round(CAST(sum(CASE WHEN rs <= 10 AND rel = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / 10.0, 6) AS precision_at_k,
+           round(sum(CASE WHEN rs <= 10 AND rel = 1
+                          THEN CAST(cum AS DOUBLE) / CAST(rs AS DOUBLE)
+                          ELSE 0.0 END)
+                 / CAST(least(sum(rel), 10) AS DOUBLE), 6) AS ap_at_k
+    FROM r GROUP BY 1
+    """,
+)
+def ml_map_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@10 + MAP@10 per priority "query"
+    (ml.eval.average_precision_at_k) on the same md5-random-ranking
+    synthesis as ml_ndcg_mrr with binarized relevance (cents mod 4 ≥ 2)
+    — the binary-relevance retrieval gate (dedup/eval pipelines report
+    MAP; NDCG needs grades). Certifies the cumulative-precision window
+    machinery."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.substring(
+        F.md5(F.concat(F.lit("ndcg:"), F.col("o_orderkey").cast("string"))),
+        1, 8,
+    )
+    unif = (F.conv(h, 16, 10).cast("long") + 0.5) / F.lit(4294967296.0)
+    scored = o.select(
+        F.col("o_orderpriority").alias("qg"),
+        F.col("o_orderkey").alias("id"),
+        ((F.round(F.col("o_totalprice") * 100).cast("bigint") % 4) >= 2)
+        .cast("int")
+        .alias("rel"),
+        F.round(unif, 9).alias("score"),
+    )
+    return ME.average_precision_at_k(
+        scored, "qg", "id", "rel", "score", k=10
+    ).select(
+        F.col("query").alias("query_group"), "n_rel", "precision_at_k", "ap_at_k"
+    )
+
+
+@query(
+    "ext_flesch_readability",
+    oracle="""
+    WITH base AS (
+      SELECT source AS g,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS y
+      FROM documents
+    ),
+    f AS (SELECT * FROM base WHERE w > 0),
+    agg AS (
+      SELECT g, count(*) AS n_docs,
+             CAST(sum(w) AS BIGINT) AS words,
+             CAST(sum(s) AS BIGINT) AS sentences,
+             CAST(sum(y) AS BIGINT) AS syllables,
+             CAST(sum(CASE WHEN 206.835
+                            - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                            - 84.6 * (CAST(y AS DOUBLE) / CAST(w AS DOUBLE))
+                           >= 60.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy
+      FROM f GROUP BY 1
+    )
+    SELECT g AS source, CAST(n_docs AS BIGINT) AS n_docs,
+           words, sentences, syllables,
+           round(206.835
+                 - 1.015 * (CAST(words AS DOUBLE)
+                            / CAST(sentences AS DOUBLE))
+                 - 84.6 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)), 6) + 0.0
+             AS flesch_corpus,
+           n_easy
+    FROM agg
+    """,
+)
+def ext_flesch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document source
+    (ext.text.flesch_reading_ease): regex word/sentence/vowel-group
+    counts summed exactly per source, corpus-level FRE from the summed
+    counts in one fixed double expression, plus the per-doc ≥60
+    ('plain English') band count — the readability axis the quality
+    stack (gopher/c4/token-stats) didn't yet cover."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.flesch_reading_ease(docs, "text", "source")
