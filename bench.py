@@ -229,6 +229,7 @@ BENCH_QUERIES = [
     "ts_rolling_corr",
     "ml_map_at_k",
     "ext_flesch_readability",
+    "ts_stream_topk",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -611,3 +611,42 @@ def test_streaming_token_bucket_equals_batch_across_boundaries(spark, tmp_path):
     assert by_id[1] and by_id[2] and not by_id[3]  # burst drains, reject
     assert not by_id[4]                            # still empty in batch 2
     assert by_id[5]                                # cross-boundary refill
+
+
+def test_stream_user_totals_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """Stateful running totals across 3 micro-batches == one-shot batch."""
+    from usedcars_bigdata_spark.sources import load_table
+    from usedcars_bigdata_spark.streaming.events import (
+        read_event_stream,
+        user_spend_totals,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "mb")
+    events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    sink = "test_stream_topk_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    totals = user_spend_totals(
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    )
+    q = (
+        totals.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 3  # genuinely multiple micro-batches
+    got = {
+        r.user_id: (r.n_purchases, r.spend_cents)
+        for r in spark.table(sink).collect()
+    }
+    want = {
+        r.user_id: (r.n_purchases, r.spend_cents)
+        for r in user_spend_totals(events).collect()
+    }
+    assert got == want

@@ -1096,3 +1096,69 @@ def ext_flesch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack (gopher/c4/token-stats) didn't yet cover."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.flesch_reading_ease(docs, "text", "source")
+
+
+@query(
+    "ts_stream_topk",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_purchases,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT user_id, n_purchases, spend_cents
+    FROM t
+    ORDER BY spend_cents DESC, user_id ASC
+    LIMIT 20
+    """,
+)
+def ts_stream_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING leaderboard: per-user purchase-spend totals accumulated
+    as a stateful running aggregate across THREE genuine micro-batches
+    (events re-laid-out range-split by ts, maxFilesPerTrigger=1 — the
+    ts_stream_multibatch discipline), complete-mode memory sink, then
+    top-20 spenders off the final state table
+    (streaming.events.user_spend_totals). Integer-cent state makes the
+    cross-batch accumulation exact, so the streaming result hash-equals
+    the one-shot batch GROUP BY oracle — batch/stream parity for the
+    running-total shape that powers live dashboards."""
+    import os
+    import tempfile
+
+    from ..streaming.events import read_event_stream, user_spend_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_mb_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    sink = "ts_stream_topk_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    totals = user_spend_totals(
+        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+    )
+    q = (
+        totals.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.orderBy(F.col("spend_cents").desc(), F.col("user_id").asc())
+    return (
+        spark.table(sink)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select("user_id", "n_purchases", "spend_cents")
+    )

@@ -118,3 +118,23 @@ def run_to_memory_sink(
     )
     q.processAllAvailable()
     return q
+
+
+def user_spend_totals(events: DataFrame, event_type: str = "purchase") -> DataFrame:
+    """Running per-user spend totals in integer cents — the streaming
+    leaderboard aggregation. Unbound-DataFrame transformation: in
+    streaming this is a stateful running aggregate (complete mode keeps
+    the full per-user state table, updated every micro-batch); the batch
+    twin is the plain GROUP BY certified by ts_stream_topk's oracle.
+    Cents keep the cross-batch accumulation exact — a double running sum
+    would drift with batch boundaries."""
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "spend_cents"
+            ),
+        )
+    )
