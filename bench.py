@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "ml_map_at_k",
     "ext_flesch_readability",
     "ts_stream_topk",
+    "ext_video_shot_cuts",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -453,3 +453,24 @@ def test_audio_frame_features_shape_and_determinism(spark):
             assert f.rms >= 0.0 and 0.0 <= f.zcr <= 1.0
     # int16 stand-in PCM has substantial energy for any payload (incl. empty)
     assert all(f.rms > 0 for f in per[2])
+
+
+def test_shot_boundaries_threshold_and_single_frame(spark):
+    from usedcars_bigdata_spark.ext.multimodal import shot_boundaries
+
+    # Hand-built frame table with known luma transitions: shas chosen so
+    # conv(substr(sha,1,8)) % 256 gives controlled jumps is brittle —
+    # instead verify the detector's algebra on a synthetic sha whose
+    # first 8 hex chars we control directly.
+    rows = [
+        # media 1: lumas 0x00=0, 0xff... -> jump > 64 -> one cut
+        (1, 0, "00000000aaaaaaaa"),
+        (1, 1, "000000ffbbbbbbbb"),  # luma 255: |255-0| > 64 -> cut
+        (1, 2, "000000f0cccccccc"),  # luma 240: |240-255|=15 -> no cut
+        # media 2: single frame -> 0 cuts, 1 shot
+        (2, 0, "0000000011111111"),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "frame_sha"])
+    out = {r.media_id: r for r in shot_boundaries(df).collect()}
+    assert (out[1].n_frames, out[1].n_cuts, out[1].n_shots) == (3, 1, 2)
+    assert (out[2].n_frames, out[2].n_cuts, out[2].n_shots) == (1, 0, 1)

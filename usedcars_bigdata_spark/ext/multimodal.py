@@ -14,7 +14,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -350,4 +350,39 @@ def audio_frame_features(
 
     return media.select("media_id", "payload").mapInPandas(
         run, "media_id long, frame_idx int, rms double, zcr double"
+    )
+
+
+def shot_boundaries(
+    frames: DataFrame, luma_threshold: int = 64
+) -> DataFrame:
+    """Shot-boundary detection over a sampled frame table — the standard
+    frame-difference cut detector (|mean-luma(t) − mean-luma(t−1)| >
+    threshold), with the Spark plumbing real and only the luma extraction
+    stubbed: the per-frame "mean brightness" is the first 4 bytes of the
+    frame fingerprint mod 256 (deterministic, SQL-replayable — a real
+    decoder swaps one expression). One lag window per media ordered by
+    frame_idx (state = 1 frame), then a count aggregate; shots = cuts+1.
+
+    Input: sample_frames output (media_id, frame_idx, frame_sha).
+    Output: (media_id, n_frames, n_cuts, n_shots)."""
+    luma = (
+        F.conv(F.substring("frame_sha", 1, 8), 16, 10).cast("long") % 256
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    scored = frames.select(
+        "media_id", "frame_idx", luma.alias("__luma")
+    ).withColumn("__prev", F.lag("__luma").over(w))
+    cut = (
+        F.col("__prev").isNotNull()
+        & (F.abs(F.col("__luma") - F.col("__prev")) > luma_threshold)
+    ).cast("int")
+    return (
+        scored.select("media_id", cut.alias("__cut"))
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.sum("__cut").cast("bigint").alias("n_cuts"),
+            (F.sum("__cut") + 1).cast("bigint").alias("n_shots"),
+        )
     )

@@ -1162,3 +1162,61 @@ def ts_stream_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") <= 20)
         .select("user_id", "n_purchases", "spend_cents")
     )
+
+
+@query(
+    "ext_video_shot_cuts",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) * 10 AS duration_ms
+      FROM documents
+    ),
+    sched AS (
+      SELECT media_id, text,
+             unnest(range(CAST(least(8, duration_ms // 1000 + 1)
+                               AS BIGINT))) AS i
+      FROM m
+    ),
+    fr AS (
+      SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             (CAST('0x' || substr(sha256(text || ':'
+                || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 256) AS luma
+      FROM sched
+    ),
+    d AS (
+      SELECT media_id, luma,
+             lag(luma) OVER (PARTITION BY media_id ORDER BY frame_idx)
+               AS prev
+      FROM fr
+    )
+    SELECT media_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND abs(luma - prev) > 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(sum(CASE WHEN prev IS NOT NULL
+                          AND abs(luma - prev) > 64
+                         THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_shots
+    FROM d GROUP BY 1
+    """,
+)
+def ext_shot_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over sampled video frames
+    (ext.multimodal.shot_boundaries on sample_frames output): the
+    frame-difference cut detector with deterministic fake luma (first
+    4 fingerprint bytes mod 256 — no codecs in this container; a real
+    decoder swaps one expression), completing the video tier's
+    sample → feature → segment pipeline. Lag-window state is one frame
+    per media; both engines replay the identical sha256 schedule."""
+    from ..ext.multimodal import (
+        sample_frames,
+        shot_boundaries,
+        synthesize_media_from_docs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media_from_docs(docs, "video").withColumn(
+        "duration_ms", F.octet_length(F.col("payload")) * 10
+    )
+    return shot_boundaries(sample_frames(media, every_ms=1000, max_frames=8))
