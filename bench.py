@@ -231,6 +231,9 @@ BENCH_QUERIES = [
     "ext_flesch_readability",
     "ts_stream_topk",
     "ext_video_shot_cuts",
+    "ml_nb_metrics",
+    "ml_gini_feature_rank",
+    "rel_simpson_diversity",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -394,3 +394,56 @@ def test_average_precision_partial_hand_computed(spark):
     df = spark.createDataFrame(rows, ["q", "id", "rel", "score"])
     r = average_precision_at_k(df, "q", "id", "rel", "score", k=5).collect()[0]
     assert r.ap_at_k == round((1 + 2 / 3 + 3 / 5) / 3, 6)
+
+
+# --------------------------------------------- confusion scalars and gini
+
+
+def test_binary_confusion_scalars_hand_computed(spark):
+    from usedcars_bigdata_spark.ml.nb import binary_confusion_scalars
+
+    conf = spark.createDataFrame(
+        [(1, 1, 40), (0, 1, 10), (1, 0, 20), (0, 0, 30)],
+        ["actual", "predicted", "n"],
+    )
+    r = binary_confusion_scalars(conf).collect()[0]
+    tp, fp, fn, tn = 40.0, 10.0, 20.0, 30.0
+    n = 100.0
+    acc = (tp + tn) / n
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    kappa = (acc - pe) / (1 - pe)
+    mf1 = (2 * tp / (2 * tp + fp + fn) + 2 * tn / (2 * tn + fn + fp)) / 2
+    assert r.n == 100
+    assert r.accuracy == round(acc, 6)
+    assert r.mcc == round(mcc, 6)
+    assert r.kappa == round(kappa, 6)
+    assert r.macro_f1 == round(mf1, 6)
+
+
+def test_binary_confusion_perfect_classifier(spark):
+    from usedcars_bigdata_spark.ml.nb import binary_confusion_scalars
+
+    conf = spark.createDataFrame(
+        [(1, 1, 50), (0, 0, 50)], ["actual", "predicted", "n"]
+    )
+    r = binary_confusion_scalars(conf).collect()[0]
+    assert (r.accuracy, r.mcc, r.kappa, r.macro_f1) == (1.0, 1.0, 1.0, 1.0)
+
+
+def test_gini_feature_rank_separable_vs_noise(spark):
+    from usedcars_bigdata_spark.ml.nb import gini_feature_rank
+
+    # f_good perfectly splits y; f_noise is constant (zero decrease).
+    rows = [(1, "a", "z")] * 10 + [(0, "b", "z")] * 10
+    df = spark.createDataFrame(rows, ["y", "f_good", "f_noise"])
+    out = {
+        r.feature: r
+        for r in gini_feature_rank(df, "y", ["f_good", "f_noise"]).collect()
+    }
+    assert out["f_good"].weighted_gini == 0.0
+    assert out["f_good"].gini_decrease == 0.5  # root gini of 50/50
+    assert out["f_noise"].gini_decrease == 0.0
+    assert out["f_noise"].n_values == 1

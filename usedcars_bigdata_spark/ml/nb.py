@@ -83,3 +83,113 @@ def naive_bayes_confusion(
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+
+
+def binary_confusion_scalars(
+    confusion: DataFrame, ndigits: int = 6
+) -> DataFrame:
+    """Classifier scalar metrics from a (actual, predicted, n) confusion
+    table: accuracy, Matthews correlation, Cohen's kappa, and macro-F1 —
+    all one fixed double closed form over the four exact bigint cells
+    (the count table is tiny; this is a 4-row aggregate):
+
+        MCC   = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+        κ     = (p_o − p_e) / (1 − p_e)
+        mF1   = (F1⁺ + F1⁻) / 2   with F1 = 2tp/(2tp + fp + fn)
+
+    Output: one row (n, accuracy, mcc, kappa, macro_f1)."""
+    cell = lambda a, p: F.sum(  # noqa: E731
+        F.when((F.col("actual") == a) & (F.col("predicted") == p), F.col("n"))
+        .otherwise(F.lit(0))
+    )
+    m = confusion.agg(
+        cell(1, 1).alias("tp"),
+        cell(0, 1).alias("fp"),
+        cell(1, 0).alias("fn"),
+        cell(0, 0).alias("tn"),
+    )
+    tp = F.col("tp").cast("double")
+    fp = F.col("fp").cast("double")
+    fn = F.col("fn").cast("double")
+    tn = F.col("tn").cast("double")
+    n = tp + fp + fn + tn
+    acc = (tp + tn) / n
+    mcc = (tp * tn - fp * fn) / F.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / (n * n)
+    kappa = (acc - pe) / (1.0 - pe)
+    f1p = 2.0 * tp / (2.0 * tp + fp + fn)
+    f1n = 2.0 * tn / (2.0 * tn + fn + fp)
+    return m.select(
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn"))
+        .cast("bigint")
+        .alias("n"),
+        (F.round(acc, ndigits) + 0.0).alias("accuracy"),
+        (F.round(mcc, ndigits) + 0.0).alias("mcc"),
+        (F.round(kappa, ndigits) + 0.0).alias("kappa"),
+        (F.round((f1p + f1n) / 2.0, ndigits) + 0.0).alias("macro_f1"),
+    )
+
+
+def gini_feature_rank(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    term_scale: float = 1e9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Decision-stump feature ranking by Gini impurity decrease — the
+    split criterion CART uses, chosen here over information gain because
+    Gini is RATIONAL in the counts (no logarithm → no cross-engine libm
+    drift): root impurity 1 − (n1² + n0²)/N², weighted child impurity
+    (1/N)·Σ_v (n_v − (n1_v² + n0_v²)/n_v). Each per-value term is rounded
+    to a bigint at ``term_scale`` before the Σ, so the distributed sum is
+    exact integer arithmetic (the periodogram discipline). One groupBy
+    per feature over value cardinality; the fold tables are tiny.
+
+    Output: one row per feature (feature, n_values, weighted_gini,
+    gini_decrease), higher decrease = more informative."""
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        y.alias("y"), *[F.col(f).cast("string").alias(f) for f in feature_cols]
+    )
+    root = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("y").alias("n1"),
+        F.sum(1 - F.col("y")).alias("n0"),
+    )
+    nd = F.col("n_all").cast("double")
+    n1d = F.col("n1").cast("double")
+    n0d = F.col("n0").cast("double")
+    root_gini = 1.0 - (n1d * n1d + n0d * n0d) / (nd * nd)
+    parts = []
+    for f in feature_cols:
+        g = base.groupBy(f).agg(
+            F.count(F.lit(1)).alias("n_v"), F.sum("y").alias("n1v")
+        )
+        nvd = F.col("n_v").cast("double")
+        n1vd = F.col("n1v").cast("double")
+        n0vd = (F.col("n_v") - F.col("n1v")).cast("double")
+        term = F.round(
+            (nvd - (n1vd * n1vd + n0vd * n0vd) / nvd) * F.lit(term_scale)
+        ).cast("bigint")
+        t = g.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.sum(term).alias("s"),
+        )
+        wg = F.col("s").cast("double") / F.lit(term_scale) / nd
+        parts.append(
+            t.crossJoin(F.broadcast(root)).select(
+                F.lit(f).alias("feature"),
+                "n_values",
+                (F.round(wg, ndigits) + 0.0).alias("weighted_gini"),
+                (F.round(root_gini - wg, ndigits) + 0.0).alias(
+                    "gini_decrease"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

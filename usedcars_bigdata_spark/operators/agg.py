@@ -448,3 +448,45 @@ def log_bucket_quantiles(
         "bucket",
         F.round(est, ndigits).alias("est_value"),
     )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str,
+    category_col: str,
+    min_count: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Simpson diversity index per group: D = 1 − Σ_c n_c(n_c−1)/(n(n−1))
+    — the probability two draws without replacement differ in category.
+    Chosen over Shannon entropy for the hash-certified tier because it is
+    RATIONAL in the counts (no log): the numerator Σ n_c(n_c−1) and n are
+    exact bigints, one double division at the end. Two aggregates
+    (category counts → group moments), both map-side combinable.
+
+    Output: (group, n, n_categories, simpson) for groups with
+    n ≥ min_count (D undefined below 2)."""
+    cc = (
+        df.select(
+            F.col(group_col).alias("g"), F.col(category_col).alias("c")
+        )
+        .groupBy("g", "c")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    m = cc.groupBy("g").agg(
+        F.sum("n_c").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum(F.col("n_c") * (F.col("n_c") - 1)).alias("num"),
+    ).filter(F.col("n") >= min_count)
+    nd = F.col("n").cast("double")
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_categories").cast("bigint").alias("n_categories"),
+        (
+            F.round(
+                1.0 - F.col("num").cast("double") / (nd * (nd - 1.0)), ndigits
+            )
+            + 0.0
+        ).alias("simpson"),
+    )

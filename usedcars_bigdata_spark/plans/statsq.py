@@ -765,10 +765,7 @@ _NB_TERM0 = """((coalesce(CAST({t}.c0 AS DOUBLE), 0.0) + 1.0)
                   / (CAST(cls.n0 AS DOUBLE) + 1.0 * CAST({v}.v AS DOUBLE)))"""
 
 
-@query(
-    "ml_naive_bayes",
-    oracle=f"""
-    WITH base AS (
+_NB_SCORED_CTES = f"""base AS (
       SELECT CAST((CAST('0x' || substr(md5('nblabel:'
                 || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
                 / 4294967296.0
@@ -822,24 +819,12 @@ _NB_TERM0 = """((coalesce(CAST({t}.c0 AS DOUBLE), 0.0) + 1.0)
       LEFT JOIN t3 ON t3.f3 = te.f3
       CROSS JOIN v3
     )
-    SELECT y AS actual, predicted, CAST(count(*) AS BIGINT) AS n
-    FROM scored GROUP BY 1, 2
-    """,
-)
-def ml_naive_bayes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Categorical Naive Bayes on a PLANTED signal — the label is an
-    md5-uniform draw whose rate depends on order priority (0.85 urgent →
-    0.15 low, the evalqs label-synthesis idiom) so the classifier has a
-    real learnable feature and the confusion matrix populates all four
-    cells — with order month and price bucket as the uninformative
-    companions; md5-deterministic 80/20 split, confusion-matrix output
-    (ml.nb.naive_bayes_confusion). Every
-    prediction hash-certifies because the class scores are fixed-order
-    IEEE products of count ratios — no logarithm, no MLlib RNG — the
-    module docstring explains why that beats log-space for cross-engine
-    parity. The reference's classification story is regressors-only
-    (4-ML.ipynb); this is the count-based classifier a data-quality
-    triage pipeline can run inside the warehouse."""
+"""
+
+
+def _nb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted-label NB synthesis table (y, f1, f2, f3, u) — shared by
+    the ml_naive_bayes / ml_nb_metrics / ml_gini_feature_rank family."""
     u_lbl = (
         F.conv(
             F.substring(
@@ -893,6 +878,32 @@ def ml_naive_bayes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4294967296.0
         ).alias("u"),
     )
+    return base
+
+
+@query(
+    "ml_naive_bayes",
+    oracle=f"""
+    WITH {_NB_SCORED_CTES}
+    SELECT y AS actual, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical Naive Bayes on a PLANTED signal — the label is an
+    md5-uniform draw whose rate depends on order priority (0.85 urgent →
+    0.15 low, the evalqs label-synthesis idiom) so the classifier has a
+    real learnable feature and the confusion matrix populates all four
+    cells — with order month and price bucket as the uninformative
+    companions; md5-deterministic 80/20 split, confusion-matrix output
+    (ml.nb.naive_bayes_confusion). Every
+    prediction hash-certifies because the class scores are fixed-order
+    IEEE products of count ratios — no logarithm, no MLlib RNG — the
+    module docstring explains why that beats log-space for cross-engine
+    parity. The reference's classification story is regressors-only
+    (4-ML.ipynb); this is the count-based classifier a data-quality
+    triage pipeline can run inside the warehouse."""
+    base = _nb_base(spark, sf_dir)
     train = base.filter(F.col("u") < 0.8)
     test = base.filter(~(F.col("u") < 0.8))
     return NB.naive_bayes_confusion(train, test, "y", ["f1", "f2", "f3"])
@@ -1220,3 +1231,143 @@ def ext_shot_cuts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms", F.octet_length(F.col("payload")) * 10
     )
     return shot_boundaries(sample_frames(media, every_ms=1000, max_frames=8))
+
+
+_MCC_PE = """(((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+               / ((tp + fp + fn + tn) * (tp + fp + fn + tn)))"""
+
+
+@query(
+    "ml_nb_metrics",
+    oracle=f"""
+    WITH {{_NB_SCORED_CTES}},
+    cells AS (
+      SELECT CAST(sum(CASE WHEN y = 1 AND predicted = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp_i,
+             CAST(sum(CASE WHEN y = 0 AND predicted = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp_i,
+             CAST(sum(CASE WHEN y = 1 AND predicted = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn_i,
+             CAST(sum(CASE WHEN y = 0 AND predicted = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn_i
+      FROM scored
+    ),
+    d AS (
+      SELECT tp_i, fp_i, fn_i, tn_i,
+             CAST(tp_i AS DOUBLE) AS tp, CAST(fp_i AS DOUBLE) AS fp,
+             CAST(fn_i AS DOUBLE) AS fn, CAST(tn_i AS DOUBLE) AS tn
+      FROM cells
+    )
+    SELECT CAST(tp_i + fp_i + fn_i + tn_i AS BIGINT) AS n,
+           round((tp + tn) / (tp + fp + fn + tn), 6) + 0.0 AS accuracy,
+           round((tp * tn - fp * fn)
+                 / sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)),
+                 6) + 0.0 AS mcc,
+           round(((tp + tn) / (tp + fp + fn + tn) - {{_MCC_PE}})
+                 / (1.0 - {{_MCC_PE}}), 6) + 0.0 AS kappa,
+           round((2.0 * tp / (2.0 * tp + fp + fn)
+                  + 2.0 * tn / (2.0 * tn + fn + fp)) / 2.0, 6) + 0.0
+             AS macro_f1
+    FROM d
+    """.format(_NB_SCORED_CTES=_NB_SCORED_CTES, _MCC_PE=_MCC_PE),
+)
+def ml_nb_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar metrics (accuracy / MCC / Cohen's kappa / macro-F1) of the
+    ml_naive_bayes classifier (ml.nb.binary_confusion_scalars over the
+    same planted-signal run): four exact confusion cells, one fixed
+    double closed form each — the thresholdless complements to
+    ml_roc_auc/ml_pr_auc for a hard classifier (MCC and kappa are the
+    imbalance-robust scalars a data-quality gate reports)."""
+    return NB.binary_confusion_scalars(ml_naive_bayes_q(spark, sf_dir))
+
+
+_GINI_FEATURE_SQL = """
+    g_{f} AS (
+      SELECT {f} AS v, count(*) AS n_v, CAST(sum(y) AS BIGINT) AS n1v
+      FROM b GROUP BY 1
+    ),
+    t_{f} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(CAST(round((CAST(n_v AS DOUBLE)
+                       - (CAST(n1v AS DOUBLE) * CAST(n1v AS DOUBLE)
+                          + CAST(n_v - n1v AS DOUBLE)
+                            * CAST(n_v - n1v AS DOUBLE))
+                         / CAST(n_v AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT)) AS BIGINT) AS s
+      FROM g_{f}
+    )"""
+
+_GINI_SELECT_SQL = """
+      SELECT '{f}' AS feature, n_values,
+             round(CAST(s AS DOUBLE) / 1000000000.0
+                   / CAST(r.n_all AS DOUBLE), 6) + 0.0 AS weighted_gini,
+             round((1.0 - (CAST(r.n1 AS DOUBLE) * CAST(r.n1 AS DOUBLE)
+                           + CAST(r.n0 AS DOUBLE) * CAST(r.n0 AS DOUBLE))
+                          / (CAST(r.n_all AS DOUBLE)
+                             * CAST(r.n_all AS DOUBLE)))
+                   - CAST(s AS DOUBLE) / 1000000000.0
+                     / CAST(r.n_all AS DOUBLE), 6) + 0.0 AS gini_decrease
+      FROM t_{f} CROSS JOIN r"""
+
+
+_NB_BASE_CTE = _NB_SCORED_CTES.split(",\n    tr AS")[0]
+
+
+@query(
+    "ml_gini_feature_rank",
+    oracle=f"""
+    WITH {_NB_BASE_CTE},
+    b AS (SELECT y, f1, f2, f3 FROM base),
+    r AS (
+      SELECT count(*) AS n_all, CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0
+      FROM b
+    ),{_GINI_FEATURE_SQL.format(f='f1')},{_GINI_FEATURE_SQL.format(f='f2')},{_GINI_FEATURE_SQL.format(f='f3')}
+    {_GINI_SELECT_SQL.format(f='f1')}
+      UNION ALL
+    {_GINI_SELECT_SQL.format(f='f2')}
+      UNION ALL
+    {_GINI_SELECT_SQL.format(f='f3')}
+    """,
+)
+def ml_gini_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-impurity feature ranking over the planted-signal NB table
+    (ml.nb.gini_feature_rank on the _nb_base synthesis, full table):
+    the CART split criterion as a declarative count plan — priority
+    (the planted feature) must dominate the decrease ranking, month and
+    price bucket land near zero. Rational arithmetic end-to-end (the
+    no-logarithm design rule shared with ml_naive_bayes), per-value
+    terms integer-rounded so the Σ over feature values is exact."""
+    base = _nb_base(spark, sf_dir)
+    return NB.gini_feature_rank(base, "y", ["f1", "f2", "f3"])
+
+
+@query(
+    "rel_simpson_diversity",
+    oracle="""
+    WITH cc AS (
+      SELECT l_suppkey AS g, l_partkey AS c, count(*) AS n_c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT g, CAST(sum(n_c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(n_c * (n_c - 1)) AS BIGINT) AS num
+      FROM cc GROUP BY 1
+    )
+    SELECT g AS l_suppkey, n, n_categories,
+           round(1.0 - CAST(num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+             + 0.0 AS simpson
+    FROM m WHERE n >= 2
+    """,
+)
+def rel_simpson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each supplier's part mix
+    (operators.agg.simpson_diversity over lineitem): the
+    concentration-adjacent assortment-diversity scalar — rel_hhi measures
+    revenue concentration, this measures catalog diversity, and the
+    rational form (no entropy log) keeps it hash-certified. Two
+    map-side-combinable aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return AG.simpson_diversity(li, "l_suppkey", "l_partkey")
