@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "ml_nb_metrics",
     "ml_gini_feature_rank",
     "rel_simpson_diversity",
+    "ts_ljung_box",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

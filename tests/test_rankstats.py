@@ -515,3 +515,31 @@ def test_rolling_corr_gap_narrows_window(spark):
         int(base.timestamp()) // 3600 + 1,
         int(base.timestamp()) // 3600 + 11,
     ]
+
+
+# --------------------------------------------------------------- ljung-box
+
+
+def test_ljung_box_hand_computed_from_acf_rows(spark):
+    from usedcars_bigdata_spark.operators.rankstats import ljung_box
+
+    # ACF table directly (key, lag, n, r): Q = n(n+2) sum r^2/(n-l)
+    rows = [("k", 1, 100, 0.5), ("k", 2, 100, -0.3), ("k", 3, 100, 0.1)]
+    df = spark.createDataFrame(rows, ["g", "lag", "n", "r"])
+    out = ljung_box(df, "g").collect()[0]
+    want = 100 * 102 * (
+        round(0.25 / 99 * 1e12) / 1e12
+        + round(0.09 / 98 * 1e12) / 1e12
+        + round(0.01 / 97 * 1e12) / 1e12
+    )
+    assert out.h_lags == 3
+    assert out.q == round(want, 6)
+
+
+def test_ljung_box_white_noise_small_q(spark):
+    from usedcars_bigdata_spark.operators.rankstats import ljung_box
+
+    # zero autocorrelation at every lag -> Q = 0
+    rows = [("k", l, 50, 0.0) for l in (1, 2, 3)]
+    df = spark.createDataFrame(rows, ["g", "lag", "n", "r"])
+    assert ljung_box(df, "g").collect()[0].q == 0.0

@@ -387,3 +387,46 @@ def jarque_bera(
         (F.round(g2, ndigits) + 0.0).alias("kurtosis_excess"),
         (F.round(jb, ndigits) + 0.0).alias("jb"),
     )
+
+
+def ljung_box(
+    acf: DataFrame,
+    key_col: str,
+    term_scale: float = 1e12,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness statistic from an ACF table
+    (operators.timeseries.acf_lags output: key, lag, n, r):
+
+        Q = n(n+2) · Σ_{l=1..h} r_l² / (n − l)
+
+    Consumes the ROUNDED r (both engines see the identical grid value),
+    and rounds each term to a bigint at ``term_scale`` before the Σ — so
+    Q is deterministic whatever the partitioning. Q ~ χ²_h under the
+    white-noise null; the caller compares to the critical value (no
+    incomplete-gamma in the certified tier). Trivial post-ACF aggregate.
+
+    Output: (key, h_lags, n, q)."""
+    terms = acf.select(
+        F.col(key_col).alias("key"),
+        F.col("n"),
+        F.round(
+            F.col("r")
+            * F.col("r")
+            / (F.col("n") - F.col("lag")).cast("double")
+            * F.lit(term_scale)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    m = terms.groupBy("key", "n").agg(
+        F.count(F.lit(1)).alias("h_lags"), F.sum("t").alias("s")
+    )
+    nd = F.col("n").cast("double")
+    q = nd * (nd + 2.0) * (F.col("s").cast("double") / F.lit(term_scale))
+    return m.select(
+        F.col("key").alias(key_col),
+        F.col("h_lags").cast("bigint").alias("h_lags"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(q, ndigits) + 0.0).alias("q"),
+    )

@@ -1371,3 +1371,95 @@ def rel_simpson_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable aggregates."""
     li = load_table(spark, sf_dir, "lineitem")
     return AG.simpson_diversity(li, "l_suppkey", "l_partkey")
+
+
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    cnt AS (SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    dense AS (
+      SELECT k.event_type, a.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM keys k CROSS JOIN axis a
+      LEFT JOIN cnt c ON c.event_type = k.event_type AND c.h = a.h
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS qx
+      FROM dense GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest(range(1, 9)) AS BIGINT) AS lag),
+    pr AS (
+      SELECT d.event_type, l.lag,
+             CAST(sum(d.x * d2.x) AS BIGINT) AS cl,
+             CAST(sum(d.x) AS BIGINT) AS head,
+             CAST(sum(d2.x) AS BIGINT) AS tail,
+             count(*) AS npairs
+      FROM dense d
+      CROSS JOIN lags l
+      JOIN dense d2 ON d2.event_type = d.event_type AND d2.h = d.h + l.lag
+      GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT p.event_type, p.lag, CAST(g.n AS BIGINT) AS n,
+             round((CAST(cl AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * CAST(head + tail AS DOUBLE)
+                    + CAST(npairs AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(qx AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))),
+                   6) + 0.0 AS r
+      FROM pr p JOIN g ON g.event_type = p.event_type
+    ),
+    t AS (
+      SELECT event_type, n,
+             CAST(round(r * r / CAST(n - lag AS DOUBLE)
+                        * 1000000000000.0) AS BIGINT) AS t
+      FROM acf
+    ),
+    m AS (
+      SELECT event_type, n, CAST(count(*) AS BIGINT) AS h_lags,
+             CAST(sum(t) AS BIGINT) AS s
+      FROM t GROUP BY 1, 2
+    )
+    SELECT event_type, h_lags, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (CAST(s AS DOUBLE) / 1000000000000.0), 6) + 0.0 AS q
+    FROM m
+    """,
+)
+def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box whiteness test at lags 1..8 on the dense hourly
+    event-count series per type (operators.rankstats.ljung_box over
+    operators.timeseries.acf_lags): the portmanteau companion to
+    ts_acf_lags — one scalar per series saying whether ANY
+    low-lag autocorrelation survives, with each r_l²/(n−l) term
+    integer-rounded so the Σ is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    axis = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    keys = ev.select("event_type").distinct()
+    dense = (
+        keys.crossJoin(F.broadcast(axis))
+        .join(cnt, ["event_type", "h"], "left")
+        .fillna(0, subset=["x"])
+    )
+    acf = TS.acf_lags(dense, "event_type", "h", "x", tuple(range(1, 9)))
+    return RS.ljung_box(acf, "event_type")
