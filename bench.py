@@ -235,6 +235,8 @@ BENCH_QUERIES = [
     "ml_gini_feature_rank",
     "rel_simpson_diversity",
     "ts_ljung_box",
+    "rel_zonemap_prune_audit",
+    "ext_audio_vad_segments",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime as dt
 import math
 
+from pyspark.sql import functions as F
+
 from usedcars_bigdata_spark.ext.dedup import fs_match_scores
 from usedcars_bigdata_spark.ext.text import vocab_saturation
 from usedcars_bigdata_spark.operators.timeseries import (
@@ -474,3 +476,58 @@ def test_shot_boundaries_threshold_and_single_frame(spark):
     out = {r.media_id: r for r in shot_boundaries(df).collect()}
     assert (out[1].n_frames, out[1].n_cuts, out[1].n_shots) == (3, 1, 2)
     assert (out[2].n_frames, out[2].n_cuts, out[2].n_shots) == (1, 0, 1)
+
+
+def test_vad_segments_runs_and_all_silent(spark):
+    from usedcars_bigdata_spark.ext.multimodal import vad_segments
+
+    rows = [
+        # media 1: voiced pattern 1,1,0,1 -> 2 segments, longest 2
+        (1, 0, 0.9),
+        (1, 1, 0.8),
+        (1, 2, 0.1),
+        (1, 3, 0.7),
+        # media 2: all silent -> 0 segments
+        (2, 0, 0.1),
+        (2, 1, 0.2),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "frame_idx", "rms"])
+    out = {r.media_id: r for r in vad_segments(df, "rms", 0.5).collect()}
+    assert (out[1].n_voiced, out[1].n_segments, out[1].longest_segment) == (
+        3,
+        2,
+        2,
+    )
+    assert (out[2].n_voiced, out[2].n_segments, out[2].longest_segment) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_zonemap_prune_audit_hand_built(spark):
+    from usedcars_bigdata_spark.operators.partitioning import (
+        zonemap_prune_audit,
+    )
+
+    # partition A: values 1..5 (max 5); partition B: values 10..12
+    rows = [("A", v) for v in range(1, 6)] + [("B", v) for v in (10, 11, 12)]
+    df = spark.createDataFrame(rows, ["p", "v"])
+    out = {
+        r.threshold: r
+        for r in zonemap_prune_audit(
+            df, F.col("p"), F.col("v"), [6, 11]
+        ).collect()
+    }
+    # t=6: A prunable (max 5 < 6), skips 5 rows; 3 rows match
+    assert (out[6].n_prunable, out[6].rows_skipped, out[6].rows_matching) == (
+        1,
+        5,
+        3,
+    )
+    # t=11: still only A prunable; 2 rows match (11, 12)
+    assert (out[11].n_prunable, out[11].rows_skipped, out[11].rows_matching) == (
+        1,
+        5,
+        2,
+    )

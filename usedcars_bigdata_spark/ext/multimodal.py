@@ -386,3 +386,52 @@ def shot_boundaries(
             (F.sum("__cut") + 1).cast("bigint").alias("n_shots"),
         )
     )
+
+
+def vad_segments(
+    frames: DataFrame, rms_col: str = "rms", threshold: float = 0.5
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over a per-frame
+    feature table (audio_frame_features output, or any (media_id,
+    frame_idx, rms)): voiced = rms > threshold, segments = maximal runs
+    of consecutive voiced frames via the gaps-and-islands trick
+    (frame_idx − row_number over voiced frames is constant within a
+    run). The segmentation is the certified logic; energy extraction
+    stays in the decode tier. Two windows per media (one filtered), one
+    aggregate; frames-per-media is bounded, so partitions are tiny.
+
+    Output: (media_id, n_frames, n_voiced, n_segments,
+    longest_segment)."""
+    voiced = frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col(rms_col) > F.lit(threshold)).cast("int").alias("v"),
+    )
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    runs = (
+        voiced.filter(F.col("v") == 1)
+        .withColumn("__grp", F.col("frame_idx") - F.row_number().over(w))
+        .groupBy("media_id", "__grp")
+        .agg(F.count(F.lit(1)).alias("seg_len"))
+    )
+    seg = runs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+    )
+    base = voiced.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"), F.sum("v").alias("n_voiced")
+    )
+    return (
+        base.join(seg, "media_id", "left")
+        .select(
+            "media_id",
+            F.col("n_frames").cast("bigint").alias("n_frames"),
+            F.col("n_voiced").cast("bigint").alias("n_voiced"),
+            F.coalesce(F.col("n_segments"), F.lit(0))
+            .cast("bigint")
+            .alias("n_segments"),
+            F.coalesce(F.col("longest_segment"), F.lit(0))
+            .cast("bigint")
+            .alias("longest_segment"),
+        )
+    )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -163,3 +163,69 @@ def cache_hot(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist for iterative reuse (ML training loops).
     Always pair with an eventual unpersist in long-lived jobs."""
     return df.persist()
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    part_col: Column,
+    value_col: Column,
+    thresholds: list[int],
+) -> DataFrame:
+    """Zone-map (min/max statistics) pruning audit — the data-skipping
+    arithmetic behind parquet row-group stats, Delta/Iceberg file
+    pruning, and clustered layouts: partition the table by ``part_col``,
+    record per-partition (n_rows, min, max), and for each ``value >= t``
+    predicate report how many partitions a stats-aware scan skips
+    (max < t) and how many rows that avoids reading. Everything is
+    exact integer counting — the audit that tells you whether a layout
+    (see rel_zorder_layout / rel_compaction_plan) actually earns its
+    keep at 100 TB. One aggregate over the data; the stats table is
+    |partitions| rows, broadcast against the threshold axis.
+
+    Output per threshold: (threshold, n_partitions, n_prunable,
+    rows_skipped, rows_matching)."""
+    stats = (
+        df.select(part_col.alias("p"), value_col.alias("v"))
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+    )
+    match = (
+        df.select(part_col.alias("p"), value_col.alias("v"))
+        .crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(int(t),) for t in thresholds], "t bigint"
+                )
+            )
+        )
+        .groupBy("t")
+        .agg(F.sum((F.col("v") >= F.col("t")).cast("int")).alias("rows_matching"))
+    )
+    audit = (
+        stats.crossJoin(
+            F.broadcast(
+                df.sparkSession.createDataFrame(
+                    [(int(t),) for t in thresholds], "t bigint"
+                )
+            )
+        )
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum((F.col("mx") < F.col("t")).cast("int")).alias("n_prunable"),
+            F.sum(
+                F.when(F.col("mx") < F.col("t"), F.col("n_rows")).otherwise(0)
+            ).alias("rows_skipped"),
+        )
+    )
+    return audit.join(match, "t").select(
+        F.col("t").cast("bigint").alias("threshold"),
+        F.col("n_partitions").cast("bigint").alias("n_partitions"),
+        F.col("n_prunable").cast("bigint").alias("n_prunable"),
+        F.col("rows_skipped").cast("bigint").alias("rows_skipped"),
+        F.col("rows_matching").cast("bigint").alias("rows_matching"),
+    )

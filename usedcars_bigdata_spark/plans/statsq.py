@@ -24,6 +24,7 @@ from ..ml import nb as NB
 from ..operators import agg as AG
 from ..operators import graph as G
 from ..operators import joins as J
+from ..operators import partitioning as PT
 from ..operators import rankstats as RS
 from ..operators import timeseries as TS
 from ..sources import load_table
@@ -1463,3 +1464,129 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     acf = TS.acf_lags(dense, "event_type", "h", "x", tuple(range(1, 9)))
     return RS.ljung_box(acf, "event_type")
+
+
+@query(
+    "rel_zonemap_prune_audit",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(ts) // 1000000 // 86400 AS p,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT p, count(*) AS n_rows, min(v) AS mn, max(v) AS mx
+      FROM b GROUP BY 1
+    ),
+    th AS (SELECT CAST(unnest([1000000, 3000000, 4500000]) AS BIGINT) AS t),
+    audit AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_partitions,
+             CAST(sum(CASE WHEN mx < t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_prunable,
+             CAST(sum(CASE WHEN mx < t THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped
+      FROM stats CROSS JOIN th GROUP BY 1
+    ),
+    mt AS (
+      SELECT t, CAST(sum(CASE WHEN v >= t THEN 1 ELSE 0 END) AS BIGINT)
+               AS rows_matching
+      FROM b CROSS JOIN th GROUP BY 1
+    )
+    SELECT a.t AS threshold, n_partitions, n_prunable, rows_skipped,
+           rows_matching
+    FROM audit a JOIN mt ON mt.t = a.t
+    """,
+)
+def rel_zonemap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit over day-partitioned events
+    (operators.partitioning.zonemap_prune_audit): per-day min/max value
+    stats vs three ``value ≥ t`` cent thresholds — how many partitions a
+    stats-aware scan skips and how many rows that avoids. The
+    data-skipping arithmetic behind parquet row-group stats and
+    Delta/Iceberg pruning, made hash-certifiable; the measurement
+    companion to rel_zorder_layout / rel_compaction_plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return PT.zonemap_prune_audit(
+        ev,
+        F.floor(F.col("ts").cast("long") / 86400).cast("bigint"),
+        F.round(F.col("value") * 100).cast("bigint"),
+        [1000000, 3000000, 4500000],
+    )
+
+
+@query(
+    "ext_audio_vad_segments",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':vad:'
+                || CAST(i AS VARCHAR)), 1, 8) AS BIGINT) % 10000)
+               / 10000.0 AS rms
+      FROM documents CROSS JOIN (SELECT unnest(range(16)) AS i)
+    ),
+    voiced AS (
+      SELECT media_id, frame_idx,
+             CAST(rms > 0.5 AS INTEGER) AS v
+      FROM fr
+    ),
+    runs AS (
+      SELECT media_id,
+             frame_idx - row_number() OVER (PARTITION BY media_id
+                                            ORDER BY frame_idx) AS grp,
+             count(*) OVER () AS dummy
+      FROM voiced WHERE v = 1
+    ),
+    segs AS (
+      SELECT media_id, grp, count(*) AS seg_len
+      FROM runs GROUP BY 1, 2
+    ),
+    seg_agg AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(seg_len) AS BIGINT) AS longest_segment
+      FROM segs GROUP BY 1
+    ),
+    base AS (
+      SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(v) AS BIGINT) AS n_voiced
+      FROM voiced GROUP BY 1
+    )
+    SELECT b.media_id, b.n_frames, b.n_voiced,
+           COALESCE(s.n_segments, 0) AS n_segments,
+           COALESCE(s.longest_segment, 0) AS longest_segment
+    FROM base b LEFT JOIN seg_agg s ON s.media_id = b.media_id
+    """,
+)
+def ext_vad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity segmentation (ext.multimodal.vad_segments) over a
+    declaratively-synthesized 16-frame RMS table (md5-derived energies —
+    the segmentation logic is what's certified; the real
+    audio_frame_features mapInPandas path feeds the same shape and is
+    pytest-covered + rows-only swept). Gaps-and-islands run detection,
+    per-media run-length stats — the audio twin of ext_video_shot_cuts."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = spark.range(16).select(F.col("id").cast("int").alias("frame_idx"))
+    rms = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("media_id").cast("string"),
+                        F.lit("vad"),
+                        F.col("frame_idx").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    ) / 10000.0
+    frames = docs.select(F.col("doc_id").alias("media_id")).crossJoin(
+        F.broadcast(idx)
+    ).select("media_id", "frame_idx", rms.alias("rms"))
+    from ..ext.multimodal import vad_segments
+
+    return vad_segments(frames, "rms", 0.5)
