@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "ts_ljung_box",
     "rel_zonemap_prune_audit",
     "ext_audio_vad_segments",
+    "rel_kmv_set_ops",
+    "ext_code_prose_detect",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

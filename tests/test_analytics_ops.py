@@ -1532,3 +1532,33 @@ def test_histogram_sketch_merges_by_addition(spark, sf_dir):
           .groupBy("bin").agg(F.count("*").alias("n")).collect()}
     merged = {b: h1.get(b, 0) + h2.get(b, 0) for b in set(h1) | set(h2)}
     assert merged == full
+
+
+# ---------------------------------------------------------- kmv set algebra
+
+
+def test_kmv_set_ops_exhaustive_small_sets_exact(spark):
+    from usedcars_bigdata_spark.operators.agg import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(10)], ["key"])
+    b = spark.createDataFrame([(i,) for i in range(5, 15)], ["key"])
+    r = kmv_set_ops(a, b, "key", k=64).collect()[0]
+    # union of 15 distinct keys < k -> exhaustive sketch, theta = 1
+    assert r.k_filled == 15
+    assert r.theta == 1.0
+    assert r.est_union == 15.0
+    assert r.est_intersection == 5.0
+    assert r.n_exact_union == 15
+    assert r.n_exact_intersection == 5
+
+
+def test_kmv_set_ops_estimates_track_exact(spark):
+    from usedcars_bigdata_spark.operators.agg import kmv_set_ops
+
+    a = spark.createDataFrame([(i,) for i in range(2000)], ["key"])
+    b = spark.createDataFrame([(i,) for i in range(1000, 3000)], ["key"])
+    r = kmv_set_ops(a, b, "key", k=64).collect()[0]
+    assert r.n_exact_union == 3000 and r.n_exact_intersection == 1000
+    # k=64 KMV has ~1/sqrt(62) ~ 13% rel error; allow 3 sigma
+    assert abs(r.est_union - 3000) / 3000 < 0.4
+    assert abs(r.est_intersection - 1000) / 1000 < 0.6

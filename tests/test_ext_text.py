@@ -1115,3 +1115,23 @@ def test_flesch_empty_and_no_punct_docs(spark):
     r = flesch_reading_ease(df, "text", "source").collect()[0]
     assert r.n_docs == 1  # the zero-word doc is dropped
     assert r.sentences == 1  # greatest(count, 1)
+
+
+# ------------------------------------------------------------- code detect
+
+
+def test_code_prose_detect_separates(spark):
+    from usedcars_bigdata_spark.ext.text import code_prose_detect
+
+    code = "def f(x): return {1: [x]}; y = f(2); z = (y, y)"
+    prose = "The quick brown fox jumps over the lazy dog again and again."
+    df = spark.createDataFrame(
+        [(1, code, "s"), (2, prose, "s")], ["doc_id", "text", "source"]
+    )
+    r = code_prose_detect(df, "text", "source").collect()[0]
+    assert r.n_docs == 2
+    assert r.n_code == 1  # only the code doc crosses the 5% density
+    # hand-count the code doc's symbols
+    assert r.brackets == sum(code.count(ch) for ch in "{}()[]")
+    assert r.semicolons == code.count(";") + prose.count(";")
+    assert r.assigns == code.count("=")

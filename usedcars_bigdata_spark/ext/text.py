@@ -2236,3 +2236,64 @@ def flesch_reading_ease(
         (F.round(corpus_fre, ndigits) + 0.0).alias("flesch_corpus"),
         "n_easy",
     )
+
+
+def code_prose_detect(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    score_threshold: float = 0.05,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Code-vs-prose triage per source — LLM corpora route code and
+    natural language to different pipelines, and the cheap signal is
+    symbol density: score = (brackets + 2·semicolons + 2·'=') / chars.
+    All regexp_count/length — exact integers; the per-doc score is one
+    fixed double expression feeding only a threshold count, the
+    source-level score is computed from SUMMED counts (the
+    flesch_reading_ease discipline). One map-side-combinable aggregate.
+
+    Output: (group, n_docs, brackets, semicolons, assigns, chars,
+    symbol_score, n_code)."""
+    t = F.col(text_col)
+    brackets = F.regexp_count(t, F.lit(r"[{}()\[\]]")).cast("bigint")
+    semis = F.regexp_count(t, F.lit(";")).cast("bigint")
+    assigns = F.regexp_count(t, F.lit("=")).cast("bigint")
+    chars = F.length(t).cast("bigint")
+    base = docs.select(
+        F.col(group_col).alias("g"),
+        brackets.alias("b"),
+        semis.alias("s"),
+        assigns.alias("a"),
+        chars.alias("c"),
+    ).filter(F.col("c") > 0)
+    doc_score = (
+        F.col("b").cast("double")
+        + 2.0 * F.col("s").cast("double")
+        + 2.0 * F.col("a").cast("double")
+    ) / F.col("c").cast("double")
+    agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("b").alias("brackets"),
+        F.sum("s").alias("semicolons"),
+        F.sum("a").alias("assigns"),
+        F.sum("c").alias("chars"),
+        F.sum((doc_score > F.lit(score_threshold)).cast("int"))
+        .cast("bigint")
+        .alias("n_code"),
+    )
+    corpus_score = (
+        F.col("brackets").cast("double")
+        + 2.0 * F.col("semicolons").cast("double")
+        + 2.0 * F.col("assigns").cast("double")
+    ) / F.col("chars").cast("double")
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_docs",
+        "brackets",
+        "semicolons",
+        "assigns",
+        "chars",
+        (F.round(corpus_score, ndigits) + 0.0).alias("symbol_score"),
+        "n_code",
+    )

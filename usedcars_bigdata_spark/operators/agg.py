@@ -490,3 +490,103 @@ def simpson_diversity(
             + 0.0
         ).alias("simpson"),
     )
+
+
+def kmv_set_ops(
+    a_keys: DataFrame,
+    b_keys: DataFrame,
+    key_col: str,
+    k: int = 64,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Theta-sketch-style set algebra on KMV signatures: estimate
+    |A ∪ B| and |A ∩ B| from the two k-minimum-value sketches alone —
+    the mergeable-sketch answer to distinct set overlap at 100 TB (the
+    full key sets never co-locate; only 2k digests meet):
+
+        θ        = u(k-th smallest hash of the union signature)
+        est_∪    = (k − 1) / θ
+        est_∩    = |{h < θ : h ∈ sig_A ∧ h ∈ sig_B}| / θ
+
+    θ ≤ min(θ_A, θ_B), so every union-sample hash below θ is fully
+    observed in both signatures — the sub-θ membership test is exact.
+    Deterministic md5 order makes the sketches, θ, and both estimates
+    hash-certifiable. When the union has fewer than k distinct hashes
+    the sketch is exhaustive (θ = 1, estimates exact). Exact counts ride
+    along as the error companion (a production sketch drops them).
+
+    Output: one row (k, k_filled, theta, est_union, est_intersection,
+    n_exact_union, n_exact_intersection)."""
+    ha = a_keys.select(
+        F.md5(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    hb = b_keys.select(
+        F.md5(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+
+    def mink(df: DataFrame) -> DataFrame:
+        salted = df.withColumn("__salt", F.pmod(F.xxhash64("h"), F.lit(16)))
+        w1 = Window.partitionBy("__salt").orderBy("h")
+        local = (
+            salted.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .drop("rn", "__salt")
+        )
+        w2 = Window.orderBy("h")
+        return (
+            local.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    sa = mink(ha)
+    sb = mink(hb)
+    u = sa.unionAll(sb).distinct()
+    wu = Window.orderBy("h")
+    ur = mink(u).withColumn("rn", F.row_number().over(wu))
+    kth = ur.agg(
+        F.max("rn").alias("k_filled"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    # sample = union hashes strictly below theta (rank < k), or ALL
+    # hashes when the sketch is exhaustive (k_filled < k).
+    sample = ur.crossJoin(F.broadcast(kth)).filter(
+        (F.col("k_filled") < k) | (F.col("rn") < k)
+    )
+    common = (
+        sample.join(sa, "h", "left_semi")
+        .join(sb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ex_u = ha.unionAll(hb).distinct().agg(
+        F.count(F.lit(1)).alias("n_exact_union")
+    )
+    ex_i = ha.join(hb, "h", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_exact_intersection")
+    )
+    theta = F.when(F.col("k_filled") < k, F.lit(1.0)).otherwise(
+        (
+            F.conv(F.substring("h_k", 1, 8), 16, 10).cast("long") + 0.5
+        )
+        / F.lit(4294967296.0)
+    )
+    est_u = F.when(
+        F.col("k_filled") < k, F.col("k_filled").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / theta)
+    est_i = F.col("n_common").cast("double") / theta
+    return (
+        kth.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(ex_u))
+        .crossJoin(F.broadcast(ex_i))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("k_filled").cast("bigint").alias("k_filled"),
+            (F.round(theta, ndigits) + 0.0).alias("theta"),
+            (F.round(est_u, 2) + 0.0).alias("est_union"),
+            (F.round(est_i, 2) + 0.0).alias("est_intersection"),
+            F.col("n_exact_union").cast("bigint").alias("n_exact_union"),
+            F.col("n_exact_intersection")
+            .cast("bigint")
+            .alias("n_exact_intersection"),
+        )
+    )

@@ -1590,3 +1590,134 @@ def ext_vad_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ext.multimodal import vad_segments
 
     return vad_segments(frames, "rms", 0.5)
+
+
+_KMV_U = """((CAST('0x' || substr(h_k, 1, 8) AS BIGINT) + 0.5)
+              / 4294967296.0)"""
+
+
+@query(
+    "rel_kmv_set_ops",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    hb AS (
+      SELECT DISTINCT md5(CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders WHERE o_orderpriority = '2-HIGH'
+    ),
+    sa AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM ha) WHERE rn <= 64
+    ),
+    sb AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM hb) WHERE rn <= 64
+    ),
+    u AS (
+      SELECT DISTINCT h
+      FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb)
+    ),
+    ur AS (
+      SELECT h, rn FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                         FROM u) WHERE rn <= 64
+    ),
+    kth AS (
+      SELECT CAST(max(rn) AS BIGINT) AS k_filled,
+             max(CASE WHEN rn = 64 THEN h END) AS h_k
+      FROM ur
+    ),
+    sample AS (
+      SELECT ur.h FROM ur CROSS JOIN kth
+      WHERE kth.k_filled < 64 OR ur.rn < 64
+    ),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM sample s
+      WHERE EXISTS (SELECT 1 FROM sa WHERE sa.h = s.h)
+        AND EXISTS (SELECT 1 FROM sb WHERE sb.h = s.h)
+    ),
+    ex_u AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_union
+      FROM (SELECT DISTINCT h
+            FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb))
+    ),
+    ex_i AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact_intersection
+      FROM ha WHERE EXISTS (SELECT 1 FROM hb WHERE hb.h = ha.h)
+    )
+    SELECT CAST(64 AS BIGINT) AS k, k_filled,
+           round(CASE WHEN k_filled < 64 THEN 1.0
+                      ELSE {_KMV_U} END, 6) + 0.0 AS theta,
+           round(CASE WHEN k_filled < 64 THEN CAST(k_filled AS DOUBLE)
+                      ELSE 63.0 / {_KMV_U} END, 2) + 0.0 AS est_union,
+           round(CAST(n_common AS DOUBLE)
+                 / (CASE WHEN k_filled < 64 THEN 1.0
+                         ELSE {_KMV_U} END), 2) + 0.0 AS est_intersection,
+           n_exact_union, n_exact_intersection
+    FROM kth CROSS JOIN common CROSS JOIN ex_u CROSS JOIN ex_i
+    """,
+)
+def rel_kmv_set_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra on KMV signatures
+    (operators.agg.kmv_set_ops): |urgent ∪ high| and |urgent ∩ high|
+    customer-set estimates from two 64-hash sketches — the mergeable
+    complement of rel_kmv_sketch's single-set cardinality, and the shape
+    that answers audience-overlap questions at 100 TB without ever
+    co-locating the raw key sets. Sub-θ membership is exact, so the
+    estimates (and the exact companions) hash-certify."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("key")
+    )
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("key")
+    )
+    return AG.kmv_set_ops(a, b, "key", k=64)
+
+
+@query(
+    "ext_code_prose_detect",
+    oracle="""
+    WITH base AS (
+      SELECT source AS g,
+             CAST(len(regexp_extract_all(text, '[{}()\\[\\]]')) AS BIGINT)
+               AS b,
+             CAST(len(regexp_extract_all(text, ';')) AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(text, '=')) AS BIGINT) AS a,
+             CAST(length(text) AS BIGINT) AS c
+      FROM documents
+    ),
+    f AS (SELECT * FROM base WHERE c > 0),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(b) AS BIGINT) AS brackets,
+             CAST(sum(s) AS BIGINT) AS semicolons,
+             CAST(sum(a) AS BIGINT) AS assigns,
+             CAST(sum(c) AS BIGINT) AS chars,
+             CAST(sum(CASE WHEN (CAST(b AS DOUBLE)
+                                 + 2.0 * CAST(s AS DOUBLE)
+                                 + 2.0 * CAST(a AS DOUBLE))
+                                / CAST(c AS DOUBLE) > 0.05
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_code
+      FROM f GROUP BY 1
+    )
+    SELECT g AS source, n_docs, brackets, semicolons, assigns, chars,
+           round((CAST(brackets AS DOUBLE)
+                  + 2.0 * CAST(semicolons AS DOUBLE)
+                  + 2.0 * CAST(assigns AS DOUBLE))
+                 / CAST(chars AS DOUBLE), 6) + 0.0 AS symbol_score,
+           n_code
+    FROM agg
+    """,
+)
+def ext_code_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose triage per source (ext.text.code_prose_detect):
+    symbol-density scoring — the routing signal that decides whether a
+    document enters the code pipeline or the NL quality stack; counts
+    exact, corpus score from summed counts, per-doc score only
+    thresholded. Fills the code-detection gap in the quality rule sets
+    (gopher/c4/langid cover NL only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.code_prose_detect(docs, "text", "source")
