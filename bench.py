@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "ext_audio_vad_segments",
     "rel_kmv_set_ops",
     "ext_code_prose_detect",
+    "ml_pinball_loss",
+    "rel_bitemporal_asof",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

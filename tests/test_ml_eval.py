@@ -447,3 +447,20 @@ def test_gini_feature_rank_separable_vs_noise(spark):
     assert out["f_good"].gini_decrease == 0.5  # root gini of 50/50
     assert out["f_noise"].gini_decrease == 0.0
     assert out["f_noise"].n_values == 1
+
+
+# ------------------------------------------------------------ pinball loss
+
+
+def test_pinball_q90_hand_computed(spark):
+    from usedcars_bigdata_spark.ml.eval import pinball_loss_q90
+
+    # train: 1..10 -> P90 = value at rank ceil(9) = 9
+    train = spark.createDataFrame([("g", v) for v in range(1, 11)], ["g", "v"])
+    test = spark.createDataFrame([("g", 5), ("g", 9), ("g", 20)], ["g", "v"])
+    r = pinball_loss_q90(train, test, "g", "v").collect()[0]
+    assert r.p90_pred_cents == 9
+    # 10*L: y=5 -> max(9*-4, 4) = 4; y=9 -> 0; y=20 -> max(99, -11) = 99
+    assert r.pinball_x10_total == 4 + 0 + 99
+    assert r.pinball_mean == round(103 / 10 / 3, 6)
+    assert r.coverage == round(2 / 3, 6)

@@ -1150,3 +1150,31 @@ def test_bloom_tiny_filter_saturates_all_pass(spark):
     assert row.n_pass == 600
     assert row.n_false_pos == 100
     assert row.fp_rate == 1.0
+
+
+# --------------------------------------------------------------- bitemporal
+
+
+def test_bitemporal_latest_system_time_axis(spark):
+    from usedcars_bigdata_spark.operators.joins import bitemporal_latest
+
+    # key 1: v1 (valid 10, sys 11, amt 100), v2 correction (sys 18, 150)
+    rows = [
+        (1, 10, 11, 100, 1),
+        (1, 10, 18, 150, 2),
+        (2, 12, 13, 200, 1),
+    ]
+    v = spark.createDataFrame(
+        rows, ["k", "valid_d", "sys_d", "amt", "version"]
+    )
+    # system as-of 15: correction not yet believed -> v1 visible
+    early = bitemporal_latest(v, "k", "valid_d", "sys_d", 20, 15).collect()
+    got = {(r.k): (r.version, r.amt) for r in early}
+    assert got == {1: (1, 100), 2: (1, 200)}
+    # system as-of 19: correction visible
+    late = bitemporal_latest(v, "k", "valid_d", "sys_d", 20, 19).collect()
+    got = {(r.k): (r.version, r.amt) for r in late}
+    assert got == {1: (2, 150), 2: (1, 200)}
+    # valid as-of 11: key 2 (valid 12) out of scope entirely
+    narrow = bitemporal_latest(v, "k", "valid_d", "sys_d", 11, 19).collect()
+    assert {r.k for r in narrow} == {1}

@@ -1013,3 +1013,65 @@ def average_precision_at_k(
             ndigits,
         ).alias("ap_at_k"),
     )
+
+
+def pinball_loss_q90(
+    train: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    cents_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Quantile-forecast evaluation at q = 0.9: predict each group's P90
+    from ``train`` (exact order statistic: value at rank ⌈0.9·n⌉), then
+    score ``test`` with the pinball (quantile) loss
+
+        L_q(y, ŷ) = max(q·(y − ŷ), (q − 1)·(y − ŷ))
+
+    q = 9/10 keeps everything integral: 10·L is max(9·(y−ŷ), −(y−ŷ))
+    in exact cents, summed as bigints — the loss is a ratio of exact
+    integers, no float accumulation anywhere. Also reports the empirical
+    coverage (fraction of test rows ≤ ŷ), which should approach 0.9 for
+    a calibrated P90. One window over train per group + one broadcast
+    join on the per-group prediction.
+
+    Output: (group, n_test, p90_pred_cents, pinball_x10_total,
+    pinball_mean, coverage)."""
+    tr = train.select(
+        F.col(group_col).alias("g"), F.col(cents_col).alias("v")
+    )
+    n_g = tr.groupBy("g").agg(F.count(F.lit(1)).alias("n_tr"))
+    w = Window.partitionBy("g").orderBy(F.col("v").asc())
+    ranked = tr.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(n_g), "g"
+    )
+    pred = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n_tr").cast("double") * 0.9)
+    ).select("g", F.col("v").alias("yhat"))
+    te = test.select(
+        F.col(group_col).alias("g"), F.col(cents_col).alias("v")
+    ).join(F.broadcast(pred), "g")
+    d = F.col("v") - F.col("yhat")
+    l10 = F.greatest(9 * d, -d)
+    m = te.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("yhat").alias("p90_pred_cents"),
+        F.sum(l10).alias("pinball_x10_total"),
+        F.sum((F.col("v") <= F.col("yhat")).cast("int")).alias("n_cov"),
+    )
+    return m.select(
+        F.col("g").alias(group_col),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.col("p90_pred_cents").cast("bigint").alias("p90_pred_cents"),
+        F.col("pinball_x10_total").cast("bigint").alias("pinball_x10_total"),
+        F.round(
+            F.col("pinball_x10_total").cast("double")
+            / 10.0
+            / F.col("n_test").cast("double"),
+            ndigits,
+        ).alias("pinball_mean"),
+        F.round(
+            F.col("n_cov").cast("double") / F.col("n_test").cast("double"),
+            ndigits,
+        ).alias("coverage"),
+    )

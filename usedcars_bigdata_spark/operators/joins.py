@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -593,4 +593,40 @@ def bloom_filter_audit(
             ),
             6,
         ).alias("fp_rate"),
+    )
+
+
+def bitemporal_latest(
+    versions: DataFrame,
+    key_col: str,
+    valid_col: str,
+    system_col: str,
+    as_of_valid,
+    as_of_system,
+    extra_partition_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Bitemporal point-in-time resolution: of all versions of ``key``
+    with valid_from ≤ as_of_valid AND system_from ≤ as_of_system, keep
+    the one that was the CURRENT belief at that system time — max
+    system_from, tie-broken by max valid_from (the two-axis extension of
+    scd2_pointlookup: valid time answers "what was true", system time
+    answers "what did we believe then" — the reproducibility axis an
+    auditable warehouse needs). One filtered window per key.
+
+    ``as_of_*`` take ints or Columns (pass Columns to resolve several
+    audit timestamps in one pass — crossJoin the broadcast audit axis and
+    name it in ``extra_partition_cols``).
+
+    Output: the surviving version rows, original columns preserved."""
+    w = Window.partitionBy(key_col, *extra_partition_cols).orderBy(
+        F.col(system_col).desc(), F.col(valid_col).desc()
+    )
+    return (
+        versions.filter(
+            (F.col(valid_col) <= as_of_valid)
+            & (F.col(system_col) <= as_of_system)
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )

@@ -1721,3 +1721,207 @@ def ext_code_detect_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gopher/c4/langid cover NL only)."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.code_prose_detect(docs, "text", "source")
+
+
+@query(
+    "ml_pinball_loss",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             (CAST('0x' || substr(md5('pinsplit:'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0 AS u
+      FROM orders
+    ),
+    tr AS (SELECT g, v FROM base WHERE u < 0.8),
+    te AS (SELECT g, v FROM base WHERE NOT (u < 0.8)),
+    ng AS (SELECT g, count(*) AS n_tr FROM tr GROUP BY 1),
+    ranked AS (
+      SELECT tr.g, tr.v,
+             row_number() OVER (PARTITION BY tr.g ORDER BY tr.v ASC) AS rn,
+             ng.n_tr
+      FROM tr JOIN ng ON ng.g = tr.g
+    ),
+    pred AS (
+      SELECT g, v AS yhat FROM ranked
+      WHERE rn = ceil(CAST(n_tr AS DOUBLE) * 0.9)
+    ),
+    sc AS (
+      SELECT te.g, te.v, p.yhat,
+             greatest(9 * (te.v - p.yhat), -(te.v - p.yhat)) AS l10
+      FROM te JOIN pred p ON p.g = te.g
+    ),
+    m AS (
+      SELECT g, count(*) AS n_test,
+             CAST(max(yhat) AS BIGINT) AS p90_pred_cents,
+             CAST(sum(l10) AS BIGINT) AS pinball_x10_total,
+             CAST(sum(CASE WHEN v <= yhat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cov
+      FROM sc GROUP BY 1
+    )
+    SELECT g AS o_orderpriority, CAST(n_test AS BIGINT) AS n_test,
+           p90_pred_cents, pinball_x10_total,
+           round(CAST(pinball_x10_total AS DOUBLE) / 10.0
+                 / CAST(n_test AS DOUBLE), 6) AS pinball_mean,
+           round(CAST(n_cov AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+             AS coverage
+    FROM m
+    """,
+)
+def ml_pinball_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P90 quantile forecast + pinball-loss evaluation per priority
+    (ml.eval.pinball_loss_q90, md5 80/20 split): q = 9/10 keeps the
+    loss in exact integer cents (10·L = max(9Δ, −Δ)), and the exact
+    train-side order statistic is the predictor — the quantile-forecast
+    complement to ml_kfold_cv's squared-loss OLS evaluation, plus the
+    coverage calibration check."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit("pinsplit"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+        u.alias("u"),
+    )
+    train = base.filter(F.col("u") < 0.8).select("g", "v")
+    test = base.filter(~(F.col("u") < 0.8)).select("g", "v")
+    return ME.pinball_loss_q90(train, test, "g", "v").withColumnRenamed(
+        "g", "o_orderpriority"
+    )
+
+
+_BT_H = """CAST('0x' || substr(md5('{salt}:'
+            || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT)"""
+
+
+@query(
+    "rel_bitemporal_asof",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS okey,
+             epoch_us(o_orderdate) // 1000000 // 86400 AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             {_BT_H.format(salt='bt1')} % 4 AS delay1,
+             {_BT_H.format(salt='btc')} % 2 AS corrected,
+             {_BT_H.format(salt='bt2')} % 4 AS delay2,
+             {_BT_H.format(salt='bta')} % 2001 - 1000 AS adj
+      FROM orders
+    ),
+    versions AS (
+      SELECT okey, d AS valid_d, d + delay1 AS sys_d, cents,
+             CAST(1 AS INTEGER) AS version
+      FROM o
+      UNION ALL
+      SELECT okey, d AS valid_d, d + 7 + delay2 AS sys_d, cents + adj,
+             CAST(2 AS INTEGER) AS version
+      FROM o WHERE corrected = 0
+    ),
+    mx AS (SELECT max(d) AS dmax FROM o),
+    audit AS (
+      SELECT label, dmax + off AS s_asof, dmax AS v_asof
+      FROM mx CROSS JOIN (VALUES ('mid', 5), ('late', 20)) t(label, off)
+    ),
+    vis AS (
+      SELECT a.label, v.okey, v.version, v.cents,
+             row_number() OVER (PARTITION BY v.okey, a.label
+                                ORDER BY v.sys_d DESC, v.valid_d DESC)
+               AS rn
+      FROM versions v CROSS JOIN audit a
+      WHERE v.valid_d <= a.v_asof AND v.sys_d <= a.s_asof
+    )
+    SELECT label AS as_of_label,
+           CAST(count(*) AS BIGINT) AS n_visible,
+           CAST(sum(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrected_visible,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM vis WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def rel_bitemporal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of audit (operators.joins.bitemporal_latest): a
+    synthesized correction stream (version 1 lands delay-0..3 days after
+    the order's valid date; half the orders get a version-2 restatement
+    landing day +7..10 with an adjusted amount), then the SAME valid-time
+    snapshot resolved at two SYSTEM times — 'mid' (day +5: few
+    corrections believed yet) vs 'late' (day +20: all visible). The
+    reproducibility primitive scd2_pointlookup lacks: what did the
+    warehouse believe THEN. Counts and cent totals exact."""
+    h = lambda salt: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(salt), F.col("o_orderkey").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.floor(F.col("o_orderdate").cast("long") / 86400)
+        .cast("bigint")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (h("bt1") % 4).alias("delay1"),
+        (h("btc") % 2).alias("corrected"),
+        (h("bt2") % 4).alias("delay2"),
+        (h("bta") % 2001 - 1000).alias("adj"),
+    )
+    v1 = o.select(
+        "okey",
+        F.col("d").alias("valid_d"),
+        (F.col("d") + F.col("delay1")).alias("sys_d"),
+        "cents",
+        F.lit(1).cast("int").alias("version"),
+    )
+    v2 = o.filter(F.col("corrected") == 0).select(
+        "okey",
+        F.col("d").alias("valid_d"),
+        (F.col("d") + 7 + F.col("delay2")).alias("sys_d"),
+        (F.col("cents") + F.col("adj")).alias("cents"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    versions = v1.unionByName(v2)
+    mx = o.agg(F.max("d").alias("dmax"))
+    audit = mx.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([("mid", 5), ("late", 20)], "label string, off int")
+        )
+    ).select(
+        "label",
+        (F.col("dmax") + F.col("off")).alias("s_asof"),
+        F.col("dmax").alias("v_asof"),
+    )
+    aug = versions.crossJoin(F.broadcast(audit))
+    latest = J.bitemporal_latest(
+        aug,
+        "okey",
+        "valid_d",
+        "sys_d",
+        F.col("v_asof"),
+        F.col("s_asof"),
+        extra_partition_cols=("label",),
+    )
+    return latest.groupBy(F.col("label").alias("as_of_label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_visible"),
+        F.sum((F.col("version") == 2).cast("int"))
+        .cast("bigint")
+        .alias("n_corrected_visible"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
