@@ -657,6 +657,28 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("rel_chi_square", "orders", 1),
         ("ts_attribution_models", "events", 2),
         ("ext_quantile_normalize", "documents", 2),
+        # round-6 continuation: hub tables localCheckpointed, so the
+        # returned plan must carry ZERO residual scans of the hot table
+        ("rel_link_prediction_ra", "lineitem", 0),
+        ("rel_graph_assortativity", "lineitem", 0),
+        ("ml_naive_bayes", "orders", 0),
+        ("ml_gini_feature_rank", "orders", 0),
+        ("ts_ljung_box", "events", 0),
+        ("rel_kmv_set_ops", "orders", 0),
+        ("ml_pinball_loss", "orders", 0),
+        ("rel_bitemporal_asof", "orders", 0),
+        # two-scan-by-design entries (hourly counts + span axis etc.)
+        ("ts_periodogram", "events", 2),
+        ("ts_rolling_corr", "events", 1),
+        ("rel_zonemap_prune_audit", "events", 2),
+        ("rel_bloom_join_prune", "orders", 2),
+        ("rel_kruskal_wallis", "orders", 2),
+        ("ts_jarque_bera", "events", 1),
+        ("ext_flesch_readability", "documents", 1),
+        ("ext_code_prose_detect", "documents", 1),
+        ("rel_simpson_diversity", "lineitem", 1),
+        ("ext_video_shot_cuts", "documents", 1),
+        ("ext_audio_vad_segments", "documents", 2),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -517,12 +517,19 @@ def kmv_set_ops(
 
     Output: one row (k, k_filled, theta, est_union, est_intersection,
     n_exact_union, n_exact_intersection)."""
-    ha = a_keys.select(
-        F.md5(F.col(key_col).cast("string")).alias("h")
-    ).distinct()
-    hb = b_keys.select(
-        F.md5(F.col(key_col).cast("string")).alias("h")
-    ).distinct()
+    # ha/hb feed the min-k, the union, the membership semi-joins, and
+    # the exact companions (12 source scans measured by scan_audit);
+    # materialize each distinct hash set once.
+    ha = (
+        a_keys.select(F.md5(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hb = (
+        b_keys.select(F.md5(F.col(key_col).cast("string")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     def mink(df: DataFrame) -> DataFrame:
         salted = df.withColumn("__salt", F.pmod(F.xxhash64("h"), F.lit(16)))

@@ -4128,9 +4128,11 @@ def rel_link_pred_ra_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation — the design note in the operator docstring explains why
     RA hash-certifies where Adamic-Adar's 1/ln(deg) cannot. Existing
     edges are anti-joined out (it predicts absent links)."""
-    return G.resource_allocation_topk(
-        _copurchase_edges(spark, sf_dir), "pa", "pb", k=20
-    )
+    # The wedge/degree/term/anti-join stages each re-derive the edge
+    # table (14 lineitem scans measured by scan_audit); materialize it
+    # once — the pagerank localCheckpoint precedent.
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return G.resource_allocation_topk(edges, "pa", "pb", k=20)
 
 
 @query(
@@ -4171,4 +4173,5 @@ def rel_graph_assort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     with other hubs? Moments exact bigint; one degree aggregate + one
     (broadcastable) degree join; complements rel_triangle_stats /
     rel_graph_kcore with the mixing-structure scalar."""
-    return G.degree_assortativity(_copurchase_edges(spark, sf_dir), "pa", "pb")
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return G.degree_assortativity(edges, "pa", "pb")

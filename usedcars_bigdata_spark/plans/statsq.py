@@ -879,7 +879,9 @@ def _nb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4294967296.0
         ).alias("u"),
     )
-    return base
+    # base feeds the split plus one count table PER feature (8 orders
+    # scans measured); materialize once.
+    return base.localCheckpoint(eager=True)
 
 
 @query(
@@ -1461,6 +1463,10 @@ def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys.crossJoin(F.broadcast(axis))
         .join(cnt, ["event_type", "h"], "left")
         .fillna(0, subset=["x"])
+        # dense is re-derived by the global-moment AND both lag-join
+        # sides (9 events scans measured); it is |keys × hours| — tiny —
+        # so materialize once.
+        .localCheckpoint(eager=True)
     )
     acf = TS.acf_lags(dense, "event_type", "h", "x", tuple(range(1, 9)))
     return RS.ljung_box(acf, "event_type")
@@ -1796,7 +1802,7 @@ def ml_pinball_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
         u.alias("u"),
-    )
+    ).localCheckpoint(eager=True)
     train = base.filter(F.col("u") < 0.8).select("g", "v")
     test = base.filter(~(F.col("u") < 0.8)).select("g", "v")
     return ME.pinball_loss_q90(train, test, "g", "v").withColumnRenamed(
@@ -1882,7 +1888,7 @@ def rel_bitemporal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (h("btc") % 2).alias("corrected"),
         (h("bt2") % 4).alias("delay2"),
         (h("bta") % 2001 - 1000).alias("adj"),
-    )
+    ).localCheckpoint(eager=True)
     v1 = o.select(
         "okey",
         F.col("d").alias("valid_d"),
