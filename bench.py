@@ -241,6 +241,8 @@ BENCH_QUERIES = [
     "ext_code_prose_detect",
     "ml_pinball_loss",
     "rel_bitemporal_asof",
+    "rel_table_checksum",
+    "ts_hurst_exponent",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1562,3 +1562,25 @@ def test_kmv_set_ops_estimates_track_exact(spark):
     # k=64 KMV has ~1/sqrt(62) ~ 13% rel error; allow 3 sigma
     assert abs(r.est_union - 3000) / 3000 < 0.4
     assert abs(r.est_intersection - 1000) / 1000 < 0.6
+
+
+# ------------------------------------------------------------ table checksum
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    from usedcars_bigdata_spark.operators.agg import table_checksum
+
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    df1 = spark.createDataFrame(rows, ["k", "v"])
+    df2 = spark.createDataFrame(list(reversed(rows)), ["k", "v"])
+    c1 = table_checksum(df1, ["k", "v"]).collect()[0]
+    c2 = table_checksum(df2.repartition(4), ["k", "v"]).collect()[0]
+    assert (c1.checksum_a, c1.checksum_b) == (c2.checksum_a, c2.checksum_b)
+    # single-value corruption moves the fingerprint
+    df3 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "X")], ["k", "v"])
+    c3 = table_checksum(df3, ["k", "v"]).collect()[0]
+    assert (c3.checksum_a, c3.checksum_b) != (c1.checksum_a, c1.checksum_b)
+    # duplication moves it too (a plain XOR would not notice pairs)
+    df4 = spark.createDataFrame(rows + [(3, "c")], ["k", "v"])
+    c4 = table_checksum(df4, ["k", "v"]).collect()[0]
+    assert c4.checksum_a != c1.checksum_a

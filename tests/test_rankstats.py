@@ -543,3 +543,45 @@ def test_ljung_box_white_noise_small_q(spark):
     rows = [("k", l, 50, 0.0) for l in (1, 2, 3)]
     df = spark.createDataFrame(rows, ["g", "lag", "n", "r"])
     assert ljung_box(df, "g").collect()[0].q == 0.0
+
+
+# -------------------------------------------------------------------- hurst
+
+
+def test_hurst_rs_single_block_hand_computed(spark):
+    from usedcars_bigdata_spark.operators.timeseries import hurst_rs
+
+    # one size-4 block, x = [1, 2, 3, 10]: sum=16, mean=4
+    # devs: -3, -2, -1, 6; W: -3, -5, -6, 0 -> R = 0-(-6) = 6
+    # S = sqrt(m2), m2 = (1+4+9+100)/4 - 16 = 12.5 -> R/S = 6/sqrt(12.5)
+    df = spark.createDataFrame(
+        [(t, x) for t, x in enumerate([1, 2, 3, 10])], ["t", "x"]
+    )
+    out = hurst_rs(df, "t", "x", sizes=(4,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_blocks == 1
+    assert r.avg_rs == round(6 / math.sqrt(12.5), 6)
+    assert r.hurst is None  # one size -> no slope
+
+
+def test_hurst_trending_series_persistent(spark):
+    from usedcars_bigdata_spark.operators.timeseries import hurst_rs
+
+    # strictly increasing series: R/S grows ~linearly with s -> H near 1
+    df = spark.createDataFrame(
+        [(t, t) for t in range(256)], ["t", "x"]
+    )
+    r = hurst_rs(df, "t", "x", sizes=(8, 16, 32, 64)).collect()[0]
+    assert r.hurst > 0.9
+
+
+def test_hurst_alternating_series_antipersistent(spark):
+    from usedcars_bigdata_spark.operators.timeseries import hurst_rs
+
+    # +1/-1 alternation: R saturates at once -> H near 0
+    df = spark.createDataFrame(
+        [(t, t % 2) for t in range(256)], ["t", "x"]
+    )
+    r = hurst_rs(df, "t", "x", sizes=(8, 16, 32, 64)).collect()[0]
+    assert r.hurst < 0.2

@@ -597,3 +597,47 @@ def kmv_set_ops(
             .alias("n_exact_intersection"),
         )
     )
+
+
+def table_checksum(
+    df: DataFrame, cols: Sequence[str], group_col: str | None = None
+) -> DataFrame:
+    """Order-independent table fingerprint — the replication/migration
+    integrity primitive (compare two copies of a 100 TB table without
+    co-locating them: ship one row per partition, not the data). Each
+    row hashes to a 40-bit integer via md5 over the '|'-joined column
+    renderings (caller must pass STABLE renderings — integers/strings,
+    never raw doubles, whose to-string forms differ across engines);
+    the fingerprint is the SUM mod 2^61 plus an independent salted
+    second sum, so single-row corruption, duplication, or loss all move
+    it. 40-bit row terms keep the raw bigint sum overflow-safe to ~8M
+    rows per group under ANSI (beyond that, pre-aggregate per partition
+    bucket and re-sum the partials mod 2^61 — same algebra). Commutative
+    + associative ⇒ one map-side-combinable aggregate, any partitioning.
+
+    Output: (group?, n_rows, checksum_a, checksum_b)."""
+    rendered = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = lambda salt: F.pmod(  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), rendered)), 1, 10), 16, 10
+        ).cast("long"),
+        F.lit(1099511627776),
+    )
+    keyed = df.select(
+        *( [F.col(group_col).alias("g")] if group_col else [] ),
+        h("a:").alias("ha"),
+        h("b:").alias("hb"),
+    )
+    gb = keyed.groupBy("g") if group_col else keyed.groupBy()
+    agg = gb.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.pmod(F.sum("ha"), F.lit(2305843009213693952))
+        .cast("bigint")
+        .alias("checksum_a"),
+        F.pmod(F.sum("hb"), F.lit(2305843009213693952))
+        .cast("bigint")
+        .alias("checksum_b"),
+    )
+    if group_col:
+        return agg.withColumnRenamed("g", group_col)
+    return agg

@@ -2319,3 +2319,111 @@ def rolling_corr_hourly(
         .otherwise(F.round(num / F.sqrt(den2), ndigits) + 0.0)
         .alias("r"),
     )
+
+
+def hurst_rs(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    sizes: tuple[int, ...] = (16, 32, 64, 128),
+    term_scale: float = 1e9,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range (R/S) analysis over a dense
+    integer-indexed series: for each block size s, split into full
+    blocks, compute R/S per block, average, then the log-log OLS slope
+    across sizes is H (0.5 = no memory, >0.5 = persistent).
+
+    Exactness: with integer x, s·W_j = s·prefix_j − (j+1)·Σx is an exact
+    bigint, so R·s = max(sW) − min(sW) is exact, and S² = (s·Σx² −
+    (Σx)²)/s² has an exact bigint discriminant — each block's R/S is one
+    double division of exact integers. Block averages sum
+    integer-rounded terms (the periodogram discipline). Only the final
+    ln() pair enters libm (the retention_halflife precedent — a 1-ulp
+    divergence is ~1e-15 relative against a 1e-6 rounding grid).
+    Zero-variance blocks are excluded. Input is post-aggregation
+    (N × |sizes| rows).
+
+    Output: one row per size (s, n_blocks, avg_rs, hurst) — hurst is
+    the cross-size slope, constant across rows."""
+    sz = series.sparkSession.createDataFrame(
+        [(int(s),) for s in sizes], "s bigint"
+    )
+    base = series.select(
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    ).crossJoin(F.broadcast(sz))
+    blocked = base.withColumn("b", F.floor(F.col("t") / F.col("s")).cast("bigint"))
+    bm = blocked.groupBy("s", "b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("qx"),
+    ).filter(F.col("n") == F.col("s"))
+    w = Window.partitionBy("s", "b").orderBy("t")
+    pre = blocked.select(
+        "s",
+        "b",
+        "t",
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("prefix"),
+        F.row_number().over(w).alias("j1"),
+    )
+    sw = pre.join(bm, ["s", "b"]).select(
+        "s",
+        "b",
+        "sx",
+        "qx",
+        (F.col("s") * F.col("prefix") - F.col("j1") * F.col("sx")).alias("swj"),
+    )
+    blocks = sw.groupBy("s", "b", "sx", "qx").agg(
+        (F.max("swj") - F.min("swj")).alias("rs_num")
+    )
+    disc = F.col("s") * F.col("qx") - F.col("sx") * F.col("sx")
+    rs = blocks.filter(disc > 0).select(
+        "s",
+        (
+            F.col("rs_num").cast("double")
+            / F.sqrt(disc.cast("double"))
+        ).alias("rs_b"),
+    )
+    per_size = rs.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.round(F.col("rs_b") * F.lit(term_scale)).cast("bigint")).alias(
+            "ts_sum"
+        ),
+    )
+    avg_rs = (
+        F.col("ts_sum").cast("double")
+        / F.lit(term_scale)
+        / F.col("n_blocks").cast("double")
+    )
+    pts = per_size.select(
+        "s",
+        "n_blocks",
+        (F.round(avg_rs, ndigits) + 0.0).alias("avg_rs"),
+    )
+    lx = F.log(F.col("s").cast("double"))
+    ly = F.log(F.col("avg_rs"))
+    m = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    kd = F.col("k").cast("double")
+    den = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (kd * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    # a single size has no slope (den = 0 -> ANSI divide-by-zero): NULL
+    h = m.select(
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(slope, ndigits) + 0.0)
+        .alias("hurst")
+    )
+    return pts.crossJoin(F.broadcast(h)).select(
+        F.col("s").cast("bigint").alias("s"),
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        "avg_rs",
+        "hurst",
+    )

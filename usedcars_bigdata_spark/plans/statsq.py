@@ -1931,3 +1931,159 @@ def rel_bitemporal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_corrected_visible"),
         F.sum("cents").cast("bigint").alias("total_cents"),
     )
+
+
+@query(
+    "rel_table_checksum",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(o_custkey AS VARCHAR) || '|'
+               || o_orderstatus || '|'
+               || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                       AS VARCHAR) AS row_str
+      FROM orders
+    ),
+    h AS (
+      SELECT g,
+             CAST('0x' || substr(md5('a:' || row_str), 1, 10) AS BIGINT)
+               % 1099511627776 AS ha,
+             CAST('0x' || substr(md5('b:' || row_str), 1, 10) AS BIGINT)
+               % 1099511627776 AS hb
+      FROM r
+    )
+    SELECT g AS o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(CAST(sum(ha) AS BIGINT) % 2305843009213693952 AS BIGINT)
+             AS checksum_a,
+           CAST(CAST(sum(hb) AS BIGINT) % 2305843009213693952 AS BIGINT)
+             AS checksum_b
+    FROM h GROUP BY 1
+    """,
+)
+def rel_table_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-priority fingerprint of the orders table
+    (operators.agg.table_checksum over stable renderings: keys, status,
+    integer cents): the replication-integrity primitive — two copies of
+    a table compare by exchanging |groups| fingerprint rows instead of
+    data. Commutative sums mod 2^61; the checksum itself is what the
+    driver hash-verifies, which is as meta as the harness gets."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.col("o_orderkey").cast("string").alias("c1"),
+        F.col("o_custkey").cast("string").alias("c2"),
+        F.col("o_orderstatus").alias("c3"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("c4"),
+    )
+    return AG.table_checksum(o, ["c1", "c2", "c3", "c4"], "o_orderpriority")
+
+
+@query(
+    "ts_hurst_exponent",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events
+    ),
+    cnt AS (SELECT h, count(*) AS x FROM ev GROUP BY 1),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    dense AS (
+      SELECT a.h - s.lo AS t, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM span s,
+           LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS h) a
+      LEFT JOIN cnt c ON c.h = a.h
+    ),
+    sz AS (SELECT CAST(unnest([16, 32, 64, 128]) AS BIGINT) AS s),
+    blocked AS (
+      SELECT s, t, x, CAST(t // s AS BIGINT) AS b
+      FROM dense CROSS JOIN sz
+    ),
+    bm AS (
+      SELECT s, b, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS qx
+      FROM blocked GROUP BY 1, 2
+    ),
+    bmf AS (SELECT * FROM bm WHERE n = s),
+    pre AS (
+      SELECT s, b, t,
+             CAST(sum(x) OVER (PARTITION BY s, b ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS prefix,
+             row_number() OVER (PARTITION BY s, b ORDER BY t) AS j1
+      FROM blocked
+    ),
+    sw AS (
+      SELECT p.s, p.b, m.sx, m.qx,
+             p.s * p.prefix - p.j1 * m.sx AS swj
+      FROM pre p JOIN bmf m ON m.s = p.s AND m.b = p.b
+    ),
+    blocks AS (
+      SELECT s, b, sx, qx,
+             CAST(max(swj) - min(swj) AS BIGINT) AS rs_num
+      FROM sw GROUP BY 1, 2, 3, 4
+    ),
+    rs AS (
+      SELECT s,
+             CAST(rs_num AS DOUBLE)
+               / sqrt(CAST(s * qx - sx * sx AS DOUBLE)) AS rs_b
+      FROM blocks WHERE s * qx - sx * sx > 0
+    ),
+    per_size AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_blocks,
+             CAST(sum(CAST(round(rs_b * 1000000000.0) AS BIGINT))
+                  AS BIGINT) AS ts_sum
+      FROM rs GROUP BY 1
+    ),
+    pts AS (
+      SELECT s, n_blocks,
+             round(CAST(ts_sum AS DOUBLE) / 1000000000.0
+                   / CAST(n_blocks AS DOUBLE), 6) + 0.0 AS avg_rs
+      FROM per_size
+    ),
+    m AS (
+      SELECT count(*) AS k,
+             sum(ln(CAST(s AS DOUBLE))) AS sx,
+             sum(ln(avg_rs)) AS sy,
+             sum(ln(CAST(s AS DOUBLE)) * ln(avg_rs)) AS sxy,
+             sum(ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE))) AS sxx
+      FROM pts
+    ),
+    hh AS (
+      SELECT round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(k AS DOUBLE) * sxx - sx * sx), 6) + 0.0
+               AS hurst
+      FROM m
+    )
+    SELECT pts.s, pts.n_blocks, pts.avg_rs, hh.hurst
+    FROM pts CROSS JOIN hh
+    """,
+)
+def ts_hurst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the dense hourly event-count series by R/S
+    analysis at block sizes 16/32/64/128
+    (operators.timeseries.hurst_rs): long-range-dependence detection —
+    the memory scalar next to ts_acf_lags (short lags) and
+    ts_periodogram (fixed frequencies). Per-block R/S exact-integer,
+    block averages integer-rounded, ln only in the final 4-point
+    slope."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h")
+    )
+    cnt = ev.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    axis = span.select(
+        F.col("lo"),
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"),
+    )
+    dense = (
+        axis.join(cnt, "h", "left")
+        .select(
+            (F.col("h") - F.col("lo")).alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return TS.hurst_rs(dense, "t", "x")
