@@ -243,6 +243,8 @@ BENCH_QUERIES = [
     "rel_bitemporal_asof",
     "rel_table_checksum",
     "ts_hurst_exponent",
+    "ml_mutual_info_rank",
+    "ts_haar_energy",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

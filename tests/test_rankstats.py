@@ -585,3 +585,49 @@ def test_hurst_alternating_series_antipersistent(spark):
     )
     r = hurst_rs(df, "t", "x", sizes=(8, 16, 32, 64)).collect()[0]
     assert r.hurst < 0.2
+
+
+# --------------------------------------------------------------------- haar
+
+
+def test_haar_energy_hand_computed_two_levels(spark):
+    from usedcars_bigdata_spark.operators.timeseries import haar_energy
+
+    # x = [1, 3, 6, 2]: level 1 pairs (1,3),(6,2): d = [-2, 4]
+    #   -> E1 = (4+16)/2 = 10; a1 = [4, 8]: level 2 d = -4 -> E2 = 16/4 = 4
+    df = spark.createDataFrame(
+        list(enumerate([1, 3, 6, 2])), ["t", "x"]
+    )
+    out = {r.level: r for r in haar_energy(df, "t", "x", levels=2).collect()}
+    assert out[1].n_coeffs == 2 and out[1].energy == 10.0
+    assert out[2].n_coeffs == 1 and out[2].energy == 4.0
+    assert out[1].energy_frac == round(10 / 14, 6)
+    assert out[2].energy_frac == round(4 / 14, 6)
+
+
+def test_haar_energy_alternating_concentrates_level1(spark):
+    from usedcars_bigdata_spark.operators.timeseries import haar_energy
+
+    # strict +1/-1 alternation: ALL energy at the finest scale
+    df = spark.createDataFrame(
+        [(t, t % 2) for t in range(64)], ["t", "x"]
+    )
+    out = {r.level: r for r in haar_energy(df, "t", "x", levels=3).collect()}
+    assert out[1].energy_frac == 1.0
+    assert out[2].energy == 0.0 and out[3].energy == 0.0
+
+
+def test_mutual_info_separable_vs_constant(spark):
+    from usedcars_bigdata_spark.ml.nb import mutual_info_features
+
+    rows = [(1, "a", "z")] * 8 + [(0, "b", "z")] * 8
+    df = spark.createDataFrame(rows, ["y", "f_good", "f_const"])
+    out = {
+        r.feature: r
+        for r in mutual_info_features(df, "y", ["f_good", "f_const"]).collect()
+    }
+    # perfectly informative feature: MI = H(Y) = ln 2
+    assert out["f_good"].mi_nats == round(math.log(2), 6)
+    assert out["f_good"].h_feature_nats == round(math.log(2), 6)
+    assert out["f_const"].mi_nats == 0.0
+    assert out["f_const"].h_feature_nats == 0.0

@@ -193,3 +193,88 @@ def gini_feature_rank(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mutual_info_features(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    term_scale: float = 1e12,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Mutual information I(X_f; Y) per categorical feature against a
+    binary label — the information-theoretic companion to
+    gini_feature_rank (Gini is rational; MI needs ln, so each cell term
+    (n_vy/N)·ln(n_vy·N/(n_v·n_y)) is computed from exact bigint counts
+    and ROUNDED TO A BIGINT at ``term_scale`` before the Σ over cells —
+    cell counts are identical in both engines, so a 1-ulp ln divergence
+    only matters at a ~1e-13 rounding boundary). Also reports the
+    feature entropy H(X_f) (same discipline), so the caller can form the
+    normalized uncertainty coefficient. One groupBy per feature.
+
+    Output: (feature, n_values, mi_nats, h_feature_nats)."""
+    y = F.col(label_col).cast("int")
+    base = df.select(
+        y.alias("y"), *[F.col(f).cast("string").alias(f) for f in feature_cols]
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum("y").alias("n1"),
+        F.sum(1 - F.col("y")).alias("n0"),
+    )
+    parts = []
+    for f in feature_cols:
+        cells = base.groupBy(f, "y").agg(F.count(F.lit(1)).alias("n_vy"))
+        vtot = base.groupBy(f).agg(F.count(F.lit(1)).alias("n_v"))
+        j = cells.join(vtot, f).crossJoin(F.broadcast(tot))
+        nd = F.col("n_all").cast("double")
+        n_y = F.when(F.col("y") == 1, F.col("n1")).otherwise(F.col("n0"))
+        mi_term = (
+            F.col("n_vy").cast("double")
+            / nd
+            * F.log(
+                F.col("n_vy").cast("double")
+                * nd
+                / (F.col("n_v").cast("double") * n_y.cast("double"))
+            )
+        )
+        mi = j.agg(
+            F.sum(
+                F.round(mi_term * F.lit(term_scale)).cast("bigint")
+            ).alias("mi_s")
+        )
+        h_term = (
+            F.col("n_v").cast("double")
+            / nd
+            * F.log(F.col("n_v").cast("double") / nd)
+        )
+        hf = vtot.crossJoin(F.broadcast(tot)).agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum(
+                F.round(h_term * F.lit(term_scale)).cast("bigint")
+            ).alias("h_s"),
+        )
+        parts.append(
+            mi.crossJoin(F.broadcast(hf)).select(
+                F.lit(f).alias("feature"),
+                F.col("n_values").cast("bigint").alias("n_values"),
+                (
+                    F.round(
+                        F.col("mi_s").cast("double") / F.lit(term_scale),
+                        ndigits,
+                    )
+                    + 0.0
+                ).alias("mi_nats"),
+                (
+                    F.round(
+                        -(F.col("h_s").cast("double")) / F.lit(term_scale),
+                        ndigits,
+                    )
+                    + 0.0
+                ).alias("h_feature_nats"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2427,3 +2427,72 @@ def hurst_rs(
         "avg_rs",
         "hurst",
     )
+
+
+def haar_energy(
+    series: DataFrame,
+    t_col: str,
+    x_col: str,
+    levels: int = 5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Haar wavelet energy decomposition of a dense integer series —
+    which time scales carry the variance? (the multi-resolution
+    companion to ts_periodogram's fixed-frequency view). The transform
+    is UNROLLED as ``levels`` shrinking pair-aggregates on the
+    unnormalized pyramid a_j(p) = a_{j-1}(2p) + a_{j-1}(2p+1),
+    d_j(p) = a_{j-1}(2p) − a_{j-1}(2p+1) — every coefficient an exact
+    bigint — and only the final per-level energy Σd²/2^j is a double
+    division of exact integers. Incomplete tail pairs are dropped per
+    level (count == 2 filter). Each level's table halves; total work is
+    O(N), all map-side-combinable aggregates.
+
+    Output: (level, n_coeffs, energy, energy_frac) — energy_frac over
+    the emitted levels."""
+    a = series.select(
+        F.col(t_col).cast("bigint").alias("p"),
+        F.col(x_col).cast("bigint").alias("a"),
+    )
+    level_rows = []
+    for j in range(1, levels + 1):
+        nxt = (
+            a.select(
+                F.floor(F.col("p") / 2).cast("bigint").alias("pp"),
+                (F.col("p") % 2).alias("par"),
+                "a",
+            )
+            .groupBy("pp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("par") == 0, F.col("a"))).alias("e"),
+                F.sum(F.when(F.col("par") == 1, F.col("a"))).alias("o"),
+            )
+            .filter(F.col("n") == 2)
+            .withColumnRenamed("pp", "p")
+        )
+        lvl = nxt.select(
+            (F.col("e") - F.col("o")).alias("d"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).alias("d2"),
+        ).select(
+            F.lit(j).alias("level"),
+            "n_coeffs",
+            (
+                F.col("d2").cast("double") / F.lit(float(2**j))
+            ).alias("__energy"),
+        )
+        level_rows.append(lvl)
+        a = nxt.select("p", (F.col("e") + F.col("o")).alias("a"))
+    out = level_rows[0]
+    for l in level_rows[1:]:
+        out = out.unionByName(l)
+    tot = out.agg(F.sum("__energy").alias("__tot"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        F.col("level").cast("int").alias("level"),
+        F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
+        (F.round(F.col("__energy"), ndigits) + 0.0).alias("energy"),
+        (
+            F.round(F.col("__energy") / F.col("__tot"), ndigits) + 0.0
+        ).alias("energy_frac"),
+    )

@@ -2087,3 +2087,194 @@ def ts_hurst_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return TS.hurst_rs(dense, "t", "x")
+
+
+_MI_FEATURE_SQL = """
+    c_{f} AS (
+      SELECT {f} AS v, y, count(*) AS n_vy FROM b GROUP BY 1, 2
+    ),
+    vt_{f} AS (SELECT {f} AS v, count(*) AS n_v FROM b GROUP BY 1),
+    mi_{f} AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(c.n_vy AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(c.n_vy AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(v.n_v AS DOUBLE)
+                       * CAST(CASE WHEN c.y = 1 THEN r.n1
+                                   ELSE r.n0 END AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM c_{f} c JOIN vt_{f} v ON v.v = c.v CROSS JOIN r
+    ),
+    hf_{f} AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(CAST(round(
+               CAST(n_v AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_v AS DOUBLE) / CAST(r.n_all AS DOUBLE))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS h_s
+      FROM vt_{f} CROSS JOIN r
+    )"""
+
+_MI_SELECT_SQL = """
+      SELECT '{f}' AS feature, n_values,
+             round(CAST(mi_s AS DOUBLE) / 1000000000000.0, 6) + 0.0
+               AS mi_nats,
+             round(-(CAST(h_s AS DOUBLE)) / 1000000000000.0, 6) + 0.0
+               AS h_feature_nats
+      FROM mi_{f} CROSS JOIN hf_{f}"""
+
+
+@query(
+    "ml_mutual_info_rank",
+    oracle=f"""
+    WITH {_NB_BASE_CTE},
+    b AS (SELECT y, f1, f2, f3 FROM base),
+    r AS (
+      SELECT count(*) AS n_all, CAST(sum(y) AS BIGINT) AS n1,
+             CAST(sum(1 - y) AS BIGINT) AS n0
+      FROM b
+    ),{_MI_FEATURE_SQL.format(f='f1')},{_MI_FEATURE_SQL.format(f='f2')},{_MI_FEATURE_SQL.format(f='f3')}
+    {_MI_SELECT_SQL.format(f='f1')}
+      UNION ALL
+    {_MI_SELECT_SQL.format(f='f2')}
+      UNION ALL
+    {_MI_SELECT_SQL.format(f='f3')}
+    """,
+)
+def ml_mi_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information feature ranking on the planted-signal table
+    (ml.nb.mutual_info_features over _nb_base): the information-theoretic
+    cross-check of ml_gini_feature_rank — priority (the planted feature)
+    must carry essentially all the label information; cell terms
+    integer-rounded post-ln so the Σ is exact. Feature entropy rides
+    along for the uncertainty-coefficient normalization."""
+    base = _nb_base(spark, sf_dir)
+    return NB.mutual_info_features(base, "y", ["f1", "f2", "f3"])
+
+
+@query(
+    "ts_haar_energy",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h FROM events
+    ),
+    cnt AS (SELECT h, count(*) AS x FROM ev GROUP BY 1),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    dense AS (
+      SELECT a.h - s.lo AS t, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM span s,
+           LATERAL (SELECT unnest(generate_series(s.lo, s.hi)) AS h) a
+      LEFT JOIN cnt c ON c.h = a.h
+    ),
+    L0 AS (SELECT t AS p, x AS a FROM dense),
+    g1 AS (
+      SELECT CAST(floor(CAST(p AS DOUBLE) / 2) AS BIGINT) AS p,
+             count(*) AS n,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN a END) AS BIGINT) AS e,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN a END) AS BIGINT) AS o
+      FROM L0 GROUP BY 1
+    ),
+    f1 AS (SELECT * FROM g1 WHERE n = 2),
+    lv1 AS (
+      SELECT 1 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum((e - o) * (e - o)) AS BIGINT) AS d2
+      FROM f1
+    ),
+    L1 AS (SELECT p, e + o AS a FROM f1),
+    g2 AS (
+      SELECT CAST(floor(CAST(p AS DOUBLE) / 2) AS BIGINT) AS p,
+             count(*) AS n,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN a END) AS BIGINT) AS e,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN a END) AS BIGINT) AS o
+      FROM L1 GROUP BY 1
+    ),
+    f2 AS (SELECT * FROM g2 WHERE n = 2),
+    lv2 AS (
+      SELECT 2 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum((e - o) * (e - o)) AS BIGINT) AS d2
+      FROM f2
+    ),
+    L2 AS (SELECT p, e + o AS a FROM f2),
+    g3 AS (
+      SELECT CAST(floor(CAST(p AS DOUBLE) / 2) AS BIGINT) AS p,
+             count(*) AS n,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN a END) AS BIGINT) AS e,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN a END) AS BIGINT) AS o
+      FROM L2 GROUP BY 1
+    ),
+    f3 AS (SELECT * FROM g3 WHERE n = 2),
+    lv3 AS (
+      SELECT 3 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum((e - o) * (e - o)) AS BIGINT) AS d2
+      FROM f3
+    ),
+    L3 AS (SELECT p, e + o AS a FROM f3),
+    g4 AS (
+      SELECT CAST(floor(CAST(p AS DOUBLE) / 2) AS BIGINT) AS p,
+             count(*) AS n,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN a END) AS BIGINT) AS e,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN a END) AS BIGINT) AS o
+      FROM L3 GROUP BY 1
+    ),
+    f4 AS (SELECT * FROM g4 WHERE n = 2),
+    lv4 AS (
+      SELECT 4 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum((e - o) * (e - o)) AS BIGINT) AS d2
+      FROM f4
+    ),
+    L4 AS (SELECT p, e + o AS a FROM f4),
+    g5 AS (
+      SELECT CAST(floor(CAST(p AS DOUBLE) / 2) AS BIGINT) AS p,
+             count(*) AS n,
+             CAST(sum(CASE WHEN p % 2 = 0 THEN a END) AS BIGINT) AS e,
+             CAST(sum(CASE WHEN p % 2 = 1 THEN a END) AS BIGINT) AS o
+      FROM L4 GROUP BY 1
+    ),
+    f5 AS (SELECT * FROM g5 WHERE n = 2),
+    lv5 AS (
+      SELECT 5 AS level, CAST(count(*) AS BIGINT) AS n_coeffs,
+             CAST(sum((e - o) * (e - o)) AS BIGINT) AS d2
+      FROM f5
+    ),
+    L5 AS (SELECT p, e + o AS a FROM f5),
+    lvls AS (
+      SELECT level, n_coeffs, CAST(d2 AS DOUBLE) / 2.0 AS energy_raw FROM lv1
+      UNION ALL
+      SELECT level, n_coeffs, CAST(d2 AS DOUBLE) / 4.0 AS energy_raw FROM lv2
+      UNION ALL
+      SELECT level, n_coeffs, CAST(d2 AS DOUBLE) / 8.0 AS energy_raw FROM lv3
+      UNION ALL
+      SELECT level, n_coeffs, CAST(d2 AS DOUBLE) / 16.0 AS energy_raw FROM lv4
+      UNION ALL
+      SELECT level, n_coeffs, CAST(d2 AS DOUBLE) / 32.0 AS energy_raw FROM lv5
+    ),
+    tot AS (SELECT sum(energy_raw) AS tot FROM lvls)
+    SELECT CAST(level AS INTEGER) AS level, n_coeffs,
+           round(energy_raw, 6) + 0.0 AS energy,
+           round(energy_raw / tot.tot, 6) + 0.0 AS energy_frac
+    FROM lvls CROSS JOIN tot
+    """,
+)
+def ts_haar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy by scale (operators.timeseries.haar_energy,
+    5 levels = 2h..32h scales) over the dense hourly event-count series:
+    which time scales carry the variance — the multi-resolution
+    complement of ts_periodogram (fixed frequencies) and
+    ts_hurst_exponent (one memory scalar). Exact-integer pyramid;
+    doubles only at the per-level energy division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h")
+    )
+    cnt = ev.groupBy("h").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    axis = span.select(
+        F.col("lo"),
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"),
+    )
+    dense = (
+        axis.join(cnt, "h", "left")
+        .select(
+            (F.col("h") - F.col("lo")).alias("t"),
+            F.coalesce(F.col("x"), F.lit(0)).cast("bigint").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return TS.haar_energy(dense, "t", "x", levels=5)
