@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "ts_hurst_exponent",
     "ml_mutual_info_rank",
     "ts_haar_energy",
+    "ts_ar2_fit",
+    "ts_changepoint_binseg",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

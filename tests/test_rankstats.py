@@ -631,3 +631,52 @@ def test_mutual_info_separable_vs_constant(spark):
     assert out["f_good"].h_feature_nats == round(math.log(2), 6)
     assert out["f_const"].mi_nats == 0.0
     assert out["f_const"].h_feature_nats == 0.0
+
+
+# ------------------------------------------------------------ ar2 / binseg
+
+
+def test_ar2_yule_walker_closed_form(spark):
+    from usedcars_bigdata_spark.operators.timeseries import ar2_yule_walker
+
+    acf = spark.createDataFrame(
+        [("k", 1, 100, 0.6), ("k", 2, 100, 0.3)], ["g", "lag", "n", "r"]
+    )
+    r = ar2_yule_walker(acf, "g").collect()[0]
+    den = 1 - 0.36
+    phi1 = 0.6 * (1 - 0.3) / den
+    phi2 = (0.3 - 0.36) / den
+    assert r.phi1 == round(phi1, 6)
+    assert r.phi2 == round(phi2, 6)
+    assert r.innov_ratio == round(1 - phi1 * 0.6 - phi2 * 0.3, 6)
+    assert r.stationary is True
+
+
+def test_changepoint_binseg_finds_planted_shift(spark):
+    from usedcars_bigdata_spark.operators.timeseries import (
+        changepoint_binseg,
+    )
+
+    # level 10 for t<32, level 50 for t>=32: split at the boundary
+    rows = [("k", t, 10 if t < 32 else 50) for t in range(64)]
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    r = changepoint_binseg(df, "g", "t", "x").collect()[0]
+    # t_split = last point of the LEFT segment = 31
+    assert r.t_split == 31
+    assert r.mean_left == 10.0 and r.mean_right == 50.0
+    # gain = SSE reduction = n/4 * (50-10)^2 ... exact: total SSE of a
+    # two-level series with equal halves = n*(d/2)^2 = 64*400 = 25600
+    assert r.gain == 25600.0
+
+
+def test_changepoint_binseg_constant_series_zero_gain(spark):
+    from usedcars_bigdata_spark.operators.timeseries import (
+        changepoint_binseg,
+    )
+
+    df = spark.createDataFrame(
+        [("k", t, 7) for t in range(32)], ["g", "t", "x"]
+    )
+    r = changepoint_binseg(df, "g", "t", "x").collect()[0]
+    assert r.gain == 0.0
+    assert r.mean_left == 7.0 and r.mean_right == 7.0

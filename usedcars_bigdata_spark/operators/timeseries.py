@@ -2496,3 +2496,121 @@ def haar_energy(
             F.round(F.col("__energy") / F.col("__tot"), ndigits) + 0.0
         ).alias("energy_frac"),
     )
+
+
+def ar2_yule_walker(
+    acf: DataFrame, key_col: str, ndigits: int = 6
+) -> DataFrame:
+    """AR(2) coefficients by Yule-Walker from an ACF table (acf_lags
+    output with lags 1 and 2):
+
+        φ1 = r1(1 − r2)/(1 − r1²),  φ2 = (r2 − r1²)/(1 − r1²)
+
+    plus the innovation-variance ratio σ²/γ0 = 1 − φ1·r1 − φ2·r2.
+    Consumes the ROUNDED r grid values (identical in both engines), so
+    the closed forms hash-certify; a |φ2| < 1, φ2 ± φ1 < 1 check rides
+    along as the stationarity flag. Trivial post-ACF pivot.
+
+    Output: (key, r1, r2, phi1, phi2, innov_ratio, stationary)."""
+    p = acf.groupBy(F.col(key_col).alias("key")).agg(
+        F.max(F.when(F.col("lag") == 1, F.col("r"))).alias("r1"),
+        F.max(F.when(F.col("lag") == 2, F.col("r"))).alias("r2"),
+    )
+    r1 = F.col("r1")
+    r2 = F.col("r2")
+    den = 1.0 - r1 * r1
+    phi1 = r1 * (1.0 - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+    innov = 1.0 - phi1 * r1 - phi2 * r2
+    stationary = (
+        (F.abs(phi2) < 1.0) & (phi2 + phi1 < 1.0) & (phi2 - phi1 < 1.0)
+    )
+    return p.select(
+        F.col("key").alias(key_col),
+        "r1",
+        "r2",
+        (F.round(phi1, ndigits) + 0.0).alias("phi1"),
+        (F.round(phi2, ndigits) + 0.0).alias("phi2"),
+        (F.round(innov, ndigits) + 0.0).alias("innov_ratio"),
+        stationary.alias("stationary"),
+    )
+
+
+def changepoint_binseg(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    min_seg: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Single optimal change point per key by binary segmentation: the
+    split t* minimizing SSE_left + SSE_right (equivalently maximizing
+    variance-reduction gain). All candidate costs come from per-key
+    PREFIX sums of exact integers — SSE(a..b) = Q_ab − S_ab²/n — so
+    every candidate's gain is the same double in both engines, and the
+    argmax (gain DESC, t ASC tie-break) is deterministic. One window
+    pass builds the prefixes; the candidate scan is the series itself
+    (post-aggregation input: keys × buckets).
+
+    Output: (key, n, t_split, mean_left, mean_right, gain) — gain =
+    SSE_total − min split cost, 0 for a constant series; keys shorter
+    than 2·min_seg emit nothing."""
+    s = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    pre = s.select(
+        "key",
+        "t",
+        F.row_number().over(w).alias("i"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("ps"),
+        F.sum(F.col("x") * F.col("x")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("pq"),
+    )
+    tot = pre.groupBy("key").agg(
+        F.max("i").alias("n"),
+        F.max("ps").alias("ts_"),
+        F.max("pq").alias("tq"),
+    )
+    cand = pre.join(tot, "key").filter(
+        (F.col("i") >= min_seg) & (F.col("i") <= F.col("n") - min_seg)
+    )
+    i = F.col("i").cast("double")
+    n = F.col("n").cast("double")
+    ps = F.col("ps").cast("double")
+    pq = F.col("pq").cast("double")
+    ts_ = F.col("ts_").cast("double")
+    tq = F.col("tq").cast("double")
+    sse_l = pq - ps * ps / i
+    sse_r = (tq - pq) - (ts_ - ps) * (ts_ - ps) / (n - i)
+    sse_tot = tq - ts_ * ts_ / n
+    gain = sse_tot - (sse_l + sse_r)
+    scored = cand.select(
+        "key",
+        "t",
+        "n",
+        gain.alias("g"),
+        (ps / i).alias("ml"),
+        ((ts_ - ps) / (n - i)).alias("mr"),
+    )
+    wbest = Window.partitionBy("key").orderBy(
+        F.col("g").desc(), F.col("t").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("key").alias(key_col),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("t").cast("bigint").alias("t_split"),
+            (F.round(F.col("ml"), ndigits) + 0.0).alias("mean_left"),
+            (F.round(F.col("mr"), ndigits) + 0.0).alias("mean_right"),
+            (F.round(F.col("g"), ndigits) + 0.0).alias("gain"),
+        )
+    )

@@ -2278,3 +2278,172 @@ def ts_haar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     return TS.haar_energy(dense, "t", "x", levels=5)
+
+
+@query(
+    "ts_ar2_fit",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+      FROM events
+    ),
+    cnt AS (SELECT event_type, h, count(*) AS x FROM ev GROUP BY 1, 2),
+    span AS (SELECT min(h) AS lo, max(h) AS hi FROM ev),
+    axis AS (SELECT unnest(generate_series(lo, hi)) AS h FROM span),
+    keys AS (SELECT DISTINCT event_type FROM ev),
+    dense AS (
+      SELECT k.event_type, a.h, CAST(COALESCE(c.x, 0) AS BIGINT) AS x
+      FROM keys k CROSS JOIN axis a
+      LEFT JOIN cnt c ON c.event_type = k.event_type AND c.h = a.h
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS qx
+      FROM dense GROUP BY 1
+    ),
+    lags AS (SELECT CAST(unnest([1, 2]) AS BIGINT) AS lag),
+    pr AS (
+      SELECT d.event_type, l.lag,
+             CAST(sum(d.x * d2.x) AS BIGINT) AS cl,
+             CAST(sum(d.x) AS BIGINT) AS head,
+             CAST(sum(d2.x) AS BIGINT) AS tail,
+             count(*) AS npairs
+      FROM dense d
+      CROSS JOIN lags l
+      JOIN dense d2 ON d2.event_type = d.event_type AND d2.h = d.h + l.lag
+      GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT p.event_type, p.lag,
+             round((CAST(cl AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * CAST(head + tail AS DOUBLE)
+                    + CAST(npairs AS DOUBLE)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                   / (CAST(qx AS DOUBLE)
+                      - CAST(n AS DOUBLE)
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))),
+                   6) + 0.0 AS r
+      FROM pr p JOIN g ON g.event_type = p.event_type
+    ),
+    pv AS (
+      SELECT event_type,
+             max(CASE WHEN lag = 1 THEN r END) AS r1,
+             max(CASE WHEN lag = 2 THEN r END) AS r2
+      FROM acf GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type, r1, r2,
+             r1 * (1.0 - r2) / (1.0 - r1 * r1) AS phi1,
+             (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+      FROM pv
+    )
+    SELECT event_type, r1, r2,
+           round(phi1, 6) + 0.0 AS phi1,
+           round(phi2, 6) + 0.0 AS phi2,
+           round(1.0 - phi1 * r1 - phi2 * r2, 6) + 0.0 AS innov_ratio,
+           (abs(phi2) < 1.0 AND phi2 + phi1 < 1.0 AND phi2 - phi1 < 1.0)
+             AS stationary
+    FROM c
+    """,
+)
+def ts_ar2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) Yule-Walker fit per event type over the dense hourly series
+    (operators.timeseries.ar2_yule_walker over acf_lags at lags 1, 2):
+    forecast-ready autoregressive coefficients + innovation-variance
+    ratio + stationarity flag — the parametric step beyond ts_acf_lags'
+    raw correlations, closed-form from the rounded ACF grid."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+    )
+    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
+    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    axis = span.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
+    )
+    keys = ev.select("event_type").distinct()
+    dense = (
+        keys.crossJoin(F.broadcast(axis))
+        .join(cnt, ["event_type", "h"], "left")
+        .fillna(0, subset=["x"])
+        .localCheckpoint(eager=True)
+    )
+    acf = TS.acf_lags(dense, "event_type", "h", "x", (1, 2))
+    return TS.ar2_yule_walker(acf, "event_type")
+
+
+@query(
+    "ts_changepoint_binseg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pre AS (
+      SELECT key, t,
+             row_number() OVER (PARTITION BY key ORDER BY t) AS i,
+             CAST(sum(x) OVER (PARTITION BY key ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+             CAST(sum(x * x) OVER (PARTITION BY key ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS pq
+      FROM b
+    ),
+    tot AS (
+      SELECT key, CAST(max(i) AS BIGINT) AS n,
+             CAST(max(ps) AS BIGINT) AS total_s,
+             CAST(max(pq) AS BIGINT) AS total_q
+      FROM pre GROUP BY 1
+    ),
+    cand AS (
+      SELECT p.key, p.t, tot.n,
+             (CAST(total_q AS DOUBLE)
+              - CAST(total_s AS DOUBLE) * CAST(total_s AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             - ((CAST(pq AS DOUBLE)
+                 - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE)
+                   / CAST(i AS DOUBLE))
+                + ((CAST(total_q AS DOUBLE) - CAST(pq AS DOUBLE))
+                   - (CAST(total_s AS DOUBLE) - CAST(ps AS DOUBLE))
+                     * (CAST(total_s AS DOUBLE) - CAST(ps AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)))) AS g,
+             CAST(ps AS DOUBLE) / CAST(i AS DOUBLE) AS ml,
+             (CAST(total_s AS DOUBLE) - CAST(ps AS DOUBLE))
+               / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mr
+      FROM pre p JOIN tot ON tot.key = p.key
+      WHERE p.i >= 8 AND p.i <= tot.n - 8
+    ),
+    best AS (
+      SELECT key, n, t, ml, mr, g,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY g DESC, t ASC) AS rn
+      FROM cand
+    )
+    SELECT key AS event_type, n, t AS t_split,
+           round(ml, 6) + 0.0 AS mean_left,
+           round(mr, 6) + 0.0 AS mean_right,
+           round(g, 6) + 0.0 AS gain
+    FROM best WHERE rn = 1
+    """,
+)
+def ts_binseg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal single change point per event type over the hourly count
+    series (operators.timeseries.changepoint_binseg): exact prefix-sum
+    SSE costs, deterministic argmax — the offline/optimal companion to
+    ts_cusum_changepoints' sequential detector (binary segmentation is
+    what you recurse for multiple breaks; one level is certified
+    here)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("t"),
+    )
+    b = ev.groupBy("key", "t").agg(F.count(F.lit(1)).alias("x"))
+    return TS.changepoint_binseg(b, "key", "t", "x").withColumnRenamed(
+        "key", "event_type"
+    )
