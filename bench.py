@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "ts_haar_energy",
     "ts_ar2_fit",
     "ts_changepoint_binseg",
+    "rel_t_closeness",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1178,3 +1178,42 @@ def test_bitemporal_latest_system_time_axis(spark):
     # valid as-of 11: key 2 (valid 12) out of scope entirely
     narrow = bitemporal_latest(v, "k", "valid_d", "sys_d", 11, 19).collect()
     assert {r.k for r in narrow} == {1}
+
+
+# -------------------------------------------------------------- t-closeness
+
+
+def test_t_closeness_identical_distribution_zero(spark):
+    from usedcars_bigdata_spark.operators.clean import t_closeness
+
+    # two groups with the SAME sensitive mix as global -> TV = 0
+    rows = []
+    for g in ("a", "b"):
+        rows += [(g, "x")] * 6 + [(g, "y")] * 4
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    out = t_closeness(df, ["qi"], "s", min_group=5).collect()
+    assert all(r.tv_distance == 0.0 for r in out)
+
+
+def test_t_closeness_skewed_group_hand_computed(spark):
+    from usedcars_bigdata_spark.operators.clean import t_closeness
+
+    # group a: all x (10); group b: all y (10). global: 50/50
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    out = {r.qi: r.tv_distance for r in t_closeness(df, ["qi"], "s").collect()}
+    # TV(a) = 0.5*(|1-0.5| + |0-0.5|) = 0.5
+    assert out == {"a": 0.5, "b": 0.5}
+
+
+def test_t_closeness_missing_cell_counts(spark):
+    from usedcars_bigdata_spark.operators.clean import t_closeness
+
+    # group a never sees 'z': the zero cell must still contribute
+    rows = [("a", "x")] * 10 + [("b", "z")] * 10 + [("b", "x")] * 10
+    df = spark.createDataFrame(rows, ["qi", "s"])
+    out = {r.qi: r.tv_distance for r in t_closeness(df, ["qi"], "s").collect()}
+    # global: x=2/3, z=1/3. a: x=1 -> TV = .5*(1/3 + 1/3) = 1/3
+    assert out["a"] == round(1 / 3, 6)
+    # b: x=.5, z=.5 -> TV = .5*(|0.5-2/3| + |0.5-1/3|) = 1/6
+    assert out["b"] == round(1 / 6, 6)

@@ -131,3 +131,61 @@ def pseudonymize(
             c, F.when(F.col(c).isNull(), F.lit(None)).otherwise(tok)
         )
     return out
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive_col: str,
+    min_group: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    leg of the anonymity trio next to rel_k_anonymity (group size) and
+    rel_l_diversity (distinct sensitive values): per quasi-identifier
+    group, the total-variation distance between the group's sensitive
+    distribution and the global one. TV is kept EXACT by clearing
+    denominators:
+
+        TV_g = Σ_s |n_gs·N − n_s·n_g| / (2·n_g·N)
+
+    — the numerator is a bigint sum over the (group × sensitive) count
+    grid (missing cells enter as |0 − n_s·n_g|, supplied by a key×value
+    cross of the two small count tables), one double division at the
+    end. A release is t-close iff max TV ≤ t; groups below min_group
+    are the k-anonymity problem, not this one, and are excluded.
+
+    Output: (qi..., n_g, tv_distance) for groups with n_g ≥ min_group."""
+    s = F.col(sensitive_col).alias("s")
+    base = df.select(*[F.col(c) for c in qi_cols], s)
+    glob = base.groupBy("s").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = base.agg(F.count(F.lit(1)).alias("n_all"))
+    grp = base.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("n_g"))
+    cells = base.groupBy(*qi_cols, "s").agg(
+        F.count(F.lit(1)).alias("n_gs")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cells, [*qi_cols, "s"], "left")
+        .fillna(0, subset=["n_gs"])
+        .crossJoin(F.broadcast(tot))
+    )
+    num = F.abs(
+        F.col("n_gs") * F.col("n_all") - F.col("n_s") * F.col("n_g")
+    )
+    tv = grid.groupBy(*qi_cols, "n_g", "n_all").agg(
+        F.sum(num).alias("tv_num")
+    )
+    return tv.filter(F.col("n_g") >= min_group).select(
+        *qi_cols,
+        F.col("n_g").cast("bigint").alias("n_g"),
+        F.round(
+            F.col("tv_num").cast("double")
+            / (
+                2.0
+                * F.col("n_g").cast("double")
+                * F.col("n_all").cast("double")
+            ),
+            ndigits,
+        ).alias("tv_distance"),
+    )

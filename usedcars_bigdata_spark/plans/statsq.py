@@ -2447,3 +2447,63 @@ def ts_binseg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.changepoint_binseg(b, "key", "t", "x").withColumnRenamed(
         "key", "event_type"
     )
+
+
+@query(
+    "rel_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS VARCHAR)
+               AS s
+      FROM customer
+    ),
+    gdist AS (SELECT s, count(*) AS n_s FROM base GROUP BY 1),
+    tot AS (SELECT count(*) AS n_all FROM base),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n_g
+      FROM base GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, s, count(*) AS n_gs
+      FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, g.n_g, gl.s, gl.n_s,
+             COALESCE(c.n_gs, 0) AS n_gs, t.n_all
+      FROM grp g
+      CROSS JOIN gdist gl
+      LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+                       AND c.c_mktsegment = g.c_mktsegment
+                       AND c.s = gl.s
+      CROSS JOIN tot t
+    ),
+    tv AS (
+      SELECT c_nationkey, c_mktsegment, n_g, n_all,
+             CAST(sum(abs(n_gs * n_all - n_s * n_g)) AS BIGINT) AS tv_num
+      FROM grid GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_nationkey, c_mktsegment, CAST(n_g AS BIGINT) AS n_g,
+           round(CAST(tv_num AS DOUBLE)
+                 / (2.0 * CAST(n_g AS DOUBLE) * CAST(n_all AS DOUBLE)),
+                 6) AS tv_distance
+    FROM tv WHERE n_g >= 10
+    """,
+)
+def rel_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the (nation, segment) quasi-identifier with
+    account-balance bucket as the sensitive attribute
+    (operators.clean.t_closeness): exact cleared-denominator TV distance
+    per group — completes the anonymity trio (rel_k_anonymity group
+    sizes, rel_l_diversity distinct counts, now distribution skew)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0)
+        .cast("bigint")
+        .cast("string")
+        .alias("sens"),
+    )
+    from ..operators.clean import t_closeness
+
+    return t_closeness(cust, ["c_nationkey", "c_mktsegment"], "sens")
