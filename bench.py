@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "ts_ar2_fit",
     "ts_changepoint_binseg",
     "rel_t_closeness",
+    "ext_quality_rule_overlap",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

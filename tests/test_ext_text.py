@@ -1135,3 +1135,28 @@ def test_code_prose_detect_separates(spark):
     assert r.brackets == sum(code.count(ch) for ch in "{}()[]")
     assert r.semicolons == code.count(";") + prose.count(";")
     assert r.assigns == code.count("=")
+
+
+# ------------------------------------------------------- rule overlap matrix
+
+
+def test_quality_rule_overlap_identical_and_disjoint(spark):
+    from usedcars_bigdata_spark.ext.text import quality_rule_overlap
+
+    # One long prose doc passing everything; one symbol-heavy doc.
+    prose = ("the cat and the dog sat in the house and it is a good day "
+             * 10)
+    codey = "{}[]();;== " * 40
+    df = spark.createDataFrame(
+        [(1, prose, "s"), (2, codey, "s")], ["doc_id", "text", "source"]
+    )
+    out = {
+        (r.rule_a, r.rule_b): r
+        for r in quality_rule_overlap(df, "text").collect()
+    }
+    assert len(out) == 10  # 4 rules -> 10 unordered pairs incl. self
+    # self-pair jaccard is 1 whenever the rule passes at least one doc
+    self_len = out[("len_band", "len_band")]
+    assert self_len.n_both == self_len.n_a and self_len.jaccard == 1.0
+    # prose passes stopword; codey does not -> stopword survivor set = {1}
+    assert out[("stopword", "stopword")].n_a == 1

@@ -2297,3 +2297,79 @@ def code_prose_detect(
         (F.round(corpus_score, ndigits) + 0.0).alias("symbol_score"),
         "n_code",
     )
+
+
+def quality_rule_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Quality-rule ablation matrix — the curation diagnostic that says
+    which filter rules are redundant (high Jaccard between survivor
+    sets) and which are independent: four cheap per-doc pass flags
+    (length band, symbol density, mean word length, stopword fraction —
+    one representative per rule family in the gopher/c4/code stacks),
+    then the pairwise survivor overlap. Flags are exact integer
+    comparisons; the matrix is Σ flag_i·flag_j over one scan — 4 rules
+    → 10 unordered pairs, one map-side-combinable aggregate.
+
+    Output: (rule_a, rule_b, n_a, n_both, n_either, jaccard),
+    rule_a ≤ rule_b lexicographically."""
+    t = F.col(text_col)
+    chars = F.length(t)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+    letters = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    syms = F.regexp_count(t, F.lit(r"[{}()\[\];=]"))
+    stops = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|a|in|is|it)\b")
+    )
+    flags = docs.select(
+        ((chars >= 200) & (chars <= 20000)).cast("int").alias("len_band"),
+        (
+            syms.cast("double") <= F.lit(0.02) * F.greatest(chars, F.lit(1)).cast("double")
+        ).cast("int").alias("low_symbol"),
+        (
+            (letters.cast("double") >= F.lit(3.0) * F.greatest(words, F.lit(1)).cast("double"))
+            & (letters.cast("double") <= F.lit(10.0) * F.greatest(words, F.lit(1)).cast("double"))
+        ).cast("int").alias("word_len"),
+        (
+            stops.cast("double") * 20.0
+            >= F.greatest(words, F.lit(1)).cast("double")
+        ).cast("int").alias("stopword"),
+    )
+    rules = ["len_band", "low_symbol", "word_len", "stopword"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for i, a in enumerate(rules):
+        aggs.append(F.sum(F.col(a)).alias(f"n_{a}"))
+        for b in rules[i:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).alias(f"b_{a}__{b}")
+            )
+    # each pair row re-selects from m: checkpoint the 1-row moment table
+    # or the plan re-scans documents once per pair
+    m = flags.agg(*aggs).localCheckpoint(eager=True)
+    rows = []
+    for i, a in enumerate(rules):
+        for b in rules[i:]:
+            n_a = F.col(f"n_{a}")
+            n_b = F.col(f"n_{b}")
+            both = F.col(f"b_{a}__{b}")
+            either = n_a + n_b - both
+            rows.append(
+                m.select(
+                    F.lit(a).alias("rule_a"),
+                    F.lit(b).alias("rule_b"),
+                    n_a.cast("bigint").alias("n_a"),
+                    both.cast("bigint").alias("n_both"),
+                    either.cast("bigint").alias("n_either"),
+                    F.round(
+                        both.cast("double")
+                        / F.greatest(either, F.lit(1)).cast("double"),
+                        ndigits,
+                    ).alias("jaccard"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

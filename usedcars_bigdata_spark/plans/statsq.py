@@ -2507,3 +2507,125 @@ def rel_t_closeness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clean import t_closeness
 
     return t_closeness(cust, ["c_nationkey", "c_mktsegment"], "sens")
+
+
+@query(
+    "ext_quality_rule_overlap",
+    oracle=r"""
+    WITH f AS (
+      SELECT CAST(length(text) >= 200 AND length(text) <= 20000
+                  AS INTEGER) AS len_band,
+             CAST(CAST(len(regexp_extract_all(text, '[{}()\[\];=]'))
+                       AS DOUBLE)
+                  <= 0.02 * CAST(greatest(length(text), 1) AS DOUBLE)
+                  AS INTEGER) AS low_symbol,
+             CAST(CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                       AS DOUBLE)
+                  >= 3.0 * CAST(greatest(len(regexp_extract_all(text,
+                       '[A-Za-z]+')), 1) AS DOUBLE)
+                  AND CAST(len(regexp_extract_all(text, '[A-Za-z]'))
+                          AS DOUBLE)
+                  <= 10.0 * CAST(greatest(len(regexp_extract_all(text,
+                       '[A-Za-z]+')), 1) AS DOUBLE)
+                  AS INTEGER) AS word_len,
+             CAST(CAST(len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|a|in|is|it)\b')) AS DOUBLE)
+                  * 20.0
+                  >= CAST(greatest(len(regexp_extract_all(text,
+                       '[A-Za-z]+')), 1) AS DOUBLE)
+                  AS INTEGER) AS stopword
+      FROM documents
+    ),
+    m AS (
+      SELECT count(*) AS n_docs, CAST(sum(len_band) AS BIGINT) AS n_len_band, CAST(sum(len_band * len_band) AS BIGINT) AS b_len_band__len_band, CAST(sum(len_band * low_symbol) AS BIGINT) AS b_len_band__low_symbol, CAST(sum(len_band * word_len) AS BIGINT) AS b_len_band__word_len, CAST(sum(len_band * stopword) AS BIGINT) AS b_len_band__stopword, CAST(sum(low_symbol) AS BIGINT) AS n_low_symbol, CAST(sum(low_symbol * low_symbol) AS BIGINT) AS b_low_symbol__low_symbol, CAST(sum(low_symbol * word_len) AS BIGINT) AS b_low_symbol__word_len, CAST(sum(low_symbol * stopword) AS BIGINT) AS b_low_symbol__stopword, CAST(sum(word_len) AS BIGINT) AS n_word_len, CAST(sum(word_len * word_len) AS BIGINT) AS b_word_len__word_len, CAST(sum(word_len * stopword) AS BIGINT) AS b_word_len__stopword, CAST(sum(stopword) AS BIGINT) AS n_stopword, CAST(sum(stopword * stopword) AS BIGINT) AS b_stopword__stopword
+      FROM f
+    )
+      SELECT 'len_band' AS rule_a, 'len_band' AS rule_b,
+             n_len_band AS n_a, b_len_band__len_band AS n_both,
+             n_len_band + n_len_band - b_len_band__len_band AS n_either,
+             round(CAST(b_len_band__len_band AS DOUBLE)
+                   / CAST(greatest(n_len_band + n_len_band - b_len_band__len_band, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'len_band' AS rule_a, 'low_symbol' AS rule_b,
+             n_len_band AS n_a, b_len_band__low_symbol AS n_both,
+             n_len_band + n_low_symbol - b_len_band__low_symbol AS n_either,
+             round(CAST(b_len_band__low_symbol AS DOUBLE)
+                   / CAST(greatest(n_len_band + n_low_symbol - b_len_band__low_symbol, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'len_band' AS rule_a, 'word_len' AS rule_b,
+             n_len_band AS n_a, b_len_band__word_len AS n_both,
+             n_len_band + n_word_len - b_len_band__word_len AS n_either,
+             round(CAST(b_len_band__word_len AS DOUBLE)
+                   / CAST(greatest(n_len_band + n_word_len - b_len_band__word_len, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'len_band' AS rule_a, 'stopword' AS rule_b,
+             n_len_band AS n_a, b_len_band__stopword AS n_both,
+             n_len_band + n_stopword - b_len_band__stopword AS n_either,
+             round(CAST(b_len_band__stopword AS DOUBLE)
+                   / CAST(greatest(n_len_band + n_stopword - b_len_band__stopword, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'low_symbol' AS rule_a, 'low_symbol' AS rule_b,
+             n_low_symbol AS n_a, b_low_symbol__low_symbol AS n_both,
+             n_low_symbol + n_low_symbol - b_low_symbol__low_symbol AS n_either,
+             round(CAST(b_low_symbol__low_symbol AS DOUBLE)
+                   / CAST(greatest(n_low_symbol + n_low_symbol - b_low_symbol__low_symbol, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'low_symbol' AS rule_a, 'word_len' AS rule_b,
+             n_low_symbol AS n_a, b_low_symbol__word_len AS n_both,
+             n_low_symbol + n_word_len - b_low_symbol__word_len AS n_either,
+             round(CAST(b_low_symbol__word_len AS DOUBLE)
+                   / CAST(greatest(n_low_symbol + n_word_len - b_low_symbol__word_len, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'low_symbol' AS rule_a, 'stopword' AS rule_b,
+             n_low_symbol AS n_a, b_low_symbol__stopword AS n_both,
+             n_low_symbol + n_stopword - b_low_symbol__stopword AS n_either,
+             round(CAST(b_low_symbol__stopword AS DOUBLE)
+                   / CAST(greatest(n_low_symbol + n_stopword - b_low_symbol__stopword, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'word_len' AS rule_a, 'word_len' AS rule_b,
+             n_word_len AS n_a, b_word_len__word_len AS n_both,
+             n_word_len + n_word_len - b_word_len__word_len AS n_either,
+             round(CAST(b_word_len__word_len AS DOUBLE)
+                   / CAST(greatest(n_word_len + n_word_len - b_word_len__word_len, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'word_len' AS rule_a, 'stopword' AS rule_b,
+             n_word_len AS n_a, b_word_len__stopword AS n_both,
+             n_word_len + n_stopword - b_word_len__stopword AS n_either,
+             round(CAST(b_word_len__stopword AS DOUBLE)
+                   / CAST(greatest(n_word_len + n_stopword - b_word_len__stopword, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+      UNION ALL
+      SELECT 'stopword' AS rule_a, 'stopword' AS rule_b,
+             n_stopword AS n_a, b_stopword__stopword AS n_both,
+             n_stopword + n_stopword - b_stopword__stopword AS n_either,
+             round(CAST(b_stopword__stopword AS DOUBLE)
+                   / CAST(greatest(n_stopword + n_stopword - b_stopword__stopword, 1)
+                          AS DOUBLE), 6) AS jaccard
+      FROM m
+    """,
+)
+def ext_quality_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule ablation matrix (ext.text.quality_rule_overlap):
+    pairwise survivor Jaccard between four representative filter rules
+    (length band, symbol density, mean word length, stopword fraction)
+    — the curation diagnostic that exposes redundant rules before a
+    100 TB pipeline pays for all of them. One scan, one moment row."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.quality_rule_overlap(docs, "text")
