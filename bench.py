@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "ts_changepoint_binseg",
     "rel_t_closeness",
     "ext_quality_rule_overlap",
+    "ts_stream_kmv",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -650,3 +650,43 @@ def test_stream_user_totals_multibatch_equals_batch(spark, sf_dir, tmp_path):
         for r in user_spend_totals(events).collect()
     }
     assert got == want
+
+
+def test_streaming_kmv_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """min-k semilattice: 3-batch streamed signature == one-shot batch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.sources import load_table
+    from usedcars_bigdata_spark.streaming.events import read_event_stream
+    from usedcars_bigdata_spark.streaming.sinks import (
+        streaming_kmv_signature,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "kmv")
+    events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    stream = read_event_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    ).select("event_type", "user_id")
+    sig = streaming_kmv_signature(
+        spark, stream, "event_type", "user_id", k=16
+    )[0]
+    got = {
+        (r.g, r.h)
+        for r in sig.collect()
+    }
+    w = Window.partitionBy("g").orderBy("h")
+    want = {
+        (r.g, r.h)
+        for r in events.select(
+            F.col("event_type").cast("string").alias("g"),
+            F.md5(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 16)
+        .collect()
+    }
+    assert got == want

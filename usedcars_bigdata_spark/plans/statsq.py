@@ -2629,3 +2629,75 @@ def ext_quality_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB pipeline pays for all of them. One scan, one moment row."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.quality_rule_overlap(docs, "text")
+
+
+@query(
+    "ts_stream_kmv",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY 1
+    )
+    SELECT r.event_type,
+           string_agg(r.h, ',' ORDER BY r.h) AS sketch,
+           CAST(count(*) AS BIGINT) AS k_filled,
+           any_value(ex.n_exact) AS n_exact
+    FROM r JOIN ex ON ex.event_type = r.event_type
+    WHERE r.rn <= 32
+    GROUP BY 1
+    """,
+)
+def ts_stream_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mergeable KMV sketch: per-event-type distinct-user
+    signatures accumulated across THREE real micro-batches via
+    foreachBatch min-k merges (streaming.sinks.streaming_kmv_signature)
+    — min-k is a semilattice, so the streamed signature hash-equals the
+    one-shot batch sketch whatever the batch boundaries (the oracle IS
+    the batch sketch — the strongest mergeability statement the harness
+    can make, the sketch twin of ts_stream_topk's exact-count parity)."""
+    import os
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.sinks import streaming_kmv_signature
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_mb_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        events = load_table(spark, sf_dir, "events")
+        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+    stream = read_event_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=1
+    ).select("event_type", "user_id")
+    sig = streaming_kmv_signature(spark, stream, "event_type", "user_id", k=32)[0]
+    ex = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").cast("string").alias("g"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    return (
+        sig.groupBy("g")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("h"))).alias("sketch"),
+            F.count(F.lit(1)).cast("bigint").alias("k_filled"),
+        )
+        .join(F.broadcast(ex), "g")
+        .select(
+            F.col("g").alias("event_type"), "sketch", "k_filled", "n_exact"
+        )
+    )

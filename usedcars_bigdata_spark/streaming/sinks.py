@@ -72,3 +72,58 @@ def upsert_to_parquet(
         .queryName(query_name)
         .start()
     )
+
+
+def streaming_kmv_signature(
+    spark: SparkSession,
+    stream: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 32,
+) -> "list[DataFrame]":
+    """Mergeable-sketch streaming: maintain a per-group KMV (k-minimum-
+    values) distinct signature across micro-batches via foreachBatch —
+    each batch computes its LOCAL per-group min-k of md5(key), the
+    accumulator unions signatures and re-takes min-k. State is ≤
+    groups × k digests (bytes, not data), and because min-k is a
+    semilattice merge (commutative, associative, idempotent) the final
+    signature equals the one-shot batch sketch WHATEVER the batch
+    boundaries — which is exactly what the oracle certifies. The
+    production shape for distinct-count dashboards fed by Kafka.
+
+    Returns a single-element list holding the final signature DataFrame
+    (group, h) — list so the foreachBatch closure can rebind it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    state: list[DataFrame] = [
+        spark.createDataFrame([], f"g string, h string")
+    ]
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        local = batch_df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.md5(F.col(key_col).cast("string")).alias("h"),
+        ).distinct()
+        w = Window.partitionBy("g").orderBy("h")
+        merged = (
+            state[0]
+            .unionByName(local)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        # materialize the tiny signature so the next batch's lineage
+        # does not chain through every prior batch
+        state[0] = spark.createDataFrame(
+            merged.collect(), "g string, h string"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
