@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "rel_t_closeness",
     "ext_quality_rule_overlap",
     "ts_stream_kmv",
+    "rel_graph_bfs_layers",
+    "ml_class_balance",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

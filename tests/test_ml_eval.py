@@ -464,3 +464,46 @@ def test_pinball_q90_hand_computed(spark):
     assert r.pinball_x10_total == 4 + 0 + 99
     assert r.pinball_mean == round(103 / 10 / 3, 6)
     assert r.coverage == round(2 / 3, 6)
+
+
+# ----------------------------------------------------------- class balance
+
+
+def test_balance_oversample_counts_and_determinism(spark):
+    from usedcars_bigdata_spark.ml.prep import balance_oversample
+
+    rows = [(i, 0) for i in range(90)] + [(i, 1) for i in range(90, 100)]
+    df = spark.createDataFrame(rows, ["id", "y"])
+    res = balance_oversample(df, "y", "id")
+    out = res.groupBy("y").count().collect()
+    counts = {r.y: r["count"] for r in out}
+    assert counts[0] == 90  # majority untouched
+    # E[n1_after] = 90 exactly; actual within the 10-row fractional band
+    assert 81 <= counts[1] <= 99
+    # deterministic: second run identical
+    again = {
+        r.y: r["count"]
+        for r in balance_oversample(df, "y", "id").groupBy("y").count().collect()
+    }
+    assert again == counts
+    # every minority row has at least floor(90/10) = 9 copies
+    per_id = (
+        res.filter(F.col("y") == 1).groupBy("id").count().collect()
+    )
+    assert all(r["count"] in (9, 10) for r in per_id)
+
+
+def test_bfs_layers_chain_graph(spark):
+    from usedcars_bigdata_spark.operators.graph import bfs_layers
+
+    # star center 1 (degree 3) + chain 1-2-3-4... seed = node 1
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        ["a", "b"],
+    )
+    out = {r.dist: r.n_nodes for r in bfs_layers(e, "a", "b", rounds=3).collect()}
+    assert out[0] == 1          # seed
+    assert out[1] == 3          # 10, 11, 2
+    assert out[2] == 1          # 3
+    assert out[3] == 1          # 4
+    assert out[-1] == 3         # 5, 6, 7 unreached in 3 hops

@@ -20,6 +20,7 @@ from pyspark.ml.evaluation import ClusteringEvaluator, RegressionEvaluator
 from pyspark.ml.feature import Bucketizer, Imputer, OneHotEncoder
 from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def impute_numeric(
@@ -119,3 +120,58 @@ def cross_validate_regressor(
     )
     model = cv.fit(train)
     return model.bestModel, [float(m) for m in model.avgMetrics]
+
+
+def balance_oversample(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    salt: str = "cbe",
+) -> DataFrame:
+    """Deterministic minority oversampling to ~1:1 — the class-balance
+    step of an ML data-prep pipeline, with md5 replacing RNG so the
+    resampled table is bit-reproducible (and hash-certifiable): each
+    minority row gets ``n0 div n1`` copies plus one more iff
+    u(md5(salt:id)) < (n0 mod n1)/n1, so E[n_after] = n0 exactly and
+    every engine draws the same rows. Majority rows pass through. The
+    expansion is a single explode(sequence) — no RNG, no driver loop.
+
+    Output: the resampled DataFrame with a ``copy_idx`` column (0 for
+    originals/majority)."""
+    lbl = F.col(label_col).cast("int")
+    cls = df.agg(
+        F.sum(1 - lbl).alias("n0"), F.sum(lbl).alias("n1")
+    )
+    j = df.crossJoin(F.broadcast(cls))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    thr = F.pmod(F.col("n0"), F.col("n1")).cast("double") / F.col(
+        "n1"
+    ).cast("double")
+    copies = F.when(
+        lbl == 1,
+        (F.col("n0") - F.pmod(F.col("n0"), F.col("n1"))) / F.col("n1")
+        + (u < thr).cast("int"),
+    ).otherwise(F.lit(1)).cast("int")
+    return (
+        j.withColumn("__copies", copies)
+        .withColumn(
+            "__ci", F.explode(F.sequence(F.lit(1), F.col("__copies")))
+        )
+        .withColumn("copy_idx", F.col("__ci") - 1)
+        .drop("__copies", "__ci", "n0", "n1")
+    )

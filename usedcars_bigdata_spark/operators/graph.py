@@ -432,3 +432,55 @@ def degree_assortativity(
         (F.col("m") / 2).cast("bigint").alias("n_edges"),
         (F.round(num / den, ndigits) + 0.0).alias("r"),
     )
+
+
+def bfs_layers(
+    edges: DataFrame, src: str, dst: str, rounds: int = 4
+) -> DataFrame:
+    """Breadth-first layers from the highest-degree node (deterministic
+    seed: max degree, min id tie-break), unrolled ``rounds`` hops as
+    declarative joins — the traversal primitive the pagerank/label-prop/
+    k-core tier lacked. Each round: frontier ⋈ edges → anti-join
+    visited; the visited set is localCheckpointed per round so lineage
+    stays O(1) (the connected-components discipline, ext/dedup.py).
+    At 100 TB the frontier join shuffles on the node key; rounds are a
+    fixed small constant (graph diameter of interest), not data-sized.
+
+    Output: (dist, n_nodes) for dist 0..rounds, plus a (-1, n) row for
+    in-graph nodes unreached within ``rounds`` hops."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.col("d").desc(), F.col("a").asc())
+    seed = (
+        deg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("a").alias("node"))
+    )
+    visited = seed.select("node", F.lit(0).alias("dist")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    for r in range(1, rounds + 1):
+        nbrs = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        new = nbrs.join(visited, "node", "left_anti").select(
+            "node", F.lit(r).alias("dist")
+        )
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+    layers = visited.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    unreached = nodes.join(visited, "node", "left_anti").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.lit(-1).alias("dist"), "n_nodes")
+    return layers.unionByName(unreached).select(
+        F.col("dist").cast("int").alias("dist"), "n_nodes"
+    )

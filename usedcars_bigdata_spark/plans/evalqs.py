@@ -4175,3 +4175,48 @@ def rel_graph_assort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel_graph_kcore with the mixing-structure scalar."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     return G.degree_assortativity(edges, "pa", "pb")
+
+
+@query(
+    "rel_graph_bfs_layers",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a, count(*) AS d FROM sym GROUP BY 1),
+    seed AS (
+      SELECT a AS node FROM deg ORDER BY d DESC, a ASC LIMIT 1
+    ),
+    walk AS (
+      SELECT node, 0 AS dist FROM seed
+      UNION
+      SELECT s.b AS node, w.dist + 1 AS dist
+      FROM walk w JOIN sym s ON s.a = w.node
+      WHERE w.dist < 4
+    ),
+    md AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1),
+    layers AS (
+      SELECT CAST(dist AS INTEGER) AS dist,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM md GROUP BY 1
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    unreached AS (
+      SELECT CAST(-1 AS INTEGER) AS dist,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM nodes n
+      WHERE NOT EXISTS (SELECT 1 FROM md WHERE md.node = n.node)
+    )
+    SELECT dist, n_nodes FROM layers
+    UNION ALL
+    SELECT dist, n_nodes FROM unreached
+    """,
+)
+def rel_bfs_layers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS layer census from the co-purchase hub node
+    (operators.graph.bfs_layers, 4 unrolled hops): how much of the
+    graph is within k hops of the busiest part — the traversal
+    primitive next to rel_graph_kcore's peel and rel_label_propagation's
+    diffusion. The oracle replays the same walk as a recursive CTE with
+    min-dist dedup."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return G.bfs_layers(edges, "pa", "pb", rounds=4)

@@ -2701,3 +2701,126 @@ def ts_stream_kmv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("event_type"), "sketch", "k_filled", "n_exact"
         )
     )
+
+
+@query(
+    "ml_class_balance",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS id,
+             CAST((CAST('0x' || substr(md5('cbl:'
+                || CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0 < 0.15 AS INTEGER) AS y
+      FROM orders
+    ),
+    cls AS (
+      SELECT CAST(sum(1 - y) AS BIGINT) AS n0,
+             CAST(sum(y) AS BIGINT) AS n1
+      FROM base
+    ),
+    cop AS (
+      SELECT b.id, b.y,
+             CASE WHEN b.y = 1
+                  THEN CAST(c.n0 // c.n1 AS INTEGER)
+                       + CAST((CAST('0x' || substr(md5('cbe:'
+                           || CAST(b.id AS VARCHAR)), 1, 8) AS BIGINT)
+                           + 0.5) / 4294967296.0
+                          < CAST(c.n0 % c.n1 AS DOUBLE)
+                            / CAST(c.n1 AS DOUBLE) AS INTEGER)
+                  ELSE 1 END AS copies
+      FROM base b CROSS JOIN cls c
+    ),
+    h AS (
+      SELECT y, copies,
+             CAST('0x' || substr(md5('ck:' || CAST(id AS VARCHAR)), 1, 10)
+                  AS BIGINT) % 1099511627776 AS hk
+      FROM cop
+    )
+    SELECT CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_majority,
+           CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minority,
+           CAST(sum(CASE WHEN y = 1 THEN copies ELSE 0 END) AS BIGINT)
+             AS n_minority_after,
+           round(CAST(sum(CASE WHEN y = 1 THEN copies ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS balance_ratio,
+           CAST(CAST(sum(CASE WHEN y = 1 THEN copies * hk ELSE 0 END)
+                     AS BIGINT) % 2305843009213693952
+                AS BIGINT) AS checksum
+    FROM h
+    """,
+)
+def ml_class_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority oversampling audit
+    (ml.prep.balance_oversample on a planted 15% label): the md5-driven
+    expansion makes E[n_after] = n_majority exactly and every engine
+    replicate the same rows — certified here by the copy-weighted key
+    checksum over the actually-exploded resample (the table_checksum
+    idiom), not just the counts."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit("cbl"),
+                                F.col("o_orderkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 0.5
+            )
+            / 4294967296.0
+            < 0.15
+        ).cast("int").alias("y"),
+    )
+    from ..ml.prep import balance_oversample
+
+    res = balance_oversample(base, "y", "id")
+    hk = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ck:"), F.col("id").cast("string"))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1099511627776),
+    )
+    per_row = res.select("id", "y", hk.alias("hk"))
+    return per_row.agg(
+        F.sum((F.col("y") == 0).cast("int")).cast("bigint").alias("n_majority"),
+        # originals only: each minority source row counted once
+        F.sum(
+            F.when(F.col("y") == 1, 1).otherwise(0)
+        ).cast("bigint").alias("__n_min_rows"),
+        F.sum(F.col("y")).cast("bigint").alias("__n_min_copies"),
+        F.sum(F.when(F.col("y") == 1, F.col("hk")).otherwise(0)).alias("__ck"),
+    ).crossJoin(
+        F.broadcast(
+            base.agg(F.sum("y").cast("bigint").alias("n_minority"))
+        )
+    ).select(
+        "n_majority",
+        "n_minority",
+        F.col("__n_min_copies").alias("n_minority_after"),
+        F.round(
+            F.col("__n_min_copies").cast("double")
+            / F.col("n_majority").cast("double"),
+            6,
+        ).alias("balance_ratio"),
+        F.pmod(F.col("__ck"), F.lit(2305843009213693952))
+        .cast("bigint")
+        .alias("checksum"),
+    )
