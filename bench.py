@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "ts_stream_kmv",
     "rel_graph_bfs_layers",
     "ml_class_balance",
+    "ml_mrmr_rank",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

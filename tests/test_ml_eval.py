@@ -507,3 +507,31 @@ def test_bfs_layers_chain_graph(spark):
     assert out[2] == 1          # 3
     assert out[3] == 1          # 4
     assert out[-1] == 3         # 5, 6, 7 unreached in 3 hops
+
+
+def test_mi_pair_symmetric_and_mrmr_orders_planted(spark):
+    from usedcars_bigdata_spark.ml.nb import mi_pair, mrmr_rank
+
+    # f_good == y exactly; f_dup duplicates f_good; f_noise constant.
+    rows = []
+    for i in range(40):
+        y = i % 2
+        rows.append((y, str(y), str(y), "c"))
+    df = spark.createDataFrame(rows, ["y", "f_good", "f_dup", "f_noise"])
+    a = mi_pair(df, "f_good", "f_dup").collect()[0].mi_s
+    b = mi_pair(df, "f_dup", "f_good").collect()[0].mi_s
+    assert a == b  # symmetric
+    out = {
+        r.feature: r
+        for r in mrmr_rank(df, "y", ["f_good", "f_dup", "f_noise"]).collect()
+    }
+    # good and dup are both perfectly relevant BUT fully redundant with
+    # each other: mrmr = ln2 - (ln2 + 0)/2 = ln2/2
+    import math
+
+    half_ln2 = round(math.log(2) - (math.log(2) + 0.0) / 2, 6)
+    assert out["f_good"].mrmr == half_ln2
+    assert out["f_dup"].mrmr == half_ln2
+    # noise: zero relevance, zero redundancy
+    assert out["f_noise"].relevance == 0.0
+    assert out["f_noise"].mrmr == 0.0

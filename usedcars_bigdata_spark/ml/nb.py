@@ -278,3 +278,91 @@ def mutual_info_features(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def mi_pair(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    term_scale: float = 1e12,
+) -> DataFrame:
+    """Mutual information between two categorical columns (nats) — the
+    generic cell form behind mutual_info_features, used pairwise by the
+    mRMR ranking. Exact bigint cell/marginal counts; each cell term is
+    integer-rounded post-ln before the Σ (grid determinism as in
+    mutual_info_features). Returns a 1-row DataFrame (mi_s bigint at
+    term_scale) so callers can compose without collecting."""
+    base = df.select(
+        F.col(col_a).cast("string").alias("a"),
+        F.col(col_b).cast("string").alias("b"),
+    )
+    cells = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ma = base.groupBy("a").agg(F.count(F.lit(1)).alias("n_a"))
+    mb = base.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    tot = base.agg(F.count(F.lit(1)).alias("n_all"))
+    j = (
+        cells.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    nd = F.col("n_all").cast("double")
+    term = (
+        F.col("n_ab").cast("double")
+        / nd
+        * F.log(
+            F.col("n_ab").cast("double")
+            * nd
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+    )
+    return j.agg(
+        F.sum(F.round(term * F.lit(term_scale)).cast("bigint")).alias("mi_s")
+    )
+
+
+def mrmr_rank(
+    df: DataFrame,
+    label_col: str,
+    feature_cols: Sequence[str],
+    term_scale: float = 1e12,
+    ndigits: int = 6,
+) -> DataFrame:
+    """mRMR-style feature scoring (Peng et al. 2005, one-shot form):
+    relevance = MI(f, y), redundancy = mean MI(f, f') over the other
+    features, score = relevance − redundancy — the selection criterion
+    that demotes features which merely restate each other. Composed
+    entirely from mi_pair 1-row frames (no collect); |features|² tiny
+    pair grid.
+
+    Output: (feature, relevance, redundancy, mrmr)."""
+    rows = []
+    feats = list(feature_cols)
+    for f in feats:
+        rel = mi_pair(df, f, label_col, term_scale).withColumnRenamed(
+            "mi_s", "rel_s"
+        )
+        others = [g for g in feats if g != f]
+        red = None
+        for g in others:
+            p = mi_pair(df, f, g, term_scale)
+            red = p if red is None else red.crossJoin(
+                p.withColumnRenamed("mi_s", "mi_s2")
+            ).select((F.col("mi_s") + F.col("mi_s2")).alias("mi_s"))
+        rel_d = F.col("rel_s").cast("double") / F.lit(term_scale)
+        red_d = (
+            F.col("mi_s").cast("double")
+            / F.lit(term_scale)
+            / F.lit(float(len(others)))
+        )
+        rows.append(
+            rel.crossJoin(F.broadcast(red)).select(
+                F.lit(f).alias("feature"),
+                (F.round(rel_d, ndigits) + 0.0).alias("relevance"),
+                (F.round(red_d, ndigits) + 0.0).alias("redundancy"),
+                (F.round(rel_d - red_d, ndigits) + 0.0).alias("mrmr"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

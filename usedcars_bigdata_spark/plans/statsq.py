@@ -2824,3 +2824,134 @@ def ml_class_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("checksum"),
     )
+
+
+@query(
+    "ml_mrmr_rank",
+    oracle=f"""
+    WITH {_NB_BASE_CTE},
+    b AS (SELECT y, f1, f2, f3 FROM base),
+    r AS (SELECT count(*) AS n_all FROM b),
+    mi_f1y AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f1 AS a, CAST(y AS VARCHAR) AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f1 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT CAST(y AS VARCHAR) AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    ),
+    mi_f2y AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f2 AS a, CAST(y AS VARCHAR) AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f2 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT CAST(y AS VARCHAR) AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    ),
+    mi_f3y AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f3 AS a, CAST(y AS VARCHAR) AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f3 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT CAST(y AS VARCHAR) AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    ),
+    mi_f1f2 AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f1 AS a, f2 AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f1 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT f2 AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    ),
+    mi_f1f3 AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f1 AS a, f3 AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f1 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT f3 AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    ),
+    mi_f2f3 AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(n_ab AS DOUBLE) / CAST(r.n_all AS DOUBLE)
+               * ln(CAST(n_ab AS DOUBLE) * CAST(r.n_all AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS mi_s
+      FROM (SELECT f2 AS a, f3 AS bb, count(*) AS n_ab
+            FROM b GROUP BY 1, 2) c
+      JOIN (SELECT f2 AS a, count(*) AS n_a FROM b GROUP BY 1) ma
+        ON ma.a = c.a
+      JOIN (SELECT f3 AS bb, count(*) AS n_b FROM b GROUP BY 1) mb
+        ON mb.bb = c.bb
+      CROSS JOIN r
+    )
+      SELECT 'f1' AS feature,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0, 6) + 0.0
+               AS relevance,
+             round(CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                   / 1000000000000.0 / 2.0, 6) + 0.0 AS redundancy,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0
+                   - CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                     / 1000000000000.0 / 2.0, 6) + 0.0 AS mrmr
+      FROM mi_f1y rel CROSS JOIN mi_f1f2 ra CROSS JOIN mi_f1f3 rb
+      UNION ALL
+      SELECT 'f2' AS feature,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0, 6) + 0.0
+               AS relevance,
+             round(CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                   / 1000000000000.0 / 2.0, 6) + 0.0 AS redundancy,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0
+                   - CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                     / 1000000000000.0 / 2.0, 6) + 0.0 AS mrmr
+      FROM mi_f2y rel CROSS JOIN mi_f1f2 ra CROSS JOIN mi_f2f3 rb
+      UNION ALL
+      SELECT 'f3' AS feature,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0, 6) + 0.0
+               AS relevance,
+             round(CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                   / 1000000000000.0 / 2.0, 6) + 0.0 AS redundancy,
+             round(CAST(rel.mi_s AS DOUBLE) / 1000000000000.0
+                   - CAST(ra.mi_s + rb.mi_s AS DOUBLE)
+                     / 1000000000000.0 / 2.0, 6) + 0.0 AS mrmr
+      FROM mi_f3y rel CROSS JOIN mi_f1f3 ra CROSS JOIN mi_f2f3 rb
+    """,
+)
+def ml_mrmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mRMR feature scoring on the planted-signal table
+    (ml.nb.mrmr_rank): relevance MI(f, y) minus mean pairwise feature
+    redundancy MI(f, f') — the selection criterion that demotes features
+    restating each other, composed from the same integer-rounded MI
+    cells as ml_mutual_info_rank; priority must top the mrmr order."""
+    base = _nb_base(spark, sf_dir)
+    return NB.mrmr_rank(base, "y", ["f1", "f2", "f3"])
