@@ -253,6 +253,8 @@ BENCH_QUERIES = [
     "rel_graph_bfs_layers",
     "ml_class_balance",
     "ml_mrmr_rank",
+    "ts_runs_test",
+    "ts_turning_points",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

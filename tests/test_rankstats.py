@@ -680,3 +680,48 @@ def test_changepoint_binseg_constant_series_zero_gain(spark):
     r = changepoint_binseg(df, "g", "t", "x").collect()[0]
     assert r.gain == 0.0
     assert r.mean_left == 7.0 and r.mean_right == 7.0
+
+
+# -------------------------------------------------- runs / turning points
+
+
+def test_runs_test_alternating_max_runs(spark):
+    from usedcars_bigdata_spark.operators.rankstats import runs_test
+
+    # 0,10,0,10,... 12 points: median pick at rank 6 (sorted) = 0 ->
+    # above = {10}, runs = 12 (every point flips), z large positive
+    rows = [("k", t, 0 if t % 2 == 0 else 10) for t in range(12)]
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    r = runs_test(df, "g", "t", "x").collect()[0]
+    assert (r.n_above, r.n_below, r.n_runs) == (6, 6, 12)
+    n, n1, n2 = 12.0, 6.0, 6.0
+    mu = 2 * n1 * n2 / n + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    assert r.z == round((12 - mu) / math.sqrt(var), 6)
+
+
+def test_runs_test_sorted_series_two_runs(spark):
+    from usedcars_bigdata_spark.operators.rankstats import runs_test
+
+    rows = [("k", t, t) for t in range(10)]
+    df = spark.createDataFrame(rows, ["g", "t", "x"])
+    r = runs_test(df, "g", "t", "x").collect()[0]
+    assert r.n_runs == 2  # all-below then all-above
+    assert r.z < -2  # strongly non-random
+
+
+def test_turning_points_hand_counts(spark):
+    from usedcars_bigdata_spark.operators.rankstats import (
+        turning_points_test,
+    )
+
+    # x = [1,3,2,4,4,5]: turning at t=1 (3) and t=2 (2); the flat 4,4
+    # triple is NOT a turn (strict convention)
+    rows = list(enumerate([1, 3, 2, 4, 4, 5]))
+    df = spark.createDataFrame([("k", t, x) for t, x in rows], ["g", "t", "x"])
+    r = turning_points_test(df, "g", "t", "x").collect()[0]
+    assert r.n_turning == 2
+    n = 6.0
+    assert r.z == round(
+        (2 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90), 6
+    )

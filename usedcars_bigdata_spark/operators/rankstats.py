@@ -430,3 +430,129 @@ def ljung_box(
         F.col("n").cast("bigint").alias("n"),
         (F.round(q, ndigits) + 0.0).alias("q"),
     )
+
+
+def runs_test(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness per key: dichotomize the
+    ordered series at its exact median order statistic (above = x > m,
+    below = x ≤ m), count sign runs, and compare with the exact null
+    moments
+
+        μ = 2·n₁·n₂/n + 1,   σ² = 2n₁n₂(2n₁n₂ − n) / (n²(n − 1))
+
+    Runs are counted with one lag window (run starts where the sign
+    changes); all counts are exact bigints and the z-score is one fixed
+    double closed form — products 2n₁n₂ go double BEFORE multiplying
+    (ANSI overflow discipline). Completes the nonparametric family on
+    the randomness axis (Mann-Whitney = location, Kruskal-Wallis =
+    k-sample, Ljung-Box = autocorrelation, this = run structure).
+
+    Output: (key, n, n_above, n_below, n_runs, z)."""
+    s = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    wv = Window.partitionBy("key").orderBy("x", "t")
+    cnt = s.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        s.withColumn("rv", F.row_number().over(wv))
+        .join(cnt, "key")
+        .filter(
+            F.col("rv")
+            == F.ceil(F.col("n").cast("double") / 2.0).cast("bigint")
+        )
+        .select("key", F.col("x").alias("med"))
+    )
+    signed = s.join(med, "key").select(
+        "key", "t", (F.col("x") > F.col("med")).cast("int").alias("sgn")
+    )
+    wt = Window.partitionBy("key").orderBy("t")
+    runs = signed.select(
+        "key",
+        "sgn",
+        (
+            F.lag("sgn").over(wt).isNull()
+            | (F.lag("sgn").over(wt) != F.col("sgn"))
+        ).cast("int").alias("is_start"),
+    )
+    m = runs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sgn").alias("n_above"),
+        F.sum(1 - F.col("sgn")).alias("n_below"),
+        F.sum("is_start").alias("n_runs"),
+    )
+    nd = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n2 = F.col("n_below").cast("double")
+    two_n1n2 = 2.0 * n1 * n2
+    mu = two_n1n2 / nd + 1.0
+    var = (
+        two_n1n2 * (two_n1n2 - nd) / (nd * nd * (nd - 1.0))
+    )
+    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    return m.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_above").cast("bigint").alias("n_above"),
+        F.col("n_below").cast("bigint").alias("n_below"),
+        F.col("n_runs").cast("bigint").alias("n_runs"),
+        (F.round(z, ndigits) + 0.0).alias("z"),
+    )
+
+
+def turning_points_test(
+    series: DataFrame,
+    key_col: str,
+    t_col: str,
+    x_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Turning-points randomness test per key: count strict local
+    extrema (x_{t−1} < x_t > x_{t+1} or the reverse) in the ordered
+    series; under the i.i.d. null E[T] = 2(n−2)/3 and
+    Var[T] = (16n − 29)/90, z = (T − E)/σ. Flat triples (ties) are not
+    turning points — the conservative convention, stated so both
+    engines agree bit-for-bit. One lag/lead window, exact counts, one
+    closed form.
+
+    Output: (key, n, n_turning, z)."""
+    s = series.select(
+        F.col(key_col).alias("key"),
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    tp = s.select(
+        "key",
+        (
+            (
+                (F.lag("x").over(w) < F.col("x"))
+                & (F.lead("x").over(w) < F.col("x"))
+            )
+            | (
+                (F.lag("x").over(w) > F.col("x"))
+                & (F.lead("x").over(w) > F.col("x"))
+            )
+        ).cast("int").alias("is_tp"),
+    )
+    m = tp.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("is_tp"), F.lit(0))).alias("n_turning"),
+    )
+    nd = F.col("n").cast("double")
+    mu = 2.0 * (nd - 2.0) / 3.0
+    var = (16.0 * nd - 29.0) / 90.0
+    z = (F.col("n_turning").cast("double") - mu) / F.sqrt(var)
+    return m.select(
+        F.col("key").alias(key_col),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_turning").cast("bigint").alias("n_turning"),
+        (F.round(z, ndigits) + 0.0).alias("z"),
+    )

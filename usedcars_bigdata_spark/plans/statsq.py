@@ -2955,3 +2955,118 @@ def ml_mrmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells as ml_mutual_info_rank; priority must top the mrmr order."""
     base = _nb_base(spark, sf_dir)
     return NB.mrmr_rank(base, "y", ["f1", "f2", "f3"])
+
+
+@query(
+    "ts_runs_test",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    cnt AS (SELECT key, count(*) AS n FROM b GROUP BY 1),
+    med AS (
+      SELECT r.key, r.x AS med
+      FROM (SELECT key, x,
+                   row_number() OVER (PARTITION BY key ORDER BY x, t)
+                     AS rv
+            FROM b) r
+      JOIN cnt ON cnt.key = r.key
+      WHERE r.rv = CAST(ceil(CAST(cnt.n AS DOUBLE) / 2.0) AS BIGINT)
+    ),
+    sg AS (
+      SELECT b.key, b.t, CAST(b.x > med.med AS INTEGER) AS sgn
+      FROM b JOIN med ON med.key = b.key
+    ),
+    runs AS (
+      SELECT key, sgn,
+             CASE WHEN lag(sgn) OVER (PARTITION BY key ORDER BY t)
+                       IS NULL
+                    OR lag(sgn) OVER (PARTITION BY key ORDER BY t)
+                       <> sgn
+                  THEN 1 ELSE 0 END AS is_start
+      FROM sg
+    ),
+    m AS (
+      SELECT key, count(*) AS n,
+             CAST(sum(sgn) AS BIGINT) AS n_above,
+             CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+             CAST(sum(is_start) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1
+    )
+    SELECT key AS event_type, CAST(n AS BIGINT) AS n, n_above, n_below,
+           n_runs,
+           round((CAST(n_runs AS DOUBLE)
+                  - (2.0 * CAST(n_above AS DOUBLE)
+                     * CAST(n_below AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 1.0))
+                 / sqrt(2.0 * CAST(n_above AS DOUBLE)
+                        * CAST(n_below AS DOUBLE)
+                        * (2.0 * CAST(n_above AS DOUBLE)
+                           * CAST(n_below AS DOUBLE)
+                           - CAST(n AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) - 1.0))), 6) + 0.0 AS z
+    FROM m
+    """,
+)
+def ts_runs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type on the hourly count
+    series (operators.rankstats.runs_test): dichotomized at the exact
+    median order statistic, runs counted with one lag window — the
+    run-structure leg of the nonparametric family."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("t"),
+    )
+    b = ev.groupBy("key", "t").agg(F.count(F.lit(1)).alias("x"))
+    return RS.runs_test(b, "key", "t", "x").withColumnRenamed(
+        "key", "event_type"
+    )
+
+
+@query(
+    "ts_turning_points",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS key,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) AS t,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tp AS (
+      SELECT key,
+             CASE WHEN (lag(x) OVER w < x AND lead(x) OVER w < x)
+                    OR (lag(x) OVER w > x AND lead(x) OVER w > x)
+                  THEN 1 ELSE 0 END AS is_tp
+      FROM b
+      WINDOW w AS (PARTITION BY key ORDER BY t)
+    ),
+    m AS (
+      SELECT key, count(*) AS n,
+             CAST(sum(COALESCE(is_tp, 0)) AS BIGINT) AS n_turning
+      FROM tp GROUP BY 1
+    )
+    SELECT key AS event_type, CAST(n AS BIGINT) AS n, n_turning,
+           round((CAST(n_turning AS DOUBLE)
+                  - 2.0 * (CAST(n AS DOUBLE) - 2.0) / 3.0)
+                 / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0),
+                 6) + 0.0 AS z
+    FROM m
+    """,
+)
+def ts_turning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test per event type
+    (operators.rankstats.turning_points_test): strict local extrema vs
+    the i.i.d. null moments — the oscillation-rate companion to
+    ts_runs_test (too few turns = trend, too many = alternation)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("t"),
+    )
+    b = ev.groupBy("key", "t").agg(F.count(F.lit(1)).alias("x"))
+    return RS.turning_points_test(b, "key", "t", "x").withColumnRenamed(
+        "key", "event_type"
+    )
