@@ -255,6 +255,7 @@ BENCH_QUERIES = [
     "ml_mrmr_rank",
     "ts_runs_test",
     "ts_turning_points",
+    "ext_span_corruption",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

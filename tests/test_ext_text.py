@@ -1160,3 +1160,38 @@ def test_quality_rule_overlap_identical_and_disjoint(spark):
     assert self_len.n_both == self_len.n_a and self_len.jaccard == 1.0
     # prose passes stopword; codey does not -> stopword survivor set = {1}
     assert out[("stopword", "stopword")].n_a == 1
+
+
+# ---------------------------------------------------------- span corruption
+
+
+def test_span_corruption_spans_cover_following_tokens(spark):
+    from usedcars_bigdata_spark.ext.text import span_corruption_stats
+
+    # start_rate=1: every position starts a span -> everything masked
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "s")], ["doc_id", "text", "source"]
+    )
+    r = span_corruption_stats(
+        df, "text", "source", "doc_id", start_rate=1.0, span_len=3
+    ).collect()[0]
+    assert r.n_tokens == 6
+    assert r.n_spans == 6
+    assert r.n_masked == 6 and r.mask_fraction == 1.0
+    # start_rate=0: nothing masked, checksum 0
+    r0 = span_corruption_stats(
+        df, "text", "source", "doc_id", start_rate=0.0, span_len=3
+    ).collect()[0]
+    assert r0.n_masked == 0 and r0.masked_checksum == 0
+
+
+def test_span_corruption_fraction_tracks_rate(spark):
+    from usedcars_bigdata_spark.ext.text import span_corruption_stats
+
+    text = " ".join(f"w{i}" for i in range(2000))
+    df = spark.createDataFrame([(1, text, "s")], ["doc_id", "text", "source"])
+    r = span_corruption_stats(
+        df, "text", "source", "doc_id", start_rate=0.05, span_len=3
+    ).collect()[0]
+    # E[mask] = 1 - (1-.05)^3 ~ 0.1426; binomial noise at n=2000
+    assert 0.10 < r.mask_fraction < 0.19

@@ -2373,3 +2373,91 @@ def quality_rule_overlap(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def span_corruption_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    start_rate: float = 0.05,
+    span_len: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """T5/UL2-style span-corruption masking plan: span STARTS are an
+    md5-uniform draw per token position (rate ≈ mask_fraction/span_len),
+    a token is masked iff any start falls in the ``span_len`` positions
+    ending at it — one max-over-rows window per doc, no RNG, fully
+    replayable. This certifies the masking SCHEDULE (which positions a
+    trainer would corrupt) via per-source totals plus an md5 checksum
+    over the exact masked (doc, position) set — the text reassembly
+    itself is a trivial concat the trainer does in-flight. One explode +
+    one window over token positions; work is O(total tokens).
+
+    Output: (group, n_docs, n_tokens, n_spans, n_masked, mask_fraction,
+    masked_checksum)."""
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "i", "w"
+        ),
+    ).select("g", "did", (F.col("i") + 1).alias("i"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("span"),
+                        F.col("did").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 4294967296.0
+    flagged = toks.withColumn("start", (u < F.lit(start_rate)).cast("int"))
+    w = (
+        Window.partitionBy("did")
+        .orderBy("i")
+        .rowsBetween(-(span_len - 1), 0)
+    )
+    masked = flagged.withColumn("m", F.max("start").over(w))
+    hk = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("mt"),
+                        F.col("did").cast("string"),
+                        F.col("i").cast("string"),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1099511627776),
+    )
+    return masked.groupBy("g").agg(
+        F.countDistinct("did").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("start").cast("bigint").alias("n_spans"),
+        F.sum("m").cast("bigint").alias("n_masked"),
+        F.round(
+            F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"),
+            ndigits,
+        ).alias("mask_fraction"),
+        F.pmod(
+            F.sum(F.col("m") * hk), F.lit(2305843009213693952)
+        ).cast("bigint").alias("masked_checksum"),
+    ).withColumnRenamed("g", group_col)

@@ -3070,3 +3070,61 @@ def ts_turning_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RS.turning_points_test(b, "key", "t", "x").withColumnRenamed(
         "key", "event_type"
     )
+
+
+@query(
+    "ext_span_corruption",
+    oracle="""
+    WITH t AS (
+      SELECT source AS g, doc_id AS did,
+             string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    toks AS (
+      SELECT g, did, CAST(i AS INTEGER) AS i
+      FROM (SELECT g, did, w, unnest(generate_series(1, len(w))) AS i
+            FROM t)
+    ),
+    fl AS (
+      SELECT g, did, i,
+             CAST((CAST('0x' || substr(md5('span:'
+                 || CAST(did AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+                 1, 8) AS BIGINT) + 0.5) / 4294967296.0 < 0.05
+               AS INTEGER) AS start
+      FROM toks
+    ),
+    mk AS (
+      SELECT g, did, i, start,
+             max(start) OVER (PARTITION BY did ORDER BY i
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS m
+      FROM fl
+    ),
+    h AS (
+      SELECT g, did, i, start, m,
+             CAST('0x' || substr(md5('mt:' || CAST(did AS VARCHAR)
+                 || ':' || CAST(i AS VARCHAR)), 1, 10) AS BIGINT)
+               % 1099511627776 AS hk
+      FROM mk
+    )
+    SELECT g AS source,
+           CAST(count(DISTINCT did) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(start) AS BIGINT) AS n_spans,
+           CAST(sum(m) AS BIGINT) AS n_masked,
+           round(CAST(sum(m) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS mask_fraction,
+           CAST(CAST(sum(m * hk) AS BIGINT) % 2305843009213693952
+                AS BIGINT) AS masked_checksum
+    FROM h GROUP BY 1
+    """,
+)
+def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking schedule per source
+    (ext.text.span_corruption_stats, 5% starts × span 3 ≈ 14% masked):
+    the T5/UL2 pretraining objective's data-prep step with md5 replacing
+    RNG, certified down to the exact masked-position set via checksum —
+    joins ext_doc_chunks / ext_pack_shards in the
+    tokenize-and-serve tier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.span_corruption_stats(docs, "text", "source", "doc_id")
