@@ -256,6 +256,7 @@ BENCH_QUERIES = [
     "ts_runs_test",
     "ts_turning_points",
     "ext_span_corruption",
+    "ext_coverage_select",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

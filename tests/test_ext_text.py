@@ -1195,3 +1195,32 @@ def test_span_corruption_fraction_tracks_rate(spark):
     ).collect()[0]
     # E[mask] = 1 - (1-.05)^3 ~ 0.1426; binomial noise at n=2000
     assert 0.10 < r.mask_fraction < 0.19
+
+
+# --------------------------------------------------------- greedy coverage
+
+
+def test_greedy_coverage_picks_best_then_marginal(spark):
+    from usedcars_bigdata_spark.ext.text import greedy_coverage_select
+
+    # doc 1: items a,b,c,d (best). doc 2: c,d,e (marginal gain 1: e).
+    # doc 3: a,b (gain 0 after round 1 -> never beats doc 2)
+    pairs = spark.createDataFrame(
+        [(1, x) for x in "abcd"]
+        + [(2, x) for x in "cde"]
+        + [(3, x) for x in "ab"],
+        ["did", "w"],
+    )
+    out = {r.round: r for r in greedy_coverage_select(pairs, k=2).collect()}
+    assert (out[1].selected_id, out[1].gain, out[1].covered_total) == (1, 4, 4)
+    assert (out[2].selected_id, out[2].gain, out[2].covered_total) == (2, 1, 5)
+
+
+def test_greedy_coverage_tie_breaks_on_id(spark):
+    from usedcars_bigdata_spark.ext.text import greedy_coverage_select
+
+    pairs = spark.createDataFrame(
+        [(7, "x"), (7, "y"), (3, "p"), (3, "q")], ["did", "w"]
+    )
+    out = greedy_coverage_select(pairs, k=1).collect()[0]
+    assert out.selected_id == 3  # equal gain 2 -> min id wins

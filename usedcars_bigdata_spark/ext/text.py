@@ -2461,3 +2461,71 @@ def span_corruption_stats(
             F.sum(F.col("m") * hk), F.lit(2305843009213693952)
         ).cast("bigint").alias("masked_checksum"),
     ).withColumnRenamed("g", group_col)
+
+
+def greedy_coverage_select(
+    pairs: DataFrame,
+    id_col: str = "did",
+    item_col: str = "w",
+    k: int = 5,
+) -> DataFrame:
+    """Greedy maximum-coverage selection (the classic (1−1/e) facility-
+    location greedy) over a (doc, item) membership table: k rounds, each
+    picking the document adding the most not-yet-covered items
+    (deterministic argmax: gain DESC, id ASC) and folding its items into
+    the covered set. This is the data-SELECTION primitive behind
+    coverage-driven corpus subsetting ("pick 10k docs that span the
+    vocabulary") — submodular, so greedy is the certified-approximation
+    standard. Unrolled k rounds of anti-join + aggregate; covered set
+    and selection are localCheckpointed per round (lineage O(1), the CC
+    discipline). Work per round is O(|pairs|) with the covered set as
+    the (broadcastable, items-bounded) right side.
+
+    Output: (round, selected_id, gain, covered_total)."""
+    sh = pairs.select(
+        F.col(id_col).alias("did"), F.col(item_col).alias("w")
+    ).distinct().localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    covered = spark.createDataFrame([], "w string").localCheckpoint(
+        eager=True
+    )
+    picked = spark.createDataFrame([], "did long")
+    out_rows = []
+    total = 0
+    for r in range(1, k + 1):
+        gains = (
+            sh.join(picked, "did", "left_anti")
+            .join(covered, "w", "left_anti")
+            .groupBy("did")
+            .agg(F.count(F.lit(1)).alias("gain"))
+        )
+        wsel = Window.orderBy(F.col("gain").desc(), F.col("did").asc())
+        best = (
+            gains.withColumn("__rn", F.row_number().over(wsel))
+            .filter(F.col("__rn") == 1)
+            .select("did", "gain")
+            .localCheckpoint(eager=True)
+        )
+        covered = (
+            covered.unionByName(
+                sh.join(F.broadcast(best.select("did")), "did").select("w")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        picked = picked.unionByName(best.select("did")).localCheckpoint(
+            eager=True
+        )
+        cov_n = covered.agg(F.count(F.lit(1)).alias("covered_total"))
+        out_rows.append(
+            best.crossJoin(F.broadcast(cov_n)).select(
+                F.lit(r).alias("round"),
+                F.col("did").alias("selected_id"),
+                F.col("gain").cast("bigint").alias("gain"),
+                F.col("covered_total").cast("bigint").alias("covered_total"),
+            )
+        )
+    out = out_rows[0]
+    for o in out_rows[1:]:
+        out = out.unionByName(o)
+    return out

@@ -3128,3 +3128,117 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize-and-serve tier."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.span_corruption_stats(docs, "text", "source", "doc_id")
+
+
+@query(
+    "ext_coverage_select",
+    oracle="""
+    WITH 
+    sh AS (
+      SELECT DISTINCT doc_id AS did,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS w
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM (SELECT doc_id,
+                         string_split_regex(trim(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 3)
+    ),
+    g1 AS (SELECT did, count(*) AS gain FROM sh GROUP BY 1),
+    b1 AS (SELECT did, gain FROM g1 ORDER BY gain DESC, did ASC LIMIT 1),
+    c1 AS (SELECT DISTINCT w FROM sh JOIN b1 USING (did)),
+    g2 AS (
+      SELECT s.did, count(*) AS gain
+      FROM sh s
+      WHERE s.did NOT IN (SELECT did FROM b1)
+        AND NOT EXISTS (SELECT 1 FROM c1 x WHERE x.w = s.w)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT did, gain FROM g2 ORDER BY gain DESC, did ASC LIMIT 1),
+    c2 AS (SELECT w FROM c1
+             UNION
+             SELECT w FROM sh JOIN b2 USING (did)),
+    g3 AS (
+      SELECT s.did, count(*) AS gain
+      FROM sh s
+      WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2)
+        AND NOT EXISTS (SELECT 1 FROM c2 x WHERE x.w = s.w)
+      GROUP BY 1
+    ),
+    b3 AS (SELECT did, gain FROM g3 ORDER BY gain DESC, did ASC LIMIT 1),
+    c3 AS (SELECT w FROM c2
+             UNION
+             SELECT w FROM sh JOIN b3 USING (did)),
+    g4 AS (
+      SELECT s.did, count(*) AS gain
+      FROM sh s
+      WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2 UNION ALL SELECT did FROM b3)
+        AND NOT EXISTS (SELECT 1 FROM c3 x WHERE x.w = s.w)
+      GROUP BY 1
+    ),
+    b4 AS (SELECT did, gain FROM g4 ORDER BY gain DESC, did ASC LIMIT 1),
+    c4 AS (SELECT w FROM c3
+             UNION
+             SELECT w FROM sh JOIN b4 USING (did)),
+    g5 AS (
+      SELECT s.did, count(*) AS gain
+      FROM sh s
+      WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2 UNION ALL SELECT did FROM b3 UNION ALL SELECT did FROM b4)
+        AND NOT EXISTS (SELECT 1 FROM c4 x WHERE x.w = s.w)
+      GROUP BY 1
+    ),
+    b5 AS (SELECT did, gain FROM g5 ORDER BY gain DESC, did ASC LIMIT 1),
+    c5 AS (SELECT w FROM c4
+             UNION
+             SELECT w FROM sh JOIN b5 USING (did))
+    SELECT 1 AS round, did AS selected_id,
+           CAST(gain AS BIGINT) AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+    FROM b1
+    UNION ALL
+    SELECT 2 AS round, did AS selected_id,
+           CAST(gain AS BIGINT) AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c2) AS covered_total
+    FROM b2
+    UNION ALL
+    SELECT 3 AS round, did AS selected_id,
+           CAST(gain AS BIGINT) AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c3) AS covered_total
+    FROM b3
+    UNION ALL
+    SELECT 4 AS round, did AS selected_id,
+           CAST(gain AS BIGINT) AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c4) AS covered_total
+    FROM b4
+    UNION ALL
+    SELECT 5 AS round, did AS selected_id,
+           CAST(gain AS BIGINT) AS gain,
+           (SELECT CAST(count(*) AS BIGINT) FROM c5) AS covered_total
+    FROM b5
+    """,
+)
+def ext_coverage_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage corpus selection, 5 rounds over the distinct
+    (doc, 3-shingle) membership table (ext.text.greedy_coverage_select): the
+    submodular data-subsetting primitive — "pick the documents that span
+    the most vocabulary" — with a deterministic argmax, certified
+    round-by-round (selection, marginal gain, covered total) against a
+    fully unrolled SQL replay."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = docs.select(
+        F.col("doc_id").alias("did"),
+        F.split(F.trim(F.col("text")), r"\s+").alias("w"),
+    ).filter(F.size("w") >= 3)
+    pairs = arr.select(
+        "did",
+        F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        "w",
+    ).select(
+        "did",
+        F.concat_ws(
+            " ",
+            F.element_at("w", F.col("i")),
+            F.element_at("w", F.col("i") + 1),
+            F.element_at("w", F.col("i") + 2),
+        ).alias("w"),
+    )
+    return TX.greedy_coverage_select(pairs, "did", "w", k=5)
