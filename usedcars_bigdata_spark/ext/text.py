@@ -2468,6 +2468,7 @@ def greedy_coverage_select(
     id_col: str = "did",
     item_col: str = "w",
     k: int = 5,
+    candidate_pool: int | None = None,
 ) -> DataFrame:
     """Greedy maximum-coverage selection (the classic (1−1/e) facility-
     location greedy) over a (doc, item) membership table: k rounds, each
@@ -2481,51 +2482,60 @@ def greedy_coverage_select(
     discipline). Work per round is O(|pairs|) with the covered set as
     the (broadcastable, items-bounded) right side.
 
+    ``candidate_pool`` keeps only the N documents with the most
+    distinct items (ties: min id) before the rounds — the shortlist a
+    100 TB run needs (greedy over billions of docs is pointless when a
+    round's winner always sits near the top of the size order; the
+    SAME pruning runs in the oracle, so parity is exact by
+    construction and the semantics are "greedy over the N largest").
+
     Output: (round, selected_id, gain, covered_total)."""
     sh = pairs.select(
         F.col(id_col).alias("did"), F.col(item_col).alias("w")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct()
+    if candidate_pool is not None:
+        sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
+        wc = Window.orderBy(F.col("sz").desc(), F.col("did").asc())
+        cands = (
+            sizes.withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= candidate_pool)
+            .select("did")
+        )
+        sh = sh.join(F.broadcast(cands), "did")
+    sh = sh.localCheckpoint(eager=True)
     spark = pairs.sparkSession
-    covered = spark.createDataFrame([], "w string").localCheckpoint(
-        eager=True
-    )
-    picked = spark.createDataFrame([], "did long")
-    out_rows = []
-    total = 0
+    covered = spark.createDataFrame([], "w string").persist()
+    picked: list[int] = []
+    rows = []
     for r in range(1, k + 1):
+        gains = sh
+        if picked:
+            gains = gains.filter(~F.col("did").isin(picked))
         gains = (
-            sh.join(picked, "did", "left_anti")
-            .join(covered, "w", "left_anti")
+            gains.join(covered, "w", "left_anti")
             .groupBy("did")
             .agg(F.count(F.lit(1)).alias("gain"))
         )
-        wsel = Window.orderBy(F.col("gain").desc(), F.col("did").asc())
-        best = (
-            gains.withColumn("__rn", F.row_number().over(wsel))
-            .filter(F.col("__rn") == 1)
-            .select("did", "gain")
-            .localCheckpoint(eager=True)
-        )
+        # 1-row argmax collect per round: the greedy's state is one
+        # (id, gain) pair — the CC-convergence-count precedent, not a
+        # data collect. orderBy+limit avoids a global window.
+        top = gains.orderBy(
+            F.col("gain").desc(), F.col("did").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        best_id, best_gain = int(top[0].did), int(top[0].gain)
+        picked.append(best_id)
         covered = (
             covered.unionByName(
-                sh.join(F.broadcast(best.select("did")), "did").select("w")
+                sh.filter(F.col("did") == best_id).select("w")
             )
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        picked = picked.unionByName(best.select("did")).localCheckpoint(
-            eager=True
-        )
-        cov_n = covered.agg(F.count(F.lit(1)).alias("covered_total"))
-        out_rows.append(
-            best.crossJoin(F.broadcast(cov_n)).select(
-                F.lit(r).alias("round"),
-                F.col("did").alias("selected_id"),
-                F.col("gain").cast("bigint").alias("gain"),
-                F.col("covered_total").cast("bigint").alias("covered_total"),
-            )
-        )
-    out = out_rows[0]
-    for o in out_rows[1:]:
-        out = out.unionByName(o)
-    return out
+        total = covered.count()
+        rows.append((r, best_id, best_gain, total))
+    return spark.createDataFrame(
+        rows,
+        "round int, selected_id long, gain bigint, covered_total bigint",
+    )

@@ -3134,7 +3134,7 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_coverage_select",
     oracle="""
     WITH 
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id AS did,
              w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS w
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
@@ -3143,6 +3143,14 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents)
             WHERE len(w) >= 3)
     ),
+    cands AS (
+      SELECT did FROM (
+        SELECT did, row_number() OVER (ORDER BY count(*) DESC, did ASC)
+                 AS rn
+        FROM sh0 GROUP BY did
+      ) WHERE rn <= 2000
+    ),
+    sh AS (SELECT s.did, s.w FROM sh0 s JOIN cands USING (did)),
     g1 AS (SELECT did, count(*) AS gain FROM sh GROUP BY 1),
     b1 AS (SELECT did, gain FROM g1 ORDER BY gain DESC, did ASC LIMIT 1),
     c1 AS (SELECT DISTINCT w FROM sh JOIN b1 USING (did)),
@@ -3241,4 +3249,6 @@ def ext_coverage_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("w", F.col("i") + 2),
         ).alias("w"),
     )
-    return TX.greedy_coverage_select(pairs, "did", "w", k=5)
+    return TX.greedy_coverage_select(
+        pairs, "did", "w", k=5, candidate_pool=2000
+    )
