@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "ts_turning_points",
     "ext_span_corruption",
     "ext_coverage_select",
+    "ts_pattern_vshape",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

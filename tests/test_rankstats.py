@@ -725,3 +725,35 @@ def test_turning_points_hand_counts(spark):
     assert r.z == round(
         (2 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90), 6
     )
+
+
+# ----------------------------------------------------------- vshape pattern
+
+
+def test_vshape_census_hand_built_sequences(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        vshape_pattern_census,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # user 1: 10, 5, 8, 3, 9 -> down, up, down, up = 2 V shapes
+    for i, v in enumerate([10, 5, 8, 3, 9]):
+        rows.append((1, base + datetime.timedelta(hours=i), i, v))
+    # user 2: monotone up -> 0 V
+    for i, v in enumerate([1, 2, 3, 4]):
+        rows.append((2, base + datetime.timedelta(hours=i), 100 + i, v))
+    # user 3: down then FLAT then up: 5, 3, 3, 6 -> flat breaks the V
+    for i, v in enumerate([5, 3, 3, 6]):
+        rows.append((3, base + datetime.timedelta(hours=i), 200 + i, v))
+    # user 4: only 2 events -> excluded by min_events
+    for i, v in enumerate([9, 1]):
+        rows.append((4, base + datetime.timedelta(hours=i), 300 + i, v))
+    df = spark.createDataFrame(rows, ["k", "ts", "eid", "v"])
+    out = {
+        r.n_vshapes: r.n_keys
+        for r in vshape_pattern_census(df, "k", "ts", "eid", "v").collect()
+    }
+    assert out == {2: 1, 0: 2}  # user1 -> 2 Vs; users 2,3 -> 0; user4 gone

@@ -2614,3 +2614,74 @@ def changepoint_binseg(
             (F.round(F.col("g"), ndigits) + 0.0).alias("gain"),
         )
     )
+
+
+def vshape_pattern_census(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    min_events: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """SQL:2016 MATCH_RECOGNIZE-style row-pattern matching, expressed
+    with windows (Spark has no MATCH_RECOGNIZE): detect V shapes —
+    a strictly-DOWN run immediately followed by a strictly-UP run — in
+    each key's value sequence. Steps get a direction sign, consecutive
+    equal signs compress to runs (the gaps-and-islands trick), and a V
+    is a (+1) run whose predecessor run is (−1); flat steps (sign 0)
+    break patterns — the strict convention, stated for parity. Output
+    is the census histogram (how many keys saw 0, 1, 2, … V patterns),
+    so the result stays |distinct counts| rows at any scale. Exact
+    integer machinery end-to-end; two windows + two aggregates.
+
+    Output: (n_vshapes, n_keys)."""
+    s = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("eid"),
+        F.col(value_col).alias("v"),
+    )
+    w = Window.partitionBy("k").orderBy("ts", "eid")
+    eligible = s.groupBy("k").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= min_events
+    )
+    steps = (
+        s.join(F.broadcast(eligible.select("k")), "k")
+        .select(
+            "k",
+            "ts",
+            "eid",
+            F.signum(
+                (F.col("v") - F.lag("v").over(w)).cast("double")
+            ).cast("int").alias("dir"),
+        )
+        .filter(F.col("dir").isNotNull())
+    )
+    w2 = Window.partitionBy("k").orderBy("ts", "eid")
+    runs = steps.select(
+        "k",
+        "dir",
+        F.sum(
+            (
+                F.lag("dir").over(w2).isNull()
+                | (F.lag("dir").over(w2) != F.col("dir"))
+            ).cast("int")
+        ).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("run_id"),
+    ).groupBy("k", "run_id").agg(F.max("dir").alias("dir"))
+    w3 = Window.partitionBy("k").orderBy("run_id")
+    vs = runs.select(
+        "k",
+        (
+            (F.col("dir") == 1) & (F.lag("dir").over(w3) == -1)
+        ).cast("int").alias("is_v"),
+    ).groupBy("k").agg(F.sum("is_v").alias("n_v"))
+    per_key = eligible.select("k").join(vs, "k", "left").select(
+        F.coalesce(F.col("n_v"), F.lit(0)).alias("n_v")
+    )
+    return per_key.groupBy(F.col("n_v").cast("bigint").alias("n_vshapes")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )

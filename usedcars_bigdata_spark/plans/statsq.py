@@ -3252,3 +3252,72 @@ def ext_coverage_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.greedy_coverage_select(
         pairs, "did", "w", k=5, candidate_pool=2000
     )
+
+
+@query(
+    "ts_pattern_vshape",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS k, epoch_us(ts) AS tsu, event_id AS eid,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    el AS (SELECT k FROM s GROUP BY 1 HAVING count(*) >= 3),
+    steps AS (
+      SELECT s.k,
+             CAST(sign(CAST(s.v - lag(s.v) OVER w AS DOUBLE))
+                  AS INTEGER) AS dir,
+             row_number() OVER w AS rn
+      FROM s JOIN el ON el.k = s.k
+      WINDOW w AS (PARTITION BY s.k ORDER BY s.tsu, s.eid)
+    ),
+    st AS (SELECT k, dir, rn FROM steps WHERE dir IS NOT NULL),
+    marked AS (
+      SELECT k, dir,
+             sum(CASE WHEN prev IS NULL OR prev <> dir
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY k ORDER BY rn
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM (SELECT k, dir, rn,
+                   lag(dir) OVER (PARTITION BY k ORDER BY rn) AS prev
+            FROM st)
+    ),
+    runs AS (
+      SELECT k, run_id, max(dir) AS dir FROM marked GROUP BY 1, 2
+    ),
+    vs AS (
+      SELECT k,
+             CAST(sum(CASE WHEN dir = 1 AND prev = -1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_v
+      FROM (SELECT k, dir,
+                   lag(dir) OVER (PARTITION BY k ORDER BY run_id) AS prev
+            FROM runs)
+      GROUP BY 1
+    ),
+    pk AS (
+      SELECT COALESCE(vs.n_v, 0) AS n_v
+      FROM el LEFT JOIN vs ON vs.k = el.k
+    )
+    SELECT CAST(n_v AS BIGINT) AS n_vshapes,
+           CAST(count(*) AS BIGINT) AS n_keys
+    FROM pk GROUP BY 1
+    """,
+)
+def ts_vshape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching census (operators.timeseries.
+    vshape_pattern_census): V shapes (strict down-run then up-run) in
+    each user's purchase-amount sequence — the MATCH_RECOGNIZE shape
+    SQL:2016 standardized and Spark lacks, expressed as two windows +
+    run compression; output is the per-count histogram so cardinality
+    is scale-invariant."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return TS.vshape_pattern_census(
+        ev, "user_id", "ts", "event_id", "cents", min_events=3
+    )
