@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "ext_span_corruption",
     "ext_coverage_select",
     "ts_pattern_vshape",
+    "ts_did_estimator",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

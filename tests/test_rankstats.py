@@ -757,3 +757,37 @@ def test_vshape_census_hand_built_sequences(spark):
         for r in vshape_pattern_census(df, "k", "ts", "eid", "v").collect()
     }
     assert out == {2: 1, 0: 2}  # user1 -> 2 Vs; users 2,3 -> 0; user4 gone
+
+
+# ------------------------------------------------------------------- DiD
+
+
+def test_diff_in_diff_planted_effect(spark):
+    from usedcars_bigdata_spark.operators.rankstats import diff_in_diff
+
+    rows = []
+    # control: 100 both periods; treated: 100 pre, 150 post (+50 cents)
+    for i in range(50):
+        rows.append((0, 0, 100))
+        rows.append((0, 1, 100 + (i % 3)))   # small time trend
+        rows.append((1, 0, 100))
+        rows.append((1, 1, 150 + (i % 3)))   # same trend + effect
+    df = spark.createDataFrame(rows, ["g", "p", "v"])
+    r = diff_in_diff(df, "g", "p", "v").collect()[0]
+    assert r.n == 200
+    # the common trend cancels: effect = 50 cents = 0.5 dollars
+    assert r.effect_dollars == 0.5
+    assert r.z > 10  # strongly detected
+
+
+def test_diff_in_diff_null_effect(spark):
+    from usedcars_bigdata_spark.operators.rankstats import diff_in_diff
+
+    rows = []
+    for i in range(40):
+        for g in (0, 1):
+            for p in (0, 1):
+                rows.append((g, p, 100 + 7 * (i % 5)))
+    df = spark.createDataFrame(rows, ["g", "p", "v"])
+    r = diff_in_diff(df, "g", "p", "v").collect()[0]
+    assert r.effect_dollars == 0.0 and r.z == 0.0

@@ -556,3 +556,68 @@ def turning_points_test(
         F.col("n_turning").cast("bigint").alias("n_turning"),
         (F.round(z, ndigits) + 0.0).alias("z"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    group_col: str,
+    period_col: str,
+    cents_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator over a 2×2 (group × period)
+    panel: effect = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre), with
+    the large-sample SE √(Σ s²_cell/n_cell) from exact integer-cent
+    moments (Σv, Σv² bigint per cell; sample variance in one fixed
+    double form). The causal-inference companion to ts_ab_cuped (which
+    reduces variance; this removes group-level time trends). One
+    map-side-combinable aggregate over the four cells.
+
+    ``group_col`` must be 0/1 (1 = treated), ``period_col`` 0/1
+    (1 = post). Output: one row (n, effect, se, z)."""
+    cells = df.select(
+        F.col(group_col).cast("int").alias("g"),
+        F.col(period_col).cast("int").alias("p"),
+        F.col(cents_col).cast("bigint").alias("v"),
+    ).groupBy("g", "p").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    cell = lambda g, p, c: F.max(  # noqa: E731
+        F.when((F.col("g") == g) & (F.col("p") == p), F.col(c))
+    )
+    m = cells.agg(
+        *[
+            cell(g, p, c).alias(f"{c}_{g}{p}")
+            for g in (0, 1)
+            for p in (0, 1)
+            for c in ("n", "s1", "s2")
+        ]
+    )
+    def mean(g, p):
+        return F.col(f"s1_{g}{p}").cast("double") / F.col(
+            f"n_{g}{p}"
+        ).cast("double")
+
+    def var_over_n(g, p):
+        n = F.col(f"n_{g}{p}").cast("double")
+        s1 = F.col(f"s1_{g}{p}").cast("double")
+        s2 = F.col(f"s2_{g}{p}").cast("double")
+        return (s2 / n - (s1 / n) * (s1 / n)) / (n - 1.0)
+
+    effect = (mean(1, 1) - mean(1, 0)) - (mean(0, 1) - mean(0, 0))
+    se = F.sqrt(
+        var_over_n(1, 1) + var_over_n(1, 0) + var_over_n(0, 1)
+        + var_over_n(0, 0)
+    )
+    total = sum(
+        [F.col(f"n_{g}{p}") for g in (0, 1) for p in (0, 1)],
+        F.lit(0),
+    )
+    return m.select(
+        total.cast("bigint").alias("n"),
+        (F.round(effect / 100.0, ndigits) + 0.0).alias("effect_dollars"),
+        (F.round(se / 100.0, ndigits) + 0.0).alias("se_dollars"),
+        (F.round(effect / se, ndigits) + 0.0).alias("z"),
+    )

@@ -3321,3 +3321,88 @@ def ts_vshape_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.vshape_pattern_census(
         ev, "user_id", "ts", "event_id", "cents", min_events=3
     )
+
+
+_DID_CELL = """(CAST(s2_{g}{p} AS DOUBLE) / CAST(n_{g}{p} AS DOUBLE)
+                 - (CAST(s1_{g}{p} AS DOUBLE) / CAST(n_{g}{p} AS DOUBLE))
+                   * (CAST(s1_{g}{p} AS DOUBLE)
+                      / CAST(n_{g}{p} AS DOUBLE)))
+                / (CAST(n_{g}{p} AS DOUBLE) - 1.0)"""
+_DID_MEAN = """CAST(s1_{g}{p} AS DOUBLE) / CAST(n_{g}{p} AS DOUBLE)"""
+
+
+@query(
+    "ts_did_estimator",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(user_id % 2 AS INTEGER) AS g,
+             epoch_us(ts) // 1000000 // 3600 AS h,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    mid AS (SELECT (min(h) + max(h)) // 2 AS m FROM base),
+    cells AS (
+      SELECT g, CAST(h > m AS INTEGER) AS p, count(*) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2
+      FROM base CROSS JOIN mid
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT max(CASE WHEN g = 0 AND p = 0 THEN n END) AS n_00,
+             max(CASE WHEN g = 0 AND p = 1 THEN n END) AS n_01,
+             max(CASE WHEN g = 1 AND p = 0 THEN n END) AS n_10,
+             max(CASE WHEN g = 1 AND p = 1 THEN n END) AS n_11,
+             max(CASE WHEN g = 0 AND p = 0 THEN s1 END) AS s1_00,
+             max(CASE WHEN g = 0 AND p = 1 THEN s1 END) AS s1_01,
+             max(CASE WHEN g = 1 AND p = 0 THEN s1 END) AS s1_10,
+             max(CASE WHEN g = 1 AND p = 1 THEN s1 END) AS s1_11,
+             max(CASE WHEN g = 0 AND p = 0 THEN s2 END) AS s2_00,
+             max(CASE WHEN g = 0 AND p = 1 THEN s2 END) AS s2_01,
+             max(CASE WHEN g = 1 AND p = 0 THEN s2 END) AS s2_10,
+             max(CASE WHEN g = 1 AND p = 1 THEN s2 END) AS s2_11
+      FROM cells
+    )
+    SELECT CAST(n_00 + n_01 + n_10 + n_11 AS BIGINT) AS n,
+           round((({_DID_MEAN.format(g=1, p=1)})
+                  - ({_DID_MEAN.format(g=1, p=0)})
+                  - (({_DID_MEAN.format(g=0, p=1)})
+                     - ({_DID_MEAN.format(g=0, p=0)})))
+                 / 100.0, 6) + 0.0 AS effect_dollars,
+           round(sqrt({_DID_CELL.format(g=1, p=1)}
+                      + {_DID_CELL.format(g=1, p=0)}
+                      + {_DID_CELL.format(g=0, p=1)}
+                      + {_DID_CELL.format(g=0, p=0)})
+                 / 100.0, 6) + 0.0 AS se_dollars,
+           round((({_DID_MEAN.format(g=1, p=1)})
+                  - ({_DID_MEAN.format(g=1, p=0)})
+                  - (({_DID_MEAN.format(g=0, p=1)})
+                     - ({_DID_MEAN.format(g=0, p=0)})))
+                 / sqrt({_DID_CELL.format(g=1, p=1)}
+                        + {_DID_CELL.format(g=1, p=0)}
+                        + {_DID_CELL.format(g=0, p=1)}
+                        + {_DID_CELL.format(g=0, p=0)}), 6) + 0.0 AS z
+    FROM m
+    """,
+)
+def ts_did_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase cents: treatment = user-id
+    parity, periods = halves of the event window
+    (operators.rankstats.diff_in_diff) — the panel causal estimator next
+    to ts_ab_cuped/ts_two_proportion_test; a null effect is the correct
+    expectation on synthetic data, which certifies the machinery, not a
+    finding."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("g"),
+        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    mid = ev.agg(
+        F.floor((F.min("h") + F.max("h")) / 2).cast("bigint").alias("m")
+    )
+    panel = ev.crossJoin(F.broadcast(mid)).select(
+        "g", (F.col("h") > F.col("m")).cast("int").alias("p"), "v"
+    )
+    return RS.diff_in_diff(panel, "g", "p", "v")
