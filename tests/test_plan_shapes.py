@@ -679,6 +679,22 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("rel_simpson_diversity", "lineitem", 1),
         ("ext_video_shot_cuts", "documents", 1),
         ("ext_audio_vad_segments", "documents", 2),
+        # batches 18-27: hub-materialized (0 residual) or 2-by-design
+        ("rel_t_closeness", "customer", 0),
+        ("ts_runs_test", "events", 1),
+        ("ts_pattern_vshape", "events", 1),
+        ("ml_class_balance", "orders", 0),
+        ("ts_did_estimator", "events", 2),
+        ("ts_changepoint_binseg", "events", 2),
+        ("ts_ar2_fit", "events", 0),
+        ("ts_hurst_exponent", "events", 0),
+        ("ts_haar_energy", "events", 0),
+        ("ml_mrmr_rank", "orders", 0),
+        ("ext_coverage_select", "documents", 0),
+        ("ext_span_corruption", "documents", 1),
+        ("rel_graph_bfs_layers", "lineitem", 0),
+        ("rel_table_checksum", "orders", 1),
+        ("ext_quality_rule_overlap", "documents", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

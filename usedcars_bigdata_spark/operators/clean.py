@@ -158,12 +158,14 @@ def t_closeness(
     Output: (qi..., n_g, tv_distance) for groups with n_g ≥ min_group."""
     s = F.col(sensitive_col).alias("s")
     base = df.select(*[F.col(c) for c in qi_cols], s)
-    glob = base.groupBy("s").agg(F.count(F.lit(1)).alias("n_s"))
-    tot = base.agg(F.count(F.lit(1)).alias("n_all"))
-    grp = base.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("n_g"))
+    # ONE data scan: every other table is a rollup of the cell counts
+    # (scan_audit showed 4 source scans in the naive form)
     cells = base.groupBy(*qi_cols, "s").agg(
         F.count(F.lit(1)).alias("n_gs")
-    )
+    ).localCheckpoint(eager=True)
+    glob = cells.groupBy("s").agg(F.sum("n_gs").alias("n_s"))
+    tot = cells.agg(F.sum("n_gs").alias("n_all"))
+    grp = cells.groupBy(*qi_cols).agg(F.sum("n_gs").alias("n_g"))
     grid = (
         grp.crossJoin(F.broadcast(glob))
         .join(cells, [*qi_cols, "s"], "left")

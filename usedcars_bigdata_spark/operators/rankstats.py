@@ -454,11 +454,14 @@ def runs_test(
     k-sample, Ljung-Box = autocorrelation, this = run structure).
 
     Output: (key, n, n_above, n_below, n_runs, z)."""
+    # s feeds the count, the median pick, and the sign pass (3 source
+    # scans in the naive plan); the contract input is post-aggregation
+    # (keys × buckets), so materialize once.
     s = series.select(
         F.col(key_col).alias("key"),
         F.col(t_col).cast("bigint").alias("t"),
         F.col(x_col).cast("bigint").alias("x"),
-    )
+    ).localCheckpoint(eager=True)
     wv = Window.partitionBy("key").orderBy("x", "t")
     cnt = s.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     med = (

@@ -2642,7 +2642,7 @@ def vshape_pattern_census(
         F.col(ts_col).alias("ts"),
         F.col(id_col).alias("eid"),
         F.col(value_col).alias("v"),
-    )
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("k").orderBy("ts", "eid")
     eligible = s.groupBy("k").agg(F.count(F.lit(1)).alias("n")).filter(
         F.col("n") >= min_events

@@ -2782,7 +2782,7 @@ def ml_class_balance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 4294967296.0
             < 0.15
         ).cast("int").alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     from ..ml.prep import balance_oversample
 
     res = balance_oversample(base, "y", "id")
