@@ -259,6 +259,8 @@ BENCH_QUERIES = [
     "ext_coverage_select",
     "ts_pattern_vshape",
     "ts_did_estimator",
+    "rel_inclusion_deps",
+    "rel_bucketed_join",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

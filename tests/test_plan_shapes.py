@@ -836,3 +836,46 @@ def test_arrow_optimized_python_udf_parity_and_plan(spark, sf_dir):
     a = sorted(map(tuple, with_udf.collect()))
     b = sorted(map(tuple, native.collect()))
     assert a == b
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """rel_bucketed_join's whole point: after bucketBy(8, custkey) on
+    both sides, the join plan carries NO Exchange (shuffle) on either
+    input — the layout eliminated it."""
+    import re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    # customer is dimension-sized at test SFs, so Catalyst broadcasts
+    # it (also shuffle-free, but that proves nothing about bucketing);
+    # disable broadcast to force the sort-merge path the layout serves.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["rel_bucketed_join"](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    joins = [
+        l
+        for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+    ]
+    assert joins, f"expected a sort-merge join in the plan: {plan[:1500]}"
+    # No Exchange on the JOIN keys: the bucketed scans feed the join
+    # directly (the groupBy's mktsegment Exchange is expected and
+    # unrelated to the layout).
+    assert not re.search(r"Exchange hashpartitioning\((o_custkey|c_custkey)", plan), plan[:2000]
+
+
+def test_inclusion_deps_true_fks_full_containment(spark, sf_dir):
+    from usedcars_bigdata_spark.plans import QUERIES
+
+    out = {
+        (r.child, r.parent): r.containment
+        for r in QUERIES["rel_inclusion_deps"](spark, sf_dir).collect()
+    }
+    assert out[("orders.o_custkey", "customer.c_custkey")] == 1.0
+    assert out[("lineitem.l_orderkey", "orders.o_orderkey")] == 1.0
+    # nonsense direction is clearly below 1
+    assert out[("orders.o_custkey", "supplier.s_suppkey")] < 1.0

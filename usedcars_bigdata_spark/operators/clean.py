@@ -191,3 +191,45 @@ def t_closeness(
             ndigits,
         ).alias("tv_distance"),
     )
+
+
+def inclusion_dependencies(
+    pairs: "list[tuple[DataFrame, str, str, DataFrame, str, str]]",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Inclusion-dependency mining — the schema-discovery primitive that
+    proposes foreign keys (rel_fk_audit CHECKS declared ones; this MINES
+    candidates): for each (child_df, child_col, child_name, parent_df,
+    parent_col, parent_name) candidate, the fraction of the child's
+    distinct values contained in the parent's distinct values. A
+    containment of 1.0 is an FK candidate; the distinct tables are the
+    only shuffles and the semi-join is broadcastable when the parent key
+    set is dimension-sized.
+
+    Output: (child, parent, n_child_distinct, n_contained,
+    containment)."""
+    outs = []
+    for child, ccol, cname, parent, pcol, pname in pairs:
+        cd = child.select(F.col(ccol).cast("string").alias("k")).distinct()
+        pd_ = parent.select(F.col(pcol).cast("string").alias("k")).distinct()
+        m = cd.join(pd_, "k", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_contained")
+        )
+        n = cd.agg(F.count(F.lit(1)).alias("n_child"))
+        outs.append(
+            n.crossJoin(F.broadcast(m)).select(
+                F.lit(cname).alias("child"),
+                F.lit(pname).alias("parent"),
+                F.col("n_child").cast("bigint").alias("n_child_distinct"),
+                F.col("n_contained").cast("bigint").alias("n_contained"),
+                F.round(
+                    F.col("n_contained").cast("double")
+                    / F.col("n_child").cast("double"),
+                    ndigits,
+                ).alias("containment"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

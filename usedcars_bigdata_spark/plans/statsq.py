@@ -3406,3 +3406,126 @@ def ts_did_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "g", (F.col("h") > F.col("m")).cast("int").alias("p"), "v"
     )
     return RS.diff_in_diff(panel, "g", "p", "v")
+
+
+_IND_SQL = """
+      SELECT '{cn}' AS child, '{pn}' AS parent,
+             (SELECT CAST(count(DISTINCT CAST({cc} AS VARCHAR)) AS BIGINT)
+              FROM {ct}) AS n_child_distinct,
+             (SELECT CAST(count(*) AS BIGINT) FROM
+                (SELECT DISTINCT CAST({cc} AS VARCHAR) AS k FROM {ct}) c
+              WHERE EXISTS (SELECT 1 FROM {pt} p
+                            WHERE CAST(p.{pc} AS VARCHAR) = c.k))
+               AS n_contained,
+             round(CAST((SELECT count(*) FROM
+                (SELECT DISTINCT CAST({cc} AS VARCHAR) AS k FROM {ct}) c
+              WHERE EXISTS (SELECT 1 FROM {pt} p
+                            WHERE CAST(p.{pc} AS VARCHAR) = c.k))
+                AS DOUBLE)
+                / CAST((SELECT count(DISTINCT CAST({cc} AS VARCHAR))
+                        FROM {ct}) AS DOUBLE), 6) AS containment"""
+
+_IND_PAIRS = [
+    ("orders.o_custkey", "customer.c_custkey", "o_custkey", "orders",
+     "c_custkey", "customer"),
+    ("lineitem.l_orderkey", "orders.o_orderkey", "l_orderkey", "lineitem",
+     "o_orderkey", "orders"),
+    ("lineitem.l_partkey", "part.p_partkey", "l_partkey", "lineitem",
+     "p_partkey", "part"),
+    ("lineitem.l_suppkey", "supplier.s_suppkey", "l_suppkey", "lineitem",
+     "s_suppkey", "supplier"),
+    ("customer.c_custkey", "orders.o_custkey", "c_custkey", "customer",
+     "o_custkey", "orders"),
+    ("orders.o_custkey", "supplier.s_suppkey", "o_custkey", "orders",
+     "s_suppkey", "supplier"),
+]
+
+
+@query(
+    "rel_inclusion_deps",
+    oracle="\n      UNION ALL\n".join(
+        _IND_SQL.format(cn=cn, pn=pn, cc=cc, ct=ct, pc=pc, pt=pt)
+        for cn, pn, cc, ct, pc, pt in _IND_PAIRS
+    ),
+)
+def rel_inclusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency mining over six candidate column pairs
+    (operators.clean.inclusion_dependencies): the four true FKs come
+    back containment 1.0, the reversed direction (customers without
+    orders) and the nonsense pair (custkey ⊆ suppkey) come back < 1 —
+    the discovery half of rel_fk_audit's enforcement half."""
+    t = {
+        name: load_table(spark, sf_dir, name)
+        for name in ("orders", "customer", "lineitem", "part", "supplier")
+    }
+    pairs = [
+        (t[ct], cc, cn, t[pt], pc, pn)
+        for cn, pn, cc, ct, pc, pt in _IND_PAIRS
+    ]
+    from ..operators.clean import inclusion_dependencies
+
+    return inclusion_dependencies(pairs)
+
+
+@query(
+    "rel_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY 1
+    """,
+)
+def rel_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via bucketing
+    (operators.partitioning.bucketed_write): both sides persisted
+    bucketBy(8, custkey) into catalog tables, then the join plan reads
+    co-bucketed files with NO Exchange on either side (asserted by the
+    plan test) — the layout investment a daily-joined 100 TB fact table
+    amortizes. The oracle is the plain join: bucketing must be
+    semantically transparent, which is exactly what the hash check
+    certifies."""
+    import os
+
+    from ..operators.partitioning import bucketed_write
+
+    tag = (
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{spark.sparkContext.applicationId}"
+    ).replace("-", "_").replace(".", "_")
+    t_o, t_c = f"bj_orders_{tag}", f"bj_customer_{tag}"
+    if not spark.catalog.tableExists(t_o):
+        bucketed_write(
+            load_table(spark, sf_dir, "orders").select(
+                "o_custkey",
+                F.round(F.col("o_totalprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+            ),
+            t_o,
+            8,
+            ["o_custkey"],
+            sort_cols=["o_custkey"],
+        )
+    if not spark.catalog.tableExists(t_c):
+        bucketed_write(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_c,
+            8,
+            ["c_custkey"],
+            sort_cols=["c_custkey"],
+        )
+    o = spark.table(t_o)
+    c = spark.table(t_c)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
