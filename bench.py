@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "ts_did_estimator",
     "rel_inclusion_deps",
     "rel_bucketed_join",
+    "ts_markov_entropy",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

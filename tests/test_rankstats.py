@@ -791,3 +791,56 @@ def test_diff_in_diff_null_effect(spark):
     df = spark.createDataFrame(rows, ["g", "p", "v"])
     r = diff_in_diff(df, "g", "p", "v").collect()[0]
     assert r.effect_dollars == 0.0 and r.z == 0.0
+
+
+# ------------------------------------------------------ markov entropy rate
+
+
+def test_markov_entropy_deterministic_chain_zero(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        markov_entropy_rate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # A -> B -> A -> B deterministic for every user: H_rate = 0;
+    # pi = source-state distribution of the 9 transitions per user
+    # (A 5x, B 4x) -> H_pi = -(5/9 ln 5/9 + 4/9 ln 4/9)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for i in range(10):
+            rows.append(
+                (u, base + datetime.timedelta(minutes=i), eid,
+                 "A" if i % 2 == 0 else "B")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "s"])
+    r = markov_entropy_rate(df, "u", "ts", "eid", "s").collect()[0]
+    assert r.h_rate_nats == 0.0
+    want_pi = -(5 / 9 * math.log(5 / 9) + 4 / 9 * math.log(4 / 9))
+    assert abs(r.h_pi_nats - want_pi) < 1e-6
+    assert r.predictability == 1.0
+
+
+def test_markov_entropy_uniform_chain_max(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        markov_entropy_rate,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    # sequence cycling A,B,A,C,A,B,A,C: from A both B and C equally
+    # likely -> conditional entropy at A = ln 2, at B/C = 0
+    seq = ["A", "B", "A", "C"] * 8
+    rows = [
+        (1, base + datetime.timedelta(minutes=i), i, s)
+        for i, s in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, ["u", "ts", "eid", "s"])
+    r = markov_entropy_rate(df, "u", "ts", "eid", "s").collect()[0]
+    # transitions: A->B and A->C equal counts; B->A, C->A determin.
+    # pi(A) ~ 1/2 -> H_rate ~ 0.5*ln2
+    assert abs(r.h_rate_nats - 0.5 * math.log(2)) < 0.02

@@ -2685,3 +2685,78 @@ def vshape_pattern_census(
     return per_key.groupBy(F.col("n_v").cast("bigint").alias("n_vshapes")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys")
     )
+
+
+def markov_entropy_rate(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    state_col: str,
+    term_scale: float = 1e12,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Entropy rate of the per-key state sequence modeled as a 1st-order
+    Markov chain: H = −Σ_s π(s) Σ_t p(t|s)·ln p(t|s) with π the
+    empirical source-state distribution of observed transitions — how
+    predictable is the next event type given the current one (0 =
+    deterministic chain). Transition counts are exact (one lag window
+    over all keys' sequences, aggregated globally); each cell term is
+    integer-rounded post-ln (the MI discipline), so the scalar
+    hash-certifies. Also emits the stationary-entropy companion H(π)
+    and the predictability ratio 1 − H_rate/H(π).
+
+    Output: one row (n_transitions, n_states, h_rate_nats, h_pi_nats,
+    predictability)."""
+    w = Window.partitionBy("k").orderBy("ts", "eid")
+    tr = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(state_col).alias("s"),
+        )
+        .select("k", F.lag("s").over(w).alias("a"), F.col("s").alias("b"))
+        .filter(F.col("a").isNotNull())
+    )
+    cells = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    marg = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
+    tot = cells.agg(
+        F.sum("n_ab").alias("n_all"), F.count(F.lit(1)).alias("n_cells")
+    )
+    j = cells.join(F.broadcast(marg), "a").crossJoin(F.broadcast(tot))
+    nd = F.col("n_all").cast("double")
+    # π(a)·p(b|a)·ln p(b|a) = (n_ab/N)·ln(n_ab/n_a)
+    h_term = (
+        F.col("n_ab").cast("double")
+        / nd
+        * F.log(F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+    )
+    hr = j.agg(
+        F.max("n_all").alias("n_transitions"),
+        F.sum(
+            F.round(h_term * F.lit(term_scale)).cast("bigint")
+        ).alias("h_s"),
+    )
+    pi_term = (
+        F.col("n_a").cast("double")
+        / nd
+        * F.log(F.col("n_a").cast("double") / nd)
+    )
+    hp = marg.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("n_states"),
+        F.sum(
+            F.round(pi_term * F.lit(term_scale)).cast("bigint")
+        ).alias("p_s"),
+    )
+    h_rate = -(F.col("h_s").cast("double")) / F.lit(term_scale)
+    h_pi = -(F.col("p_s").cast("double")) / F.lit(term_scale)
+    return hr.crossJoin(F.broadcast(hp)).select(
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.col("n_states").cast("bigint").alias("n_states"),
+        (F.round(h_rate, ndigits) + 0.0).alias("h_rate_nats"),
+        (F.round(h_pi, ndigits) + 0.0).alias("h_pi_nats"),
+        (F.round(1.0 - h_rate / h_pi, ndigits) + 0.0).alias(
+            "predictability"
+        ),
+    )

@@ -3529,3 +3529,56 @@ def rel_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "ts_markov_entropy",
+    oracle="""
+    WITH tr AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS a,
+             event_type AS b
+      FROM events
+    ),
+    f AS (SELECT a, b FROM tr WHERE a IS NOT NULL),
+    cells AS (SELECT a, b, count(*) AS n_ab FROM f GROUP BY 1, 2),
+    marg AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a
+             FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_all FROM cells),
+    hr AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(c.n_ab AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+               * ln(CAST(c.n_ab AS DOUBLE) / CAST(m.n_a AS DOUBLE))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS h_s
+      FROM cells c JOIN marg m ON m.a = c.a CROSS JOIN tot t
+    ),
+    hp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_states,
+             CAST(sum(CAST(round(
+               CAST(n_a AS DOUBLE) / CAST(t.n_all AS DOUBLE)
+               * ln(CAST(n_a AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+               * 1000000000000.0) AS BIGINT)) AS BIGINT) AS p_s
+      FROM marg CROSS JOIN tot t
+    )
+    SELECT t.n_all AS n_transitions, hp.n_states,
+           round(-(CAST(hr.h_s AS DOUBLE)) / 1000000000000.0, 6) + 0.0
+             AS h_rate_nats,
+           round(-(CAST(hp.p_s AS DOUBLE)) / 1000000000000.0, 6) + 0.0
+             AS h_pi_nats,
+           round(1.0 - (-(CAST(hr.h_s AS DOUBLE)) / 1000000000000.0)
+                       / (-(CAST(hp.p_s AS DOUBLE)) / 1000000000000.0),
+                 6) + 0.0 AS predictability
+    FROM hr CROSS JOIN hp CROSS JOIN tot t
+    """,
+)
+def ts_markov_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov entropy rate of per-user event-type sequences
+    (operators.timeseries.markov_entropy_rate): how predictable is the
+    next event given the current one — the information scalar on top of
+    ts_event_transitions' raw matrix and rows_markov_attribution's
+    chain; integer-rounded post-ln cell terms, one lag window + count
+    rollups."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.markov_entropy_rate(
+        ev, "user_id", "ts", "event_id", "event_type"
+    )
