@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "rel_inclusion_deps",
     "rel_bucketed_join",
     "ts_markov_entropy",
+    "ts_slo_burn_alerts",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

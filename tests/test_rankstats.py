@@ -844,3 +844,37 @@ def test_markov_entropy_uniform_chain_max(spark):
     # transitions: A->B and A->C equal counts; B->A, C->A determin.
     # pi(A) ~ 1/2 -> H_rate ~ 0.5*ln2
     assert abs(r.h_rate_nats - 0.5 * math.log(2)) < 0.02
+
+
+# ------------------------------------------------------------- slo burn
+
+
+def test_slo_burn_page_needs_both_windows(spark):
+    import datetime
+
+    from usedcars_bigdata_spark.operators.timeseries import slo_burn_alerts
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0..5: 10% errors (quiet). hour 6: 60% errors (blip ->
+    # short window burns, long window still diluted -> warn).
+    # hours 7..12: 60% errors sustained -> long window catches up -> page.
+    for hr in range(13):
+        err_n = 1 if hr < 6 else 6
+        for i in range(10):
+            rows.append(
+                (eid, base + datetime.timedelta(hours=hr, minutes=i),
+                 "error" if i < err_n else "view")
+            )
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = {
+        r.h - int(base.timestamp()) // 3600: r.severity
+        for r in slo_burn_alerts(
+            df, "ts", F.col("event_type") == "error", budget=0.25
+        ).collect()
+    }
+    assert out[6] == "warn"      # blip: short burns, long diluted
+    assert out[12] == "page"     # sustained: both windows burn
+    assert 0 not in out and 5 not in out  # quiet hours silent

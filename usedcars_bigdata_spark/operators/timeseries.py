@@ -2760,3 +2760,66 @@ def markov_entropy_rate(
             "predictability"
         ),
     )
+
+
+def slo_burn_alerts(
+    events: DataFrame,
+    ts_col: str,
+    is_error: Column,
+    budget: float = 0.25,
+    long_hours: int = 6,
+    page_short: float = 1.2,
+    page_long: float = 1.0,
+    warn_short: float = 1.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the Google SRE workbook
+    pattern): per hour, burn = error_rate / error_budget over the 1 h
+    and trailing ``long_hours`` windows; PAGE when both windows burn
+    above their thresholds (sustained fast burn), WARN on the short
+    window alone (possible blip). Counts are exact ints via RANGE-frame
+    sums (gap-aware like rolling_corr_hourly); the rates/burns are fixed
+    double forms, so alert rows hash-certify. Output only the alerting
+    hours — bounded by incident volume, not data volume.
+
+    Output: (h, errors_1h, total_1h, burn_1h, burn_6h, severity)."""
+    sec = F.col(ts_col).cast("long")
+    hourly = (
+        events.select(
+            F.floor(sec / 3600).cast("long").alias("h"),
+            is_error.cast("int").alias("e"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("t"), F.sum("e").alias("er"))
+    )
+    w = Window.orderBy("h").rangeBetween(-(long_hours - 1), 0)
+    s = hourly.select(
+        "h",
+        F.col("er").alias("errors_1h"),
+        F.col("t").alias("total_1h"),
+        F.sum("er").over(w).alias("er_l"),
+        F.sum("t").over(w).alias("t_l"),
+    )
+    b1 = (
+        F.col("errors_1h").cast("double") / F.col("total_1h").cast("double")
+    ) / F.lit(budget)
+    bl = (
+        F.col("er_l").cast("double") / F.col("t_l").cast("double")
+    ) / F.lit(budget)
+    sev = (
+        F.when((b1 > page_short) & (bl > page_long), F.lit("page"))
+        .when(b1 > warn_short, F.lit("warn"))
+        .otherwise(F.lit(None))
+    )
+    return (
+        s.withColumn("severity", sev)
+        .filter(F.col("severity").isNotNull())
+        .select(
+            F.col("h").cast("bigint").alias("h"),
+            F.col("errors_1h").cast("bigint").alias("errors_1h"),
+            F.col("total_1h").cast("bigint").alias("total_1h"),
+            (F.round(b1, ndigits) + 0.0).alias("burn_1h"),
+            (F.round(bl, ndigits) + 0.0).alias("burn_long"),
+            "severity",
+        )
+    )

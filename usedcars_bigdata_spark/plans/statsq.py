@@ -3582,3 +3582,51 @@ def ts_markov_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.markov_entropy_rate(
         ev, "user_id", "ts", "event_id", "event_type"
     )
+
+
+@query(
+    "ts_slo_burn_alerts",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+             count(*) AS t,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS er
+      FROM events GROUP BY 1
+    ),
+    s AS (
+      SELECT h, er AS errors_1h, t AS total_1h,
+             CAST(sum(er) OVER w AS BIGINT) AS er_l,
+             CAST(sum(t) OVER w AS BIGINT) AS t_l
+      FROM hourly
+      WINDOW w AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+      SELECT h, errors_1h, total_1h,
+             (CAST(errors_1h AS DOUBLE) / CAST(total_1h AS DOUBLE))
+               / 0.25 AS b1,
+             (CAST(er_l AS DOUBLE) / CAST(t_l AS DOUBLE)) / 0.25 AS bl
+      FROM s
+    )
+    SELECT CAST(h AS BIGINT) AS h,
+           CAST(errors_1h AS BIGINT) AS errors_1h,
+           CAST(total_1h AS BIGINT) AS total_1h,
+           round(b1, 6) + 0.0 AS burn_1h,
+           round(bl, 6) + 0.0 AS burn_long,
+           CASE WHEN b1 > 1.2 AND bl > 1.0 THEN 'page'
+                WHEN b1 > 1.0 THEN 'warn' END AS severity
+    FROM b
+    WHERE (b1 > 1.2 AND bl > 1.0) OR b1 > 1.0
+    """,
+)
+def ts_slo_burn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerts on the error event stream
+    (operators.timeseries.slo_burn_alerts, budget 25%, page = 1h AND 6h
+    both burning, warn = 1h alone — the SRE-workbook alert shape):
+    alert-hours only in the output, exact counts under deterministic
+    threshold comparisons. The operations-monitoring companion to
+    ts_seasonal_anomalies/ts_cusum_changepoints."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.slo_burn_alerts(
+        ev, "ts", F.col("event_type") == "error", budget=0.25
+    )
