@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "rel_bucketed_join",
     "ts_markov_entropy",
     "ts_slo_burn_alerts",
+    "rel_join_cardinality_audit",
 ]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]

@@ -1217,3 +1217,22 @@ def test_t_closeness_missing_cell_counts(spark):
     assert out["a"] == round(1 / 3, 6)
     # b: x=.5, z=.5 -> TV = .5*(|0.5-2/3| + |0.5-1/3|) = 1/6
     assert out["b"] == round(1 / 6, 6)
+
+
+# ------------------------------------------------ join cardinality audit
+
+
+def test_join_cardinality_exact_vs_estimate(spark):
+    from usedcars_bigdata_spark.operators.joins import (
+        join_cardinality_audit,
+    )
+
+    # left: key 1 x3, key 2 x1. right: key 1 x2, key 3 x5.
+    l = spark.createDataFrame([(1,), (1,), (1,), (2,)], ["lk"])
+    r = spark.createDataFrame([(1,), (1,), (3,), (3,), (3,), (3,), (3,)], ["rk"])
+    out = join_cardinality_audit(l, r, "lk", "rk").collect()[0]
+    assert out.exact_join_rows == 6  # 3*2 on key 1 only
+    # independence: 4*7 / max(2,2) = 14
+    assert out.independence_est == 14.0
+    assert out.est_over_exact == round(14 / 6, 6)
+    assert (out.n_left, out.n_right, out.d_left, out.d_right) == (4, 7, 2, 2)

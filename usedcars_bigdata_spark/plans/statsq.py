@@ -3630,3 +3630,47 @@ def ts_slo_burn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.slo_burn_alerts(
         ev, "ts", F.col("event_type") == "error", budget=0.25
     )
+
+
+@query(
+    "rel_join_cardinality_audit",
+    oracle="""
+    WITH lc AS (
+      SELECT o_custkey AS k, count(*) AS nl FROM orders GROUP BY 1
+    ),
+    rc AS (
+      SELECT l_suppkey % 1000 AS k, count(*) AS nr
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT CAST(sum(lc.nl * rc.nr) AS BIGINT) AS exact_join_rows
+      FROM lc JOIN rc ON rc.k = lc.k
+    ),
+    lm AS (SELECT CAST(sum(nl) AS BIGINT) AS n_left,
+                  CAST(count(*) AS BIGINT) AS d_left FROM lc),
+    rm AS (SELECT CAST(sum(nr) AS BIGINT) AS n_right,
+                  CAST(count(*) AS BIGINT) AS d_right FROM rc)
+    SELECT n_left, n_right, d_left, d_right, exact_join_rows,
+           round(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                 / CAST(greatest(d_left, d_right) AS DOUBLE), 2)
+             AS independence_est,
+           round(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                 / CAST(greatest(d_left, d_right) AS DOUBLE)
+                 / CAST(exact_join_rows AS DOUBLE), 6) AS est_over_exact
+    FROM lm CROSS JOIN rm CROSS JOIN j
+    """,
+)
+def rel_join_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer cardinality audit
+    (operators.joins.join_cardinality_audit): the exact size of
+    orders ⋈ (suppkey-bucketed lineitem) from per-key count tables vs
+    the textbook |L|·|R|/max(d) independence estimate — two aggregates
+    and a count-table join, never the fact join itself; the skewed
+    bucket key makes the estimate visibly off, which is the point."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("lk")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_suppkey") % 1000).alias("rk")
+    )
+    return J.join_cardinality_audit(o, li, "lk", "rk")
