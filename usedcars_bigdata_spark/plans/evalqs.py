@@ -284,7 +284,7 @@ def ml_assoc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDGES_CTE = """
     items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (
+    e AS MATERIALIZED (
       SELECT a.l_partkey AS a, b.l_partkey AS b
       FROM items a
       JOIN items b ON a.l_orderkey = b.l_orderkey

@@ -381,18 +381,23 @@ def rel_ddsketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcore_oracle(k: int, rounds: int) -> str:
     """Generate the unrolled peel SQL so the oracle is structurally
-    guaranteed to run the same fixed rounds as the Spark plan."""
+    guaranteed to run the same fixed rounds as the Spark plan. Every
+    sym{r}/keep{r} is MATERIALIZED: DuckDB 1.0 inlines CTEs, and each
+    round references the previous one three times — inlined, the chain
+    re-evaluates exponentially (~3^rounds; measured 36s at sf0.01 for
+    5 rounds, <1s materialized)."""
     parts = [f"WITH {_EDGES_CTE},"]
     parts.append(
-        "sym0 AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"
+        "sym0 AS MATERIALIZED"
+        " (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e)"
     )
     for r in range(1, rounds + 1):
         parts.append(
-            f", keep{r} AS (SELECT a FROM sym{r-1} GROUP BY a"
+            f", keep{r} AS MATERIALIZED (SELECT a FROM sym{r-1} GROUP BY a"
             f" HAVING count(*) >= {k})"
         )
         parts.append(
-            f", sym{r} AS (SELECT s.a, s.b FROM sym{r-1} s"
+            f", sym{r} AS MATERIALIZED (SELECT s.a, s.b FROM sym{r-1} s"
             f" JOIN keep{r} ka ON ka.a = s.a"
             f" JOIN keep{r} kb ON kb.a = s.b)"
         )
@@ -3134,7 +3139,7 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_coverage_select",
     oracle="""
     WITH 
-    sh0 AS (
+    sh0 AS MATERIALIZED (
       SELECT DISTINCT doc_id AS did,
              w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS w
       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
@@ -3143,59 +3148,59 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   FROM documents)
             WHERE len(w) >= 3)
     ),
-    cands AS (
+    cands AS MATERIALIZED (
       SELECT did FROM (
         SELECT did, row_number() OVER (ORDER BY count(*) DESC, did ASC)
                  AS rn
         FROM sh0 GROUP BY did
       ) WHERE rn <= 2000
     ),
-    sh AS (SELECT s.did, s.w FROM sh0 s JOIN cands USING (did)),
-    g1 AS (SELECT did, count(*) AS gain FROM sh GROUP BY 1),
-    b1 AS (SELECT did, gain FROM g1 ORDER BY gain DESC, did ASC LIMIT 1),
-    c1 AS (SELECT DISTINCT w FROM sh JOIN b1 USING (did)),
-    g2 AS (
+    sh AS MATERIALIZED (SELECT s.did, s.w FROM sh0 s JOIN cands USING (did)),
+    g1 AS MATERIALIZED (SELECT did, count(*) AS gain FROM sh GROUP BY 1),
+    b1 AS MATERIALIZED (SELECT did, gain FROM g1 ORDER BY gain DESC, did ASC LIMIT 1),
+    c1 AS MATERIALIZED (SELECT DISTINCT w FROM sh JOIN b1 USING (did)),
+    g2 AS MATERIALIZED (
       SELECT s.did, count(*) AS gain
       FROM sh s
       WHERE s.did NOT IN (SELECT did FROM b1)
         AND NOT EXISTS (SELECT 1 FROM c1 x WHERE x.w = s.w)
       GROUP BY 1
     ),
-    b2 AS (SELECT did, gain FROM g2 ORDER BY gain DESC, did ASC LIMIT 1),
-    c2 AS (SELECT w FROM c1
+    b2 AS MATERIALIZED (SELECT did, gain FROM g2 ORDER BY gain DESC, did ASC LIMIT 1),
+    c2 AS MATERIALIZED (SELECT w FROM c1
              UNION
              SELECT w FROM sh JOIN b2 USING (did)),
-    g3 AS (
+    g3 AS MATERIALIZED (
       SELECT s.did, count(*) AS gain
       FROM sh s
       WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2)
         AND NOT EXISTS (SELECT 1 FROM c2 x WHERE x.w = s.w)
       GROUP BY 1
     ),
-    b3 AS (SELECT did, gain FROM g3 ORDER BY gain DESC, did ASC LIMIT 1),
-    c3 AS (SELECT w FROM c2
+    b3 AS MATERIALIZED (SELECT did, gain FROM g3 ORDER BY gain DESC, did ASC LIMIT 1),
+    c3 AS MATERIALIZED (SELECT w FROM c2
              UNION
              SELECT w FROM sh JOIN b3 USING (did)),
-    g4 AS (
+    g4 AS MATERIALIZED (
       SELECT s.did, count(*) AS gain
       FROM sh s
       WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2 UNION ALL SELECT did FROM b3)
         AND NOT EXISTS (SELECT 1 FROM c3 x WHERE x.w = s.w)
       GROUP BY 1
     ),
-    b4 AS (SELECT did, gain FROM g4 ORDER BY gain DESC, did ASC LIMIT 1),
-    c4 AS (SELECT w FROM c3
+    b4 AS MATERIALIZED (SELECT did, gain FROM g4 ORDER BY gain DESC, did ASC LIMIT 1),
+    c4 AS MATERIALIZED (SELECT w FROM c3
              UNION
              SELECT w FROM sh JOIN b4 USING (did)),
-    g5 AS (
+    g5 AS MATERIALIZED (
       SELECT s.did, count(*) AS gain
       FROM sh s
       WHERE s.did NOT IN (SELECT did FROM b1 UNION ALL SELECT did FROM b2 UNION ALL SELECT did FROM b3 UNION ALL SELECT did FROM b4)
         AND NOT EXISTS (SELECT 1 FROM c4 x WHERE x.w = s.w)
       GROUP BY 1
     ),
-    b5 AS (SELECT did, gain FROM g5 ORDER BY gain DESC, did ASC LIMIT 1),
-    c5 AS (SELECT w FROM c4
+    b5 AS MATERIALIZED (SELECT did, gain FROM g5 ORDER BY gain DESC, did ASC LIMIT 1),
+    c5 AS MATERIALIZED (SELECT w FROM c4
              UNION
              SELECT w FROM sh JOIN b5 USING (did))
     SELECT 1 AS round, did AS selected_id,
