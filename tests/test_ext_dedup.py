@@ -462,6 +462,27 @@ def test_pair_graph_stats_golden(spark):
     assert r2["n_triangles"] == 4 and r2["n_edges"] == 6
 
 
+def test_triangle_stats_canonicalizes_both_orientations(spark):
+    # round-6 ADVICE: an edge list carrying BOTH orientations must not
+    # double-count — triangle_stats now canonicalizes via least/greatest
+    from usedcars_bigdata_spark.operators.graph import triangle_stats
+
+    both = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2), (3, 4), (4, 3)],
+        "a long, b long",
+    )
+    r = triangle_stats(both, "a", "b").first()
+    assert r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    canon = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "a long, b long"
+    )
+    r2 = triangle_stats(canon, "a", "b").first()
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"], r["clustering"]) == (
+        r2["n_nodes"], r2["n_edges"], r2["n_triangles"], r2["clustering"]
+    )
+
+
 def test_sorted_neighborhood_catches_mid_string_edit(spark):
     """A mid-string typo defeats prefix blocking but sorts adjacently —
     the case sorted neighborhood exists for; and values far apart in sort

@@ -493,6 +493,40 @@ def test_balance_oversample_counts_and_determinism(spark):
     assert all(r["count"] in (9, 10) for r in per_id)
 
 
+def test_balance_oversample_label1_majority(spark):
+    # round-6 ADVICE: with label 1 the MAJORITY, copies hit 0 and
+    # F.sequence(1, 0) silently emitted a DESCENDING [1, 0] — label-1
+    # rows came out TWICE (copy_idx 0 and -1). Now label 0 is detected
+    # as the minority and oversampled; label 1 passes through once.
+    from usedcars_bigdata_spark.ml.prep import balance_oversample
+
+    rows = [(i, 1) for i in range(90)] + [(i, 0) for i in range(90, 100)]
+    df = spark.createDataFrame(rows, ["id", "y"])
+    res = balance_oversample(df, "y", "id")
+    counts = {r.y: r["count"] for r in res.groupBy("y").count().collect()}
+    assert counts[1] == 90  # majority passes through exactly once
+    assert 81 <= counts[0] <= 99  # minority (label 0) oversampled ~9-10x
+    assert res.agg(F.min("copy_idx")).collect()[0][0] == 0  # no -1 rows
+    per_id = res.filter(F.col("y") == 0).groupBy("id").count().collect()
+    assert all(r["count"] in (9, 10) for r in per_id)
+
+
+def test_balance_oversample_single_class_passthrough(spark):
+    # nmin = 0 (single-class input): no divide-by-zero, everything
+    # passes through once with copy_idx 0.
+    from usedcars_bigdata_spark.ml.prep import balance_oversample
+
+    df = spark.createDataFrame([(i, 1) for i in range(20)], ["id", "y"])
+    res = balance_oversample(df, "y", "id")
+    assert res.count() == 20
+    assert res.agg(F.max("copy_idx"), F.min("copy_idx")).collect()[0] == (0, 0)
+    # balanced input (tie): both classes pass through once
+    df2 = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], ["id", "y"]
+    )
+    assert balance_oversample(df2, "y", "id").count() == 20
+
+
 def test_bfs_layers_chain_graph(spark):
     from usedcars_bigdata_spark.operators.graph import bfs_layers
 
@@ -535,3 +569,9 @@ def test_mi_pair_symmetric_and_mrmr_orders_planted(spark):
     # noise: zero relevance, zero redundancy
     assert out["f_noise"].relevance == 0.0
     assert out["f_noise"].mrmr == 0.0
+    # round-6 ADVICE: single-feature input must not crash — redundancy
+    # is 0 and mrmr == relevance
+    solo = mrmr_rank(df, "y", ["f_good"]).collect()
+    assert len(solo) == 1
+    assert solo[0].redundancy == 0.0
+    assert solo[0].mrmr == solo[0].relevance == round(math.log(2), 6)

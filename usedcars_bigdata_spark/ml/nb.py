@@ -334,9 +334,13 @@ def mrmr_rank(
     entirely from mi_pair 1-row frames (no collect); |features|² tiny
     pair grid.
 
-    Output: (feature, relevance, redundancy, mrmr)."""
+    Output: (feature, relevance, redundancy, mrmr). A single-feature
+    input has no redundancy pairs: redundancy is 0 and mrmr ==
+    relevance (round-6 ADVICE — ``red`` stayed None and crossJoin(None)
+    raised)."""
     rows = []
     feats = list(feature_cols)
+    spark = df.sparkSession
     for f in feats:
         rel = mi_pair(df, f, label_col, term_scale).withColumnRenamed(
             "mi_s", "rel_s"
@@ -348,11 +352,13 @@ def mrmr_rank(
             red = p if red is None else red.crossJoin(
                 p.withColumnRenamed("mi_s", "mi_s2")
             ).select((F.col("mi_s") + F.col("mi_s2")).alias("mi_s"))
+        if red is None:
+            red = spark.createDataFrame([(0,)], "mi_s bigint")
         rel_d = F.col("rel_s").cast("double") / F.lit(term_scale)
         red_d = (
             F.col("mi_s").cast("double")
             / F.lit(term_scale)
-            / F.lit(float(len(others)))
+            / F.lit(float(max(len(others), 1)))
         )
         rows.append(
             rel.crossJoin(F.broadcast(red)).select(

@@ -130,17 +130,30 @@ def balance_oversample(
 ) -> DataFrame:
     """Deterministic minority oversampling to ~1:1 — the class-balance
     step of an ML data-prep pipeline, with md5 replacing RNG so the
-    resampled table is bit-reproducible (and hash-certifiable): each
-    minority row gets ``n0 div n1`` copies plus one more iff
-    u(md5(salt:id)) < (n0 mod n1)/n1, so E[n_after] = n0 exactly and
-    every engine draws the same rows. Majority rows pass through. The
-    expansion is a single explode(sequence) — no RNG, no driver loop.
+    resampled table is bit-reproducible (and hash-certifiable): the
+    MINORITY class (whichever of 0/1 is rarer; label 1 wins ties so the
+    historical label-1-minority behavior is unchanged) gets
+    ``nmaj div nmin`` copies per row plus one more iff
+    u(md5(salt:id)) < (nmaj mod nmin)/nmin, so E[n_after] = nmaj
+    exactly and every engine draws the same rows. Majority rows pass
+    through; a single-class input (nmin = 0) passes through entirely
+    (no divide-by-zero, no F.sequence(1, 0) descending-range trap —
+    copies is structurally >= 1 because nmaj div nmin >= 1).
+    The expansion is a single explode(sequence) — no RNG, no driver
+    loop.
 
     Output: the resampled DataFrame with a ``copy_idx`` column (0 for
     originals/majority)."""
     lbl = F.col(label_col).cast("int")
     cls = df.agg(
         F.sum(1 - lbl).alias("n0"), F.sum(lbl).alias("n1")
+    ).select(
+        F.least("n0", "n1").alias("nmin"),
+        F.greatest("n0", "n1").alias("nmaj"),
+        # label 1 is "the minority" on ties: copies = 1 there anyway.
+        F.when(F.col("n1") <= F.col("n0"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("min_lbl"),
     )
     j = df.crossJoin(F.broadcast(cls))
     u = (
@@ -159,12 +172,13 @@ def balance_oversample(
         ).cast("long")
         + 0.5
     ) / 4294967296.0
-    thr = F.pmod(F.col("n0"), F.col("n1")).cast("double") / F.col(
-        "n1"
+    thr = F.pmod(F.col("nmaj"), F.col("nmin")).cast("double") / F.col(
+        "nmin"
     ).cast("double")
     copies = F.when(
-        lbl == 1,
-        (F.col("n0") - F.pmod(F.col("n0"), F.col("n1"))) / F.col("n1")
+        (F.col("nmin") > 0) & (lbl == F.col("min_lbl")),
+        (F.col("nmaj") - F.pmod(F.col("nmaj"), F.col("nmin")))
+        / F.col("nmin")
         + (u < thr).cast("int"),
     ).otherwise(F.lit(1)).cast("int")
     return (
@@ -173,5 +187,5 @@ def balance_oversample(
             "__ci", F.explode(F.sequence(F.lit(1), F.col("__copies")))
         )
         .withColumn("copy_idx", F.col("__ci") - 1)
-        .drop("__copies", "__ci", "n0", "n1")
+        .drop("__copies", "__ci", "nmin", "nmaj", "min_lbl")
     )

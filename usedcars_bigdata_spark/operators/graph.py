@@ -81,8 +81,15 @@ def triangle_stats(edges: DataFrame, src: str, dst: str, ndigits: int = 6) -> Da
     UNDIRECTED graph: Σ_v deg(v)·(deg(v)−1)/2.
 
     Output: one row (n_nodes, n_edges, n_triangles, clustering)."""
+    # Canonicalize internally (least/greatest + distinct): an input
+    # carrying both orientations of an edge would otherwise double-count
+    # edges and inflate triangles/wedges (round-6 ADVICE — latent API
+    # hazard; in-repo call sites already pass a < b).
     e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)  # read by 4 consumers below

@@ -253,14 +253,14 @@ def ml_target_enc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(t.N AS BIGINT) AS n,
            CAST(t.n_x AS BIGINT) AS n_x,
            CAST(t.n_y AS BIGINT) AS n_y,
-           round(sum(pow(g.n - g.nx * 1.0 * g.ny / t.N, 2)
-                     / (g.nx * 1.0 * g.ny / t.N)), 6) AS chi2,
-           round(sqrt(sum(pow(g.n - g.nx * 1.0 * g.ny / t.N, 2)
-                          / (g.nx * 1.0 * g.ny / t.N))
+           round(sum(pow(g.n - CAST(g.nx AS DOUBLE) * g.ny / t.N, 2)
+                     / (CAST(g.nx AS DOUBLE) * g.ny / t.N)), 6) AS chi2,
+           round(sqrt(sum(pow(g.n - CAST(g.nx AS DOUBLE) * g.ny / t.N, 2)
+                          / (CAST(g.nx AS DOUBLE) * g.ny / t.N))
                       / (t.N * least(t.n_x - 1, t.n_y - 1))), 6) AS cramers_v,
            round(sum(CASE WHEN g.n > 0
                           THEN (g.n * 1.0 / t.N)
-                               * ln(g.n * 1.0 * t.N / (g.nx * 1.0 * g.ny))
+                               * ln(CAST(g.n AS DOUBLE) * t.N / (CAST(g.nx AS DOUBLE) * g.ny))
                           ELSE 0.0 END), 6) AS mi_nats
     FROM grid g CROSS JOIN t
     GROUP BY t.N, t.n_x, t.n_y
@@ -406,9 +406,9 @@ def rel_common_nbrs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(lag AS INTEGER) AS lag,
            CAST(n_buckets AS BIGINT) AS n_buckets,
-           round((n_buckets * 1.0 * sxy - sx * 1.0 * sy)
-                 / sqrt((n_buckets * 1.0 * sxx - sx * 1.0 * sx)
-                        * (n_buckets * 1.0 * syy - sy * 1.0 * sy)), 6) AS r
+           round((CAST(n_buckets AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n_buckets AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n_buckets AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS r
     FROM m
     """,
 )
@@ -438,11 +438,11 @@ def ts_xcorr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pk AS (
       SELECT key, sum(n_h) AS n, sum(s_h) AS s, sum(ss_h) AS ss,
-             sum(s_h * 1.0 * s_h / n_h) AS sb
+             sum(CAST(s_h AS DOUBLE) * s_h / n_h) AS sb
       FROM ph GROUP BY 1
     )
     SELECT key, CAST(n AS BIGINT) AS n,
-           round((sb - s * 1.0 * s / n) / (ss - s * 1.0 * s / n), 6) AS eta2
+           round((sb - CAST(s AS DOUBLE) * s / n) / (ss - CAST(s AS DOUBLE) * s / n), 6) AS eta2
     FROM pk
     """,
 )
@@ -707,7 +707,7 @@ def ext_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     v AS (
       SELECT stratum, n_stratum,
-             sqrt(greatest((ss - s * 1.0 * s / n_stratum) / n_stratum, 0.0))
+             sqrt(greatest((ss - CAST(s AS DOUBLE) * s / n_stratum) / n_stratum, 0.0))
                AS sd
       FROM m
     ),
