@@ -1,7 +1,7 @@
 """Distributed model-evaluation and feature-engineering operators.
 
 The reference's ML surface stops at RegressionEvaluator point metrics
-(machine-learning-py/random-forest.py:analysis cells); an engine feeding
+(notebook_to_py/price-prediction.py:209-257 reg_metrics); an engine feeding
 model training at 100 TB also needs the CLASSIFICATION evaluation suite —
 ranking metrics (ROC AUC, KS), probability diagnostics (calibration,
 lift/gains), leakage-free target encoding, and categorical-association

@@ -1,7 +1,7 @@
 """Rank-based statistics: Spearman rank correlation, the Mann-Whitney U
 test, Kendall's tau-b, and a cluster-level permutation test (beyond-
 reference extension; SURVEY.md §2.13 — the reference's stats surface stops
-at Pearson/skewness, `3-EDA.ipynb`-style moments).
+at Pearson/skewness, `notebook_to_py/data-viz&cleaning.py:141-196`-style moments).
 
 Design rules shared by every operator here (the ts_bootstrap_ci /
 ml_roc_auc precedents):

@@ -4,7 +4,7 @@ operators.graph k-core + HITS, ml.eval.ranking_metrics,
 ext.text.rouge_n_recall_pairs, operators.timeseries.acf_lags).
 
 Beyond-reference extensions (SURVEY.md §2.13): the reference's statistics
-stop at Pearson/skewness moments (`3-EDA.ipynb`), its graph surface at
+stop at Pearson/skewness moments (`notebook_to_py/data-viz&cleaning.py:141-196`), its graph surface at
 nothing — this module adds the nonparametric-test family (Spearman,
 Mann-Whitney, Kendall, permutation), the mergeable-quantile sketch, the
 HITS/k-core graph tier, and the NDCG/MRR retrieval gate, each hash-oracle
@@ -69,7 +69,7 @@ def rel_spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rank correlation of quantity vs price per returnflag
     (operators.rankstats.spearman_corr): midrank ties via the doubled-
     average-rank trick keep every moment in exact bigints; the reference
-    only ships Pearson (3-EDA.ipynb correlation cell), and rank
+    only ships Pearson (notebook_to_py/data-viz&cleaning.py:141-196 moments surface), and rank
     correlation is the robust companion a skewed-price table needs."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -638,7 +638,7 @@ def rel_kruskal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_mann_whitney — one global midrank, per-group bigint rank sums, tie
     moment, then the tie-corrected H and epsilon-squared effect size in
     one fixed double closed form. The reference's EDA has no
-    nonparametric location test at all (3-EDA.ipynb stops at Pearson)."""
+    nonparametric location test at all (notebook_to_py/data-viz&cleaning.py stops at skewness/moments)."""
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
