@@ -115,6 +115,57 @@ def test_fs_match_scores_hand_weights(spark):
     assert got[(1, 2)].rank == 1
 
 
+def test_fs_em_weights_separates_planted_mixture(spark):
+    # Planted two-class mixture: within one block, ids 1-10 are "dups"
+    # of a template (name + type agree pairwise among them), ids 11-30
+    # have unique names/types (pairs disagree). EM must fit m >> u for
+    # both fields and a positive agreement weight wa.
+    from usedcars_bigdata_spark.ext.dedup import fs_em_weights
+
+    rows = [(i, "b1", "template-name", "t0") for i in range(1, 11)]
+    rows += [(i, "b1", f"unique-name-{i:04d}", f"t{i}") for i in range(11, 31)]
+    df = spark.createDataFrame(rows, ["id", "blk", "name", "typ"])
+    out = {
+        r.field: r
+        for r in fs_em_weights(
+            df, "id", ["blk"], [("name", 1), ("typ", "exact")],
+            iterations=5,
+        ).collect()
+    }
+    assert set(out) == {"name", "typ"}
+    for f in ("name", "typ"):
+        assert out[f].m > out[f].u, (f, out[f])
+        assert out[f].wa > 0 > out[f].wd, (f, out[f])
+        assert 0.0 < out[f].m < 1.0 and 0.0 < out[f].u < 1.0
+    # determinism: a second run is bit-identical (md5-free fixed-point
+    # recurrence, rounded per M-step)
+    again = {
+        r.field: r
+        for r in fs_em_weights(
+            df, "id", ["blk"], [("name", 1), ("typ", "exact")],
+            iterations=5,
+        ).collect()
+    }
+    assert {f: (v.m, v.u, v.wa, v.wd) for f, v in out.items()} == {
+        f: (v.m, v.u, v.wa, v.wd) for f, v in again.items()
+    }
+
+
+def test_fs_em_weights_degenerate_all_agree_no_throw(spark):
+    # all pairs agree on everything: the clamp keeps params off 0/1 and
+    # ANSI division alive (the sf0.001 divide-by-zero regression)
+    from usedcars_bigdata_spark.ext.dedup import fs_em_weights
+
+    rows = [(i, "b1", "same", "t") for i in range(1, 8)]
+    df = spark.createDataFrame(rows, ["id", "blk", "name", "typ"])
+    out = fs_em_weights(
+        df, "id", ["blk"], [("name", "exact"), ("typ", "exact")]
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.m is not None and 0.0 < r.m < 1.0
+
+
 def test_prefix_filter_join_equals_bruteforce(spark):
     """Prefix filtering must lose NO pair above the threshold — compare
     against the full-index jaccard_pairs on an adversarial fixture with

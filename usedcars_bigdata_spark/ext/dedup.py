@@ -1524,6 +1524,166 @@ def fs_match_scores(
     )
 
 
+def fs_agreement_patterns(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[tuple],
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Agreement-PATTERN table for Fellegi–Sunter estimation: the same
+    blocked (a < b) candidate pairs as fs_match_scores, collapsed to
+    per-pattern counts — at most 2^|fields| rows however large the pair
+    set, which is what makes EM over billions of pairs a constant-size
+    problem (Winkler 1988's sufficient statistics). ``fields`` entries
+    are (col, kind) with kind "exact" or an int edit-distance band,
+    matching fs_match_scores.
+
+    Output: (g1..gJ int in {0,1}, n bigint)."""
+    b = [F.col(c) for c in block_cols]
+    sized = df.groupBy(*b).agg(F.count("*").alias("__bn"))
+    fcols = [c for c, _ in fields]
+    left = df.select(
+        *b,
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__a_{c}") for c in fcols],
+    ).join(
+        sized.filter(F.col("__bn") <= max_block).drop("__bn"),
+        list(block_cols),
+    )
+    right = df.select(
+        *[F.col(c).alias(f"__r_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__b_{c}") for c in fcols],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(c) == F.col(f"__r_{c}"))
+    pairs = left.join(right, cond)
+    gs = []
+    for i, (c, kind) in enumerate(fields, 1):
+        a, bb = F.col(f"__a_{c}"), F.col(f"__b_{c}")
+        if kind == "exact":
+            agree = a == bb
+        else:
+            k = int(kind)
+            agree = (F.abs(F.length(a) - F.length(bb)) <= k) & (
+                F.levenshtein(a, bb, k) >= 0
+            )
+        gs.append(agree.cast("int").alias(f"g{i}"))
+    return (
+        pairs.select(*gs)
+        .groupBy(*[f"g{i}" for i in range(1, len(fields) + 1)])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def fs_em_weights(
+    df: DataFrame,
+    id_col: str,
+    block_cols: Sequence[str],
+    fields: Sequence[tuple],
+    iterations: int = 5,
+    p0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    max_block: int = 10_000,
+    ndigits: int = 6,
+) -> DataFrame:
+    """EM-fitted Fellegi–Sunter (m, u) parameters — the named upgrade of
+    fs_match_scores' fixed expert literals (Winkler 1988; the two-class
+    latent-mixture EM on per-field agreement indicators):
+
+      E-step  w(γ) = p·∏ⱼ mⱼ^γⱼ(1−mⱼ)^(1−γⱼ) / (that + (1−p)·∏ⱼ uⱼ^…)
+      M-step  p = Σ n·w / Σ n,  mⱼ = Σ n·w·γⱼ / Σ n·w,
+              uⱼ = Σ n·(1−w)·γⱼ / Σ n·(1−w)
+
+    run for ``iterations`` UNROLLED declarative rounds over the
+    agreement-pattern table (≤ 2^J rows — fs_agreement_patterns collapses
+    the pair set to sufficient statistics first, so EM cost is
+    independent of corpus size; the pattern table is localCheckpointed
+    as the multi-round hub). Every M-step parameter is rounded to 12
+    decimals IN BOTH ENGINES (the oracle replays the same unrolled
+    recurrence): each iteration therefore starts from bit-identical
+    params, so cross-engine float-summation drift over the ≤2^J-row
+    aggregates cannot compound across rounds — the same
+    round-at-the-grid determinism lever as pagerank, applied per
+    iteration instead of once at the end.
+
+    Output: one row per field — (field, m, u, wa, wd) with
+    wa = log2(m/u), wd = log2((1−m)/(1−u)), rounded to ``ndigits``."""
+    J = len(fields)
+    patt = fs_agreement_patterns(
+        df, id_col, block_cols, [(c, k) for c, k, *_ in fields],
+        max_block=max_block,
+    ).localCheckpoint(eager=True)
+    spark = df.sparkSession
+    params = spark.createDataFrame(
+        [tuple([float(p0)] + [float(m0)] * J + [float(u0)] * J)],
+        "p double, "
+        + ", ".join(f"m{j} double" for j in range(1, J + 1))
+        + ", "
+        + ", ".join(f"u{j} double" for j in range(1, J + 1)),
+    )
+    for _ in range(iterations):
+        pm = F.col("p")
+        pu = F.lit(1.0) - F.col("p")
+        for j in range(1, J + 1):
+            g = F.col(f"g{j}")
+            pm = pm * F.when(g == 1, F.col(f"m{j}")).otherwise(
+                F.lit(1.0) - F.col(f"m{j}")
+            )
+            pu = pu * F.when(g == 1, F.col(f"u{j}")).otherwise(
+                F.lit(1.0) - F.col(f"u{j}")
+            )
+        e = patt.crossJoin(F.broadcast(params)).withColumn(
+            "w", pm / (pm + pu)
+        )
+        nw = F.col("n").cast("double") * F.col("w")
+        nv = F.col("n").cast("double") * (F.lit(1.0) - F.col("w"))
+
+        # Clamp every parameter to [1e-6, 1 - 1e-6] after the round: a
+        # degenerate M-step (m or u hitting exactly 0/1 on a tiny or
+        # collapsed pattern table) would zero BOTH mixture products for
+        # some pattern and the next E-step divides by pm + pu = 0 (ANSI
+        # throws). The standard EM guard, applied identically in the
+        # oracle so the recurrence stays bit-matched.
+        def _cl(x):
+            return F.greatest(
+                F.least(F.round(x, 12), F.lit(1.0 - 1e-6)), F.lit(1e-6)
+            )
+
+        aggs = [_cl(F.sum(nw) / F.sum(F.col("n").cast("double"))).alias("p")]
+        for j in range(1, J + 1):
+            g = F.col(f"g{j}").cast("double")
+            aggs.append(_cl(F.sum(nw * g) / F.sum(nw)).alias(f"m{j}"))
+        for j in range(1, J + 1):
+            g = F.col(f"g{j}").cast("double")
+            aggs.append(_cl(F.sum(nv * g) / F.sum(nv)).alias(f"u{j}"))
+        params = e.agg(*aggs)
+    # 1-row hub read by J union branches below — without the cut each
+    # branch re-derives the whole unrolled EM chain (union-fan-out trap)
+    params = params.localCheckpoint(eager=True)
+    rows = []
+    for j, (c, *_rest) in enumerate(fields, 1):
+        m, u = F.col(f"m{j}"), F.col(f"u{j}")
+        rows.append(
+            params.select(
+                F.lit(c).alias("field"),
+                F.round(m, ndigits).alias("m"),
+                F.round(u, ndigits).alias("u"),
+                F.round(F.log2(m / u), ndigits).alias("wa"),
+                F.round(
+                    F.log2((F.lit(1.0) - m) / (F.lit(1.0) - u)), ndigits
+                ).alias("wd"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def prefix_filter_jaccard_pairs(
     shingles: DataFrame,
     id_col: str,

@@ -600,6 +600,127 @@ def ext_fs_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fs_em_oracle(iterations: int, p0: float, m0: float, u0: float) -> str:
+    """Generate the unrolled EM SQL so the oracle is structurally
+    guaranteed to run the same fixed rounds, the same left-associated
+    float products, and the same per-M-step round(..., 12) as the Spark
+    plan (ext.dedup.fs_em_weights). Pattern/em CTEs are MATERIALIZED —
+    each round references the previous one many times and DuckDB 1.0
+    would otherwise re-inline the chain exponentially (the kcore
+    lesson)."""
+    init = (
+        f"em0 AS (SELECT CAST({p0!r} AS DOUBLE) AS p, "
+        + ", ".join(f"CAST({m0!r} AS DOUBLE) AS m{j}" for j in (1, 2, 3))
+        + ", "
+        + ", ".join(f"CAST({u0!r} AS DOUBLE) AS u{j}" for j in (1, 2, 3))
+        + ")"
+    )
+    parts = [
+        """
+    WITH pr AS MATERIALIZED (
+      SELECT p_partkey, p_brand, p_size, p_name, p_type,
+             CAST(round(p_retailprice) AS BIGINT) AS pr
+      FROM part
+    ),
+    patt AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT CASE WHEN levenshtein(a.p_name, b.p_name) <= 4
+                    THEN 1 ELSE 0 END AS g1,
+               CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g2,
+               CASE WHEN a.pr = b.pr THEN 1 ELSE 0 END AS g3
+        FROM pr a
+        JOIN pr b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+                 AND a.p_partkey < b.p_partkey
+      )
+      GROUP BY 1, 2, 3
+    ),
+    """
+        + init
+    ]
+    for r in range(1, iterations + 1):
+        pm = "e.p" + "".join(
+            f" * (CASE WHEN t.g{j} = 1 THEN e.m{j}"
+            f" ELSE CAST(1.0 AS DOUBLE) - e.m{j} END)"
+            for j in (1, 2, 3)
+        )
+        pu = "(CAST(1.0 AS DOUBLE) - e.p)" + "".join(
+            f" * (CASE WHEN t.g{j} = 1 THEN e.u{j}"
+            f" ELSE CAST(1.0 AS DOUBLE) - e.u{j} END)"
+            for j in (1, 2, 3)
+        )
+        def _cl(x: str) -> str:
+            # same clamp-after-round guard as the Spark M-step
+            return (
+                f"greatest(least(round({x}, 12),"
+                f" CAST({1.0 - 1e-6!r} AS DOUBLE)),"
+                f" CAST({1e-6!r} AS DOUBLE))"
+            )
+
+        sel_m = ", ".join(
+            _cl(f"sum(nw * g{j}d) / sum(nw)") + f" AS m{j}"
+            for j in (1, 2, 3)
+        )
+        sel_u = ", ".join(
+            _cl(f"sum(nv * g{j}d) / sum(nv)") + f" AS u{j}"
+            for j in (1, 2, 3)
+        )
+        parts.append(
+            f""", em{r} AS MATERIALIZED (
+      SELECT {_cl("sum(nw) / sum(nd)")} AS p, {sel_m}, {sel_u}
+      FROM (
+        SELECT CAST(t.n AS DOUBLE) AS nd,
+               CAST(t.g1 AS DOUBLE) AS g1d,
+               CAST(t.g2 AS DOUBLE) AS g2d,
+               CAST(t.g3 AS DOUBLE) AS g3d,
+               CAST(t.n AS DOUBLE) * (({pm}) / (({pm}) + ({pu}))) AS nw,
+               CAST(t.n AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE)
+                    - (({pm}) / (({pm}) + ({pu})))) AS nv
+        FROM patt t CROSS JOIN em{r - 1} e
+      )
+    )"""
+        )
+    selects = []
+    for j, fname in ((1, "p_name"), (2, "p_type"), (3, "pr")):
+        selects.append(
+            f"""SELECT '{fname}' AS field,
+           round(m{j}, 6) AS m, round(u{j}, 6) AS u,
+           round(log2(m{j} / u{j}), 6) AS wa,
+           round(log2((CAST(1.0 AS DOUBLE) - m{j})
+                      / (CAST(1.0 AS DOUBLE) - u{j})), 6) AS wd
+    FROM em{iterations}"""
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("ext_fs_em_weights", oracle=_fs_em_oracle(5, 0.1, 0.9, 0.1))
+def ext_fs_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted Fellegi-Sunter (m, u) weights (ext.dedup.fs_em_weights;
+    Winkler 1988) — the named upgrade of ext_fs_match_scores' fixed
+    expert literals: the same parts-blocked-on-(brand, size) pair set
+    and three agreement fields, collapsed to the <=8-row agreement-
+    pattern sufficient-statistics table, then 5 unrolled EM rounds with
+    every M-step parameter rounded to 12 decimals in BOTH engines so
+    cross-engine float-summation drift cannot compound across rounds
+    (the per-iteration form of the pagerank round-at-the-grid lever).
+    Output: per-field fitted (m, u) and the log2 agreement/disagreement
+    weights fs_match_scores would score with."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "pr", F.round("p_retailprice").cast("long")
+    )
+    return X.fs_em_weights(
+        p,
+        "p_partkey",
+        ["p_brand", "p_size"],
+        [("p_name", 4), ("p_type", "exact"), ("pr", "exact")],
+        iterations=5,
+        p0=0.1,
+        m0=0.9,
+        u0=0.1,
+    )
+
+
 @query(
     "ext_prefix_filter_jaccard",
     oracle="""
