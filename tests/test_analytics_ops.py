@@ -130,6 +130,36 @@ def test_blocked_er_pairs_block_and_threshold(spark):
     assert [(r.id_a, r.id_b, r.dist) for r in pairs] == [(1, 2, 1)]
 
 
+def test_blocked_er_pairs_bounded_under_vocab_growth(spark):
+    # r6 verdict task 6: the ER pair cost grows with the value VOCABULARY
+    # inside a block — assert the max_block circuit breaker keeps the
+    # emitted pair count bounded by Σ C(|kept block|, 2) as vocabulary
+    # scales, and that the drop is loudly accounted in the observation.
+    from pyspark.sql import Observation
+
+    for vocab in (20, 80, 320):
+        rows = [(i, "big", f"name-{i:05d}") for i in range(vocab)]
+        rows += [(10_000 + i, "small", "stable name") for i in range(8)]
+        df = spark.createDataFrame(rows, ["id", "blk", "name"])
+        obs = Observation(f"er_vocab_{vocab}")
+        pairs = X.blocked_er_pairs(
+            df, "id", "name", ["blk"], max_dist=2, max_block=50, audit=obs
+        )
+        n_pairs = pairs.count()
+        audit = obs.get
+        kept_budget = audit["n_candidate_pairs"]
+        assert n_pairs <= kept_budget
+        if vocab > 50:
+            # the vocabulary-scaled block blew past max_block: dropped,
+            # accounted, and the budget collapses to the small block's
+            assert audit["n_dropped_blocks"] == 1
+            assert audit["n_dropped_rows"] == vocab
+            assert kept_budget == 8 * 7 // 2
+        else:
+            assert audit["n_dropped_blocks"] == 0
+            assert kept_budget == vocab * (vocab - 1) // 2 + 8 * 7 // 2
+
+
 def test_blocked_er_pairs_oversize_block_dropped(spark):
     rows = [(i, "hot", "same name") for i in range(10)] + [
         (100, "cold", "x"),

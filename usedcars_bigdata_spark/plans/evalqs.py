@@ -1022,25 +1022,108 @@ def rel_median_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return median_ci(o, "o_orderpriority", "o_totalprice", "o_orderkey")
 
 
-@query("ts_stream_left_outer")
+@query(
+    "ts_stream_left_outer",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS pu, ts AS purchase_ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id, c.click_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM c
+    LEFT JOIN p ON p.pu = c.user_id
+               AND c.click_ts <= p.purchase_ts
+               AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+)
 def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER stream-stream interval join, contract-visible
-    (streaming.joins.clicks_left_outer_purchases): clicks with their
-    attributed purchases PLUS a null-purchase row for clicks proven
-    unmatched (watermark passed click_ts + 1h). Rows-only by nature:
-    null-row emission depends on watermark advancement across micro-batch
-    boundaries, and clicks inside the final horizon never emit — the
-    batch-twin subset/superset properties are pytest-pinned instead
-    (tests/test_streaming_advanced.py)."""
+    """LEFT OUTER stream-stream interval join, HASH-CERTIFIED against the
+    plain batch LEFT JOIN (streaming.joins.clicks_left_outer_purchases):
+    clicks with their attributed purchases PLUS a null-purchase row for
+    every click proven unmatched. Promoted from rows-only (round-6
+    verdict task 7) via a SENTINEL-FLUSH construction that makes the
+    emitted set batch-boundary-independent:
+
+    - the events table streams as three ascending time-range files (the
+      sessionize multibatch harness), then a 4th file carrying one
+      far-future sentinel CLICK (ts = max + 10 days + 2h, user −1) and
+      one far-future sentinel PURCHASE (ts = max + 10 days, user −2);
+    - the global outer-join watermark is min(max click ts, max purchase
+      ts) − delay ACROSS THE TWO FILTERED BRANCHES (measured: a quiet
+      purchase side pins it — the r5 stalled-side hazard), so the
+      sentinel pair drives the final watermark to max + 10 days − 2h,
+      strictly past every REAL click's click_ts + 1h horizon;
+    - availableNow's trailing no-data batch then evicts and emits every
+      unmatched real click's null row, while the sentinels themselves
+      stay inside the horizon (the click, unmatched by construction:
+      purchase precedes it and users differ) or never surface (the
+      purchase). Real rows can never be late: range files are
+      ts-contiguous, so every event's ts ≥ the previous file's max ≥
+      watermark + delay.
+
+    The streamed set therefore EQUALS the batch left interval join over
+    the real events — which is exactly the oracle SQL. The >= 5 batch
+    assertion keeps the entry honest about exercising cross-batch
+    state + the flush."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time
+
     from ..streaming.events import read_event_stream
     from ..streaming.joins import clicks_left_outer_purchases
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_stream_louter_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    done = os.path.join(src, "_ALL_RANGES_DONE")
+    if not os.path.exists(done):
+        events = load_table(spark, sf_dir, "events")
+        events.repartitionByRange(3, "ts").write.mode("overwrite").parquet(src)
+        max_ts = events.agg(F.max("ts")).collect()[0][0]
+        sent = spark.createDataFrame(
+            [
+                (-1, -1, "click", 0.0, ""),
+                (-2, -2, "purchase", 0.0, ""),
+            ],
+            "event_id long, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id",
+            F.when(F.col("event_type") == "click",
+                   F.lit(max_ts) + F.expr("INTERVAL 10 DAYS 2 HOURS"))
+            .otherwise(F.lit(max_ts) + F.expr("INTERVAL 10 DAYS"))
+            .alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        sent.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "sentinel")
+        )
+        for f in _glob.glob(os.path.join(src, "sentinel", "part-*.parquet")):
+            os.rename(f, os.path.join(src, "part-99999-sentinel.parquet"))
+        now = time.time()
+        for i, pth in enumerate(
+            sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        ):
+            os.utime(pth, (now + 2.0 * i, now + 2.0 * i))
+        with open(done, "w") as fh:
+            fh.write("ok")
     sink = "ts_stream_left_outer_sink"
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
-    stream = read_event_stream(spark, sf_dir)
+    stream = read_event_stream(spark, src, glob="*.parquet",
+                               max_files_per_trigger=1)
     joined = clicks_left_outer_purchases(
         stream.filter(F.col("event_type") == "click"),
         stream.filter(F.col("event_type") == "purchase"),
@@ -1055,7 +1138,9 @@ def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    n_batches = len(q.recentProgress)
+    assert n_batches >= 5, f"expected >=5 micro-batches, got {n_batches}"
+    return spark.table(sink).filter(F.col("user_id") >= 0)
 
 
 @query(
