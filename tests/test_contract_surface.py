@@ -20,49 +20,48 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-6 rotation (queued at round-5 close, executed this round): pin ONLY
-# the 12 ref_* parity rows; every other window slot goes to an entry with no
-# prior independent driver row — the round-5 additions first (newest code,
-# never swept by definition), then the carried round-3/4 backlog.
-ROUND6_ROTATED_IN = [
-    "ml_indexed_feature_hist",
-    "ext_dsir_weights",
-    "ext_bm25_topk",
-    "ts_top_paths",
-    "rel_key_skew_profile",
-    "rel_variant_json",
-    "ts_stream_sessionize",
-    "rel_geo_grid_density",
-    "rel_geo_radius_join",
-    "ts_bootstrap_ci",
-    "ts_sprt_decision",
-    "rel_label_propagation",
-    "ts_funnel_windowed",
-    "rel_fifo_cost_basis",
-    "rel_histogram_quantiles",
-    "ext_incremental_dedup",
-    "ext_embedding_outliers",
-    "rel_asof_nearest",
-    "ts_power_sample_size",
-    "ts_seasonal_anomalies",
-    "ext_dedup_threshold_curve",
-    "ext_edit_distance_pairs",
-    "ext_overlap_containment",
-    "ts_ohlc_hourly",
-    "rel_recursive_cte",
-    "rel_lateral_topk",
-    "rel_python_udtf",
-    "ext_video_frame_sample",
-    "rel_scd2_merge",
-    "rel_profile_table",
-    "ext_line_dedup",
-    "rel_pseudonymize",
-    "ts_stream_ohlc",
-    "ext_dup_spans",
-    "ext_remove_dup_spans",
-    "rel_snapshot_diff",
-    "ext_pair_graph_stats",
-    "rel_group_mode",
+# Round-7 rotation (queued at round-6 close, executed this round): pin ONLY
+# the 12 ref_* parity rows; every other window slot goes to the head of the
+# carried round-3/4 never-driver-verified backlog, per the written schedule.
+ROUND7_ROTATED_IN = [
+    "rel_benford_digits",
+    "rel_rfm_segments",
+    "rel_abc_analysis",
+    "rel_copurchase_pairs",
+    "rel_orc_roundtrip",
+    "rel_pagerank_copurchase",
+    "rel_fk_audit",
+    "rel_psi_drift",
+    "rel_topk_with_ties",
+    "rel_chi_square",
+    "rel_gini_revenue",
+    "ts_user_entropy",
+    "rel_incremental_agg",
+    "rel_dynamic_partition_overwrite",
+    "rel_nth_value_window",
+    "ts_session_conversion",
+    "ts_time_to_convert",
+    "rel_try_ansi_safety",
+    "rel_map_roundtrip",
+    "rel_percentile_disc",
+    "rel_pivot_multi_agg",
+    "ts_holt_trend",
+    "ts_stream_upsert_sink",
+    "rel_cms_sketch",
+    "ts_attribution_models",
+    "ext_quantile_normalize",
+    "ext_hard_negatives",
+    "rel_textfile_logparse",
+    "ts_ab_cuped",
+    "rel_dp_noisy_counts",
+    "ext_stratified_split",
+    "ts_clamped_balance",
+    "ts_gone_silent",
+    "rel_grouped_ols",
+    "ext_er_sorted_neighborhood",
+    "ts_holt_winters",
+    "ts_hw_forecast",
+    "ts_hw_anomalies",
 ]
 
 DRIVER_WINDOW = 50
@@ -95,13 +94,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round6_rotation_window_membership():
+def test_round7_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND6_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND7_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND6_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND7_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():

@@ -146,10 +146,15 @@ def ewma_smooth(
     id_col: str,
     value_col: str,
     alpha: float = 0.3,
-    ndigits: int = 6,
+    ndigits: int | None = 6,
 ) -> DataFrame:
     """Per-key exponentially weighted moving average in event order:
     y_i = α·x_i + (1-α)·y_{i-1}, y_0 = x_0 (the adjust=False recurrence).
+    ``ndigits=None`` emits the raw doubles — the hash-certified contract
+    entry compares UNROUNDED (the Holt lesson: the recurrence is
+    bit-identical across engines, while np.round and DuckDB round_even
+    disagree at 1-ulp-from-half-way scaling points — observed once in
+    10k rows at sf0.01).
 
     The recurrence is inherently sequential PER KEY and has no fixed-frame
     window form (each output depends on the entire per-key prefix with
@@ -215,7 +220,7 @@ def ewma_smooth(
             n_seed = len(seed_keys)
             sm = sm[n_seed:]  # drop the synthetic carry rows
             out = pdf[cols].copy()
-            out["ewma"] = np.round(sm, ndigits)
+            out["ewma"] = sm if ndigits is None else np.round(sm, ndigits)
             # Carry the UNROUNDED last smoothed value per key (rounding
             # happens only on the output column) so the continuation is
             # exact across batch boundaries.

@@ -1215,17 +1215,41 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_ewma_smooth")
+@query(
+    "ts_ewma_smooth",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), ew AS (
+      SELECT user_id, event_id, ts, value, rn, CAST(value AS DOUBLE) AS y
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.user_id, b.event_id, b.ts, b.value, b.rn,
+             CAST(0.7 AS DOUBLE) * e.y + CAST(0.3 AS DOUBLE) * b.value
+      FROM base b JOIN ew e ON b.user_id = e.user_id AND b.rn = e.rn + 1
+    )
+    SELECT event_id, user_id, ts, value, y AS ewma FROM ew
+    """,
+)
 def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (operators.timeseries.ewma_smooth,
-    α=0.3, adjust=False recurrence). Rows-only: the sequential per-key
-    recurrence has no closed-form SQL; the recurrence is pytest-pinned
-    against a manual replay (tests/test_operators.py) and the group count
-    is stable. The op itself is the declared applyInPandas path — one
-    shuffle by user, one vectorized pandas ewm per group."""
+    α=0.3, adjust=False recurrence) — promoted from rows-only in round 7:
+    pandas ``ewm(alpha, adjust=False)`` is bit-identical to the naive
+    y_i = (1-α)·y_{i-1} + α·x_i recurrence (verified 0.0 max diff over
+    5000 uniform draws, pandas 2.2), so the DuckDB recursive CTE replays
+    the identical left-associated IEEE expression in the identical
+    per-key (ts, event_id) order — the ts_holt_trend pattern, compared
+    bitwise UNROUNDED (np.round and DuckDB round_even disagree at
+    1-ulp-from-half-way scaling points — one row in 10k at sf0.01). The
+    carry-across-Arrow-batches mapInPandas form (the 5.5x single-pass
+    rewrite) is therefore hash-certified END TO END, including batch
+    boundaries, not just pytest-pinned against a manual replay."""
     return TS.ewma_smooth(
         load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id",
-        "value", alpha=0.3,
+        "value", alpha=0.3, ndigits=None,
     )
 
 

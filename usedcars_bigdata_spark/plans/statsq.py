@@ -3137,8 +3137,8 @@ def ext_span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ext_coverage_select",
-    oracle="""
-    WITH 
+    oracle=r"""
+    WITH
     sh0 AS MATERIALIZED (
       SELECT DISTINCT doc_id AS did,
              w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS w
