@@ -582,3 +582,46 @@ def test_zonemap_prune_audit_hand_built(spark):
         5,
         2,
     )
+
+
+def test_purged_time_folds_hand_census(spark):
+    # 10 hourly events, k=2, 1h embargo: fold 1 = hours 0-4 (envelope
+    # reaches hour 5 -> train = hours 6-9, purge = hour 5), symmetric
+    # for fold 2.
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import purged_time_folds
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(hours=i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    out = {
+        r.fold: r
+        for r in purged_time_folds(df, "ts", "event_id", k=2,
+                                   embargo_hours=1).collect()
+    }
+    assert out[1].n_test == 5 and out[1].n_train == 4 and out[1].n_purged == 1
+    assert out[2].n_test == 5 and out[2].n_train == 4 and out[2].n_purged == 1
+    assert out[1].test_start == t0
+    assert out[2].test_end == t0 + dt.timedelta(hours=9)
+    # leakage guard: train + purged + test always partitions the corpus
+    assert all(r.n_test + r.n_train + r.n_purged == 10 for r in out.values())
+
+
+def test_cohens_kappa_textbook_and_degenerate(spark):
+    from usedcars_bigdata_spark.ml.eval import cohens_kappa
+
+    # textbook 2x2: n11=20 n10=5 n01=10 n00=15 -> po=0.7, pe=0.5, k=0.4
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, "ra int, rb int")
+    r = cohens_kappa(df, "ra", "rb").collect()[0]
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (50, 20, 5, 10, 15)
+    assert (r.po, r.pe, r.kappa) == (0.7, 0.5, 0.4)
+    # perfect agreement, non-degenerate marginals -> kappa = 1
+    df2 = spark.createDataFrame([(1, 1)] * 30 + [(0, 0)] * 20, "ra int, rb int")
+    assert cohens_kappa(df2, "ra", "rb").collect()[0].kappa == 1.0
+    # degenerate: both raters constant-and-equal -> pe = 1, kappa NULL
+    df3 = spark.createDataFrame([(1, 1)] * 10, "ra int, rb int")
+    assert cohens_kappa(df3, "ra", "rb").collect()[0].kappa is None

@@ -1075,3 +1075,60 @@ def pinball_loss_q90(
             ndigits,
         ).alias("coverage"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    group_col: str | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two BINARY
+    raters (Cohen 1960), the standard inter-annotator-agreement figure
+    a labeling pipeline reports before trusting its labels:
+
+        κ = (p_o − p_e) / (1 − p_e)
+        p_o = (n11 + n00) / n
+        p_e = (a1·b1 + a0·b0) / n²   (marginal chance agreement)
+
+    All four contingency cells and both marginals are EXACT integer
+    counts from one map-side-combinable aggregate (one scan, one
+    k-group shuffle when grouped); the only floating-point ops are the
+    two final divisions — the exact-integer-moments parity discipline.
+    A degenerate group where both raters are constant-and-equal has
+    p_e = 1 (κ undefined); it reports κ = NULL via a when-guard rather
+    than dividing by zero under ANSI.
+
+    Output: (group?, n, n11, n10, n01, n00, po, pe, kappa)."""
+    a = F.col(rater_a).cast("int")
+    b = F.col(rater_b).cast("int")
+    keys = [F.col(group_col)] if group_col else []
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a * b)).alias("n11"),
+        F.sum((a * (1 - b))).alias("n10"),
+        F.sum(((1 - a) * b)).alias("n01"),
+        F.sum(((1 - a) * (1 - b))).alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = (
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n11") + F.col("n01")).cast("double")
+        + (F.col("n01") + F.col("n00")).cast("double")
+        * (F.col("n10") + F.col("n00")).cast("double")
+    ) / (nd * nd)
+    return g.select(
+        *([group_col] if group_col else []),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n11").cast("bigint").alias("n11"),
+        F.col("n10").cast("bigint").alias("n10"),
+        F.col("n01").cast("bigint").alias("n01"),
+        F.col("n00").cast("bigint").alias("n00"),
+        F.round(po, ndigits).alias("po"),
+        F.round(pe, ndigits).alias("pe"),
+        F.when(pe < 1.0, F.round((po - pe) / (1.0 - pe), ndigits))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("kappa"),
+    )

@@ -2828,3 +2828,77 @@ def slo_burn_alerts(
             "severity",
         )
     )
+
+
+def purged_time_folds(
+    events: DataFrame,
+    ts_col: str,
+    id_col: str,
+    k: int = 5,
+    embargo_hours: int = 24,
+) -> DataFrame:
+    """Purged k-fold split for time-series cross-validation (the
+    leakage-safe CV of López de Prado, *Advances in Financial ML* ch. 7):
+    observations are cut into ``k`` contiguous equal-count TIME folds
+    (order: ts, then id — the deterministic tie-break); for fold f the
+    TEST set is the fold itself and the TRAIN set is everything whose
+    timestamp falls OUTSIDE the fold's [min_ts − embargo, max_ts +
+    embargo] envelope — rows inside the envelope but not in the fold are
+    PURGED (they leak label/feature information across the boundary in
+    any overlapping-horizon setup). Output is the per-fold integer
+    census, which certifies the assignment exactly without shipping the
+    assignment itself.
+
+    Plan: one global sort assigns folds (ntile over (ts, id) — the one
+    all-to-one exchange, same axis as ranked top-k; at 100 TB the lever
+    is rangepartition-by-ts + per-partition offsets, noted not built),
+    then a groupBy gives the k fold envelopes, and ONE broadcast join of
+    the k-row envelope table against the events counts train/purged per
+    fold — O(k·n) predicate evaluations, no second sort.
+
+    Output: (fold, n_test, n_train, n_purged, test_start, test_end)."""
+    w = Window.orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    # One parquet scan: the (ts, fold) projection is materialized once
+    # and feeds BOTH the k-row envelope aggregate and the train-count
+    # pass (unchecked, the two consumers re-scan the fact table).
+    tagged = events.select(
+        F.col(ts_col).alias("__ts"), F.ntile(k).over(w).alias("fold")
+    ).localCheckpoint(eager=True)
+    env = (
+        tagged.groupBy("fold")
+        .agg(
+            F.min("__ts").alias("test_start"),
+            F.max("__ts").alias("test_end"),
+            F.count(F.lit(1)).alias("n_test"),
+        )
+        .withColumn(
+            "__lo", F.col("test_start") - F.expr(f"INTERVAL {embargo_hours} HOURS")
+        )
+        .withColumn(
+            "__hi", F.col("test_end") + F.expr(f"INTERVAL {embargo_hours} HOURS")
+        )
+    )
+    pts = tagged.select("__ts")
+    stats = (
+        pts.crossJoin(F.broadcast(env))
+        .groupBy("fold", "test_start", "test_end", "n_test")
+        .agg(
+            F.sum(
+                ((F.col("__ts") < F.col("__lo")) | (F.col("__ts") > F.col("__hi")))
+                .cast("long")
+            ).alias("n_train"),
+            # every event joins every envelope row, so the per-fold row
+            # count IS the corpus total — no second scan for it
+            F.count(F.lit(1)).alias("__n_all"),
+        )
+    )
+    return stats.select(
+        "fold",
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.col("n_train").cast("bigint").alias("n_train"),
+        (F.col("__n_all") - F.col("n_test") - F.col("n_train"))
+        .cast("bigint")
+        .alias("n_purged"),
+        "test_start",
+        "test_end",
+    )

@@ -3679,3 +3679,93 @@ def rel_join_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 1000).alias("rk")
     )
     return J.join_cardinality_audit(o, li, "lk", "rk")
+
+
+@query(
+    "ts_purged_splits",
+    oracle="""
+    WITH base AS (
+      SELECT ts, ntile(5) OVER (ORDER BY ts, event_id) AS fold FROM events
+    ),
+    env AS MATERIALIZED (
+      SELECT fold, min(ts) AS test_start, max(ts) AS test_end,
+             CAST(count(*) AS BIGINT) AS n_test
+      FROM base GROUP BY fold
+    ),
+    stats AS (
+      SELECT e.fold, e.test_start, e.test_end, e.n_test,
+             CAST(sum(CASE WHEN b.ts < e.test_start - INTERVAL 24 HOURS
+                             OR b.ts > e.test_end + INTERVAL 24 HOURS
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+             CAST(count(*) AS BIGINT) AS n_all
+      FROM (SELECT ts FROM events) b CROSS JOIN env e
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT fold, n_test, n_train,
+           CAST(n_all - n_test - n_train AS BIGINT) AS n_purged,
+           test_start, test_end
+    FROM stats
+    """,
+)
+def ts_purged_splits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged k-fold time-series CV census
+    (operators.timeseries.purged_time_folds, k=5, 24h embargo; López de
+    Prado ch. 7): contiguous equal-count time folds, per-fold train
+    counts excluding the fold's embargo envelope, and the purged
+    remainder — the leakage-safe splitter an ML-on-time-series pipeline
+    needs where plain k-fold silently trains on the test horizon. All
+    exact integer counts + fold boundary timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    return TS.purged_time_folds(ev, "ts", "event_id", k=5, embargo_hours=24)
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS a,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS b
+      FROM orders
+    ),
+    g AS (
+      SELECT yr, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM r GROUP BY yr
+    ),
+    raw AS (
+      SELECT yr, n, n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po_raw,
+             (CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+              + CAST(n01 + n00 AS DOUBLE) * CAST(n10 + n00 AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe_raw
+      FROM g
+    )
+    SELECT yr, n, n11, n10, n01, n00,
+           round(po_raw, 6) AS po, round(pe_raw, 6) AS pe,
+           CASE WHEN pe_raw < 1.0
+                THEN round((po_raw - pe_raw)
+                           / (CAST(1.0 AS DOUBLE) - pe_raw), 6)
+           END AS kappa
+    FROM raw
+    """,
+)
+def ml_cohens_kappa_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per order-year between two deterministic binary
+    raters — priority-urgency (1-URGENT/2-HIGH) vs fulfillment status
+    ('F') — (ml.eval.cohens_kappa): the chance-corrected inter-annotator
+    agreement a labeling pipeline reports before trusting its labels,
+    closing the agreement gap in the classification-evaluation tier
+    (ROC/PR/ECE/Brier measure a scorer against truth; kappa measures two
+    LABELERS against each other). Contingency cells and marginals are
+    exact integer moments; only the two final divisions are floats."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("ra"),
+        (F.col("o_orderstatus") == "F").alias("rb"),
+    )
+    return ME.cohens_kappa(o, "ra", "rb", group_col="yr")
