@@ -5451,15 +5451,34 @@ def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, "flags"))
 
 
-@query("rows_stream_holt_winters")
+@query(
+    "rows_stream_holt_winters",
+    # Same recursive-CTE oracle as ts_holt_winters, with x emitted as
+    # DOUBLE (the stream casts the hourly count to double at source).
+    oracle=_HW_CTE.replace(
+        "CAST(count(*) AS BIGINT) AS x", "CAST(count(*) AS DOUBLE) AS x"
+    )
+    + """
+    SELECT k AS event_type, rn, x, level, trend, seasonal FROM hw
+    """,
+)
 def rows_stream_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Holt-Winters (streaming.dedup.streaming_holt_winters):
     the hourly per-type series arrives as three time-ordered micro-
     batches; each continues the per-key (level, trend, rn, seasonal
     history) state from the state parquet and emits the smoothed rows.
-    Rows-only (the equality claim is vs the BATCH operator, which the
-    oracle-backed ts_holt_winters already certifies against DuckDB);
-    stream==batch equality is pinned in test_streaming_advanced."""
+    Promoted from rows-only in round 7: every observation emits exactly
+    once and the foreachBatch fold is BIT-IDENTICAL to the batch
+    recursive CTE — α=β=γ=0.5 makes every smoothing product an exact
+    power-of-two halving, so the Python loop's a·(x−s)+(1−a)·(l+t)
+    shape and the CTE's (x−s)·0.5+(l+t)·0.5 shape produce the same
+    doubles, and the parquet state roundtrip is exact — so the emitted
+    table hash-matches the SAME oracle that certifies ts_holt_winters
+    (x typed double), compared bitwise UNROUNDED. In-order arrival is
+    guaranteed by ascending file mtimes + per-batch (key, b) sort;
+    stream==batch equality additionally pinned in
+    test_streaming_advanced. (The name keeps its historical rows_
+    prefix for continuity across round records.)"""
     import os
     import shutil
     import tempfile
@@ -5480,20 +5499,22 @@ def rows_stream_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("double").alias("x"))
     )
     if not os.path.exists(src):
-        lo, hi = hourly.agg(F.min("b"), F.max("b")).first()
-        span = (hi - lo) / 3
-        import datetime as dt
+        # ONE range-partitioned write + ascending mtime stamps (the
+        # sessionize idiom) instead of three sequential filtered writes
+        # with real sleeps — the old form re-aggregated events three
+        # times and slept 2.2s; under the driver's vanilla
+        # 200-shuffle-partition session the whole entry measured 84s at
+        # sf0.1, most of it source prep. Equal-count (not equal-span)
+        # thirds — the emitted fold is batch-boundary-independent
+        # (every row emits exactly once; state carries).
+        import glob as _glob
 
-        cuts = [
-            (lo + span * i,
-             lo + span * (i + 1) + (dt.timedelta(days=999) if i == 2
-                                    else dt.timedelta(0)))
-            for i in range(3)
-        ]
-        for a, b in cuts:
-            (hourly.filter((F.col("b") >= a) & (F.col("b") < b))
-                   .coalesce(1).write.mode("append").parquet(src))
-            time.sleep(1.1)
+        hourly.repartitionByRange(3, "b").write.mode("overwrite").parquet(src)
+        now = time.time()
+        for i, p in enumerate(
+            sorted(_glob.glob(os.path.join(src, "part-*.parquet")))
+        ):
+            os.utime(p, (now + 2.0 * i, now + 2.0 * i))
     for d in ("state", "out", "ck"):
         p = os.path.join(base, d)
         if os.path.exists(p):

@@ -175,7 +175,13 @@ def streaming_holt_winters(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        rows = batch_df.orderBy(key_col, order_col).collect()
+        # driver-side sort: the batch is collected anyway, and a Spark
+        # orderBy here costs a full range-partition shuffle per
+        # micro-batch (200 tasks under a vanilla session) for rows that
+        # are about to land in a Python list
+        rows = sorted(
+            batch_df.collect(), key=lambda r: (r[key_col], r[order_col])
+        )
         state: dict = {}
         if os.path.exists(state_dir):
             for r in spark.read.parquet(state_dir).collect():
@@ -204,12 +210,12 @@ def streaming_holt_winters(
             out_rows,
             f"{key_col} string, rn long, x double, level double, "
             "trend double, seasonal double",
-        ).write.mode("append").parquet(out_dir)
+        ).coalesce(1).write.mode("append").parquet(out_dir)
         new_state = spark.createDataFrame(
             [(k, v[0], v[1], v[2], v[3]) for k, v in state.items()],
             "key string, level double, trend double, rn long, "
             "s_hist array<double>",
-        )
+        ).coalesce(1)
         merge_upsert(spark, state_dir, new_state, key="key")
 
     # NB: the driver-side collect is per MICRO-BATCH and key-bounded in
