@@ -5828,17 +5828,68 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rows_fpgrowth_itemsets")
+@query(
+    "rows_fpgrowth_itemsets",
+    oracle="""
+    WITH items AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    nb AS (SELECT count(DISTINCT o) AS n FROM items),
+    -- Spark FPGrowth: minCount = ceil(minSupport * n) computed in
+    -- DOUBLE (FPGrowth.scala math.ceil) — replicate the double product,
+    -- NOT DuckDB's exact-DECIMAL 0.02 * n (1-count divergences at SFs
+    -- where 0.02*n sits epsilon above an integer)
+    thr AS (SELECT CAST(ceil(CAST(0.02 AS DOUBLE) * CAST(n AS DOUBLE))
+                        AS BIGINT) AS t FROM nb),
+    f1 AS MATERIALIZED (
+      SELECT b, CAST(count(*) AS BIGINT) AS freq FROM items GROUP BY b
+      HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    i2 AS MATERIALIZED (
+      SELECT a.o, a.b AS b1, c.b AS b2
+      FROM items a JOIN items c ON a.o = c.o AND a.b < c.b
+    ),
+    f2 AS MATERIALIZED (
+      SELECT b1, b2, CAST(count(*) AS BIGINT) AS freq FROM i2
+      GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    i3 AS MATERIALIZED (
+      SELECT p.o, p.b1, p.b2, c.b AS b3
+      FROM i2 p JOIN items c ON c.o = p.o AND c.b > p.b2
+    ),
+    f3 AS (
+      SELECT b1, b2, b3, CAST(count(*) AS BIGINT) AS freq FROM i3
+      GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT t FROM thr)
+    ),
+    f4 AS (
+      SELECT p.b1, p.b2, p.b3, c.b AS b4, CAST(count(*) AS BIGINT) AS freq
+      FROM i3 p JOIN items c ON c.o = p.o AND c.b > p.b3
+      GROUP BY 1, 2, 3, 4 HAVING count(*) >= (SELECT t FROM thr)
+    )
+    SELECT b AS itemset, freq FROM f1
+    UNION ALL SELECT b1 || ',' || b2, freq FROM f2
+    UNION ALL SELECT b1 || ',' || b2 || ',' || b3, freq FROM f3
+    UNION ALL SELECT b1 || ',' || b2 || ',' || b3 || ',' || b4, freq FROM f4
+    """,
+)
 def rows_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FP-Growth frequent itemsets over brand-level order baskets
-    (pyspark.ml.fpm.FPGrowth, minSupport=0.05) — the MLlib counterpart of
+    (pyspark.ml.fpm.FPGrowth, minSupport=0.02) — the MLlib counterpart of
     the declarative rel_association_rules (which only enumerates pairs;
     FP-Growth finds arbitrary-size itemsets without materializing the
-    powerset). Rows-only: the FP-tree traversal is engine-specific, and
-    the pairwise slice is already oracle-checked by rel_association_rules.
-    Itemsets are emitted as a sorted comma-joined string (raw array cells
-    crash the driver's pandas canonicalizer — rel_collect_sorted_lists
-    precedent)."""
+    powerset). Promoted from rows-only in round 7: the frequent-itemset
+    SET is a pure function of the data (the FP-tree is an algorithm, not
+    a semantics), so a level-wise Apriori enumeration in SQL certifies
+    it — the oracle enumerates through size 4, and Apriori monotonicity
+    guarantees completeness one level past the last nonempty one (max
+    frequent size at the harness SFs is 2: minSupport 0.02 sits between
+    the densest pair at sf0.1, 0.0253, and the densest triple anywhere,
+    0.0136 at sf0.001 — so pairs are certified at EVERY SF and levels
+    3-4 are the emptiness guard). The threshold replicates Spark's
+    ceil-of-DOUBLE minCount. Itemsets emit as sorted comma-joined
+    strings (raw array cells crash the driver's pandas canonicalizer —
+    rel_collect_sorted_lists precedent)."""
     from pyspark.ml.fpm import FPGrowth
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5849,7 +5900,7 @@ def rows_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_set("p_brand").alias("items"))
     )
     model = FPGrowth(
-        itemsCol="items", minSupport=0.05, minConfidence=0.3
+        itemsCol="items", minSupport=0.02, minConfidence=0.3
     ).fit(baskets)
     return model.freqItemsets.select(
         F.array_join(F.array_sort("items"), ",").alias("itemset"),
