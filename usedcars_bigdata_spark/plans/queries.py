@@ -5908,16 +5908,59 @@ def rows_fpgrowth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rows_prefixspan_patterns")
+@query(
+    "rows_prefixspan_patterns",
+    oracle="""
+    WITH seqs AS MATERIALIZED (
+      SELECT user_id,
+             string_agg('>' || event_type || '>', ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    ),
+    nthr AS (SELECT CAST(ceil(CAST(0.2 AS DOUBLE)
+                              * CAST(count(*) AS DOUBLE)) AS BIGINT) AS t
+             FROM seqs),
+    types AS (SELECT DISTINCT event_type AS a FROM events),
+    p1 AS MATERIALIZED (
+      SELECT a, CAST(count(*) AS BIGINT) AS freq
+      FROM types JOIN seqs ON s LIKE '%>' || a || '>%'
+      GROUP BY a HAVING count(*) >= (SELECT t FROM nthr)
+    ),
+    p2 AS MATERIALIZED (
+      SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT a FROM p1) x CROSS JOIN (SELECT a FROM p1) y
+      JOIN seqs ON s LIKE '%>' || x.a || '>%>' || y.a || '>%'
+      GROUP BY 1, 2 HAVING count(*) >= (SELECT t FROM nthr)
+    ),
+    p3 AS (
+      SELECT p.a, p.b, z.a AS c, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT DISTINCT a, b FROM p2) p
+      CROSS JOIN (SELECT a FROM p1) z
+      JOIN seqs ON s LIKE '%>' || p.a || '>%>' || p.b || '>%>'
+                          || z.a || '>%'
+      GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT t FROM nthr)
+    )
+    SELECT a AS pattern, freq FROM p1
+    UNION ALL SELECT a || '>' || b, freq FROM p2
+    UNION ALL SELECT a || '>' || b || '>' || c, freq FROM p3
+    """,
+)
 def rows_prefixspan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixSpan sequential patterns over per-user event-type journeys
     (pyspark.ml.fpm.PrefixSpan, minSupport=0.2, maxPatternLength=3):
     ORDER matters — <view, click, purchase> is a different pattern from
     its permutations, which no itemset miner sees. Sequences are built
     with ONE user-keyed shuffle (collect_list over a (ts, id)-sorted
-    struct keeps intra-user order deterministic). Rows-only: the
-    projected-database search is engine-specific; determinism and
-    support-monotonicity are pytest-pinned. Patterns emitted as a
+    struct keeps intra-user order deterministic). Promoted from
+    rows-only in round 7: with single-item itemsets the pattern support
+    is plain SUBSEQUENCE counting, a pure function of the data — the
+    oracle wraps each event as a '>type>' token (delimiters doubled at
+    boundaries so adjacent tokens never share a '>') and counts
+    sequences per candidate via LIKE '%>a>%>b>%...' (left-to-right LIKE
+    matching decides subsequence containment exactly); candidates are
+    Apriori-pruned level-wise, capped by maxPatternLength=3 so no
+    emptiness guard is needed, and the threshold replicates Spark's
+    ceil-of-DOUBLE minCount (PrefixSpan.scala). Patterns emitted as a
     '>'-joined string for the canonicalizer."""
     from pyspark.ml.fpm import PrefixSpan
 
