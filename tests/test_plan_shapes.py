@@ -695,6 +695,14 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("rel_graph_bfs_layers", "lineitem", 0),
         ("rel_table_checksum", "orders", 1),
         ("ext_quality_rule_overlap", "documents", 0),
+        # round-7 additions: fs_em is fully behind the pattern-table
+        # checkpoint; purged splits behind the (ts, fold) checkpoint;
+        # kappa is one map-side-combinable pass; kcore's per-round cuts
+        # leave only the edge-derivation scans at build time
+        ("ext_fs_em_weights", "part", 0),
+        ("ts_purged_splits", "events", 0),
+        ("ml_cohens_kappa", "orders", 1),
+        ("rel_graph_kcore", "lineitem", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
