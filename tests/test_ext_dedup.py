@@ -540,3 +540,41 @@ def test_incremental_dedup_three_way_verdicts(spark):
         12: ("dup_of_new", 11),
         13: ("unique", 13),
     }
+
+
+def test_minhash_md5_pipeline_certifies_planted_dups(spark):
+    from usedcars_bigdata_spark.ext.dedup import (
+        jaccard_pairs,
+        minhash_lsh_md5_pairs,
+        word_shingles,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),    # near dup of 1
+        (4, "completely different words entirely here now ok"),
+        (5, "unrelated content that shares nothing at all really"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_md5_pairs(df, "doc_id", "text",
+                                       threshold=0.2).collect()
+    }
+    # identical docs have identical signatures in EVERY band: the exact
+    # dup pair is guaranteed (LSH completeness at j=1), with jaccard 1.0
+    assert got[(1, 2)] == 1.0
+    # every emitted pair's jaccard matches the brute-force oracle op
+    sh = word_shingles(df, "doc_id", "text", n=3)
+    brute = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs(sh, "doc_id", threshold=0.2).collect()
+    }
+    for pair, j in got.items():
+        assert brute[pair] == j, (pair, j, brute.get(pair))
+    # and LSH found the near-dup pair too (4 bands on 16/4 rows at
+    # j≈0.45 collide with overwhelming probability on this fixture)
+    assert (1, 3) in got and (2, 3) in got
+    # disjoint docs never pair
+    assert not any(4 in p or 5 in p for p in got)

@@ -703,6 +703,7 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ts_purged_splits", "events", 0),
         ("ml_cohens_kappa", "orders", 1),
         ("rel_graph_kcore", "lineitem", 0),
+        ("ext_dedup_minhash_md5", "documents", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

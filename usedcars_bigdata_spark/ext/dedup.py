@@ -1524,6 +1524,107 @@ def fs_match_scores(
     )
 
 
+def minhash_lsh_md5_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.2,
+    ndigits: int = 4,
+) -> DataFrame:
+    """The FULL MinHash+LSH near-dup pipeline on a cross-engine-
+    replayable hash: shingle → md5-based 31-bit base hash → k=16 affine
+    min-permutations → band into ``bands`` buckets → in-bucket candidate
+    pairs → EXACT Jaccard verification ≥ threshold. Same seeds, prime,
+    banding and verify as the xxhash64 production tier
+    (minhash_signatures / lsh_candidate_pairs — the scale path whose
+    64-bit hash DuckDB cannot evaluate); here the base hash is
+    pmod(int(md5(shingle)[:8], 16), 2³¹−1), so EVERY stage — signatures,
+    bucket keys, candidate set, verified pairs — is bit-reproducible in
+    SQL and the whole LSH mechanism hash-certifies, not just its verify
+    step. a·x + b stays < 2⁶¹ (a, x < 2³¹), inside ANSI int64.
+
+    Buckets key on the RAW per-band signature tuple (the xxhash64 band
+    compression in band_keys is an equality-preserving optimization, not
+    semantics); pair expansion uses the same sorted-collect_list nested
+    transform as lsh_candidate_pairs (one shuffle, id_a < id_b by
+    construction); the verify join computes exact set Jaccard on the
+    string shingles.
+
+    Output: (id_a, id_b, jaccard) for LSH candidates with
+    jaccard >= threshold."""
+    sh = word_shingles(docs, id_col, text_col, n=n).localCheckpoint(
+        eager=True  # read by the signature agg AND the verify join
+    )
+    x = F.pmod(
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(_P),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_P))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_MINHASH_SEEDS)
+    ]
+    sigs = sh.groupBy(id_col).agg(*mins)
+    k = len(_MINHASH_SEEDS)
+    rpb = k // bands
+    band_structs = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            *[
+                F.col(f"mh_{bi * rpb + j}").alias(f"s{j}")
+                for j in range(rpb)
+            ],
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band").alias("band"),
+        *[F.col(f"bk.s{j}").alias(f"s{j}") for j in range(rpb)],
+    )
+    buckets = (
+        banded.groupBy("band", *[f"s{j}" for j in range(rpb)])
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    cands = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"),
+                                F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"),
+                           F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", ndigits).alias("jaccard"))
+    )
+
+
 def fs_agreement_patterns(
     df: DataFrame,
     id_col: str,

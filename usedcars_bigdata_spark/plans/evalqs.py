@@ -600,6 +600,93 @@ def ext_fs_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_md5_oracle(bands: int, threshold: float) -> str:
+    """Generate the MinHash+LSH oracle from the SAME seed table and
+    prime as ext.dedup (structural identity: signatures, band tuples,
+    candidate unions and the verify join all derive from one constant
+    source, so the two engines cannot silently disagree on a seed)."""
+    P = X._P
+    seeds = X._MINHASH_SEEDS
+    k = len(seeds)
+    rpb = k // bands
+    mh = ", ".join(
+        f"CAST(min(({a} * x + {b}) % {P}) AS BIGINT) AS mh_{i}"
+        for i, (a, b) in enumerate(seeds)
+    )
+    band_joins = []
+    for bi in range(bands):
+        cond = " AND ".join(
+            f"a.mh_{bi * rpb + j} = b.mh_{bi * rpb + j}" for j in range(rpb)
+        )
+        band_joins.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b\n"
+            f"      FROM sigs a JOIN sigs b ON {cond}"
+            f" AND a.doc_id < b.doc_id"
+        )
+    cands = "\n      UNION ALL\n      ".join(band_joins)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS shingle
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+            FROM t WHERE len(w) >= 3)
+    ),
+    hx AS (
+      SELECT doc_id,
+             shingle,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % {P} AS x
+      FROM sh
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, {mh}
+      FROM hx GROUP BY doc_id
+    ),
+    cands AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM (
+      {cands}
+      )
+    ),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cands c
+      JOIN sh xa ON xa.doc_id = c.id_a
+      JOIN sh yb ON yb.doc_id = c.id_b AND yb.shingle = xa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i * 1.0 / (na.n + nb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE i * 1.0 / (na.n + nb.n - i) >= {threshold!r}
+    """
+
+
+@query("ext_dedup_minhash_md5", oracle=_minhash_md5_oracle(4, 0.2))
+def ext_minhash_md5_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH near-dup pipeline, hash-certified end to end
+    (ext.dedup.minhash_lsh_md5_pairs): 3-word shingles → md5-based
+    31-bit base hash → the SAME 16 affine min-permutations, prime and
+    4-band bucketing as the xxhash64 production tier → in-bucket
+    candidates → exact Jaccard >= 0.2. The xxhash64 tier
+    (ext_dedup_minhash_lsh) stays the scale path and stays rows-only —
+    DuckDB cannot evaluate xxhash64 — but every STAGE of the mechanism
+    (signature math, banding, candidate generation, verification) is
+    certified here on a replayable hash, closing the LSH family's last
+    oracle gap. Oracle generated from the same seed constants."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.minhash_lsh_md5_pairs(
+        docs, "doc_id", "text", n=3, bands=4, threshold=0.2
+    )
+
+
 def _fs_em_oracle(iterations: int, p0: float, m0: float, u0: float) -> str:
     """Generate the unrolled EM SQL so the oracle is structurally
     guaranteed to run the same fixed rounds, the same left-associated
