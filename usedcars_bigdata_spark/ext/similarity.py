@@ -664,13 +664,23 @@ def mmr_topk(
     determinism).
 
     Output: (rank, vec_id, relevance, redundancy, mmr_score)."""
-    import numpy as np  # local: driver-side vector math on single rows
+    import math  # driver-side scalar math on single rows
+
+    def _seq_norm(vals) -> float:
+        # SEQUENTIAL sum of squares — bit-matches the engines' ordered
+        # folds (Spark F.aggregate / DuckDB list_dot_product); numpy's
+        # pairwise .sum() can differ by 1 ulp, which the oracle replay
+        # would inherit into every downstream score
+        acc = 0.0
+        for x in vals:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
 
     qrow = query.select(F.col(vec_col).alias("v")).first()
     if qrow is None:
         raise ValueError("query DataFrame is empty")
-    qv = np.asarray(qrow["v"], dtype="float64")
-    qn = float(np.sqrt((qv * qv).sum()))
+    qv = [float(x) for x in qrow["v"]]
+    qn = _seq_norm(qv)
 
     base = corpus.select(
         F.col(id_col),
@@ -706,8 +716,8 @@ def mmr_topk(
                     round(float(row["mmr_score"]), ndigits),
                 )
             )
-            sv = np.asarray(row["__v"], dtype="float64")
-            sn = float(np.sqrt((sv * sv).sum()))
+            sv = [float(x) for x in row["__v"]]
+            sn = _seq_norm(sv)
             sim_to_new = dot("__v", F.array(*[F.lit(float(x)) for x in sv])) / (
                 F.col("__n") * F.lit(sn)
             )

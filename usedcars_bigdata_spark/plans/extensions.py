@@ -2552,13 +2552,82 @@ def ext_hard_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
-@query("rows_mmr_diverse_topk")
+def _mmr_oracle(k: int, lam: float) -> str:
+    """Unrolled MMR greedy in SQL, generated from the same (k, λ): each
+    round is a MATERIALIZED 1-row argmax over the not-yet-selected
+    corpus; redundancy is the running max of cosines to prior picks in
+    selection order. All cosines are sequential list_dot_product folds
+    (the ext_ann_brute bit-stability precedent — mmr_topk's driver-side
+    norms are sequential folds too), λ and 1−λ enter as the exact
+    Python-double literals the Spark loop multiplies by."""
+    one_minus = repr(1 - lam)
+    lam_r = repr(lam)
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT emb, nrm FROM e WHERE vec_id = 0),
+    base AS MATERIALIZED (
+      SELECT d.vec_id, d.emb, d.nrm,
+             list_dot_product(d.emb, q.emb) / (d.nrm * q.nrm) AS rel
+      FROM e d CROSS JOIN q WHERE d.vec_id <> 0
+    )"""
+    ]
+    for r in range(1, k + 1):
+        if r == 1:
+            red = f"CAST(0.0 AS DOUBLE)"
+            excl = ""
+        else:
+            red = "CAST(0.0 AS DOUBLE)"
+            for j in range(1, r):
+                red = (
+                    f"greatest({red}, "
+                    f"list_dot_product(d.emb, s{j}.emb)"
+                    f" / (d.nrm * s{j}.nrm))"
+                )
+            excl = " AND " + " AND ".join(
+                f"d.vec_id <> (SELECT vec_id FROM s{j})" for j in range(1, r)
+            )
+        joins = "".join(f" CROSS JOIN s{j}" for j in range(1, r))
+        parts.append(
+            f""", s{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.emb, d.nrm, d.rel, {red} AS red,
+             CAST({lam_r} AS DOUBLE) * d.rel
+               - CAST({one_minus} AS DOUBLE) * ({red}) AS score
+      FROM base d{joins}
+      WHERE TRUE{excl}
+      ORDER BY score DESC, d.vec_id ASC LIMIT 1
+    )"""
+        )
+    sels = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({r} AS INTEGER) AS rank, vec_id,
+           round(rel, 6) AS relevance, round(red, 6) AS redundancy,
+           round(score, 6) AS mmr_score FROM s{r}"""
+        for r in range(1, k + 1)
+    )
+    return "\n".join(parts) + "\n    " + sels
+
+
+@query("rows_mmr_diverse_topk", oracle=_mmr_oracle(5, 0.7))
 def ext_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR diversity-aware top-5 (ext.similarity.mmr_topk, λ=0.7) for one
-    query vector against the embeddings corpus. Rows-only by nature (the
-    greedy trajectory is procedural); invariants — first pick equals the
-    plain cosine top-1, the selected set is no less diverse than the
-    plain top-k, determinism — are pytest-pinned."""
+    query vector against the embeddings corpus. Promoted from rows-only
+    in round 7: the greedy trajectory replays exactly as k unrolled
+    1-row argmax CTEs — every cosine is a sequential
+    list_dot_product fold on both engines (mmr_topk's driver-side
+    query/selection norms switched from numpy pairwise sums to
+    sequential folds to match), the running redundancy max nests in
+    selection order, and λ/1−λ enter as the identical Python-double
+    literals. Ties on the unrounded score break by vec_id in both
+    engines (identical planted vectors produce bit-equal scores).
+    Invariants — first pick equals the plain cosine top-1, diversity no
+    worse than plain top-k, determinism — remain pytest-pinned; the
+    name keeps its historical rows_ prefix for round-record
+    continuity."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.mmr_topk(emb.filter(F.col("vec_id") != 0),
                         emb.filter(F.col("vec_id") == 0), k=5)
