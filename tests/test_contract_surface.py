@@ -20,48 +20,49 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-7 rotation (queued at round-6 close, executed this round): pin ONLY
+# Round-8 rotation (queued at round-7 close, executed this round): pin ONLY
 # the 12 ref_* parity rows; every other window slot goes to the head of the
-# carried round-3/4 never-driver-verified backlog, per the written schedule.
-ROUND7_ROTATED_IN = [
-    "rel_benford_digits",
-    "rel_rfm_segments",
-    "rel_abc_analysis",
-    "rel_copurchase_pairs",
-    "rel_orc_roundtrip",
-    "rel_pagerank_copurchase",
-    "rel_fk_audit",
-    "rel_psi_drift",
-    "rel_topk_with_ties",
-    "rel_chi_square",
-    "rel_gini_revenue",
-    "ts_user_entropy",
-    "rel_incremental_agg",
-    "rel_dynamic_partition_overwrite",
-    "rel_nth_value_window",
-    "ts_session_conversion",
-    "ts_time_to_convert",
-    "rel_try_ansi_safety",
-    "rel_map_roundtrip",
-    "rel_percentile_disc",
-    "rel_pivot_multi_agg",
-    "ts_holt_trend",
-    "ts_stream_upsert_sink",
-    "rel_cms_sketch",
-    "ts_attribution_models",
-    "ext_quantile_normalize",
-    "ext_hard_negatives",
-    "rel_textfile_logparse",
-    "ts_ab_cuped",
-    "rel_dp_noisy_counts",
-    "ext_stratified_split",
-    "ts_clamped_balance",
-    "ts_gone_silent",
-    "rel_grouped_ols",
-    "ext_er_sorted_neighborhood",
-    "ts_holt_winters",
-    "ts_hw_forecast",
-    "ts_hw_anomalies",
+# never-driver-verified queue (r3/r4 backlog tail + round-6 additions head),
+# per the written schedule.
+ROUND8_ROTATED_IN = [
+    "ts_logrank_test",
+    "ts_conversion_wilson",
+    "ts_two_proportion_test",
+    "ts_cohort_ltv",
+    "rel_skyline_pareto",
+    "rel_association_rules",
+    "ts_interpolate_linear",
+    "ts_seasonal_baseline",
+    "rel_k_anonymity",
+    "rel_max_by_lookup",
+    "ts_cusum_changepoints",
+    "rel_kmv_sketch",
+    "ts_survival_km",
+    "rel_dq_expectations",
+    "rel_scd2_pointlookup",
+    "rel_winsorized_stats",
+    "ext_unigram_logprob",
+    "ext_er_blocking_pairs",
+    "ext_er_entities",
+    "ext_pmi_cooccurrence",
+    "ext_split_lm_gate",
+    "ext_crosssplit_decontamination",
+    "ext_dedup_quality_survivor",
+    "ext_token_budget_sample",
+    "ext_corpus_card",
+    "ml_roc_auc",
+    "ml_ks_statistic",
+    "ml_calibration_bins",
+    "ml_lift_deciles",
+    "ml_target_encoding",
+    "ml_categorical_assoc",
+    "rel_triangle_stats",
+    "rel_common_neighbors",
+    "ts_lead_lag_xcorr",
+    "ts_seasonality_anova",
+    "rel_feature_drift_ks",
+    "ext_vocab_saturation",
+    "ext_fs_match_scores",
 ]
 
 DRIVER_WINDOW = 50
@@ -94,13 +95,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round7_rotation_window_membership():
+def test_round8_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND7_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND8_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND7_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND8_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():

@@ -625,3 +625,12 @@ def test_cohens_kappa_textbook_and_degenerate(spark):
     # degenerate: both raters constant-and-equal -> pe = 1, kappa NULL
     df3 = spark.createDataFrame([(1, 1)] * 10, "ra int, rb int")
     assert cohens_kappa(df3, "ra", "rb").collect()[0].kappa is None
+    # NULL raters are excluded (ADVICE r7): the textbook frame plus
+    # NULL-rater rows must produce IDENTICAL counts and kappa — n stays
+    # equal to n11+n10+n01+n00 instead of silently deflating po/pe.
+    noisy = rows + [(None, 1)] * 7 + [(0, None)] * 3 + [(None, None)] * 2
+    df4 = spark.createDataFrame(noisy, "ra int, rb int")
+    r4 = cohens_kappa(df4, "ra", "rb").collect()[0]
+    assert (r4.n, r4.n11, r4.n10, r4.n01, r4.n00) == (50, 20, 5, 10, 15)
+    assert r4.n == r4.n11 + r4.n10 + r4.n01 + r4.n00
+    assert (r4.po, r4.pe, r4.kappa) == (0.7, 0.5, 0.4)

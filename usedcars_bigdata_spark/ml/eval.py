@@ -1100,7 +1100,13 @@ def cohens_kappa(
     p_e = 1 (κ undefined); it reports κ = NULL via a when-guard rather
     than dividing by zero under ANSI.
 
+    Rows where either rater is NULL are excluded up front: they fall in
+    no contingency cell, so counting them in ``n`` would silently
+    deflate both p_o and p_e (ADVICE r7) — after the filter, n equals
+    n11 + n10 + n01 + n00 by construction.
+
     Output: (group?, n, n11, n10, n01, n00, po, pe, kappa)."""
+    df = df.filter(F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull())
     a = F.col(rater_a).cast("int")
     b = F.col(rater_b).cast("int")
     keys = [F.col(group_col)] if group_col else []

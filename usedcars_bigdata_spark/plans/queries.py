@@ -5451,6 +5451,14 @@ def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(base, "flags"))
 
 
+# Guard the textual splice below: if _HW_CTE is ever reworded the
+# .replace() would silently no-op and the oracle's x type would diverge,
+# surfacing only as a confusing hash mismatch (ADVICE r7).
+assert "CAST(count(*) AS BIGINT) AS x" in _HW_CTE, (
+    "_HW_CTE was reworded; update rows_stream_holt_winters' x-cast splice"
+)
+
+
 @query(
     "rows_stream_holt_winters",
     # Same recursive-CTE oracle as ts_holt_winters, with x emitted as
