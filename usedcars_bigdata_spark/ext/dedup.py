@@ -721,6 +721,53 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash64_md5_chunks(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """SimHash on a cross-engine-replayable bit source, emitted as the
+    4x16-bit chunks the Hamming index (simhash_near_pairs) keys on.
+    Same mechanism as simhash64 — per bit b the signed sum of (+1/-1)
+    over tokens decides bit b — but the per-token bit source is md5
+    instead of xxhash64 (which DuckDB cannot evaluate): bits 0-59 from
+    int(md5(tok)[:15], 16), bits 60-63 from int(md5(tok)[15], 16). The
+    fingerprint is returned as chunks (each 0..65535) rather than one
+    packed int64 because DuckDB's signed << throws on bit 63; chunk
+    equality is exactly what the pigeonhole candidate index uses, so
+    nothing is lost. One explode + one grouped agg, one shuffle on the
+    id — the same shape and cost as the xxhash64 scale tier."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h60"),
+        F.conv(F.substring(F.md5("tok"), 16, 1), 16, 10)
+        .cast("int")
+        .alias("h4"),
+    )
+
+    def _bit(b: int):
+        if b < 60:
+            return F.shiftright(F.col("h60"), b).bitwiseAND(F.lit(1)) == 1
+        return F.shiftright(F.col("h4"), b - 60).bitwiseAND(F.lit(1)) == 1
+
+    bit_sums = [
+        F.sum(F.when(_bit(b), 1).otherwise(-1)).alias(f"s_{b}")
+        for b in range(64)
+    ]
+    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    chunks = []
+    for j in range(4):
+        c = F.lit(0)
+        for k in range(16):
+            bit = F.when(F.col(f"s_{16 * j + k}") > 0, 1).otherwise(0)
+            c = c + F.shiftleft(bit, k)
+        chunks.append(c.cast("int").alias(f"fp_c{j}"))
+    return agg.select(F.col(id_col), *chunks)
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:

@@ -191,13 +191,19 @@ def synthesize_media_from_docs(docs: DataFrame, media_type: str = "image") -> Da
 def fake_image_pixels(payload: bytes, grid: int = 8) -> list[int]:
     """Deterministic stand-in grayscale decode: a sha256-extended byte
     stream shaped to grid*grid pixels. Same payload -> same pixels,
-    everywhere — the decode contract pHash needs, minus the codec."""
+    everywhere — the decode contract pHash needs, minus the codec.
+
+    The extension chain hashes the HEX STRING of the previous block
+    (not its raw digest bytes): SQL engines' sha256 takes VARCHAR, so
+    this keeps the whole stream replayable in the DuckDB oracle —
+    pixel k of block i is byte k of unhex(hex_i), hex_{i+1} =
+    sha256(hex_i)."""
     need = grid * grid
     out = b""
-    block = hashlib.sha256(payload or b"").digest()
+    hexstr = hashlib.sha256(payload or b"").hexdigest()
     while len(out) < need:
-        out += block
-        block = hashlib.sha256(block).digest()
+        out += bytes.fromhex(hexstr)
+        hexstr = hashlib.sha256(hexstr.encode("ascii")).hexdigest()
     return list(out[:need])
 
 
@@ -232,10 +238,10 @@ def perceptual_ahash(
 
         need = _grid * _grid
         out = b""
-        block = _hashlib.sha256(payload or b"").digest()
+        hexstr = _hashlib.sha256(payload or b"").hexdigest()
         while len(out) < need:
-            out += block
-            block = _hashlib.sha256(block).digest()
+            out += bytes.fromhex(hexstr)
+            hexstr = _hashlib.sha256(hexstr.encode("ascii")).hexdigest()
         return list(out[:need])
 
     fn = decode_fn or _default_decode

@@ -100,21 +100,41 @@ def langid_heuristic(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def rolling_fingerprint(
-    df: DataFrame, id_col: str, text_col: str, n: int = 4, mod: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    mod: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Mod-p document fingerprint: xxhash64 of each word n-gram, keep hashes
+    """Mod-p document fingerprint: hash each word n-gram, keep hashes
     ≡ 0 (mod ``mod``) — a content-defined ~1/mod sample that survives
     reordering of unrelated regions (winnowing-style). Output: sorted array
-    of selected hashes per doc."""
-    with_words = df.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
-    )
+    of selected hashes per doc.
+
+    ``hash_fn``: "xxhash64" (default, the 64-bit scale tier) or "md5_32"
+    (int(md5(gram)[:8], 16) — a 32-bit hash both Spark and DuckDB can
+    evaluate, the cross-engine-replayable tier in the
+    minhash_lsh_md5_pairs tradition; same selection mechanism, smaller
+    hash space)."""
+    if hash_fn == "xxhash64":
+        gram_hash = "xxhash64(concat_ws(' ', slice(__words, i, {n})))"
+    elif hash_fn == "md5_32":
+        gram_hash = (
+            "CAST(conv(substring(md5(concat_ws(' ', "
+            "slice(__words, i, {n}))), 1, 8), 16, 10) AS BIGINT)"
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     grams = F.expr(
         # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs.
         f"IF(size(__words) >= {n}, "
         f"transform(sequence(1, size(__words) - {n - 1}), "
-        f"i -> xxhash64(concat_ws(' ', slice(__words, i, {n})))), "
+        f"i -> {gram_hash.format(n=n)}), "
         f"array())"
+    )
+    with_words = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("__words")
     )
     selected = F.array_sort(
         F.array_distinct(F.filter(grams, lambda h: F.pmod(h, F.lit(mod)) == 0))

@@ -90,7 +90,10 @@ def bucketed_write(
 
 
 def zorder_key(
-    df: DataFrame, cols: Sequence[str], bits: int = 8
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = 8,
+    bucket_exprs: "Sequence | None" = None,
 ) -> "tuple[DataFrame, str]":
     """Append a Morton (Z-order) interleave key over ``cols``: each column
     is bucketized onto a uniform 2^bits grid between its min and max (one
@@ -104,13 +107,29 @@ def zorder_key(
     every uniform-grid Z-order implementation carries. NULLs land in
     bucket 0 (sort first, prune-neutral).
 
+    ``bucket_exprs`` (optional, one Column per entry of ``cols``)
+    injects pre-computed bucket ids (each already a long in
+    [0, 2^bits)) and skips the min/max scan + width_bucket grid — used
+    when the caller has a deterministic bucketing of its own (e.g. the
+    hash-certified contract entry, whose integer buckets replay exactly
+    in SQL) while the interleave fold below stays the single shared
+    implementation.
+
     Returns (df_with_key, key_col_name)."""
     cols = list(cols)
+    n_buckets = 1 << bits
+    if bucket_exprs is not None:
+        z = F.lit(0).cast("long")
+        for i, bucket in enumerate(bucket_exprs):
+            bucket = bucket.cast("long")
+            for b in range(bits):
+                bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))
+        return df.withColumn("__zorder", z), "__zorder"
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).alias(f"__mx_{i}") for i, c in enumerate(cols)],
     ).first()
-    n_buckets = 1 << bits
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         # empty input / all-NULL column: no min/max — degenerate to a

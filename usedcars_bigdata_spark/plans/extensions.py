@@ -507,11 +507,60 @@ def ext_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_dedup_simhash")
+def _simhash_md5_oracle() -> str:
+    """Replay of ext.dedup.simhash64_md5_chunks: md5-derived per-token
+    bits, per-bit signed sums, chunk composition — all integer SQL."""
+    sums = ",\n             ".join(
+        "CAST(sum(CASE WHEN ((h60 >> {b}) & 1) = 1 THEN 1 ELSE -1 END)"
+        " AS BIGINT) AS s_{b}".format(b=b)
+        if b < 60
+        else "CAST(sum(CASE WHEN ((h4 >> {k}) & 1) = 1 THEN 1 ELSE -1 END)"
+        " AS BIGINT) AS s_{b}".format(b=b, k=b - 60)
+        for b in range(64)
+    )
+    chunks = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s_{16 * j + k} > 0 THEN 1 ELSE 0 END << {k})"
+            for k in range(16)
+        )
+        + f" AS INTEGER) AS fp_c{j}"
+        for j in range(4)
+    )
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h60,
+             CAST('0x' || substr(md5(tok), 16, 1) AS INTEGER) AS h4
+      FROM t
+    ), s AS (
+      SELECT doc_id, {sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {chunks}
+    FROM s
+    """
+
+
+@query("ext_dedup_simhash", oracle=_simhash_md5_oracle())
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints per document (rows-only; bit semantics
-    property-tested)."""
-    return X.simhash64(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash fingerprints per document, hash-certified
+    (ext.dedup.simhash64_md5_chunks): the same signed-bit-sum mechanism
+    as the xxhash64 scale tier (simhash64), on an md5-derived bit source
+    both engines evaluate, emitted as the 4x16-bit chunks the pigeonhole
+    Hamming index keys on. Promoted from rows-only in round 8 on the
+    replayable-hash playbook (minhash_lsh_md5_pairs precedent): every
+    stage — tokenization, per-bit votes, threshold, chunk packing — is
+    pinned by the value hash. The xxhash64 packed-int64 tier stays the
+    scale path, bit-semantics property-tested in tests/test_ext_dedup.py."""
+    return X.simhash64_md5_chunks(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -653,18 +702,102 @@ def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("ext_text_langid")
+def _langid_oracle() -> str:
+    """Generate the langid oracle from the SAME LANG_PROFILES constant
+    the operator scores with (single-source discipline: the two engines
+    cannot silently disagree on a profile word). Scoring is hit counts
+    WITH multiplicity; argmax ties break by profile insertion order; no
+    hits -> 'und' — exactly ext.text.langid_heuristic."""
+    langs = list(TX.LANG_PROFILES)
+    score_cols = ",\n             ".join(
+        "CAST(len(list_filter(w, x -> x IN ("
+        + ", ".join(f"'{t}'" for t in TX.LANG_PROFILES[lang])
+        + f"))) AS INTEGER) AS s_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN s_{lang} = g THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}'"
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             {score_cols}
+      FROM t
+    ), g AS (
+      SELECT doc_id, {best} AS g, * FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN g = 0 THEN 'und' {pick} END AS lang_pred,
+           g AS lang_hits
+    FROM g
+    """
+
+
+@query("ext_text_langid", oracle=_langid_oracle())
 def ext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic stopword-profile language ID (rows-only; golden cases in
-    tests/test_ext_text.py)."""
+    """Heuristic stopword-profile language ID (ext.text.langid_heuristic):
+    per-language stopword-hit counts (with multiplicity) from one pure
+    column-expression pass, argmax with profile-order tie-break, zero
+    hits -> 'und'. Promoted from rows-only in round 8: the scoring is
+    deterministic integer arithmetic, so the full (lang_pred, lang_hits)
+    output hash-certifies against an oracle generated from the same
+    LANG_PROFILES constant; golden cases stay in tests/test_ext_text.py."""
     return TX.langid_heuristic(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("ext_doc_fingerprint")
+@query(
+    "ext_doc_fingerprint",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(w[i] || ' ' || w[i + 1] || ' '
+                                     || w[i + 2] || ' ' || w[i + 3]), 1, 8)
+                  AS BIGINT) AS h
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+            FROM t WHERE len(w) >= 4)
+    ), sel AS (
+      SELECT doc_id, list_sort(list(DISTINCT h) FILTER (h % 8 = 0)) AS fp
+      FROM grams GROUP BY doc_id
+    ), alldocs AS (
+      SELECT t.doc_id, coalesce(s.fp, []) AS fp
+      FROM t LEFT JOIN sel s ON t.doc_id = s.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(fp) AS INTEGER) AS fp_size,
+           unnest(CASE WHEN len(fp) = 0
+                       THEN [CAST(NULL AS BIGINT)] ELSE fp END) AS fp_hash
+    FROM alldocs
+    """,
+)
 def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mod-p n-gram fingerprints (rows-only; determinism + sampling-rate
-    properties tested)."""
-    return TX.rolling_fingerprint(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    """Mod-p n-gram document fingerprints (ext.text.rolling_fingerprint,
+    md5_32 tier): 4-word grams, keep gram hashes ≡ 0 (mod 8) — the
+    winnowing-style content-defined sample. Promoted from rows-only in
+    round 8 on the replayable-hash playbook (minhash_lsh_md5_pairs
+    precedent): the md5_32 gram hash evaluates identically in both
+    engines, and the per-doc sorted fingerprint is exploded to
+    (doc_id, fp_size, fp_hash) rows — explode_outer keeps empty-
+    fingerprint docs as a NULL row, so doc coverage is part of the hash.
+    The xxhash64 tier stays the scale path (determinism + sampling-rate
+    properties tested in tests/test_ext_text.py)."""
+    fp = TX.rolling_fingerprint(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        hash_fn="md5_32",
+    )
+    return fp.select(
+        "doc_id",
+        "fp_size",
+        F.explode_outer("fingerprint").alias("fp_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -805,7 +938,51 @@ def ext_strat_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rows_image_near_dupes")
+@query(
+    "rows_image_near_dupes",
+    # Full replay of the aHash + chunk-index pipeline: the stand-in
+    # decode chains sha256 over HEX STRINGS (multimodal.fake_image_pixels)
+    # precisely so DuckDB's VARCHAR-only sha256 can reproduce the pixel
+    # stream; `64*p > s` is the exact integer form of `pixel > mean`
+    # (sum < 2^14, so s/64 is exact in float64 — the integer comparison
+    # is equivalent and float-free); the bit string's chunk equi-join is
+    # the same pigeonhole candidate index the Spark side uses.
+    oracle="""
+    WITH hh AS (
+      SELECT doc_id AS media_id, sha256(text) AS h1, sha256(sha256(text)) AS h2
+      FROM documents
+    ), px AS (
+      SELECT media_id, i,
+             CASE WHEN i < 32
+                  THEN CAST('0x' || substr(h1, 2 * i + 1, 2) AS INTEGER)
+                  ELSE CAST('0x' || substr(h2, 2 * (i - 32) + 1, 2) AS INTEGER)
+             END AS p
+      FROM hh, (SELECT unnest(range(64)) AS i)
+    ), stat AS (
+      SELECT media_id, sum(p) AS s FROM px GROUP BY media_id
+    ), bits AS (
+      SELECT px.media_id,
+             string_agg(CASE WHEN 64 * p > s THEN '1' ELSE '0' END,
+                        '' ORDER BY i) AS bstr
+      FROM px JOIN stat USING (media_id) GROUP BY px.media_id
+    ), ch AS (
+      SELECT media_id, bstr, j, substr(bstr, 16 * j + 1, 16) AS ck
+      FROM bits, (SELECT unnest(range(4)) AS j)
+    ), cands AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+             a.bstr AS ba, b.bstr AS bb
+      FROM ch a JOIN ch b
+        ON a.j = b.j AND a.ck = b.ck AND a.media_id < b.media_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(range(1, 65),
+                k -> substr(ba, k, 1) <> substr(bb, k, 1))) AS INTEGER)
+             AS hamming
+    FROM cands
+    WHERE len(list_filter(range(1, 65),
+              k -> substr(ba, k, 1) <> substr(bb, k, 1))) <= 3
+    """,
+)
 def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs (ext.multimodal.image_near_dupes):
     perceptual aHash over the binary payload column, then the SimHash
@@ -813,9 +990,13 @@ def ext_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cross-modality dedup. Media is the deterministic synthesized set:
     duplicated document texts encode to identical payloads, so every
     exact text duplicate must surface as a hamming-0 pair (ground-truth
-    checked in tests; duplicate presence varies by SF).
-    Rows-only (the sha256 stand-in decode has no SQL replay); radius
-    behavior is pinned in tests with an injected synthetic decoder."""
+    checked in tests; duplicate presence varies by SF). Promoted from
+    rows-only in round 8: the stand-in decode now chains sha256 over hex
+    strings, making the pixel stream, the mean-threshold bits, the
+    chunk candidate index and the Hamming filter all SQL-replayable —
+    the whole image-dedup mechanism hash-certifies. Radius behavior
+    with a REAL decoder stays pinned in tests via injection. (The name
+    keeps its historical rows_ prefix.)"""
     from ..ext import multimodal as MM
 
     docs = load_table(spark, sf_dir, "documents")

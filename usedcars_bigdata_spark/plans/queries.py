@@ -2629,54 +2629,79 @@ def rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("rel_zorder_layout")
-def rel_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Z-order (Morton) layout quality report
-    (operators.partitioning.zorder_layout): orders range-laid-out on the
-    interleaved (o_totalprice, o_custkey) key, written to parquet, read
-    back, and summarized as per-file min/max span fractions for BOTH
-    dimensions — the statistic that determines multi-column file pruning
-    at 100 TB (a span fraction of s means a point predicate skips ~1-s
-    of the files on that column). Rows-only: the report depends on file
-    boundaries, which are an engine-layout property with no SQL oracle;
-    the pruning improvement itself is pinned in tests/test_operators.py
-    against a single-column sort baseline."""
-    import os
-    import tempfile
-
-    from ..operators.partitioning import zorder_layout
-
-    out = os.path.join(
-        tempfile.gettempdir(),
-        "usedcars_zorder_"
-        f"{os.path.basename(sf_dir.rstrip('/'))}_"
-        f"{spark.sparkContext.applicationId}",
+def _zorder_oracle() -> str:
+    """Morton-interleave replay: the same bit fold as
+    operators.partitioning.zorder_key (bit b of column i lands at z-bit
+    b*n_cols + i; price is column 0, custkey column 1), over the same
+    deterministic integer buckets."""
+    z = " + ".join(
+        f"(((bp >> {b}) & 1) << {2 * b}) + (((bc >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
     )
+    return f"""
+    WITH mx AS (
+      SELECT max(CAST(floor(o_totalprice) AS BIGINT)) AS mxp,
+             max(o_custkey) AS mxc
+      FROM orders
+    ), b AS (
+      SELECT (CAST(floor(o_totalprice) AS BIGINT) * 256) // (mxp + 1) AS bp,
+             (o_custkey * 256) // (mxc + 1) AS bc
+      FROM orders, mx
+    ), z AS (
+      SELECT bp, bc, {z} AS zkey FROM b
+    )
+    SELECT zkey // 4096 AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(zkey) AS z_min, max(zkey) AS z_max,
+           CAST(sum(zkey) AS BIGINT) AS z_sum,
+           max(bp) - min(bp) AS span_price_bucket,
+           max(bc) - min(bc) AS span_cust_bucket
+    FROM z
+    GROUP BY 1
+    """
+
+
+@query("rel_zorder_layout", oracle=_zorder_oracle())
+def rel_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout report (operators.partitioning.zorder_key,
+    the key generator under zorder_layout): orders bucketized onto a
+    256-wide integer grid per dimension (exact BIGINT arithmetic so both
+    engines compute identical buckets), bit-interleaved by the SAME fold
+    zorder_layout sorts by, then summarized per top-4-bit z range — the
+    16 range-partition assignments a 16-file layout would get. Promoted
+    from rows-only in round 8: z_min/z_max/z_sum per bucket pin every
+    interleaved bit, and the per-range bucket spans carry the layout
+    story (a compact span on BOTH dimensions is what makes multi-column
+    min/max pruning work at 100 TB). The physical file-span report —
+    which depends on engine file boundaries and has no SQL oracle — is
+    pinned in tests/test_operators.py against a single-column sort
+    baseline."""
+    from ..operators.partitioning import zorder_key
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_custkey"
     )
-    zorder_layout(orders, ["o_totalprice", "o_custkey"], n_partitions=8).write.mode(
-        "overwrite"
-    ).parquet(out)
-    back = spark.read.parquet(out).withColumn("__f", F.input_file_name())
-    spans = back.groupBy("__f").agg(
-        (F.max("o_totalprice") - F.min("o_totalprice")).alias("span_price"),
-        (F.max("o_custkey") - F.min("o_custkey")).alias("span_cust"),
+    mx = orders.agg(
+        F.max(F.floor("o_totalprice").cast("long")).alias("mxp"),
+        F.max("o_custkey").alias("mxc"),
+    ).first()
+    b = orders.select(
+        F.expr(f"(CAST(floor(o_totalprice) AS BIGINT) * 256) div {mx.mxp + 1}")
+        .alias("bp"),
+        F.expr(f"(o_custkey * 256) div {mx.mxc + 1}").alias("bc"),
+    )
+    keyed, key = zorder_key(
+        b, ["bp", "bc"], bits=8, bucket_exprs=[F.col("bp"), F.col("bc")]
+    )
+    return keyed.groupBy(
+        F.expr(f"{key} div 4096").alias("z_bucket")
+    ).agg(
         F.count(F.lit(1)).alias("n_rows"),
-    )
-    ranges = orders.agg(
-        (F.max("o_totalprice") - F.min("o_totalprice")).alias("r_price"),
-        (F.max("o_custkey") - F.min("o_custkey")).alias("r_cust"),
-    )
-    return spans.crossJoin(F.broadcast(ranges)).agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.sum("n_rows").alias("n_rows_total"),
-        F.round(F.avg(F.col("span_price") / F.col("r_price")), 4).alias(
-            "avg_span_frac_price"
-        ),
-        F.round(F.avg(F.col("span_cust") / F.col("r_cust")), 4).alias(
-            "avg_span_frac_cust"
-        ),
+        F.min(key).alias("z_min"),
+        F.max(key).alias("z_max"),
+        F.sum(key).alias("z_sum"),
+        (F.max("bp") - F.min("bp")).alias("span_price_bucket"),
+        (F.max("bc") - F.min("bc")).alias("span_cust_bucket"),
     )
 
 
