@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Streaming state-store 10x probe (r7 verdict task 5): the graph and
+gram families got disjoint-replica probes in round 7; this gives the
+streaming family the same treatment.
+
+Fixture shape (the honest one for state stores):
+- events replicated 10x with DISJOINT user_id/event_id shifts and
+  UNCHANGED timestamps — 10x concurrent users inside the same watermark
+  horizon, which multiplies join-state KEYS (the axis that hurts a
+  state store), not just volume.
+- documents replicated 10x with shifted doc_id and UNCHANGED text —
+  constant vocabulary, the shape under which the near-dup bucket state
+  is CLAIMED to stay vocabulary-bounded (plans docstring); the probe
+  verifies that claim with numbers instead of prose.
+
+Measured per run: wall, micro-batches, and the state-store counters
+Spark reports per stateful operator (numRowsTotal, memory bytes).
+
+Run: python scripts/probe_stream_scale.py [join|neardup] [1|10]
+(one entry+scale per JVM, same isolation discipline as the other
+probes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from usedcars_bigdata_spark.session import get_session
+from usedcars_bigdata_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+BASE = "/tmp/probe_stream_scale"
+
+
+def _state_summary(progresses) -> dict:
+    rows = 0
+    mem = 0
+    batches = 0
+    for p in progresses:
+        batches += 1
+        for op in p.get("stateOperators", []):
+            rows = max(rows, op.get("numRowsTotal", 0))
+            mem = max(mem, op.get("memoryUsedBytes", 0))
+    return {"batches": batches, "state_rows_max": rows, "state_mb_max": round(mem / 1e6, 1)}
+
+
+def build_events(spark, copies: int) -> str:
+    out = os.path.join(BASE, f"events_{copies}x")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = load_table(spark, SF_DIR, "events")
+        umax = ev.agg(F.max("user_id")).first()[0] + 1
+        emax = ev.agg(F.max("event_id")).first()[0] + 1
+        reps = spark.range(copies).select(F.col("id").alias("c"))
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("c") * emax).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.col("c") * umax).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "events.parquet"))
+        )
+    return out
+
+
+def probe_join(spark, copies: int) -> dict:
+    from usedcars_bigdata_spark.streaming.events import read_event_stream
+    from usedcars_bigdata_spark.streaming.joins import clicks_to_purchases
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(build_events(spark, copies), "events.parquet")
+    stream = read_event_stream(spark, src, glob="*.parquet",
+                               max_files_per_trigger=8)
+    joined = clicks_to_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+        watermark="2 hours",
+    )
+    sink = f"probe_join_{copies}x"
+    t0 = time.time()
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n = spark.table(sink).count()
+    out = _state_summary([json.loads(p.json) for p in q.recentProgress])
+    out.update({"wall_s": round(wall, 1), "rows_out": n})
+    return out
+
+
+def probe_neardup(spark, copies: int) -> dict:
+    import shutil
+
+    from usedcars_bigdata_spark.streaming.dedup import streaming_near_dup_flags
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    dmax = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(copies).select(F.col("id").alias("c"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("c") * dmax).alias("doc_id"), "text"
+    )
+    root = os.path.join(BASE, f"neardup_{copies}x")
+    src = os.path.join(root, "src")
+    if not os.path.exists(src):
+        n_docs = copies * dmax
+        cuts = [(0, n_docs // 3), (n_docs // 3, 2 * n_docs // 3),
+                (2 * n_docs // 3, n_docs + 10**9)]
+        for lo, hi in cuts:
+            (big.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(1.1)
+    for d in ("state", "flags", "ck"):
+        p = os.path.join(root, d)
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    t0 = time.time()
+    q = streaming_near_dup_flags(
+        stream,
+        state_dir=os.path.join(root, "state"),
+        out_dir=os.path.join(root, "flags"),
+        checkpoint=os.path.join(root, "ck"),
+        query_name=f"probe_neardup_{copies}x",
+    )
+    q.processAllAvailable()
+    wall = time.time() - t0
+    batches = len(q.recentProgress)
+    q.stop()
+    state_rows = spark.read.parquet(os.path.join(root, "state")).count()
+    flags = spark.read.parquet(os.path.join(root, "flags")).count()
+    return {
+        "wall_s": round(wall, 1),
+        "batches": batches,
+        "bucket_state_rows": state_rows,
+        "rows_out": flags,
+    }
+
+
+def main() -> None:
+    which = sys.argv[1]
+    copies = int(sys.argv[2])
+    spark = get_session(app_name=f"probe-stream-{which}-{copies}x")
+    spark.sparkContext.setLogLevel("ERROR")
+    fn = probe_join if which == "join" else probe_neardup
+    out = fn(spark, copies)
+    print(f"RESULT {which} {copies}x {json.dumps(out)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

