@@ -33,7 +33,16 @@ EDGES_100X = "/tmp/probe_pagerank_edges_100x"
 
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "memory"
-    spark = get_session(app_name=f"pagerank-100x-{mode}")
+    # Optional second arg: shuffle partitions for the 100x regime. The
+    # GCLocker retry storms trace to humongous G1 allocations from
+    # per-task hash-agg pages (240M edges / 32 partitions = 7.5M-edge
+    # tasks); more, smaller partitions shrink the pages below the
+    # humongous threshold — the same sizing rule the session docstring
+    # prescribes for 100 TB.
+    parts = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    spark = get_session(
+        app_name=f"pagerank-100x-{mode}", shuffle_partitions=parts
+    )
     spark.sparkContext.setLogLevel("WARN")
 
     if not os.path.exists(os.path.join(EDGES_100X, "_SUCCESS")):
@@ -78,7 +87,7 @@ def main() -> None:
     ).count()
     dt = time.time() - t0
     print(
-        f"RESULT mode={mode} edges={n_edges:,} nodes_out={n:,} wall={dt:.1f}s",
+        f"RESULT mode={mode} parts={parts} edges={n_edges:,} nodes_out={n:,} wall={dt:.1f}s",
         flush=True,
     )
 

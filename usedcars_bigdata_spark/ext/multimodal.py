@@ -317,13 +317,18 @@ def audio_frame_features(
     Output: (media_id, frame_idx, rms, zcr)."""
 
     def _default_decode(payload, _need=frame_len * n_frames):
+        # Chains sha256 over HEX STRINGS (not raw digest bytes) for the
+        # same reason as fake_image_pixels: SQL engines' sha256 takes
+        # VARCHAR, so the whole PCM stream replays in a recursive CTE —
+        # block k's 16 little-endian int16 samples come from
+        # hex_k = sha256(hex_{k-1}), hex_0 = sha256(payload).
         import hashlib as _hashlib
 
         out = b""
-        block = _hashlib.sha256(payload or b"").digest()
+        hexstr = _hashlib.sha256(payload or b"").hexdigest()
         while len(out) < _need * 2:
-            out += block
-            block = _hashlib.sha256(block).digest()
+            out += bytes.fromhex(hexstr)
+            hexstr = _hashlib.sha256(hexstr.encode("ascii")).hexdigest()
         import numpy as _np
 
         return _np.frombuffer(out[: _need * 2], dtype="<i2")

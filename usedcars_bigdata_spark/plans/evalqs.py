@@ -3641,14 +3641,57 @@ def rel_compaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ext_audio_frame_features")
+@query(
+    "ext_audio_frame_features",
+    # Full PCM replay: the stand-in decode chains sha256 over hex strings
+    # (multimodal.audio_frame_features._default_decode), so a 128-step
+    # recursive CTE reproduces the byte stream; each 32-byte block holds
+    # 16 little-endian int16 samples. Sum-of-squares stays < 2^38 — exact
+    # in float64 under ANY summation order, so numpy's pairwise mean and
+    # SQL's sequential sum produce the identical double before sqrt.
+    oracle="""
+    WITH RECURSIVE chain AS (
+      SELECT doc_id AS media_id, 0 AS k, sha256(text) AS hx FROM documents
+      UNION ALL
+      SELECT media_id, k + 1, sha256(hx) FROM chain WHERE k < 127
+    ), samples AS (
+      SELECT media_id,
+             (16 * k + m) // 256 AS frame_idx,
+             (16 * k + m) % 256 AS pos,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM (
+        SELECT media_id, k, hx, unnest(range(16)) AS m FROM chain
+      ), LATERAL (
+        SELECT CAST('0x' || substr(hx, 4 * m + 3, 2)
+                         || substr(hx, 4 * m + 1, 2) AS INTEGER) AS u
+      )
+    ), sg AS (
+      SELECT media_id, frame_idx, pos, s, sign(s) AS g,
+             lag(sign(s)) OVER (PARTITION BY media_id, frame_idx
+                                ORDER BY pos) AS pg
+      FROM samples
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INTEGER) AS frame_idx,
+           round(sqrt(CAST(sum(CAST(s AS BIGINT) * s) AS DOUBLE) / 256.0), 4)
+             AS rms,
+           round(sum(CASE WHEN abs(g - pg) > 1 THEN 1 ELSE 0 END)
+                 / 255.0, 4) AS zcr
+    FROM sg
+    GROUP BY media_id, frame_idx
+    """,
+)
 def ext_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio frame features (ext.multimodal.audio_frame_features): RMS
     energy + zero-crossing rate for 8 fixed frames per payload — the
     VAD/segmentation primitives, completing the modality matrix next to
-    the image and video legs. Rows-only by nature (the deterministic PCM
-    stand-in's iterated-sha256 + int16 arithmetic has no SQL form);
-    determinism and frame-shape invariants are pytest-pinned."""
+    the image and video legs. Promoted from rows-only in round 8: the
+    PCM stand-in now chains sha256 over hex strings, so a recursive CTE
+    replays the full byte stream and both features hash-certify (RMS
+    sum-of-squares < 2^38 is exact in float64 under any summation order;
+    ZCR's |Δsign| > 1 rule matches numpy's diff-of-signs). The Arrow
+    batching, frame shapes and injectable real-codec path stay
+    pytest-pinned."""
     from ..ext.multimodal import audio_frame_features, synthesize_media_from_docs
 
     docs = load_table(spark, sf_dir, "documents")
