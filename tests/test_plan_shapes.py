@@ -704,6 +704,16 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ml_cohens_kappa", "orders", 1),
         ("rel_graph_kcore", "lineitem", 0),
         ("ext_dedup_minhash_md5", "documents", 0),
+        # round-8 promotions: single-scan single-shuffle shapes — the
+        # md5 twins must keep the scale tiers' plan shape, and the
+        # Morton entry is one scan + one grouped agg (the min/max probe
+        # executes at build time)
+        ("ext_dedup_simhash", "documents", 1),
+        ("ext_doc_fingerprint", "documents", 1),
+        ("ext_text_langid", "documents", 1),
+        ("rows_image_near_dupes", "documents", 0),
+        ("ext_audio_frame_features", "documents", 1),
+        ("rel_zorder_layout", "orders", 1),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -278,11 +278,14 @@ def image_near_dupes(
     payoff of sharing the Hamming machinery with the text tier."""
     from .dedup import simhash_near_pairs
 
-    return simhash_near_pairs(
-        perceptual_ahash(media, decode_fn=decode_fn),
-        "media_id",
-        max_hamming=max_hamming,
+    # Materialize the fingerprints: the chunk index self-joins them, and
+    # without a cut the Arrow decode+hash pass would execute on BOTH
+    # sides of the join — the expensive stage twice over the corpus
+    # (caught by the r8 scan-budget test: 2 payload scans for 1 pass).
+    fps = perceptual_ahash(media, decode_fn=decode_fn).localCheckpoint(
+        eager=True
     )
+    return simhash_near_pairs(fps, "media_id", max_hamming=max_hamming)
 
 
 def decode_audio(payload: bytes):  # pragma: no cover - intentional stub
