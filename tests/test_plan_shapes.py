@@ -714,6 +714,12 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("rows_image_near_dupes", "documents", 0),
         ("ext_audio_frame_features", "documents", 1),
         ("rel_zorder_layout", "orders", 1),
+        # r8 scan-audit fixes: hub checkpoints cut these from 9/8/5/4
+        # corpus scans (rouge keeps its one narrow pair-list projection)
+        ("ts_acf_lags", "events", 0),
+        ("ext_doremi_reweight", "documents", 0),
+        ("ext_rouge_recall", "documents", 1),
+        ("ts_atypical_users", "events", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -2090,9 +2090,15 @@ def doremi_reweight(
 
     Output: (source, n_docs, mean_loss, excess, weight)."""
     scores = unigram_logprob_score(df, id_col, text_col)
+    # Materialize the per-doc score hub: BOTH the per-source aggregate
+    # and the overall baseline consume it, and without a cut each
+    # consumer re-executes the entire unigram scorer (the r8 scan audit
+    # found this entry re-scanning the corpus 8x). One row per document
+    # (3 narrow columns), so the checkpoint is doc-count-bounded — far
+    # cheaper than re-deriving token statistics from the corpus twice.
     with_src = scores.join(
         df.select(F.col(id_col), F.col(source_col).alias("source")), id_col
-    )
+    ).localCheckpoint(eager=True)
     per_src = with_src.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(-F.col("avg_logp")).alias("__loss"),
@@ -2158,6 +2164,10 @@ def rouge_n_recall_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # The distinct gram table feeds BOTH join sides (ref and candidate);
+    # without a cut each consumer re-runs the explode+distinct shuffle
+    # over the corpus (the r8 scan audit found this entry at 5 scans).
+    # It is doc-grams-bounded — the same thing the joins shuffle anyway.
     g = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -2165,22 +2175,26 @@ def rouge_n_recall_pairs(
         )
         .select("doc", F.xxhash64("gram").alias("gh"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pairs = df.select(
         F.col(id_col).alias("ref_id"), F.col(pair_col).alias("cand_id")
     ).filter(F.col("cand_id").isNotNull())
     ref_g = pairs.join(g.withColumnRenamed("doc", "ref_id"), "ref_id")
-    cand_g = g.select(F.col("doc").alias("cand_id"), "gh")
-    marked = (
-        ref_g.join(cand_g, ["cand_id", "gh"], "left_semi")
+    # One pass computes both counts: a left join against the (distinct)
+    # candidate grams contributes at most one __hit marker per ref gram,
+    # so count(*) is the ref-gram total and count(__hit) the overlap —
+    # replacing the former semi-join + second aggregate + re-join.
+    cand_g = g.select(F.col("doc").alias("cand_id"), "gh").withColumn(
+        "__hit", F.lit(1)
+    )
+    out = (
+        ref_g.join(cand_g, ["cand_id", "gh"], "left")
         .groupBy("ref_id", "cand_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    totals = ref_g.groupBy("ref_id", "cand_id").agg(
-        F.count(F.lit(1)).alias("n_ref_grams")
-    )
-    out = totals.join(marked, ["ref_id", "cand_id"], "left").fillna(
-        0, subset=["n_overlap"]
+        .agg(
+            F.count(F.lit(1)).alias("n_ref_grams"),
+            F.count("__hit").alias("n_overlap"),
+        )
     )
     return out.select(
         "ref_id",

@@ -4133,9 +4133,14 @@ def ts_atypical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint sums — one hod-keyed join of a user×24-bounded table, integer
     products, ranking on the ROUNDED cosine with user tie-break."""
     ev = load_table(spark, sf_dir, "events")
-    uh = ev.groupBy(
-        "user_id", F.hour("ts").cast("long").alias("hod")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # uh is the users x 24 profile hub consumed by FOUR downstream aggs
+    # (gh, dots, gg-via-gh, tot); one checkpoint cut = one corpus scan
+    # (the r8 scan audit found this entry re-scanning events 4x).
+    uh = (
+        ev.groupBy("user_id", F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     gh = uh.groupBy("hod").agg(F.sum("n").alias("gn"))
     dots = (
         uh.join(F.broadcast(gh), "hod")

@@ -244,12 +244,22 @@ def ts_acf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
     )
-    cnt = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("x"))
-    span = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    # ONE corpus scan: the hourly count table is the hub — span and key
+    # set both derive from it (every event contributes a count row, so
+    # distinct keys and the h range are identical), and the checkpoint
+    # cut stops acf_lags' three consumers (global moments + both lag-join
+    # sides) from re-deriving events 3x each (the r8 scan audit found
+    # this entry at NINE events scans).
+    cnt = (
+        ev.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    span = cnt.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     axis = span.select(
         F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h")
     )
-    keys = ev.select("event_type").distinct()
+    keys = cnt.select("event_type").distinct()
     dense = (
         keys.crossJoin(F.broadcast(axis))
         .join(cnt, ["event_type", "h"], "left")
