@@ -720,6 +720,9 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ext_doremi_reweight", "documents", 0),
         ("ext_rouge_recall", "documents", 1),
         ("ts_atypical_users", "events", 0),
+        ("ts_kendall_tau", "events", 0),
+        ("ts_resample_locf", "events", 0),
+        ("ts_cohort_ltv", "events", 1),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -3558,10 +3558,16 @@ def ts_resample_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the first observation fill 0 explicitly. One ignore-nulls
     window per type over the spine join."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.col("event_type").alias("t"),
-        F.date_trunc("hour", F.col("ts")).cast("long").alias("h"),
-    ).agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+    # keys x hours hub consumed by bounds, the key set and the spine
+    # join — checkpoint so the corpus groupBy runs once (r8 scan audit).
+    hourly = (
+        ev.groupBy(
+            F.col("event_type").alias("t"),
+            F.date_trunc("hour", F.col("ts")).cast("long").alias("h"),
+        )
+        .agg(F.round(F.sum("value") * 100).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
     bounds = hourly.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     types = hourly.select("t").distinct()
     spine = types.crossJoin(F.broadcast(bounds)).select(

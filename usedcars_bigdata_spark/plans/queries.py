@@ -6606,8 +6606,13 @@ def ts_cohort_ltv_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, revenue cells), both map-side-combined shuffles on the
     user/cohort keys."""
     events = load_table(spark, sf_dir, "events")
-    cohort = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cw")
+    # user-count-bounded cohort hub, consumed by the revenue join AND
+    # the cohort-size aggregate — checkpoint so the per-user first-seen
+    # shuffle runs once (r8 scan audit: 3 events scans -> 1).
+    cohort = (
+        events.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+        .localCheckpoint(eager=True)
     )
     cents = F.round(F.col("value") * 100).cast("bigint")
     rev = (

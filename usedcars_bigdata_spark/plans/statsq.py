@@ -172,12 +172,21 @@ def ts_kendall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     never raw events — the theil_sen precedent), concordant/discordant/
     tie counts all exact bigints."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type",
-        F.floor(F.col("ts").cast("long") / 3600).cast("bigint").alias("h"),
-    ).agg(
-        F.count(F.lit(1)).alias("x"),
-        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"),
+    # keys x hours hub: kendall_tau_b's pair self-join consumes it on
+    # both sides (plus the tie moments) — checkpoint so the corpus
+    # groupBy shuffle runs once, not three times (r8 scan audit).
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("ts").cast("long") / 3600)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("y"),
+        )
+        .localCheckpoint(eager=True)
     )
     return RS.kendall_tau_b(hourly, "event_type", "h", "x", "y").select(
         F.col("key").alias("event_type"), "n", "concordant", "discordant",
