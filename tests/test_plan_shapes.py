@@ -723,6 +723,11 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ts_kendall_tau", "events", 0),
         ("ts_resample_locf", "events", 0),
         ("ts_cohort_ltv", "events", 1),
+        ("ts_cusum_changepoints", "events", 0),
+        ("ts_seasonal_baseline", "events", 0),
+        ("ts_current_streaks", "events", 0),
+        ("ml_ece", "orders", 0),
+        ("ts_stl_strength", "events", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -3232,14 +3232,20 @@ def ml_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     a model card quotes. Bin means divide exact integer sums of rounded
     scores; the bin table is 10 rows."""
     scored = _scored_orders(spark, sf_dir)
-    b = scored.groupBy(
-        F.least(
-            F.floor(F.col("score") * 10).cast("long"), F.lit(9)
-        ).cast("int").alias("bin")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg("score").alias("conf"),
-        F.avg(F.col("label").cast("double")).alias("acc"),
+    # 10-row bin table consumed by the total AND the weighted sum -
+    # checkpoint so the corpus binning shuffle runs once (r8 scan audit).
+    b = (
+        scored.groupBy(
+            F.least(F.floor(F.col("score") * 10).cast("long"), F.lit(9))
+            .cast("int")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("score").alias("conf"),
+            F.avg(F.col("label").cast("double")).alias("acc"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = b.agg(F.sum("n").alias("nt"))
     return (
@@ -3409,12 +3415,21 @@ def ts_stl_strength_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("n").over(w).alias("trend"),
         F.count(F.lit(1)).over(w).alias("wn"),
     )
-    det = tr.filter(F.col("wn") == 25).select(
-        "t",
-        "n",
-        "trend",
-        (F.col("n") - F.col("trend")).alias("dt"),
-        (F.pmod(F.col("h"), F.lit(86400)) / 3600).cast("long").alias("hod"),
+    # detrended series hub (keys x interior hours, bounded) consumed by
+    # the seasonal-mean agg AND the remainder join — checkpoint so the
+    # corpus groupBy + 25h window run once (r8 scan audit).
+    det = (
+        tr.filter(F.col("wn") == 25)
+        .select(
+            "t",
+            "n",
+            "trend",
+            (F.col("n") - F.col("trend")).alias("dt"),
+            (F.pmod(F.col("h"), F.lit(86400)) / 3600)
+            .cast("long")
+            .alias("hod"),
+        )
+        .localCheckpoint(eager=True)
     )
     seas = det.groupBy("t", "hod").agg(F.avg("dt").alias("s"))
     parts = det.join(seas, ["t", "hod"]).select(
@@ -3964,16 +3979,22 @@ def ts_current_streaks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
     ).distinct()
-    mx = days.agg(F.max("d").alias("dmax"))
     w = Window.partitionBy("user_id").orderBy("d")
     grp = days.select(
         "user_id",
         "d",
         F.date_sub(F.col("d"), F.row_number().over(w)).alias("g"),
     )
-    isl = grp.groupBy("user_id", "g").agg(
-        F.count(F.lit(1)).alias("len"), F.max("d").alias("last_d")
+    # island table is small (one row per user-streak) and feeds both the
+    # corpus max-date scalar and the pick window - checkpoint it and
+    # derive dmax FROM it (max(last_d) == max(d) since every day lands
+    # in some island), so the distinct shuffle runs once (r8 scan audit).
+    isl = (
+        grp.groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).alias("len"), F.max("d").alias("last_d"))
+        .localCheckpoint(eager=True)
     )
+    mx = isl.agg(F.max("last_d").alias("dmax"))
     wpick = Window.partitionBy("user_id").orderBy(F.col("last_d").desc())
     return (
         isl.crossJoin(F.broadcast(mx))

@@ -5834,9 +5834,20 @@ def ts_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw stream shuffles once. Integer fixed-point baseline (truncating
     mean) keeps both engines exact."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
-    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("actual_fp"))
+    # keys x hours hub consumed by the hour-of-day baseline AND the
+    # residual join - checkpoint so the corpus groupBy runs once.
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour")["start"].alias("bucket_start"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "actual_fp"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
     base = hourly.groupBy(
         "event_type", F.hour("bucket_start").alias("hod")
     ).agg(F.sum("actual_fp").alias("tot"), F.count("*").alias("n"))
@@ -6257,9 +6268,16 @@ def ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream shuffle (the hourly pre-aggregation); the mean table
     broadcasts; the window runs over |types| bucket-sized partitions."""
     ev = load_table(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        "event_type", F.window("ts", "1 hour")["start"].alias("bucket_start")
-    ).agg(F.count("*").alias("n"))
+    # keys x hours hub consumed by the baseline agg AND the cusum join -
+    # checkpoint so the corpus groupBy shuffle runs once (r8 scan audit).
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour")["start"].alias("bucket_start"),
+        )
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
     base = hourly.groupBy("event_type").agg(
         F.expr("sum(n) div count(*)").alias("mean_n")
     )
