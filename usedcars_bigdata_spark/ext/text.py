@@ -2164,10 +2164,14 @@ def rouge_n_recall_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # The distinct gram table feeds BOTH join sides (ref and candidate);
-    # without a cut each consumer re-runs the explode+distinct shuffle
-    # over the corpus (the r8 scan audit found this entry at 5 scans).
-    # It is doc-grams-bounded — the same thing the joins shuffle anyway.
+    # The distinct gram table feeds BOTH join sides (ref and candidate).
+    # Deliberately NOT checkpointed: the table is corpus-gram-sized, and
+    # the r8 adjudication measured materialize-once (3.77s isolated at
+    # sf0.1) ≈ re-explode-twice (3.56s) — a narrow vectorized explode is
+    # cheaper to repeat than a corpus-sized table is to write, and at
+    # 100 TB the storage write loses harder. The real r8 win below is
+    # structural: one left-join-with-marker pass replaces the former
+    # semi-join + second aggregate + re-join.
     g = (
         df.select(
             F.col(id_col).alias("doc"),
@@ -2175,7 +2179,6 @@ def rouge_n_recall_pairs(
         )
         .select("doc", F.xxhash64("gram").alias("gh"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     pairs = df.select(
         F.col(id_col).alias("ref_id"), F.col(pair_col).alias("cand_id")
