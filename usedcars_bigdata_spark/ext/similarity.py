@@ -1230,10 +1230,16 @@ def source_centroid_similarity(
             "src", F.expr("transform(__a, e -> e.m)").alias("c")
         )
     )
+    # |sources| rows: checkpoint so the corpus posexplode + two-level
+    # aggregate runs once (not once per join side), and broadcast the
+    # right side so the inequality join plans BroadcastNestedLoopJoin
+    # instead of a CartesianProduct with |partsA|x|partsB| tasks — the
+    # r8 full-registry plan audit caught both.
+    cent = cent.localCheckpoint(eager=True)
     a = cent.select(F.col("src").alias("source_a"), F.col("c").alias("ca"))
     b = cent.select(F.col("src").alias("source_b"), F.col("c").alias("cb"))
     return (
-        a.join(b, F.col("source_a") < F.col("source_b"))
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
         .select(
             "source_a",
             "source_b",
