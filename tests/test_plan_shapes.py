@@ -672,7 +672,7 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ts_rolling_corr", "events", 1),
         ("rel_zonemap_prune_audit", "events", 2),
         ("rel_bloom_join_prune", "orders", 2),
-        ("rel_kruskal_wallis", "orders", 2),
+        ("rel_kruskal_wallis", "orders", 1),
         ("ts_jarque_bera", "events", 1),
         ("ext_flesch_readability", "documents", 1),
         ("ext_code_prose_detect", "documents", 1),
@@ -728,6 +728,7 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ts_resample_locf", "events", 0),
         ("ts_cohort_ltv", "events", 1),
         ("ts_cusum_changepoints", "events", 0),
+        ("ts_mann_whitney", "events", 1),
         ("ts_seasonal_baseline", "events", 0),
         ("ts_current_streaks", "events", 0),
         ("ml_ece", "orders", 0),

@@ -68,6 +68,45 @@ def test_spearman_midrank_ties_hand_computed(spark):
 # ------------------------------------------------------------ mann-whitney
 
 
+def test_global_midrank_map_matches_window_form(spark):
+    """The distributed two-pass rank map must be bit-identical to the
+    unpartitioned-window doubled midrank it replaced — including heavy
+    tie groups and values that land in different range buckets. Also
+    invariant to a pathological bucket count (values << buckets and
+    values >> buckets)."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.rankstats import (
+        global_doubled_midrank_map,
+    )
+
+    vals = [5, 1, 3, 3, 3, 9, 1, 7, 7, 2, 8, 8, 8, 8, 0, 4, 6, 6, 2, 5]
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    wr = Window.orderBy(F.col("v").asc())
+    wt = Window.partitionBy("v")
+    want = {
+        r.v: r.r2
+        for r in df.select(
+            "v",
+            (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+            .cast("bigint")
+            .alias("r2"),
+        ).collect()
+    }
+    for nb in (2, 32, 64):
+        got = {
+            r.v: r.r2
+            for r in global_doubled_midrank_map(df, "v", n_buckets=nb).collect()
+        }
+        assert got == want, nb
+    # tie counts are the value multiplicities
+    ts = {
+        r.v: r.t
+        for r in global_doubled_midrank_map(df, "v").collect()
+    }
+    assert ts == {v: vals.count(v) for v in set(vals)}
+
+
 def test_mann_whitney_hand_computed_no_ties(spark):
     # A = {1,2}, B = {3,4}: ranks 1..4, R_a = 3, U_a = 3 - 3 = 0
     # z = (0 - 2) / sqrt(4/12 * 5) = -2/sqrt(5/3)

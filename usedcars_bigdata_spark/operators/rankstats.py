@@ -15,10 +15,12 @@ ml_roc_auc precedents):
 - Overflow discipline (ANSI mode THROWS on int64 overflow): products of
   two rank-scale bigints stay < 2^63 for any per-group n ≤ ~2^20; the
   n·S cross terms in the closed forms go DOUBLE before multiplying.
-- Ranks need a per-group sort (one shuffle on the group key). At 100 TB
-  the upgrade path is the classic two-pass distributed rank (per-partition
-  histograms → prefix offsets) — the closed forms are unchanged since
-  they only consume the moment table.
+- Ranks need a per-group sort (one shuffle on the group key). The GLOBAL
+  (ungrouped) ranks — mann_whitney_u, kruskal_wallis — run the two-pass
+  distributed form (global_doubled_midrank_map: distinct-value rank map +
+  equi-join, r8) instead of an unpartitioned window; per-group ranks keep
+  the window (the group key already distributes them). Closed forms are
+  unchanged either way since they only consume the moment table.
 """
 
 from __future__ import annotations
@@ -26,6 +28,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import Column
+
+
+def global_doubled_midrank_map(
+    df: DataFrame, value_col: str, n_buckets: int = 32
+) -> DataFrame:
+    """Distributed GLOBAL doubled midrank as a per-value map — the
+    two-pass upgrade this module's header names for the unpartitioned
+    rank window (which funnels the whole frame through ONE partition at
+    scale). The midrank of a value depends only on the value:
+
+        2·midrank(v) = 2·cnt_less(v) + t(v) + 1
+
+    so rank the DISTINCT-VALUE table instead of the rows: one
+    map-side-combinable groupBy builds (v, t); a range exchange buckets
+    the distinct values; the in-bucket prefix sums run under a window
+    PARTITIONED by bucket; and only the n_buckets-row offset table
+    crosses a SinglePartition exchange. Equal values can never split
+    across buckets (the range partitioner is a pure function of the
+    key), so tie groups stay whole and the emitted doubled midranks are
+    bit-identical to the window form — callers join the map back on the
+    value and keep their closed forms and oracles unchanged.
+
+    The returned map is eagerly checkpointed: every caller both joins
+    it back AND aggregates its tie moments, and without the cut each
+    consumer would re-run the corpus groupBy + range exchange. It is
+    distinct-value-bounded — never row-bounded.
+
+    Output: one row per distinct value — (value_col, t, r2) with
+    t = tie count and r2 = 2·midrank."""
+    vc = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("t"))
+    b = vc.repartitionByRange(n_buckets, F.col(value_col)).withColumn(
+        "__b", F.spark_partition_id()
+    )
+    wb = Window.partitionBy("__b").orderBy(value_col)
+    loc = b.withColumn("__less_in", F.sum("t").over(wb) - F.col("t"))
+    offs = loc.groupBy("__b").agg(F.sum("t").alias("__bt"))
+    wo = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = offs.withColumn(
+        "__off", F.coalesce(F.sum("__bt").over(wo), F.lit(0))
+    ).drop("__bt")
+    return (
+        loc.join(F.broadcast(offs), "__b")
+        .select(
+            value_col,
+            "t",
+            (
+                2 * (F.col("__off") + F.col("__less_in")) + F.col("t") + 1
+            ).cast("bigint").alias("r2"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
 
 def _doubled_avg_rank(part_cols: list[str], order_col: str) -> Column:
@@ -105,19 +161,22 @@ def mann_whitney_u(
 
     The doubled rank sum 2·R_a, the tie moment Σ(t³−t), and all counts
     are exact bigints; t³ goes double-safe because the per-value tie
-    group t ≤ N ≤ 2^20 here (t³ < 2^60). One global sort (no group key:
-    a single combined ranking by construction) + one aggregate.
+    group t ≤ N ≤ 2^20 here (t³ < 2^60). Ranks come from the
+    distributed per-value midrank map (global_doubled_midrank_map) +
+    one equi-join — no unpartitioned window anywhere in the plan.
 
     Output: one row (n_a, n_b, u_a, z)."""
     both = df.filter(F.col(sample_col).isin([sample_a, sample_b])).select(
         (F.col(sample_col) == sample_a).cast("int").alias("is_a"),
         F.col(value_col).alias("v"),
     )
-    ranked = both.select(
-        "is_a", _doubled_avg_rank([], "v").alias("r2"), "v"
-    )
-    ties = ranked.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
-    tie_m = ties.agg(
+    # Distributed global midrank (r8): the per-value rank map replaces
+    # the unpartitioned window that funneled the pooled sample through
+    # one partition — identical r2/t values, so the closed form and the
+    # oracle are untouched.
+    rank_map = global_doubled_midrank_map(both, "v")
+    ranked = both.join(rank_map.select("v", "r2"), "v")
+    tie_m = rank_map.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
     )
     m = ranked.agg(
@@ -289,21 +348,25 @@ def kruskal_wallis(
     plus the epsilon-squared effect size ε² = (H' − k + 1)/(N − k).
     The doubled per-group rank sums 2·R_j, the tie moment Σ(t³−t), and
     all counts are exact bigints (one global midrank over N values —
-    the rank window is unpartitioned by construction, like
-    ``mann_whitney_u``); R_j²/n_j runs in doubles, so the only shuffle
-    that scales with data is the global sort. At 100 TB the two-pass
-    histogram rank replaces the window; the closed form is unchanged.
+    computed via the distributed per-value midrank map, like
+    ``mann_whitney_u``); R_j²/n_j runs in doubles. The r8 rewrite
+    replaced the unpartitioned rank window with
+    global_doubled_midrank_map + an equi-join — every data-sized
+    exchange is now partitioned; the closed form is unchanged.
 
     Output: one row (n, k, h, h_tie_corrected, epsilon_sq)."""
     vals = df.select(
         F.col(group_col).alias("g"), F.col(value_col).alias("v")
     )
-    ranked = vals.select("g", "v", _doubled_avg_rank([], "v").alias("r2"))
+    # Distributed global midrank (r8): per-value rank map + equi-join
+    # instead of the unpartitioned window — identical r2 values, closed
+    # form and oracle untouched.
+    rank_map = global_doubled_midrank_map(vals, "v")
+    ranked = vals.join(rank_map.select("v", "r2"), "v")
     per_g = ranked.groupBy("g").agg(
         F.count(F.lit(1)).alias("n_j"), F.sum("r2").alias("r2_j")
     )
-    ties = vals.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
-    tie_m = ties.agg(
+    tie_m = rank_map.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
     )
     # R_j = r2_j / 2 exactly; R_j²/n_j in doubles (R_j < N² ≤ 2^53-safe
