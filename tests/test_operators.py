@@ -88,6 +88,57 @@ def test_window_family(tiny):
     assert sorted(r["id"] for r in topk.collect()) == [2, 4, 5]
 
 
+def test_distributed_global_window_forms_match(spark):
+    """distributed_row_number / global_ntile / global_running_sum must be
+    bit-identical to their single-partition window forms on a fixture
+    with heavy ties, across pathological bucket counts."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.window import (
+        distributed_row_number,
+        global_ntile,
+        global_running_sum,
+    )
+
+    rows = [(i, (i * 37) % 13, (i * 53) % 5 + 1) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "id long, a long, v long")
+    order = [F.col("a").desc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    wanted = {
+        r.id: (r.rn, r.t, r.cs)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.ntile(7).over(w).alias("t"),
+            F.sum("v")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cs"),
+        ).collect()
+    }
+    for nb in (2, 32):
+        rn = {
+            r.id: r.rn
+            for r in distributed_row_number(df, order, "rn", nb).collect()
+        }
+        t = {r.id: r.t for r in global_ntile(df, order, 7, "t", nb).collect()}
+        cs = {
+            r.id: r.cs
+            for r in global_running_sum(
+                df, order, "v", out_col="cs", n_buckets=nb
+            ).collect()
+        }
+        for i, (wrn, wt, wcs) in wanted.items():
+            assert rn[i] == wrn and t[i] == wt and cs[i] == wcs, (nb, i)
+    # total_col equals the grand sum
+    tot = (
+        global_running_sum(df, order, "v", out_col="cs", total_col="tot")
+        .select("tot")
+        .first()
+        .tot
+    )
+    assert tot == sum(r[2] for r in rows)
+
+
 def test_global_row_number_and_zip_index(tiny):
     g = W.global_row_number(tiny, [F.col("id").desc()])
     assert [r["id"] for r in g.orderBy("row_num").collect()] == [5, 4, 3, 2, 1]

@@ -2026,15 +2026,15 @@ def vocab_saturation(
     batch is a real partition column and the ntile disappears.
 
     Output: (batch, new_grams, cum_vocab)."""
-    w = Window.orderBy(F.col(id_col))
-    # ntile over the ID PROJECTION only, then join the batch label back:
-    # putting text_col inside the global-window select funnels the full
-    # corpus text through the single-partition sort — at real scale the
-    # id-only sort is the difference between sorting keys and sorting
-    # the corpus (harness-scale timing is dominated by the gram shuffle,
-    # not this sort, but the shape matters at 100 TB).
-    batch_of = df.select(F.col(id_col)).select(
-        F.col(id_col), F.ntile(n_batches).over(w).alias("__b")
+    # Batch split via the distributed global ntile (r8) over the ID
+    # PROJECTION only — bit-identical tiles to ntile() OVER (ORDER BY
+    # id), with the range exchange replacing what used to be a
+    # single-partition key sort. At extreme scale the ingestion batch is
+    # a real partition column and this assignment disappears entirely.
+    from ..operators.window import global_ntile
+
+    batch_of = global_ntile(
+        df.select(F.col(id_col)), [F.col(id_col).asc()], n_batches, "__b"
     )
     batched = df.select(F.col(id_col), F.col(text_col)).join(batch_of, id_col)
     # hashed shingles (the fixed-width-shuffle-key rule): first-seen only

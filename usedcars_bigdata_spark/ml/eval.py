@@ -173,19 +173,24 @@ def lift_deciles(
     and identical across engines; the cumulative sums ride a second
     window over the ``n_tiles``-row table, which is free.
 
-    Scale note: a global ntile is a single-partition sort (the same
-    deliberate shape as the reference's global row_number parity). The
-    exact-rank form is right up to the sort budget; past it, the standard
-    downgrade is approx-quantile score BOUNDARIES + a bucketing join —
-    tile populations then vary by the sketch error but the plan is fully
-    parallel.
+    Scale note (r8): tiles come from operators.window.global_ntile —
+    range exchange + bucket-partitioned row_number + closed-form tile,
+    bit-identical to ntile() OVER (ORDER BY score DESC, id) while
+    keeping every data-sized exchange partitioned (the former form was
+    a deliberate single-partition sort with an approx-boundary
+    downgrade note; the exact form now scales on its own).
 
     Output: (tile, n, n_pos, lift, cum_capture)."""
-    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-    tiled = df.select(
-        F.ntile(n_tiles).over(w).alias("tile"),
+    from ..operators.window import global_ntile
+
+    base = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(id_col).alias("__id"),
         F.col(label_col).cast("int").alias("__y"),
     )
+    tiled = global_ntile(
+        base, [F.col("__s").desc(), F.col("__id").asc()], n_tiles, "tile"
+    ).select("tile", "__y")
     per = tiled.groupBy("tile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("__y").alias("n_pos")
     )
@@ -401,17 +406,21 @@ def conformal_intervals(
         .crossJoin(F.broadcast(fit))
         .select("id", resid.alias("r"))
     )
-    w = Window.orderBy(F.col("r").asc(), F.col("id").asc())
-    wn = Window.partitionBy()
-    k = F.ceil((F.count(F.lit(1)).over(wn) + 1) * F.lit(1.0 - alpha)).cast(
-        "long"
+    # Order statistic via the distributed global row number (r8): the
+    # former unpartitioned row_number window funneled the calibration
+    # set through one partition; numbers are bit-identical, so q_hat
+    # and the oracle are unchanged.
+    from ..operators.window import distributed_row_number
+
+    rn = distributed_row_number(
+        cal, [F.col("r").asc(), F.col("id").asc()], out_col="rn"
     )
+    tot = rn.agg(F.max("rn").alias("n_calib"))
     qhat = (
-        cal.select(
-            "r",
-            F.row_number().over(w).alias("rn"),
-            k.alias("k"),
-            F.count(F.lit(1)).over(wn).alias("n_calib"),
+        rn.join(F.broadcast(tot))
+        .withColumn(
+            "k",
+            F.ceil((F.col("n_calib") + 1) * F.lit(1.0 - alpha)).cast("long"),
         )
         .filter(F.col("rn") == F.least(F.col("k"), F.col("n_calib")))
         .select("n_calib", F.col("r").alias("q_hat"))

@@ -4,7 +4,9 @@ The reference's only windows are *global* row_numbers with no partitionBy
 (data-understanding.py:211-212; price-prediction.py:116) — every row through
 a single task. We keep that form for parity (``global_row_number``) but the
 engine default is partitioned windows; for a global sequential index at
-scale use ``zip_index`` (zipWithIndex-style, no single-task sort).
+scale use ``zip_index`` (zipWithIndex-style, no single-task sort) or
+``distributed_row_number`` / ``global_ntile`` (range-exchange two-pass,
+bit-identical to the window forms — the r8 scale path).
 """
 
 from __future__ import annotations
@@ -112,3 +114,124 @@ def top_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    out_col: str = "rn",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """GLOBAL row_number without the single-partition window: range-
+    exchange on the ordering (Spark's range partitioner honors per-
+    column sort direction, so bucket i wholly precedes bucket i+1 in
+    the requested order), row_number within each bucket under a
+    bucket-partitioned window, then add the prefix count of earlier
+    buckets — only the n_buckets-row offset table ever crosses a
+    SinglePartition exchange. ``order_by`` must be a TOTAL order
+    (include a unique tie-break column), exactly the determinism rule
+    topk_per_group already imposes; the emitted numbers are then
+    bit-identical to ``row_number() OVER (ORDER BY ...)``.
+
+    The post-exchange frame is shared via lazy persist (the r5 hub
+    policy — no eager materialization job): both the in-bucket window
+    and the bucket-count aggregate consume it, the first consumer fills
+    the cache, and bucket ids (spark_partition_id) stay consistent
+    because range boundaries are fixed at planning time. Cost is one
+    range exchange — the price of not funneling the corpus through one
+    partition."""
+    b = (
+        df.repartitionByRange(n_buckets, *order_by)
+        .withColumn("__b", F.spark_partition_id())
+        .persist()
+    )
+    wb = Window.partitionBy("__b").orderBy(*order_by)
+    loc = b.withColumn("__rn_in", F.row_number().over(wb))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__bc"))
+        .withColumn("__off", F.coalesce(F.sum("__bc").over(wo), F.lit(0)))
+        .drop("__bc")
+    )
+    return (
+        loc.join(F.broadcast(offs), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn_in")).cast("bigint"))
+        .drop("__b", "__rn_in", "__off")
+    )
+
+
+def global_ntile(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    n: int,
+    out_col: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """GLOBAL ntile(n) built on distributed_row_number — closed-form tile
+    assignment from the global row number, replicating Spark's NTile
+    exactly: with N rows, bucketSize = N div n and remainder = N mod n,
+    the first `remainder` tiles hold bucketSize+1 rows. Same total-order
+    requirement as distributed_row_number; emitted tiles are bit-identical
+    to ``ntile(n) OVER (ORDER BY ...)`` while every data-sized exchange
+    stays partitioned."""
+    rn = distributed_row_number(df, order_by, out_col="__grn", n_buckets=n_buckets)
+    total = rn.agg(F.max("__grn").alias("__N"))
+    # Pure integer arithmetic (div/%) — double division could mis-floor
+    # at exact tile boundaries for large N.
+    tile = F.expr(
+        f"CAST(CASE WHEN __grn <= (__N % {n}) * ((__N div {n}) + 1) "
+        f"THEN (__grn - 1) div ((__N div {n}) + 1) "
+        f"ELSE (__N % {n}) + ((__grn - (__N % {n}) * ((__N div {n}) + 1) - 1)"
+        f" div (__N div {n})) END + 1 AS INT)"
+    )
+    return (
+        rn.join(F.broadcast(total))
+        .withColumn(out_col, tile)
+        .drop("__grn", "__N")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    total_col: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """GLOBAL cumulative sum (rows-frame, unbounded preceding → current)
+    without the single-partition window — the prefix-sum sibling of
+    distributed_row_number, same two-pass shape as ext.text.pack_shards:
+    in-bucket running sums under a bucket-partitioned window plus the
+    prefix total of earlier buckets; only the n_buckets-row offset table
+    crosses a SinglePartition exchange. ``order_by`` must be a total
+    order; emitted sums are then bit-identical to
+    ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
+    ``total_col`` optionally appends the grand total (from the bucket
+    sums — no extra pass over the data)."""
+    b = (
+        df.repartitionByRange(n_buckets, *order_by)
+        .withColumn("__b", F.spark_partition_id())
+        .persist()
+    )
+    wb = (
+        Window.partitionBy("__b")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = b.withColumn("__cs_in", F.sum(value_col).over(wb))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = b.groupBy("__b").agg(F.sum(value_col).alias("__bs"))
+    offs = offs.withColumn(
+        "__off", F.coalesce(F.sum("__bs").over(wo), F.lit(0))
+    ).withColumn(
+        "__tot", F.sum("__bs").over(Window.partitionBy())
+    ).drop("__bs")
+    out = (
+        loc.join(F.broadcast(offs), "__b")
+        .withColumn(out_col, F.col("__off") + F.col("__cs_in"))
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__tot"))
+    return out.drop("__b", "__cs_in", "__off", "__tot")

@@ -2161,14 +2161,17 @@ def rel_tail_contribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("c"),
         "event_id",
     )
-    w = Window.orderBy(F.col("c").asc(), F.col("event_id").asc())
-    wn = Window.partitionBy()
+    # p99 order statistic via the distributed global row number (r8):
+    # the former unpartitioned row_number funneled the value column
+    # through one partition; numbers are bit-identical.
+    from ..operators.window import distributed_row_number
+
+    rn = distributed_row_number(
+        v, [F.col("c").asc(), F.col("event_id").asc()], out_col="rn"
+    )
+    tot = rn.agg(F.max("rn").alias("n"))
     thr = (
-        v.select(
-            "c",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
-        )
+        rn.join(F.broadcast(tot))
         .filter(F.col("rn") == F.ceil(0.99 * F.col("n")).cast("long"))
         .select(F.col("c").alias("p99"))
     )

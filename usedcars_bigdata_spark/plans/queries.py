@@ -3125,10 +3125,12 @@ def rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically) or ≥ 1/(2n) away from the .5 boundary — orders of
     magnitude beyond the one-division FP error.
 
-    The per-customer rollup shuffles once on custkey; the three ntile
-    windows run over the |customers|-row aggregate — the documented
-    single-axis cost, bounded by customer count not order count (scale
-    path: percent_rank against broadcast quantile bounds)."""
+    The per-customer rollup shuffles once on custkey; the three
+    quintile assignments run through operators.window.global_ntile
+    (r8) — range exchange + bucket-partitioned row_number + closed-form
+    tile, bit-identical to ntile() OVER (ORDER BY ...) while keeping
+    every data-sized exchange partitioned (the former form funneled the
+    customer table through ONE partition per metric)."""
     orders = load_table(spark, sf_dir, "orders")
     ref_date = orders.agg(F.max("o_orderdate").alias("__ref"))
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
@@ -3147,15 +3149,30 @@ def rel_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents",
         )
     )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey").asc())
-    scored = base.select(
+    from ..operators.window import global_ntile
+
+    scored = global_ntile(
+        base,
+        [F.col("recency_days").asc(), F.col("o_custkey").asc()],
+        5,
+        "r_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        5,
+        "f_score",
+    )
+    scored = global_ntile(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        5,
+        "m_score",
+    )
+    scored = scored.select(
         "monetary_cents",
         (
-            F.ntile(5).over(r_w) * 100
-            + F.ntile(5).over(f_w) * 10
-            + F.ntile(5).over(m_w)
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).alias("segment"),
     )
     return scored.groupBy("segment").agg(
@@ -3203,16 +3220,22 @@ def rel_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
     ).cast("bigint")
     rev = li.groupBy("l_partkey").agg(F.sum(line_fp).alias("rev_fp"))
-    order_w = (
-        Window.orderBy(F.col("rev_fp").desc(), F.col("l_partkey").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    total_w = Window.partitionBy()
-    c = rev.select(
+    # Cumulative revenue share via the distributed global prefix sum
+    # (r8): the former unpartitioned running-sum window funneled the
+    # parts-sized revenue table through one partition; the integer
+    # cumulative and total are bit-identical, so the share division and
+    # the oracle are unchanged.
+    from ..operators.window import global_running_sum
+
+    c = global_running_sum(
+        rev,
+        [F.col("rev_fp").desc(), F.col("l_partkey").asc()],
         "rev_fp",
-        (
-            F.sum("rev_fp").over(order_w) * 1.0 / F.sum("rev_fp").over(total_w)
-        ).alias("cum_share"),
+        out_col="cum_fp",
+        total_col="tot_fp",
+    ).select(
+        "rev_fp",
+        (F.col("cum_fp") * 1.0 / F.col("tot_fp")).alias("cum_share"),
     )
     klass = (
         F.when(F.col("cum_share") <= 0.8, "A")
