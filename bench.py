@@ -45,6 +45,14 @@ def time_query(spark, sf_dir: str, name: str) -> float:
     n = df.count()
     dt = time.time() - t0
     assert n >= 0
+    # Per-entry cache hygiene: entries are independent, so a hub one
+    # entry persist()ed must not occupy storage memory while the next
+    # 400 run — the r8 bench measured 110 entries drifting up once the
+    # two-pass window operators started persisting their bucket frames
+    # for the life of the JVM. clearCache() ends the cross-entry
+    # contamination; the inside-an-entry cache reuse these hubs exist
+    # for has already happened by the time count() returns.
+    spark.catalog.clearCache()
     return dt
 
 
