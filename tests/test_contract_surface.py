@@ -20,49 +20,49 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-8 rotation (queued at round-7 close, executed this round): pin ONLY
+# Round-9 rotation (queued at round-8 close, executed this round): pin ONLY
 # the 12 ref_* parity rows; every other window slot goes to the head of the
-# never-driver-verified queue (r3/r4 backlog tail + round-6 additions head),
-# per the written schedule.
-ROUND8_ROTATED_IN = [
-    "ts_logrank_test",
-    "ts_conversion_wilson",
-    "ts_two_proportion_test",
-    "ts_cohort_ltv",
-    "rel_skyline_pareto",
-    "rel_association_rules",
-    "ts_interpolate_linear",
-    "ts_seasonal_baseline",
-    "rel_k_anonymity",
-    "rel_max_by_lookup",
-    "ts_cusum_changepoints",
-    "rel_kmv_sketch",
-    "ts_survival_km",
-    "rel_dq_expectations",
-    "rel_scd2_pointlookup",
-    "rel_winsorized_stats",
-    "ext_unigram_logprob",
-    "ext_er_blocking_pairs",
-    "ext_er_entities",
-    "ext_pmi_cooccurrence",
-    "ext_split_lm_gate",
-    "ext_crosssplit_decontamination",
-    "ext_dedup_quality_survivor",
-    "ext_token_budget_sample",
-    "ext_corpus_card",
-    "ml_roc_auc",
-    "ml_ks_statistic",
-    "ml_calibration_bins",
-    "ml_lift_deciles",
-    "ml_target_encoding",
-    "ml_categorical_assoc",
-    "rel_triangle_stats",
-    "rel_common_neighbors",
-    "ts_lead_lag_xcorr",
-    "ts_seasonality_anova",
-    "rel_feature_drift_ks",
-    "ext_vocab_saturation",
-    "ext_fs_match_scores",
+# never-driver-verified queue (the remainder of the round-6 additions
+# block), per the written schedule.
+ROUND9_ROTATED_IN = [
+    "ext_prefix_filter_jaccard",
+    "ext_matryoshka_recall",
+    "rel_neyman_allocation",
+    "rel_golden_record",
+    "ext_doremi_reweight",
+    "rel_median_ci",
+    "ts_rate_limit_tokens",
+    "rel_correlation_matrix",
+    "ml_learning_curve",
+    "ml_conformal_intervals",
+    "ts_shapley_attribution",
+    "ts_theil_sen_trend",
+    "ml_loso_influence",
+    "ts_decayed_topk",
+    "rel_l_diversity",
+    "ext_source_centroid_sim",
+    "ts_stream_rate_limit",
+    "rel_salted_agg",
+    "ts_interval_union_time",
+    "ts_backtest_snaive",
+    "rel_share_of_parent",
+    "rel_tail_contribution",
+    "rel_graph_period_diff",
+    "ts_local_peaks",
+    "ts_hourly_percentile_bands",
+    "ts_semi_additive_monthly",
+    "ts_growth_accounting",
+    "ext_dupgraph_transitivity",
+    "rel_fulfillment_latency",
+    "ext_doc_novelty",
+    "ts_retention_halflife",
+    "rel_rank_movers",
+    "ml_loco_importance",
+    "ml_pr_auc",
+    "ml_best_f1_threshold",
+    "ts_velocity_features",
+    "ml_ece",
+    "ml_kfold_cv",
 ]
 
 DRIVER_WINDOW = 50
@@ -95,13 +95,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round8_rotation_window_membership():
+def test_round9_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND8_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND9_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND8_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND9_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():
