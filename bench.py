@@ -52,6 +52,11 @@ def time_query(spark, sf_dir: str, name: str) -> float:
     # for the life of the JVM. clearCache() ends the cross-entry
     # contamination; the inside-an-entry cache reuse these hubs exist
     # for has already happened by the time count() returns.
+    # release_hubs() additionally empties the operators' hub registry so
+    # the Python-side references don't pin re-persistable plans (r9).
+    from usedcars_bigdata_spark.operators.window import release_hubs
+
+    release_hubs()
     spark.catalog.clearCache()
     return dt
 

@@ -162,6 +162,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL err  {name}:")
             traceback.print_exc(limit=3)
+        finally:
+            # Per-entry cache hygiene (r9): the two-pass window operators
+            # persist() bucket hubs that the CacheManager holds for the
+            # life of the JVM; a 408-entry sweep would otherwise
+            # accumulate them into the storage region.
+            from usedcars_bigdata_spark.operators.window import release_hubs
+
+            release_hubs()
+            spark.catalog.clearCache()
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
     return 1 if failures else 0

@@ -139,6 +139,32 @@ def test_distributed_global_window_forms_match(spark):
     assert tot == sum(r[2] for r in rows)
 
 
+def test_two_pass_hubs_register_and_release(spark):
+    """The two-pass operators persist bucket hubs through the
+    CacheManager (never GC-released); every call must register its hub
+    so release_hubs() can return the storage memory (r9 ADVICE fix).
+    count_col must carry the global N from the bucket-count side."""
+    from usedcars_bigdata_spark.operators import window as W2
+
+    W2.release_hubs()  # drain anything earlier tests left behind
+    df = spark.createDataFrame([(i, i % 3) for i in range(40)], "id long, v long")
+    order = [F.col("id").asc()]
+    out = W2.distributed_row_number(df, order, "rn", count_col="n_total")
+    rows = out.collect()
+    assert all(r.n_total == 40 for r in rows)
+    assert len(W2._PERSISTED_HUBS) == 1
+    cs = W2.global_running_sum(df, order, "v", out_col="cs").collect()
+    assert len(cs) == 40
+    assert len(W2._PERSISTED_HUBS) == 2
+    assert W2.release_hubs() == 2
+    assert not W2._PERSISTED_HUBS
+    # global_ntile derives N via count_col — exactly ONE hub per call,
+    # not the r8 two-pass-per-call shape
+    W2.global_ntile(df, order, 4, "q").collect()
+    assert len(W2._PERSISTED_HUBS) == 1
+    assert W2.release_hubs() == 1
+
+
 def test_global_row_number_and_zip_index(tiny):
     g = W.global_row_number(tiny, [F.col("id").desc()])
     assert [r["id"] for r in g.orderBy("row_num").collect()] == [5, 4, 3, 2, 1]
@@ -792,6 +818,27 @@ def test_zorder_key_deterministic_and_null_safe(spark):
     b = {r["id"]: r[col] for r in zorder_key(df, ["x", "y"], bits=4)[0].collect()}
     assert a == b
     assert all(v is not None and v >= 0 for v in a.values())
+
+
+def test_zorder_bucket_exprs_contract(spark):
+    """bucket_exprs must be one Column per keyed column (ValueError
+    otherwise), and out-of-range ids are masked onto [0, 2^bits) instead
+    of bleeding into other columns' bit slots (r9 ADVICE fix)."""
+    import pytest
+
+    from usedcars_bigdata_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame([(1, 3, 5)], "id long, a long, b long")
+    with pytest.raises(ValueError, match="one Column per keyed column"):
+        zorder_key(df, ["a", "b"], bits=4, bucket_exprs=[F.col("a")])
+    # 2^4 grid: bucket 19 must interleave exactly like 19 & 15 == 3
+    in_range = zorder_key(
+        df, ["a", "b"], bits=4, bucket_exprs=[F.lit(3), F.col("b")]
+    )[0].collect()[0]["__zorder"]
+    wrapped = zorder_key(
+        df, ["a", "b"], bits=4, bucket_exprs=[F.lit(19), F.col("b")]
+    )[0].collect()[0]["__zorder"]
+    assert wrapped == in_range
 
 
 def test_profile_table_one_scan_semantics(tiny):

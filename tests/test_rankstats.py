@@ -107,6 +107,51 @@ def test_global_midrank_map_matches_window_form(spark):
     assert ts == {v: vals.count(v) for v in set(vals)}
 
 
+def test_global_midrank_map_drops_nulls_consistently(spark):
+    """NULL observations are dropped BEFORE ranking (r9 ADVICE fix):
+    the plain equi-join consumers use would drop NULL rows anyway, but
+    a NULL tie group used to land in the map (groupBy keeps NULL keys)
+    and poison the tie moment. The map over NULL-bearing input must
+    equal the map over the pre-filtered input — no NULL row, identical
+    t and r2 for every real value."""
+    from usedcars_bigdata_spark.operators.rankstats import (
+        global_doubled_midrank_map,
+    )
+
+    vals = [5, 1, None, 3, 3, None, 9, 1, 7, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v int")
+    clean = spark.createDataFrame(
+        [(v,) for v in vals if v is not None], "v int"
+    )
+    got = sorted(
+        (r.v, r.t, r.r2)
+        for r in global_doubled_midrank_map(df, "v").collect()
+    )
+    want = sorted(
+        (r.v, r.t, r.r2)
+        for r in global_doubled_midrank_map(clean, "v").collect()
+    )
+    assert got == want
+    assert all(v is not None for v, _, _ in got)
+
+
+def test_mann_whitney_and_kruskal_consistent_on_null_values(spark):
+    """mann_whitney_u / kruskal_wallis on a NULL-bearing value column
+    must equal the same test on the NULL-filtered input — n, rank sums,
+    and the tie correction all exclude the missing observations."""
+    rows = [("a", 3), ("a", None), ("a", 5), ("b", 3), ("b", None), ("b", 8)]
+    df = spark.createDataFrame(rows, "s string, v int")
+    clean = df.filter(F.col("v").isNotNull())
+    got_u = mann_whitney_u(df, "s", "v", "a", "b").collect()[0]
+    want_u = mann_whitney_u(clean, "s", "v", "a", "b").collect()[0]
+    assert got_u == want_u
+    assert (got_u.n_a, got_u.n_b) == (2, 2)
+    got_k = kruskal_wallis(df, "s", "v").collect()[0]
+    want_k = kruskal_wallis(clean, "s", "v").collect()[0]
+    assert got_k == want_k
+    assert got_k.n == 4
+
+
 def test_mann_whitney_hand_computed_no_ties(spark):
     # A = {1,2}, B = {3,4}: ranks 1..4, R_a = 3, U_a = 3 - 3 = 0
     # z = (0 - 2) / sqrt(4/12 * 5) = -2/sqrt(5/3)

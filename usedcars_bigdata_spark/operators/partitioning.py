@@ -107,9 +107,11 @@ def zorder_key(
     every uniform-grid Z-order implementation carries. NULLs land in
     bucket 0 (sort first, prune-neutral).
 
-    ``bucket_exprs`` (optional, one Column per entry of ``cols``)
-    injects pre-computed bucket ids (each already a long in
-    [0, 2^bits)) and skips the min/max scan + width_bucket grid — used
+    ``bucket_exprs`` (optional, exactly one Column per entry of
+    ``cols`` — enforced) injects pre-computed bucket ids and skips the
+    min/max scan + width_bucket grid; each id is masked onto
+    [0, 2^bits) so a contract violation degrades to a wrapped bucket
+    instead of corrupting other columns' bit slots — used
     when the caller has a deterministic bucketing of its own (e.g. the
     hash-certified contract entry, whose integer buckets replay exactly
     in SQL) while the interleave fold below stays the single shared
@@ -119,9 +121,18 @@ def zorder_key(
     cols = list(cols)
     n_buckets = 1 << bits
     if bucket_exprs is not None:
+        # Contract checks (r9 ADVICE fix): a length mismatch or an
+        # out-of-range bucket would silently interleave bits into OTHER
+        # columns' slots, corrupting the Morton key — fail loudly on the
+        # former, mask to the grid on the latter.
+        if len(bucket_exprs) != len(cols):
+            raise ValueError(
+                f"bucket_exprs must supply one Column per keyed column: "
+                f"got {len(bucket_exprs)} exprs for {len(cols)} cols"
+            )
         z = F.lit(0).cast("long")
         for i, bucket in enumerate(bucket_exprs):
-            bucket = bucket.cast("long")
+            bucket = bucket.cast("long").bitwiseAND(F.lit(n_buckets - 1))
             for b in range(bits):
                 bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
                 z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + i))

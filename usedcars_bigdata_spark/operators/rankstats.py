@@ -53,11 +53,27 @@ def global_doubled_midrank_map(
     The returned map is eagerly checkpointed: every caller both joins
     it back AND aggregates its tie moments, and without the cut each
     consumer would re-run the corpus groupBy + range exchange. It is
-    distinct-value-bounded — never row-bounded.
+    distinct-value-bounded — never row-bounded — and unlike persist()
+    the localCheckpoint blocks are GC-released once the caller drops
+    the returned frame (ContextCleaner), so there is no registry to
+    drain here (contrast window.release_hubs).
 
-    Output: one row per distinct value — (value_col, t, r2) with
-    t = tie count and r2 = 2·midrank."""
-    vc = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("t"))
+    NULL policy: NULL observations are DROPPED before ranking (r9).
+    Rank statistics have no defined rank for a missing value, and the
+    plain equi-join every consumer uses to attach the map would drop
+    NULL rows anyway — while a NULL tie group would still have landed
+    in the map (groupBy keeps a NULL key) and poisoned the Σ(t³−t)
+    moment. Filtering here keeps n, rank sums, and tie corrections
+    consistent on NULL-bearing inputs; callers that want a sentinel
+    rank for NULLs must encode it as a value first.
+
+    Output: one row per distinct non-NULL value — (value_col, t, r2)
+    with t = tie count and r2 = 2·midrank."""
+    vc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
     b = vc.repartitionByRange(n_buckets, F.col(value_col)).withColumn(
         "__b", F.spark_partition_id()
     )

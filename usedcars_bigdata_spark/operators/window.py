@@ -23,6 +23,35 @@ def ordered_window(
     return Window.partitionBy(*partition_by).orderBy(*order_by)
 
 
+# Bucket frames persisted by the two-pass operators below. persist() goes
+# through the CacheManager, which holds a reference for the life of the
+# JVM — unlike localCheckpoint blocks it is NEVER GC-released, so a
+# long-lived session that calls these operators per query accumulates
+# data-sized cache entries (the r7 pagerank heap-pressure failure mode).
+# Every hub is registered here; harnesses (bench.py, driver_sim) call
+# ``release_hubs()`` after materializing each entry, and library callers
+# should do the same once the returned frame is consumed. clearCache()
+# also works but nukes unrelated caches.
+_PERSISTED_HUBS: list[DataFrame] = []
+
+
+def release_hubs(blocking: bool = False) -> int:
+    """Unpersist every bucket frame the two-pass window operators have
+    persisted since the last release. Safe to call at any time AFTER the
+    consuming action — unpersisting before materialization just costs a
+    recompute (results stay correct: range boundaries are deterministic
+    for a given input). Returns the number of frames released."""
+    n = 0
+    while _PERSISTED_HUBS:
+        hub = _PERSISTED_HUBS.pop()
+        try:
+            hub.unpersist(blocking)
+        except Exception:
+            pass  # session already stopped — nothing to release
+        n += 1
+    return n
+
+
 def global_row_number(df: DataFrame, order_by: Sequence[Column | str], alias: str = "row_num") -> DataFrame:
     """W1/W2 parity: row_number over an unpartitioned ordering — correct but
     single-task; documented hazard (SURVEY.md §4 'Defeats Catalyst #3')."""
@@ -121,6 +150,7 @@ def distributed_row_number(
     order_by: Sequence[Column],
     out_col: str = "rn",
     n_buckets: int = 32,
+    count_col: str | None = None,
 ) -> DataFrame:
     """GLOBAL row_number without the single-partition window: range-
     exchange on the ordering (Spark's range partitioner honors per-
@@ -139,12 +169,19 @@ def distributed_row_number(
     the cache, and bucket ids (spark_partition_id) stay consistent
     because range boundaries are fixed at planning time. Cost is one
     range exchange — the price of not funneling the corpus through one
-    partition."""
+    partition. The hub is registered for ``release_hubs()`` — call it
+    after materializing the result (r9; persist entries outlive GC).
+
+    ``count_col`` optionally appends the GLOBAL row count N, computed
+    from the already-aggregated bucket counts on the broadcast side —
+    consumers that need N (ntile, percent-rank forms) get it without a
+    second pass over the data."""
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED_HUBS.append(b)
     wb = Window.partitionBy("__b").orderBy(*order_by)
     loc = b.withColumn("__rn_in", F.row_number().over(wb))
     wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
@@ -152,13 +189,16 @@ def distributed_row_number(
         b.groupBy("__b")
         .agg(F.count(F.lit(1)).alias("__bc"))
         .withColumn("__off", F.coalesce(F.sum("__bc").over(wo), F.lit(0)))
+        .withColumn("__n_total", F.sum("__bc").over(Window.partitionBy()))
         .drop("__bc")
     )
-    return (
+    out = (
         loc.join(F.broadcast(offs), "__b")
         .withColumn(out_col, (F.col("__off") + F.col("__rn_in")).cast("bigint"))
-        .drop("__b", "__rn_in", "__off")
     )
+    if count_col is not None:
+        out = out.withColumn(count_col, F.col("__n_total").cast("bigint"))
+    return out.drop("__b", "__rn_in", "__off", "__n_total")
 
 
 def global_ntile(
@@ -174,9 +214,14 @@ def global_ntile(
     the first `remainder` tiles hold bucketSize+1 rows. Same total-order
     requirement as distributed_row_number; emitted tiles are bit-identical
     to ``ntile(n) OVER (ORDER BY ...)`` while every data-sized exchange
-    stays partitioned."""
-    rn = distributed_row_number(df, order_by, out_col="__grn", n_buckets=n_buckets)
-    total = rn.agg(F.max("__grn").alias("__N"))
+    stays partitioned. N comes from distributed_row_number's bucket-count
+    side (``count_col``) — the r8 form derived it with a second
+    ``rn.agg(max)`` pass, re-executing the in-bucket window and the
+    offset join once more per call (rel_rfm paid it three times; r9
+    ADVICE fix)."""
+    rn = distributed_row_number(
+        df, order_by, out_col="__grn", n_buckets=n_buckets, count_col="__N"
+    )
     # Pure integer arithmetic (div/%) — double division could mis-floor
     # at exact tile boundaries for large N.
     tile = F.expr(
@@ -185,11 +230,7 @@ def global_ntile(
         f"ELSE (__N % {n}) + ((__grn - (__N % {n}) * ((__N div {n}) + 1) - 1)"
         f" div (__N div {n})) END + 1 AS INT)"
     )
-    return (
-        rn.join(F.broadcast(total))
-        .withColumn(out_col, tile)
-        .drop("__grn", "__N")
-    )
+    return rn.withColumn(out_col, tile).drop("__grn", "__N")
 
 
 def global_running_sum(
@@ -209,12 +250,14 @@ def global_running_sum(
     order; emitted sums are then bit-identical to
     ``sum(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``.
     ``total_col`` optionally appends the grand total (from the bucket
-    sums — no extra pass over the data)."""
+    sums — no extra pass over the data). The persisted hub is registered
+    for ``release_hubs()`` — call it after materializing the result."""
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED_HUBS.append(b)
     wb = (
         Window.partitionBy("__b")
         .orderBy(*order_by)

@@ -1253,7 +1253,14 @@ def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a trimmed progress buffer can't abort the whole sweep (ADVICE r7).
     n_files = len(_glob.glob(os.path.join(src, "part-*.parquet")))
     n_batches = len(q.recentProgress)
-    expected = min(n_files, 2)  # >=1 range file + the sentinel
+    # Cap at the ACTUAL progress-buffer retention (default 100), not a
+    # literal small constant — min(n_files, 2) made the per-file
+    # expectation nearly vacuous (a stream that processed 2 of 6 files
+    # would have passed; r9 ADVICE fix).
+    retention = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    expected = min(n_files, retention)
     assert n_batches >= expected, (
         f"expected >={expected} micro-batches for {n_files} files, "
         f"got {n_batches}"
