@@ -266,6 +266,89 @@ def test_best_f1_threshold_hand_computed(spark):
     assert r.recall == 1.0
 
 
+def test_best_f1_matches_window_form_and_stays_partitioned(spark):
+    """The r9 two-pass rewire must (a) equal the unpartitioned-window
+    reference form on a continuous-score fixture with F1 ties, across
+    bucket counts, and (b) keep every data-sized frame out of
+    SinglePartition — the executed plan may sort only the n_buckets-row
+    offset table (this was the registry's last data-sized
+    single-partition window)."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.ml.eval import best_f1_threshold
+    from usedcars_bigdata_spark.operators.window import release_hubs
+
+    # 400 distinct continuous scores; labels correlated with score but
+    # noisy, plus duplicated score values to exercise the groupBy
+    rows = []
+    for i in range(400):
+        s = round(i * 0.7071 % 1.0, 6)
+        y = 1 if (i * 37) % 100 < 100 * s else 0
+        rows.append(("u", y, s))
+        if i % 7 == 0:
+            rows.append(("u", 1 - y, s))  # tie group on the score
+    df = spark.createDataFrame(rows, ["g", "y", "s"])
+
+    # reference: the retired unpartitioned-window form, inline
+    ps = df.groupBy(F.col("s").alias("__s")).agg(
+        F.sum(F.col("y").cast("int")).alias("__p"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_cum = Window.orderBy(F.col("__s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = ps.select(
+        F.col("__s").alias("threshold"),
+        F.sum("__p").over(w_cum).alias("tp"),
+        (F.sum("__n").over(w_cum) - F.sum("__p").over(w_cum)).alias("fp"),
+        (F.sum("__p").over(w_all) - F.sum("__p").over(w_cum)).alias("fn"),
+    )
+    f1 = 2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn"))
+    want = (
+        cum.withColumn(
+            "__r",
+            F.row_number().over(
+                Window.orderBy(F.round(f1, 6).desc(), F.col("threshold").desc())
+            ),
+        )
+        .filter(F.col("__r") == 1)
+        .select("threshold", "tp", "fp", "fn", F.round(f1, 6).alias("f1"))
+        .collect()[0]
+    )
+
+    got = best_f1_threshold(df, "y", "s").collect()[0]
+    assert (got.threshold, got.tp, got.fp, got.fn, got.f1) == (
+        want.threshold,
+        want.tp,
+        want.fp,
+        want.fn,
+        want.f1,
+    )
+    # plan shape: no unpartitioned data-sized window — the only Window
+    # in the executed plan must be partitioned by the bucket id
+    plan = (
+        best_f1_threshold(df, "y", "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    bad = [
+        ln
+        for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln and "__b" not in ln
+    ]
+    assert not bad, f"unpartitioned window survived the rewire: {bad}"
+    release_hubs()
+
+
+def test_best_f1_empty_input_emits_no_row(spark):
+    from usedcars_bigdata_spark.ml.eval import best_f1_threshold
+
+    df = spark.createDataFrame([], "g string, y int, s double")
+    assert best_f1_threshold(df, "y", "s").count() == 0
+
+
 def test_kfold_cv_exact_leave_out(spark):
     """Two folds with different linear signals: each fold's model trains
     ONLY on the other fold, so fold A is scored by fold B's line (and

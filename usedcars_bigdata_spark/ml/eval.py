@@ -799,46 +799,71 @@ def best_f1_threshold(
     toward the HIGHEST threshold (fewest flagged — the conservative
     pick), deterministically.
 
-    Same cumulative machinery as pr_auc: distinct-score cardinality
-    after one aggregate; F1 = 2TP/(2TP+FP+FN) from exact integers.
+    Cumulative TP and flagged counts come from
+    ``global_running_sums`` over the distinct-score table (r9 rewire) —
+    unlike pr_auc, this sweep is GLOBAL (no group key distributes the
+    window), and for continuous model scores distinct values ≈ N rows,
+    so the r8 unpartitioned cumulative window was a data-sized
+    single-partition funnel. The two-pass form shares one range
+    exchange for both sums; the argmax pick is a plain ``max(struct)``
+    aggregate (map-side combinable) rather than a second unpartitioned
+    row_number — bit-identical pick because (f1, threshold) is the same
+    lexicographic order and thresholds are distinct. F1 =
+    2TP/(2TP+FP+FN) from exact integers.
 
     Output: one row (threshold, tp, fp, fn, precision, recall, f1)."""
+    from ..operators.window import global_running_sums
+
     per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col).cast("int")).alias("__p"),
         F.count(F.lit(1)).alias("__n"),
     )
-    w_cum = (
-        Window.orderBy(F.col("__s").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy()
-    cum = per_score.select(
+    cum = global_running_sums(
+        per_score,
+        [F.col("__s").desc()],
+        ["__p", "__n"],
+        ["__ctp", "__cn"],
+        totals=["__totp", None],
+    ).select(
         F.col("__s").alias("threshold"),
-        F.sum("__p").over(w_cum).alias("tp"),
-        (F.sum("__n").over(w_cum) - F.sum("__p").over(w_cum)).alias("fp"),
-        (F.sum("__p").over(w_all) - F.sum("__p").over(w_cum)).alias("fn"),
+        F.col("__ctp").alias("tp"),
+        (F.col("__cn") - F.col("__ctp")).alias("fp"),
+        (F.col("__totp") - F.col("__ctp")).alias("fn"),
     )
     f1 = 2.0 * F.col("tp") / (
         2.0 * F.col("tp") + F.col("fp") + F.col("fn")
     )
-    w_pick = Window.orderBy(
-        F.round(f1, ndigits).desc(), F.col("threshold").desc()
-    )
+    # Argmax by (f1, threshold): max over a struct is lexicographic, so
+    # ties on rounded F1 break toward the HIGHEST threshold — the same
+    # deterministic pick the row_number form made. threshold is unique
+    # (one row per distinct score), so the tail fields never tie.
     return (
-        cum.withColumn("__r", F.row_number().over(w_pick))
-        .filter(F.col("__r") == 1)
+        cum.agg(
+            F.max(
+                F.struct(
+                    F.round(f1, ndigits).alias("f1"),
+                    F.col("threshold"),
+                    F.col("tp"),
+                    F.col("fp"),
+                    F.col("fn"),
+                )
+            ).alias("m")
+        )
+        # empty input: agg emits one NULL-struct row; the row_number
+        # form emitted zero rows — keep that contract
+        .where(F.col("m").isNotNull())
         .select(
-            "threshold",
-            "tp",
-            "fp",
-            "fn",
+            F.col("m.threshold").alias("threshold"),
+            F.col("m.tp").alias("tp"),
+            F.col("m.fp").alias("fp"),
+            F.col("m.fn").alias("fn"),
             F.round(
-                F.col("tp") * 1.0 / (F.col("tp") + F.col("fp")), ndigits
+                F.col("m.tp") * 1.0 / (F.col("m.tp") + F.col("m.fp")), ndigits
             ).alias("precision"),
             F.round(
-                F.col("tp") * 1.0 / (F.col("tp") + F.col("fn")), ndigits
+                F.col("m.tp") * 1.0 / (F.col("m.tp") + F.col("m.fn")), ndigits
             ).alias("recall"),
-            F.round(f1, ndigits).alias("f1"),
+            F.col("m.f1").alias("f1"),
         )
     )
 

@@ -252,6 +252,43 @@ def global_running_sum(
     ``total_col`` optionally appends the grand total (from the bucket
     sums — no extra pass over the data). The persisted hub is registered
     for ``release_hubs()`` — call it after materializing the result."""
+    return global_running_sums(
+        df,
+        order_by,
+        [value_col],
+        [out_col],
+        totals=[total_col],
+        n_buckets=n_buckets,
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: Sequence[Column],
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    totals: "Sequence[str | None] | None" = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Multi-column form of ``global_running_sum``: k cumulative sums
+    over the SAME total order share one range exchange, one persisted
+    hub, and one broadcast offset table — k separate calls would pay k
+    exchanges and k hubs (best_f1_threshold needs cumulative TP and
+    cumulative count together; r9). ``totals[i]``, when set, appends
+    column i's grand total. Each emitted sum is bit-identical to its
+    ``sum(v_i) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` form."""
+    if len(out_cols) != len(value_cols):
+        raise ValueError(
+            f"out_cols must name one output per value column: "
+            f"got {len(out_cols)} for {len(value_cols)}"
+        )
+    if totals is None:
+        totals = [None] * len(value_cols)
+    if len(totals) != len(value_cols):
+        raise ValueError(
+            f"totals must align with value_cols: "
+            f"got {len(totals)} for {len(value_cols)}"
+        )
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())
@@ -263,18 +300,31 @@ def global_running_sum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    loc = b.withColumn("__cs_in", F.sum(value_col).over(wb))
-    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = b.groupBy("__b").agg(F.sum(value_col).alias("__bs"))
-    offs = offs.withColumn(
-        "__off", F.coalesce(F.sum("__bs").over(wo), F.lit(0))
-    ).withColumn(
-        "__tot", F.sum("__bs").over(Window.partitionBy())
-    ).drop("__bs")
-    out = (
-        loc.join(F.broadcast(offs), "__b")
-        .withColumn(out_col, F.col("__off") + F.col("__cs_in"))
+    loc = b.select(
+        "*",
+        *[
+            F.sum(v).over(wb).alias(f"__cs_in_{i}")
+            for i, v in enumerate(value_cols)
+        ],
     )
-    if total_col is not None:
-        out = out.withColumn(total_col, F.col("__tot"))
-    return out.drop("__b", "__cs_in", "__off", "__tot")
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = b.groupBy("__b").agg(
+        *[F.sum(v).alias(f"__bs_{i}") for i, v in enumerate(value_cols)]
+    )
+    for i in range(len(value_cols)):
+        offs = offs.withColumn(
+            f"__off_{i}",
+            F.coalesce(F.sum(f"__bs_{i}").over(wo), F.lit(0)),
+        ).withColumn(
+            f"__tot_{i}",
+            F.sum(f"__bs_{i}").over(Window.partitionBy()),
+        )
+    offs = offs.drop(*[f"__bs_{i}" for i in range(len(value_cols))])
+    out = loc.join(F.broadcast(offs), "__b")
+    drop = ["__b"]
+    for i, (oc, tc) in enumerate(zip(out_cols, totals)):
+        out = out.withColumn(oc, F.col(f"__off_{i}") + F.col(f"__cs_in_{i}"))
+        if tc is not None:
+            out = out.withColumn(tc, F.col(f"__tot_{i}"))
+        drop += [f"__cs_in_{i}", f"__off_{i}", f"__tot_{i}"]
+    return out.drop(*drop)

@@ -1691,17 +1691,18 @@ def rel_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rel_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar-subquery filter (orders above the global average price) —
-    expressed as a window-over-no-partition so it stays one plan; Catalyst
-    evaluates the scalar once and broadcasts it. (Threshold comparison uses
-    the unrounded avg — identical filter decisions require only that both
-    engines' avgs agree to ~1e-12, far from any price gap.)"""
+    """Scalar-subquery filter (orders above the global average price):
+    the average is a 1-row partial-combinable aggregate broadcast back
+    onto the fact scan — NOT a window-over-no-partition, which the r9
+    SinglePartition audit showed funnels the ENTIRE orders table through
+    one task before filtering. (Threshold comparison uses the unrounded
+    avg — identical filter decisions require only that both engines'
+    avgs agree to ~1e-12, far from any price gap.)"""
     orders = load_table(spark, sf_dir, "orders")
-    with_avg = orders.withColumn(
-        "__avg", F.avg("o_totalprice").over(Window.partitionBy())
-    )
+    avg_row = orders.agg(F.avg("o_totalprice").alias("__avg"))
     return (
-        with_avg.filter(F.col("o_totalprice") > F.col("__avg"))
+        orders.crossJoin(F.broadcast(avg_row))
+        .filter(F.col("o_totalprice") > F.col("__avg"))
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_above"))
     )
@@ -3921,13 +3922,18 @@ def rel_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     command). Exact integer cents and rank arithmetic: Σ i·xᵢ stays in
     int64 (rank ≤ |customers|, cents ≤ 10⁹ → products ~10¹³; ANSI mode
     would throw loudly on a true overflow rather than wrap). The global
-    rank is the documented |customers|-axis window; the final formula is
-    one aggregate over it."""
+    rank runs the two-pass range-exchange form (distributed_row_number)
+    — the customer axis is DATA-sized, so the r8 unpartitioned window
+    was a funnel (r9 audit); emitted ranks are bit-identical. The final
+    formula is one aggregate over it."""
+    from ..operators.window import distributed_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     m = orders.groupBy("o_custkey").agg(F.sum(cents).alias("cents"))
-    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
-    rk = m.select("cents", F.row_number().over(w).alias("i"))
+    rk = distributed_row_number(
+        m, [F.col("cents").asc(), F.col("o_custkey").asc()], out_col="i"
+    ).select("cents", "i")
     n = F.count("*")
     return rk.agg(
         n.alias("n_customers"),
@@ -7264,18 +7270,22 @@ def rel_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-deterministic under ties), the max, the max/median skew
     ratio, and the hottest key's identity (min key among ties). One
     map-side-combinable count per key, then everything is
-    key-cardinality-sized; the percentile pass is one global sort of
-    the COUNT table, not the fact table."""
+    key-cardinality-sized; the percentile pass ranks the COUNT table
+    via the two-pass range-exchange form (the key axis is data-sized,
+    so the r8 global sort was a funnel — r9 audit; the oracle's
+    arbitrary tie order is value-equivalent because rank positions
+    inside a tie run all read the same n)."""
+    from ..operators.window import distributed_row_number
+
     li = load_table(spark, sf_dir, "lineitem")
     # key-cardinality hub read by the rank pass AND the hot-key probe —
     # persist() so the fact table scans once (round-5 hub policy)
     counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n")).persist()
-    wr = Window.orderBy(F.col("n").asc())
-    ranked = counts.select(
-        "l_orderkey",
-        "n",
-        F.row_number().over(wr).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("nk"),
+    ranked = distributed_row_number(
+        counts,
+        [F.col("n").asc(), F.col("l_orderkey").asc()],
+        out_col="rn",
+        count_col="nk",
     )
     pick = lambda p: F.max(  # noqa: E731
         F.when(F.col("rn") == F.ceil(F.lit(p) * F.col("nk")), F.col("n"))
