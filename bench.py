@@ -38,6 +38,57 @@ BENCH_QUERIES = [n for n in QUERIES if n not in BENCH_SKIP]
 
 BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
 
+# Streaming state-store entries are timed in ISOLATED JVMs by policy
+# (r9): their same-JVM numbers oscillated across rounds purely with
+# accumulated heap/environment load (r7: 18.5s, r8 driver: 40.9s,
+# isolated: 10.1s — adjudicated as inflation two rounds running), so the
+# recorded number is now the steady-state a dedicated job would see.
+# The same-JVM number is still measured and recorded alongside
+# (BENCH_DETAIL "stream_same_jvm") so the delta stays observable.
+STREAM_ISOLATED_PREFIXES = ("ts_stream", "rows_stream")
+
+
+def _env_fingerprint() -> dict:
+    """Stamp the record with the machine state at run time — the r8
+    driver-vs-committed bench delta (+27% uniform) could only be
+    adjudicated by re-running; with loadavg + concurrent-JVM count in
+    the record itself, the next such delta is attributable on sight."""
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    n_java = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+    except OSError:
+        n_java = -1
+    return {"load1": round(load1, 2), "load5": round(load5, 2), "n_java": n_java}
+
+
+def time_isolated(name: str, sf_dir: str) -> float:
+    """Fresh-JVM steady-state timing of a registry entry (one unrecorded
+    warmup + one timed run — the same methodology as the r7/r8 isolated
+    adjudications, so the recorded number is directly comparable), via
+    scripts/bench_isolated.py's child mode."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scripts", "bench_isolated.py"
+    )
+    out = subprocess.run(
+        [sys.executable, script, name, "--reps", "1", "--sf", sf_dir, "--json"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    return float(json.loads(out.strip().splitlines()[-1])["times"][0])
+
 
 def time_query(spark, sf_dir: str, name: str) -> float:
     t0 = time.time()
@@ -121,10 +172,19 @@ def main() -> None:
     # steady-state (r4: ml_linear 6.46s at position 83 vs 0.65s isolated;
     # scripts/bench_isolated.py reproduces). Running them in a fresh heap
     # keeps the recorded number close to what a dedicated job would see.
+    env = _env_fingerprint()
     timings: dict[str, float] = {}
+    stream_same_jvm: dict[str, float] = {}
     timings.update(time_models(spark, sf_dir))
     for name in BENCH_QUERIES:
-        timings[name] = round(time_query(spark, sf_dir, name), 3)
+        dt = round(time_query(spark, sf_dir, name), 3)
+        if name.startswith(STREAM_ISOLATED_PREFIXES):
+            # policy (r9): record the isolated-JVM steady-state; keep
+            # the same-JVM number alongside so the delta is observable
+            stream_same_jvm[name] = dt
+            timings[name] = round(time_isolated(name, sf_dir), 3)
+        else:
+            timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     detail = {
@@ -134,6 +194,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        "env": env,
+        "stream_timing": "isolated-jvm (same-jvm in stream_same_jvm)",
+        "stream_same_jvm": stream_same_jvm,
     }
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
     with open(detail_path, "w") as fh:
@@ -147,6 +210,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "detail": "BENCH_DETAIL.json",
+        "env": env,
         "queries": {k: timings[k] for k in HEADLINE if k in timings},
     }
     line = json.dumps(compact)

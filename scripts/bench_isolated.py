@@ -28,7 +28,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 
-def child(name: str, sf_dir: str, reps: int) -> None:
+def child(name: str, sf_dir: str, reps: int, warmup: bool = True) -> None:
     from usedcars_bigdata_spark.plans import QUERIES
     from usedcars_bigdata_spark.session import get_session
 
@@ -50,12 +50,14 @@ def child(name: str, sf_dir: str, reps: int) -> None:
         def run_once() -> float:
             return bench.time_models(spark, sf_dir)[f"ml_{model}"]
 
-        run_once()  # warmup, unrecorded
+        if warmup:
+            run_once()  # warmup, unrecorded
         times = [run_once() for _ in range(reps)]
         print(json.dumps({"query": name, "times": times}))
         return
 
-    QUERIES[name](spark, sf_dir).count()  # warmup, unrecorded
+    if warmup:
+        QUERIES[name](spark, sf_dir).count()  # warmup, unrecorded
     times = []
     for _ in range(reps):
         t0 = time.time()
@@ -70,16 +72,24 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the unrecorded warmup execution (stream entries: the "
+        "micro-batch machinery dominates, not JIT, and warmup doubles "
+        "the cost)",
+    )
     args = ap.parse_args()
 
     if args.json:  # child mode: one query, print one JSON line
-        child(args.queries[0], args.sf, args.reps)
+        child(args.queries[0], args.sf, args.reps, warmup=not args.no_warmup)
         return 0
 
     for name in args.queries:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name,
-             "--reps", str(args.reps), "--sf", args.sf, "--json"],
+             "--reps", str(args.reps), "--sf", args.sf, "--json"]
+            + (["--no-warmup"] if args.no_warmup else []),
             capture_output=True, text=True, check=True,
         ).stdout
         r = json.loads(out.strip().splitlines()[-1])
