@@ -175,7 +175,14 @@ def distributed_row_number(
     ``count_col`` optionally appends the GLOBAL row count N, computed
     from the already-aggregated bucket counts on the broadcast side —
     consumers that need N (ntile, percent-rank forms) get it without a
-    second pass over the data."""
+    second pass over the data.
+
+    Bucket sizing (verified at 100x — docs/SCALING.md r9 probe: output
+    is bucket-count-invariant by checksum, skew ≤1.3x of even): the
+    default 32 is for test SFs; at scale use
+    n_buckets ≈ max(8 × total cores, input_bytes / 128 MiB) — the same
+    rule as shuffle-partition sizing. The offset hub is n_buckets rows,
+    broadcastable at any plausible setting."""
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())
