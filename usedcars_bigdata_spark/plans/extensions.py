@@ -429,7 +429,121 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.near_dup_clusters(docs, "doc_id", "text", n=3, threshold=0.2)
 
 
-@query("ext_curation_v2")
+@query(
+    "ext_curation_v2",
+    # The four stage oracles composed end-to-end (r9 promotion — this
+    # was rows-only only because the composition hadn't been written):
+    # surv = ext_dedup_exact's survivor set; the span-removal block is
+    # ext_remove_dup_spans' CTE verbatim reading surv instead of
+    # documents; the gate is ext_quality_percentile's formula over the
+    # CLEANED text; the split is ext_hash_split's md5 bucket.
+    oracle=r"""
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+    ), t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+      FROM surv
+    ), base AS (
+      SELECT doc_id, text, len(w) AS n_tokens FROM t
+    ), g AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             array_to_string(w[i:i+4], ' ') AS gram
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+            FROM t WHERE len(w) >= 5)
+    ), dfq AS (
+      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+      GROUP BY gram HAVING count(*) >= 2
+    ), d AS (
+      SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)
+    ), runs AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
+      FROM (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS isl
+            FROM d)
+      GROUP BY doc_id, isl
+    ), merged AS (
+      SELECT doc_id, m, min(s) AS ms, max(e) AS me
+      FROM (
+        SELECT doc_id, s, e,
+               sum(newf) OVER (PARTITION BY doc_id ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS m
+        FROM (
+          SELECT doc_id, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS newf
+          FROM (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pm
+                FROM runs))
+      ) GROUP BY doc_id, m
+    ), sp AS (
+      SELECT m.doc_id, m.ms, m.me,
+             array_to_string((t.w)[m.ms + 1 : m.me], ' ') AS span_text
+      FROM merged m JOIN t ON m.doc_id = t.doc_id
+    ), survsp AS (
+      SELECT span_text, min(doc_id * 1048576 + ms) AS first_key
+      FROM sp GROUP BY span_text
+    ), rem AS (
+      SELECT sp.doc_id, sp.ms, sp.me
+      FROM sp JOIN survsp ON sp.span_text = survsp.span_text
+      WHERE sp.doc_id * 1048576 + sp.ms <> survsp.first_key
+    ), toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM t WHERE len(w) >= 5)
+    ), kept AS (
+      SELECT tk.doc_id, tk.idx, tk.tok FROM toks tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem
+        WHERE rem.doc_id = tk.doc_id
+          AND tk.idx >= rem.ms AND tk.idx < rem.me)
+    ), reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text_clean,
+             count(*) AS n_tokens_kept
+      FROM kept GROUP BY doc_id
+    ), cleaned AS (
+      SELECT b.doc_id,
+             coalesce(reb.text_clean,
+                      CASE WHEN b.n_tokens < 5 THEN b.text ELSE '' END)
+               AS text,
+             CAST(coalesce(reb.n_tokens_kept,
+                           CASE WHEN b.n_tokens < 5 THEN b.n_tokens
+                                ELSE 0 END) AS BIGINT) AS n_tokens_kept
+      FROM base b LEFT JOIN reb ON b.doc_id = reb.doc_id
+    ), ct AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS cw
+      FROM cleaned WHERE length(text) > 0
+    ), sq AS (
+      SELECT doc_id,
+             round(len(list_filter(cw, x -> x IN
+                     ('the','a','of','and','to','in','is')))
+                   * 1.0 / len(cw) * 0.5
+                   + least(len(cw), 100) / 100.0 * 0.5, 4) AS quality_score
+      FROM ct
+    ), thr AS (
+      SELECT round(quantile_cont(quality_score, 0.25), 4) AS threshold FROM sq
+    ), gated AS (
+      SELECT doc_id, quality_score FROM sq, thr
+      WHERE quality_score >= threshold
+    ), hb AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000
+               AS bucket
+      FROM cleaned
+    )
+    SELECT c.doc_id, c.n_tokens_kept, g2.quality_score,
+           CASE WHEN hb.bucket < 800 THEN 'train'
+                WHEN hb.bucket < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cleaned c
+    JOIN gated g2 ON g2.doc_id = c.doc_id
+    JOIN hb ON hb.doc_id = c.doc_id
+    """,
+)
 def ext_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation pipeline v2 — the round-4 sub-document dedup stages
     composed end-to-end: exact dedup (drop full copies) → corpus-wide
@@ -437,10 +551,10 @@ def ext_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative quality gate (percentile threshold on the cleaned text) →
     deterministic hash split. One declarative plan; every stage is
     individually oracle-backed (ext_dedup_exact, ext_remove_dup_spans,
-    ext_quality_percentile, ext_hash_split) — this entry is rows-only
-    because composing their four oracle SQLs is a maintenance hazard,
-    and pipeline invariants (monotone row counts, split completeness)
-    are pytest-pinned instead.
+    ext_quality_percentile, ext_hash_split) and the composed oracle
+    (r9 promotion) chains those four SQLs end to end; pipeline
+    invariants (monotone row counts, split completeness) stay
+    pytest-pinned.
 
     Output: (doc_id, n_tokens_kept, quality_score, split)."""
     docs = load_table(spark, sf_dir, "documents")
