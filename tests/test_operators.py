@@ -139,6 +139,69 @@ def test_distributed_global_window_forms_match(spark):
     assert tot == sum(r[2] for r in rows)
 
 
+def test_two_pass_null_order_keys_match_window_form(spark):
+    """NULLs in the ORDER columns: the range partitioner and the
+    in-bucket window must agree on NULL placement for the two-pass
+    forms to stay bit-identical (the value-column NULL case was the r9
+    rankstats ADVICE fix; this pins the order-key side, in both the
+    default asc-nulls-first and explicit desc_nulls_last orderings)."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.window import (
+        distributed_row_number,
+        global_running_sum,
+        release_hubs,
+    )
+
+    rows = [
+        (i, None if i % 7 == 0 else (i * 37) % 13, i % 5 + 1)
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "id long, a int, v long")
+    for order in (
+        [F.col("a").desc_nulls_last(), F.col("id").asc()],
+        [F.col("a").asc(), F.col("id").asc()],  # default: nulls first
+    ):
+        w = Window.orderBy(*order)
+        want = {
+            r.id: (r.rn, r.cs)
+            for r in df.select(
+                "id",
+                F.row_number().over(w).alias("rn"),
+                F.sum("v")
+                .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                .alias("cs"),
+            ).collect()
+        }
+        for nb in (2, 32):
+            rn = {
+                r.id: r.rn
+                for r in distributed_row_number(df, order, "rn", nb).collect()
+            }
+            cs = {
+                r.id: r.cs
+                for r in global_running_sum(
+                    df, order, "v", out_col="cs", n_buckets=nb
+                ).collect()
+            }
+            assert {i: (rn[i], cs[i]) for i in rn} == want, nb
+    release_hubs()
+
+
+def test_global_running_sums_arity_contract(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.operators.window import global_running_sums
+
+    df = spark.createDataFrame([(1, 2, 3)], "id long, a long, b long")
+    with pytest.raises(ValueError, match="one output per value column"):
+        global_running_sums(df, [F.col("id")], ["a", "b"], ["ca"])
+    with pytest.raises(ValueError, match="totals must align"):
+        global_running_sums(
+            df, [F.col("id")], ["a"], ["ca"], totals=["ta", "tb"]
+        )
+
+
 def test_two_pass_hubs_register_and_release(spark):
     """The two-pass operators persist bucket hubs through the
     CacheManager (never GC-released); every call must register its hub
