@@ -180,9 +180,16 @@ def main() -> None:
         dt = round(time_query(spark, sf_dir, name), 3)
         if name.startswith(STREAM_ISOLATED_PREFIXES):
             # policy (r9): record the isolated-JVM steady-state; keep
-            # the same-JVM number alongside so the delta is observable
+            # the same-JVM number alongside so the delta is observable.
+            # A child failure must not kill the whole record — fall
+            # back to the (already measured) same-JVM number.
             stream_same_jvm[name] = dt
-            timings[name] = round(time_isolated(name, sf_dir), 3)
+            try:
+                timings[name] = round(time_isolated(name, sf_dir), 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"isolated child failed for {name}: {e!r}; "
+                      "recording same-JVM time", file=sys.stderr)
+                timings[name] = dt
         else:
             timings[name] = dt
 
