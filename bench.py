@@ -86,6 +86,10 @@ def time_isolated(name: str, sf_dir: str) -> float:
     out = subprocess.run(
         [sys.executable, script, name, "--reps", "1", "--sf", sf_dir, "--json"],
         capture_output=True, text=True, check=True,
+        # A wedged child (hung trigger, state-store lock) must not hang
+        # the whole bench run — the caller falls back to the same-JVM
+        # number on TimeoutExpired like any other child failure.
+        timeout=600,
     ).stdout
     return float(json.loads(out.strip().splitlines()[-1])["times"][0])
 

@@ -15,11 +15,13 @@ Exit 1 if any undeclared site is found. Streaming/ML-fit entries that
 execute eagerly at construction are skipped, as in scan_audit.py.
 """
 
-import re
 import sys
 
 sys.path.insert(0, "/root/repo")
 
+from usedcars_bigdata_spark.plantools import (  # noqa: E402
+    single_partition_funnel_sites,
+)
 from usedcars_bigdata_spark.session import get_session  # noqa: E402
 
 spark = get_session(shuffle_partitions=8)
@@ -67,42 +69,29 @@ DECLARED = {
 }
 
 flagged: list[str] = []
+errored: list[str] = []
 for name, fn in QUERIES.items():
     if name.startswith(SKIP_PREFIXES):
         continue
     try:
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
     except Exception as e:  # noqa: BLE001
+        # an entry whose plan won't build is UNAUDITED — that must fail
+        # the run, or the "no undeclared funnels" claim silently skips it
         print(f"ERR   {name}: {type(e).__name__}")
+        errored.append(name)
         continue
     finally:
         release_hubs()
         spark.catalog.clearCache()
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" not in ln:
-            continue
-        # the consumer is the nearest operator line above with shallower
-        # tree depth (indentation of the +-/:- marker)
-        def depth(s: str) -> int:
-            m = re.search(r"[+:]-", s)
-            return m.start() if m else -1
-
-        d = depth(ln)
-        consumer = ""
-        for j in range(i - 1, -1, -1):
-            dj = depth(lines[j])
-            if dj != -1 and dj < d or dj == -1 and lines[j].strip():
-                consumer = lines[j].strip()
-                break
-        if not re.search(r"\b(Sort|Window|WindowGroupLimit)\b", consumer):
-            continue  # scalar agg / collect-style consumer: fine
-        if "__b" in consumer or "__b#" in ln:
-            continue  # n_buckets-row offset table of the two-pass ops
+    for consumer in single_partition_funnel_sites(plan):
         tag = "declared" if name in DECLARED else "FLAG"
         print(f"{tag:9s} {name}: {consumer[:140]}")
         if tag == "FLAG":
             flagged.append(name)
 
-print(f"\nAUDIT DONE — undeclared sites: {sorted(set(flagged))}")
-sys.exit(1 if flagged else 0)
+print(
+    f"\nAUDIT DONE — undeclared sites: {sorted(set(flagged))}; "
+    f"unaudited (plan build failed): {errored}"
+)
+sys.exit(1 if flagged or errored else 0)

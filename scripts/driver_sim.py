@@ -166,11 +166,16 @@ def main() -> int:
             # Per-entry cache hygiene (r9): the two-pass window operators
             # persist() bucket hubs that the CacheManager holds for the
             # life of the JVM; a 408-entry sweep would otherwise
-            # accumulate them into the storage region.
+            # accumulate them into the storage region. Guarded like
+            # release_hubs: a dead session must record the entry's FAIL
+            # and keep sweeping, not abort the run from the finally.
             from usedcars_bigdata_spark.operators.window import release_hubs
 
             release_hubs()
-            spark.catalog.clearCache()
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     print(f"\n{len(names) - len(failures)}/{len(names)} green; failures: {failures}")
     return 1 if failures else 0

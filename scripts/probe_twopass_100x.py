@@ -86,10 +86,14 @@ def main() -> None:
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     ]
-    skew = max(sizes) / (n / len(sizes))
+    # skew vs the EVEN SHARE (n / n_buckets requested) — dividing by the
+    # non-empty bucket count would understate skew when ranges are
+    # sparse and some buckets are empty (r9 review)
+    skew = max(sizes) / (n / n_buckets)
     print(
         f"distributed_row_number: wall={drn_wall:.1f}s "
-        f"buckets={len(sizes)} max/mean bucket={skew:.2f} chk={out.chk}"
+        f"buckets={len(sizes)}/{n_buckets} max/even-share={skew:.2f} "
+        f"chk={out.chk}"
     )
     release_hubs()
     spark.catalog.clearCache()

@@ -29,14 +29,10 @@ def test_no_data_sized_single_partition_funnels(spark, sf_dir):
     in these plans may feed only a scalar aggregate or a bucket-offset
     table (line mentions __b), never a Sort/Window over the data axis.
     The full-registry sweep lives in scripts/audit_single_partition.py
-    (run per round; exits 1 on an undeclared site)."""
-    import re
-
+    (run per round; exits 1 on an undeclared site); both use the shared
+    walk in usedcars_bigdata_spark.plantools."""
     from usedcars_bigdata_spark.operators.window import release_hubs
-
-    def depth(s: str) -> int:
-        m = re.search(r"[+:]-", s)
-        return m.start() if m else -1
+    from usedcars_bigdata_spark.plantools import single_partition_funnel_sites
 
     for name in (
         "rel_above_avg_orders",
@@ -45,23 +41,8 @@ def test_no_data_sized_single_partition_funnels(spark, sf_dir):
         "rel_tpch_q15_top_supplier",
     ):
         plan = plan_of(QUERIES[name](spark, sf_dir))
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines):
-            if "Exchange SinglePartition" not in ln:
-                continue
-            d = depth(ln)
-            consumer = ""
-            for j in range(i - 1, -1, -1):
-                dj = depth(lines[j])
-                if (dj != -1 and dj < d) or (dj == -1 and lines[j].strip()):
-                    consumer = lines[j].strip()
-                    break
-            bad = (
-                re.search(r"\b(Sort|Window|WindowGroupLimit)\b", consumer)
-                and "__b" not in consumer
-                and "__b#" not in ln
-            )
-            assert not bad, f"{name}: data-sized funnel survived: {consumer}"
+        sites = single_partition_funnel_sites(plan)
+        assert not sites, f"{name}: data-sized funnel survived: {sites}"
         release_hubs()
         spark.catalog.clearCache()
 
@@ -825,34 +806,16 @@ def test_persist_hub_entries_scan_once(spark, sf_dir, name, table):
         .executedPlan()
         .toString()
     )
+    from usedcars_bigdata_spark.plantools import scans_outside_cache
+
     assert plan.count("InMemoryRelation") >= 1, f"{name}: hub must be cache-shared"
     # Every hot-table scan must sit INSIDE a cache-build subtree (the
     # cache executes once; additional prints are the documented
-    # InMemoryRelation phantom). Walk each scan line's ancestors by tree
-    # depth — equality counting breaks once hubs nest (r9:
-    # rel_key_skew_profile persists counts AND distributed_row_number's
-    # bucket frame), but "no scan outside a cache" is the real invariant.
-    def tree_depth(s: str) -> int:
-        m = re.search(r"[+:]-", s)
-        return m.start() if m else -1
-
-    lines = plan.splitlines()
-    escaped = []
-    for i, ln in enumerate(lines):
-        if not re.search(rf"Scan parquet[^\n]*/{table}\.parquet", ln):
-            continue
-        d = tree_depth(ln)
-        under_cache = False
-        for j in range(i - 1, -1, -1):
-            dj = tree_depth(lines[j])
-            if dj == -1 or dj >= d:
-                continue  # not an ancestor of the scan line
-            if "InMemoryRelation" in lines[j] or "InMemoryTableScan" in lines[j]:
-                under_cache = True
-                break
-            d = dj  # real ancestor that is not a cache: keep walking up
-        if not under_cache:
-            escaped.append(ln.strip()[:100])
+    # InMemoryRelation phantom). Equality counting breaks once hubs nest
+    # (r9: rel_key_skew_profile persists counts AND
+    # distributed_row_number's bucket frame) — "no scan outside a cache"
+    # is the real invariant; the walk is shared in plantools.
+    escaped = scans_outside_cache(plan, table)
     assert not escaped, (
         f"{name}: {table} scans escaped the shared hub: {escaped}"
     )

@@ -35,6 +35,15 @@ def ordered_window(
 _PERSISTED_HUBS: list[DataFrame] = []
 
 
+def register_hub(df: DataFrame) -> DataFrame:
+    """Register an externally persisted frame for ``release_hubs()``
+    draining — for plan-level hubs (query entries that persist a reduced
+    table for multi-consumer reuse) so the per-entry release protocol
+    covers them exactly like the operators' own bucket frames."""
+    _PERSISTED_HUBS.append(df)
+    return df
+
+
 def release_hubs(blocking: bool = False) -> int:
     """Unpersist every bucket frame the two-pass window operators have
     persisted since the last release. Safe to call at any time AFTER the

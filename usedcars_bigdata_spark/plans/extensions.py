@@ -433,8 +433,9 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_curation_v2",
     # The four stage oracles composed end-to-end (r9 promotion — this
     # was rows-only only because the composition hadn't been written):
-    # surv = ext_dedup_exact's survivor set; the span-removal block is
-    # ext_remove_dup_spans' CTE verbatim reading surv instead of
+    # surv = ext_dedup_exact's survivor set; the span-removal block
+    # splices the SHARED _SPAN_MERGE_CTES constant (single-sourced with
+    # ext_dup_spans / ext_remove_dup_spans) reading surv instead of
     # documents; the gate is ext_quality_percentile's formula over the
     # CLEANED text; the split is ext_hash_split's md5 bucket.
     oracle=r"""
@@ -445,39 +446,9 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM surv
     ), base AS (
       SELECT doc_id, text, len(w) AS n_tokens FROM t
-    ), g AS (
-      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-             array_to_string(w[i:i+4], ' ') AS gram
-      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
-            FROM t WHERE len(w) >= 5)
-    ), dfq AS (
-      SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
-      GROUP BY gram HAVING count(*) >= 2
-    ), d AS (
-      SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram)
-    ), runs AS (
-      SELECT doc_id, isl, min(pos) AS s, max(pos) + 5 AS e
-      FROM (SELECT doc_id, pos,
-                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
-                     AS isl
-            FROM d)
-      GROUP BY doc_id, isl
-    ), merged AS (
-      SELECT doc_id, m, min(s) AS ms, max(e) AS me
-      FROM (
-        SELECT doc_id, s, e,
-               sum(newf) OVER (PARTITION BY doc_id ORDER BY s
-                               ROWS UNBOUNDED PRECEDING) AS m
-        FROM (
-          SELECT doc_id, s, e,
-                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS newf
-          FROM (SELECT doc_id, s, e,
-                       max(e) OVER (PARTITION BY doc_id ORDER BY s
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS pm
-                FROM runs))
-      ) GROUP BY doc_id, m
-    ), sp AS (
+    ), """
+    + _SPAN_MERGE_CTES
+    + r""", sp AS (
       SELECT m.doc_id, m.ms, m.me,
              array_to_string((t.w)[m.ms + 1 : m.me], ' ') AS span_text
       FROM merged m JOIN t ON m.doc_id = t.doc_id

@@ -7275,12 +7275,15 @@ def rel_key_skew_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the r8 global sort was a funnel — r9 audit; the oracle's
     arbitrary tie order is value-equivalent because rank positions
     inside a tie run all read the same n)."""
-    from ..operators.window import distributed_row_number
+    from ..operators.window import distributed_row_number, register_hub
 
     li = load_table(spark, sf_dir, "lineitem")
     # key-cardinality hub read by the rank pass AND the hot-key probe —
-    # persist() so the fact table scans once (round-5 hub policy)
-    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n")).persist()
+    # persist() so the fact table scans once (round-5 hub policy);
+    # registered so release_hubs() drains it (r9 review)
+    counts = register_hub(
+        li.groupBy("l_orderkey").agg(F.count("*").alias("n")).persist()
+    )
     ranked = distributed_row_number(
         counts,
         [F.col("n").asc(), F.col("l_orderkey").asc()],

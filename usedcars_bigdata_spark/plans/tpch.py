@@ -364,11 +364,15 @@ def rel_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-01-01"))
         & (F.col("l_shipdate") < _ts("1996-04-01"))
     )
-    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
-    ).persist()
+    from ..operators.window import register_hub
+
+    revenue = register_hub(
+        li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        ).persist()
+    )
     mx = revenue.agg(F.max("total_revenue").alias("__max"))
     best = (
         revenue.crossJoin(F.broadcast(mx))
