@@ -161,11 +161,20 @@ def probe_neardup(spark, copies: int) -> dict:
 def main() -> None:
     which = sys.argv[1]
     copies = int(sys.argv[2])
-    spark = get_session(app_name=f"probe-stream-{which}-{copies}x")
+    provider = sys.argv[3] if len(sys.argv) > 3 else "hdfs"
+    spark = get_session(app_name=f"probe-stream-{which}-{copies}x-{provider}")
     spark.sparkContext.setLogLevel("ERROR")
+    if provider == "rocksdb":
+        # r9: the off-heap state-store lever named by the r8 probe —
+        # measure it instead of naming it
+        from usedcars_bigdata_spark.streaming.statestore import ROCKSDB_PROVIDER
+
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     fn = probe_join if which == "join" else probe_neardup
     out = fn(spark, copies)
-    print(f"RESULT {which} {copies}x {json.dumps(out)}", flush=True)
+    print(f"RESULT {which} {copies}x {provider} {json.dumps(out)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,48 @@ def test_windowed_counts_stream_equals_batch(spark, sf_dir, batch_events):
         q.stop()
 
 
+def test_rocksdb_state_store_parity(spark, sf_dir, batch_events):
+    """The RocksDB state-store provider (the per-executor state-ceiling
+    lever for 100 TB stateful streams — docs/SCALING.md r9) must produce
+    the SAME windowed aggregate as the default heap-backed provider,
+    and the progress metrics must prove RocksDB actually served the
+    state (a misspelled provider conf silently no-ops)."""
+    from usedcars_bigdata_spark.streaming.statestore import (
+        ROCKSDB_PROVIDER,
+        rocksdb_state,
+    )
+
+    want = _rows(
+        SE.windowed_counts(batch_events),
+        ["window_start", "event_type", "n_events", "sum_value"],
+    )
+    with rocksdb_state(spark):
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            == ROCKSDB_PROVIDER
+        )
+        stream = SE.read_event_stream(spark, sf_dir)
+        q = SE.run_to_memory_sink(SE.windowed_counts(stream), "rocksdb_out")
+        try:
+            got = _rows(
+                spark.sql("SELECT * FROM rocksdb_out"),
+                ["window_start", "event_type", "n_events", "sum_value"],
+            )
+            assert got == want and len(got) > 0
+            metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+            rocks_keys = [k for k in metrics if "rocksdb" in k.lower()]
+            assert rocks_keys, f"no rocksdb metrics in {sorted(metrics)}"
+        finally:
+            q.stop()
+    # conf restored on exit
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", "unset-or-default"
+        )
+        != ROCKSDB_PROVIDER
+    )
+
+
 def test_session_aggregates_stream_equals_batch(spark, sf_dir, batch_events):
     stream = SE.read_event_stream(spark, sf_dir)
     q = SE.run_to_memory_sink(SE.session_aggregates(stream), "sess_out")

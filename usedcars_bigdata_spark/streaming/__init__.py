@@ -1,1 +1,1 @@
-from . import dedup, events, joins, sinks, stateful  # noqa: F401
+from . import dedup, events, joins, sinks, stateful, statestore  # noqa: F401
