@@ -34,6 +34,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.window import register_hub
+
 # Mersenne prime 2^31-1; affine MinHash permutations h_i(x) = (a_i*x+b_i) mod P.
 # 31-bit domain keeps a_i*x < 2^62 — no int64 overflow under ANSI mode.
 _P = (1 << 31) - 1
@@ -496,7 +498,9 @@ def minhash_near_dupes(
     index adds materialization barriers that outweigh the pruning at
     realistic candidate counts (5.4s vs 2.8s) — revisit only if candidate
     verification ever dominates. Shingle cache is owned by the caller."""
-    sh = word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
+    sh = register_hub(
+        word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
+    )
     cands = lsh_candidate_pairs(
         minhash_signatures(sh, id_col),
         id_col,
@@ -584,6 +588,7 @@ def connected_components(
         .distinct()
         .persist()
     )
+    register_hub(edges)
     # Propagate labels only over vertices that HAVE edges: the iterated
     # state then scales with the pair graph (dup-dense subset), not the
     # whole corpus — on a mostly-unique 100 TB corpus that is orders of
@@ -677,7 +682,9 @@ def near_dup_clusters(
         )
     audit_df = None
     if use_minhash:
-        sh = word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
+        sh = register_hub(
+            word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
+        )
         sigs = minhash_signatures(sh, id_col)
         cands = lsh_candidate_pairs(sigs, id_col, bands=bands, max_bucket=max_bucket)
         pairs = jaccard_for_pairs(sh, cands, id_col, threshold=threshold)

@@ -9,6 +9,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..operators.window import register_hub
+
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
 
 # Tiny per-language stopword profiles for the heuristic language ID.
@@ -1871,6 +1873,7 @@ def dsir_importance_weights(
         F.count("*").alias("__n"),
         F.max("__is_tgt").alias("__is_tgt"),
     ).persist()
+    register_hub(doc_buckets)
     # bucket-level raw/target counts in the same aggregate: re-aggregate
     # the (doc, bucket) table — already reduced — instead of re-scanning
     bucket_counts = doc_buckets.groupBy("__b").agg(
@@ -1952,6 +1955,7 @@ def bm25_scores(
         F.size(words).alias("__dl"),
         *[_term_count(t).alias(f"__tf{i}") for i, t in enumerate(terms)],
     ).persist()
+    register_hub(per_doc)
     stats = per_doc.agg(
         F.count("*").alias("__n_docs"), F.avg("__dl").alias("__avgdl")
     )

@@ -191,7 +191,10 @@ def zorder_layout(
 
 def cache_hot(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK persist for iterative reuse (ML training loops).
-    Always pair with an eventual unpersist in long-lived jobs."""
+    Always pair with an eventual unpersist in long-lived jobs —
+    deliberately NOT routed through window.register_hub: a training
+    loop's cache must survive the per-entry release_hubs() drain that
+    the harnesses run between queries."""
     return df.persist()
 
 

@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .window import register_hub
+
 
 def resample_gap_fill(
     events: DataFrame,
@@ -77,6 +79,7 @@ def resample_gap_fill(
         )
         .persist()
     )
+    register_hub(agg)
     span = agg.agg(
         F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
     )
@@ -1303,6 +1306,7 @@ def bootstrap_ci_cents(
         .over(Window.partitionBy(key_col).orderBy(id_col))
         .alias("rn"),
     ).persist()
+    register_hub(vals)
     sizes = vals.groupBy("key").agg(
         F.count(F.lit(1)).alias("m"), F.sum("cents").alias("total_cents")
     )

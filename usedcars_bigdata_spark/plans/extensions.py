@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..ext import dedup as X
 from ..ext import similarity as SIM
 from ..ext import text as TX
+from ..operators.window import register_hub
 from ..sources import load_table
 from .registry import query
 
@@ -3230,9 +3231,11 @@ def ext_dedup_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair."""
     docs = load_table(spark, sf_dir, "documents")
     sh = X.word_shingles(docs, "doc_id", "text", n=3, hashed=True)
-    pairs = X.jaccard_pairs(sh, "doc_id", threshold=0.2).select(
-        "id_a", "id_b", F.col("jaccard").alias("j")
-    ).persist()
+    pairs = register_hub(
+        X.jaccard_pairs(sh, "doc_id", threshold=0.2).select(
+            "id_a", "id_b", F.col("jaccard").alias("j")
+        ).persist()
+    )
     th = F.explode(
         F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])
     ).alias("threshold")
