@@ -15,9 +15,12 @@ Exit 1 if any undeclared site is found. Streaming/ML-fit entries that
 execute eagerly at construction are skipped, as in scan_audit.py.
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+# Derive the repo root from this file (not a hardcoded path) so the
+# audit always reviews THE checkout it lives in (r9 review finding).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from usedcars_bigdata_spark.plantools import (  # noqa: E402
     single_partition_funnel_sites,

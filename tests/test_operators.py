@@ -202,6 +202,36 @@ def test_global_running_sums_arity_contract(spark):
         )
 
 
+def test_two_pass_reserved_name_collisions_raise(spark):
+    """A caller column named like a two-pass internal would make the
+    offset join ambiguous; a requested output named like one would be
+    silently swallowed by the final drop(). Both must fail loudly
+    (r9 review finding)."""
+    import pytest
+
+    from usedcars_bigdata_spark.operators.window import (
+        distributed_row_number,
+        global_ntile,
+        global_running_sums,
+    )
+
+    clean = spark.createDataFrame([(1, 2)], "id long, v long")
+    tainted = spark.createDataFrame([(1, 2)], "id long, __n_total long")
+    with pytest.raises(ValueError, match="input columns collide"):
+        distributed_row_number(tainted, [F.col("id")], "rn")
+    with pytest.raises(ValueError, match="output names collide"):
+        distributed_row_number(clean, [F.col("id")], "rn", count_col="__n_total")
+    with pytest.raises(ValueError, match="output names collide"):
+        global_ntile(clean, [F.col("id")], 4, "__grn")
+    with pytest.raises(ValueError, match="input columns collide"):
+        global_running_sums(
+            spark.createDataFrame([(1, 2)], "id long, __off_0 long"),
+            [F.col("id")],
+            ["id"],
+            ["cs"],
+        )
+
+
 def test_two_pass_hubs_register_and_release(spark):
     """The two-pass operators persist bucket hubs through the
     CacheManager (never GC-released); every call must register its hub

@@ -47,6 +47,32 @@ def test_no_data_sized_single_partition_funnels(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_funnel_walk_exempts_only_exact_offset_tokens():
+    """The offset-table exemption must match the two-pass internals'
+    exact attribute tokens (__b#NN, __bc#NN), not any substring
+    containing __b — a query-local __bucket column in a genuine
+    data-sized Sort must still be flagged (r9 review finding)."""
+    from usedcars_bigdata_spark.plantools import single_partition_funnel_sites
+
+    flagged = (
+        "AdaptiveSparkPlan\n"
+        "+- Sort [__bucket#12 ASC NULLS FIRST], true, 0\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=7]\n"
+    )
+    assert single_partition_funnel_sites(flagged), (
+        "__bucket rode the __b exemption"
+    )
+    exempt = (
+        "AdaptiveSparkPlan\n"
+        "+- Window [sum(__bc#44) ...], [__b#12 ASC NULLS FIRST]\n"
+        "   +- Sort [__b#12 ASC NULLS FIRST], false, 0\n"
+        "      +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+    )
+    assert not single_partition_funnel_sites(exempt), (
+        "bucket-offset window lost its exemption"
+    )
+
+
 def test_filters_push_to_parquet(spark, sf_dir):
     plan = plan_of(QUERIES["ref_range_inlist_filter"](spark, sf_dir))
     assert "PushedFilters: [" in plan

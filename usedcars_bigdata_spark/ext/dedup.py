@@ -497,7 +497,10 @@ def minhash_near_dupes(
     sf0.1); (b) persisting candidates + semi-join-pruning the verification
     index adds materialization barriers that outweigh the pruning at
     realistic candidate counts (5.4s vs 2.8s) — revisit only if candidate
-    verification ever dominates. Shingle cache is owned by the caller."""
+    verification ever dominates. The shingle persist is REGISTERED in the
+    hub registry (window.register_hub): call release_hubs() once the
+    returned pairs are materialized — the harnesses (bench.py,
+    driver_sim, the test drain fixture) already do."""
     sh = register_hub(
         word_shingles(df, id_col, text_col, n=n, hashed=True).persist()
     )

@@ -35,6 +35,25 @@ def ordered_window(
 _PERSISTED_HUBS: list[DataFrame] = []
 
 
+def _check_reserved(df: DataFrame, reserved: set[str], *requested: "str | None") -> None:
+    """The two-pass operators build internal columns (``__b``, ``__rn_in``,
+    ``__off``...) on the caller's frame; a caller column with one of those
+    names would make the broadcast-offset join ambiguous, and a requested
+    output name that collides would be silently swallowed by the final
+    drop() (r9 review finding). Fail loudly instead."""
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns collide with two-pass internals: {sorted(clash)}"
+        )
+    req_clash = reserved.intersection(c for c in requested if c is not None)
+    if req_clash:
+        raise ValueError(
+            f"requested output names collide with two-pass internals: "
+            f"{sorted(req_clash)}"
+        )
+
+
 def register_hub(df: DataFrame) -> DataFrame:
     """Register an externally persisted frame for ``release_hubs()``
     draining — for plan-level hubs (query entries that persist a reduced
@@ -192,6 +211,9 @@ def distributed_row_number(
     n_buckets ≈ max(8 × total cores, input_bytes / 128 MiB) — the same
     rule as shuffle-partition sizing. The offset hub is n_buckets rows,
     broadcastable at any plausible setting."""
+    _check_reserved(
+        df, {"__b", "__rn_in", "__off", "__n_total"}, out_col, count_col
+    )
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())
@@ -235,6 +257,7 @@ def global_ntile(
     ``rn.agg(max)`` pass, re-executing the in-bucket window and the
     offset join once more per call (rel_rfm paid it three times; r9
     ADVICE fix)."""
+    _check_reserved(df, {"__grn", "__N"}, out_col)
     rn = distributed_row_number(
         df, order_by, out_col="__grn", n_buckets=n_buckets, count_col="__N"
     )
@@ -305,6 +328,11 @@ def global_running_sums(
             f"totals must align with value_cols: "
             f"got {len(totals)} for {len(value_cols)}"
         )
+    k = len(value_cols)
+    internals = {"__b"} | {
+        f"__{p}_{i}" for p in ("cs_in", "bs", "off", "tot") for i in range(k)
+    }
+    _check_reserved(df, internals, *out_cols, *totals)
     b = (
         df.repartitionByRange(n_buckets, *order_by)
         .withColumn("__b", F.spark_partition_id())

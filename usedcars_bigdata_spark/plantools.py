@@ -37,8 +37,14 @@ def consumer_of(lines: list[str], i: int) -> str:
 def single_partition_funnel_sites(plan: str) -> list[str]:
     """Consumer lines of every ``Exchange SinglePartition`` whose
     consumer is a Sort/Window (the data-sized-funnel shape) and whose
-    frame is NOT the two-pass operators' n_buckets-row offset table
-    (``__b``). Scalar/final-aggregate consumers are fine and skipped."""
+    frame is NOT the two-pass operators' n_buckets-row offset table.
+    Scalar/final-aggregate consumers are fine and skipped.
+
+    The offset-table exemption matches the EXACT internal column tokens
+    (``__b#NN`` / ``__bc#NN`` / ``__bs_i#NN`` / ``__bt#NN`` attribute
+    references) rather than any substring containing ``__b`` — a
+    query-local ``__bucket``/``__base`` column in a genuine data-sized
+    Sort must NOT ride the exemption (r9 review finding)."""
     lines = plan.splitlines()
     sites: list[str] = []
     for i, ln in enumerate(lines):
@@ -47,7 +53,7 @@ def single_partition_funnel_sites(plan: str) -> list[str]:
         consumer = consumer_of(lines, i)
         if not re.search(r"\b(Sort|Window|WindowGroupLimit)\b", consumer):
             continue
-        if "__b" in consumer or "__b#" in ln:
+        if re.search(r"__b(c|t|s_\d+)?#\d+", consumer):
             continue
         sites.append(consumer)
     return sites
