@@ -522,28 +522,38 @@ def pack_shards(
         w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
         before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
     else:
+        # Internal names follow the two-pass offset-table convention
+        # (__b = bucket id, __bc = bucket sum, __bt = bucket offset):
+        # the registry-wide SinglePartition audit exempts exactly these
+        # tokens as bounded-by-construction, so the tiny offsets window
+        # below stays distinguishable from a genuine data-sized funnel
+        # (r9 review: the old __bucket name only passed the audit via a
+        # loose substring match that also exempted real funnels).
+        from ..operators.window import _check_reserved
+
+        _check_reserved(df, {"__b", "__bc", "__bt"})
         with_bucket = df.withColumn(
-            "__bucket", F.floor(order / F.lit(bucket_width)).cast("long")
+            "__b", F.floor(order / F.lit(bucket_width)).cast("long")
         )
-        sums = with_bucket.groupBy("__bucket").agg(
-            F.sum(token_count_col).alias("__bucket_sum")
+        sums = with_bucket.groupBy("__b").agg(
+            F.sum(token_count_col).alias("__bc")
         )
-        w_buckets = Window.orderBy("__bucket").rowsBetween(
+        w_buckets = Window.orderBy("__b").rowsBetween(
             Window.unboundedPreceding, -1
         )
         offsets = sums.select(
-            "__bucket",
-            F.coalesce(F.sum("__bucket_sum").over(w_buckets), F.lit(0)).alias(
-                "__bucket_offset"
+            "__b",
+            F.coalesce(F.sum("__bc").over(w_buckets), F.lit(0)).alias(
+                "__bt"
             ),
         )
-        base = with_bucket.join(F.broadcast(offsets), "__bucket")
+        base = with_bucket.join(F.broadcast(offsets), "__b")
         w_in = (
-            Window.partitionBy("__bucket")
+            Window.partitionBy("__b")
             .orderBy(order)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
-        before = F.col("__bucket_offset") + F.coalesce(
+        before = F.col("__bt") + F.coalesce(
             F.sum(token_count_col).over(w_in), F.lit(0)
         )
     return base.select(
