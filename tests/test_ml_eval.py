@@ -658,3 +658,109 @@ def test_mi_pair_symmetric_and_mrmr_orders_planted(spark):
     assert len(solo) == 1
     assert solo[0].redundancy == 0.0
     assert solo[0].mrmr == solo[0].relevance == round(math.log(2), 6)
+
+
+# --- r9 review: degenerate-input robustness (ANSI mode crashes / NULL
+# semantics). Every guard below used to throw SparkArithmeticException
+# DIVIDE_BY_ZERO (aborting the whole job) or silently mis-count. ---
+
+
+def test_roc_ks_pr_single_class_groups_emit_null_not_crash(spark):
+    from usedcars_bigdata_spark.ml.eval import pr_auc
+
+    df = _scores(
+        spark,
+        [("all_pos", 1, 0.9), ("all_pos", 1, 0.2),
+         ("all_neg", 0, 0.8), ("all_neg", 0, 0.1),
+         ("mixed", 1, 0.7), ("mixed", 0, 0.3)],
+    )
+    auc = {r.g: r for r in roc_auc(df, "y", "s", "g").collect()}
+    assert auc["all_pos"].auc is None and auc["all_neg"].auc is None
+    assert auc["mixed"].auc == 1.0
+    ks = {r.g: r for r in ks_statistic(df, "y", "s", "g").collect()}
+    assert ks["all_pos"].ks is None and ks["mixed"].ks == 1.0
+    pr = {r.g: r for r in pr_auc(df, "y", "s", "g").collect()}
+    assert pr["all_neg"].pr_auc is None and pr["mixed"].pr_auc == 1.0
+
+
+def test_roc_auc_null_labels_are_dropped_not_negatives(spark):
+    df = _scores(
+        spark, [("g", 1, 0.9), ("g", 0, 0.5), ("g", None, 0.7)]
+    )
+    row = roc_auc(df, "y", "s", "g").first()
+    assert (row.n_pos, row.n_neg) == (1, 1)  # NULL row excluded
+    assert row.auc == 1.0  # the NULL row no longer shifts ranks
+
+
+def test_best_f1_all_negative_recall_null(spark):
+    from usedcars_bigdata_spark.ml.eval import best_f1_threshold
+
+    df = spark.createDataFrame(
+        [(0, 0.9), (0, 0.4), (0, 0.1)], ["y", "s"]
+    )
+    row = best_f1_threshold(df, "y", "s").first()
+    assert row.recall is None and row.tp == 0
+
+
+def test_ranking_metrics_no_relevant_query_scores_zero(spark):
+    from usedcars_bigdata_spark.ml.eval import (
+        average_precision_at_k,
+        ranking_metrics,
+    )
+
+    rows = [("q0", i, 0, 1.0 - i / 10.0) for i in range(4)] + [
+        ("q1", 0, 2, 0.9), ("q1", 1, 0, 0.8)
+    ]
+    df = spark.createDataFrame(rows, ["q", "id", "rel", "score"])
+    nd = {r.query: r for r in
+          ranking_metrics(df, "q", "id", "rel", "score", k=3).collect()}
+    assert nd["q0"].ndcg_at_k == 0.0 and nd["q1"].ndcg_at_k == 1.0
+    ap = {r.query: r for r in
+          average_precision_at_k(df, "q", "id", "rel", "score", k=3).collect()}
+    assert ap["q0"].ap_at_k == 0.0 and ap["q1"].ap_at_k == 1.0
+
+
+def test_categorical_association_null_categories_dropped(spark):
+    # the reviewer's counterexample: with (NULL, y) rows KEPT the r8
+    # form scored the observed NULL cell as a structural zero and
+    # reported chi2=5.67, V=1.06 (>1). Dropping NULLs gives the exact
+    # 2x2 perfect-dependence table: chi2 = N = 3? No: [(a,x)x2,(b,y)]
+    # -> chi2 = 3, V = 1 on the 2x2 diagonal.
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), (None, "y"), (None, "y"), ("b", "y")],
+        ["u", "v"],
+    )
+    row = categorical_association(df, "u", "v").first()
+    assert (row.n, row.n_x, row.n_y) == (3, 2, 2)
+    assert row.chi2 == 3.0 and row.cramers_v == 1.0
+    # constant column: V undefined (NULL), chi2 still 0 - not a crash
+    const = spark.createDataFrame(
+        [("a", "x"), ("a", "y")], ["u", "v"]
+    )
+    crow = categorical_association(const, "u", "v").first()
+    assert crow.cramers_v is None and crow.chi2 == 0.0
+
+
+def test_calibration_bins_clamps_both_edges(spark):
+    df = spark.createDataFrame(
+        [(1, -0.2), (0, 0.05), (1, 1.3)], ["y", "s"]
+    )
+    bins = {r.bin: r.n for r in calibration_bins(df, "y", "s").collect()}
+    assert bins == {0: 2, 9: 1}  # no phantom bin -1
+
+
+def test_loso_influence_group_named_none_not_mistaken_for_baseline(spark):
+    from usedcars_bigdata_spark.ml.eval import loso_influence
+
+    rows = []
+    for i in range(40):
+        g = ["a", "b", "(none)", "d"][i % 4]
+        hold = i % 5 == 0
+        rows.append((g, hold, float(i % 7), float(2 * (i % 7)) + (i % 3)))
+    df = spark.createDataFrame(rows, ["g", "holdout", "x", "y"])
+    out = loso_influence(df, "g", "holdout", "x", "y").collect()
+    # 4 groups + the full-fit row; no duplicated rows from a sentinel
+    # collision with the real group "(none)"
+    assert len(out) == 5
+    full_rows = [r for r in out if r.r2_delta == 0.0]
+    assert len(full_rows) >= 1

@@ -54,7 +54,12 @@ def roc_auc(
     Rank sums are half-integers (exact in doubles to 2^53), so the only
     inexact step is the final division.
 
+    NULL-label rows are DROPPED (they are unlabeled, not negative — the
+    cohens_kappa NULL-rater precedent); a single-class group emits
+    auc = NULL instead of throwing under ANSI mode (r9 review).
+
     Output: (by, n_pos, n_neg, auc)."""
+    df = df.filter(F.col(label_col).isNotNull())
     w_rank = Window.partitionBy(by).orderBy(score_col)
     w_tie = Window.partitionBy(by, score_col)
     ranked = df.select(
@@ -70,9 +75,11 @@ def roc_auc(
         (F.count(F.lit(1)) - F.sum("__y")).alias("n_neg"),
         F.sum(F.col("__ar") * F.col("__y")).alias("__s1"),
     )
-    auc = (
-        F.col("__s1") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
-    ) / (F.col("n_pos") * F.col("n_neg"))
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("__s1") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+        / (F.col("n_pos") * F.col("n_neg")),
+    )
     return agg.select(by, "n_pos", "n_neg", F.round(auc, ndigits).alias("auc"))
 
 
@@ -94,7 +101,11 @@ def ks_statistic(
     function is attained at a step. All counts integer; the CDF ratios
     divide exact integers, deterministic across engines.
 
+    NULL-label rows are DROPPED (unlabeled ≠ negative); a single-class
+    group emits ks = NULL instead of an ANSI divide-by-zero (r9 review).
+
     Output: (by, n_pos, n_neg, ks)."""
+    df = df.filter(F.col(label_col).isNotNull())
     per_score = df.groupBy(by, F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col).cast("int")).alias("__p"),
         F.count(F.lit(1)).alias("__n"),
@@ -117,9 +128,12 @@ def ks_statistic(
         F.max("n_neg").alias("n_neg"),  # deterministic pick (first isn't)
         F.round(
             F.max(
-                F.abs(
-                    F.col("__cp") / F.col("n_pos")
-                    - F.col("__cn") / F.col("n_neg")
+                F.when(
+                    (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                    F.abs(
+                        F.col("__cp") / F.col("n_pos")
+                        - F.col("__cn") / F.col("n_neg")
+                    ),
                 )
             ),
             ndigits,
@@ -141,9 +155,17 @@ def calibration_bins(
     this is also the bounded-sketch downgrade path for AUC/KS at extreme
     scale (metrics over the binned table instead of a full sort).
 
+    Out-of-range scores clamp into the EDGE bins on both sides (scores
+    > 1 into bin n_bins−1, scores < 0 into bin 0) — the r8 form clamped
+    only the top, so a negative score emitted a phantom bin −1 while
+    1.2 landed in the last real bin (r9 review).
+
     Output: (bin, n, avg_score, frac_pos)."""
-    b = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.least(
+            F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+        ),
+        F.lit(0),
     )
     return (
         df.groupBy(b.alias("bin"))
@@ -282,9 +304,19 @@ def categorical_association(
     engines and the final cell-sum drift (~1 ulp over tens of cells) sits
     ~10 orders below the rounding grid.
 
+    NULL categories are DROPPED before tabulation (r9 review): the r8
+    form kept NULL cells in the contingency counts but the grid-
+    completing equi-join could never match them back (they were scored
+    as structural zeros) while countDistinct excluded NULL from the
+    margins — silently wrong χ²/V/MI on NULL-bearing input, V could
+    exceed 1. Callers who want missingness as a category must encode a
+    sentinel value first. A constant column (min(|X|,|Y|) = 1) emits
+    cramers_v = NULL instead of an ANSI divide-by-zero.
+
     Output: one row (n, n_x, n_y, chi2, cramers_v, mi_nats)."""
     c = (
-        df.groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
         .agg(F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
@@ -331,9 +363,12 @@ def categorical_association(
     out = terms.groupBy("n_total", "n_x", "n_y").agg(
         F.sum("__chi").alias("__chi2"), F.sum("__mi").alias("__minats")
     )
-    v = F.sqrt(
-        F.col("__chi2")
-        / (F.col("n_total") * F.least(F.col("n_x") - 1, F.col("n_y") - 1))
+    v = F.when(
+        F.least(F.col("n_x"), F.col("n_y")) > 1,
+        F.sqrt(
+            F.col("__chi2")
+            / (F.col("n_total") * F.least(F.col("n_x") - 1, F.col("n_y") - 1))
+        ),
     )
     return out.select(
         F.col("n_total").alias("n"),
@@ -369,9 +404,8 @@ def conformal_intervals(
     scalars broadcast; no iterative fit anywhere.
 
     Output: one row (n_train, n_calib, n_test, slope, intercept, q_hat,
-    coverage)."""
-    from pyspark.sql import Window
-
+    coverage). slope/intercept rounding is fixed (6 and 2 digits — the
+    oracle contract); ``ndigits`` applies to q_hat and coverage."""
     base = df.select(
         F.col(role_col).alias("role"),
         F.col(x_col).cast("double").alias("x"),
@@ -573,13 +607,20 @@ def loso_influence(
         F.sum(F.col(x_col) * F.col(x_col)).alias("hsxx"),
         F.sum(F.col(x_col) * F.col(y_col)).alias("hsxy"),
     ).localCheckpoint(eager=True)
-    # '(none)' row (exclude nothing) = zero group moments to subtract
+    # '(none)' row (exclude nothing) = zero group moments to subtract.
+    # The full-fit row is identified by the __is_full FLAG, not by the
+    # '(none)' display string: a real group whose value casts to
+    # "(none)" must not be mistaken for the baseline (r9 review — the
+    # string filter matched both rows and duplicated every output row
+    # via the 2-row broadcast).
     rows = per_g.select(
         F.col("g").cast("string").alias("excluded"),
+        F.lit(False).alias("__is_full"),
         "n_g", "sx_g", "sy_g", "sxy_g", "sxx_g",
     ).unionByName(
         tot.select(
             F.lit("(none)").alias("excluded"),
+            F.lit(True).alias("__is_full"),
             F.lit(0).cast("long").alias("n_g"),
             F.lit(0.0).alias("sx_g"),
             F.lit(0.0).alias("sy_g"),
@@ -606,10 +647,11 @@ def loso_influence(
     sst = F.col("hsyy") - F.col("hsy") * F.col("hsy") / F.col("nh")
     scored = m.select(
         "excluded",
+        "__is_full",
         n.alias("n_train"),
         (1.0 - sse / sst).alias("__r2"),
     )
-    full = scored.filter(F.col("excluded") == "(none)").select(
+    full = scored.filter(F.col("__is_full")).select(
         F.col("__r2").alias("__full_r2")
     )
     return (
@@ -753,7 +795,12 @@ def pr_auc(
     cumulative window, then a sum of exact-integer-ratio step areas —
     distinct-score cardinality end-to-end after the first aggregate.
 
+    NULL-label rows are DROPPED (unlabeled ≠ negative); a group with no
+    positives emits pr_auc = NULL instead of an ANSI divide-by-zero
+    (r9 review).
+
     Output: (by, n_pos, n_neg, pr_auc)."""
+    df = df.filter(F.col(label_col).isNotNull())
     per_score = df.groupBy(by, F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col).cast("int")).alias("__p"),
         F.count(F.lit(1)).alias("__n"),
@@ -774,11 +821,15 @@ def pr_auc(
         .over(Window.partitionBy(by).orderBy(F.col("__s").desc()))
         .alias("__tp_prev"),
     )
-    step = (
-        (F.col("__tp") - F.coalesce(F.col("__tp_prev"), F.lit(0)))
-        * 1.0
-        / F.col("n_pos")
-    ) * (F.col("__tp") * 1.0 / F.col("__pred"))
+    step = F.when(
+        F.col("n_pos") > 0,
+        (
+            (F.col("__tp") - F.coalesce(F.col("__tp_prev"), F.lit(0)))
+            * 1.0
+            / F.col("n_pos")
+        )
+        * (F.col("__tp") * 1.0 / F.col("__pred")),
+    )
     return cum.groupBy(by).agg(
         F.max("n_pos").alias("n_pos"),
         F.max("n_neg").alias("n_neg"),
@@ -811,9 +862,13 @@ def best_f1_threshold(
     lexicographic order and thresholds are distinct. F1 =
     2TP/(2TP+FP+FN) from exact integers.
 
+    NULL-label rows are DROPPED (unlabeled ≠ negative — the roc_auc
+    policy); on all-negative input recall is NULL, not an ANSI crash.
+
     Output: one row (threshold, tp, fp, fn, precision, recall, f1)."""
     from ..operators.window import global_running_sums
 
+    df = df.filter(F.col(label_col).isNotNull())
     per_score = df.groupBy(F.col(score_col).alias("__s")).agg(
         F.sum(F.col(label_col).cast("int")).alias("__p"),
         F.count(F.lit(1)).alias("__n"),
@@ -860,8 +915,14 @@ def best_f1_threshold(
             F.round(
                 F.col("m.tp") * 1.0 / (F.col("m.tp") + F.col("m.fp")), ndigits
             ).alias("precision"),
+            # all-negative input: tp + fn (= total positives) is 0 —
+            # recall is undefined; NULL, not an ANSI crash (r9 review)
             F.round(
-                F.col("m.tp") * 1.0 / (F.col("m.tp") + F.col("m.fn")), ndigits
+                F.when(
+                    F.col("m.tp") + F.col("m.fn") > 0,
+                    F.col("m.tp") * 1.0 / (F.col("m.tp") + F.col("m.fn")),
+                ),
+                ndigits,
             ).alias("recall"),
             F.col("m.f1").alias("f1"),
         )
@@ -976,11 +1037,24 @@ def ranking_metrics(
         F.row_number().over(wi).alias("ri"),
     )
     disc = lambda r: F.log2(r.cast("double") + 1.0)  # noqa: E731
+    # A query with NO relevant results has IDCG = 0: NDCG is defined as
+    # 0 (nothing to rank correctly), not an ANSI divide-by-zero that
+    # kills the whole evaluation job (r9 review).
+    idcg = F.sum(
+        F.when(F.col("ri") <= k, F.col("g") / disc(F.col("ri"))).otherwise(0.0)
+    )
     return ranked.groupBy("query").agg(
         F.count(F.lit(1)).alias("n_results"),
         F.round(
-            F.sum(F.when(F.col("rs") <= k, F.col("g") / disc(F.col("rs"))).otherwise(0.0))
-            / F.sum(F.when(F.col("ri") <= k, F.col("g") / disc(F.col("ri"))).otherwise(0.0)),
+            F.when(
+                idcg > 0.0,
+                F.sum(
+                    F.when(
+                        F.col("rs") <= k, F.col("g") / disc(F.col("rs"))
+                    ).otherwise(0.0)
+                )
+                / idcg,
+            ).otherwise(0.0),
             ndigits,
         ).alias("ndcg_at_k"),
         F.round(
@@ -1036,14 +1110,20 @@ def average_precision_at_k(
             / F.lit(float(k)),
             ndigits,
         ).alias("precision_at_k"),
+        # no relevant results: AP is 0 by the standard convention
+        # (min(R, k) = 0 would be an ANSI divide-by-zero; r9 review)
         F.round(
-            F.sum(
-                F.when(
-                    (F.col("rs") <= k) & (F.col("rel") == 1),
-                    F.col("cum").cast("double") / F.col("rs").cast("double"),
-                ).otherwise(0.0)
-            )
-            / F.least(F.sum("rel"), F.lit(k)).cast("double"),
+            F.when(
+                F.sum("rel") > 0,
+                F.sum(
+                    F.when(
+                        (F.col("rs") <= k) & (F.col("rel") == 1),
+                        F.col("cum").cast("double")
+                        / F.col("rs").cast("double"),
+                    ).otherwise(0.0)
+                )
+                / F.least(F.sum("rel"), F.lit(k)).cast("double"),
+            ).otherwise(0.0),
             ndigits,
         ).alias("ap_at_k"),
     )
