@@ -1614,3 +1614,82 @@ def test_table_checksum_order_invariant_and_sensitive(spark):
     df4 = spark.createDataFrame(rows + [(3, "c")], ["k", "v"])
     c4 = table_checksum(df4, ["k", "v"]).collect()[0]
     assert c4.checksum_a != c1.checksum_a
+
+
+# --- r9 review: timeseries degenerate inputs + semantic parity ---
+
+
+def test_timeseries_degenerate_series_null_not_crash(spark):
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        acf_lags,
+        ar2_yule_walker,
+        seasonality_anova,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(6):
+        rows.append(("const", t0 + dt.timedelta(hours=i), 5.0))
+        rows.append(("ok", t0 + dt.timedelta(hours=i), float(i % 3)))
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+
+    eta = {r.key: r.eta2 for r in
+           seasonality_anova(df, "ts", "k", "v").collect()}
+    assert eta["const"] is None and eta["ok"] is not None
+
+    # acf over a constant dense series: zero variance -> NULL r
+    dense = spark.createDataFrame(
+        [("c", i, 4) for i in range(8)], ["key", "t", "x"]
+    )
+    acf = acf_lags(dense, "key", "t", "x", lags=(1, 2))
+    assert all(r.r is None for r in acf.collect())
+
+    # ar2 with rounded r1 = 1.0 (singular Yule-Walker) -> NULL phis
+    acf_tbl = spark.createDataFrame(
+        [("k", 1, 8, 1.0), ("k", 2, 8, 0.5)], ["key", "lag", "n", "r"]
+    )
+    row = ar2_yule_walker(acf_tbl, "key").first()
+    assert row.phi1 is None and row.phi2 is None
+
+
+def test_shapley_axis_generated_matches_pinned_literals():
+    from usedcars_bigdata_spark.operators.timeseries import (
+        SHAPLEY_AXIS,
+        _shapley_axis,
+    )
+
+    gen = _shapley_axis(("click", "error", "signup", "view"))
+    assert sorted(gen) == sorted(SHAPLEY_AXIS)  # bit-identical weights
+
+    # non-default tuples get a consistent axis (not the 4-channel pin)
+    three = _shapley_axis(("a", "b", "c"))
+    assert len(three) == 3 * 4  # n * 2^(n-1)
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        _shapley_axis(("a", "a"))
+    with pytest.raises(ValueError, match="exponential"):
+        _shapley_axis(tuple(f"c{i}" for i in range(13)))
+
+
+def test_top_session_paths_subsecond_gap_matches_sessionize(spark):
+    import datetime as dt
+
+    from usedcars_bigdata_spark.operators.timeseries import (
+        top_session_paths,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    # true gap 1800.9s: > 30 min, so the second event OPENS a session;
+    # the old cast-to-seconds form truncated the gap to 1800 and merged
+    rows = [
+        ("u", t0, 1, "view"),
+        ("u", t0 + dt.timedelta(seconds=1800, microseconds=900000), 2, "click"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    paths = {r.path: r.n_sessions for r in
+             top_session_paths(df, "user_id", "ts", "event_id",
+                               "event_type").collect()}
+    assert paths == {"view": 1, "click": 1}  # two sessions, not 'view>click'

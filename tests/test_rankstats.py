@@ -962,3 +962,95 @@ def test_slo_burn_page_needs_both_windows(spark):
     assert out[6] == "warn"      # blip: short burns, long diluted
     assert out[12] == "page"     # sustained: both windows burn
     assert 0 not in out and 5 not in out  # quiet hours silent
+
+
+# --- r9 review: degenerate inputs must yield NULL, never an ANSI
+# DIVIDE_BY_ZERO that aborts the whole multi-group query. ---
+
+
+def test_rank_stats_degenerate_groups_null_not_crash(spark):
+    from usedcars_bigdata_spark.operators.rankstats import (
+        jarque_bera,
+        kendall_tau_b,
+        kruskal_wallis,
+        mann_whitney_u,
+        runs_test,
+        spearman_corr,
+    )
+
+    # spearman: singleton group + constant-x group next to a real one
+    sp = spark.createDataFrame(
+        [("solo", 1.0, 2.0)]
+        + [("const", 5.0, float(i)) for i in range(4)]
+        + [("ok", float(i), float(2 * i)) for i in range(4)],
+        ["g", "x", "y"],
+    )
+    rho = {r.group if hasattr(r, "group") else r.g: r.rho
+           for r in spearman_corr(sp, "g", "x", "y").collect()}
+    assert rho["solo"] is None and rho["const"] is None and rho["ok"] == 1.0
+
+    # mann-whitney: one sample empty -> NULL z, no crash
+    mw = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], ["s", "v"]
+    )
+    row = mann_whitney_u(mw, "s", "v", "a", "b").first()
+    assert row.z is None and row.n_b == 0
+    # all pooled values tied -> var = 0 -> NULL z
+    tied = spark.createDataFrame(
+        [("a", 7.0), ("a", 7.0), ("b", 7.0)], ["s", "v"]
+    )
+    assert mann_whitney_u(tied, "s", "v", "a", "b").first().z is None
+
+    # kendall: a key with all-tied x -> NULL tau for that key only
+    kt = spark.createDataFrame(
+        [("k1", 1, 5.0, 1.0), ("k1", 2, 5.0, 2.0),
+         ("k2", 1, 1.0, 1.0), ("k2", 2, 2.0, 2.0)],
+        ["k", "t", "x", "y"],
+    )
+    taus = {r.key: r.tau_b for r in
+            kendall_tau_b(kt, "k", "t", "x", "y").collect()}
+    assert taus["k1"] is None and taus["k2"] == 1.0
+
+    # kruskal-wallis: all values tied -> NULL corrected H
+    kw = spark.createDataFrame(
+        [("a", 3.0), ("a", 3.0), ("b", 3.0)], ["g", "v"]
+    )
+    kwr = kruskal_wallis(kw, "g", "v").first()
+    assert kwr.h_tie_corrected is None
+
+    # jarque-bera: constant group NULL, non-constant fine
+    jb = spark.createDataFrame(
+        [("c", 5), ("c", 5), ("c", 5)]
+        + [("ok", i) for i in range(8)],
+        ["g", "v"],
+    )
+    out = {r.g: r for r in jarque_bera(jb, "g", "v").collect()}
+    assert out["c"].skewness is None and out["c"].jb is None
+    assert out["ok"].jb is not None
+
+    # runs test: single-row key and constant key both NULL z
+    rt = spark.createDataFrame(
+        [("solo", 1, 5)]
+        + [("const", i, 7) for i in range(4)]
+        + [("ok", i, i % 2) for i in range(8)],
+        ["k", "t", "x"],
+    )
+    zs = {r.k: r.z for r in runs_test(rt, "k", "t", "x").collect()}
+    assert zs["solo"] is None and zs["const"] is None
+    assert zs["ok"] is not None
+
+
+def test_permutation_test_one_sided_replicates_skipped(spark):
+    from usedcars_bigdata_spark.operators.rankstats import (
+        permutation_test_means,
+    )
+
+    # 2 units: ~half the replicates assign both units to one side;
+    # those replicates have undefined T and must not crash the test
+    units = spark.createDataFrame(
+        [("u1", 10, 1), ("u2", 4, 0)], ["unit", "v", "g"]
+    )
+    row = permutation_test_means(
+        units, "unit", "v", "g", n_permutations=16
+    ).first()
+    assert row.n_units == 2 and row.p_value is not None

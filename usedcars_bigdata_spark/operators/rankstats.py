@@ -148,14 +148,17 @@ def spearman_corr(
     )
     nd = F.col("n").cast("double")
     num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+    den2 = (nd * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        nd * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # singleton or constant-rank group: rho undefined -> NULL, not an
+    # ANSI divide-by-zero that fails every other group (r9 review; the
+    # rolling_corr_hourly / ml.eval convention)
+    rho = F.when(den2 > 0, num / F.sqrt(den2))
     return m.select(
         F.col(g).alias(group_col),
         "n",
-        (F.round(num / den, ndigits) + 0.0).alias("rho"),
+        (F.round(rho, ndigits) + 0.0).alias("rho"),
     )
 
 
@@ -209,7 +212,13 @@ def mann_whitney_u(
     # (rank sums < n² ≤ 2^40 at harness scale).
     u_a = (F.col("r2_a").cast("double") - na * (na + 1)) / 2.0
     var = na * nb / 12.0 * ((n + 1) - F.col("tie3").cast("double") / (n * (n - 1)))
-    z = (u_a - na * nb / 2.0) / F.sqrt(var)
+    # empty sample / N=1 / all-tied pool: z undefined -> NULL (nested
+    # CASE keeps the inner var expression, which divides by n(n-1),
+    # unevaluated when N<=1 — ANSI throws on 0 denominators; r9 review)
+    z = F.when(
+        (na > 0) & (nb > 0) & (n > 1),
+        F.when(var > 0, (u_a - na * nb / 2.0) / F.sqrt(var)),
+    )
     return j.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
@@ -261,8 +270,14 @@ def kendall_tau_b(
     nn = s.groupBy("k").agg(F.count(F.lit(1)).alias("n")).withColumnRenamed("k", "key")
     out = pm.join(nn, "key")
     n0 = F.col("n0").cast("double")
-    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
-        (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    # all-tied x (or y) within a key: the tau-b normalizer is 0 -> NULL
+    # for that key instead of an ANSI crash for the whole frame
+    tau_den2 = (n0 - F.col("tx").cast("double")) * (
+        n0 - F.col("ty").cast("double")
+    )
+    tau = F.when(
+        tau_den2 > 0,
+        (F.col("c") - F.col("d")).cast("double") / F.sqrt(tau_den2),
     )
     return out.select(
         "key",
@@ -310,8 +325,18 @@ def permutation_test_means(
             F.sum((1 - F.col("g")) * F.col("v")).cast("double").alias("s0"),
             F.sum(1 - F.col("g")).cast("double").alias("n0"),
         )
+        # a replicate (or the observed split) with every unit on one
+        # side has no defined difference-of-means: t = NULL instead of
+        # an ANSI 0.0-division that kills all B replicates (r9 review).
+        # NULL replicates count as non-extreme in the p-value — at
+        # B·2^(1-|units|) expected occurrences this is a conservative,
+        # documented bias, not a crash.
         return agg.withColumn(
-            "t", F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0")
+            "t",
+            F.when(
+                (F.col("n1") > 0) & (F.col("n0") > 0),
+                F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"),
+            ),
         )
 
     obs = diff_of_means(u, []).select(
@@ -398,10 +423,14 @@ def kruskal_wallis(
     ).crossJoin(F.broadcast(tie_m))
     nd = F.col("n").cast("double")
     h = 12.0 / (nd * (nd + 1.0)) * F.col("sum_rsq_over_n") - 3.0 * (nd + 1.0)
-    corr = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
-    hc = h / corr
+    # N=1 (tie-moment denominator 0) and all-tied input (corr = 0) have
+    # no defined tie-corrected H: NULL, not an ANSI crash (r9 review);
+    # nested CASE keeps the inner divisions unevaluated when degenerate
+    corr = F.when(nd > 1.0, 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd))
+    hc = F.when(corr > 0, h / corr)
     kd = F.col("k").cast("double")
-    eps2 = (hc - kd + 1.0) / (nd - kd)
+    # every group a single row (n == k): epsilon-squared undefined
+    eps2 = F.when(nd > kd, (hc - kd + 1.0) / (nd - kd))
     return m.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("k").cast("bigint").alias("k"),
@@ -456,8 +485,10 @@ def jarque_bera(
         + 6.0 * mean * mean * (s2 / nd)
         - 3.0 * mean * mean * mean * mean
     )
-    g1 = m3 / F.sqrt(m2 * m2 * m2)
-    g2 = m4 / (m2 * m2) - 3.0
+    # constant group: m2 = 0 -> skewness/kurtosis/JB undefined (NULL),
+    # not a 0/0 NaN or ANSI crash taking the other groups down
+    g1 = F.when(m2 > 0, m3 / F.sqrt(m2 * m2 * m2))
+    g2 = F.when(m2 > 0, m4 / (m2 * m2) - 3.0)
     jb = nd / 6.0 * (g1 * g1 + g2 * g2 / 4.0)
     return m.select(
         F.col("g").alias(group_col),
@@ -578,7 +609,14 @@ def runs_test(
     var = (
         two_n1n2 * (two_n1n2 - nd) / (nd * nd * (nd - 1.0))
     )
-    z = (F.col("n_runs").cast("double") - mu) / F.sqrt(var)
+    # single-row key (var denominator 0) or constant series
+    # (n_above = 0 -> var = 0): z undefined -> NULL for that key, not
+    # an ANSI crash for every key (r9 review; nested CASE keeps var's
+    # division unevaluated at n = 1)
+    z = F.when(
+        nd > 1.0,
+        F.when(var > 0, (F.col("n_runs").cast("double") - mu) / F.sqrt(var)),
+    )
     return m.select(
         F.col("key").alias(key_col),
         F.col("n").cast("bigint").alias("n"),

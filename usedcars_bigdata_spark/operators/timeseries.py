@@ -1228,14 +1228,20 @@ def top_session_paths(
 
     Output: (rank, path, n_sessions) — path like 'view>click>purchase'."""
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    # micros, not cast-to-seconds: the truncated form silently merged
+    # sessions whose true gap sat within 1s above the boundary,
+    # diverging from both sessionize (which fixed this) and the oracle's
+    # full-precision INTERVAL comparison (r9 review)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
     flagged = events.select(
         F.col(user_col), F.col(ts_col), F.col(id_col), F.col(type_col)
     ).withColumn(
         "__new_s",
-        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     sess = flagged.withColumn(
         "__sess",
@@ -1593,12 +1599,15 @@ def lead_lag_xcorr(
     )
     n = F.col("n_buckets")
     num = n * 1.0 * F.col("sxy") - F.col("sx") * 1.0 * F.col("sy")
-    den = F.sqrt(
-        (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx"))
-        * (n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy"))
+    den2 = (n * 1.0 * F.col("sxx") - F.col("sx") * 1.0 * F.col("sx")) * (
+        n * 1.0 * F.col("syy") - F.col("sy") * 1.0 * F.col("sy")
     )
+    # a lag with one joined pair or a constant series has no defined
+    # correlation: NULL for that lag, not an ANSI divide-by-zero (the
+    # rolling_corr_hourly convention; r9 review)
+    r = F.when(den2 > 0, num / F.sqrt(den2))
     return m.select(
-        "lag", "n_buckets", F.round(num / den, ndigits).alias("r")
+        "lag", "n_buckets", F.round(r, ndigits).alias("r")
     ).orderBy("lag")
 
 
@@ -1644,7 +1653,11 @@ def seasonality_anova(
         F.sum(F.col("s_h") * 1.0 * F.col("s_h") / F.col("n_h")).alias("sb"),
     )
     grand = F.col("s") * 1.0 * F.col("s") / F.col("n")
-    eta2 = (F.col("sb") - grand) / (F.col("ss") - grand)
+    # constant-value key: total sum of squares is 0 -> eta2 undefined
+    # (NULL), not an ANSI divide-by-zero (r9 review)
+    eta2 = F.when(
+        F.col("ss") - grand > 0, (F.col("sb") - grand) / (F.col("ss") - grand)
+    )
     return per_key.select(
         F.col("key"), F.col("n"), F.round(eta2, ndigits).alias("eta2")
     )
@@ -1766,6 +1779,36 @@ SHAPLEY_AXIS = [
 ]
 
 
+def _shapley_axis(channels: tuple) -> list:
+    """(channel, with-mask, without-mask, weight) axis for ANY channel
+    tuple (bit i = channels[i]): weight s!(n−1−s)!/n! for |S| = s
+    non-player members. The r8 form paired the caller's ``channels``
+    bit assignment with the hard-coded 4-channel SHAPLEY_AXIS, silently
+    crediting the wrong channels for any non-default tuple (r9 review);
+    for the default tuple this generates bit-identical rows (pinned by
+    test). Exponential in |channels| — hence the cap."""
+    import math
+
+    n = len(channels)
+    if len(set(channels)) != n:
+        raise ValueError(f"duplicate channels: {channels}")
+    if n > 12:
+        raise ValueError(
+            f"{n} channels needs {n * (1 << (n - 1))} axis rows — exact "
+            "Shapley is exponential; sample coalitions instead"
+        )
+    fact = math.factorial
+    axis = []
+    for i, c in enumerate(channels):
+        bit = 1 << i
+        for m in range(1 << n):
+            if m & bit:
+                s = bin(m & ~bit).count("1")
+                w = fact(s) * fact(n - 1 - s) / fact(n)
+                axis.append((c, m, m & ~bit, w))
+    return axis
+
+
 def shapley_attribution(
     events: DataFrame,
     user_col: str,
@@ -1840,7 +1883,8 @@ def shapley_attribution(
         # scans; 2 after)
     )
     axis = spark.createDataFrame(
-        SHAPLEY_AXIS, "channel string, m_with int, m_without int, w double"
+        _shapley_axis(channels),
+        "channel string, m_with int, m_without int, w double",
     )
     vw = coalitions.select(F.col("m").alias("m_with"), F.col("v").alias("v_with"))
     vo = coalitions.select(
@@ -2198,7 +2242,9 @@ def acf_lags(
         # + 0.0 canonicalizes IEEE −0.0: near-zero autocorrelations round
         # to the zero grid point from either side, and the repr-based
         # oracle hash distinguishes signed zeros (ml_loco precedent).
-        (F.round(num / den, ndigits) + 0.0).alias("r"),
+        # Constant series: zero variance -> r undefined (NULL), not an
+        # ANSI divide-by-zero for every key (r9 review).
+        (F.round(F.when(den > 0, num / den), ndigits) + 0.0).alias("r"),
     )
 
 
@@ -2501,8 +2547,16 @@ def haar_energy(
         F.col("level").cast("int").alias("level"),
         F.col("n_coeffs").cast("bigint").alias("n_coeffs"),
         (F.round(F.col("__energy"), ndigits) + 0.0).alias("energy"),
+        # constant series: total detail energy is 0 -> the share is
+        # undefined (NULL), not an ANSI 0/0 (r9 review)
         (
-            F.round(F.col("__energy") / F.col("__tot"), ndigits) + 0.0
+            F.round(
+                F.when(
+                    F.col("__tot") > 0, F.col("__energy") / F.col("__tot")
+                ),
+                ndigits,
+            )
+            + 0.0
         ).alias("energy_frac"),
     )
 
@@ -2527,7 +2581,10 @@ def ar2_yule_walker(
     )
     r1 = F.col("r1")
     r2 = F.col("r2")
-    den = 1.0 - r1 * r1
+    # rounded r1 of exactly +/-1 (a perfectly persistent series): the
+    # Yule-Walker system is singular -> NULL coefficients, not an ANSI
+    # divide-by-zero (r9 review)
+    den = F.when(F.abs(r1) < 1.0, 1.0 - r1 * r1)
     phi1 = r1 * (1.0 - r2) / den
     phi2 = (r2 - r1 * r1) / den
     innov = 1.0 - phi1 * r1 - phi2 * r2
@@ -2765,9 +2822,11 @@ def markov_entropy_rate(
         F.col("n_states").cast("bigint").alias("n_states"),
         (F.round(h_rate, ndigits) + 0.0).alias("h_rate_nats"),
         (F.round(h_pi, ndigits) + 0.0).alias("h_pi_nats"),
-        (F.round(1.0 - h_rate / h_pi, ndigits) + 0.0).alias(
-            "predictability"
-        ),
+        # single-state chain: stationary entropy is 0 -> predictability
+        # undefined (NULL), not an ANSI 0/0 (r9 review)
+        (
+            F.round(F.when(h_pi > 0, 1.0 - h_rate / h_pi), ndigits) + 0.0
+        ).alias("predictability"),
     )
 
 
