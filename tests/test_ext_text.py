@@ -1249,3 +1249,88 @@ def test_greedy_coverage_tie_breaks_on_id(spark):
     )
     out = greedy_coverage_select(pairs, k=1).collect()[0]
     assert out.selected_id == 3  # equal gain 2 -> min id wins
+
+
+# --- r9 review: text-op robustness fixes ---
+
+
+def test_zipf_fit_degenerate_corpora_null_not_crash(spark):
+    from usedcars_bigdata_spark.ext.text import zipf_fit
+
+    # every token appears once: zero y variance -> r2 NULL, slope real
+    flat = spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    row = zipf_fit(flat, "text")
+    r = row.first()
+    assert r.r2 is None
+    # one distinct token: zero x variance -> slope NULL too
+    solo = spark.createDataFrame([(1, "aa aa aa")], ["doc_id", "text"])
+    r1 = zipf_fit(solo, "text").first()
+    assert r1.slope is None
+
+
+def test_hash_split_ignores_preexisting_bucket_column(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.ext.text import hash_split
+
+    base = spark.createDataFrame(
+        [(i,) for i in range(200)], ["doc_id"]
+    )
+    want = {r.doc_id: (r.bucket, r.split)
+            for r in hash_split(base, "doc_id").collect()}
+    # same ids with a hostile pre-existing 'bucket' column: decisions
+    # must not read it (verified shadowing before the fix)
+    tainted = spark.createDataFrame(
+        [(i, 999999) for i in range(200)], ["doc_id", "bucket"]
+    )
+    got = {r.doc_id: (r.bucket, r.split)
+           for r in hash_split(tainted, "doc_id").collect()}
+    assert got == want
+    with pytest.raises(ValueError, match=r"\[1, 65536\]"):
+        hash_split(base, "doc_id", buckets=100000)
+
+
+def test_mixture_sample_ignores_preexisting_bucket_column(spark):
+    from usedcars_bigdata_spark.ext.text import mixture_sample
+
+    base = spark.createDataFrame(
+        [(i, "en") for i in range(100)], ["doc_id", "grp"]
+    )
+    want = {r.doc_id: (r.bucket, r.kept)
+            for r in mixture_sample(base, "doc_id", "grp", {"en": 0.5}).collect()}
+    tainted = spark.createDataFrame(
+        [(i, "en", 999999) for i in range(100)], ["doc_id", "grp", "bucket"]
+    )
+    got = {r.doc_id: (r.bucket, r.kept)
+           for r in mixture_sample(tainted, "doc_id", "grp", {"en": 0.5}).collect()}
+    assert got == want
+    assert any(k for _, k in want.values()) and not all(
+        k for _, k in want.values()
+    )
+
+
+def test_greedy_coverage_select_string_ids(spark):
+    from usedcars_bigdata_spark.ext.text import greedy_coverage_select
+
+    pairs = spark.createDataFrame(
+        [("docA", "x"), ("docA", "y"), ("docB", "y"), ("docB", "z"),
+         ("docC", "z")],
+        ["did", "w"],
+    )
+    out = greedy_coverage_select(pairs, k=2).collect()
+    assert out[0].selected_id in ("docA", "docB")
+    assert isinstance(out[0].selected_id, str)
+    # greedy invariant: covered total is non-decreasing
+    assert out[-1].covered_total >= out[0].covered_total
+
+
+def test_vocabulary_topk_filters_blank_doc_pseudo_token(spark):
+    from usedcars_bigdata_spark.ext.text import vocabulary_topk
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a")], ["doc_id", "text"]
+    )
+    toks = {r.token for r in vocabulary_topk(df, "doc_id", "text").collect()}
+    assert "" not in toks and toks == {"a", "b"}

@@ -378,6 +378,15 @@ def hash_split(
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"fractions must sum to 1.0, got {total}")
+    # 4 hex digits = 16 bits of hash: buckets beyond 65536 would leave
+    # the upper buckets permanently empty and silently put 100% of docs
+    # in the first split (r9 review). Non-divisors of 65536 carry a
+    # ≤1/65536-per-bucket modulo bias (~1.5% relative at buckets=1000)
+    # — fine for a holdout split, stated here so it is a choice.
+    if not 1 <= buckets <= 65536:
+        raise ValueError(
+            f"buckets must be in [1, 65536] (16-bit hash): got {buckets}"
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
         .cast("long")
@@ -388,7 +397,11 @@ def hash_split(
     names = list(fractions)
     for name in names[:-1]:
         edge += fractions[name]
-        cond = F.col("bucket") < int(round(edge * buckets))
+        # compare the bucket EXPRESSION, not F.col("bucket"): a real
+        # input column named "bucket" would win name resolution over
+        # the lateral alias and silently drive every split decision
+        # (r9 review — verified shadowing)
+        cond = bucket < int(round(edge * buckets))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return df.select(
@@ -412,11 +425,15 @@ def vocabulary_topk(
     shuffle carries one row per distinct token per doc, not per
     occurrence) → per-token totals → ordered limit, which plans as
     TakeOrderedAndProject so only ``top`` rows reach the driver. Ties
-    break on the token text for determinism."""
+    break on the token text for determinism. The empty-string
+    pseudo-token from blank/whitespace-only docs (split('') = ['']) is
+    filtered — it is an artifact, not vocabulary, and the LM-gate ops in
+    this module already exclude it (r9 review: a blank-heavy web corpus
+    put '' at the TOP of the vocab)."""
     toks = df.select(
         F.col(id_col).alias("__doc"),
         F.explode(_words(text_col)).alias("token"),
-    )
+    ).filter(F.col("token") != "")
     per_doc = toks.groupBy("token", "__doc").agg(F.count(F.lit(1)).alias("__n"))
     counts = per_doc.groupBy("token").agg(
         F.sum("__n").alias("n_occurrences"),
@@ -590,6 +607,10 @@ def mixture_sample(
     Pure narrow projection: zero shuffles, composes with any scan.
 
     Output: (id, group, bucket, kept)."""
+    if not 1 <= buckets <= 65536:
+        raise ValueError(
+            f"buckets must be in [1, 65536] (16-bit hash): got {buckets}"
+        )
     bucket = (
         F.conv(
             F.substring(
@@ -611,7 +632,10 @@ def mixture_sample(
         F.col(id_col),
         F.col(group_col),
         bucket.alias("bucket"),
-        (F.col("bucket") < thr).alias("kept"),
+        # compare the bucket EXPRESSION: an input column named "bucket"
+        # would shadow the lateral alias and drive every keep decision
+        # with stale values (r9 review — verified)
+        (bucket < thr).alias("kept"),
     )
 
 
@@ -647,9 +671,20 @@ def inverted_index(
     set; both aggregates reuse the same exploded pairs.
 
     Output: (token, n_docs, postings) with postings sorted ascending."""
-    pairs = (
-        df.select(F.col(id_col).alias("__doc"), F.explode(_words(text_col)).alias("token"))
+    from ..operators.window import register_hub
+
+    # persisted hub: the df-counts aggregate AND the salted min-k both
+    # consume the exploded-distinct pairs — without the persist each
+    # consumer re-ran the corpus scan + explode + distinct shuffle
+    # (r9 review; released via release_hubs like every library hub)
+    pairs = register_hub(
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(_words(text_col)).alias("token"),
+        )
+        .filter(F.col("token") != "")  # blank-doc pseudo-token (r9)
         .distinct()
+        .persist()
     )
     from pyspark.sql import Window
 
@@ -713,19 +748,28 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), sep_rx)).alias("__pos", "__line"),
     ).localCheckpoint(eager=True)
     eligible = lines.filter(F.length("__line") >= min_line_chars)
+    # Election groups on (hash, line) — NOT the hash alone: an xxhash64
+    # collision between two distinct lines would otherwise elect one
+    # survivor for both groups and silently delete every occurrence of
+    # the losing line corpus-wide, including its first (r9 review —
+    # content loss, not statistical noise). The hash still leads the
+    # shuffle key; map-side combine collapses repeats before the line
+    # bytes travel, so the wide key costs per-DISTINCT-line only.
     first = (
         eligible.select(
             F.xxhash64("__line").alias("__h"),
+            F.col("__line").alias("__l"),
             F.struct(F.col(id_col).alias("__id"), F.col("__pos").alias("__p")).alias(
                 "__key"
             ),
         )
-        .groupBy("__h")
+        .groupBy("__h", "__l")
         .agg(F.min("__key").alias("__first"))
     )
     survivors = eligible.join(
         first,
         (F.xxhash64(F.col("__line")) == F.col("__h"))
+        & (F.col("__line") == F.col("__l"))
         & (F.col(id_col) == F.col("__first.__id"))
         & (F.col("__pos") == F.col("__first.__p")),
     ).select(id_col, "__pos", "__line")
@@ -949,9 +993,17 @@ def unigram_logprob_score(
 
     Output: (id, n_tokens, avg_logp, ppl) — ppl = exp(-avg_logp), the
     unigram perplexity of the document."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t")
-    ).select(F.col(id_col), F.xxhash64("__t").alias("tok"))
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__t"),
+        )
+        # blank docs' '' pseudo-token would receive real probability
+        # mass and feed doremi_reweight (r9 review); the other LM gates
+        # here already filter it
+        .filter(F.col("__t") != "")
+        .select(F.col(id_col), F.xxhash64("__t").alias("tok"))
+    )
     # vocab-sized hub read by the total and the probability table —
     # materialized so pass (1) runs once (audit: 3 corpus scans lazy,
     # the documented 2 after)
@@ -1309,11 +1361,14 @@ def zipf_fit(df: DataFrame, text_col: str, top_k: int = 1000) -> DataFrame:
     )
     k, sx, sy = F.col("k"), F.col("sx"), F.col("sy")
     sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
-    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    # degenerate corpora (r9 review): one distinct term -> zero x
+    # variance, no slope; all top-k counts equal -> zero y variance,
+    # no fit quality. NULL, not an ANSI divide-by-zero.
+    dx = k * sxx - sx * sx
+    dy = k * syy - sy * sy
+    slope = F.when(dx > 0, (k * sxy - sx * sy) / dx)
     intercept = (sy - slope * sx) / k
-    r2 = F.pow(k * sxy - sx * sy, 2) / (
-        (k * sxx - sx * sx) * (k * syy - sy * sy)
-    )
+    r2 = F.when((dx > 0) & (dy > 0), F.pow(k * sxy - sx * sy, 2) / (dx * dy))
     return agg.select(
         F.col("k").cast("int").alias("n_terms"),
         F.round(slope, 6).alias("slope"),
@@ -1787,13 +1842,19 @@ def quantile_normalize_by_source(
         "gcum_prev", F.col("gcum") - F.col("gcnt")
     )
     n_total = counts.agg(F.sum("cnt").alias("N"))
+    # the (2·cum+cnt+1)·N product crosses 2^63 once n_s·N > ~4.6e18
+    # (one 1e9-doc source in a 5e9-doc corpus — inside the design
+    # point); run the ceil-division in decimal(38,0) with the EXACT
+    # integral `div` operator (fraction-scale `/` could mis-floor near
+    # boundaries), value-identical with ~10^38 headroom (r9 review)
     with_idx = per_source.join(F.broadcast(n_total)).withColumn(
         "idx",
-        F.floor(
-            ((2 * F.col("cum_below") + F.col("cnt") + 1) * F.col("N")
-             + 2 * F.col("n_s") - 1)
-            / (2 * F.col("n_s"))
-        ).cast("bigint"),
+        F.expr(
+            "CAST((CAST(2*cum_below + cnt + 1 AS DECIMAL(38,0))"
+            " * CAST(N AS DECIMAL(38,0))"
+            " + CAST(2*n_s - 1 AS DECIMAL(38,0)))"
+            " div CAST(2*n_s AS DECIMAL(38,0)) AS BIGINT)"
+        ),
     )
     # "smallest global score whose cumulative reaches idx" as a LINEAR
     # merge instead of a range join (which is O(domain²) worst case):
@@ -2508,8 +2569,15 @@ def span_corruption_stats(
             F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"),
             ndigits,
         ).alias("mask_fraction"),
+        # the per-term products are < 2^40 but a plain bigint SUM
+        # overflows (ANSI: throws) at ~2^23 masked tokens per group —
+        # a few hundred MB of text; accumulate in decimal(38,0)
+        # (~10^26-term headroom) and reduce mod 2^61 at the end, which
+        # is value-identical where the old form didn't overflow
+        # (r9 review)
         F.pmod(
-            F.sum(F.col("m") * hk), F.lit(2305843009213693952)
+            F.sum((F.col("m") * hk).cast("decimal(38,0)")),
+            F.lit(2305843009213693952).cast("decimal(38,0)"),
         ).cast("bigint").alias("masked_checksum"),
     ).withColumnRenamed("g", group_col)
 
@@ -2555,8 +2623,18 @@ def greedy_coverage_select(
         sh = sh.join(F.broadcast(cands), "did")
     sh = sh.localCheckpoint(eager=True)
     spark = pairs.sparkSession
-    covered = spark.createDataFrame([], "w string")
-    picked: list[int] = []
+    # derive the covered-set and id types from the INPUT: hardcoding
+    # "w string" / int(did) crashed on non-string items and non-integer
+    # doc ids (string URLs/UUIDs are first-class ids everywhere else in
+    # this module; r9 review)
+    from pyspark.sql import types as T
+
+    item_type = sh.schema["w"].dataType
+    id_type = sh.schema["did"].dataType
+    covered = spark.createDataFrame(
+        [], T.StructType([T.StructField("w", item_type, True)])
+    )
+    picked = []
     rows = []
     for r in range(1, k + 1):
         gains = sh
@@ -2575,7 +2653,7 @@ def greedy_coverage_select(
         ).limit(1).collect()
         if not top:
             break
-        best_id, best_gain = int(top[0].did), int(top[0].gain)
+        best_id, best_gain = top[0].did, int(top[0].gain)
         picked.append(best_id)
         # localCheckpoint, not persist: persist caches but keeps the
         # round-over-round union/distinct lineage, which a vanilla
@@ -2592,5 +2670,12 @@ def greedy_coverage_select(
         rows.append((r, best_id, best_gain, total))
     return spark.createDataFrame(
         rows,
-        "round int, selected_id long, gain bigint, covered_total bigint",
+        T.StructType(
+            [
+                T.StructField("round", T.IntegerType(), False),
+                T.StructField("selected_id", id_type, True),
+                T.StructField("gain", T.LongType(), True),
+                T.StructField("covered_total", T.LongType(), True),
+            ]
+        ),
     )

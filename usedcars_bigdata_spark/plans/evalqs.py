@@ -1052,9 +1052,11 @@ def rel_golden_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_doremi_reweight",
     oracle="""
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM documents
+    ), t AS (
+      SELECT * FROM t0 WHERE tok <> ''
     ), c AS (
       SELECT tok, count(*) AS n_tok FROM t GROUP BY tok
     ), tot AS (

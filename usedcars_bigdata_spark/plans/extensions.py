@@ -1376,9 +1376,11 @@ def ext_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_vocab_topk",
     oracle="""
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
       FROM documents
+    ), t AS (
+      SELECT * FROM t0 WHERE token <> ''
     ), pd AS (
       SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2
     )
@@ -1552,9 +1554,11 @@ def ext_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ext_unigram_logprob",
     oracle="""
-    WITH t AS (
+    WITH t0 AS (
       SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM documents
+    ), t AS (
+      SELECT * FROM t0 WHERE tok <> ''
     ), c AS (
       SELECT tok, count(*) AS n_tok FROM t GROUP BY tok
     ), tot AS (
@@ -1588,6 +1592,7 @@ def ext_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token, count(*) AS n_docs,
            array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings_csv
     FROM t
+    WHERE token <> ''
     GROUP BY token
     HAVING count(*) >= 2
     """,
