@@ -613,3 +613,127 @@ def test_minhash_md5_pipeline_certifies_planted_dups(spark):
     assert (1, 3) in got and (2, 3) in got
     # disjoint docs never pair
     assert not any(4 in p or 5 in p for p in got)
+
+
+# --- r9 review: NULL-content policies, parameter contracts, audit hang ---
+
+
+def test_exact_dedup_null_text_never_grouped(spark):
+    from usedcars_bigdata_spark.ext.dedup import exact_dedup, exact_dedup_stats
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        ["doc_id", "text"],
+    )
+    stats = exact_dedup_stats(df, "doc_id", "text").collect()
+    # one real dup group + two singleton NULL groups (unknown != equal)
+    assert sorted(r.n_copies for r in stats) == [1, 1, 2]
+    kept = sorted(r.doc_id for r in exact_dedup(df, "doc_id", "text").collect())
+    assert kept == [1, 3, 4]  # both NULL-text docs survive
+
+
+def test_incremental_dedup_null_text_gets_verdict(spark):
+    from usedcars_bigdata_spark.ext.dedup import incremental_exact_dedup
+
+    old = spark.createDataFrame([(1, "known")], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(10, "known"), (11, None), (12, "fresh")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r.status for r in
+           incremental_exact_dedup(old, new, "doc_id", "text").collect()}
+    # the NULL-text doc must NOT vanish from the output
+    assert out == {10: "dup_of_old", 11: "unique", 12: "unique"}
+
+
+def test_resolve_entities_null_fields_keep_their_rows(spark):
+    from usedcars_bigdata_spark.ext.dedup import resolve_entities
+
+    df = spark.createDataFrame(
+        [(1, "widget", "B1"), (2, "widgat", "B1"),
+         (3, None, "B1"), (4, "other", None)],
+        ["pid", "name", "brand"],
+    )
+    out = {r.pid: r.entity_id for r in
+           resolve_entities(df, "pid", "name", ["brand"], max_dist=2).collect()}
+    # every input row labeled; NULL-field rows are their own entities
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == out[2] == 1
+    assert out[3] == 3 and out[4] == 4
+
+
+def test_golden_record_deterministic_under_order_ties(spark):
+    from usedcars_bigdata_spark.ext.dedup import golden_record
+
+    # two versions share order=1 with different non-null values: the
+    # (order, attrs) tiebreak must pick the same winner every run
+    df = spark.createDataFrame(
+        [("e", 1, "a"), ("e", 1, "b"), ("e", 0, "z")],
+        ["ent", "o", "v"],
+    )
+    vals = {
+        golden_record(df, "ent", "o", ["v"]).first().v for _ in range(3)
+    }
+    assert vals == {"b"}  # max attr among the tied latest rows
+
+
+def test_fs_scores_null_fields_count_as_disagreement(spark):
+    from usedcars_bigdata_spark.ext.dedup import (
+        fs_agreement_patterns,
+        fs_match_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "B", "x", "t"), (2, "B", None, "t")],
+        ["pid", "blk", "name", "typ"],
+    )
+    fields = [("name", "exact", 0.9, 0.1), ("typ", "exact", 0.9, 0.1)]
+    row = fs_match_scores(df, "pid", ["blk"], fields).first()
+    assert row.n_agree == 1  # NULL name = disagreement, not NULL
+    pat = fs_agreement_patterns(df, "pid", ["blk"], [(c, k) for c, k, _, _ in fields])
+    prow = pat.first()
+    assert (prow.g1, prow.g2) == (0, 1)  # g stays in {0,1}, no NULLs
+
+
+def test_band_keys_rejects_non_divisor_bands(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.ext.dedup import (
+        band_keys,
+        minhash_lsh_md5_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    sigs = minhash_signatures(
+        word_shingles(docs, "doc_id", "text", n=2, hashed=True), "doc_id"
+    )
+    for bad in (5, 17, 0):
+        with pytest.raises(ValueError, match="divide the signature"):
+            band_keys(sigs, "doc_id", bands=bad)
+    with pytest.raises(ValueError, match="divide the signature"):
+        minhash_lsh_md5_pairs(docs, "doc_id", "text", bands=5)
+
+
+def test_lsh_observation_attaches_without_cap(spark):
+    from pyspark.sql import Observation
+
+    from usedcars_bigdata_spark.ext.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "q r s t u")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(
+        word_shingles(docs, "doc_id", "text", n=2, hashed=True), "doc_id"
+    )
+    obs = Observation()
+    pairs = lsh_candidate_pairs(sigs, "doc_id", max_bucket=None, audit=obs)
+    n = pairs.count()
+    got = obs.get  # hung forever before the fix
+    assert got["n_skipped_buckets"] == 0 and got["n_buckets"] >= 1
+    assert n >= 1

@@ -44,11 +44,23 @@ _MINHASH_SEEDS = [
 ]  # fixed (a_i, b_i), all < P
 
 
+def _content_hash(text_col: str, id_col: str) -> Column:
+    """md5(text), with NULL text mapped to a PER-DOCUMENT sentinel:
+    NULL content is UNKNOWN, not equal — md5(NULL) = NULL would
+    otherwise collapse every unscraped/failed-fetch document into one
+    'duplicate' group and delete all but one (r9 review)."""
+    return F.coalesce(
+        F.md5(F.col(text_col)),
+        F.concat(F.lit("__null__:"), F.col(id_col).cast("string")),
+    )
+
+
 def exact_dedup_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Tier 1: exact duplicate groups keyed by md5(text). Returns one row per
-    distinct content with the canonical (min) id and the copy count."""
+    distinct content with the canonical (min) id and the copy count.
+    NULL-text documents are never grouped together (see _content_hash)."""
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        df.groupBy(_content_hash(text_col, id_col).alias("content_hash"))
         .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
     )
 
@@ -330,6 +342,14 @@ def band_keys(
     generator, the bucket auditor, and the streaming near-dup detector
     (streaming/dedup.py). One narrow projection, no shuffle."""
     k = len(_MINHASH_SEEDS)
+    # bands must tile the signature exactly: a non-divisor silently
+    # ignored the trailing hashes (the s-curve no longer matched the
+    # documented 1-(1-s^(k/b))^b guarantee) and bands > k built an
+    # empty-arg xxhash64 that failed at plan time (r9 review)
+    if not 1 <= bands <= k or k % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature width {k}: got {bands}"
+        )
     rows_per_band = k // bands
     band_cols = []
     for bi in range(bands):
@@ -383,15 +403,23 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
+    if max_bucket is not None or audit is not None:
+        # the observe node also attaches in the uncapped audit=Observation
+        # case — otherwise Observation.get would block forever waiting on
+        # metrics that never registered (r9 review); with no cap,
+        # n_skipped_buckets is identically 0
+        cap = F.lit(max_bucket) if max_bucket is not None else None
         buckets = buckets.observe(
             audit if audit is not None else "lsh_bucket_audit",
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum((F.size("ids") > max_bucket).cast("long")).alias(
-                "n_skipped_buckets"
-            ),
+            (
+                F.sum((F.size("ids") > cap).cast("long"))
+                if cap is not None
+                else F.sum(F.lit(0)).cast("long")
+            ).alias("n_skipped_buckets"),
             F.max(F.size("ids")).alias("max_bucket_size"),
         )
+    if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)
     # ids are sorted, so pairing element i with every later element yields
     # (id_a < id_b) directly.
@@ -1303,8 +1331,26 @@ def resolve_entities(
     pairs = blocked_er_pairs(reps, id_col, compare_col, block_cols, max_dist)
     rep_ids = reps.select(F.col(id_col))
     comp = connected_components(rep_ids, pairs.select("id_a", "id_b"), id_col)
-    members = df.select(*b, F.col(compare_col), F.col(id_col)).join(
-        groups, [*block_cols, compare_col]
+    # NULL-SAFE join back to the group mapping: a record with NULL in
+    # the compare or a block column still belongs to its (NULL-keyed)
+    # group — groupBy keeps NULL keys but a plain name-list equi-join
+    # would drop the row, so those records silently got no entity_id
+    # at all (r9 review). eqNullSafe keeps the per-record contract:
+    # every input row labeled, NULL-valued ones as their own entity.
+    import functools
+    import operator
+
+    m = df.select(*b, F.col(compare_col), F.col(id_col)).alias("m")
+    g = groups.alias("g")
+    cond = functools.reduce(
+        operator.and_,
+        [
+            F.col(f"m.{c}").eqNullSafe(F.col(f"g.{c}"))
+            for c in [*block_cols, compare_col]
+        ],
+    )
+    members = m.join(g, cond).select(
+        F.col(f"m.{id_col}").alias(id_col), F.col("g.__rep").alias("__rep")
     )
     return members.join(
         comp.select(F.col(id_col).alias("__rep"), "component"), "__rep"
@@ -1472,11 +1518,17 @@ def incremental_exact_dedup(
     derives from ``old`` directly; swap in a saved index table for the
     steady state).
 
-    Output: (id, status, canonical_id)."""
+    Output: (id, status, canonical_id). NULL-text documents hash to a
+    per-document sentinel (see _content_hash): each gets its own
+    'unique' verdict — the r8 form's md5(NULL) = NULL key fell out of
+    the null-unsafe digest join and the row vanished from the output
+    entirely (r9 review)."""
     oh = old.select(
-        F.col(id_col), F.md5(F.col(text_col)).alias("__h")
+        F.col(id_col), _content_hash(text_col, id_col).alias("__h")
     ).groupBy("__h").agg(F.min(id_col).alias("__old_id"))
-    nh = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("__h"))
+    nh = new.select(
+        F.col(id_col), _content_hash(text_col, id_col).alias("__h")
+    )
     nmin = nh.groupBy("__h").agg(F.min(id_col).alias("__first_new"))
     return (
         nh.join(nmin, "__h")
@@ -1566,7 +1618,11 @@ def fs_match_scores(
                 F.levenshtein(a, bb, k) >= 0
             )
         weight = weight + F.when(agree, F.lit(wa)).otherwise(F.lit(wd))
-        agree_cnt = agree_cnt + agree.cast("int")
+        # NULL field values: the weight's when().otherwise() already
+        # scores them as DISAGREEMENT; coalesce keeps n_agree consistent
+        # instead of NULL-propagating through the sum on exactly the
+        # dirty pairs FS scoring exists for (r9 review)
+        agree_cnt = agree_cnt + F.coalesce(agree.cast("int"), F.lit(0))
     scored = pairs.select(
         "id_a", "id_b", agree_cnt.alias("n_agree"),
         F.round(weight, ndigits).alias("weight"),
@@ -1626,6 +1682,10 @@ def minhash_lsh_md5_pairs(
     ]
     sigs = sh.groupBy(id_col).agg(*mins)
     k = len(_MINHASH_SEEDS)
+    if not 1 <= bands <= k or k % bands != 0:
+        raise ValueError(
+            f"bands must divide the signature width {k}: got {bands}"
+        )
     rpb = k // bands
     band_structs = [
         F.struct(
@@ -1728,7 +1788,11 @@ def fs_agreement_patterns(
             agree = (F.abs(F.length(a) - F.length(bb)) <= k) & (
                 F.levenshtein(a, bb, k) >= 0
             )
-        gs.append(agree.cast("int").alias(f"g{i}"))
+        # NULL fields score as DISAGREEMENT (g = 0), keeping the
+        # documented g in {0,1} contract — a bare cast emitted NULL g
+        # columns (3^J patterns) that the EM M-step dropped from
+        # numerators while keeping in denominators (r9 review)
+        gs.append(F.coalesce(agree.cast("int"), F.lit(0)).alias(f"g{i}"))
     return (
         pairs.select(*gs)
         .groupBy(*[f"g{i}" for i in range(1, len(fields) + 1)])
@@ -1948,12 +2012,19 @@ def golden_record(
     policies (max-by-quality, source priority) swap the window function,
     not the plan shape.
 
+    Determinism under ``order_col`` TIES (same-day snapshots): the
+    window orders by (order_col, *attr_cols), so tied versions resolve
+    by attribute value rather than arbitrary shuffle order — the r8
+    order_col-only window made the golden record flip between runs on
+    tied inputs, breaking the module's bit-reproducibility convention
+    (r9 review).
+
     Output: (entity, <attr_cols...>) — one row per entity."""
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy(entity_col)
-        .orderBy(F.col(order_col).asc())
+        .orderBy(F.col(order_col).asc(), *[F.col(c).asc() for c in attr_cols])
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     picked = df.select(

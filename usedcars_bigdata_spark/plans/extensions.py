@@ -24,11 +24,12 @@ from .registry import query
 @query(
     "ext_dedup_exact",
     oracle="""
-    SELECT md5(text) AS content_hash,
+    SELECT coalesce(md5(text), '__null__:' || CAST(doc_id AS VARCHAR))
+             AS content_hash,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
     FROM documents
-    GROUP BY md5(text)
+    GROUP BY 1
     """,
 )
 def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
