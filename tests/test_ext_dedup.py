@@ -737,3 +737,19 @@ def test_lsh_observation_attaches_without_cap(spark):
     got = obs.get  # hung forever before the fix
     assert got["n_skipped_buckets"] == 0 and got["n_buckets"] >= 1
     assert n >= 1
+
+
+def test_ahash_rejects_wrong_grid_decoder(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.ext.multimodal import perceptual_ahash
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x01" * 32))], "media_id long, payload binary"
+    )
+
+    def bad_decode(payload):
+        return [float(b) for b in payload] * 8  # 256 pixels, not 64
+
+    with pytest.raises(Exception, match="exactly 64 pixels"):
+        perceptual_ahash(media, decode_fn=bad_decode).collect()

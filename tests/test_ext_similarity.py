@@ -298,3 +298,60 @@ def test_mmr_diversifies_planted_clump(spark):
     ids = [r.vec_id for r in out]
     assert ids[0] in (1, 2, 3)  # most relevant first
     assert set(ids) & {10, 11}, ids  # escaped the clump
+
+
+# --- r9 review: Arrow-batch hygiene, generic ids, honest denominators ---
+
+
+def test_ann_paths_tolerate_null_embeddings(spark):
+    from usedcars_bigdata_spark.ext.similarity import (
+        embedding_near_dup_pairs,
+        hyperplane_lsh_topk,
+        ivf_topk,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+    rows.append((99, None))  # NULL embedding — used to abort the job
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 2")
+    out = hyperplane_lsh_topk(df, q, k=3, bits=2, tables=4)
+    assert out.count() >= 1
+    assert ivf_topk(df, q, k=3, n_centroids=4).count() >= 1
+    assert embedding_near_dup_pairs(df, threshold=0.99).count() >= 0
+
+
+def test_representative_sample_empty_corpus_clear_error(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.ext.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        ivf_topk(empty, empty, k=3)
+
+
+def test_mmr_and_pq_accept_string_ids(spark):
+    from usedcars_bigdata_spark.ext.similarity import mmr_topk, pq_topk
+
+    rows = [
+        (f"doc-{i}", [float((i * 3 + j) % 7) + 0.1 for j in range(8)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    q = df.limit(1)
+    m = mmr_topk(df, q, k=3)
+    assert m.count() == 3 and m.first().vec_id.startswith("doc-")
+    p = pq_topk(df, df.filter("vec_id = 'doc-1'"), k=2, m_subspaces=2, n_codes=4)
+    assert p.count() >= 1 and p.first().query_id == "doc-1"
+
+
+def test_matryoshka_recall_small_corpus_denominator(spark):
+    from usedcars_bigdata_spark.ext.similarity import matryoshka_recall
+
+    # 4 vectors, k=5: the full-dim reference holds only 3 neighbors per
+    # query; a perfect truncated ranking must read recall 1.0, not 0.6
+    rows = [(i, [float(i + 1)] * 2 + [0.0] * 6) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r.recall for r in
+           matryoshka_recall(df, df, dims=(2,), k=5).collect()}
+    assert out[2] == 1.0

@@ -253,6 +253,15 @@ def perceptual_ahash(
             hashes = []
             for payload in pdf["payload"]:
                 px = np.asarray(fn(payload), dtype="float64")
+                if px.size != 64:
+                    # a >64-pixel decoder would shift by >= 64, which
+                    # wraps mod 64 on x86 (C UB) and silently folds
+                    # pixel i onto bit i%64 — corrupted, platform-
+                    # dependent fingerprints with no error (r9 review)
+                    raise ValueError(
+                        f"decode_fn must emit exactly 64 pixels "
+                        f"(8x8 aHash grid): got {px.size}"
+                    )
                 bits = px > px.mean()
                 word = np.uint64(0)
                 for i, b in enumerate(bits):
@@ -440,7 +449,11 @@ def vad_segments(
         .select(
             "media_id",
             F.col("n_frames").cast("bigint").alias("n_frames"),
-            F.col("n_voiced").cast("bigint").alias("n_voiced"),
+            # all-NULL rms media: sum is NULL — coalesce like the
+            # segment columns so the row reads 0 voiced, not NULL (r9)
+            F.coalesce(F.col("n_voiced"), F.lit(0))
+            .cast("bigint")
+            .alias("n_voiced"),
             F.coalesce(F.col("n_segments"), F.lit(0))
             .cast("bigint")
             .alias("n_segments"),

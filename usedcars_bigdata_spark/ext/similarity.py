@@ -66,6 +66,31 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
     return rng.randn(tables, bits, dim)
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding width from the first NON-NULL vector — probing the
+    literal first row returned d = -1 (sizeOfNull) on a NULL leading
+    embedding and the hyperplane build crashed on a negative dimension
+    (r9 review)."""
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
+    return first["d"] if first else 0
+
+
+def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Arrow-batch hygiene shared by every vectorized path: np.stack
+    needs a fixed-width batch, so ONE NULL or ragged-width embedding
+    aborted the whole job deep inside a pandas UDF while the native
+    brute-force baseline degraded gracefully (NULL cosine sorts out of
+    every top-k). Filtering the malformed rows makes the approximate
+    tiers degrade the same way the exact tier does (r9 review)."""
+    return df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+
+
 def _signature(vec_col: str, planes: np.ndarray) -> "F.Column":
     """b-bit sign signature of one LSH table as a long (native column-
     expression form: one fold per plane — kept for parity/debugging;
@@ -129,12 +154,12 @@ def hyperplane_lsh_topk(
     corpora (e.g. random-ish vectors, top-neighbor cosine ~0.3) need short
     signatures + more tables — hence the b=4/t=8 defaults."""
     if dim is None:
-        first = corpus.select(F.size(vec_col).alias("d")).first()
-        dim = first["d"] if first else 0
+        dim = _probe_dim(corpus, vec_col)
     planes = _hyperplanes(dim, bits, tables, seed)
     sig_fn = _signatures_udf(planes)
 
     def with_sigs(df: DataFrame, idal: str, vecal: str, nal: str) -> DataFrame:
+        df = _valid_vectors(df, vec_col, dim)
         renamed = df.select(
             F.col(id_col).alias(idal),
             F.col(vec_col).alias(vecal),
@@ -210,14 +235,19 @@ def embedding_near_dup_pairs(
             # Hyperplanes must match the embedding width — zip_with against
             # a wrong-width plane folds to NULL and every signature
             # degenerates to one bucket (silent O(N²)). One-row probe.
-            first = e.select(F.size(vec_col).alias("d")).first()
-            dim = first["d"] if first else 0
+            dim = _probe_dim(e, vec_col)
         planes = _hyperplanes(dim, bits, tables, seed)
         sig_fn = _signatures_udf(planes)
+        # localCheckpoint: both self-join sides consume this frame — the
+        # lazy form re-executed the Arrow signature UDF + norm fold over
+        # the full corpus once per side (the image_near_dupes double-scan
+        # class; r9 review)
         bucketed = (
-            e.select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__n"))
+            _valid_vectors(e, vec_col, dim)
+            .select(F.col(id_col), F.col(vec_col), l2_norm(vec_col).alias("__n"))
             .withColumn("__sigs", sig_fn(F.col(vec_col)))
             .select(id_col, vec_col, "__n", F.posexplode("__sigs").alias("tbl", "sig"))
+            .localCheckpoint(eager=True)
         )
         a = bucketed.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -264,7 +294,10 @@ def _representative_sample(
        through the final top-k task).
 
     The count is metadata-cheap on parquet sources; everything else
-    touches ~4·cap rows."""
+    touches ~4·cap rows. NULL embeddings are excluded up front and any
+    ragged-width stragglers are dropped post-collect (np.stack needs a
+    fixed-width sample; r9 review)."""
+    df = df.filter(F.col(vec_col).isNotNull())
     n = df.count()
     p = max(1, n // (4 * max(cap, 1)))  # expected survivors ≈ 4·cap
     gated = df.select(F.col(id_col), F.col(vec_col))
@@ -276,6 +309,15 @@ def _representative_sample(
     rows = picked.select(vec_col).limit(cap).toPandas()[vec_col].to_numpy()
     if len(rows) == 0:  # degenerate hash luck on tiny inputs — ungated fallback
         rows = df.select(vec_col).limit(cap).toPandas()[vec_col].to_numpy()
+    if len(rows) == 0:
+        # empty corpus: fail with the real cause, not an opaque
+        # np.stack 'need at least one array' five calls deep (r9 review)
+        raise ValueError(
+            "cannot fit a quantizer/basis on an empty corpus "
+            f"(no rows with a {vec_col} vector)"
+        )
+    want = len(rows[0])
+    rows = [r for r in rows if len(r) == want]
     return np.stack(rows).astype(np.float64)
 
 
@@ -361,8 +403,9 @@ def ivf_topk(
     sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
     cents = _fit_kmeans(sample, n_centroids, max_iter, seed)
     assign_fn = _assign_cells_udf(cents)
+    dim = cents.shape[1]
 
-    assigned = corpus.select(
+    assigned = _valid_vectors(corpus, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("__cn"),  # norm once per vector
@@ -379,7 +422,7 @@ def ivf_topk(
             for i, c in enumerate(centroids)
         ]
     )
-    q = queries.select(
+    q = _valid_vectors(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(vec_col).alias("__qn"),
@@ -451,7 +494,7 @@ def norm_stats_by_label(
     embeddings: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-label embedding diagnostics (L2 norm distribution)."""
-    norms = embeddings.withColumn("norm", F.sqrt(dot(vec_col, vec_col)))
+    norms = embeddings.withColumn("norm", l2_norm(vec_col))
     return norms.groupBy(label_col).agg(
         F.count("*").alias("n"),
         F.round(F.avg("norm"), 6).alias("avg_norm"),
@@ -495,11 +538,20 @@ def semantic_dedup(
     sample = _representative_sample(embeddings, id_col, vec_col, train_cap, seed)
     cents = _fit_kmeans(sample, n_clusters, max_iter, seed)
     assign_fn = _assign_cells_udf(cents)
-    assigned = embeddings.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(vec_col).alias("__n"),
-        assign_fn(F.col(vec_col)).alias("cell"),
+    # localCheckpoint: this frame feeds BOTH self-join sides AND the
+    # final kept-flag join — the lazy form ran the cell-assignment UDF
+    # + norm fold over the full corpus three times (r9 review). Rows
+    # without a valid width-matched embedding are excluded (Arrow-batch
+    # hygiene, _valid_vectors).
+    assigned = (
+        _valid_vectors(embeddings, vec_col, cents.shape[1])
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(vec_col).alias("__n"),
+            assign_fn(F.col(vec_col)).alias("cell"),
+        )
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -572,7 +624,9 @@ def pca_project(
         z = _np.round((mat - mean) @ basis, ndigits)
         return pd.Series(list(z))
 
-    return embeddings.select(F.col(id_col), project(F.col(vec_col)).alias("z"))
+    return _valid_vectors(embeddings, vec_col, basis.shape[0]).select(
+        F.col(id_col), project(F.col(vec_col)).alias("z")
+    )
 
 
 def hard_negatives(
@@ -725,10 +779,23 @@ def mmr_topk(
                 "redundancy", F.greatest(F.col("redundancy"), sim_to_new)
             )
         spark = corpus.sparkSession
+        # id type derives from the INPUT schema — hardcoding long
+        # crashed the whole greedy loop's result build on string ids
+        # (r9 review; every other op here passes ids through)
+        from pyspark.sql import types as T
+
+        id_type = corpus.schema[id_col].dataType
         return spark.createDataFrame(
             picks,
-            f"rank int, {id_col} long, relevance double, "
-            "redundancy double, mmr_score double",
+            T.StructType(
+                [
+                    T.StructField("rank", T.IntegerType(), False),
+                    T.StructField(id_col, id_type, True),
+                    T.StructField("relevance", T.DoubleType(), True),
+                    T.StructField("redundancy", T.DoubleType(), True),
+                    T.StructField("mmr_score", T.DoubleType(), True),
+                ]
+            ),
         )
     finally:
         rel.unpersist()
@@ -808,17 +875,21 @@ def pq_topk(
         return encode
 
     encode = _encode_udf()
-    encoded = corpus.select(
+    encoded = _valid_vectors(corpus, vec_col, dim).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("__cn"),
         encode(F.col(vec_col)).alias("__codes"),
     )
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    qids = np.array([r.query_id for r in qrows])
+    qrows = (
+        _valid_vectors(queries, vec_col, dim)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    # native values, not int()-cast: string/UUID ids pass through like
+    # every other op in this file (r9 review)
+    qids = [r.query_id for r in qrows]
     qmat = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     # LUT[q, s, c] = ||q_s - codebook[s][c]||^2
@@ -845,7 +916,7 @@ def pq_topk(
             dist += lut[:, s, :][:, cm[:, s]].T  # (B, Q)
         return pd.Series(list(dist))
 
-    q_axis = F.array(*[F.lit(int(q)) for q in qids])
+    q_axis = F.array(*[F.lit(q) for q in qids])
     cand = (
         encoded.withColumn("__ad", adc(F.col("__codes")))
         .select(
@@ -957,7 +1028,7 @@ def ivfpq_topk(
             out[:, s] = d.argmin(axis=1)
         return pd.Series(list(out))
 
-    index = corpus.select(
+    index = _valid_vectors(corpus, vec_col, cents.shape[1]).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("__cn"),
@@ -965,10 +1036,12 @@ def ivfpq_topk(
         encode(F.col(vec_col)).alias("__codes"),
     )
 
-    qrows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
-    qids = [int(r.query_id) for r in qrows]
+    qrows = (
+        _valid_vectors(queries, vec_col, cents.shape[1])
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .collect()
+    )
+    qids = [r.query_id for r in qrows]  # native ids — no int() cast (r9)
     qmat = np.stack([np.asarray(r.q_vec, dtype=np.float64) for r in qrows])
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     # probed cells per query: n_probe nearest centroids by RAW-SPACE
@@ -984,8 +1057,18 @@ def ivfpq_topk(
     for qi, qid in enumerate(qids):
         for cell in np.argsort(cell_d2[qi], kind="stable")[:n_probe]:
             probe_rows.append((qid, int(qi), int(cell)))
+    from pyspark.sql import types as T
+
     probes = corpus.sparkSession.createDataFrame(
-        probe_rows, "query_id long, q_idx int, __cell int"
+        probe_rows,
+        T.StructType(
+            [
+                # id type follows the input (string/UUID ids supported)
+                T.StructField("query_id", queries.schema[id_col].dataType, True),
+                T.StructField("q_idx", T.IntegerType(), False),
+                T.StructField("__cell", T.IntegerType(), False),
+            ]
+        ),
     )
     # LUT[q, s, c]
     lut = np.stack(
@@ -1112,17 +1195,25 @@ def matryoshka_recall(
     (~1e-16) cannot flip the selected set vs a fold-based oracle.
 
     Output: (dim, recall) — recall = |top-k(dim) ∩ top-k(full)| /
-    (n_queries · k), rounded."""
+    |top-k(full)|, rounded. The denominator is the SIZE of the
+    full-dimension reference set, not n_queries·k: on a corpus with
+    fewer than k+1 rows the reference holds < k neighbors per query and
+    the fixed denominator reported artificial recall loss (r9 review).
+    Ids pass through natively (no integer cast) and rows without a
+    full-width embedding are excluded (Arrow-batch hygiene)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    qrows = queries.select(id_col, vec_col).collect()
-    qids = np.array([int(r[0]) for r in qrows])
+    qrows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = np.array([r[0] for r in qrows])
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     full_dim = qmat.shape[1]
     all_dims = sorted(set(list(dims) + [full_dim]))
-    n_q = len(qids)
 
     def score(batches):
         for pdf in batches:
@@ -1153,10 +1244,13 @@ def matryoshka_recall(
                 }
             )
 
+    id_t = corpus.schema[id_col].dataType.simpleString()
     scored = (
-        corpus.select(id_col, vec_col)
+        _valid_vectors(corpus, vec_col, full_dim)
+        .select(id_col, vec_col)
         .mapInPandas(
-            score, "neighbor_id long, query_id long, dim int, cos double"
+            score,
+            f"neighbor_id {id_t}, query_id {id_t}, dim int, cos double",
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
@@ -1184,11 +1278,20 @@ def matryoshka_recall(
     axis = corpus.sparkSession.createDataFrame(
         [(int(d),) for d in all_dims if d != full_dim], "dim int"
     )
-    return axis.join(matched, "dim", "left").select(
-        "dim",
-        F.round(
-            F.coalesce(F.col("__m"), F.lit(0)) * 1.0 / (n_q * k), ndigits
-        ).alias("recall"),
+    ref_n = full.agg(F.count(F.lit(1)).alias("__ref"))
+    return (
+        axis.join(matched, "dim", "left")
+        .crossJoin(F.broadcast(ref_n))
+        .select(
+            "dim",
+            F.round(
+                F.when(
+                    F.col("__ref") > 0,
+                    F.coalesce(F.col("__m"), F.lit(0)) * 1.0 / F.col("__ref"),
+                ),
+                ndigits,
+            ).alias("recall"),
+        )
     )
 
 

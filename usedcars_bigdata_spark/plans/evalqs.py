@@ -907,7 +907,8 @@ def ext_prefix_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     -- left-join the dim axis: zero-overlap dims emit an explicit 0.0 row
     SELECT CAST(d.dim AS INTEGER) AS dim,
-           round(coalesce(m.matched, 0) / (10 * 5.0), 4) AS recall
+           round(coalesce(m.matched, 0)
+                 / (SELECT count(*) * 1.0 FROM full5), 4) AS recall
     FROM (SELECT unnest([8, 16, 32]) AS dim) d
     LEFT JOIN m ON m.dim = d.dim
     """,
