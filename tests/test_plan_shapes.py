@@ -158,7 +158,7 @@ def test_pack_shards_window_is_partitioned(spark, sf_dir):
     (hash exchange), and the only single-partition exchange feeds the
     tiny per-bucket offset window — never the corpus itself."""
     plan = plan_of(QUERIES["ext_pack_shards"](spark, sf_dir))
-    assert "hashpartitioning(__bucket" in plan
+    assert "hashpartitioning(__b#" in plan  # r9: internals renamed to __b
     # exactly one SinglePartition exchange: the n_buckets-row offset table
     assert plan.count("Exchange SinglePartition") == 1
     tiny = plan.split("Exchange SinglePartition")[1]

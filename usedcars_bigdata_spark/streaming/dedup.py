@@ -17,8 +17,39 @@ the streaming result exactly equal to batch DISTINCT.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _already_applied(state_dir: str, batch_id: int) -> bool:
+    """Replay guard for foreachBatch state folds (r9 review): a crash
+    AFTER the output/state writes but BEFORE the checkpoint offset
+    commit re-delivers the same batch_id on restart; without a marker
+    the rows double-fold into the state and double-append to the
+    output. The marker is a sidecar file updated ATOMICALLY (os.replace)
+    after the state merge; a replayed batch_id <= marker is skipped
+    whole. (The residual window — crash between the output append and
+    the marker write — duplicates at most one batch's OUTPUT rows and
+    never corrupts state; closing it fully needs a transactional table
+    format.)"""
+    marker = state_dir + ".last_batch"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            try:
+                return batch_id <= int(fh.read().strip())
+            except ValueError:
+                return False
+    return False
+
+
+def _mark_applied(state_dir: str, batch_id: int) -> None:
+    marker = state_dir + ".last_batch"
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, marker)
 
 
 def dedup_within_watermark(
@@ -75,9 +106,9 @@ def streaming_near_dup_flags(
     full corpus.
 
     Returns the StreamingQuery; flags append to ``out_dir`` as parquet
-    (id, is_near_dup)."""
-    import os
-
+    (id, is_near_dup) — EVERY batch document gets a row: documents too
+    short to shingle (< 3 words) emit is_near_dup = false rather than
+    silently no row at all (r9 review)."""
     from ..ext.dedup import (
         band_keys,
         minhash_signatures_from_arrays,
@@ -86,7 +117,7 @@ def streaming_near_dup_flags(
     from .sinks import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if batch_df.isEmpty() or _already_applied(state_dir, batch_id):
             return
         spark = batch_df.sparkSession
         sigs = minhash_signatures_from_arrays(
@@ -117,20 +148,31 @@ def streaming_near_dup_flags(
         else:
             state = None
             merged_min = batch_min
+        # Materialize ONCE: merged_min feeds the flag join AND both
+        # branches of merge_upsert — the lazy form re-ran the whole
+        # MinHash/banding pipeline plus the state-parquet read about
+        # three times per batch (r9 review), and the cut also decouples
+        # the flags plan from the state dir before the swap replaces it.
+        merged_min = merged_min.localCheckpoint(eager=True)
         # Flag docs: any band bucket whose accumulated min id is smaller.
+        # Short docs (no shingles → no bands) re-enter with false.
         flags = (
             banded.join(merged_min, ["band", "sig"])
             .groupBy(id_col)
             .agg((F.min("min_id") < F.col(id_col)).alias("is_near_dup"))
             .select(F.col(id_col), "is_near_dup")
         )
-        # Materialize flags BEFORE the state swap: the flags plan reads
-        # the state parquet, and merge_upsert atomically replaces it.
+        all_ids = batch_df.select(F.col(id_col)).distinct()
+        flags = all_ids.join(flags, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+        )
         flags.write.mode("append").parquet(out_dir)
         # Composite-key merge: only buckets touched by this batch are
         # replaced (with their accumulated min), untouched buckets are
         # carried over by merge_upsert's anti-join.
         merge_upsert(spark, state_dir, merged_min, key=["band", "sig"])
+        _mark_applied(state_dir, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -166,13 +208,16 @@ def streaming_holt_winters(
     tests/test_streaming_advanced.py.
 
     State is (key, level, trend, rn, s_hist ARRAY<double>) — O(season)
-    per key, the same bound the batch carry holds in memory."""
-    import os
-
+    per key, the same bound the batch carry holds in memory. A replayed
+    micro-batch (crash between the state merge and the checkpoint
+    commit) is SKIPPED via the _already_applied marker — the keyed
+    merge_upsert is replace-by-key, NOT idempotent under a re-fold, so
+    without the guard a replay double-advanced every recurrence (r9
+    review)."""
     from .sinks import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        if batch_df.isEmpty() or _already_applied(state_dir, batch_id):
             return
         spark = batch_df.sparkSession
         # driver-side sort: the batch is collected anyway, and a Spark
@@ -221,6 +266,7 @@ def streaming_holt_winters(
             "s_hist array<double>",
         )
         merge_upsert(spark, state_dir, new_state, key="key")
+        _mark_applied(state_dir, batch_id)
 
     # NB: the driver-side collect is per MICRO-BATCH and key-bounded in
     # this harness (5 hourly series); the scale form distributes the same

@@ -58,7 +58,20 @@ def read_event_stream(
     )
     if nanos:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    # NTZ files store the UTC wall clock of the same instants the nanos
+    # files store as epoch longs. A bare cast interprets the wall clock
+    # in the SESSION timezone, so under a non-UTC session the two
+    # layouts disagreed by the tz offset, shifting every window bucket
+    # (r9 review; latent while session.py pins UTC). convert_timezone
+    # from UTC into the current session zone first, so the subsequent
+    # cast lands on the SAME instant the nanos branch produces under
+    # ANY session timezone (verified empirically vs America/New_York).
+    return raw.withColumn(
+        "ts",
+        F.convert_timezone(
+            F.lit("UTC"), F.expr("current_timezone()"), F.col("ts")
+        ).cast("timestamp"),
+    )
 
 
 def windowed_counts(

@@ -30,6 +30,7 @@ def merge_upsert(
     atomic swap of the output directory."""
     keys = [key] if isinstance(key, str) else list(key)
     tmp = target_path + "__tmp"
+    old = target_path + "__old"
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
         kept = current.join(updates.select(*keys), on=keys, how="left_anti")
@@ -37,9 +38,22 @@ def merge_upsert(
     else:
         merged = updates
     merged.write.mode("overwrite").parquet(tmp)
+    # Swap discipline (r9 review): the r8 rmtree-then-rename left a
+    # crash window in which the target did not exist at all — and the
+    # stateful consumers treat a missing state dir as EMPTY state, so a
+    # kill at the wrong instant silently reset near-dup/HW state. Now
+    # the old dir is renamed ASIDE (target missing only between two
+    # renames of the same directory entry — the narrowest window a
+    # plain filesystem offers), the new one renamed in, and the aside
+    # copy removed last; a leftover __old from a prior crash is swept
+    # first.
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+        os.rename(target_path, old)
     os.rename(tmp, target_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def upsert_to_parquet(

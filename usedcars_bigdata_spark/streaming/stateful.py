@@ -2,8 +2,10 @@
 
 Example operator: per-user running spend tracker with anomaly flagging —
 state (n_events, total_value) persists across micro-batches per user_id;
-each batch emits rows whose `value` exceeds ``threshold_mult`` × the user's
-running mean at arrival time.
+each batch emits rows whose `value` exceeds 3.0 × the user's running
+mean at arrival time (the multiplier is a FIXED constant shared by the
+stream fold and the batch twin — both sides of the hash-parity pin must
+agree, so it is deliberately not a parameter).
 
 Why this shape: Structured Streaming's built-in aggs can't express
 "compare each event against state accumulated BEFORE it" — that needs
@@ -215,12 +217,18 @@ def streaming_sessionize_batch_twin(events: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    # microseconds, matching the stream's _GAP_US comparison and the
+    # oracle's full-precision INTERVAL — the cast-to-seconds form
+    # truncated fractional gaps and merged sessions whose true gap sat
+    # within 1s above the boundary (r9 review)
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     sess = (
         events.select("user_id", "ts", "event_id")
         .withColumn(
             "__new_s",
-            F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+            F.when(
+                gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+            ).otherwise(F.lit(0)),
         )
         .withColumn(
             "__sess",
@@ -273,15 +281,26 @@ def _make_token_bucket(rate_per_hour: int, capacity: int):
             for ev_id, t_us in zip(pdf["event_id"], tss):
                 t_us = int(t_us)
                 if last_us is not None:
+                    # clamp the refill delta at 0: a late event arriving
+                    # across micro-batches (within-batch sorting cannot
+                    # fix cross-batch order) produced a NEGATIVE delta
+                    # that drained tokens by hours of synthetic refill
+                    # and corrupted admission state permanently (r9
+                    # review); the in-order parity with the batch
+                    # recursive-CTE oracle is unchanged.
                     tokens = min(
-                        cap_s, tokens + rate_per_hour * (t_us - last_us)
+                        cap_s,
+                        tokens + rate_per_hour * max(0, t_us - last_us),
                     )
                 admitted = tokens >= scale
                 if admitted:
                     tokens -= scale
                 rn += 1
                 out.append((user_id, int(ev_id), rn, admitted, tokens))
-                last_us = t_us
+                # never rewind the refill clock: a late event must not
+                # re-credit the interval the next in-order event already
+                # refilled (pairs with the delta clamp above)
+                last_us = t_us if last_us is None else max(last_us, t_us)
         state.update((tokens, last_us, rn))
         yield _pd.DataFrame(
             out, columns=["user_id", "event_id", "rn", "admitted", "tokens"]
