@@ -1427,3 +1427,135 @@ def test_join_cardinality_exact_vs_estimate(spark):
     assert out.independence_est == 14.0
     assert out.est_over_exact == round(14 / 6, 6)
     assert (out.n_left, out.n_right, out.d_left, out.d_right) == (4, 7, 2, 2)
+
+
+# --- r9 review: join/partition/graph/sample contracts ---
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.operators.partitioning import salted_join
+
+    l = spark.createDataFrame([(1, "x")], ["k", "lv"])
+    r = spark.createDataFrame([(1, "y"), (2, "z")], ["k", "rv"])
+    # left family fine; an unmatched right row must not multiply
+    assert salted_join(l, r, "k", buckets=4, how="left").count() == 1
+    for bad in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, "k", how=bad)
+
+
+def test_bloom_audit_reports_true_build_count(spark):
+    from usedcars_bigdata_spark.operators.joins import bloom_filter_audit
+
+    build = spark.createDataFrame([(i,) for i in range(100)], ["key"])
+    probe = spark.createDataFrame([(i,) for i in range(90, 150)], ["key"])
+    row = bloom_filter_audit(build, probe, "key").first()
+    assert row.n_build_keys == 100  # was |probe ∩ build| = 10
+    assert row.n_probe_keys == 60
+
+
+def test_join_cardinality_disjoint_keys_zero_not_null(spark):
+    from usedcars_bigdata_spark.operators.joins import join_cardinality_audit
+
+    l = spark.createDataFrame([(1,), (2,)], ["k"])
+    r = spark.createDataFrame([(3,), (4,)], ["k"])
+    row = join_cardinality_audit(l, r, "k", "k").first()
+    assert row.exact_join_rows == 0 and row.est_over_exact is None
+
+
+def test_scd2_merge_null_effective_ts_not_dropped(spark):
+    from usedcars_bigdata_spark.operators.joins import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "A", 10, None, True)],
+        "k long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "B", None)], "k long, seg string, eff long"
+    )
+    out = scd2_merge(dim, upd, ["k"], ["seg"], "eff").collect()
+    segs = sorted((r.seg, r.is_current) for r in out)
+    # the changed update must be APPLIED (close A, open B) even though
+    # its effective ts is NULL — presence is a literal marker now
+    assert segs == [("A", False), ("B", True)]
+
+
+def test_resource_allocation_ignores_reverse_edges_and_loops(spark):
+    from usedcars_bigdata_spark.operators.graph import resource_allocation_topk
+
+    edges = spark.createDataFrame(
+        [(2, 5), (5, 2), (2, 2), (2, 3), (3, 5), (5, 7), (2, 7)],
+        ["u", "v"],
+    )
+    out = resource_allocation_topk(edges, "u", "v", k=10).collect()
+    pairs = {(r.node_a, r.node_b) for r in out}
+    # 2-5 exists (in both orientations) -> must NOT be predicted
+    assert (2, 5) not in pairs and (5, 2) not in pairs
+
+
+def test_label_propagation_string_ids_deterministic(spark):
+    from usedcars_bigdata_spark.operators.graph import (
+        label_propagation_unrolled,
+    )
+
+    edges = spark.createDataFrame(
+        [("u1", "u2"), ("u2", "u3"), ("u9", "u8")], ["a", "b"]
+    )
+    runs = [
+        tuple(
+            sorted(
+                (r.node, r.label)
+                for r in label_propagation_unrolled(
+                    edges, "a", "b", iterations=3
+                ).collect()
+            )
+        )
+        for _ in range(2)
+    ]
+    assert runs[0] == runs[1]  # bit-stable across runs
+    labels = dict(runs[0])
+    # the r8 -lbl tie-break cast string labels to NULL doubles; every
+    # label must now be a real node id (synchronous LPA legitimately
+    # oscillates on the isolated u8-u9 pair, so equality of the pair's
+    # labels is NOT the invariant — determinism and non-NULL are)
+    assert all(v is not None for v in labels.values())
+    # labels are real node ids from the graph, never cast artifacts
+    assert set(labels.values()) <= {"u1", "u2", "u3", "u8", "u9"}
+
+
+def test_graph_param_guards(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.operators.graph import hits_unrolled
+    from usedcars_bigdata_spark.operators.joins import interval_join
+    from usedcars_bigdata_spark.operators.partitioning import zorder_key
+
+    edges = spark.createDataFrame([(1, 2)], ["u", "v"])
+    with pytest.raises(ValueError, match="iterations"):
+        hits_unrolled(edges, "u", "v", iterations=0)
+    df9 = spark.createDataFrame(
+        [tuple(float(i) for i in range(9))], [f"c{i}" for i in range(9)]
+    )
+    with pytest.raises(ValueError, match="63 usable"):
+        zorder_key(df9, [f"c{i}" for i in range(9)], bits=8)
+    iv = spark.createDataFrame([(1, 0, 10)], ["iid", "lo", "hi"])
+    pts = spark.createDataFrame([(5,)], ["v"])
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, "v", iv, "lo", "hi", bucket_width=0)
+
+
+def test_neyman_null_values_and_constant_strata(spark):
+    from usedcars_bigdata_spark.operators.sample import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", None), ("b", 1), ("b", 9)],
+        ["s", "v"],
+    )
+    out = {r.stratum: r for r in neyman_allocation(df, "s", "v", 100).collect()}
+    assert out["a"].n_stratum == 2 and out["a"].std == 0.0  # NULL excluded
+    assert out["b"].alloc == 100  # all weight on the varying stratum
+    const = spark.createDataFrame([("a", 5), ("b", 5)], ["s", "v"])
+    crows = neyman_allocation(const, "s", "v", 100).collect()
+    assert all(r.weight is None and r.alloc is None for r in crows)

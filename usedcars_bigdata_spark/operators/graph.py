@@ -230,9 +230,13 @@ def label_propagation_unrolled(
             labels.withColumnRenamed("node", "b"), "b"
         ).select(F.col("a").alias("node"), "lbl")
         cnt = nbr.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        # lexicographic max of (count, -label) = max count, min label
+        # lexicographic MIN of (-count, label) = max count, min label.
+        # Negating the COUNT (always numeric) instead of the label keeps
+        # the tie-break valid for string node ids — the r8 -lbl form
+        # cast string labels to NULL doubles, collapsing the tie-break
+        # into run-to-run nondeterminism (r9 review)
         labels = cnt.groupBy("node").agg(
-            F.max_by("lbl", F.struct(F.col("c"), -F.col("lbl"))).alias("lbl")
+            F.min_by("lbl", F.struct(-F.col("c"), F.col("lbl"))).alias("lbl")
         )
     return labels.select("node", F.col("lbl").alias("label"))
 
@@ -313,6 +317,10 @@ def hits_unrolled(
     DESC, node ASC) — a deterministic set under the unique tie-break.
 
     Output: (rank, node, authority)."""
+    if iterations < 1:
+        # the score frame is only bound inside the loop — zero rounds
+        # crashed with an opaque AttributeError (r9 review)
+        raise ValueError(f"iterations must be >= 1: got {iterations}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
@@ -373,8 +381,21 @@ def resource_allocation_topk(
     exact integer score with (a, b) tie-break.
 
     Output: (node_a, node_b, n_common, ra_score) — ra_score = the
-    integer sum / scale, rounded to 6."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    integer sum / scale, rounded to 6.
+
+    Input hygiene (r9 review, the triangle_stats/common_neighbors rule):
+    edges are canonicalized (lo, hi), deduped, and self-loops dropped —
+    the raw-orientation anti-join let an existing (hi, lo) edge survive
+    as a 'predicted' link, and duplicate edges / self-loops corrupted
+    the degree table and every RA term derived from it."""
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
     sym = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
     # term_z = round(scale / deg(z)) as bigint: bit-identical per z in

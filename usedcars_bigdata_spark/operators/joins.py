@@ -134,6 +134,11 @@ def interval_join(
     Inner-join semantics only: an unmatched left row has no bucket match
     to preserve.
     """
+    if bucket_width <= 0:
+        # division by 0 yields NULL buckets and sequence(NULL, NULL)
+        # drops every interval — an empty result indistinguishable from
+        # 'no matches' instead of an error (r9 review)
+        raise ValueError(f"bucket_width must be positive: got {bucket_width}")
     w = float(bucket_width)
     exploded = intervals.withColumn(
         "__bucket",
@@ -222,10 +227,23 @@ def scd2_merge(
     attrs = list(attr_cols)
     cur = dim.filter(F.col(flag_col))
     hist = dim.filter(~F.col(flag_col))
-    joined = cur.alias("__c").join(updates.alias("__u"), key_list, "full_outer")
+    # literal presence markers on BOTH sides (the snapshot_diff rule this
+    # file documents): probing a data column (the r8 form used
+    # __u.eff_col) misclassifies presence when that column is
+    # legitimately NULL — an update row with NULL effective ts was
+    # silently ignored for existing keys (r9 review)
+    joined = (
+        cur.withColumn("__c_present", F.lit(1))
+        .alias("__c")
+        .join(
+            updates.withColumn("__u_present", F.lit(1)).alias("__u"),
+            key_list,
+            "full_outer",
+        )
+    )
 
-    cur_present = F.col(f"__c.{flag_col}").isNotNull()
-    upd_present = F.col(f"__u.{eff_col}").isNotNull()
+    cur_present = F.col("__c.__c_present").isNotNull()
+    upd_present = F.col("__u.__u_present").isNotNull()
     differs = None
     for a in attrs:
         d = ~F.col(f"__c.{a}").eqNullSafe(F.col(f"__u.{a}"))
@@ -572,13 +590,17 @@ def bloom_filter_audit(
     )
     agg = flagged.agg(
         F.count(F.lit(1)).alias("n_probe_keys"),
-        F.sum("member").alias("n_build_keys"),
+        # probe∩build — the fp-rate denominator's member count; NOT the
+        # build-set size (the r8 form reported this AS n_build_keys,
+        # which reads 0 on a disjoint probe; r9 review)
+        F.sum("member").alias("__n_member"),
         F.sum("passes").alias("n_pass"),
         F.sum(
             (F.col("passes") == 1).cast("int") * (1 - F.col("member"))
         ).alias("n_false_pos"),
     )
-    return agg.select(
+    bcnt = build_keys.agg(F.count(F.lit(1)).alias("n_build_keys"))
+    return agg.crossJoin(F.broadcast(bcnt)).select(
         F.lit(m_bits).cast("bigint").alias("m_bits"),
         F.lit(k_hashes).cast("bigint").alias("k_hashes"),
         F.col("n_build_keys").cast("bigint").alias("n_build_keys"),
@@ -588,7 +610,7 @@ def bloom_filter_audit(
         F.round(
             F.col("n_false_pos").cast("double")
             / F.greatest(
-                (F.col("n_probe_keys") - F.col("n_build_keys")).cast("double"),
+                (F.col("n_probe_keys") - F.col("__n_member")).cast("double"),
                 F.lit(1.0),
             ),
             6,
@@ -658,7 +680,11 @@ def join_cardinality_audit(
         F.count(F.lit(1)).alias("nr")
     )
     j = lc.join(rc, "k").agg(
-        F.sum(F.col("nl") * F.col("nr")).alias("exact_join_rows")
+        # disjoint key sets: SUM over the empty join is NULL — the
+        # documented 'exact integer' is 0 (r9 review)
+        F.coalesce(
+            F.sum(F.col("nl") * F.col("nr")), F.lit(0)
+        ).alias("exact_join_rows")
     )
     lm = lc.agg(
         F.sum("nl").alias("n_left"), F.count(F.lit(1)).alias("d_left")
@@ -677,7 +703,13 @@ def join_cardinality_audit(
         F.col("d_right").cast("bigint").alias("d_right"),
         F.col("exact_join_rows").cast("bigint").alias("exact_join_rows"),
         F.round(est, 2).alias("independence_est"),
+        # exact = 0 (no overlapping keys): the ratio is undefined —
+        # NULL, not an ANSI divide-by-zero (r9 review)
         F.round(
-            est / F.col("exact_join_rows").cast("double"), ndigits
+            F.when(
+                F.col("exact_join_rows") > 0,
+                est / F.col("exact_join_rows").cast("double"),
+            ),
+            ndigits,
         ).alias("est_over_exact"),
     )

@@ -58,7 +58,20 @@ def salted_join(
     ``left.join(right, key, how)`` for 1:N joins where right is the N=1
     side per key-salt. Use when ONE key dominates and AQE's skew split
     (enabled by default in session.py) isn't enough — e.g. null-surrogate
-    keys. Cost: right side × buckets."""
+    keys. Cost: right side × buckets.
+
+    Supported ``how``: inner / left / left_semi / left_anti — joins
+    where the replicated right side cannot duplicate output. right /
+    full joins are REJECTED: an unmatched right row exists once per
+    salt replica and would emit ``buckets`` copies (r9 review); salt the
+    other side instead."""
+    normalized = how.replace("_", "").lower()
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}:"
+            " right/full joins would duplicate unmatched right rows"
+            " once per salt replica"
+        )
     l_salted = left.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets)).cast("int"),
@@ -119,6 +132,15 @@ def zorder_key(
 
     Returns (df_with_key, key_col_name)."""
     cols = list(cols)
+    # the interleave must fit one signed long: JVM shiftleft wraps the
+    # shift amount mod 64, so bits*len(cols) > 63 would silently alias
+    # high bit positions onto low ones — column N's bits overwriting
+    # column 0's, destroying locality with no error (r9 review)
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds the 63 usable "
+            "bits of a long Morton key: lower bits or key fewer columns"
+        )
     n_buckets = 1 << bits
     if bucket_exprs is not None:
         # Contract checks (r9 ADVICE fix): a length mismatch or an

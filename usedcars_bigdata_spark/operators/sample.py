@@ -69,13 +69,23 @@ def neyman_allocation(
     allocation are arithmetic on the strata-cardinality table (population
     SD from exact moments — the only doubles are final divisions).
 
+    NULL values are excluded from BOTH the count and the moments (the
+    r8 form counted every row but summed only non-NULLs, deflating the
+    variance of NULL-bearing strata); an all-constant input (every
+    stratum zero-variance, total weight 0) emits NULL weights/allocs
+    rather than an ANSI divide-by-zero (r9 review).
+
     Output: (stratum, n_stratum, std, weight, alloc)."""
     from pyspark.sql import functions as F
 
-    m = df.groupBy(F.col(strata_col).alias("stratum")).agg(
-        F.count(F.lit(1)).alias("n_stratum"),
-        F.sum(F.col(value_col)).alias("__s"),
-        F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"),
+    m = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("stratum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_stratum"),
+            F.sum(F.col(value_col)).alias("__s"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias("__ss"),
+        )
     )
     var = (F.col("__ss") - F.col("__s") * 1.0 * F.col("__s") / F.col("n_stratum")) / F.col(
         "n_stratum"
@@ -89,8 +99,17 @@ def neyman_allocation(
             "stratum",
             "n_stratum",
             F.round("__sd", ndigits).alias("std"),
-            F.round(F.col("__w") / F.col("__wt"), ndigits).alias("weight"),
-            F.round(F.lit(total_n) * F.col("__w") / F.col("__wt"), 0)
+            F.round(
+                F.when(F.col("__wt") > 0, F.col("__w") / F.col("__wt")),
+                ndigits,
+            ).alias("weight"),
+            F.round(
+                F.when(
+                    F.col("__wt") > 0,
+                    F.lit(total_n) * F.col("__w") / F.col("__wt"),
+                ),
+                0,
+            )
             .cast("long")
             .alias("alloc"),
         )

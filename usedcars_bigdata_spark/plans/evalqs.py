@@ -933,7 +933,7 @@ def ext_matryoshka_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT source AS stratum, count(*) AS n_stratum,
              sum(n_chars) AS s, sum(n_chars * n_chars) AS ss
-      FROM documents GROUP BY 1
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
     ),
     v AS (
       SELECT stratum, n_stratum,

@@ -756,7 +756,7 @@ def ts_jarque_bera_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(8192 AS BIGINT) AS m_bits,
            CAST(4 AS BIGINT) AS k_hashes,
-           CAST(sum(member) AS BIGINT) AS n_build_keys,
+           (SELECT CAST(count(*) AS BIGINT) FROM bk) AS n_build_keys,
            CAST(count(*) AS BIGINT) AS n_probe_keys,
            CAST(sum(passes) AS BIGINT) AS n_pass,
            CAST(sum(passes * (1 - member)) AS BIGINT) AS n_false_pos,
