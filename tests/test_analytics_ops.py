@@ -1693,3 +1693,78 @@ def test_top_session_paths_subsecond_gap_matches_sessionize(spark):
              top_session_paths(df, "user_id", "ts", "event_id",
                                "event_type").collect()}
     assert paths == {"view": 1, "click": 1}  # two sessions, not 'view>click'
+
+
+def test_correlation_matrix_listwise_null_policy(spark):
+    from usedcars_bigdata_spark.operators.agg import correlation_matrix
+
+    rows = [(float(i), float(2 * i), None if i % 2 else float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {(r.col_a, r.col_b): r for r in
+           correlation_matrix(df, ["a", "b", "c"]).collect()}
+    # listwise: every pair shares the 5 complete rows
+    assert all(r.n == 5 for r in out.values())
+    assert out[("a", "b")].r == 1.0
+    # constant column -> NULL r, not a crash
+    const = spark.createDataFrame(
+        [(float(i), 5.0) for i in range(6)], "a double, b double"
+    )
+    assert correlation_matrix(const, ["a", "b"]).first().r is None
+
+
+def test_median_ci_drops_null_values(spark):
+    from usedcars_bigdata_spark.operators.agg import median_ci
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 1), ("g", 20.0, 2), ("g", 30.0, 3),
+         ("g", None, 4), ("g", None, 5)],
+        ["grp", "v", "id"],
+    )
+    row = median_ci(df, "grp", "v", "id").first()
+    assert row.n == 3 and row.median == 20.0  # NULLs no longer rank 1..k
+
+
+def test_percentiles_exact_labels_rounded(spark):
+    import pytest
+
+    from usedcars_bigdata_spark.operators.agg import percentiles_exact
+
+    cols = percentiles_exact("x", [0.29, 0.57])
+    df = spark.createDataFrame([(float(i),) for i in range(101)], ["x"])
+    row = df.agg(*cols).first()
+    # labels were p28/p56 via float truncation before the fix; values
+    # are interpolated percentiles (within float eps of the index)
+    assert abs(row.p29 - 29.0) < 1e-9 and abs(row.p57 - 57.0) < 1e-9
+    with pytest.raises(ValueError, match="collide"):
+        percentiles_exact("x", [0.281, 0.282])
+
+
+def test_profile_table_hostile_column_names(spark):
+    from usedcars_bigdata_spark.operators.agg import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["unit price", "o'clock"]
+    )
+    out = {r.col_name: r for r in profile_table(df).collect()}
+    assert out["unit price"].n_nulls == 0
+    assert out["o'clock"].n_nulls == 1
+
+
+def test_table_checksum_distinguishes_null_shift_and_delimiter(spark):
+    from usedcars_bigdata_spark.operators.agg import table_checksum
+
+    a = spark.createDataFrame(
+        [("a", None, "b")], "c1 string, c2 string, c3 string"
+    )
+    b = spark.createDataFrame(
+        [("a", "b", None)], "c1 string, c2 string, c3 string"
+    )
+    ca = table_checksum(a, ["c1", "c2", "c3"]).first()
+    cb = table_checksum(b, ["c1", "c2", "c3"]).first()
+    assert ca.checksum_a != cb.checksum_a  # column shift must move it
+    d1 = spark.createDataFrame([("a|b", "c")], ["c1", "c2"])
+    d2 = spark.createDataFrame([("a", "b|c")], ["c1", "c2"])
+    assert (
+        table_checksum(d1, ["c1", "c2"]).first().checksum_a
+        != table_checksum(d2, ["c1", "c2"]).first().checksum_a
+    )

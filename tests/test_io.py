@@ -245,7 +245,9 @@ def test_messy_csv_roundtrip_embedded_newlines_and_quotes(spark, tmp_path):
             T.StructField("price", T.LongType()),
         ]
     )
-    back = read_csv(spark, out, schema=schema)
+    # embedded newlines need the EXPLICIT multi_line opt-in (r9: it no
+    # longer rides along with permissive — multiLine kills splittability)
+    back = read_csv(spark, out, schema=schema, multi_line=True)
     got = {r["id"]: (r["description"], r["price"]) for r in back.collect()}
     want = {i: (d, p) for i, d, p in rows}
     assert got == want  # byte-lossless including the embedded newline

@@ -282,3 +282,33 @@ def test_string_indexer_frequency_desc_tie_semantics(spark):
     }
     # b most frequent -> 0; a and c tie at 2 -> alphabetical: a=1, c=2; d last
     assert mapping == {"b": 0.0, "a": 1.0, "c": 2.0, "d": 3.0}
+
+
+def test_evaluate_predictions_empty_split_nan_not_crash(spark):
+    import math
+
+    from usedcars_bigdata_spark.ml.regress import evaluate_predictions
+
+    empty = spark.createDataFrame([], "prediction double, label double")
+    m = evaluate_predictions(empty, n_features=2)
+    assert m["n"] == 0.0 and math.isnan(m["rmse"]) and math.isnan(m["r2"])
+    # n == p + 1: the adj-R2 denominator is 0 — NaN, not ZeroDivisionError
+    tiny = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 2.5), (3.0, 2.9)], "prediction double, label double"
+    )
+    m2 = evaluate_predictions(tiny, n_features=2)
+    assert math.isnan(m2["adj_r2"]) and not math.isnan(m2["r2"])
+
+
+def test_cap_categories_null_is_its_own_value(spark):
+    from usedcars_bigdata_spark.ml.features import cap_categories
+
+    rows = [(None,)] * 4 + [("x",)] * 3 + [("y",)] * 2 + [("z",)]
+    df = spark.createDataFrame(rows, ["cond"])
+    out = cap_categories(df, ["cond"], top_n=2)
+    counts = {r.cond: r.cnt for r in
+              out.groupBy("cond").agg(__import__("pyspark.sql.functions",
+              fromlist=["count"]).count("*").alias("cnt")).collect()}
+    # NULL is the most frequent value: it stays NULL (top-2 = {NULL, x})
+    assert counts.get(None) == 4 and counts.get("x") == 3
+    assert counts.get("__other") == 3  # y + z capped

@@ -34,13 +34,22 @@ def cap_categories(
             .count()
             .orderBy(F.col("count").desc(), F.col(c))
             .limit(top_n)
-            .select(c)
+            .select(F.col(c).alias("__top_v"))
             .withColumn("__keep", F.lit(True))
         )
+        # NULL-SAFE membership: the plain name join never matched NULL
+        # category values, so a 40%-NULL column was silently rewritten
+        # to '__other' even when NULL ranked in the top-N — merging
+        # missingness with rare categories and diverging from
+        # StringIndexer handleInvalid='keep' semantics (r9 review)
         out = (
-            out.join(F.broadcast(top), on=c, how="left")
+            out.join(
+                F.broadcast(top),
+                out[c].eqNullSafe(top["__top_v"]),
+                "left",
+            )
             .withColumn(c, F.when(F.col("__keep").isNull(), other).otherwise(F.col(c)))
-            .drop("__keep")
+            .drop("__keep", "__top_v")
         )
     return out
 

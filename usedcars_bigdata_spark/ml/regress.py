@@ -103,6 +103,13 @@ def evaluate_predictions(
         F.sum(F.col(label_col) * F.col(label_col)).alias("ss_label"),
     ).collect()[0]
     n = row["n"]
+    if n == 0:
+        # an empty test split (tiny demo frames + randomSplit) returned
+        # None aggregates and crashed on None*n — NaN metrics are the
+        # honest empty-evaluation answer (r9 review)
+        nan = float("nan")
+        return {"n": 0.0, "mse": nan, "rmse": nan, "mae": nan,
+                "r2": nan, "adj_r2": nan}
     sse = row["mse"] * n
     sst = row["ss_label"] - n * row["mean_label"] ** 2
     r2 = 1.0 - sse / sst if sst else float("nan")
@@ -117,7 +124,12 @@ def evaluate_predictions(
         metrics["adj_r2"] = r2  # the reference's actual (buggy) output
     else:
         p = n_features
-        metrics["adj_r2"] = 1.0 - (1.0 - r2) * (n - 1) / (n - p - 1)
+        # n <= p+1: the adjustment denominator is <= 0 — undefined
+        metrics["adj_r2"] = (
+            1.0 - (1.0 - r2) * (n - 1) / (n - p - 1)
+            if n > p + 1
+            else float("nan")
+        )
     return metrics
 
 

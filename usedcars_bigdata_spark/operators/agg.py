@@ -50,16 +50,31 @@ def median_approx(col: str, accuracy: int = 10000) -> Column:
 
 
 def percentiles_exact(col: str, ps: Sequence[float]) -> list[Column]:
-    return [F.expr(f"percentile({col}, {p})").alias(f"p{int(p * 100)}") for p in ps]
+    # int(round(...)): bare int() truncates the float grid (0.29*100 =
+    # 28.999... -> 'p28'), mislabeling columns and colliding 0.28/0.29
+    # into duplicate names (r9 review)
+    labels = [f"p{int(round(p * 100))}" for p in ps]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"percentile labels collide at 1% grid: {labels}")
+    return [
+        F.expr(f"percentile({col}, {p})").alias(lbl)
+        for p, lbl in zip(ps, labels)
+    ]
 
 
 def percent_of_total(
     df: DataFrame, count_col: str, alias: str = "percentage", ndigits: int = 2
 ) -> DataFrame:
-    """A10 scalable form: share of a count column over the grand total,
-    computed in-plan via an empty-partition window (single scalar exchange).
-    Reference computes the total with a separate collect() job
-    (data-understanding.py:229-232) — see ``percent_of_total_collected``."""
+    """A10 in-plan form: share of a count column over the grand total via
+    an empty-partition window. INPUT CONTRACT: ``df`` is an already-
+    GROUPED counts table (group-cardinality rows) — the empty window
+    plans Exchange SinglePartition, fine for a bounded table, a one-task
+    funnel on a raw fact frame (r9 review: the earlier docstring claimed
+    this 'scales' unconditionally). For a grand total over raw data,
+    aggregate first or use operators.window.global_running_sum's
+    total_col. Reference computes the total with a separate collect()
+    job (data-understanding.py:229-232) — see
+    ``percent_of_total_collected``."""
     total = F.sum(count_col).over(Window.partitionBy())
     return df.withColumn(alias, F.round(F.col(count_col) * 100 / total, ndigits))
 
@@ -100,19 +115,26 @@ def profile_table(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     Output: (col_name, n_rows, n_nulls, n_distinct, min_str, max_str)."""
     cols = list(cols) if cols is not None else list(df.columns)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    # internal aliases are INDEX-keyed, not name-keyed: a column name
+    # with a space or quote ('unit price') made the stack() expression
+    # unparseable — exactly the messy-table input this profiler exists
+    # for (r9 review); the display label is quote-escaped.
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.countDistinct(c).alias(f"__nd_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{i}"),
+            F.countDistinct(c).alias(f"__nd_{i}"),
             # min/max in the COLUMN'S OWN type, rendered after — casting
             # before the aggregate would make numeric minima lexicographic
             # ('10' < '9')
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', __nulls_{c}, __nd_{c}, __mn_{c}, __mx_{c}" for c in cols
+        "'{}', __nulls_{i}, __nd_{i}, __mn_{i}, __mx_{i}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(
@@ -160,7 +182,15 @@ def hll_sketch_rollup(
     Output: one row per group plus one ``all_label`` row, each with the
     sketch's estimate. Estimates carry HLL error (~1.6% at default lgK);
     the bound is property-tested against exact counts."""
-    per = df.groupBy(*keys).agg(F.hll_sketch_agg(col).alias("__sk"))
+    # materialize the per-group sketches: BOTH union branches consume
+    # them, and the lazy form re-ran the fact scan + sketch aggregate
+    # once per branch — the exact re-derivation kmv_set_ops guards
+    # against (r9 review); the frame is group-cardinality-sized
+    per = (
+        df.groupBy(*keys)
+        .agg(F.hll_sketch_agg(col).alias("__sk"))
+        .localCheckpoint(eager=True)
+    )
     grouped = per.select(
         *[F.col(k).cast("string").alias(k) for k in keys],
         F.hll_sketch_estimate("__sk").alias("n_distinct_est"),
@@ -215,10 +245,14 @@ def median_ci(
     order statistics; the only float is z·√n, whose floor/ceil could flip
     only at measure-zero boundaries.
 
-    Output: (group, n, median, ci_lo, ci_hi)."""
+    Output: (group, n, median, ci_lo, ci_hi). NULL values are DROPPED —
+    an order statistic of a missing value is undefined, and Spark's
+    asc ordering would seat NULLs at ranks 1..k, silently shifting
+    every pick (r9 review)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    df = df.filter(F.col(value_col).isNotNull())
     w = Window.partitionBy(group_col).orderBy(
         F.col(value_col).asc(), F.col(tiebreak_col).asc()
     )
@@ -271,9 +305,19 @@ def correlation_matrix(
     order differs between engines (~1e-13 relative at fact-table scale);
     the final r is a ratio of those sums, rounded well above the drift.
 
-    Output: (col_a, col_b, n, r)."""
+    Output: (col_a, col_b, n, r). NULL policy: LISTWISE deletion — rows
+    with a NULL in ANY value column are dropped up front, so every
+    moment shares one consistent n (the r8 form counted all rows while
+    the sums skipped NULLs, making r arbitrary — it could exceed 1 —
+    on NULL-bearing input; r9 review). A constant column yields r = NULL
+    for its pairs, not an ANSI crash."""
     from pyspark.sql import functions as F
 
+    cond = None
+    for c in value_cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    df = df.filter(cond)
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in value_cols:
         aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
@@ -291,16 +335,19 @@ def correlation_matrix(
     rows = []
     for a, b in pairs:
         num = F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
-        den = F.sqrt(
-            (F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
-            * (F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        den2 = (
+            F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * (
+            F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
         )
         rows.append(
             m.select(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 F.col("n"),
-                F.round(num / den, ndigits).alias("r"),
+                F.round(
+                    F.when(den2 > 0, num / F.sqrt(den2)), ndigits
+                ).alias("r"),
             )
         )
     out = rows[0]
@@ -615,8 +662,23 @@ def table_checksum(
     bucket and re-sum the partials mod 2^61 — same algebra). Commutative
     + associative ⇒ one map-side-combinable aggregate, any partitioning.
 
+    Rendering is COLLISION-SAFE (r9 review): per column, backslashes
+    and the '|' delimiter are escaped and NULL renders as the token
+    '\\N' (an unescaped backslash form no real value can produce), so
+    ('a', NULL, 'b') vs ('a', 'b', NULL) and ('a|b','c') vs ('a','b|c')
+    hash differently — the r8 concat_ws form silently dropped NULLs and
+    collided exactly the column-shift corruption this op exists to
+    catch.
+
     Output: (group?, n_rows, checksum_a, checksum_b)."""
-    rendered = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+
+    def _render(c: str) -> Column:
+        s = F.col(c).cast("string")
+        s = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        s = F.replace(s, F.lit("|"), F.lit("\\|"))
+        return F.coalesce(s, F.lit("\\N"))
+
+    rendered = F.concat_ws("|", *[_render(c) for c in cols])
     h = lambda salt: F.pmod(  # noqa: E731
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt), rendered)), 1, 10), 16, 10

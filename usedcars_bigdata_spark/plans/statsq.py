@@ -1961,12 +1961,19 @@ def rel_bitemporal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_table_checksum",
     oracle="""
     WITH r AS (
+      -- collision-safe rendering (matches operators.agg.table_checksum):
+      -- escape backslash and the delimiter; NULL renders as backslash-N
       SELECT o_orderpriority AS g,
-             CAST(o_orderkey AS VARCHAR) || '|'
-               || CAST(o_custkey AS VARCHAR) || '|'
-               || o_orderstatus || '|'
-               || CAST(CAST(round(o_totalprice * 100) AS BIGINT)
-                       AS VARCHAR) AS row_str
+             coalesce(replace(replace(CAST(o_orderkey AS VARCHAR),
+                                      '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+               || coalesce(replace(replace(CAST(o_custkey AS VARCHAR),
+                                           '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+               || coalesce(replace(replace(o_orderstatus,
+                                           '\\', '\\\\'), '|', '\\|'), '\\N') || '|'
+               || coalesce(replace(replace(
+                     CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), '\\', '\\\\'), '|', '\\|'), '\\N')
+               AS row_str
       FROM orders
     ),
     h AS (

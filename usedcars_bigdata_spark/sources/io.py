@@ -33,20 +33,27 @@ def read_csv(
     header: bool = True,
     infer_schema: bool = False,
     permissive: bool = True,
+    multi_line: bool = False,
 ) -> DataFrame:
     """CSV scan (S1). Explicit schema by default — ``inferSchema`` costs a
     full extra pass over the data (reference pays it at every load,
     data-understanding.py:43); pass ``infer_schema=True`` only for
-    exploration parity."""
+    exploration parity.
+
+    ``multi_line`` is its OWN opt-in (r9 review): multiLine=true makes
+    CSV files non-splittable — one task parses the whole file however
+    large the cluster — so it must never ride along silently with the
+    error-tolerance flag. Enable it only for quoted-embedded-newline
+    files (the reference's messy vehicles CSV is the canonical case)."""
     reader = spark.read.option("header", str(header).lower())
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:
         reader = reader.option("inferSchema", "true")
     if permissive:
-        reader = reader.option("mode", "PERMISSIVE").option("multiLine", "true").option(
-            "escape", '"'
-        )
+        reader = reader.option("mode", "PERMISSIVE").option("escape", '"')
+    if multi_line:
+        reader = reader.option("multiLine", "true")
     return reader.csv(path)
 
 
