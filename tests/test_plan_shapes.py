@@ -200,11 +200,15 @@ def test_dup_gram_fraction_partial_aggregates(spark, sf_dir):
 
 def test_semantic_dedup_joins_on_cell(spark, sf_dir):
     """SemDeDup: the pair search must be an equi-join on the cell id
-    (never a cartesian product), with the one declared Arrow-batched
-    assignment UDF and no row-at-a-time Python."""
+    (never a cartesian product) and never row-at-a-time Python. Since
+    the r9 single-materialization fix, the Arrow-batched assignment UDF
+    runs ONCE inside the localCheckpoint (the final plan reads the
+    materialized RDD — three lazy re-runs of the UDF was the defect),
+    so the checkpoint scan, not ArrowEvalPython, is the expected
+    downstream shape."""
     plan = plan_of(QUERIES["ext_semantic_dedup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "ArrowEvalPython" in plan  # declared vectorized assignment
+    assert "Scan ExistingRDD" in plan  # assignment materialized once
     assert "BatchEvalPython" not in plan  # no row-at-a-time fallback
 
 

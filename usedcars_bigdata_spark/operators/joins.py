@@ -571,9 +571,14 @@ def bloom_filter_audit(
         return d.select("k", (h % m_bits).cast("long").alias("pos")).distinct()
 
     bits = positions(build).select("pos").distinct()
-    build_keys = build.select(
-        F.col(key_col).cast("string").alias("k")
-    ).distinct()
+    # materialized: the membership flag join AND the build-count
+    # aggregate both read this (distinct-key-sized) table — lazy, each
+    # consumer re-scanned the build side (scan-budget test)
+    build_keys = (
+        build.select(F.col(key_col).cast("string").alias("k"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ppos = positions(probe)
     hits = ppos.join(
         F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left"
