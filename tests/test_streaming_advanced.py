@@ -106,6 +106,75 @@ def test_merge_upsert_idempotent(spark, tmp_path):
     assert got == {1: "a", 2: "b"}
 
 
+def test_merge_upsert_restores_old_after_mid_swap_crash(spark, tmp_path):
+    """r9 ADVICE: a crash between rename(target, __old) and
+    rename(__tmp, target) leaves __old holding the ONLY copy of the
+    state; the next merge_upsert must RESTORE it (fold on top of it),
+    not sweep it as leftover — sweeping reset the state to the replayed
+    batch alone."""
+    import os
+
+    target = str(tmp_path / "t3")
+    SK.merge_upsert(
+        spark, target, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), "k"
+    )
+    # Simulate the crash window: target renamed aside, new dir never
+    # renamed in (the in-flight batch's __tmp is gone with the JVM).
+    os.rename(target, target + "__old")
+    assert not os.path.exists(target)
+    # Replayed batch only carries key 2 — without the restore, key 1's
+    # accumulated row would vanish permanently.
+    SK.merge_upsert(
+        spark, target, spark.createDataFrame([(2, "B")], "k long, v string"), "k"
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B"}
+    assert not os.path.exists(target + "__old")
+    # ...and a stale __old NEXT TO an intact target is still swept, not
+    # restored over it.
+    os.makedirs(target + "__old")
+    SK.merge_upsert(
+        spark, target, spark.createDataFrame([(3, "c")], "k long, v string"), "k"
+    )
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_replay_marker_atomic_with_state_and_run_scoped(spark, tmp_path):
+    """r9 ADVICE pair: (a) the replay marker commits in the SAME rename
+    as the state (no marker-less folded state window); (b) markers are
+    namespaced by the checkpoint's query id, so reusing a state_dir with
+    a fresh checkpoint (batch ids restart at 0) does not suppress the
+    new run's early batches."""
+    import json
+    import os
+
+    from usedcars_bigdata_spark.streaming.dedup import (
+        _already_applied,
+        _replay_marker,
+    )
+
+    state = str(tmp_path / "state")
+    ck1 = str(tmp_path / "ck1")
+    os.makedirs(ck1)
+    with open(os.path.join(ck1, "metadata"), "w") as fh:
+        json.dump({"id": "run-one"}, fh)
+    updates = spark.createDataFrame([(1, "a")], "k long, v string")
+    SK.merge_upsert(spark, state, updates, "k", marker=_replay_marker(ck1, 3))
+    # marker landed INSIDE the swapped dir and is invisible to the reader
+    assert os.path.exists(os.path.join(state, "_last_batch"))
+    assert spark.read.parquet(state).count() == 1
+    assert _already_applied(state, 3, ck1)
+    assert _already_applied(state, 2, ck1)
+    assert not _already_applied(state, 4, ck1)
+    # fresh checkpoint (new query id) → stale marker must NOT suppress
+    ck2 = str(tmp_path / "ck2")
+    os.makedirs(ck2)
+    with open(os.path.join(ck2, "metadata"), "w") as fh:
+        json.dump({"id": "run-two"}, fh)
+    assert not _already_applied(state, 0, ck2)
+
+
 def test_stream_stream_interval_join(spark, sf_dir):
     """Stream-stream time-interval join matches the identical batch join
     once all input is processed."""

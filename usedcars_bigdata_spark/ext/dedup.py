@@ -409,15 +409,21 @@ def lsh_candidate_pairs(
         # metrics that never registered (r9 review); with no cap,
         # n_skipped_buckets is identically 0
         cap = F.lit(max_bucket) if max_bucket is not None else None
+        # coalesce: F.sum / F.max over an EMPTY buckets frame yield NULL,
+        # not the documented "identically 0" — e.g. when no bucket holds
+        # >= 2 ids the audit reported n_skipped_buckets = NULL (r9 ADVICE)
         buckets = buckets.observe(
             audit if audit is not None else "lsh_bucket_audit",
             F.count(F.lit(1)).alias("n_buckets"),
-            (
-                F.sum((F.size("ids") > cap).cast("long"))
-                if cap is not None
-                else F.sum(F.lit(0)).cast("long")
+            F.coalesce(
+                (
+                    F.sum((F.size("ids") > cap).cast("long"))
+                    if cap is not None
+                    else F.sum(F.lit(0)).cast("long")
+                ),
+                F.lit(0).cast("long"),
             ).alias("n_skipped_buckets"),
-            F.max(F.size("ids")).alias("max_bucket_size"),
+            F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("max_bucket_size"),
         )
     if max_bucket is not None:
         buckets = buckets.filter(F.size("ids") <= max_bucket)

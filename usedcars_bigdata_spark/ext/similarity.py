@@ -316,7 +316,15 @@ def _representative_sample(
             "cannot fit a quantizer/basis on an empty corpus "
             f"(no rows with a {vec_col} vector)"
         )
-    want = len(rows[0])
+    # Anchor the ragged-width filter on the MAJORITY width, not rows[0]
+    # (r9 ADVICE): if the first sampled vector happened to be an
+    # anomalous-width outlier, the quantizer/basis trained on the outlier
+    # dimension and _valid_vectors then silently dropped nearly the whole
+    # corpus. Ties break to the larger width for determinism.
+    from collections import Counter
+
+    counts = Counter(len(r) for r in rows)
+    want = max(counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
     rows = [r for r in rows if len(r) == want]
     return np.stack(rows).astype(np.float64)
 

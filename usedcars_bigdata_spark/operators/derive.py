@@ -31,16 +31,24 @@ def categorize_by_keywords(
     text_col: str | Column,
     categories: Sequence[tuple[str, Sequence[str]]],
     default: str,
+    lower_keywords: bool = True,
 ) -> Column:
     """U1 native rewrite: first category whose keyword list matches the
     (lowercased) text wins; NULL text → default, like the reference's
-    None-handling (data-understanding.py:131-147)."""
+    None-handling (data-understanding.py:131-147).
+
+    ``lower_keywords=False`` reproduces the reference's EXACT comparison
+    (raw keyword vs lowered text, ``kw in description.lower()``) — under
+    which a mixed-case keyword can never match. The reference's own
+    ``'carMax'`` entry (data-understanding.py:131) is dead for precisely
+    this reason; parity forms must keep it dead rather than "fix" it by
+    lowering (same reproduce-don't-repair treatment as the adj-R² bug)."""
     c = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
     cases = []
     for name, keywords in categories:
         pred = F.lit(False)
         for kw in keywords:
-            pred = pred | c.contains(kw.lower())
+            pred = pred | c.contains(kw.lower() if lower_keywords else kw)
         cases.append((pred, name))
     return when_chain(cases, default)
 

@@ -17,39 +17,61 @@ the streaming result exactly equal to batch DISTINCT.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _already_applied(state_dir: str, batch_id: int) -> bool:
-    """Replay guard for foreachBatch state folds (r9 review): a crash
-    AFTER the output/state writes but BEFORE the checkpoint offset
-    commit re-delivers the same batch_id on restart; without a marker
-    the rows double-fold into the state and double-append to the
-    output. The marker is a sidecar file updated ATOMICALLY (os.replace)
-    after the state merge; a replayed batch_id <= marker is skipped
-    whole. (The residual window — crash between the output append and
-    the marker write — duplicates at most one batch's OUTPUT rows and
-    never corrupts state; closing it fully needs a transactional table
-    format.)"""
-    marker = state_dir + ".last_batch"
-    if os.path.exists(marker):
+def _run_token(checkpoint: str) -> str:
+    """Identity of the streaming RUN a replay marker belongs to. Spark
+    writes the query id into ``<checkpoint>/metadata`` when the query
+    starts; a FRESH checkpoint (whose batch ids restart at 0) gets a
+    fresh id, so a marker left by a previous run over the same state_dir
+    can never suppress the new run's early micro-batches (r9 ADVICE: a
+    batch_id-only marker silently dropped every batch <= the stale
+    watermark). Falls back to the absolute checkpoint path when the
+    metadata file is not readable (same-path reuse then still matches,
+    which is the documented create/destroy-together contract)."""
+    meta = os.path.join(checkpoint, "metadata")
+    try:
+        with open(meta) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return os.path.abspath(checkpoint)
+
+
+def _replay_marker(checkpoint: str, batch_id: int) -> str:
+    """Marker payload committed atomically WITH the state by
+    ``merge_upsert(..., marker=...)`` — state and guard land in one
+    directory rename, so a crash can never leave folded state without
+    its marker (r9 ADVICE: the old sidecar written after the merge left
+    exactly that window, and the keyed merge is NOT idempotent under a
+    re-fold). Residual window: a crash between the OUTPUT append and the
+    state swap duplicates at most one batch's output rows; state is
+    never double-folded."""
+    return f"{_run_token(checkpoint)}\n{batch_id}"
+
+
+def _already_applied(state_dir: str, batch_id: int, checkpoint: str) -> bool:
+    """Replay guard for foreachBatch state folds: a crash AFTER the
+    state swap but BEFORE the checkpoint offset commit re-delivers the
+    same batch_id on restart; the in-state ``_last_batch`` marker (see
+    ``_replay_marker``) makes the replayed fold a whole-batch skip. Only
+    markers from the SAME run (query id) count — see ``_run_token``."""
+    marker = os.path.join(state_dir, "_last_batch")
+    if not os.path.exists(marker):
+        return False
+    try:
         with open(marker) as fh:
-            try:
-                return batch_id <= int(fh.read().strip())
-            except ValueError:
-                return False
-    return False
-
-
-def _mark_applied(state_dir: str, batch_id: int) -> None:
-    marker = state_dir + ".last_batch"
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(batch_id))
-    os.replace(tmp, marker)
+            token, _, last = fh.read().partition("\n")
+        return token == _run_token(checkpoint) and batch_id <= int(last.strip())
+    except (OSError, ValueError):
+        return False
 
 
 def dedup_within_watermark(
@@ -117,7 +139,7 @@ def streaming_near_dup_flags(
     from .sinks import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty() or _already_applied(state_dir, batch_id):
+        if batch_df.isEmpty() or _already_applied(state_dir, batch_id, checkpoint):
             return
         spark = batch_df.sparkSession
         sigs = minhash_signatures_from_arrays(
@@ -171,8 +193,13 @@ def streaming_near_dup_flags(
         # Composite-key merge: only buckets touched by this batch are
         # replaced (with their accumulated min), untouched buckets are
         # carried over by merge_upsert's anti-join.
-        merge_upsert(spark, state_dir, merged_min, key=["band", "sig"])
-        _mark_applied(state_dir, batch_id)
+        merge_upsert(
+            spark,
+            state_dir,
+            merged_min,
+            key=["band", "sig"],
+            marker=_replay_marker(checkpoint, batch_id),
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(handle)
@@ -210,14 +237,18 @@ def streaming_holt_winters(
     State is (key, level, trend, rn, s_hist ARRAY<double>) — O(season)
     per key, the same bound the batch carry holds in memory. A replayed
     micro-batch (crash between the state merge and the checkpoint
-    commit) is SKIPPED via the _already_applied marker — the keyed
-    merge_upsert is replace-by-key, NOT idempotent under a re-fold, so
-    without the guard a replay double-advanced every recurrence (r9
-    review)."""
+    commit) is SKIPPED via the _already_applied marker, which is
+    committed ATOMICALLY with the state inside merge_upsert's directory
+    swap (r9 ADVICE) — the keyed merge_upsert is replace-by-key, NOT
+    idempotent under a re-fold, so without the guard a replay
+    double-advanced every recurrence (r9 review). Markers are
+    namespaced by the checkpoint's query id, so reusing a state_dir
+    with a fresh checkpoint does not suppress the new run's early
+    batches."""
     from .sinks import merge_upsert
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty() or _already_applied(state_dir, batch_id):
+        if batch_df.isEmpty() or _already_applied(state_dir, batch_id, checkpoint):
             return
         spark = batch_df.sparkSession
         # driver-side sort: the batch is collected anyway, and a Spark
@@ -265,8 +296,13 @@ def streaming_holt_winters(
             "key string, level double, trend double, rn long, "
             "s_hist array<double>",
         )
-        merge_upsert(spark, state_dir, new_state, key="key")
-        _mark_applied(state_dir, batch_id)
+        merge_upsert(
+            spark,
+            state_dir,
+            new_state,
+            key="key",
+            marker=_replay_marker(checkpoint, batch_id),
+        )
 
     # NB: the driver-side collect is per MICRO-BATCH and key-bounded in
     # this harness (5 hourly series); the scale form distributes the same

@@ -22,15 +22,36 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     key: str | list[str],
+    marker: str | None = None,
 ) -> None:
     """Batch MERGE-by-key into a parquet directory: rows in target whose
     key (single column or composite list) appears in ``updates`` are
     replaced; new keys appended. Emulates Delta/Iceberg MERGE INTO
     (neither jar ships in this image — SURVEY.md guide note) with an
-    atomic swap of the output directory."""
+    atomic swap of the output directory.
+
+    ``marker`` (optional): a string committed ATOMICALLY with the merged
+    state as ``_last_batch`` inside the swapped directory (underscore
+    prefix → invisible to parquet readers). Stateful foreachBatch
+    consumers use it as a replay guard that can never disagree with the
+    state it guards — state and marker land in one rename (r9 ADVICE:
+    a sidecar marker written after the swap left a window in which a
+    crash replayed the batch and double-folded non-idempotent state)."""
     keys = [key] if isinstance(key, str) else list(key)
     tmp = target_path + "__tmp"
     old = target_path + "__old"
+    # Crash recovery (r10 review, r9 ADVICE): a crash BETWEEN the two
+    # renames below leaves target_path missing while __old holds the
+    # ONLY surviving copy of the accumulated state — the r9 "sweep
+    # leftover __old first" step deleted it, a silent permanent state
+    # reset. Restore __old when the target is missing; sweep it only
+    # when the target exists (then it is a superseded copy from a crash
+    # after the second rename).
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, target_path)
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
         kept = current.join(updates.select(*keys), on=keys, how="left_anti")
@@ -38,17 +59,17 @@ def merge_upsert(
     else:
         merged = updates
     merged.write.mode("overwrite").parquet(tmp)
+    if marker is not None:
+        with open(os.path.join(tmp, "_last_batch"), "w") as fh:
+            fh.write(marker)
     # Swap discipline (r9 review): the r8 rmtree-then-rename left a
     # crash window in which the target did not exist at all — and the
     # stateful consumers treat a missing state dir as EMPTY state, so a
     # kill at the wrong instant silently reset near-dup/HW state. Now
     # the old dir is renamed ASIDE (target missing only between two
     # renames of the same directory entry — the narrowest window a
-    # plain filesystem offers), the new one renamed in, and the aside
-    # copy removed last; a leftover __old from a prior crash is swept
-    # first.
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # plain filesystem offers, and recoverable: see the restore step
+    # above), the new one renamed in, and the aside copy removed last.
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
