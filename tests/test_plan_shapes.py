@@ -978,3 +978,24 @@ def test_inclusion_deps_true_fks_full_containment(spark, sf_dir):
     assert out[("lineitem.l_orderkey", "orders.o_orderkey")] == 1.0
     # nonsense direction is clearly below 1
     assert out[("orders.o_custkey", "supplier.s_suppkey")] < 1.0
+
+
+def test_projection_pipeline_prunes_scan(spark, sf_dir):
+    """rel_projection_pipeline (P1-P3/P14): the drop/select/rename chain
+    must reach the parquet scan as column pruning — ReadSchema carries
+    exactly the three surviving columns, never c_name/c_acctbal — and the
+    top-10 must fuse into TakeOrderedAndProject (no global sort)."""
+    plan = plan_of(QUERIES["rel_projection_pipeline"](spark, sf_dir))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "c_custkey" in scan[0] and "c_mktsegment" in scan[0]
+    assert "c_name" not in scan[0] and "c_acctbal" not in scan[0]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_collection_dim_join_broadcasts(spark, sf_dir):
+    """rel_collection_dim_join (S3/S4): the 5-row collection dim must join
+    as BroadcastHashJoin — no shuffle of the nation side on the join key."""
+    plan = plan_of(QUERIES["rel_collection_dim_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
