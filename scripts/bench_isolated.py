@@ -66,9 +66,45 @@ def child(name: str, sf_dir: str, reps: int, warmup: bool = True) -> None:
     print(json.dumps({"query": name, "times": times}))
 
 
+# The canonical longitudinal series (r9 verdict "what's wrong" #2): the
+# driver's same-JVM BENCH_r{N} totals are ~55% environment noise, so the
+# round-over-round performance claim is carried by THIS fixed headline
+# set, re-measured fresh-JVM at every round close into
+# BENCH_ISOLATED_r{N}.json (same schema as r9's) with an env fingerprint.
+HEADLINE = [
+    "ref_q1_avg_price_by_priority",
+    "ref_q2_median_value_by_type",
+    "ref_q3_pct_of_total",
+    "ml_linear",
+    "ml_decision_tree",
+    "ml_random_forest",
+]
+
+
+def _env_fingerprint() -> dict:
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    n_java = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        n_java += 1
+            except OSError:
+                continue
+    except OSError:
+        n_java = -1
+    return {"load1": round(load1, 2), "load5": round(load5, 2), "n_java": n_java}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument("queries", nargs="*")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--json", action="store_true", help=argparse.SUPPRESS)
@@ -79,10 +115,43 @@ def main() -> int:
         "micro-batch machinery dominates, not JIT, and warmup doubles "
         "the cost)",
     )
+    ap.add_argument(
+        "--record",
+        metavar="OUT.json",
+        help="run the fixed HEADLINE set and write the round-close record "
+        "(env fingerprint + per-query fresh-JVM min) in the "
+        "BENCH_ISOLATED_r{N}.json schema",
+    )
     args = ap.parse_args()
 
     if args.json:  # child mode: one query, print one JSON line
         child(args.queries[0], args.sf, args.reps, warmup=not args.no_warmup)
+        return 0
+
+    if args.record:
+        env = _env_fingerprint()
+        mins = {}
+        for name in args.queries or HEADLINE:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name,
+                 "--reps", str(args.reps), "--sf", args.sf, "--json"],
+                capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            mins[name] = min(r["times"])
+            print(f"{name:40s} min={mins[name]:6.3f}s runs={r['times']}")
+        record = {
+            "env": env,
+            "isolated_min_sec": dict(sorted(mins.items())),
+            "sf": float(os.path.basename(args.sf.rstrip("/")).lstrip("sf") or 0.1),
+            "what": "round-close canonical longitudinal headline series: "
+            f"fresh-JVM min of {args.reps} reps after one unrecorded warmup "
+            "per query, one JVM per query",
+        }
+        with open(args.record, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {args.record}")
         return 0
 
     for name in args.queries:

@@ -781,3 +781,20 @@ def test_ahash_rejects_wrong_grid_decoder(spark):
 
     with pytest.raises(Exception, match="exactly 64 pixels"):
         perceptual_ahash(media, decode_fn=bad_decode).collect()
+
+
+def test_er_and_pair_graph_audits_zero_on_empty(spark):
+    """r10 sweep of the r9-ADVICE NULL-on-empty class: er_block_stats,
+    the in-plan er_block_audit, and pair_graph_stats must report ZEROS,
+    not NULLs, on empty input."""
+    empty = spark.createDataFrame([], "rid long, brand string, name string")
+    r = X.er_block_stats(empty, ["brand"], max_block=10).first()
+    assert (
+        r["n_blocks"], r["n_dropped_blocks"], r["n_dropped_rows"],
+        r["max_block_size"], r["n_candidate_pairs"],
+    ) == (0, 0, 0, 0, 0)
+    no_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    g = X.pair_graph_stats(no_pairs).first()
+    assert (
+        g["n_vertices"], g["n_edges"], g["max_degree"], g["n_triangles"]
+    ) == (0, 0, 0, 0)

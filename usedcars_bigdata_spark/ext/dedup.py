@@ -596,7 +596,11 @@ def pair_graph_stats(pairs: DataFrame) -> DataFrame:
     return (
         verts.agg(F.count(F.lit(1)).alias("n_vertices"))
         .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-        .crossJoin(degrees.agg(F.max("deg").alias("max_degree")))
+        # coalesce: max over an empty degree table is NULL, not the 0 an
+        # empty graph should report (r10 sweep of the r9-ADVICE class)
+        .crossJoin(
+            degrees.agg(F.coalesce(F.max("deg"), F.lit(0)).alias("max_degree"))
+        )
         .withColumn("n_triangles", F.lit(n_tri).cast("long"))
     )
 
@@ -1207,14 +1211,18 @@ def blocked_er_pairs(
     Output: (id_a, id_b, dist) with id_a < id_b."""
     b = [F.col(c) for c in block_cols]
     sized = df.groupBy(*b).agg(F.count("*").alias("__bn"))
+    # coalesce: F.sum / F.max over an EMPTY block table yield NULL, not 0
+    # (same defect class as the lsh_bucket_audit r9 ADVICE fix)
     sized = sized.observe(
         audit if audit is not None else "er_block_audit",
         F.count(F.lit(1)).alias("n_blocks"),
-        F.sum((F.col("__bn") > max_block).cast("long")).alias("n_dropped_blocks"),
+        F.coalesce(
+            F.sum((F.col("__bn") > max_block).cast("long")), F.lit(0).cast("long")
+        ).alias("n_dropped_blocks"),
         F.coalesce(
             F.sum(F.when(F.col("__bn") > max_block, F.col("__bn"))), F.lit(0)
         ).alias("n_dropped_rows"),
-        F.max("__bn").alias("max_block_size"),
+        F.coalesce(F.max("__bn"), F.lit(0)).alias("max_block_size"),
         F.coalesce(
             F.sum(
                 F.when(
@@ -1275,13 +1283,17 @@ def er_block_stats(
     sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
         F.count(F.lit(1)).alias("n")
     )
+    # coalesce: on an EMPTY input table the audit must read all-zeros,
+    # not NULLs (same class as the lsh_bucket_audit r9 ADVICE fix)
     return sizes.agg(
         F.count(F.lit(1)).alias("n_blocks"),
-        F.sum((F.col("n") > max_block).cast("long")).alias("n_dropped_blocks"),
+        F.coalesce(
+            F.sum((F.col("n") > max_block).cast("long")), F.lit(0).cast("long")
+        ).alias("n_dropped_blocks"),
         F.coalesce(
             F.sum(F.when(F.col("n") > max_block, F.col("n"))), F.lit(0)
         ).alias("n_dropped_rows"),
-        F.max("n").alias("max_block_size"),
+        F.coalesce(F.max("n"), F.lit(0)).alias("max_block_size"),
         F.coalesce(
             F.sum(
                 F.when(

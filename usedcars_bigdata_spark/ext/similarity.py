@@ -67,16 +67,24 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding width from the first NON-NULL vector — probing the
-    literal first row returned d = -1 (sizeOfNull) on a NULL leading
-    embedding and the hyperplane build crashed on a negative dimension
-    (r9 review)."""
-    first = (
+    """Embedding width as the MAJORITY width of a bounded non-NULL sample
+    (ties → larger width). History: probing the literal first row
+    returned d = -1 (sizeOfNull) on a NULL leading embedding (r9 review);
+    probing the first NON-NULL row still let a single anomalous-width
+    leading vector set the corpus dim and _valid_vectors then dropped
+    nearly everything — the same defect class the r9 ADVICE flagged in
+    _representative_sample's rows[0] anchor (r10 sweep)."""
+    rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("d"))
-        .first()
+        .limit(1024)
+        .groupBy("d")
+        .count()
+        .collect()
     )
-    return first["d"] if first else 0
+    if not rows:
+        return 0
+    return max(rows, key=lambda r: (r["count"], r["d"]))["d"]
 
 
 def _valid_vectors(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
