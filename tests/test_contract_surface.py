@@ -20,49 +20,49 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-9 rotation (queued at round-8 close, executed this round): pin ONLY
+# Round-10 rotation (queued at round-9 close, executed this round): pin ONLY
 # the 12 ref_* parity rows; every other window slot goes to the head of the
-# never-driver-verified queue (the remainder of the round-6 additions
-# block), per the written schedule.
-ROUND9_ROTATED_IN = [
-    "ext_prefix_filter_jaccard",
-    "ext_matryoshka_recall",
-    "rel_neyman_allocation",
-    "rel_golden_record",
-    "ext_doremi_reweight",
-    "rel_median_ci",
-    "ts_rate_limit_tokens",
-    "rel_correlation_matrix",
-    "ml_learning_curve",
-    "ml_conformal_intervals",
-    "ts_shapley_attribution",
-    "ts_theil_sen_trend",
-    "ml_loso_influence",
-    "ts_decayed_topk",
-    "rel_l_diversity",
-    "ext_source_centroid_sim",
-    "ts_stream_rate_limit",
-    "rel_salted_agg",
-    "ts_interval_union_time",
-    "ts_backtest_snaive",
-    "rel_share_of_parent",
-    "rel_tail_contribution",
-    "rel_graph_period_diff",
-    "ts_local_peaks",
-    "ts_hourly_percentile_bands",
-    "ts_semi_additive_monthly",
-    "ts_growth_accounting",
-    "ext_dupgraph_transitivity",
-    "rel_fulfillment_latency",
-    "ext_doc_novelty",
-    "ts_retention_halflife",
-    "rel_rank_movers",
-    "ml_loco_importance",
-    "ml_pr_auc",
-    "ml_best_f1_threshold",
-    "ts_velocity_features",
-    "ml_ece",
-    "ml_kfold_cv",
+# never-driver-verified queue (ts_stl_strength .. ml_nb_metrics), per the
+# written schedule.
+ROUND10_ROTATED_IN = [
+    "ts_stl_strength",
+    "ts_ab_srm",
+    "ts_resample_locf",
+    "rel_compaction_plan",
+    "ext_vocab_coverage_curve",
+    "ts_max_drawdown",
+    "ml_residual_diagnostics",
+    "ts_current_streaks",
+    "rel_weighted_median",
+    "rel_hhi_concentration",
+    "ts_atypical_users",
+    "rel_group_mean_impute",
+    "ts_mix_shift_tv",
+    "ml_brier_decomposition",
+    "ts_ingestion_order_audit",
+    "rel_spearman_corr",
+    "ts_mann_whitney",
+    "ts_kendall_tau",
+    "ts_acf_lags",
+    "ml_ndcg_mrr",
+    "rel_ddsketch_quantiles",
+    "rel_graph_kcore",
+    "ts_hits_scores",
+    "ext_rouge_recall",
+    "ts_permutation_test",
+    "rel_kruskal_wallis",
+    "ts_jarque_bera",
+    "rel_link_prediction_ra",
+    "rel_graph_assortativity",
+    "rel_bloom_join_prune",
+    "ml_naive_bayes",
+    "ts_periodogram",
+    "ts_rolling_corr",
+    "ml_map_at_k",
+    "ext_flesch_readability",
+    "ts_stream_topk",
+    "ext_video_shot_cuts",
+    "ml_nb_metrics",
 ]
 
 DRIVER_WINDOW = 50
@@ -95,13 +95,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round9_rotation_window_membership():
+def test_round10_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND9_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND10_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND9_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND10_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():
