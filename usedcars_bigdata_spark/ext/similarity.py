@@ -346,14 +346,26 @@ def _fit_kmeans(sample: np.ndarray, k: int, max_iter: int, seed: int) -> np.ndar
     rng = np.random.default_rng(seed)
     n = len(sample)
     k = min(k, n)
+    # k-means++ init with an INCREMENTAL nearest-center distance: each new
+    # center costs one (n × dim) pass and an elementwise min against the
+    # running D². The previous form rebuilt the full (n × centers × dim)
+    # broadcast-difference tensor EVERY step — O(k²·n·dim) flops plus a
+    # fresh multi-hundred-MB temporary per step, measured 105s at the
+    # sqrt(N) sizing rule's k=141 on the 4096-row training cap (the r10
+    # ANN 100× probe caught it; k=16 default hid it). Same draws: the
+    # per-center distance uses the identical elementwise expression, and
+    # min is exact, so d2 — and every rng.choice probability — is
+    # bit-identical to the old form.
     cents = sample[rng.integers(n)][None, :]
+    d2 = ((sample - cents[0]) ** 2).sum(-1)
     for _ in range(k - 1):  # k-means++: sample next center ∝ D²
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(axis=1)
         tot = d2.sum()
         if tot <= 0:
-            cents = np.vstack([cents, sample[rng.integers(n)]])
-            continue
-        cents = np.vstack([cents, sample[rng.choice(n, p=d2 / tot)]])
+            nxt = sample[rng.integers(n)]
+        else:
+            nxt = sample[rng.choice(n, p=d2 / tot)]
+        cents = np.vstack([cents, nxt])
+        d2 = np.minimum(d2, ((sample - nxt) ** 2).sum(-1))
     for _ in range(max_iter):
         d = (sample**2).sum(1)[:, None] - 2 * sample @ cents.T + (cents**2).sum(1)[None, :]
         lab = d.argmin(axis=1)
@@ -428,15 +440,19 @@ def ivf_topk(
         assign_fn(F.col(vec_col)).alias("__cell"),
     )
 
-    centroids = [[float(x) for x in c] for c in cents]
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(v) for v in c]).alias("cvec"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+    # Centroid table as a broadcast DATAFRAME, not inline literals: the
+    # earlier F.array-of-struct-of-lit form embedded n_centroids × dim
+    # literal expressions in the plan, and Catalyst/codegen compile time
+    # exploded with the index size — measured 62s END-TO-END at 20k
+    # vectors / 141 centroids (the sqrt(N) sizing rule) where execution
+    # is milliseconds; the r10 ANN 100× probe caught it. A 256-row
+    # createDataFrame broadcast carries the same geometry with a
+    # constant-size plan (probe_ann_100x.py: 62s → ~3s at the same size).
+    cents_df = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "__cc int, cvec array<double>",
+        )
     )
     q = _valid_vectors(queries, vec_col, dim).select(
         F.col(id_col).alias("query_id"),
@@ -448,9 +464,9 @@ def ivf_topk(
     # assignment cannot diverge when corpus norms vary (round-5 advice:
     # a cosine probe against Euclidean-assigned cells loses recall)
     qc = (
-        q.withColumn("c", F.explode(cent_arr))
-        .withColumn("cell_d2", sq_dist("q_vec", F.col("c.cvec")))
-        .select("query_id", "q_vec", "__qn", F.col("c.cell").alias("__cell"), "cell_d2")
+        q.crossJoin(cents_df)
+        .withColumn("cell_d2", sq_dist("q_vec", F.col("cvec")))
+        .select("query_id", "q_vec", "__qn", F.col("__cc").alias("__cell"), "cell_d2")
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("cell_d2").asc(), F.col("__cell").asc()
