@@ -65,10 +65,18 @@ def gen_embeddings(spark, n: int, path: str) -> None:
             / 1000.0
             - 1.0
         )
+        # ±0.4 per-dim noise: clusters stay well separated (inter-centroid
+        # L2 ≈ 6.5 in 64-d vs noise norm ≈ 1.85) while WITHIN-cluster
+        # neighbor ordering carries enough signal to exceed PQ's
+        # quantization error. The first cut used ±0.05 and IVFPQ recall
+        # collapsed to refine·k/cluster_size — not a code defect but the
+        # PQ resolution floor: when within-cluster variation is far below
+        # quantization error, ADC distances tie across the whole cell and
+        # the rerank set is an arbitrary sample (see SCALING.md).
         noise = (
-            F.pmod(F.xxhash64(F.lit("noise"), F.col("vec_id"), F.lit(d)), F.lit(101))
+            F.pmod(F.xxhash64(F.lit("noise"), F.col("vec_id"), F.lit(d)), F.lit(801))
             / 1000.0
-            - 0.05
+            - 0.4
         )
         dims.append((cent + noise).cast("float"))
     df.select(
@@ -88,6 +96,28 @@ def recall_at_k(got_df, truth_df) -> float:
     return round(hits / total, 4) if total else 0.0
 
 
+def timed_min(build, reps: int = 2):
+    """One UNRECORDED warmup execution (JIT + whole-stage codegen —
+    measured 2-5× on these tiers; the scale_probe_dedup.py lesson), then
+    min-of-reps timed executions. Each rep unpersists its result BEFORE
+    the next build: a rebuilt identical plan otherwise hits Spark's
+    CacheManager via plan canonicalization and the 'rep' times a count
+    over ~500 cached rows (measured: 200k brute 'ran' in 1.19s that way —
+    faster than 20k — before this blocking unpersist was added).
+    Returns (min_seconds, last_result_df persisted)."""
+    build().count()  # warmup, unrecorded (not persisted — no cache trap)
+    best, df = None, None
+    for i in range(reps):
+        t0 = time.time()
+        df = build().persist()
+        df.count()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+        if i < reps - 1:
+            df.unpersist(blocking=True)
+    return round(best, 2), df
+
+
 def probe(spark, n: int) -> dict:
     path = f"/tmp/probe_ann_emb_{n}"
     if not os.path.exists(path):
@@ -104,29 +134,33 @@ def probe(spark, n: int) -> dict:
     bits = max(4, int(math.log2(n / 500)))
     n_centroids = max(16, int(math.sqrt(n)))
 
-    t0 = time.time()
-    truth = SIM.brute_force_topk(corpus, queries, k=K).persist()
-    n_truth = truth.count()
-    out["brute_s"] = round(time.time() - t0, 2)
-    assert n_truth == N_QUERIES * K
+    out["brute_s"], truth = timed_min(
+        lambda: SIM.brute_force_topk(corpus, queries, k=K)
+    )
+    assert truth.count() == N_QUERIES * K
 
-    t0 = time.time()
-    lsh = SIM.hyperplane_lsh_topk(
-        corpus, queries, k=K, bits=bits, tables=8
-    ).persist()
-    lsh.count()
-    out["lsh_s"] = round(time.time() - t0, 2)
+    out["lsh_s"], lsh = timed_min(
+        lambda: SIM.hyperplane_lsh_topk(corpus, queries, k=K, bits=bits, tables=8)
+    )
     out["lsh_bits"] = bits
     out["lsh_recall"] = recall_at_k(lsh, truth)
 
-    t0 = time.time()
-    ivf = SIM.ivf_topk(
-        corpus, queries, k=K, n_centroids=n_centroids, n_probe=8
-    ).persist()
-    ivf.count()
-    out["ivf_s"] = round(time.time() - t0, 2)
+    out["ivf_s"], ivf = timed_min(
+        lambda: SIM.ivf_topk(corpus, queries, k=K, n_centroids=n_centroids, n_probe=8)
+    )
     out["ivf_centroids"] = n_centroids
     out["ivf_recall"] = recall_at_k(ivf, truth)
+
+    # IVFPQ at FAISS-shaped settings: 256-code byte codebooks over 8
+    # subspaces — exercises the (now O(k·n·dim)) codebook fits at their
+    # production size alongside the sqrt(N) coarse quantizer.
+    out["ivfpq_s"], ivfpq = timed_min(
+        lambda: SIM.ivfpq_topk(
+            corpus, queries, k=K, n_centroids=n_centroids, n_probe=8,
+            m_subspaces=8, n_codes=256, refine=4,
+        )
+    )
+    out["ivfpq_recall"] = recall_at_k(ivfpq, truth)
     return out
 
 
@@ -142,7 +176,7 @@ def main() -> None:
             )
             results[n] = json.loads(proc.stdout.strip().splitlines()[-1])
             print(n, json.dumps(results[n]))
-        for tier in ("brute_s", "lsh_s", "ivf_s"):
+        for tier in ("brute_s", "lsh_s", "ivf_s", "ivfpq_s"):
             r = results[200_000][tier] / max(results[20_000][tier], 1e-9)
             print(f"10x->100x wall ratio {tier}: {r:.2f}x (10x data; linear = 10x)")
         return
