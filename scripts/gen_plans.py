@@ -126,6 +126,14 @@ SHOWCASE = [
      "Grid-pruned spatial join: the point side joins a BROADCAST candidate "
      "cell table on its single integer cell key and never shuffles; exact "
      "haversine only on candidates."),
+    ("rel_projection_pipeline",
+     "P1-P3/P14 projection chain collapses into the scan: ReadSchema "
+     "carries exactly the three surviving columns (c_name/c_acctbal never "
+     "read), and the keyed top-10 fuses into TakeOrderedAndProject."),
+    ("rel_collection_dim_join",
+     "Explicit-StructType collection dim (S3/S4) joins as "
+     "BroadcastHashJoin from a LocalTableScan — the nation side is never "
+     "shuffled for a 5-row driver-built dimension."),
 ]
 
 
