@@ -377,3 +377,19 @@ def test_matryoshka_recall_small_corpus_denominator(spark):
     out = {r.dim: r.recall for r in
            matryoshka_recall(df, df, dims=(2,), k=5).collect()}
     assert out[2] == 1.0
+
+
+def test_lsh_bits_packing_bound(spark):
+    """r10 sweep: signature bits pack as 1<<b into a signed long — at
+    bits=64 the numpy weight table wraps NEGATIVE silently and buckets
+    collide wrongly with no error. The contract must fail loudly."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match=r"\[1, 63\]"):
+        SIM.hyperplane_lsh_topk(df, df.limit(1), k=1, bits=64)
+    # boundary value is accepted
+    assert SIM._hyperplanes(2, 63, 1).shape == (1, 63, 2)

@@ -62,6 +62,12 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    if not 1 <= bits <= 63:
+        # bit b packs as 1<<b into a signed long; at bits=64 numpy's
+        # weight table wraps NEGATIVE silently (verified: 1<<63 → int64
+        # min) and signatures collide wrongly with no error. 63 sign
+        # bits is far past any useful selectivity anyway (2^63 buckets).
+        raise ValueError(f"bits must be in [1, 63] to pack into a long, got {bits}")
     rng = np.random.RandomState(seed)
     return rng.randn(tables, bits, dim)
 
