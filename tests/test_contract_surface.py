@@ -20,49 +20,50 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-10 rotation (queued at round-9 close, executed this round): pin ONLY
+# Round-11 rotation (queued at round-10 close, executed this round): pin ONLY
 # the 12 ref_* parity rows; every other window slot goes to the head of the
-# never-driver-verified queue (ts_stl_strength .. ml_nb_metrics), per the
-# written schedule.
-ROUND10_ROTATED_IN = [
-    "ts_stl_strength",
-    "ts_ab_srm",
-    "ts_resample_locf",
-    "rel_compaction_plan",
-    "ext_vocab_coverage_curve",
-    "ts_max_drawdown",
-    "ml_residual_diagnostics",
-    "ts_current_streaks",
-    "rel_weighted_median",
-    "rel_hhi_concentration",
-    "ts_atypical_users",
-    "rel_group_mean_impute",
-    "ts_mix_shift_tv",
-    "ml_brier_decomposition",
-    "ts_ingestion_order_audit",
-    "rel_spearman_corr",
-    "ts_mann_whitney",
-    "ts_kendall_tau",
-    "ts_acf_lags",
-    "ml_ndcg_mrr",
-    "rel_ddsketch_quantiles",
-    "rel_graph_kcore",
-    "ts_hits_scores",
-    "ext_rouge_recall",
-    "ts_permutation_test",
-    "rel_kruskal_wallis",
-    "ts_jarque_bera",
-    "rel_link_prediction_ra",
-    "rel_graph_assortativity",
-    "rel_bloom_join_prune",
-    "ml_naive_bayes",
-    "ts_periodogram",
-    "ts_rolling_corr",
-    "ml_map_at_k",
-    "ext_flesch_readability",
-    "ts_stream_topk",
-    "ext_video_shot_cuts",
-    "ml_nb_metrics",
+# never-driver-verified queue, with the two oracle-backed LLM-pipeline
+# flagships (ext_dedup_minhash_md5, ext_dedup_simhash) front-loaded per the
+# r10 VERDICT.
+ROUND11_ROTATED_IN = [
+    "ext_dedup_minhash_md5",
+    "ext_dedup_simhash",
+    "ml_gini_feature_rank",
+    "rel_simpson_diversity",
+    "ts_ljung_box",
+    "rel_zonemap_prune_audit",
+    "ext_audio_vad_segments",
+    "rel_kmv_set_ops",
+    "ext_code_prose_detect",
+    "ml_pinball_loss",
+    "rel_bitemporal_asof",
+    "rel_table_checksum",
+    "ts_hurst_exponent",
+    "ml_mutual_info_rank",
+    "ts_haar_energy",
+    "ts_ar2_fit",
+    "ts_changepoint_binseg",
+    "rel_t_closeness",
+    "ext_quality_rule_overlap",
+    "ts_stream_kmv",
+    "rel_graph_bfs_layers",
+    "ml_class_balance",
+    "ml_mrmr_rank",
+    "ts_runs_test",
+    "ts_turning_points",
+    "ext_span_corruption",
+    "ext_coverage_select",
+    "ts_pattern_vshape",
+    "ts_did_estimator",
+    "rel_inclusion_deps",
+    "rel_bucketed_join",
+    "ts_markov_entropy",
+    "ts_slo_burn_alerts",
+    "rel_join_cardinality_audit",
+    "ext_fs_em_weights",
+    "ts_stream_left_outer",
+    "ts_ewma_smooth",
+    "ts_purged_splits",
 ]
 
 DRIVER_WINDOW = 50
@@ -95,13 +96,13 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round10_rotation_window_membership():
+def test_round11_rotation_window_membership():
     window = list(QUERIES)[:DRIVER_WINDOW]
     refs = [n for n in window if n.startswith("ref_")]
     assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND10_ROTATED_IN if n not in window]
+    missing = [n for n in ROUND11_ROTATED_IN if n not in window]
     assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND10_ROTATED_IN) == DRIVER_WINDOW - 12
+    assert len(ROUND11_ROTATED_IN) == DRIVER_WINDOW - 12
 
 
 def test_window_is_fully_oracle_backed():
