@@ -175,6 +175,92 @@ def test_replay_marker_atomic_with_state_and_run_scoped(spark, tmp_path):
     assert not _already_applied(state, 0, ck2)
 
 
+def test_merge_upsert_carries_marker_forward_when_none(spark, tmp_path):
+    """r10 ADVICE: a marker-less merge_upsert into a target whose
+    previous swap committed a _last_batch (a plain upsert_to_parquet
+    pointed at a stateful consumer's state_dir) must carry the existing
+    marker into the new state, not silently strip the replay guard."""
+    import os
+
+    target = str(tmp_path / "t4")
+    u1 = spark.createDataFrame([(1, "a")], "k long, v string")
+    SK.merge_upsert(spark, target, u1, "k", marker="run-x\n7")
+    # marker-less follow-up merge (different caller, same target)
+    SK.merge_upsert(
+        spark, target, spark.createDataFrame([(2, "b")], "k long, v string"), "k"
+    )
+    with open(os.path.join(target, "_last_batch")) as fh:
+        assert fh.read() == "run-x\n7"
+    # ...and an explicit marker still overwrites it.
+    SK.merge_upsert(spark, target, u1, "k", marker="run-x\n8")
+    with open(os.path.join(target, "_last_batch")) as fh:
+        assert fh.read() == "run-x\n8"
+
+
+def test_recover_restores_before_handler_reads(spark, tmp_path):
+    """r10 ADVICE (medium): the mid-swap-crash restore must be callable
+    BEFORE the handler's replay check and state read — recover() is that
+    entry point. After recover(), the state dir holds the surviving
+    __old copy (marker included), so _already_applied sees the committed
+    marker and the batch folds against the recovered state rather than
+    empty state."""
+    import json
+    import os
+
+    from usedcars_bigdata_spark.streaming.dedup import _already_applied
+    from usedcars_bigdata_spark.streaming.sinks import recover
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    with open(os.path.join(ck, "metadata"), "w") as fh:
+        json.dump({"id": "run-r"}, fh)
+    state = str(tmp_path / "state")
+    SK.merge_upsert(
+        spark,
+        state,
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        "k",
+        marker="run-r\n5",
+    )
+    # crash window: state renamed aside, new dir never renamed in
+    os.rename(state, state + "__old")
+    # the r10 defect: os.path.exists(state) is False here, so a handler
+    # reading state directly would fold against EMPTY state
+    assert not os.path.exists(state)
+    recover(state)
+    assert os.path.exists(state)
+    assert not os.path.exists(state + "__old")
+    assert {r["k"]: r["v"] for r in spark.read.parquet(state).collect()} == {1: "a"}
+    assert _already_applied(state, 5, ck)
+    # idempotent: recover with nothing to do is a no-op
+    recover(state)
+    assert spark.read.parquet(state).count() == 1
+
+
+def test_run_token_cached_per_handler(tmp_path):
+    """r10 ADVICE: _RunToken resolves the checkpoint's query id ONCE and
+    keeps answering it even if the metadata file later becomes
+    unreadable — the marker write and the replay check can never use
+    different tokens within one run."""
+    import json
+    import os
+
+    from usedcars_bigdata_spark.streaming.dedup import _RunToken
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    with open(os.path.join(ck, "metadata"), "w") as fh:
+        json.dump({"id": "stable-id"}, fh)
+    tok = _RunToken(ck)
+    assert tok.get() == "stable-id"
+    os.remove(os.path.join(ck, "metadata"))  # transient unreadability
+    assert tok.get() == "stable-id"
+    # an uncached resolution would now fall back to the path form
+    from usedcars_bigdata_spark.streaming.dedup import _run_token
+
+    assert _run_token(ck) == os.path.abspath(ck)
+
+
 def test_stream_stream_interval_join(spark, sf_dir):
     """Stream-stream time-interval join matches the identical batch join
     once all input is processed."""

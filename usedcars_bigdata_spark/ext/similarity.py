@@ -79,11 +79,16 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int:
     probing the first NON-NULL row still let a single anomalous-width
     leading vector set the corpus dim and _valid_vectors then dropped
     nearly everything — the same defect class the r9 ADVICE flagged in
-    _representative_sample's rows[0] anchor (r10 sweep)."""
+    _representative_sample's rows[0] anchor (r10 sweep). The vote counts
+    the FULL column, not a limit() sample: an unordered limit feeds
+    whichever partitions answer first, so on a near-even width split the
+    inferred dim — and therefore which rows _valid_vectors keeps — could
+    differ between runs (r10 ADVICE). One narrow size() scan + a
+    ≤#distinct-widths shuffle is the price of a deterministic answer,
+    and every caller is about to scan the vector column in full anyway."""
     rows = (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.size(vec_col).alias("d"))
-        .limit(1024)
         .groupBy("d")
         .count()
         .collect()

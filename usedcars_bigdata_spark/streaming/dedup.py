@@ -45,7 +45,29 @@ def _run_token(checkpoint: str) -> str:
     return os.path.abspath(checkpoint)
 
 
-def _replay_marker(checkpoint: str, batch_id: int) -> str:
+class _RunToken:
+    """Resolve the run token ONCE per handler and reuse it for every
+    marker write and replay check in that run (r10 ADVICE): if the
+    metadata read succeeds when the marker is written but falls back to
+    the path form when ``_already_applied`` later checks it (transient
+    OSError), the tokens mismatch and the replay guard silently
+    disengages. Resolution is deferred to first use — Spark writes
+    ``<checkpoint>/metadata`` at query start, i.e. before the first
+    micro-batch reaches the handler."""
+
+    def __init__(self, checkpoint: str) -> None:
+        self._checkpoint = checkpoint
+        self._token: str | None = None
+
+    def get(self) -> str:
+        if self._token is None:
+            self._token = _run_token(self._checkpoint)
+        return self._token
+
+
+def _replay_marker(
+    checkpoint: str, batch_id: int, token: str | None = None
+) -> str:
     """Marker payload committed atomically WITH the state by
     ``merge_upsert(..., marker=...)`` — state and guard land in one
     directory rename, so a crash can never leave folded state without
@@ -53,23 +75,32 @@ def _replay_marker(checkpoint: str, batch_id: int) -> str:
     exactly that window, and the keyed merge is NOT idempotent under a
     re-fold). Residual window: a crash between the OUTPUT append and the
     state swap duplicates at most one batch's output rows; state is
-    never double-folded."""
-    return f"{_run_token(checkpoint)}\n{batch_id}"
+    never double-folded. Handlers pass ``token`` from a per-run
+    ``_RunToken`` so the write and every later check use ONE resolution
+    (r10 ADVICE)."""
+    return f"{token or _run_token(checkpoint)}\n{batch_id}"
 
 
-def _already_applied(state_dir: str, batch_id: int, checkpoint: str) -> bool:
+def _already_applied(
+    state_dir: str,
+    batch_id: int,
+    checkpoint: str,
+    token: str | None = None,
+) -> bool:
     """Replay guard for foreachBatch state folds: a crash AFTER the
     state swap but BEFORE the checkpoint offset commit re-delivers the
     same batch_id on restart; the in-state ``_last_batch`` marker (see
     ``_replay_marker``) makes the replayed fold a whole-batch skip. Only
-    markers from the SAME run (query id) count — see ``_run_token``."""
+    markers from the SAME run (query id) count — see ``_run_token`` /
+    ``_RunToken``."""
     marker = os.path.join(state_dir, "_last_batch")
     if not os.path.exists(marker):
         return False
     try:
         with open(marker) as fh:
-            token, _, last = fh.read().partition("\n")
-        return token == _run_token(checkpoint) and batch_id <= int(last.strip())
+            written, _, last = fh.read().partition("\n")
+        expect = token or _run_token(checkpoint)
+        return written == expect and batch_id <= int(last.strip())
     except (OSError, ValueError):
         return False
 
@@ -136,10 +167,21 @@ def streaming_near_dup_flags(
         minhash_signatures_from_arrays,
         shingle_arrays,
     )
-    from .sinks import merge_upsert
+    from .sinks import merge_upsert, recover
+
+    run_token = _RunToken(checkpoint)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty() or _already_applied(state_dir, batch_id, checkpoint):
+        # Recover BEFORE the replay check and the state read (r10
+        # ADVICE): after a mid-swap crash the state this batch must fold
+        # against lives in state_dir + "__old"; folding against the
+        # missing/empty target and letting merge_upsert restore __old
+        # afterwards silently regresses every batch-touched bucket min.
+        recover(state_dir)
+        token = run_token.get()
+        if batch_df.isEmpty() or _already_applied(
+            state_dir, batch_id, checkpoint, token=token
+        ):
             return
         spark = batch_df.sparkSession
         sigs = minhash_signatures_from_arrays(
@@ -198,7 +240,7 @@ def streaming_near_dup_flags(
             state_dir,
             merged_min,
             key=["band", "sig"],
-            marker=_replay_marker(checkpoint, batch_id),
+            marker=_replay_marker(checkpoint, batch_id, token=token),
         )
 
     return (
@@ -245,10 +287,22 @@ def streaming_holt_winters(
     namespaced by the checkpoint's query id, so reusing a state_dir
     with a fresh checkpoint does not suppress the new run's early
     batches."""
-    from .sinks import merge_upsert
+    from .sinks import merge_upsert, recover
+
+    run_token = _RunToken(checkpoint)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty() or _already_applied(state_dir, batch_id, checkpoint):
+        # Recover BEFORE the replay check and the state read (r10
+        # ADVICE): a mid-swap crash leaves the surviving state in
+        # state_dir + "__old"; reading the missing target as empty state
+        # would restart every key's (level, trend, rn) from scratch and
+        # the marker committed with that wrong fold would suppress the
+        # corrective replay.
+        recover(state_dir)
+        token = run_token.get()
+        if batch_df.isEmpty() or _already_applied(
+            state_dir, batch_id, checkpoint, token=token
+        ):
             return
         spark = batch_df.sparkSession
         # driver-side sort: the batch is collected anyway, and a Spark
@@ -301,7 +355,7 @@ def streaming_holt_winters(
             state_dir,
             new_state,
             key="key",
-            marker=_replay_marker(checkpoint, batch_id),
+            marker=_replay_marker(checkpoint, batch_id, token=token),
         )
 
     # NB: the driver-side collect is per MICRO-BATCH and key-bounded in

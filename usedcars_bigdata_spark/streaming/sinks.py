@@ -17,6 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 
+def recover(target_path: str) -> None:
+    """Crash recovery for the ``merge_upsert`` swap — idempotent, callable
+    any time. A crash BETWEEN the two renames in ``merge_upsert`` leaves
+    ``target_path`` missing while ``target_path + "__old"`` holds the ONLY
+    surviving copy of the accumulated state; restore it. When both exist,
+    ``__old`` is a superseded copy from a crash after the second rename —
+    sweep it.
+
+    Stateful foreachBatch handlers MUST call this at the TOP of the
+    handler, before the replay-guard check and before reading the state
+    dir (r10 ADVICE): the recovery inside ``merge_upsert`` runs only
+    AFTER the handler has already folded the batch against whatever it
+    read — after a mid-swap crash that read is EMPTY state, the fold
+    output is wrong, and the late restore then overwrites every
+    batch-touched key with the empty-state-derived value while the newly
+    committed marker suppresses any corrective replay. Recovering first
+    makes the state the batch folds against the recovered one."""
+    old = target_path + "__old"
+    if os.path.exists(old):
+        if os.path.exists(target_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, target_path)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -40,18 +65,10 @@ def merge_upsert(
     keys = [key] if isinstance(key, str) else list(key)
     tmp = target_path + "__tmp"
     old = target_path + "__old"
-    # Crash recovery (r10 review, r9 ADVICE): a crash BETWEEN the two
-    # renames below leaves target_path missing while __old holds the
-    # ONLY surviving copy of the accumulated state — the r9 "sweep
-    # leftover __old first" step deleted it, a silent permanent state
-    # reset. Restore __old when the target is missing; sweep it only
-    # when the target exists (then it is a superseded copy from a crash
-    # after the second rename).
-    if os.path.exists(old):
-        if os.path.exists(target_path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, target_path)
+    # Crash recovery (r9/r10 ADVICE): see recover() — kept here too as a
+    # second line of defense for non-handler callers, but stateful
+    # handlers must recover() BEFORE reading state.
+    recover(target_path)
     if os.path.exists(target_path):
         current = spark.read.parquet(target_path)
         kept = current.join(updates.select(*keys), on=keys, how="left_anti")
@@ -62,6 +79,15 @@ def merge_upsert(
     if marker is not None:
         with open(os.path.join(tmp, "_last_batch"), "w") as fh:
             fh.write(marker)
+    else:
+        # Marker carry-forward (r10 ADVICE): a marker-less merge into a
+        # target whose previous swap committed one (e.g. a plain
+        # upsert_to_parquet pointed at a stateful consumer's state_dir)
+        # must not silently strip the replay guard from the state — the
+        # guard is only ever advanced or preserved, never dropped.
+        prev = os.path.join(target_path, "_last_batch")
+        if os.path.exists(prev):
+            shutil.copyfile(prev, os.path.join(tmp, "_last_batch"))
     # Swap discipline (r9 review): the r8 rmtree-then-rename left a
     # crash window in which the target did not exist at all — and the
     # stateful consumers treat a missing state dir as EMPTY state, so a
