@@ -43,33 +43,9 @@ SKIP_PREFIXES = (
 
 # Documented exemptions (docs/SCALING.md §"Deliberately left
 # single-partition"): reference W1-parity forms and windows over
-# DOMAIN-BOUNDED tables (score-domain marker merges, distinct-score CDFs,
-# hour/day/month grids, 9-digit Benford rows, tile/bucket offsets).
-DECLARED = {
-    "ref_q2_median_value_by_type",   # W1 parity: global row_number semantics
-    "ref_q3_pct_of_total",           # reference's unpartitioned pct window
-    "rel_benford_digits",            # 9-digit domain
-    "ts_tumbling_hourly", "ts_sliding_hourly", "ts_hourly_percentile_bands",
-    "ts_seasonal_baseline", "ts_seasonal_anomalies",  # hour/dow grids
-    "rel_histogram_quantiles",       # fixed histogram-bucket domain
-    "ml_roc_auc", "ml_ks_statistic", "ml_pr_auc",  # per-group score CDFs
-    "ml_calibration_bins",           # fixed bin grid
-    "ts_periodogram",                # bounded frequency grid
-    "ts_acf_lags",                   # bounded lag grid
-    "ts_haar_energy",                # log2-bounded level table
-    # r9 triage of the remaining flags — each window/sort runs over a
-    # table bounded by a DOMAIN, not the data volume:
-    "rel_share_of_parent",           # nation grain (25 rows)
-    "ts_mix_shift_tv",               # calendar week grid
-    "ts_rolling_corr", "ts_slo_burn_alerts",  # calendar hour grids
-    "ts_cumulative_distinct",        # calendar day grid
-    "ts_mom_growth",                 # calendar month grid
-    "ts_logrank_test", "ts_survival_km",  # hour-resolution event-time grid
-    "ml_lift_deciles",               # 10-row decile table total
-    "ext_vocab_saturation",          # per-batch table (fixed batch count)
-    "ext_quantile_normalize",        # fixed-point score domain (≤ ~2·10^4)
-    "ext_source_quality_rank",       # per-source table (~10 rows)
-}
+# DOMAIN-BOUNDED tables — shared with the executed-plan audit so the two
+# can never disagree (r11).
+from audit_declarations import DECLARED  # noqa: E402
 
 flagged: list[str] = []
 errored: list[str] = []

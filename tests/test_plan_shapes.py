@@ -73,6 +73,43 @@ def test_funnel_walk_exempts_only_exact_offset_tokens():
     )
 
 
+def test_funnel_walk_sees_through_aqe_wrappers():
+    """EXECUTED plans (isFinalPlan=true) print ShuffleQueryStage around
+    every materialized exchange, so the funnel's real consumer sits one
+    wrapper up — the walk must look through the wrapper or the
+    executed-plan audit silently passes every funnel (r11: found while
+    closing the SKIP_PREFIXES blind spot)."""
+    from usedcars_bigdata_spark.plantools import single_partition_funnel_sites
+
+    executed = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        "   ResultQueryStage 1\n"
+        "   +- *(3) Project [r#2]\n"
+        "      +- Window [rank(id#0L) ...], [id#0L ASC NULLS FIRST]\n"
+        "         +- *(2) Sort [id#0L ASC NULLS FIRST], false, 0\n"
+        "            +- ShuffleQueryStage 0\n"
+        "               +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=19]\n"
+        "                  +- *(1) Range (0, 100, step=1, splits=4)\n"
+    )
+    sites = single_partition_funnel_sites(executed)
+    assert sites and "Sort" in sites[0], (
+        f"AQE-wrapped funnel not seen through the wrapper: {sites}"
+    )
+    # ...and a wrapper whose true consumer is a scalar aggregate stays
+    # exempt (no false positive from the look-through).
+    scalar = (
+        "AdaptiveSparkPlan isFinalPlan=true\n"
+        "+- == Final Plan ==\n"
+        "   ResultQueryStage 1\n"
+        "   +- *(2) HashAggregate(keys=[], functions=[sum(x#1)])\n"
+        "      +- ShuffleQueryStage 0\n"
+        "         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+        "            +- *(1) HashAggregate(keys=[], functions=[partial_sum(x#1)])\n"
+    )
+    assert not single_partition_funnel_sites(scalar)
+
+
 def test_filters_push_to_parquet(spark, sf_dir):
     plan = plan_of(QUERIES["ref_range_inlist_filter"](spark, sf_dir))
     assert "PushedFilters: [" in plan
@@ -788,6 +825,9 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ts_current_streaks", "events", 0),
         ("ml_ece", "orders", 0),
         ("ts_stl_strength", "events", 0),
+        # r11 (r10 verdict #6): markov's transition matrix is |states|²-
+        # bounded and now checkpointed — zero residual corpus scans
+        ("ts_markov_entropy", "events", 0),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
@@ -848,6 +888,55 @@ def test_persist_hub_entries_scan_once(spark, sf_dir, name, table):
     escaped = scans_outside_cache(plan, table)
     assert not escaped, (
         f"{name}: {table} scans escaped the shared hub: {escaped}"
+    )
+
+
+@pytest.mark.parametrize(
+    "name,table,max_outside",
+    [
+        # r11 pins for the r10 verdict's ≥5-scan audit flags — each is a
+        # cache-shared hub entry where raw scan-line counts are inflated
+        # by the InMemoryRelation phantom; the honest invariant is the
+        # number of hot-table scans OUTSIDE a cache-build subtree.
+        # minhash_lsh: the shingle hub feeds the signature agg and both
+        # verification joins — all five prints sit inside the cache.
+        ("ext_dedup_minhash_lsh", "documents", 0),
+        # inclusion_deps: per-(table, column) distinct key sets are built
+        # once and cache-shared across the six candidate pairs.
+        ("rel_inclusion_deps", "orders", 0),
+        ("rel_inclusion_deps", "lineitem", 0),
+        # conformal: the split/fit/calibration lineage is hub-shared; the
+        # single residual scan is the test-leg scoring pass (by design —
+        # it reads disjoint rows from the calibration lineage).
+        ("ml_conformal_intervals", "orders", 1),
+        # tail_contribution: the p99 threshold lineage is hub-shared; the
+        # single residual scan is the final per-type aggregate over the
+        # raw table (one combinable pass, by design).
+        ("rel_tail_contribution", "events", 1),
+    ],
+)
+def test_hub_shared_entries_scan_budget(spark, sf_dir, name, table, max_outside):
+    """r10 verdict #6: the five entries flagged at ≥5 raw hot-table scans
+    are either cache-shared hubs (scans inside the cache build execute
+    once) or carry a declared residual pass. Pin the outside-cache count
+    so a dropped persist shows up as a budget breach, not a silent 5×
+    I/O bill at 100 TB."""
+    import re as _re
+
+    from usedcars_bigdata_spark.plans import QUERIES
+    from usedcars_bigdata_spark.plantools import scans_outside_cache
+
+    spark.catalog.clearCache()
+    plan = (
+        QUERIES[name](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    outside = scans_outside_cache(plan, table)
+    assert len(outside) <= max_outside, (
+        f"{name}: {len(outside)} {table} scans outside the shared hub "
+        f"(budget {max_outside}): {outside}"
     )
 
 

@@ -2785,7 +2785,16 @@ def markov_entropy_rate(
         .select("k", F.lag("s").over(w).alias("a"), F.col("s").alias("b"))
         .filter(F.col("a").isNotNull())
     )
-    cells = tr.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    # Materialize the transition matrix ONCE: cells is |states|²-bounded
+    # (a handful of rows) but its lineage is the full corpus lag window,
+    # and marg/tot/the join each re-derived it — five corpus scans in the
+    # entry's plan (r10 verdict scan audit). The checkpoint cuts that to
+    # one scan; every downstream consumer reads the tiny matrix.
+    cells = (
+        tr.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     marg = cells.groupBy("a").agg(F.sum("n_ab").alias("n_a"))
     tot = cells.agg(
         F.sum("n_ab").alias("n_all"), F.count(F.lit(1)).alias("n_cells")

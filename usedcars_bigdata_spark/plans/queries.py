@@ -6199,28 +6199,31 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     trip it. The model is only a (w, b) pair here, so _quality_lr_scores
     scores with a plain column expression and AUC uses the tie-aware rank
     formula — deterministic, declarative, and nothing MLlib-owned in any
-    closure."""
+    closure.
+
+    The rank comes from the two-pass distributed midrank map
+    (operators.rankstats.global_doubled_midrank_map) + one equi-join on
+    the score — NOT an unpartitioned rank window over the per-document
+    scored table (r10 VERDICT: that shape sorted the whole corpus on one
+    executor, with no top-k filter for limit-pushdown to rescue; same
+    rewire as ml_best_f1_threshold in r9). r2 = 2·midrank is exact
+    bigint, so the AUC closed form is bit-identical to the window form."""
+    from ..operators.rankstats import global_doubled_midrank_map
+
     scored = _quality_lr_scores(spark, sf_dir).select("label", "z")
-    wz = Window.orderBy("z")
-    ranked = scored.select(
-        "label",
-        (
-            F.rank().over(wz)
-            + (F.count("*").over(Window.partitionBy("z")) - 1) / 2.0
-        ).alias("r"),
-        ((F.col("z") >= 0).cast("double") == F.col("label"))
-        .cast("double")
-        .alias("hit"),
-    )
+    rank_map = global_doubled_midrank_map(scored, "z")
+    ranked = scored.join(rank_map.select("z", "r2"), "z")
     m = ranked.agg(
-        F.sum(F.when(F.col("label") == 1.0, F.col("r"))).alias("rp"),
+        F.sum(F.when(F.col("label") == 1.0, F.col("r2"))).alias("rp2"),
         F.sum(F.when(F.col("label") == 1.0, 1).otherwise(0)).alias("np"),
         F.count("*").alias("n"),
-        F.avg("hit").alias("acc"),
+        F.avg(
+            (((F.col("z") >= 0).cast("double") == F.col("label")).cast("double"))
+        ).alias("acc"),
     ).collect()[0]
     n_pos, n = int(m.np), int(m.n)
     n_neg = n - n_pos
-    auc = (m.rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    auc = (m.rp2 / 2.0 - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
     return spark.createDataFrame(
         [(round(auc, 6), round(float(m.acc), 6), n_pos, n)],
         "auc DOUBLE, accuracy DOUBLE, n_pos BIGINT, n BIGINT",

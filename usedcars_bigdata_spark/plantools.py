@@ -22,16 +22,51 @@ def tree_depth(line: str) -> int:
     return m.start() if m else -1
 
 
-def consumer_of(lines: list[str], i: int) -> str:
-    """The operator line CONSUMING line ``i``: the nearest line above at
-    shallower tree depth (or the nearest marker-less non-blank line —
-    a plan root)."""
+def consumer_index_of(lines: list[str], i: int) -> int:
+    """Index of the operator line CONSUMING line ``i``: the nearest line
+    above at shallower tree depth (or the nearest marker-less non-blank
+    line — a plan root). -1 when nothing qualifies."""
     d = tree_depth(lines[i])
     for j in range(i - 1, -1, -1):
         dj = tree_depth(lines[j])
         if (dj != -1 and dj < d) or (dj == -1 and lines[j].strip()):
-            return lines[j].strip()
-    return ""
+            return j
+    return -1
+
+
+def consumer_of(lines: list[str], i: int) -> str:
+    """The operator line CONSUMING line ``i`` (see consumer_index_of)."""
+    j = consumer_index_of(lines, i)
+    return lines[j].strip() if j >= 0 else ""
+
+
+# AQE/runtime wrapper nodes that sit BETWEEN an exchange and its real
+# consumer in EXECUTED plans (isFinalPlan=true prints ShuffleQueryStage
+# around every materialized exchange; AQEShuffleRead/ReusedExchange appear
+# after runtime re-optimization). The constructed-plan audits never see
+# these, but the executed-plan audit must look THROUGH them or a
+# `Sort <- ShuffleQueryStage <- Exchange SinglePartition` funnel reads as
+# consumed-by-wrapper and silently passes (r11: found while closing the
+# SKIP_PREFIXES blind spot).
+_PLAN_WRAPPERS = re.compile(
+    r"\b(ShuffleQueryStage|ResultQueryStage|BroadcastQueryStage|"
+    r"TableCacheQueryStage|AQEShuffleRead|ReusedExchange|InputAdapter)\b"
+)
+
+
+def effective_consumer_of(lines: list[str], i: int) -> str:
+    """Like ``consumer_of`` but skipping AQE/runtime wrapper nodes, so
+    constructed and executed plans classify identically."""
+    j = i
+    while True:
+        k = consumer_index_of(lines, j)
+        if k < 0:
+            return ""
+        consumer = lines[k].strip()
+        if tree_depth(lines[k]) != -1 and _PLAN_WRAPPERS.search(consumer):
+            j = k
+            continue
+        return consumer
 
 
 def single_partition_funnel_sites(plan: str) -> list[str]:
@@ -50,7 +85,7 @@ def single_partition_funnel_sites(plan: str) -> list[str]:
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        consumer = consumer_of(lines, i)
+        consumer = effective_consumer_of(lines, i)
         if not re.search(r"\b(Sort|Window|WindowGroupLimit)\b", consumer):
             continue
         if re.search(r"__b(c|t|s_\d+)?#\d+", consumer):
