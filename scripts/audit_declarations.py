@@ -46,7 +46,23 @@ DECLARED = {
 # Executed-plan exemptions: sites that only exist at RUN time (inside
 # eager entries, foreachBatch handlers, or MLlib-adjacent jobs) — the
 # constructed-plan audit never sees these entries at all. Keyed by entry
-# name; the justification must name the bound.
+# name; the justification must name the bound. (r11 triage of the first
+# full executed-plan sweep: 8 flags → 4 rewired onto two-pass operators
+# — ts_purged_splits/global_ntile, ext_coverage_select/TakeOrdered,
+# ext_vocab_coverage_curve/global_running_sums,
+# ext_er_sorted_neighborhood/distributed_row_number — and these 4
+# declared.)
 EXEC_DECLARED = {
-    # (populated by the r11 triage — see audit_executed_plans.py output)
+    # veh_* pipelines mirror the reference notebook's own global
+    # windows (reference parity) AND run over the state/category grain:
+    # the sorted/window frame is the per-state (≤ ~50 rows) or
+    # per-dealer-category (4 rows) aggregate table, never the vehicle
+    # fact table.
+    "veh_state_median",
+    "veh_salvage_pct",
+    "veh_dealer_categories",
+    # MLlib findSynonyms output: 3 probes × top-k rows, already
+    # driver-local (LocalTableScan) before the rank window — bounded by
+    # construction.
+    "rows_word2vec_synonyms",
 }

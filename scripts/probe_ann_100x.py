@@ -153,11 +153,14 @@ def probe(spark, n: int) -> dict:
 
     # IVFPQ at FAISS-shaped settings: 256-code byte codebooks over 8
     # subspaces — exercises the (now O(k·n·dim)) codebook fits at their
-    # production size alongside the sqrt(N) coarse quantizer.
+    # production size alongside the sqrt(N) coarse quantizer. refine is
+    # left at the AUTO default (r11): the r10 run at fixed refine=4
+    # measured recall@10 = 0.126 at 200k — the footgun _auto_refine
+    # closes by sizing the rerank budget to the candidate pool.
     out["ivfpq_s"], ivfpq = timed_min(
         lambda: SIM.ivfpq_topk(
             corpus, queries, k=K, n_centroids=n_centroids, n_probe=8,
-            m_subspaces=8, n_codes=256, refine=4,
+            m_subspaces=8, n_codes=256,
         )
     )
     out["ivfpq_recall"] = recall_at_k(ivfpq, truth)

@@ -844,6 +844,23 @@ def mmr_topk(
         rel.unpersist()
 
 
+def _auto_refine(candidates_per_query: float, k: int) -> int:
+    """Exact-rerank depth sized to the candidate pool — the r10 100×
+    probe measured recall@10 at 8-byte codes to be REFINE-BUDGET-BOUND
+    (0.126@4 → 0.322@16 → 0.674@64 at 200k vectors,
+    docs/SCALING.md §ANN 100×): ADC ordering carries weak within-pool
+    signal, so the true top-k are spread through the candidate ranking
+    and a fixed refine=4 silently decays as the pool grows. Rerank a
+    fixed FRACTION of the pool instead (~20%, the measured knee), with
+    a floor of 8·k and a cap of 256·k so the exact-cosine stage stays
+    bounded per query whatever the corpus size. At the probe's 200k
+    (√N centroids, 8 probes → ~3.6k candidates/query, k=10) this yields
+    refine=72 — past the measured 0.674@64 point."""
+    import math
+
+    return int(min(256, max(8, math.ceil(0.2 * candidates_per_query / max(k, 1)))))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -852,7 +869,7 @@ def pq_topk(
     vec_col: str = "embedding",
     m_subspaces: int = 4,
     n_codes: int = 16,
-    refine: int = 4,
+    refine: int | None = None,
     seed: int = 42,
     train_cap: int = 2048,
     max_iter: int = 8,
@@ -880,6 +897,11 @@ def pq_topk(
     pytest-pinned.
 
     Output: (query_id, neighbor_id, rank, cosine) — brute/IVF schema."""
+    if refine is None:
+        # flat PQ scans the WHOLE corpus as its candidate pool, so the
+        # rerank fraction is taken over the corpus count (one narrow
+        # count job; the index build is about to scan the corpus anyway)
+        refine = _auto_refine(float(corpus.count()), k)
     sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
@@ -1016,7 +1038,7 @@ def ivfpq_topk(
     n_probe: int = 4,
     m_subspaces: int = 16,
     n_codes: int = 64,
-    refine: int = 4,
+    refine: int | None = None,
     seed: int = 42,
     train_cap: int = 2048,
     max_iter: int = 8,
@@ -1039,6 +1061,13 @@ def ivfpq_topk(
     Output: (query_id, neighbor_id, rank, cosine)."""
     from pyspark.sql.functions import pandas_udf
 
+    if refine is None:
+        # candidate pool per query ≈ N·n_probe/n_centroids — size the
+        # exact-rerank budget to it (r10 verdict: the fixed refine=4
+        # default measured recall@10 = 0.126 at 200k; _auto_refine)
+        refine = _auto_refine(
+            float(corpus.count()) * n_probe / max(n_centroids, 1), k
+        )
     sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
     cents = _fit_kmeans(sample, n_centroids, max_iter, seed)
     norm_sample = sample / np.maximum(

@@ -2614,10 +2614,16 @@ def greedy_coverage_select(
     ).distinct()
     if candidate_pool is not None:
         sizes = sh.groupBy("did").agg(F.count(F.lit(1)).alias("sz"))
-        wc = Window.orderBy(F.col("sz").desc(), F.col("did").asc())
+        # top-N as orderBy+limit (TakeOrderedAndProject: per-partition
+        # heaps, no all-rows SinglePartition sort) — the former global
+        # rank window funneled the per-doc sizes table through one
+        # partition, and candidate_pool=2000 sits past Spark's
+        # WindowGroupLimit rescue threshold (r11 executed-plan audit).
+        # Same deterministic total order, so the shortlist — and the
+        # oracle parity — is unchanged.
         cands = (
-            sizes.withColumn("__rn", F.row_number().over(wc))
-            .filter(F.col("__rn") <= candidate_pool)
+            sizes.orderBy(F.col("sz").desc(), F.col("did").asc())
+            .limit(candidate_pool)
             .select("did")
         )
         sh = sh.join(F.broadcast(cands), "did")

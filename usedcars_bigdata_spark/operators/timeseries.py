@@ -2921,21 +2921,33 @@ def purged_time_folds(
     census, which certifies the assignment exactly without shipping the
     assignment itself.
 
-    Plan: one global sort assigns folds (ntile over (ts, id) — the one
-    all-to-one exchange, same axis as ranked top-k; at 100 TB the lever
-    is rangepartition-by-ts + per-partition offsets, noted not built),
-    then a groupBy gives the k fold envelopes, and ONE broadcast join of
-    the k-row envelope table against the events counts train/purged per
-    fold — O(k·n) predicate evaluations, no second sort.
+    Plan: fold assignment rides the two-pass distributed ntile
+    (operators.window.global_ntile — range exchange + in-bucket windows,
+    bit-identical to ``ntile(k) OVER (ORDER BY ts, id)``; r11 rewire —
+    the former global ntile window funneled the whole fact table through
+    ONE partition, the exact shape the executed-plan audit exists to
+    catch), then a groupBy gives the k fold envelopes, and ONE broadcast
+    join of the k-row envelope table against the events counts
+    train/purged per fold — O(k·n) predicate evaluations, no second sort.
 
     Output: (fold, n_test, n_train, n_purged, test_start, test_end)."""
-    w = Window.orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    from .window import global_ntile
+
     # One parquet scan: the (ts, fold) projection is materialized once
     # and feeds BOTH the k-row envelope aggregate and the train-count
     # pass (unchecked, the two consumers re-scan the fact table).
-    tagged = events.select(
-        F.col(ts_col).alias("__ts"), F.ntile(k).over(w).alias("fold")
-    ).localCheckpoint(eager=True)
+    tagged = (
+        global_ntile(
+            events.select(
+                F.col(ts_col).alias("__ts"), F.col(id_col).alias("__id")
+            ),
+            [F.col("__ts").asc(), F.col("__id").asc()],
+            k,
+            "fold",
+        )
+        .select("__ts", "fold")
+        .localCheckpoint(eager=True)
+    )
     env = (
         tagged.groupBy("fold")
         .agg(

@@ -3765,25 +3765,33 @@ def ext_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the top-10/100/1000 types — the number that sizes a tokenizer
     vocabulary (coverage flattening ⇒ bigger vocab buys only tail
     handling; the occurrence-weighted companion to ext_zipf_fit's
-    rank-frequency slope). One count aggregate, one vocab-cardinality
-    rank window, three threshold reads off the same cumulative."""
+    rank-frequency slope). One count aggregate, then rank, cumulative,
+    and grand total all ride ONE two-pass range exchange
+    (global_running_sums over (n DESC, tok ASC): rank = running sum of 1,
+    bit-identical to row_number — r11 rewire; the former global rank +
+    cumulative windows funneled the vocabulary, which IS data-sized at
+    100 TB, through one partition), three threshold reads off the same
+    cumulative."""
+    from ..operators.window import global_running_sums
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select(
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    c = t.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w_rank = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-    w_all = Window.partitionBy()
-    r = c.select(
-        "n",
-        F.row_number().over(w_rank).alias("rnk"),
-        F.sum("n").over(w_all).alias("total"),
+    c = (
+        t.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("__one", F.lit(1).cast("long"))
     )
-    w_cum = Window.orderBy("rnk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    r = global_running_sums(
+        c,
+        [F.col("n").desc(), F.col("tok").asc()],
+        ["n", "__one"],
+        ["cum_n", "rnk"],
+        totals=["total", None],
     )
     cum = r.select(
-        "rnk", "total", F.sum("n").over(w_cum).alias("cum_n")
+        "rnk", "total", "cum_n"
     ).localCheckpoint(eager=True)  # vocab-cardinality; read per threshold
     ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
     return (
