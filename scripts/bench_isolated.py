@@ -80,6 +80,26 @@ HEADLINE = [
     "ml_random_forest",
 ]
 
+# Same-JVM movers under adjudication (r10 verdict #4): any entry whose
+# BENCH_DETAIL delta exceeded 2x net of the round's median inflation is
+# recorded fresh-JVM here until it either reproduces (then gets fixed
+# with a plan diff) or clears. The builder's mover policy: a mover counts
+# only when the fresh-JVM re-run reproduces it.
+MOVERS = [
+    "ts_stream_topk",
+    "ts_stream_upsert_sink",
+    "ext_vocab_coverage_curve",
+    "rows_ml_regression_metrics",
+    "ts_haar_energy",
+    "rel_graph_kcore",
+]
+
+# Streaming entries skip the unrecorded warmup in record mode: the
+# micro-batch machinery (checkpoint dirs, state stores, availableNow
+# runs) dominates their wall, not JIT, and a warmup doubles the cost for
+# no steady-state benefit.
+NO_WARMUP_PREFIXES = ("ts_stream", "rows_stream")
+
 
 def _env_fingerprint() -> dict:
     try:
@@ -131,11 +151,13 @@ def main() -> int:
     if args.record:
         env = _env_fingerprint()
         mins = {}
-        for name in args.queries or HEADLINE:
+        for name in args.queries or (HEADLINE + MOVERS):
+            cmd = [sys.executable, os.path.abspath(__file__), name,
+                   "--reps", str(args.reps), "--sf", args.sf, "--json"]
+            if name.startswith(NO_WARMUP_PREFIXES):
+                cmd.append("--no-warmup")
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name,
-                 "--reps", str(args.reps), "--sf", args.sf, "--json"],
-                capture_output=True, text=True, check=True,
+                cmd, capture_output=True, text=True, check=True,
             ).stdout
             r = json.loads(out.strip().splitlines()[-1])
             mins[name] = min(r["times"])

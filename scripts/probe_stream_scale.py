@@ -158,10 +158,92 @@ def probe_neardup(spark, copies: int) -> dict:
     }
 
 
+def _event_stream(spark, copies: int, hot: bool, max_files: int = 8):
+    """File stream over the replicated events, optionally with a PLANTED
+    HOT KEY: every even event_id is remapped to user 0, so one key (and
+    therefore one state-store partition's task) receives HALF the
+    stream — the adversarial shape for per-key state ops. Deterministic
+    (event_id parity, not rand), so runs are comparable."""
+    from usedcars_bigdata_spark.streaming.events import read_event_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(build_events(spark, copies), "events.parquet")
+    stream = read_event_stream(
+        spark, src, glob="*.parquet", max_files_per_trigger=max_files
+    )
+    if hot:
+        stream = stream.withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+                F.col("user_id")
+            ),
+        )
+    return stream
+
+
+def probe_agg(spark, copies: int, hot: bool = False) -> dict:
+    """Watermarked tumbling hourly count+sum PER USER — state rows =
+    users × active hours, the axis that grows with the key-replica
+    fixture (the per-event-type contract agg has a ~5-row state whatever
+    the scale; this is the keyed form a real dashboard runs)."""
+    stream = _event_stream(spark, copies, hot)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select("w.start", "user_id", "n", "v")
+    )
+    # parquet sink, NOT memory: the memory sink collects every output row
+    # to the driver, and the 100x run's ~9.5M rows blew
+    # spark.driver.maxResultSize — a harness anti-pattern, not an
+    # operator limit (found by this probe, r11)
+    return _run_to_parquet(spark, agg, f"agg_{copies}x_{int(hot)}", hot)
+
+
+def _run_to_parquet(spark, out_df, tag: str, hot: bool) -> dict:
+    import shutil
+
+    root = os.path.join(BASE, f"sink_{tag}")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    t0 = time.time()
+    q = (
+        out_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(root, "out"))
+        .option("checkpointLocation", os.path.join(root, "ck"))
+        .queryName(f"probe_{tag}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    n = spark.read.parquet(os.path.join(root, "out")).count()
+    out = _state_summary([json.loads(p.json) for p in q.recentProgress])
+    out.update({"wall_s": round(wall, 1), "rows_out": n, "hot": hot})
+    return out
+
+
+def probe_anomaly(spark, copies: int, hot: bool = False) -> dict:
+    """applyInPandasWithState running-mean anomaly tracker per user — the
+    CUSTOM stateful operator (python worker + Arrow + GroupState). Under
+    the planted hot key one group holds half the stream; the probe
+    verifies the op completes and reports how the wall and state size
+    respond (state is one (n, total) pair per user, so rows stay
+    user-bounded even when the key is hot — the per-key fold is the
+    pressure point, not the store)."""
+    from usedcars_bigdata_spark.streaming.stateful import running_anomaly_flags
+
+    stream = _event_stream(spark, copies, hot)
+    flagged = running_anomaly_flags(stream)
+    return _run_to_parquet(spark, flagged, f"anom_{copies}x_{int(hot)}", hot)
+
+
 def main() -> None:
     which = sys.argv[1]
     copies = int(sys.argv[2])
     provider = sys.argv[3] if len(sys.argv) > 3 else "hdfs"
+    hot = "hot" in sys.argv[4:]
     spark = get_session(app_name=f"probe-stream-{which}-{copies}x-{provider}")
     spark.sparkContext.setLogLevel("ERROR")
     if provider == "rocksdb":
@@ -172,9 +254,15 @@ def main() -> None:
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
-    fn = probe_join if which == "join" else probe_neardup
-    out = fn(spark, copies)
-    print(f"RESULT {which} {copies}x {provider} {json.dumps(out)}", flush=True)
+    fn = {
+        "join": probe_join,
+        "neardup": probe_neardup,
+        "agg": probe_agg,
+        "anomaly": probe_anomaly,
+    }[which]
+    out = fn(spark, copies, hot) if which in ("agg", "anomaly") else fn(spark, copies)
+    tag = "hot" if hot else provider
+    print(f"RESULT {which} {copies}x {tag} {json.dumps(out)}", flush=True)
 
 
 if __name__ == "__main__":
