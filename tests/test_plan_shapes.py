@@ -828,6 +828,11 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         # r11 (r10 verdict #6): markov's transition matrix is |states|²-
         # bounded and now checkpointed — zero residual corpus scans
         ("ts_markov_entropy", "events", 0),
+        # r11 scan-audit fixes: seasonal-anomalies' calendar-grid residual
+        # table is checkpointed (was 8 outside-cache events scans);
+        # curation is fused to one scan + one min_by shuffle (was 4)
+        ("ts_seasonal_anomalies", "events", 0),
+        ("ext_curation_pipeline", "documents", 1),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

@@ -58,10 +58,19 @@ def _stopword_pred(x: Column, words: list[str]) -> Column:
     return pred
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    passthrough: "tuple[str, ...]" = (),
+) -> DataFrame:
     """Heuristic quality score in [0,1]: blend of stopword ratio (fluency
     proxy) and length adequacy (≥100 tokens saturates). Deterministic
-    integer/ratio math, engine-portable."""
+    integer/ratio math, engine-portable. ``passthrough`` names extra
+    input columns to carry through the projection — composition callers
+    (ext_curation_pipeline) use it to keep the whole stage ONE scan
+    instead of joining a second projection of the same table back on the
+    id (r11 scan audit)."""
     w = _words(text_col)
     n_tokens = F.size(w)
     n_stop = F.size(F.filter(w, lambda x: _stopword_pred(x, STOPWORDS)))
@@ -69,6 +78,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     len_score = F.least(n_tokens, F.lit(100)) / F.lit(100.0)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_tokens.alias("n_tokens"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(stop_ratio * 0.5 + len_score * 0.5, 4).alias("quality_score"),

@@ -581,14 +581,29 @@ def ext_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pipeline — the training-data story in one plan:
     quality-score → threshold filter → exact-dedup (canonical survivor
-    only). Each stage is narrow except the dedup semi-join; Catalyst fuses
-    the scoring into the scan projection."""
+    only). Fused to ONE corpus scan + ONE shuffle (r11 scan audit: the
+    join-of-projections form scanned documents four times): the quality
+    projection carries lang + text through (quality_score passthrough),
+    the content hash rides the same projection, and the deterministic
+    min-id survivor comes from min_by(struct, doc_id) per hash —
+    row-identical to exact_dedup's semi-join form (the survivor's own
+    quality columns, the same min-id rule, ext/dedup.py:_content_hash's
+    NULL-text sentinel)."""
+    from ..ext.dedup import _content_hash
+
     docs = load_table(spark, sf_dir, "documents")
-    quality = TX.quality_score(docs, "doc_id", "text")
-    scored = docs.select("doc_id", "lang").join(quality, "doc_id")
-    deduped = X.exact_dedup(docs, "doc_id", "text").select("doc_id")
+    scored = TX.quality_score(
+        docs, "doc_id", "text", passthrough=("lang", "text")
+    ).withColumn("__h", _content_hash("text", "doc_id")).drop("text")
     return (
-        scored.join(deduped, "doc_id", "left_semi")
+        scored.groupBy("__h")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "n_tokens", "quality_score"),
+                F.col("doc_id"),
+            ).alias("__s")
+        )
+        .select("__s.*")
         .filter(F.col("quality_score") >= 0.3)
         .select("doc_id", "lang", "n_tokens", "quality_score")
     )

@@ -8247,6 +8247,13 @@ def ts_seasonal_anom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_start",
         (F.col("actual_fp") - F.col("baseline_fp")).alias("resid_fp"),
     )
+    # Materialize the residual table ONCE: it is calendar-grid-bounded
+    # (event types × hours in the time range — grows with elapsed time,
+    # never with row volume) but its lineage is the full corpus hourly
+    # aggregate, and the median, MAD, and final gate each re-derived it —
+    # EIGHT events scans in the executed plan (r11 scan audit, the
+    # largest genuine rescanner left after the hub pins).
+    resid = resid.localCheckpoint(eager=True)
 
     def disc_median(df, col, out):
         w = Window.partitionBy("event_type").orderBy(F.col(col).asc())
