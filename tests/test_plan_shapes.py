@@ -1074,6 +1074,69 @@ def test_inclusion_deps_true_fks_full_containment(spark, sf_dir):
     assert out[("orders.o_custkey", "supplier.s_suppkey")] < 1.0
 
 
+def test_inclusion_deps_one_pass_null_and_shared_keys(spark):
+    """r11 rewrite invariants: (a) the marker-join containment counts a
+    NULL child key in n_child but never as contained (identical to the
+    old semi-join form); (b) the same (table, column) key set serves as
+    child and parent off one shared build."""
+    from usedcars_bigdata_spark.operators.clean import inclusion_dependencies
+    from usedcars_bigdata_spark.operators.window import release_hubs
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "k int"
+    )
+    parent = spark.createDataFrame([(1,), (3,)], "k int")
+    try:
+        out = {
+            (r.child, r.parent): (
+                r.n_child_distinct, r.n_contained, r.containment
+            )
+            for r in inclusion_dependencies(
+                [
+                    (child, "k", "c", parent, "k", "p"),
+                    # same frames reversed — exercises the shared key-set
+                    # cache serving both roles
+                    (parent, "k", "p", child, "k", "c"),
+                ]
+            ).collect()
+        }
+    finally:
+        release_hubs()
+    # child distinct = {1, 2, NULL}; only 1 is contained; NULL counts in
+    # n_child (it is a distinct child value) but never matches
+    assert out[("c", "p")] == (3, 1, round(1 / 3, 6))
+    # reversed: parent {1,3}, child-side distinct = {1,2,NULL}: only 1
+    assert out[("p", "c")] == (2, 1, 0.5)
+
+
+def test_auto_refine_floor_fraction_cap():
+    """_auto_refine: 8·k floor at small pools, ~20% of the pool in the
+    middle, 256·k cap at data-sized pools (keeps the exact rerank
+    bounded per query)."""
+    from usedcars_bigdata_spark.ext.similarity import _auto_refine
+
+    assert _auto_refine(10.0, 5) == 8  # floor
+    assert _auto_refine(3600.0, 10) == 72  # 20% of the pool / k
+    assert _auto_refine(10_000_000.0, 10) == 256  # cap
+
+
+def test_quality_score_passthrough_single_scan(spark):
+    from usedcars_bigdata_spark.ext.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, "en", "the cat sat"), (2, "fr", "le chat")],
+        "doc_id long, lang string, text string",
+    )
+    out = quality_score(df, "doc_id", "text", passthrough=("lang",))
+    assert set(out.columns) == {
+        "doc_id", "lang", "n_tokens", "stopword_ratio", "quality_score"
+    }
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got == {1: "en", 2: "fr"}
+    # default stays column-compatible with every existing caller
+    assert "lang" not in quality_score(df, "doc_id", "text").columns
+
+
 def test_projection_pipeline_prunes_scan(spark, sf_dir):
     """rel_projection_pipeline (P1-P3/P14): the drop/select/rename chain
     must reach the parquet scan as column pruning — ReadSchema carries
