@@ -918,6 +918,9 @@ def test_persist_hub_entries_scan_once(spark, sf_dir, name, table):
         # single residual scan is the final per-type aggregate over the
         # raw table (one combinable pass, by design).
         ("rel_tail_contribution", "events", 1),
+        # corpus_card: hash+tokens+quality fused into one cached
+        # projection serving the duplicate aggregate and the card rollup
+        ("ext_corpus_card", "documents", 0),
     ],
 )
 def test_hub_shared_entries_scan_budget(spark, sf_dir, name, table, max_outside):

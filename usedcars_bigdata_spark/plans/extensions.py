@@ -2716,30 +2716,34 @@ def ext_corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus card: the per-source datasheet row (docs, token totals,
     exact-duplicate incidence, mean quality) a dataset release ships —
     "datasheets for datasets" reduced to what the engine can attest
-    mechanically. One scan computes hash + tokens + quality per doc;
-    the corpus-wide duplicate set joins back on the 16-byte digest; all
-    means are truncating integer fixed-point, so the card replays
-    exactly. Composes the already-verified quality and exact-dedup
-    pieces into the release artifact."""
+    mechanically. ONE scan computes hash + tokens + quality per doc in a
+    single projection (quality_score passthrough — the r11 scan audit
+    showed the joined-projections form scanning documents three times);
+    the enriched table is cache-shared between the corpus-wide duplicate
+    aggregate and the final card rollup; all means are truncating
+    integer fixed-point, so the card replays exactly. Composes the
+    already-verified quality and exact-dedup pieces into the release
+    artifact."""
+    from ..operators.window import register_hub
+
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split(F.trim(F.col("text")), r"\s+")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.md5("text").alias("h"),
-        F.size(w).cast("long").alias("n_tokens"),
-    )
-    q = TX.quality_score(docs, "doc_id", "text").select(
-        "doc_id",
-        F.round(F.col("quality_score") * 10000).cast("long").alias("q_fp"),
+    t = register_hub(
+        TX.quality_score(docs, "doc_id", "text", passthrough=("source", "text"))
+        .select(
+            "doc_id",
+            "source",
+            F.md5("text").alias("h"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("quality_score") * 10000).cast("long").alias("q_fp"),
+        )
+        .persist()
     )
     dups = (
         t.groupBy("h").agg(F.count("*").alias("c")).filter(F.col("c") >= 2)
         .select("h", F.lit(1).alias("__dup"))
     )
     return (
-        t.join(q, "doc_id")
-        .join(dups, "h", "left")
+        t.join(dups, "h", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
