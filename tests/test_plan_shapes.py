@@ -833,6 +833,23 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         # curation is fused to one scan + one min_by shuffle (was 4)
         ("ts_seasonal_anomalies", "events", 0),
         ("ext_curation_pipeline", "documents", 1),
+        # r11: measured budgets for every remaining >=3-outside-cache
+        # entry, so the class is fully adjudicated (pin = ceiling, not
+        # endorsement). fk_audit runs 3 narrow single-key anti-join legs
+        # — one column-pruned scan per FK check beats caching a fact
+        # projection; the CDC trio reads current/updates(/history) by
+        # contract over dimension-sized tables; the ER pipeline reads
+        # the entity table for blocks plus two block-pruned pair legs;
+        # incremental dedup's old/new splits are pushdown-pruned filters
+        # of one table (the delta pattern).
+        ("rel_fk_audit", "lineitem", 3),
+        ("rel_scd2_merge", "customer", 3),
+        ("rel_scd2_pointlookup", "customer", 3),
+        ("rel_snapshot_diff", "orders", 3),
+        ("ext_er_blocking_pairs", "part", 3),
+        ("ext_er_entities", "part", 3),
+        ("ext_fs_match_scores", "part", 3),
+        ("ext_incremental_dedup", "documents", 3),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):
