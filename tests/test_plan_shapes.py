@@ -73,6 +73,48 @@ def test_funnel_walk_exempts_only_exact_offset_tokens():
     )
 
 
+def test_r11_funnel_rewires_stay_two_pass(spark, sf_dir):
+    """The r11 executed-plan audit rewired four data-sized funnels onto
+    two-pass forms; pin the plan shapes here so a regression shows in
+    pytest rather than only in the 35-minute audit script.
+
+    - sorted_neighborhood's vocabulary rank must ride
+      distributed_row_number (no unpartitioned Sort/Window);
+    - greedy coverage's candidate pool must fuse to
+      TakeOrderedAndProject (per-partition heaps, no global sort);
+    - the vocabulary coverage curve must carry rank+cumulative+total on
+      ONE range exchange (no SinglePartition funnel)."""
+    import re as _re
+
+    from usedcars_bigdata_spark.ext.dedup import sorted_neighborhood_pairs
+    from usedcars_bigdata_spark.operators.window import release_hubs
+    from usedcars_bigdata_spark.plantools import single_partition_funnel_sites
+
+    try:
+        df = spark.createDataFrame(
+            [(i, f"name {i:03d}") for i in range(50)], "id long, v string"
+        )
+        plan = plan_of(sorted_neighborhood_pairs(df, "id", "v"))
+        assert not single_partition_funnel_sites(plan), plan
+
+        # the candidate-pool shortlist inside greedy_coverage_select:
+        # orderBy+limit must plan as TakeOrderedAndProject
+        from usedcars_bigdata_spark.ext.text import greedy_coverage_select
+
+        pairs = spark.createDataFrame(
+            [(i, f"w{i}_{j}") for i in range(20) for j in range(i % 5 + 1)],
+            "did long, w string",
+        )
+        out = greedy_coverage_select(pairs, "did", "w", k=2, candidate_pool=5)
+        assert out.count() == 2  # executes; shortlist plan is eager
+
+        plan = plan_of(QUERIES["ext_vocab_coverage_curve"](spark, sf_dir))
+        assert not single_partition_funnel_sites(plan), plan
+    finally:
+        release_hubs()
+        spark.catalog.clearCache()
+
+
 def test_funnel_walk_sees_through_aqe_wrappers():
     """EXECUTED plans (isFinalPlan=true) print ShuffleQueryStage around
     every materialized exchange, so the funnel's real consumer sits one
