@@ -892,6 +892,13 @@ def test_quantile_normalize_scans_corpus_twice(spark, sf_dir):
         ("ext_er_entities", "part", 3),
         ("ext_fs_match_scores", "part", 3),
         ("ext_incremental_dedup", "documents", 3),
+        # r12 (r11 verdict #4): vocab_saturation's one outside-cache scan
+        # is the 1-column doc_id projection feeding global_ntile's range
+        # exchange — a column-pruned narrow scan that is CHEAPER than
+        # routing it through the text-carrying shingle hub; the two
+        # text-bearing scans live inside the hub. Budget 1 = that narrow
+        # id leg only.
+        ("ext_vocab_saturation", "documents", 1),
     ],
 )
 def test_scan_budget_of_fixed_entries(spark, sf_dir, name, table, budget):

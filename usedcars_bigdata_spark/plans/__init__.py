@@ -35,14 +35,62 @@ _CONTRACT_PRIORITY = [
     "ref_dedup_deterministic",
     "ref_skewness_transforms",
     "ref_summary_stats",
-    # --- 38 rotate-ins, all never-driver-verified (ROUND-11 window,
-    # queued at round-10 close and executed as written, with ONE documented
-    # amendment: per the r10 VERDICT "Next round" item 7, the two
-    # oracle-backed LLM-pipeline flagships still lacking an official
-    # driver row (ext_dedup_minhash_md5, ext_dedup_simhash) are
-    # front-loaded; the two displaced queue-tail entries (ml_cohens_kappa,
-    # rows_stream_holt_winters) move to the round-12 queue below. All 38
-    # are first-time, oracle-backed — checked by scripts/rotation_ledger.py.) ---
+    # --- ROUND-12 ROTATION (queued at round-11 close; the r11 VERDICT
+    # flagged that the r11 close left the window stale — this rotation
+    # was therefore executed as the FIRST action of round 12, per
+    # VERDICT item 1). Slots 13-29: the full 17-entry never-driver-
+    # verified oracle-backed backlog (exactly what
+    # scripts/rotation_ledger.py printed at r11 close). After this
+    # sweep the never-verified backlog is EMPTY: every oracle-backed
+    # entry (382/382) has an official driver row. ---
+    "ml_cohens_kappa",  # never-verified queue
+    "rows_stream_holt_winters",  # never-verified queue
+    "rows_fpgrowth_itemsets",  # never-verified queue
+    "rows_prefixspan_patterns",  # never-verified queue
+    "rows_mmr_diverse_topk",  # never-verified queue
+    "rel_zorder_layout",  # never-verified queue
+    "rows_image_near_dupes",  # never-verified queue
+    "ext_text_langid",  # never-verified queue
+    "ext_doc_fingerprint",  # never-verified queue
+    "ext_audio_frame_features",  # never-verified queue
+    "ext_curation_v2",  # never-verified queue
+    "rel_csv_roundtrip",  # never-verified queue
+    "rel_csv_permissive",  # never-verified queue
+    "rel_projection_pipeline",  # never-verified queue
+    "rel_seeded_split_invariants",  # never-verified queue
+    "rel_collection_dim_join",  # never-verified queue
+    "rel_driver_fetch_topk",  # never-verified queue
+    # --- Slots 30-50: the re-verification rotation begins (r11 VERDICT
+    # item 6). Fill = the 21 OLDEST driver-verified oracle-backed rows
+    # by (last-verified round, registry order): the five r1 rows and
+    # the sixteen oldest r2 rows. scripts/rotation_ledger.py now
+    # derives and enforces this fill deterministically and prints the
+    # staleness table for the r13 queue. ---
+    "rel_rank_fractions",  # re-verify (last r1)
+    "rel_first_last_window",  # re-verify (last r1)
+    "rel_string_funcs",  # re-verify (last r1)
+    "rel_null_semantics",  # re-verify (last r1)
+    "rel_date_funcs",  # re-verify (last r1)
+    "rel_json_extract",  # re-verify (last r2)
+    "rel_tpch_q1_pricing_summary",  # re-verify (last r2)
+    "rel_join_revenue_by_nation",  # re-verify (last r2)
+    "rel_tpch_q3_shipping_priority",  # re-verify (last r2)
+    "rel_tpch_q5_local_volume",  # re-verify (last r2)
+    "rel_semi_join_customers",  # re-verify (last r2)
+    "rel_anti_join_customers",  # re-verify (last r2)
+    "rel_top_parts_by_revenue",  # re-verify (last r2)
+    "rel_salted_join",  # re-verify (last r2)
+    "rel_window_rank_orders",  # re-verify (last r2)
+    "rel_topk_per_group",  # re-verify (last r2)
+    "rel_selectexpr_agg",  # re-verify (last r2)
+    "rel_bucketed_counts",  # re-verify (last r2)
+    "rel_rollup_year_priority",  # re-verify (last r2)
+    "rel_pivot_status",  # re-verify (last r2)
+    "rel_unpivot_measures",  # re-verify (last r2)
+    # --- driver's 50-entry sweep window ends here ---
+    # Remaining entries keep their prior relative order; all retain
+    # pytest + full-registry driver_sim replay coverage between
+    # official driver rows.
     "ext_dedup_minhash_md5",
     "ext_dedup_simhash",
     "ml_gini_feature_rank",
@@ -81,31 +129,6 @@ _CONTRACT_PRIORITY = [
     "ts_stream_left_outer",
     "ts_ewma_smooth",
     "ts_purged_splits",
-    # --- driver's 50-entry sweep window ends here ---
-    # ROUND-12 QUEUE: the remaining never-driver-verified entries in
-    # priority order — 17 oracle-backed (the 15 queue tail + the 2
-    # displaced by the flagship front-load above; scripts/rotation_ledger.py
-    # prints exactly these 17) interleaved with the declared rows-only
-    # floor (never window-eligible). After round 12 the oracle-backed
-    # never-verified backlog is EMPTY and freed slots rotate
-    # re-verification of the oldest rows.
-    "ml_cohens_kappa",
-    "rows_stream_holt_winters",
-    "rows_fpgrowth_itemsets",
-    "rows_prefixspan_patterns",
-    "rows_mmr_diverse_topk",
-    "rel_zorder_layout",
-    "rows_image_near_dupes",
-    "ext_text_langid",
-    "ext_doc_fingerprint",
-    "ext_audio_frame_features",
-    "ext_curation_v2",
-    "rel_csv_roundtrip",
-    "rel_csv_permissive",
-    "rel_projection_pipeline",
-    "rel_seeded_split_invariants",
-    "rel_collection_dim_join",
-    "rel_driver_fetch_topk",
     "rows_stream_late_drops",
     "ext_ann_ivfpq_topk",
     "rel_hll_sketch_rollup",
@@ -138,9 +161,6 @@ _CONTRACT_PRIORITY = [
     "veh_clean_summary",
     "veh_recommend",
     "ext_ann_pq_topk",
-    # previously driver-green (r1-r10) — retained under pytest + the
-    # full-registry driver_sim replay (round-10 rotate-outs first: all 38
-    # went green in CORRECTNESS_r10)
     "ts_stl_strength",
     "ts_ab_srm",
     "ts_resample_locf",
@@ -432,27 +452,6 @@ _CONTRACT_PRIORITY = [
     "rel_distinct_pairs",
     "rel_above_avg_orders",
     "rel_running_total",
-    "rel_rank_fractions",
-    "rel_first_last_window",
-    "rel_string_funcs",
-    "rel_null_semantics",
-    "rel_date_funcs",
-    "rel_json_extract",
-    "rel_tpch_q1_pricing_summary",
-    "rel_join_revenue_by_nation",
-    "rel_tpch_q3_shipping_priority",
-    "rel_tpch_q5_local_volume",
-    "rel_semi_join_customers",
-    "rel_anti_join_customers",
-    "rel_top_parts_by_revenue",
-    "rel_salted_join",
-    "rel_window_rank_orders",
-    "rel_topk_per_group",
-    "rel_selectexpr_agg",
-    "rel_bucketed_counts",
-    "rel_rollup_year_priority",
-    "rel_pivot_status",
-    "rel_unpivot_measures",
     "rel_union_nation_keys",
     "rel_count_distinct",
     "rel_collect_sorted_lists",
