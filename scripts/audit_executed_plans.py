@@ -82,18 +82,27 @@ def main() -> int:
     audited = 0
     for name in names:
         t0 = time.time()
+        failed = False
         try:
             QUERIES[name](spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"ERR   {name}: {type(e).__name__}")
             errored.append(name)
-            continue
+            failed = True
         finally:
             release_hubs()
             try:
                 spark.catalog.clearCache()
             except Exception:
                 pass
+        if failed:
+            # Drain whatever the failed entry DID execute (plus the
+            # release/clearCache actions above) so its plans are not
+            # attributed to the NEXT entry — a real funnel could be
+            # flagged under the wrong name or silently pass under the
+            # next entry's declared exemption (r11 ADVICE).
+            _, last_id = drain_new_plans(last_id)
+            continue
         plans, last_id = drain_new_plans(last_id)
         sites: set[str] = set()
         for p in plans:

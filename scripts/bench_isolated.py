@@ -86,12 +86,21 @@ HEADLINE = [
 # with a plan diff) or clears. The builder's mover policy: a mover counts
 # only when the fresh-JVM re-run reproduces it.
 MOVERS = [
-    "ts_stream_topk",
-    "ts_stream_upsert_sink",
-    "ext_vocab_coverage_curve",
-    "rows_ml_regression_metrics",
-    "ts_haar_energy",
-    "rel_graph_kcore",
+    # r12 adjudication queue (r11 verdict #2): the nine same-harness >=2x
+    # movers from the r11 BENCH_DETAIL record...
+    "ext_quality_rule_overlap",
+    "ts_stream_rate_limit",
+    "ts_changepoint_binseg",
+    "ext_domain_divergence",
+    "ext_dedup_minhash_md5",
+    "veh_state_median",
+    "ext_dedup_minhash_lsh",
+    "ts_stream_stream_join",
+    "rel_tpch_q5_local_volume",
+    # ...plus the two most expensive batch entries whose +~50% was called
+    # out for recording (the AUC-rewire and bootstrap costs, on record)
+    "ts_bootstrap_ci",
+    "rows_ml_quality_classifier",
 ]
 
 # Streaming entries skip the unrecorded warmup in record mode: the

@@ -179,6 +179,61 @@ def probe_er(spark, n: int, max_block: int = 1000) -> dict:
     return out
 
 
+def probe_em(spark, n: int, max_block: int = 1000) -> dict:
+    """Fellegi–Sunter EM at scale (r11 verdict #7): the sufficient-
+    statistics claim — EM cost independent of corpus size because the
+    pair set collapses to a ≤2^J-row agreement-pattern table — executed
+    at 10×/100× planted-duplicate loads on the probe_er fixture (same
+    planted 1-edit variants inside blocks, same planted hot block that
+    max_block must drop). Reports the pattern-table row count (the bound
+    is the CLAIM) and the wall of the full 5-round fit."""
+    hot_rows = 20_000 if n >= 1_000_000 else 2_000
+    path = f"/tmp/probe_er_recs_{n}"
+    if not os.path.exists(path):
+        gen_records(spark, n, path, hot_rows)
+    # Within a block the fixture's names differ only in the last char, so
+    # the EXACT name agreement is the bimodal field (same planted suffix
+    # vs the 1-edit 'x' variants); two derived pseudo-independent fields
+    # complete J = 3 → pattern table ≤ 8 rows whatever the corpus size.
+    recs = (
+        spark.read.parquet(path)
+        .withColumn("ln", (F.col("rid") % 2).cast("string"))
+        .withColumn("par", (F.col("rid") % 3).cast("string"))
+    )
+    out: dict = {"n_records": n, "hot_rows": hot_rows}
+    fields = [("name", "exact"), ("ln", "exact"), ("par", "exact")]
+    # warmup (JIT/codegen) on a slice
+    D.fs_em_weights(
+        recs.limit(max(1000, n // 20)), "rid", ["brand", "line"], fields,
+        iterations=2, max_block=max_block,
+    ).count()
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    patt = D.fs_agreement_patterns(
+        recs, "rid", ["brand", "line"], fields, max_block=max_block
+    )
+    rows = patt.collect()
+    out["pattern_collapse_s"] = round(time.time() - t0, 2)
+    out["pattern_rows"] = len(rows)
+    out["n_pairs"] = int(sum(r["n"] for r in rows))
+    assert len(rows) <= 2 ** len(fields), (
+        f"pattern table exceeded sufficient-statistics bound: {len(rows)}"
+    )
+
+    t0 = time.time()
+    fit = D.fs_em_weights(
+        recs, "rid", ["brand", "line"], fields,
+        iterations=5, max_block=max_block,
+    ).collect()
+    out["em_fit_s"] = round(time.time() - t0, 2)
+    out["fitted"] = {r["field"]: (r["m"], r["u"]) for r in fit}
+    # the edit-band name field must separate matches from non-matches
+    m, u = out["fitted"]["name"]
+    assert m > u, f"EM failed to separate m/u on the planted variants: {m} <= {u}"
+    return out
+
+
 def main() -> None:
     if sys.argv[1:2] == ["--pair"]:
         import subprocess
@@ -209,6 +264,9 @@ def main() -> None:
     if sys.argv[1:2] == ["--er"]:
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
         fn = lambda spark: probe_er(spark, n)  # noqa: E731
+    elif sys.argv[1:2] == ["--em"]:
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+        fn = lambda spark: probe_em(spark, n)  # noqa: E731
     else:
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
         fn = lambda spark: probe_lsh(spark, n)  # noqa: E731

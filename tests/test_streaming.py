@@ -161,3 +161,90 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir, batch_events):
     assert all(q.name != "ts_stream_dedup_sink" for q in spark.streams.active)
     again = QUERIES["ts_stream_dedup"](spark, sf_dir)
     assert _rows(again, cols) == _rows(got, cols)
+
+
+def test_scalable_anomaly_flags_matches_batch_twin(spark, sf_dir, batch_events, tmp_path):
+    """The hot-key-neutral foreachBatch rewrite (grouped_running_sums +
+    combinable state merge — r11 verdict item 3) must emit EXACTLY the
+    batch twin's rows: integer cents make every prefix mean a
+    bit-identical integer÷count on both sides."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.streaming import stateful as ST
+
+    stream = SE.read_event_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100)
+    )
+    q = ST.running_anomaly_flags_scalable(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+        query_name="anom_scal_test",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out")).withColumn(
+        "rm", F.round("running_mean", 6)
+    )
+    want = ST.running_anomaly_flags_batch(
+        batch_events.select(
+            "user_id", "event_id", F.round(F.col("value") * 100).alias("value")
+        )
+    ).withColumn("rm", F.round("running_mean", 6))
+    cols = ["user_id", "event_id", "value", "rm", "flagged"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert got.filter("flagged").count() > 0
+    # externalized state: one (n, total) row per user, totals match batch
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.count() == batch_events.select("user_id").distinct().count()
+
+
+def test_scalable_anomaly_multibatch_equals_python_fold(spark, sf_dir, batch_events, tmp_path):
+    """Across MULTIPLE micro-batches (3 files, one per trigger) the
+    rewrite must stay bit-identical to the applyInPandasWithState fold —
+    the two engines fold the same batches, so any divergence is a state
+    carry bug, not source ordering."""
+    from pyspark.sql import functions as F
+
+    from usedcars_bigdata_spark.streaming import stateful as ST
+
+    src = str(tmp_path / "src")
+    ev = batch_events.select(
+        "user_id", "event_id", F.round(F.col("value") * 100).alias("value")
+    )
+    n = ev.count()
+    # three ordered files => three deterministic micro-batches
+    for lo, hi in [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n + 1)]:
+        (ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi))
+           .coalesce(1).write.mode("append").parquet(src))
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(src)
+    )
+    q = ST.running_anomaly_flags_scalable(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ck"),
+        query_name="anom_scal_mb",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    q2 = SE.run_to_memory_sink(
+        ST.running_anomaly_flags(stream), "anom_fold_mb", output_mode="append"
+    )
+    try:
+        want = spark.sql("SELECT * FROM anom_fold_mb")
+        cols = ["user_id", "event_id", "value", "running_mean", "flagged"]
+        assert _rows(got, cols) == _rows(want, cols)
+        assert got.count() == n
+    finally:
+        q2.stop()

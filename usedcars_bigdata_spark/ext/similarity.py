@@ -73,7 +73,7 @@ def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding width as the MAJORITY width of a bounded non-NULL sample
+    """Embedding width as the MAJORITY width of the FULL non-NULL column
     (ties → larger width). History: probing the literal first row
     returned d = -1 (sizeOfNull) on a NULL leading embedding (r9 review);
     probing the first NON-NULL row still let a single anomalous-width
@@ -899,9 +899,14 @@ def pq_topk(
     Output: (query_id, neighbor_id, rank, cosine) — brute/IVF schema."""
     if refine is None:
         # flat PQ scans the WHOLE corpus as its candidate pool, so the
-        # rerank fraction is taken over the corpus count (one narrow
-        # count job; the index build is about to scan the corpus anyway)
-        refine = _auto_refine(float(corpus.count()), k)
+        # rerank fraction is taken over the corpus count — but the 256
+        # cap in _auto_refine saturates at N >= 1280*k, so a LIMIT-
+        # bounded count suffices: it stops scanning once the saturation
+        # bound is reached, and below the bound it IS the exact count
+        # (r11 ADVICE: the full corpus.count() job was pure overhead for
+        # any corpus larger than ~1280*k).
+        bound = int(math.ceil(256 * max(k, 1) / 0.2))
+        refine = _auto_refine(float(corpus.limit(bound).count()), k)
     sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12

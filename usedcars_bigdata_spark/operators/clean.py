@@ -211,25 +211,25 @@ def inclusion_dependencies(
 
     Plan discipline (r10 verdict scan audit — orders/lineitem were each
     scanned SIX times): (a) each distinct key set is built ONCE per
-    (table, column) and cache-shared via a registered persist() hub —
-    o_custkey serves as child in two pairs and parent in a third off one
-    cache build; (b) the per-pair containment is ONE left join with a
-    parent marker aggregated once (count(*) = n_child, count(marker) =
-    n_contained) instead of a semi-join plus a separate distinct count —
-    both sides are distinct, so the left join cannot duplicate. Callers
-    drain the hubs with operators.window.release_hubs() once the result
-    is materialized (the harnesses already do)."""
-    from .window import register_hub
-
+    (table, column) and shared via an eager localCheckpoint — GC-released
+    with the returned frame, so LIBRARY callers that never run the
+    harness release_hubs() protocol cannot accumulate data-sized cache
+    entries across calls (r11 ADVICE; the documented r7 heap-pressure
+    failure mode) — o_custkey serves as child in two pairs and parent in
+    a third off one build; (b) the per-pair containment is ONE left join
+    with a parent marker aggregated once (count(*) = n_child,
+    count(marker) = n_contained) instead of a semi-join plus a separate
+    distinct count — both sides are distinct, so the left join cannot
+    duplicate."""
     key_sets: dict[tuple[int, str], DataFrame] = {}
 
     def keys_of(df: DataFrame, col: str) -> DataFrame:
         ident = (id(df), col)
         if ident not in key_sets:
-            key_sets[ident] = register_hub(
+            key_sets[ident] = (
                 df.select(F.col(col).cast("string").alias("k"))
                 .distinct()
-                .persist()
+                .localCheckpoint(eager=True)
             )
         return key_sets[ident]
 

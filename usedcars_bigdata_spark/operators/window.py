@@ -372,3 +372,106 @@ def global_running_sums(
             out = out.withColumn(tc, F.col(f"__tot_{i}"))
         drop += [f"__cs_in_{i}", f"__off_{i}", f"__tot_{i}"]
     return out.drop(*drop)
+
+
+def grouped_running_sums(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_by: Sequence[Column],
+    value_cols: Sequence[str],
+    out_cols: Sequence[str],
+    n_buckets: int = 32,
+    exclusive: bool = False,
+    checkpoint_hub: bool = False,
+) -> DataFrame:
+    """PER-KEY cumulative sums without a per-key window funnel — the
+    grouped sibling of ``global_running_sums``, built for the HOT-KEY
+    regime the r11 stream probe measured (docs/SCALING.md: one key
+    holding 50% of the input serializes a per-key fold through one
+    worker, 4.8x wall at 100x; a plain
+    ``Window.partitionBy(key)`` has exactly the same funnel in the JVM).
+
+    Shape: ONE range exchange on (keys..., order...) — a hot key spans
+    MANY contiguous buckets instead of one hash partition — then
+    in-bucket per-key running sums under a (bucket, key)-partitioned
+    window (each group is bounded by the bucket size, i.e. rows/
+    n_buckets, regardless of key skew), plus the per-key prefix total of
+    earlier buckets from a (bucket, key)-grain aggregate. Only that
+    aggregate (<= n_buckets rows per key, combinable map-side) crosses
+    the per-key offset window; no data-sized single-key group exists
+    anywhere in the plan. Emitted sums are bit-identical to
+    ``sum(v) OVER (PARTITION BY keys ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — range partitioning is key-major (keys lead the range
+    tuple), so within a key, bucket order extends the requested order.
+
+    ``order_by`` must totally order rows WITHIN each key (include a
+    unique tie-break) — same determinism rule as the global forms.
+    ``exclusive=True`` shifts the frame to (unbounded preceding -> -1)
+    with 0 for the first row per key: the "state BEFORE this row" form
+    streaming folds need.
+
+    ``checkpoint_hub=True`` swaps the persist-and-register hub for an
+    eager ``localCheckpoint`` — GC-released with the returned frame, for
+    library/foreachBatch callers outside the harness ``release_hubs()``
+    protocol (the r7 heap-pressure lesson; see inclusion_dependencies'
+    ADVICE note). Default keeps the operators' shared hub policy.
+
+    Scale: bucket sizing follows distributed_row_number's rule
+    (n_buckets ~ max(8 x cores, bytes / 128 MiB)); skew tolerance is
+    bucket-count-bounded — the hottest (bucket, key) group holds at most
+    one bucket's rows."""
+    if len(out_cols) != len(value_cols):
+        raise ValueError(
+            f"out_cols must name one output per value column: "
+            f"got {len(out_cols)} for {len(value_cols)}"
+        )
+    k = len(value_cols)
+    internals = {"__b"} | {
+        f"__{p}_{i}" for p in ("gcs_in", "gbs", "goff") for i in range(k)
+    }
+    _check_reserved(df, internals, *out_cols)
+    keys = [F.col(c) for c in key_cols]
+    b = df.repartitionByRange(n_buckets, *keys, *order_by).withColumn(
+        "__b", F.spark_partition_id()
+    )
+    if checkpoint_hub:
+        b = b.localCheckpoint(eager=True)
+    else:
+        b = b.persist()
+        _PERSISTED_HUBS.append(b)
+    lo, hi = (Window.unboundedPreceding, -1 if exclusive else 0)
+    wb = (
+        Window.partitionBy("__b", *key_cols)
+        .orderBy(*order_by)
+        .rowsBetween(lo, hi)
+    )
+    loc = b.select(
+        "*",
+        *[
+            F.coalesce(F.sum(v).over(wb), F.lit(0)).alias(f"__gcs_in_{i}")
+            for i, v in enumerate(value_cols)
+        ],
+    )
+    # Per-key offsets: sum of FULL earlier-bucket totals for the same key
+    # (exclusive vs inclusive only shifts the in-bucket frame — earlier
+    # buckets contribute wholly either way).
+    wo = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = b.groupBy("__b", *key_cols).agg(
+        *[F.sum(v).alias(f"__gbs_{i}") for i, v in enumerate(value_cols)]
+    )
+    for i in range(k):
+        offs = offs.withColumn(
+            f"__goff_{i}",
+            F.coalesce(F.sum(f"__gbs_{i}").over(wo), F.lit(0)),
+        )
+    offs = offs.drop(*[f"__gbs_{i}" for i in range(k)])
+    out = loc.join(offs, ["__b", *key_cols])
+    drop = ["__b"]
+    for i, oc in enumerate(out_cols):
+        out = out.withColumn(oc, F.col(f"__goff_{i}") + F.col(f"__gcs_in_{i}"))
+        drop += [f"__gcs_in_{i}", f"__goff_{i}"]
+    return out.drop(*drop)

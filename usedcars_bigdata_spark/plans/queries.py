@@ -6210,7 +6210,16 @@ def rows_ml_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint, so the AUC closed form is bit-identical to the window form."""
     from ..operators.rankstats import global_doubled_midrank_map
 
-    scored = _quality_lr_scores(spark, sf_dir).select("label", "z")
+    # NULL policy stated at the call site (r11 ADVICE): the equi-join on
+    # z drops NULL observations, where the old window form counted them.
+    # _quality_lr_scores emits z = w·x + b over non-null features, so no
+    # row is NULL today — filter explicitly so a future scorer change
+    # cannot silently shrink n/accuracy through the join.
+    scored = (
+        _quality_lr_scores(spark, sf_dir)
+        .select("label", "z")
+        .filter(F.col("z").isNotNull())
+    )
     rank_map = global_doubled_midrank_map(scored, "z")
     ranked = scored.join(rank_map.select("z", "r2"), "z")
     m = ranked.agg(

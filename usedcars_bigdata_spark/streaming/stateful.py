@@ -331,3 +331,142 @@ def streaming_token_bucket(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_anomaly_flags_scalable(
+    events: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    query_name: str = "anomaly_scalable",
+    n_buckets: int = 32,
+):
+    """HOT-KEY-NEUTRAL rewrite of ``running_anomaly_flags`` — same
+    semantics, no per-key Python fold. The r11 100× probe
+    (docs/SCALING.md) measured the honest skew contract of
+    applyInPandasWithState: one key holding 50% of the stream funnels
+    5M rows through ONE Python worker sequentially (4.8× wall). This
+    variant removes that funnel by decomposing the per-event recurrence
+    into COMBINABLE pieces, exactly as the probe prescribed (the state
+    is a sum-monoid — partials merge):
+
+    per event:  mean_before = (carried_total + batch_prefix_sum_excl)
+                              / (carried_n + batch_prefix_n_excl)
+
+    - the within-batch per-user EXCLUSIVE prefix (n, sum) comes from
+      ``operators.window.grouped_running_sums`` — one range exchange on
+      (user_id, event_id); a hot user spans MANY buckets, the largest
+      single window group is bucket-bounded regardless of skew;
+    - the carried per-user state joins in by key (hash-partitioned,
+      AQE-skew-splittable — a plain join, not a stateful fold);
+    - the state update is groupBy(user).agg(count, sum) — map-side
+      combinable, skew-neutral per the probe's own built-in-agg rows.
+
+    Emitted rows are IDENTICAL to running_anomaly_flags given the same
+    micro-batches (both process a batch in per-user event_id order;
+    pinned in tests/test_streaming.py against the same batch twin).
+    State lives in a parquet dir merged via ``sinks.merge_upsert`` with
+    the atomic marker replay guard (exactly-once effect); the residual
+    crash window — output append committed, state swap not — duplicates
+    at most one batch's OUTPUT rows, state itself cannot double-fold
+    (same contract as streaming/dedup.py, documented there).
+
+    Scale: every exchange in the per-batch plan is partitioned (range on
+    (user, event) + hash on user); nothing is per-key sequential. RocksDB
+    is irrelevant here — state is externalized to the parquet dir, sized
+    one row per user."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.window import grouped_running_sums
+    from .dedup import _already_applied, _replay_marker, _RunToken
+    from .sinks import merge_upsert, recover
+
+    run_token = _RunToken(checkpoint)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        # Recover BEFORE the replay check and state read (r10 ADVICE —
+        # see streaming/dedup.py): fold against the restored state, not
+        # a mid-swap hole.
+        recover(state_dir)
+        token = run_token.get()
+        if batch_df.isEmpty() or _already_applied(
+            state_dir, batch_id, checkpoint, token=token
+        ):
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.select("user_id", "event_id", "value").withColumn(
+            "__one", F.lit(1).cast("long")
+        )
+        # checkpoint_hub: the bucket hub is GC-released with the batch —
+        # foreachBatch handlers are library callers outside the harness
+        # release_hubs() protocol (the r7 heap-pressure lesson).
+        pref = grouped_running_sums(
+            batch,
+            ["user_id"],
+            [F.col("event_id").asc()],
+            ["__one", "value"],
+            ["__n_b", "__sum_b"],
+            n_buckets=n_buckets,
+            exclusive=True,
+            checkpoint_hub=True,
+        ).drop("__one")
+        have_state = os.path.exists(state_dir)
+        if have_state:
+            state = spark.read.parquet(state_dir).select(
+                "user_id",
+                F.col("n").alias("__n0"),
+                F.col("total").alias("__t0"),
+            )
+            pref = pref.join(state, "user_id", "left")
+        else:
+            state = None
+            pref = pref.withColumn(
+                "__n0", F.lit(None).cast("long")
+            ).withColumn("__t0", F.lit(None).cast("double"))
+        n_before = F.coalesce(F.col("__n0"), F.lit(0)) + F.col("__n_b")
+        t_before = F.coalesce(F.col("__t0"), F.lit(0.0)) + F.col("__sum_b")
+        mean = F.when(n_before > 0, t_before / n_before)
+        out = pref.select(
+            "user_id",
+            "event_id",
+            "value",
+            mean.alias("running_mean"),
+            F.coalesce(F.col("value") > 3.0 * mean, F.lit(False)).alias(
+                "flagged"
+            ),
+        )
+        out.write.mode("append").parquet(out_dir)
+        upd = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("__cn"), F.sum("value").alias("__sv")
+        )
+        if state is not None:
+            upd = upd.join(state, "user_id", "left")
+        else:
+            upd = upd.withColumn(
+                "__n0", F.lit(None).cast("long")
+            ).withColumn("__t0", F.lit(None).cast("double"))
+        updates = upd.select(
+            "user_id",
+            (F.coalesce(F.col("__n0"), F.lit(0)) + F.col("__cn")).alias("n"),
+            (F.coalesce(F.col("__t0"), F.lit(0.0)) + F.col("__sv")).alias(
+                "total"
+            ),
+        )
+        merge_upsert(
+            spark,
+            state_dir,
+            updates,
+            "user_id",
+            marker=_replay_marker(checkpoint, batch_id, token=token),
+        )
+
+    return (
+        events.select("user_id", "event_id", "value")
+        .writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .start()
+    )
