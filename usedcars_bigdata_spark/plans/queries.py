@@ -8530,3 +8530,122 @@ def rel_driver_fetch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     rows = IO.fetch_rows(nation.orderBy(F.col("n_nationkey").asc()), limit=5)
     return spark.createDataFrame(rows, schema="n_nationkey int, n_name string")
+
+
+@query(
+    "rel_grouped_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / 100.0, 2) AS running_spend
+    FROM orders
+    """,
+)
+def rel_grouped_running_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend via operators.window.
+    grouped_running_sums — the HOT-KEY-NEUTRAL grouped prefix sum (r12):
+    one range exchange on (custkey, orderdate, orderkey); a customer
+    holding half the fact table would span many contiguous buckets
+    instead of funneling through one hash partition, with only the
+    (bucket, key)-grain combinable aggregate feeding the per-key offset
+    window. Bit-identical to the plain
+    ``sum() OVER (PARTITION BY ... ROWS UNBOUNDED PRECEDING)`` the
+    oracle replays. Integer-cents accumulation (the rel_textfile_logparse
+    idiom): bigint prefix sums are exactly associative, so the two-pass
+    partial + offset addition cannot drift from DuckDB's sequential
+    window sum at any scale."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__cents"),
+    )
+    out = W.grouped_running_sums(
+        o,
+        ["o_custkey"],
+        [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()],
+        ["__cents"],
+        ["__rs"],
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("__rs") / 100.0, 2).alias("running_spend"),
+    )
+
+
+@query(
+    "ts_stream_anomaly_scalable",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, round(value * 100) AS value_cents FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, value_cents,
+             avg(value_cents) OVER (PARTITION BY user_id ORDER BY event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+               AS running_mean_cents
+      FROM c
+    )
+    SELECT user_id, event_id, value_cents,
+           round(running_mean_cents, 4) AS running_mean_cents,
+           coalesce(value_cents > 3.0 * running_mean_cents, false) AS flagged
+    FROM m
+    """,
+)
+def ts_stream_anomaly_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ts_stream_stateful_anomaly semantics WITHOUT the per-key
+    Python fold (streaming.stateful.running_anomaly_flags_scalable,
+    r12): foreachBatch computes each event's mean-before as
+    (carried per-user state + within-batch exclusive prefix from
+    grouped_running_sums), appends flags to parquet, and merges the
+    combinable (n, total) state via the atomic-marker merge_upsert —
+    the shape the r11 100× hot-key probe prescribed (27.9s vs 119.4s
+    at a 50% hot key; docs/SCALING.md r12). Same integer-cents contract
+    and the SAME oracle as the fold entry: one certified semantics, two
+    engine strategies — per-key recurrence when state does not merge,
+    combinable decomposition when it does."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.events import read_event_stream
+    from ..streaming.stateful import running_anomaly_flags_scalable
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "usedcars_anom_scal_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}_"
+        f"{spark.sparkContext.applicationId}",
+    )
+    for q in spark.streams.active:
+        if q.name == "ts_anom_scal":
+            q.stop()
+    # Fresh state/out/checkpoint per run: a stale checkpoint would mark
+    # all input processed and return the previous run's parquet as-is.
+    for d in ("state", "out", "ck"):
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    cents = read_event_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100)
+    )
+    q = running_anomaly_flags_scalable(
+        cents,
+        state_dir=os.path.join(base, "state"),
+        out_dir=os.path.join(base, "out"),
+        checkpoint=os.path.join(base, "ck"),
+        query_name="ts_anom_scal",
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(os.path.join(base, "out")).select(
+        "user_id",
+        "event_id",
+        F.col("value").alias("value_cents"),
+        F.round("running_mean", 4).alias("running_mean_cents"),
+        "flagged",
+    )
