@@ -1559,3 +1559,125 @@ def test_neyman_null_values_and_constant_strata(spark):
     const = spark.createDataFrame([("a", 5), ("b", 5)], ["s", "v"])
     crows = neyman_allocation(const, "s", "v", 100).collect()
     assert all(r.weight is None and r.alloc is None for r in crows)
+
+
+def test_grouped_running_sums_matches_window_form(spark):
+    """grouped_running_sums (r12, the hot-key-neutral grouped prefix sum)
+    must be bit-identical to sum() OVER (PARTITION BY key ORDER BY ...)
+    in both inclusive and exclusive frames, under an 80%-hot key and
+    across bucket counts (bucket-invariance is the two-pass family's
+    core contract)."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.window import (
+        grouped_running_sums,
+        release_hubs,
+    )
+
+    rows = [
+        (0 if i % 5 != 4 else 1 + i % 3, i, (i * 37) % 13)
+        for i in range(1, 601)
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    order = [F.col("id").asc()]
+    w = Window.partitionBy("k").orderBy("id")
+    want_inc = {
+        r.id: r.cs
+        for r in df.select(
+            "id",
+            F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        ).collect()
+    }
+    want_exc = {
+        r.id: r.cs
+        for r in df.select(
+            "id",
+            F.coalesce(
+                F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("cs"),
+        ).collect()
+    }
+    for nb in (3, 32):
+        got_inc = {
+            r.id: r.cs
+            for r in grouped_running_sums(
+                df, ["k"], order, ["v"], ["cs"], n_buckets=nb
+            ).collect()
+        }
+        got_exc = {
+            r.id: r.cs
+            for r in grouped_running_sums(
+                df, ["k"], order, ["v"], ["cs"], n_buckets=nb, exclusive=True
+            ).collect()
+        }
+        assert got_inc == want_inc, nb
+        assert got_exc == want_exc, nb
+    release_hubs()
+
+
+def test_grouped_lag_matches_window_form(spark):
+    """grouped_lag must be bit-identical to lag() OVER (PARTITION BY key
+    ORDER BY ...), including NULL lag VALUES crossing bucket boundaries
+    (the carry is positional — row_number == 1 — not a coalesce that
+    would swallow a genuine NULL answer)."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.window import (
+        grouped_lag,
+        release_hubs,
+    )
+
+    rows = [
+        (
+            0 if i % 5 != 4 else 1 + i % 3,
+            i,
+            None if i % 4 == 0 else float((i * 37) % 13),
+        )
+        for i in range(1, 601)
+    ]
+    df = spark.createDataFrame(rows, "k long, id long, v double")
+    w = Window.partitionBy("k").orderBy("id")
+    want = {r.id: r.lg for r in df.select("id", F.lag("v").over(w).alias("lg")).collect()}
+    for nb in (3, 32):
+        got = {
+            r.id: r.lg
+            for r in grouped_lag(df, ["k"], ["id"], "v", "lg", n_buckets=nb).collect()
+        }
+        assert got == want, nb
+    release_hubs()
+
+
+def test_sessionize_scalable_matches_window_form(spark, sf_dir):
+    """The hot-key-neutral gaps-and-islands decomposition (r12:
+    grouped_lag + grouped_running_sums) must label every event with the
+    SAME session_seq as the window-form sessionize — including under a
+    planted key holding half the stream (the shape whose
+    partitionBy(user) plan the decomposition exists to avoid)."""
+    from usedcars_bigdata_spark.operators.timeseries import (
+        sessionize,
+        sessionize_scalable,
+    )
+    from usedcars_bigdata_spark.operators.window import release_hubs
+    from usedcars_bigdata_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hot = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        ),
+    )
+    for frame in (ev, hot):
+        want = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize(frame, "user_id", "ts", "event_id", 30).collect()
+        }
+        got = {
+            r["event_id"]: r["session_seq"]
+            for r in sessionize_scalable(
+                frame, "user_id", "ts", "event_id", 30, n_buckets=8
+            ).collect()
+        }
+        assert got == want
+        release_hubs()

@@ -2986,3 +2986,66 @@ def purged_time_folds(
         "test_start",
         "test_end",
     )
+
+
+def sessionize_scalable(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+    n_buckets: int = 32,
+    checkpoint_hub: bool = False,
+) -> DataFrame:
+    """``sessionize`` without per-key window funnels — gaps-and-islands
+    for the hot-key regime (r12; the same decomposition family as
+    running_anomaly_flags_scalable): the per-user lag comes from
+    operators.window.grouped_lag (range exchange on (user, ts, id);
+    a hot user spans many buckets) and the session numbering from
+    grouped_running_sums over the session-start marker. Bit-identical
+    to sessionize() — both order by (ts, id) and compare microsecond
+    gaps.
+
+    Cost at harness scale: two range exchanges + two (bucket, key)
+    offset joins where the window form pays ONE hash exchange — the
+    window form stays the default; this is the declared scale path for
+    a key holding a partition-breaking share of the stream (the r11
+    probe's 50%-hot shape, where any partitionBy(user) plan serializes
+    half the data through one task).
+
+    Output: (id, user, ts, session_seq), session_seq from 1 per user."""
+    from .window import grouped_lag, grouped_running_sums
+
+    lagged = grouped_lag(
+        events.select(F.col(id_col), F.col(user_col), F.col(ts_col)),
+        [user_col],
+        [ts_col, id_col],
+        ts_col,
+        "__prev_ts",
+        n_buckets=n_buckets,
+        checkpoint_hub=checkpoint_hub,
+    )
+    new_s = F.when(
+        F.col("__prev_ts").isNull()
+        | (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__prev_ts"))
+            > gap_minutes * 60 * 1_000_000
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    marked = lagged.withColumn("__new_s", new_s).drop("__prev_ts")
+    out = grouped_running_sums(
+        marked,
+        [user_col],
+        [F.col(ts_col).asc(), F.col(id_col).asc()],
+        ["__new_s"],
+        ["session_seq"],
+        n_buckets=n_buckets,
+        checkpoint_hub=checkpoint_hub,
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(user_col),
+        F.col(ts_col),
+        F.col("session_seq").cast("long").alias("session_seq"),
+    )

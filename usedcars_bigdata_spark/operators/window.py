@@ -475,3 +475,65 @@ def grouped_running_sums(
         out = out.withColumn(oc, F.col(f"__goff_{i}") + F.col(f"__gcs_in_{i}"))
         drop += [f"__gcs_in_{i}", f"__goff_{i}"]
     return out.drop(*drop)
+
+
+def grouped_lag(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "lag",
+    n_buckets: int = 32,
+    checkpoint_hub: bool = False,
+) -> DataFrame:
+    """PER-KEY lag(1) without a per-key window funnel — the lag sibling
+    of ``grouped_running_sums``, same hot-key contract: one range
+    exchange on (keys..., order...); in-bucket lag under a
+    (bucket, key)-partitioned window (groups bucket-bounded regardless
+    of skew); each bucket's FIRST row per key takes the carry — the
+    previous bucket's last value for that key, computed on the
+    (bucket, key)-grain table with a per-key offset window (combinable
+    max_by feeds it, so nothing data-sized crosses a per-key boundary).
+    Bit-identical to ``lag(v) OVER (PARTITION BY keys ORDER BY ...)``.
+
+    ``order_cols`` are column NAMES forming an ASCENDING total order
+    within each key (the carry uses a lexicographic max_by struct;
+    descending orders would need a min_by flip — not supported, state
+    the order ascending instead). NULL values carry through correctly:
+    the first-row test is positional (row_number), not a
+    coalesce-on-NULL (a NULL lag value is a real answer, not a missing
+    one).
+
+    ``checkpoint_hub`` as in grouped_running_sums."""
+    internals = {"__b", "__lag_in", "__rn_in", "__last_v", "__carry"}
+    _check_reserved(df, internals, out_col)
+    ords = [F.col(c) for c in order_cols]
+    b = df.repartitionByRange(n_buckets, *[F.col(c) for c in key_cols], *ords
+                              ).withColumn("__b", F.spark_partition_id())
+    if checkpoint_hub:
+        b = b.localCheckpoint(eager=True)
+    else:
+        b = b.persist()
+        _PERSISTED_HUBS.append(b)
+    wb = Window.partitionBy("__b", *key_cols).orderBy(*ords)
+    loc = b.select(
+        "*",
+        F.lag(F.col(value_col)).over(wb).alias("__lag_in"),
+        F.row_number().over(wb).alias("__rn_in"),
+    )
+    lasts = b.groupBy("__b", *key_cols).agg(
+        F.max_by(F.col(value_col), F.struct(*ords)).alias("__last_v")
+    )
+    wo = Window.partitionBy(*key_cols).orderBy("__b")
+    carry = lasts.select(
+        "__b",
+        *key_cols,
+        F.lag("__last_v").over(wo).alias("__carry"),
+    )
+    out = loc.join(carry, ["__b", *key_cols]).withColumn(
+        out_col,
+        F.when(F.col("__rn_in") == 1, F.col("__carry")).otherwise(
+            F.col("__lag_in")
+        ),
+    )
+    return out.drop("__b", "__lag_in", "__rn_in", "__carry")

@@ -8649,3 +8649,35 @@ def ts_stream_anomaly_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("running_mean", 4).alias("running_mean_cents"),
         "flagged",
     )
+
+
+@query(
+    "ts_sessionize_scalable",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_seq
+    FROM g
+    """,
+)
+def ts_sessionize_scalable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_sessionize through the HOT-KEY-NEUTRAL decomposition
+    (operators.timeseries.sessionize_scalable, r12): per-user lag via
+    grouped_lag, session numbering via grouped_running_sums — no
+    partitionBy(user) window anywhere, so a user holding half the
+    stream spans many range buckets instead of one task. Same oracle as
+    ts_sessionize: one certified semantics, two engine strategies (the
+    window form stays the default below the skew cliff)."""
+    return TS.sessionize_scalable(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "event_id",
+        gap_minutes=30,
+    )
