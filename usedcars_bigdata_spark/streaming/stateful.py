@@ -191,6 +191,15 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
     ts_stream_sessionize oracle). The state is O(1) per user and
     shards with the user_id shuffle.
 
+    Hot-key contract (measured, docs/SCALING.md r11/r12): a per-key
+    Python fold streams each key's rows through ONE worker sequentially
+    — a key holding 50% of the stream cost 4.8× wall at 100×. The
+    session recurrence DOES decompose (gap marks are a lag, numbering a
+    prefix sum): when a hot key is possible, run the batch twin of this
+    semantics through operators.timeseries.sessionize_scalable per
+    micro-batch instead, the shape running_anomaly_flags_scalable
+    demonstrates end-to-end.
+
     Production note: gone-silent users hold their last session open
     forever under NoTimeout; a deployment sets
     GroupStateTimeout.EventTimeTimeout + a watermark to flush idle
@@ -319,7 +328,16 @@ def streaming_token_bucket(
     is purely data-driven (each event's verdict depends only on earlier
     events of the same user), which is why the contract entry can share
     the batch recurrence's EXACT recursive-CTE oracle: the same SQL
-    certifies both engines' batch/stream parity."""
+    certifies both engines' batch/stream parity.
+
+    Hot-key contract (measured, docs/SCALING.md r11/r12): per-key Python
+    folds serialize a hot key through one worker (4.8× wall at a 50%
+    key). Unlike the anomaly/session recurrences this one does NOT
+    decompose — each admission changes the token balance the next
+    refill sees, a data-dependent recurrence with no merge — so the
+    fold is the honest form; a deployment expecting a pathologically
+    hot key must rate-limit per (key, salt) shard and accept the
+    semantic change, or pre-aggregate upstream."""
     return (
         events.select("user_id", "event_id", "ts")
         .groupBy("user_id")
