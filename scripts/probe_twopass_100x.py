@@ -37,7 +37,101 @@ from usedcars_bigdata_spark.sources import load_table
 ORDERS_100X = "/tmp/probe_twopass_orders_100x"
 
 
+def grouped_mode(hot: bool, n_buckets: int = 64) -> None:
+    """r12: the GROUPED two-pass forms (grouped_running_sums /
+    grouped_lag) at 100× vs the plain per-key window, optionally with a
+    planted 90%-hot key — the shape where partitionBy(key) funnels 13.5M
+    rows through one task. Checksums pin bit-identity between both
+    strategies on the SAME fixture before walls compare."""
+    from pyspark.sql import Window
+
+    from usedcars_bigdata_spark.operators.window import (
+        grouped_lag,
+        grouped_running_sums,
+    )
+
+    spark = get_session(app_name=f"twopass-grouped-{int(hot)}")
+    spark.sparkContext.setLogLevel("WARN")
+    if not os.path.exists(os.path.join(ORDERS_100X, "_SUCCESS")):
+        raise SystemExit("run the default mode once first to build the fixture")
+    df = spark.read.parquet(ORDERS_100X).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    if hot:
+        df = df.withColumn(
+            "o_custkey",
+            F.when(F.col("o_orderkey") % 10 != 0, F.lit(0)).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    df = df.localCheckpoint(eager=True)  # decouple fixture build from timings
+    n = df.count()
+    print(f"rows: {n}  hot: {hot}  n_buckets: {n_buckets}")
+
+    order = [F.col("o_orderkey").asc()]
+    results = {}
+    for label, frame in (
+        (
+            "grouped_running_sums",
+            lambda: grouped_running_sums(
+                df, ["o_custkey"], order, ["cents"], ["rs"],
+                n_buckets=n_buckets,
+            ),
+        ),
+        (
+            "window_running_sum",
+            lambda: df.withColumn(
+                "rs",
+                F.sum("cents").over(
+                    Window.partitionBy("o_custkey")
+                    .orderBy("o_orderkey")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            ),
+        ),
+        (
+            "grouped_lag",
+            lambda: grouped_lag(
+                df, ["o_custkey"], ["o_orderkey"], "cents", "rs",
+                n_buckets=n_buckets,
+            ),
+        ),
+        (
+            "window_lag",
+            lambda: df.withColumn(
+                "rs",
+                F.lag("cents").over(
+                    Window.partitionBy("o_custkey").orderBy("o_orderkey")
+                ),
+            ),
+        ),
+    ):
+        t0 = time.time()
+        out = (
+            frame()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.hash("o_orderkey", "rs").cast("bigint")).alias("chk"),
+            )
+            .collect()[0]
+        )
+        wall = time.time() - t0
+        results[label] = (wall, out.chk)
+        assert out.n == n
+        print(f"{label}: wall={wall:.1f}s chk={out.chk}")
+        release_hubs()
+        spark.catalog.clearCache()
+    assert results["grouped_running_sums"][1] == results["window_running_sum"][1]
+    assert results["grouped_lag"][1] == results["window_lag"][1]
+    print("checksums identical across strategies — PROBE DONE")
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["grouped"]:
+        grouped_mode(hot="hot" in sys.argv[2:])
+        return
     n_buckets = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     spark = get_session(app_name=f"twopass-100x-{n_buckets}")
     spark.sparkContext.setLogLevel("WARN")

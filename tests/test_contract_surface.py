@@ -20,63 +20,21 @@ import pytest
 
 from usedcars_bigdata_spark.plans import ORACLES, QUERIES
 
-# Round-11 rotation (queued at round-10 close, executed this round): pin ONLY
-# the 12 ref_* parity rows; every other window slot goes to the head of the
-# never-driver-verified queue, with the two oracle-backed LLM-pipeline
-# flagships (ext_dedup_minhash_md5, ext_dedup_simhash) front-loaded per the
-# r10 VERDICT.
-ROUND11_ROTATED_IN = [
-    "ext_dedup_minhash_md5",
-    "ext_dedup_simhash",
-    "ml_gini_feature_rank",
-    "rel_simpson_diversity",
-    "ts_ljung_box",
-    "rel_zonemap_prune_audit",
-    "ext_audio_vad_segments",
-    "rel_kmv_set_ops",
-    "ext_code_prose_detect",
-    "ml_pinball_loss",
-    "rel_bitemporal_asof",
-    "rel_table_checksum",
-    "ts_hurst_exponent",
-    "ml_mutual_info_rank",
-    "ts_haar_energy",
-    "ts_ar2_fit",
-    "ts_changepoint_binseg",
-    "rel_t_closeness",
-    "ext_quality_rule_overlap",
-    "ts_stream_kmv",
-    "rel_graph_bfs_layers",
-    "ml_class_balance",
-    "ml_mrmr_rank",
-    "ts_runs_test",
-    "ts_turning_points",
-    "ext_span_corruption",
-    "ext_coverage_select",
-    "ts_pattern_vshape",
-    "ts_did_estimator",
-    "rel_inclusion_deps",
-    "rel_bucketed_join",
-    "ts_markov_entropy",
-    "ts_slo_burn_alerts",
-    "rel_join_cardinality_audit",
-    "ext_fs_em_weights",
-    "ts_stream_left_outer",
-    "ts_ewma_smooth",
-    "ts_purged_splits",
-]
-
 DRIVER_WINDOW = 50
 
 
-def _driver_sim():
+def _script(name):
     path = (
-        pathlib.Path(__file__).resolve().parents[1] / "scripts" / "driver_sim.py"
+        pathlib.Path(__file__).resolve().parents[1] / "scripts" / f"{name}.py"
     )
-    spec = importlib.util.spec_from_file_location("driver_sim", path)
+    spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
+
+
+def _driver_sim():
+    return _script("driver_sim")
 
 
 def test_driver_sim_canon_crashes_on_array_cells():
@@ -96,13 +54,34 @@ def test_driver_sim_canon_flat_frames_sort_consistently():
     assert sim.canon_rows(a) == sim.canon_rows(b)
 
 
-def test_round11_rotation_window_membership():
+def test_rotation_window_satisfies_ledger_policy():
+    """Round-agnostic window guard (replaces the per-round hard-coded
+    membership list that went stale at every rotation): the first-50
+    window must satisfy exactly the invariants scripts/rotation_ledger.py
+    enforces — 12 ref_* pins, every non-pin slot oracle-backed, the
+    whole never-driver-verified backlog inside the window once it fits,
+    and the remaining slots holding the deterministic oldest-verified
+    re-verification fill."""
+    ledger = _script("rotation_ledger")
     window = list(QUERIES)[:DRIVER_WINDOW]
-    refs = [n for n in window if n.startswith("ref_")]
-    assert len(refs) == 12, f"expected exactly the 12 pinned ref rows, got {refs}"
-    missing = [n for n in ROUND11_ROTATED_IN if n not in window]
-    assert not missing, f"rotated-in entries outside the sweep window: {missing}"
-    assert len(ROUND11_ROTATED_IN) == DRIVER_WINDOW - 12
+    pins = window[:12]
+    assert all(n.startswith("ref_") for n in pins) and len(set(pins)) == 12
+    rotate_ins = window[12:]
+    assert not [n for n in rotate_ins if n not in ORACLES]
+    last = ledger.load_last_verified()
+    backlog = [k for k in QUERIES if k in ORACLES and k not in last]
+    if len(backlog) >= len(rotate_ins):
+        assert not [n for n in rotate_ins if n in last]
+    else:
+        assert not [n for n in backlog if n not in set(rotate_ins)]
+        order = {k: i for i, k in enumerate(QUERIES)}
+        n_fill = len(rotate_ins) - len(backlog)
+        expected = sorted(
+            (k for k in QUERIES if k in ORACLES and k in last
+             and k not in set(pins)),
+            key=lambda k: (last[k], order[k]))[:n_fill]
+        actual = [n for n in rotate_ins if n in last]
+        assert set(actual) == set(expected)
 
 
 def test_window_is_fully_oracle_backed():

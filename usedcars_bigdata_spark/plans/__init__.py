@@ -35,14 +35,15 @@ _CONTRACT_PRIORITY = [
     "ref_dedup_deterministic",
     "ref_skewness_transforms",
     "ref_summary_stats",
-    # --- ROUND-12 ROTATION (queued at round-11 close; the r11 VERDICT
-    # flagged that the r11 close left the window stale — this rotation
-    # was therefore executed as the FIRST action of round 12, per
-    # VERDICT item 1). Slots 13-29: the full 17-entry never-driver-
-    # verified oracle-backed backlog (exactly what
-    # scripts/rotation_ledger.py printed at r11 close). After this
-    # sweep the never-verified backlog is EMPTY: every oracle-backed
-    # entry (382/382) has an official driver row. ---
+    # --- ROUND-12 ROTATION (executed as the FIRST action of round 12
+    # per r11 VERDICT item 1, then amended mid-round: the three r12
+    # operator additions (rel_grouped_running_sum,
+    # ts_stream_anomaly_scalable, ts_sessionize_scalable) are oracle-
+    # backed and never-verified, so the ledger policy pulls them into
+    # the window, displacing the three FRESHEST re-verification fills.
+    # Slots 13-32: the full never-driver-verified oracle-backed
+    # backlog — after this sweep every oracle-backed entry has an
+    # official driver row. ---
     "ml_cohens_kappa",  # never-verified queue
     "rows_stream_holt_winters",  # never-verified queue
     "rows_fpgrowth_itemsets",  # never-verified queue
@@ -60,12 +61,13 @@ _CONTRACT_PRIORITY = [
     "rel_seeded_split_invariants",  # never-verified queue
     "rel_collection_dim_join",  # never-verified queue
     "rel_driver_fetch_topk",  # never-verified queue
-    # --- Slots 30-50: the re-verification rotation begins (r11 VERDICT
-    # item 6). Fill = the 21 OLDEST driver-verified oracle-backed rows
-    # by (last-verified round, registry order): the five r1 rows and
-    # the sixteen oldest r2 rows. scripts/rotation_ledger.py now
-    # derives and enforces this fill deterministically and prints the
-    # staleness table for the r13 queue. ---
+    "rel_grouped_running_sum",  # never-verified queue
+    "ts_stream_anomaly_scalable",  # never-verified queue
+    "ts_sessionize_scalable",  # never-verified queue
+    # --- Remaining slots: the re-verification rotation (r11 VERDICT
+    # item 6) — the OLDEST driver-verified oracle-backed rows by
+    # (last-verified round, registry order); derivation enforced by
+    # scripts/rotation_ledger.py and tests/test_contract_surface.py. ---
     "rel_rank_fractions",  # re-verify (last r1)
     "rel_first_last_window",  # re-verify (last r1)
     "rel_string_funcs",  # re-verify (last r1)
@@ -84,13 +86,13 @@ _CONTRACT_PRIORITY = [
     "rel_topk_per_group",  # re-verify (last r2)
     "rel_selectexpr_agg",  # re-verify (last r2)
     "rel_bucketed_counts",  # re-verify (last r2)
-    "rel_rollup_year_priority",  # re-verify (last r2)
-    "rel_pivot_status",  # re-verify (last r2)
-    "rel_unpivot_measures",  # re-verify (last r2)
     # --- driver's 50-entry sweep window ends here ---
     # Remaining entries keep their prior relative order; all retain
     # pytest + full-registry driver_sim replay coverage between
     # official driver rows.
+    "rel_rollup_year_priority",
+    "rel_pivot_status",
+    "rel_unpivot_measures",
     "ext_dedup_minhash_md5",
     "ext_dedup_simhash",
     "ml_gini_feature_rank",
