@@ -905,6 +905,8 @@ def pq_topk(
         # bound is reached, and below the bound it IS the exact count
         # (r11 ADVICE: the full corpus.count() job was pure overhead for
         # any corpus larger than ~1280*k).
+        import math
+
         bound = int(math.ceil(256 * max(k, 1) / 0.2))
         refine = _auto_refine(float(corpus.limit(bound).count()), k)
     sample = _representative_sample(corpus, id_col, vec_col, train_cap, seed)
