@@ -48,11 +48,32 @@ BENCH_MODELS = ["linear", "decision_tree", "random_forest"]
 STREAM_ISOLATED_PREFIXES = ("ts_stream", "rows_stream")
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — see _env_fingerprint."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _env_fingerprint() -> dict:
     """Stamp the record with the machine state at run time — the r8
     driver-vs-committed bench delta (+27% uniform) could only be
     adjudicated by re-running; with loadavg + concurrent-JVM count in
-    the record itself, the next such delta is attributable on sight."""
+    the record itself, the next such delta is attributable on sight.
+
+    r12 adds hypervisor STEAL: this sandbox is a VM on a shared host,
+    and the r12 before-record measured episodic 5–30× inflation of
+    individual queries (ref_like_not_filter 2.7 s → 95.3 s) at load1 =
+    1.5 with 32 idle cores — invisible to loadavg, fully explained by
+    /proc/stat steal (cumulatively ~47% of all work jiffies on this
+    box). main() snapshots jiffies at start/end and records steal as a
+    % of the run's elapsed jiffies, so a noisy record is attributable
+    without re-running."""
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
@@ -95,11 +116,18 @@ def time_isolated(name: str, sf_dir: str) -> float:
 
 
 def time_query(spark, sf_dir: str, name: str) -> float:
+    # Stream entries set a data-derived spark.sql.shuffle.partitions for
+    # their own query (streaming.events.stream_shuffle_partitions, r12);
+    # restore the session default afterwards so batch entries keep
+    # planning at the engine default (same per-entry hygiene as
+    # clearCache below).
+    default_sp = spark.conf.get("spark.sql.shuffle.partitions")
     t0 = time.time()
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     dt = time.time() - t0
     assert n >= 0
+    spark.conf.set("spark.sql.shuffle.partitions", default_sp)
     # Per-entry cache hygiene: entries are independent, so a hub one
     # entry persist()ed must not occupy storage memory while the next
     # 400 run — the r8 bench measured 110 entries drifting up once the
@@ -177,6 +205,7 @@ def main() -> None:
     # scripts/bench_isolated.py reproduces). Running them in a fresh heap
     # keeps the recorded number close to what a dedicated job would see.
     env = _env_fingerprint()
+    jiffies_start = _cpu_jiffies()
     timings: dict[str, float] = {}
     stream_same_jvm: dict[str, float] = {}
     timings.update(time_models(spark, sf_dir))
@@ -196,6 +225,12 @@ def main() -> None:
                 timings[name] = dt
         else:
             timings[name] = dt
+
+    jiffies_end = _cpu_jiffies()
+    if jiffies_start and jiffies_end:
+        dsteal = jiffies_end[0] - jiffies_start[0]
+        dtotal = jiffies_end[1] - jiffies_start[1]
+        env["steal_pct"] = round(100.0 * dsteal / max(dtotal, 1), 2)
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -248,3 +248,50 @@ def test_scalable_anomaly_multibatch_equals_python_fold(spark, sf_dir, batch_eve
         assert got.count() == n
     finally:
         q2.stop()
+
+
+def test_stream_shuffle_partitions_scale_adaptive(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """r12 optimization: streaming queries size their shuffle/state
+    partitioning to the SOURCE bytes (~64 MiB per partition, floor 4,
+    capped at the session batch default) instead of inheriting the
+    cores-sized batch default — state stores are a per-partition,
+    per-micro-batch commit cost. Pins the derivation rule's edges:
+    tiny source → floor; unmeasurable source → batch default (never
+    the local floor, which would serialize a production stream);
+    env override wins; big source → bytes-derived but capped."""
+    from usedcars_bigdata_spark.streaming.events import (
+        stream_shuffle_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
+                       raising=False)
+    batch_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny local source → the compute-parallelism floor
+    assert stream_shuffle_partitions(spark, sf_dir, "events.parquet") == 4
+
+    # unmeasurable source (missing path: os.walk yields nothing) →
+    # batch default, NOT the floor
+    assert (
+        stream_shuffle_partitions(spark, str(tmp_path / "nope"), "*")
+        == batch_default
+    )
+
+    # bytes-derived: 3 files x 1 MiB at target 1 MiB → 3, floored to 4;
+    # at target 256 KiB → 12, capped at the batch default
+    d = tmp_path / "src"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.bin").write_bytes(b"\0" * (1 << 20))
+    assert stream_shuffle_partitions(
+        spark, str(d), "*.bin", target_bytes=1 << 20
+    ) == 4
+    capped = stream_shuffle_partitions(
+        spark, str(d), "*.bin", target_bytes=256 << 10
+    )
+    assert capped == min(12, batch_default)
+
+    # env override wins over everything
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "7")
+    assert stream_shuffle_partitions(spark, sf_dir, "events.parquet") == 7

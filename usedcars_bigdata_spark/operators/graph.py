@@ -519,7 +519,14 @@ def bfs_layers(
             "node", F.lit(r).alias("dist")
         )
         visited = visited.unionByName(new).localCheckpoint(eager=True)
-        frontier = new
+        # Derive the next frontier from the JUST-CHECKPOINTED visited
+        # rather than reusing `new` (whose lineage roots at the previous
+        # checkpoint): with `frontier = new`, round r+1's neighbor join
+        # re-executed round r's join+distinct+anti-join a second time —
+        # one extra round of work per round, visible as a duplicated
+        # Exchange subtree in the round plans (r12 optimization; the
+        # filter on the materialized set is the same row set bit-for-bit).
+        frontier = visited.filter(F.col("dist") == r).select("node")
     layers = visited.groupBy("dist").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )

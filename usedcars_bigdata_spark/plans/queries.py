@@ -5481,6 +5481,12 @@ def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = os.path.join(base, d)
         if os.path.exists(p):
             shutil.rmtree(p)
+    from ..streaming.events import stream_shuffle_partitions
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(spark, src, "*.parquet")),
+    )
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
@@ -5585,6 +5591,12 @@ def rows_stream_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
+    from ..streaming.events import stream_shuffle_partitions
+
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(spark, src, "*.parquet")),
+    )
     stream = (
         spark.readStream.schema("event_type string, b timestamp, x double")
         .option("maxFilesPerTrigger", 1)

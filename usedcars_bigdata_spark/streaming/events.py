@@ -34,6 +34,66 @@ _EVENTS_SCHEMA_MICROS = (
 )
 
 
+def stream_shuffle_partitions(
+    spark: SparkSession,
+    directory: str,
+    glob: str = "*",
+    target_bytes: int = 64 << 20,
+) -> int:
+    """Scale-adaptive shuffle-partition count for a streaming query over
+    the files under ``directory`` (r12 optimization; guide §2 "derive
+    partitioning from input size, not a constant").
+
+    Stateful operators allocate ONE state store per shuffle partition
+    per operator, and every micro-batch pays a per-store commit (delta
+    file write + maintenance) even when the partition holds a handful
+    of rows. Inheriting the batch default (sized to cores) makes a
+    small replay pay ~cores× the state machinery per batch — measured
+    on ts_stream_left_outer (4 join state stores/partition, 8 micro-
+    batches): 21–42 s at 32 partitions vs 5.8–13.8 s at 4–8, same
+    machine, interleaved fresh JVMs. A fixed small constant would
+    instead under-partition a production stream, so derive the count
+    from the source size: ~``target_bytes`` of input per partition,
+
+    - floored at 4 — stream-stream joins and per-batch aggregations
+      still need compute parallelism (n=1 measured 24.9 s: the join
+      work serializes); the floor is deliberately NOT the core count,
+      because state-store count is a data-scaled cost, not a
+      cores-scaled one;
+    - capped at the session's batch ``spark.sql.shuffle.partitions``,
+      so a stream never plans MORE partitions than the surrounding
+      engine (on a cluster that default is already sized 2–3× total
+      cores and AQE-coalesced; a 100 TB source hits the cap and keeps
+      full parallelism).
+
+    ``SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS`` overrides the derived
+    value for cluster tuning (and lets benchmarks A/B the rule)."""
+    import fnmatch
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS")
+    batch_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if env:
+        return max(1, int(env))
+    total = 0
+    try:
+        for root, _dirs, files in os.walk(directory):
+            for f in files:
+                if fnmatch.fnmatch(f, glob):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        total = 0
+    if total == 0:
+        # Non-local, unreadable or not-yet-written source (os.walk on a
+        # missing path yields NOTHING rather than raising): keep the
+        # batch default — at production scale that is the already-tuned
+        # value, and clamping an unmeasurable source to the local floor
+        # would serialize a real stream.
+        return batch_default
+    derived = max(4, -(-total // target_bytes))  # ceil-div, floor 4
+    return min(derived, batch_default) if batch_default > 0 else derived
+
+
 def read_event_stream(
     spark: SparkSession, directory: str, glob: str = "events.parquet",
     max_files_per_trigger: int = 1
@@ -43,9 +103,20 @@ def read_event_stream(
 
     ts is normalized to a micros TimestampType whichever physical layout
     the files carry, so every downstream transformation (and its batch
-    twin) sees one schema."""
+    twin) sees one schema.
+
+    Side effect (documented): sets ``spark.sql.shuffle.partitions`` to
+    ``stream_shuffle_partitions(...)`` so the streaming query that the
+    caller is about to start plans its state stores at the data-derived
+    count (the conf is read at query-start time). Callers that go on to
+    run unrelated BATCH work in the same session can restore their
+    default afterwards (bench.py does, per-entry)."""
     import os
 
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_shuffle_partitions(spark, directory, glob)),
+    )
     probe = spark.read.parquet(os.path.join(directory, glob)).schema["ts"]
     nanos = probe.dataType.simpleString() == "bigint"
     raw = (
