@@ -35,6 +35,24 @@ def _drain_two_pass_hubs():
     release_hubs()
 
 
+@pytest.fixture(autouse=True)
+def _restore_shuffle_partitions():
+    """Stream entries set a data-derived spark.sql.shuffle.partitions for
+    their own query (streaming.events.stream_shuffle_partitions, r12);
+    bench.py restores the session default per entry — mirror that hygiene
+    per TEST so a stream-entry test can't leak a stream-sized conf into
+    later plan-shape assertions."""
+    yield
+    try:
+        from pyspark.sql import SparkSession
+
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            s.conf.set("spark.sql.shuffle.partitions", "8")
+    except Exception:
+        pass
+
+
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
