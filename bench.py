@@ -49,13 +49,21 @@ STREAM_ISOLATED_PREFIXES = ("ts_stream", "rows_stream")
 
 
 def _cpu_jiffies() -> tuple[int, int] | None:
-    """(steal, total) jiffies from /proc/stat — see _env_fingerprint."""
+    """(steal, busy) jiffies from /proc/stat — see _env_fingerprint.
+
+    busy excludes idle and iowait (r13, ADVICE r12): steal only competes
+    with jiffies the guest actually wanted to run, so on a mostly-idle
+    32-core box dividing by ALL jiffies diluted a fully-stolen busy core
+    to ~3% — exactly the episodic-inflation signal the stamp exists to
+    attribute. steal_pct is now steal / (busy work), and the raw deltas
+    are recorded alongside so any ratio can be recomputed."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         vals = [int(v) for v in parts[1:]]
         steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
+        idle_io = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return steal, sum(vals) - idle_io
     except (OSError, ValueError, IndexError):
         return None
 
@@ -122,25 +130,30 @@ def time_query(spark, sf_dir: str, name: str) -> float:
     # planning at the engine default (same per-entry hygiene as
     # clearCache below).
     default_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    t0 = time.time()
-    df = QUERIES[name](spark, sf_dir)
-    n = df.count()
-    dt = time.time() - t0
-    assert n >= 0
-    spark.conf.set("spark.sql.shuffle.partitions", default_sp)
-    # Per-entry cache hygiene: entries are independent, so a hub one
-    # entry persist()ed must not occupy storage memory while the next
-    # 400 run — the r8 bench measured 110 entries drifting up once the
-    # two-pass window operators started persisting their bucket frames
-    # for the life of the JVM. clearCache() ends the cross-entry
-    # contamination; the inside-an-entry cache reuse these hubs exist
-    # for has already happened by the time count() returns.
-    # release_hubs() additionally empties the operators' hub registry so
-    # the Python-side references don't pin re-persistable plans (r9).
-    from usedcars_bigdata_spark.operators.window import release_hubs
+    try:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        assert n >= 0
+    finally:
+        # try/finally (r13, ADVICE r12): a raising entry must not leak a
+        # stream-sized conf or a persisted hub into the next entry for a
+        # caller that catches and continues.
+        spark.conf.set("spark.sql.shuffle.partitions", default_sp)
+        # Per-entry cache hygiene: entries are independent, so a hub one
+        # entry persist()ed must not occupy storage memory while the next
+        # 400 run — the r8 bench measured 110 entries drifting up once the
+        # two-pass window operators started persisting their bucket frames
+        # for the life of the JVM. clearCache() ends the cross-entry
+        # contamination; the inside-an-entry cache reuse these hubs exist
+        # for has already happened by the time count() returns.
+        # release_hubs() additionally empties the operators' hub registry so
+        # the Python-side references don't pin re-persistable plans (r9).
+        from usedcars_bigdata_spark.operators.window import release_hubs
 
-    release_hubs()
-    spark.catalog.clearCache()
+        release_hubs()
+        spark.catalog.clearCache()
     return dt
 
 
@@ -229,8 +242,10 @@ def main() -> None:
     jiffies_end = _cpu_jiffies()
     if jiffies_start and jiffies_end:
         dsteal = jiffies_end[0] - jiffies_start[0]
-        dtotal = jiffies_end[1] - jiffies_start[1]
-        env["steal_pct"] = round(100.0 * dsteal / max(dtotal, 1), 2)
+        dbusy = jiffies_end[1] - jiffies_start[1]
+        env["steal_pct"] = round(100.0 * dsteal / max(dbusy, 1), 2)
+        env["steal_jiffies"] = dsteal
+        env["busy_jiffies"] = dbusy
 
     total = round(sum(timings.values()), 3)
     detail = {

@@ -110,6 +110,32 @@ MOVERS = [
 NO_WARMUP_PREFIXES = ("ts_stream", "rows_stream")
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, busy) jiffies from /proc/stat; busy excludes idle+iowait so
+    steal is measured against work the guest wanted to run (r13 — same
+    semantics as bench.py; the r12 isolated records could not prove the
+    uniform headline drift was host steal because this recorder did not
+    stamp it)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        idle_io = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return steal, sum(vals) - idle_io
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(start: tuple[int, int] | None,
+               end: tuple[int, int] | None) -> float | None:
+    if not start or not end:
+        return None
+    dsteal = end[0] - start[0]
+    dbusy = end[1] - start[1]
+    return round(100.0 * dsteal / max(dbusy, 1), 2)
+
+
 def _env_fingerprint() -> dict:
     try:
         load1, load5, _ = os.getloadavg()
@@ -159,21 +185,32 @@ def main() -> int:
 
     if args.record:
         env = _env_fingerprint()
+        j_run_start = _cpu_jiffies()
         mins = {}
+        steal = {}
         for name in args.queries or (HEADLINE + MOVERS):
             cmd = [sys.executable, os.path.abspath(__file__), name,
                    "--reps", str(args.reps), "--sf", args.sf, "--json"]
             if name.startswith(NO_WARMUP_PREFIXES):
                 cmd.append("--no-warmup")
+            j0 = _cpu_jiffies()
             out = subprocess.run(
                 cmd, capture_output=True, text=True, check=True,
             ).stdout
+            sp = _steal_pct(j0, _cpu_jiffies())
             r = json.loads(out.strip().splitlines()[-1])
             mins[name] = min(r["times"])
-            print(f"{name:40s} min={mins[name]:6.3f}s runs={r['times']}")
+            if sp is not None:
+                steal[name] = sp
+            print(f"{name:40s} min={mins[name]:6.3f}s runs={r['times']} "
+                  f"steal={sp}%")
+        env["steal_pct"] = _steal_pct(j_run_start, _cpu_jiffies())
         record = {
             "env": env,
             "isolated_min_sec": dict(sorted(mins.items())),
+            # per-query steal% (of busy jiffies, child window) so an
+            # inflated entry is attributable on sight (r13, verdict #3)
+            "steal_pct_per_query": dict(sorted(steal.items())),
             "sf": float(os.path.basename(args.sf.rstrip("/")).lstrip("sf") or 0.1),
             "what": "round-close canonical longitudinal headline series: "
             f"fresh-JVM min of {args.reps} reps after one unrecorded warmup "
@@ -186,17 +223,19 @@ def main() -> int:
         return 0
 
     for name in args.queries:
+        j0 = _cpu_jiffies()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name,
              "--reps", str(args.reps), "--sf", args.sf, "--json"]
             + (["--no-warmup"] if args.no_warmup else []),
             capture_output=True, text=True, check=True,
         ).stdout
+        sp = _steal_pct(j0, _cpu_jiffies())
         r = json.loads(out.strip().splitlines()[-1])
         ts = r["times"]
         print(
             f"{name:40s} min={min(ts):6.3f}s median={statistics.median(ts):6.3f}s "
-            f"runs={ts}"
+            f"runs={ts} steal={sp}%"
         )
     return 0
 
