@@ -12,10 +12,18 @@ from usedcars_bigdata_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+# Captured from the session fixture at setup (r13, ADVICE r12): the
+# restore fixture below must put back the value the session was actually
+# configured with, not a literal that silently goes stale if the fixture's
+# shuffle_partitions or SPARK_GRAFT_CPUS defaults change.
+_SESSION_SHUFFLE_DEFAULT: list[str] = []
+
+
 @pytest.fixture(scope="session")
 def spark():
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     s = get_session(app_name="tests", shuffle_partitions=8)
+    _SESSION_SHUFFLE_DEFAULT.append(s.conf.get("spark.sql.shuffle.partitions"))
     yield s
 
 
@@ -38,17 +46,24 @@ def _drain_two_pass_hubs():
 @pytest.fixture(autouse=True)
 def _restore_shuffle_partitions():
     """Stream entries set a data-derived spark.sql.shuffle.partitions for
-    their own query (streaming.events.stream_shuffle_partitions, r12);
-    bench.py restores the session default per entry — mirror that hygiene
-    per TEST so a stream-entry test can't leak a stream-sized conf into
-    later plan-shape assertions."""
+    their own query (streaming.events.stream_shuffle_partitions, r12) and
+    restore it after query start (r13) — this fixture is the safety net
+    for a test that RAISES between the save and the restore. Restores the
+    value the session fixture was configured with (not a hardcoded
+    literal) and drains the events module's pending snapshot so a failing
+    test can't leak a stale saved value into the next one."""
     yield
     try:
         from pyspark.sql import SparkSession
 
+        from usedcars_bigdata_spark.streaming import events as _ev
+
+        _ev._SAVED_BATCH_SHUFFLE.clear()
         s = SparkSession.getActiveSession()
-        if s is not None:
-            s.conf.set("spark.sql.shuffle.partitions", "8")
+        if s is not None and _SESSION_SHUFFLE_DEFAULT:
+            s.conf.set(
+                "spark.sql.shuffle.partitions", _SESSION_SHUFFLE_DEFAULT[0]
+            )
     except Exception:
         pass
 

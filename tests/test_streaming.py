@@ -268,8 +268,20 @@ def test_stream_shuffle_partitions_scale_adaptive(spark, sf_dir, tmp_path,
                        raising=False)
     batch_default = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    # tiny local source → the compute-parallelism floor
-    assert stream_shuffle_partitions(spark, sf_dir, "events.parquet") == 4
+    # tiny local source → the compute-parallelism floor (a tmp_path
+    # source of known size, NOT the sf_dir fixture: at a larger sf dir
+    # events.parquet can exceed one target span and the assert would
+    # fail for environment reasons — ADVICE r12)
+    tiny = tmp_path / "tiny"
+    tiny.mkdir()
+    (tiny / "one.bin").write_bytes(b"\0" * 1024)
+    assert stream_shuffle_partitions(spark, str(tiny), "*.bin") == 4
+
+    # per-operator-type floor (r13): compute-heavy operators pass a
+    # higher floor; still capped at the batch default
+    assert stream_shuffle_partitions(
+        spark, str(tiny), "*.bin", floor=8
+    ) == min(8, batch_default)
 
     # unmeasurable source (missing path: os.walk yields nothing) →
     # batch default, NOT the floor
@@ -295,3 +307,54 @@ def test_stream_shuffle_partitions_scale_adaptive(spark, sf_dir, tmp_path,
     # env override wins over everything
     monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "7")
     assert stream_shuffle_partitions(spark, sf_dir, "events.parquet") == 7
+
+
+def test_stream_conf_scoped_to_query_start(spark, sf_dir):
+    """r13 (r12 ADVICE 'medium'): read_event_stream's shuffle-partitions
+    mutation is SCOPED — the batch default is snapshotted before the set
+    and restored right after the streaming query starts (the query clones
+    the session inside start(), so the restore can't affect it). A
+    library caller running batch work after a stream in the same session
+    must plan at its own default again, and the running stream must still
+    use the data-derived count."""
+    from usedcars_bigdata_spark.streaming import events as SE
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = SE.read_event_stream(spark, sf_dir)
+    derived = spark.conf.get("spark.sql.shuffle.partitions")
+    # mutation visible between build and start (that's what start() reads)
+    assert derived == "4"
+    assert SE._SAVED_BATCH_SHUFFLE == [before]
+    q = SE.run_to_memory_sink(
+        SE.windowed_counts(stream), "conf_scope_sink"
+    )
+    try:
+        # restored for the caller the moment start() returned...
+        assert spark.conf.get("spark.sql.shuffle.partitions") == before
+        assert SE._SAVED_BATCH_SHUFFLE == []
+        # ...while the running query kept the derived count: its state
+        # operator count equals the derived partitions, not the default
+        prog = q.lastProgress
+        ops = prog["stateOperators"]
+        assert ops and all(
+            op["numShufflePartitions"] == 4 for op in ops
+        ), ops
+    finally:
+        q.stop()
+
+
+def test_save_restore_shuffle_conf_idempotent(spark):
+    """Double-save keeps the ORIGINAL batch value (a stream-stream join
+    builds two streams before one start); restore with nothing pending is
+    a no-op."""
+    from usedcars_bigdata_spark.streaming import events as SE
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    SE.restore_shuffle_partitions(spark)  # nothing pending: no-op
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    SE.save_batch_shuffle_conf(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    SE.save_batch_shuffle_conf(spark)  # must NOT overwrite the snapshot
+    spark.conf.set("spark.sql.shuffle.partitions", "6")
+    SE.restore_shuffle_partitions(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -22,6 +22,7 @@ from ..ml import eval as ME
 from ..operators import graph as G
 from ..sources import load_table
 from .registry import query
+from ..streaming.events import restore_shuffle_partitions as _restore_stream_conf
 
 # Shared synthesis: one row per order with (label, score, price_cents, fold).
 _SCORED_CTE = """
@@ -1248,6 +1249,7 @@ def ts_stream_left_outer_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     # Honesty check: with maxFilesPerTrigger=1 every written part file is
     # its own micro-batch. Count the actual files rather than assuming
@@ -1938,6 +1940,7 @@ def ts_stream_rate_limit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 

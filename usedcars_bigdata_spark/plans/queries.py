@@ -29,6 +29,7 @@ from ..operators import timeseries as TS
 from ..operators import window as W
 from ..sources import load_table
 from .registry import query
+from ..streaming.events import restore_shuffle_partitions as _restore_stream_conf
 
 # ---------------------------------------------------------------------------
 # Reference parity: the three benchmark queries
@@ -956,6 +957,7 @@ def ts_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -1014,6 +1016,7 @@ def ts_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -1055,6 +1058,7 @@ def ts_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -1100,6 +1104,7 @@ def ts_stream_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -3337,6 +3342,7 @@ def ts_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink)
 
@@ -3397,6 +3403,7 @@ def ts_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     return spark.table(sink).select(
         "user_id",
@@ -5355,6 +5362,7 @@ def ts_stream_multibatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     n_batches = len(q.recentProgress)
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
@@ -5481,8 +5489,13 @@ def ts_stream_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = os.path.join(base, d)
         if os.path.exists(p):
             shutil.rmtree(p)
-    from ..streaming.events import stream_shuffle_partitions
+    from ..streaming.events import (
+        save_batch_shuffle_conf,
+        stream_shuffle_partitions,
+    )
 
+    # saved here, restored by the sink helper right after .start() (r13)
+    save_batch_shuffle_conf(spark)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(stream_shuffle_partitions(spark, src, "*.parquet")),
@@ -5591,8 +5604,13 @@ def rows_stream_hw(spark: SparkSession, sf_dir: str) -> DataFrame:
     for q in spark.streams.active:
         if q.name == sink:
             q.stop()
-    from ..streaming.events import stream_shuffle_partitions
+    from ..streaming.events import (
+        save_batch_shuffle_conf,
+        stream_shuffle_partitions,
+    )
 
+    # saved here, restored by the sink helper right after .start() (r13)
+    save_batch_shuffle_conf(spark)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(stream_shuffle_partitions(spark, src, "*.parquet")),
@@ -7461,7 +7479,13 @@ def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.name == sink:
             q.stop()
     sessions = streaming_sessionize(
-        read_event_stream(spark, src, glob="*.parquet", max_files_per_trigger=1)
+        # partition_floor=8 (r13, r12 verdict #1): the applyInPandasWithState
+        # session fold is per-batch COMPUTE-heavy (pandas groupby fold per
+        # partition), unlike the state-commit-bound entries the byte rule's
+        # floor of 4 was measured on — min 5.6 s at 8 partitions vs 8.7 s
+        # at 4 (r12 interleaved fresh-JVM A/B, re-verified r13).
+        read_event_stream(spark, src, glob="*.parquet",
+                          max_files_per_trigger=1, partition_floor=8)
     )
     q = (
         sessions.writeStream.outputMode("append")
@@ -7470,6 +7494,7 @@ def ts_stream_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     n_batches = len(q.recentProgress)
     assert n_batches >= 3, f"expected >=3 micro-batches, got {n_batches}"
@@ -8107,6 +8132,7 @@ def rows_stream_late_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     dropped = 0
     for p in q.recentProgress:

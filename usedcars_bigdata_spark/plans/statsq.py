@@ -30,6 +30,7 @@ from ..operators import timeseries as TS
 from ..sources import load_table
 from .evalqs import _EDGES_CTE, _copurchase_edges
 from .registry import query
+from ..streaming.events import restore_shuffle_partitions as _restore_stream_conf
 
 
 @query(
@@ -1192,6 +1193,7 @@ def ts_stream_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    _restore_stream_conf(spark)
     q.awaitTermination()
     w = Window.orderBy(F.col("spend_cents").desc(), F.col("user_id").asc())
     return (

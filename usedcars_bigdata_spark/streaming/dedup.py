@@ -23,6 +23,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from . import events
+
 
 def _run_token(checkpoint: str) -> str:
     """Identity of the streaming RUN a replay marker belongs to. Spark
@@ -243,13 +245,15 @@ def streaming_near_dup_flags(
             marker=_replay_marker(checkpoint, batch_id, token=token),
         )
 
-    return (
+    q = (
         docs_stream.writeStream.foreachBatch(handle)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
     )
+    events.restore_shuffle_partitions(docs_stream.sparkSession)
+    return q
 
 
 def streaming_holt_winters(
@@ -363,10 +367,12 @@ def streaming_holt_winters(
     # carry via applyInPandasWithState — the stateful-anomaly entry
     # demonstrates that API; this one demonstrates durable cross-restart
     # state in plain parquet.
-    return (
+    q = (
         series_stream.writeStream.foreachBatch(handle)
         .outputMode("append")
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
     )
+    events.restore_shuffle_partitions(series_stream.sparkSession)
+    return q

@@ -34,11 +34,48 @@ _EVENTS_SCHEMA_MICROS = (
 )
 
 
+# Batch spark.sql.shuffle.partitions saved by the FIRST conf mutation of a
+# stream build (read_event_stream / save_batch_shuffle_conf) and restored by
+# restore_shuffle_partitions once the streaming query has started. One slot,
+# not a stack: an entry that builds two streams (stream-stream join) keeps
+# the ORIGINAL batch value through both and restores it once.
+_SAVED_BATCH_SHUFFLE: list[str] = []
+
+
+def save_batch_shuffle_conf(spark: SparkSession) -> None:
+    """Snapshot the session's batch shuffle-partition count before a stream
+    build mutates it (no-op if a snapshot is already pending)."""
+    if not _SAVED_BATCH_SHUFFLE:
+        _SAVED_BATCH_SHUFFLE.append(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+
+
+def restore_shuffle_partitions(spark: SparkSession) -> None:
+    """Restore the batch shuffle-partition count saved before a stream
+    build; call IMMEDIATELY AFTER ``writeStream...start()`` (r13, ADVICE
+    r12 'medium').
+
+    Safe at that point: a streaming query clones the session synchronously
+    inside start() (StreamExecution's sparkSessionForStream), so the
+    running query keeps planning its state stores at the data-derived
+    count while the caller's session goes back to batch planning at the
+    engine default — no more session-global side effect leaking a
+    stream-sized (possibly floor-4) conf into a library caller's
+    subsequent batch shuffles. No-op when nothing is pending."""
+    if _SAVED_BATCH_SHUFFLE:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", _SAVED_BATCH_SHUFFLE.pop()
+        )
+        _SAVED_BATCH_SHUFFLE.clear()
+
+
 def stream_shuffle_partitions(
     spark: SparkSession,
     directory: str,
     glob: str = "*",
     target_bytes: int = 64 << 20,
+    floor: int = 4,
 ) -> int:
     """Scale-adaptive shuffle-partition count for a streaming query over
     the files under ``directory`` (r12 optimization; guide §2 "derive
@@ -55,11 +92,15 @@ def stream_shuffle_partitions(
     instead under-partition a production stream, so derive the count
     from the source size: ~``target_bytes`` of input per partition,
 
-    - floored at 4 — stream-stream joins and per-batch aggregations
-      still need compute parallelism (n=1 measured 24.9 s: the join
-      work serializes); the floor is deliberately NOT the core count,
-      because state-store count is a data-scaled cost, not a
-      cores-scaled one;
+    - floored at ``floor`` (default 4) — stream-stream joins and
+      per-batch aggregations still need compute parallelism (n=1
+      measured 24.9 s: the join work serializes); the floor is
+      deliberately NOT the core count, because state-store count is a
+      data-scaled cost, not a cores-scaled one. Per-operator-type
+      floors (r13, r12 verdict #1): operators whose per-batch COMPUTE
+      dominates the state commits — the applyInPandasWithState
+      sessionize fold measured min 5.6 s at 8 partitions vs 8.7 s at
+      4 — pass ``floor=8``; pure state-machinery entries keep 4;
     - capped at the session's batch ``spark.sql.shuffle.partitions``,
       so a stream never plans MORE partitions than the surrounding
       engine (on a cluster that default is already sized 2–3× total
@@ -90,13 +131,13 @@ def stream_shuffle_partitions(
         # value, and clamping an unmeasurable source to the local floor
         # would serialize a real stream.
         return batch_default
-    derived = max(4, -(-total // target_bytes))  # ceil-div, floor 4
+    derived = max(floor, -(-total // target_bytes))  # ceil-div, floored
     return min(derived, batch_default) if batch_default > 0 else derived
 
 
 def read_event_stream(
     spark: SparkSession, directory: str, glob: str = "events.parquet",
-    max_files_per_trigger: int = 1
+    max_files_per_trigger: int = 1, partition_floor: int = 4
 ) -> DataFrame:
     """Streaming file source over a directory of events parquet files.
     (File sources take a directory; ``glob`` selects the event files within.)
@@ -105,17 +146,21 @@ def read_event_stream(
     the files carry, so every downstream transformation (and its batch
     twin) sees one schema.
 
-    Side effect (documented): sets ``spark.sql.shuffle.partitions`` to
-    ``stream_shuffle_partitions(...)`` so the streaming query that the
-    caller is about to start plans its state stores at the data-derived
-    count (the conf is read at query-start time). Callers that go on to
-    run unrelated BATCH work in the same session can restore their
-    default afterwards (bench.py does, per-entry)."""
+    Scoped side effect: sets ``spark.sql.shuffle.partitions`` to
+    ``stream_shuffle_partitions(...)`` (floored at ``partition_floor``)
+    so the streaming query the caller is about to start plans its state
+    stores at the data-derived count — the conf is read at query-start
+    time. The previous batch value is snapshotted here; callers restore
+    it with ``restore_shuffle_partitions(spark)`` right after
+    ``.start()`` (safe: the query clones the session inside start), so
+    the mutation never outlives the query start."""
     import os
 
+    save_batch_shuffle_conf(spark)
     spark.conf.set(
         "spark.sql.shuffle.partitions",
-        str(stream_shuffle_partitions(spark, directory, glob)),
+        str(stream_shuffle_partitions(spark, directory, glob,
+                                      floor=partition_floor)),
     )
     probe = spark.read.parquet(os.path.join(directory, glob)).schema["ts"]
     nanos = probe.dataType.simpleString() == "bigint"
@@ -200,6 +245,9 @@ def run_to_memory_sink(
         .queryName(name)
         .start()
     )
+    # The query snapshotted the session conf inside start(); give the
+    # caller's session its batch shuffle default back (r13).
+    restore_shuffle_partitions(stream_df.sparkSession)
     q.processAllAvailable()
     return q
 

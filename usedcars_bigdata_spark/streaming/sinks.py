@@ -16,6 +16,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
+from . import events
+
 
 def recover(target_path: str) -> None:
     """Crash recovery for the ``merge_upsert`` swap — idempotent, callable
@@ -126,13 +128,15 @@ def upsert_to_parquet(
             return
         merge_upsert(batch_df.sparkSession, target_path, batch_df, key)
 
-    return (
+    q = (
         stream_df.writeStream.foreachBatch(handle)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .queryName(query_name)
         .start()
     )
+    events.restore_shuffle_partitions(stream_df.sparkSession)
+    return q
 
 
 def streaming_kmv_signature(
@@ -186,5 +190,6 @@ def streaming_kmv_signature(
         .trigger(availableNow=True)
         .start()
     )
+    events.restore_shuffle_partitions(stream.sparkSession)
     q.awaitTermination()
     return state

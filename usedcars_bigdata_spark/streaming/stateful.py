@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from . import events as _events_mod
+
 OUTPUT_SCHEMA = (
     "user_id long, event_id long, value double, running_mean double, flagged boolean"
 )
@@ -480,7 +482,7 @@ def running_anomaly_flags_scalable(
             marker=_replay_marker(checkpoint, batch_id, token=token),
         )
 
-    return (
+    q = (
         events.select("user_id", "event_id", "value")
         .writeStream.foreachBatch(handle)
         .outputMode("append")
@@ -488,3 +490,5 @@ def running_anomaly_flags_scalable(
         .queryName(query_name)
         .start()
     )
+    _events_mod.restore_shuffle_partitions(events.sparkSession)
+    return q
